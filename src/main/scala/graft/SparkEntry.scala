@@ -12,7 +12,8 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     graft.search.VectorSearch,
-    graft.operators.Relational)
+    graft.operators.Relational,
+    graft.operators.Events)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline capability: scatter-gather top-k cosine

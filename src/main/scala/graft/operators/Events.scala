@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+
+/** Event-log operators over the `events` table (`[EXT]`, SURVEY.md §2.8/§2.9):
+  * JSON extraction, time bucketing (the batch shape of the streaming
+  * tumbling-window agg — the streaming variant lives in
+  * [[graft.streaming.EventStreams]]), and gap-based sessionization.
+  */
+object Events extends QueryPack {
+
+  private def decSum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** JSON field extraction from the `props` column + aggregation.
+    * `get_json_object` is codegen'd; at scale prefer `from_json` with an
+    * explicit schema once per row over repeated path probes.
+    */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** Tumbling 1-hour windows: count + value sum per (hour, type). */
+  def hourlyCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Gap-based sessionization: a new session starts when >30 min elapse
+    * since the user's previous event (lag window). Partitioned by user —
+    * shuffles once on user_id, then everything is per-partition; the same
+    * plan holds at 100 TB since sessions never cross users.
+    */
+  def sessions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .filter(col("user_id") < 100)
+      .withColumn("gap_s",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+      .withColumn("new_session",
+        when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("new_session")).as("n_sessions"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Top spenders on the purchase slice — filter pushed to scan, then a
+    * pre-aggregated (map-side combined) hash agg and TakeOrdered top-k.
+    */
+  def topPurchasers(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"), decSum(col("value")).as("total_spent"))
+      .orderBy(col("total_spent").desc, col("user_id"))
+      .limit(10)
+
+  override def queries: Map[String, QueryPack.Q] = Map(
+    "q_events_json"     -> (jsonExtract _),
+    "q_events_hourly"   -> (hourlyCounts _),
+    "q_events_sessions" -> (sessions _),
+    "q_events_topusers" -> (topPurchasers _))
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_events_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        | FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_events_sessions" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(new_session) AS BIGINT) AS n_sessions
+        | FROM (
+        |  SELECT user_id,
+        |   CASE WHEN date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+        |        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |        THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE user_id < 100)
+        | GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_events_topusers" ->
+      """SELECT user_id, count(*) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        | FROM events WHERE event_type = 'purchase'
+        | GROUP BY user_id ORDER BY total_spent DESC, user_id LIMIT 10""".stripMargin)
+}

@@ -66,10 +66,133 @@ object Relational extends QueryPack {
         decSum(col("c_acctbal")).as("total_acctbal"))
       .orderBy(col("r_name"))
 
+  /** Window functions: per-customer order sequence + running total.
+    * The predicate on o_custkey is pushed to the parquet scan, so the
+    * window input is pruned before the shuffle on the partition key.
+    */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 100)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        row_number().over(w).as("rn"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_total"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Global top-k by sort key — Catalyst plans TakeOrderedAndProject:
+    * per-partition O(n log k) heap + k-row driver merge, no full sort.
+    */
+  def topkOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("total_price"))
+      .orderBy(col("total_price").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Left-semi join ≡ EXISTS: customers holding at least one open 'P' order. */
+  def semiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Left-anti join ≡ NOT EXISTS: low-key customers with no 'P' order. */
+  def antiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .filter(col("c_custkey") < 500)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+      .orderBy(col("c_custkey"))
+
+  /** INTERSECT / EXCEPT set operators (SURVEY.md §2.7 — the reference only
+    * has UNION ALL; these complete the set-op surface).
+    */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    def custWith(status: String) =
+      ord.filter(col("o_orderstatus") === status).select(col("o_custkey"))
+    custWith("O").intersect(custWith("F")).except(custWith("P"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Conditional aggregation (the reference's A3 stats-block shape,
+    * similarity_search.py:366-407): one pass, sum(CASE WHEN) counts + rate.
+    */
+  def priorityStats(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
+        round(sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).cast("double") /
+              count(lit(1)).cast("double"), 6).as("open_rate"),
+        decSum(col("o_totalprice")).as("total_value"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Pivot (status breakdown as columns — the reference's waitlist_status
+    * breakdown, similarity_search.py:395-405, generalized). Explicit pivot
+    * values keep the schema deterministic.
+    */
+  def pivotStatus(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .orderBy(col("l_returnflag"))
+
+  /** ROLLUP grouping sets over the dim hierarchy region → nation. */
+  def rollupRegionNation(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("customers"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+
+  /** Date bucketing: orders per month (V6 date arithmetic surface). */
+  def monthlyOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month"))
+      .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("total_value"))
+      .orderBy(col("month"))
+
+  /** CASE WHEN decode of a status enum to labels (P6, the reference's
+    * waitlist_status → human label map, similarity_search.py:690-696).
+    */
+  def decodeStatus(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        when(col("o_orderstatus") === "O", "Open")
+          .when(col("o_orderstatus") === "F", "Finished")
+          .when(col("o_orderstatus") === "P", "Pending")
+          .otherwise("Unknown").as("status_label"))
+      .groupBy(col("status_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("status_label"))
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q1_pricing_summary"  -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
-    "q_region_rollup"     -> (regionNationRollup _))
+    "q_region_rollup"     -> (regionNationRollup _),
+    "q_window_running"    -> (windowRunning _),
+    "q_topk_orders"       -> (topkOrders _),
+    "q_semi_join"         -> (semiJoin _),
+    "q_anti_join"         -> (antiJoin _),
+    "q_setops"            -> (setOps _),
+    "q_priority_stats"    -> (priorityStats _),
+    "q_pivot_status"      -> (pivotStatus _),
+    "q_rollup_region"     -> (rollupRegionNation _),
+    "q_monthly_orders"    -> (monthlyOrders _),
+    "q_decode_status"     -> (decodeStatus _))
 
   override def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -101,5 +224,65 @@ object Relational extends QueryPack {
         | JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         | GROUP BY r_name
-        | ORDER BY r_name""".stripMargin)
+        | ORDER BY r_name""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  row_number() OVER w AS rn,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        | FROM orders WHERE o_custkey < 100
+        | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        | ORDER BY o_custkey, rn""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+        | FROM orders ORDER BY total_price DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        | WHERE EXISTS (SELECT 1 FROM orders
+        |               WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        | ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey FROM customer
+        | WHERE c_custkey < 500 AND NOT EXISTS
+        |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        | ORDER BY c_custkey""".stripMargin,
+    "q_setops" ->
+      """(SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        | EXCEPT
+        | SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        | ORDER BY o_custkey""".stripMargin,
+    "q_priority_stats" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        |  round(CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS DOUBLE) /
+        |        CAST(count(*) AS DOUBLE), 6) AS open_rate,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_pivot_status" ->
+      """SELECT l_returnflag,
+        |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS "F",
+        |  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS "O"
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_rollup_region" ->
+      """SELECT r_name, n_name, count(*) AS customers
+        | FROM customer
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY ROLLUP (r_name, n_name)
+        | ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q_monthly_orders" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        | FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+    "q_decode_status" ->
+      """SELECT CASE o_orderstatus WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Finished'
+        |       WHEN 'P' THEN 'Pending' ELSE 'Unknown' END AS status_label,
+        |  count(*) AS n
+        | FROM orders GROUP BY 1 ORDER BY status_label""".stripMargin)
 }
