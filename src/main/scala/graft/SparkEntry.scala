@@ -13,7 +13,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     graft.search.VectorSearch,
     graft.operators.Relational,
-    graft.operators.Events)
+    graft.operators.Events,
+    graft.operators.TextAnalysis)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline capability: scatter-gather top-k cosine

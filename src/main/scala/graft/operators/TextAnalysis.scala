@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+import graft.functions.VectorFunctions.cosineSimilarity
+
+/** `[EXT]` training-data-pipeline text operators over `documents` (and
+  * embedding near-dup over `embeddings`): exact dedup, blocked n-gram
+  * Jaccard near-dup, token counting, quality scoring, language-ID
+  * heuristic, fingerprinting.
+  *
+  * Scale design: every query here is either a hash-aggregate on a content
+  * key (dedup — shuffles once, map-side combined) or a *blocked* self-join
+  * (near-dup — the block key bounds the quadratic term; at 100 TB the
+  * block key becomes an LSH band, see [[graft.operators.MinHashDedup]],
+  * which replaces the quadratic-within-block with band-bucket joins).
+  */
+object TextAnalysis extends QueryPack {
+
+  /** Distinct word set per document — the unigram "shingle" set. */
+  private def wordSet(c: Column): Column = array_distinct(split(c, " "))
+
+  /** Exact dedup via hash-groupBy on full text: canonical id = min(doc_id)
+    * per identical text. One shuffle on the text hash; at 100 TB group by
+    * md5(text) instead of raw text to shrink shuffle keys.
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select(col("canonical_id"), col("n_copies"))
+      .orderBy(col("canonical_id"))
+
+  /** Corpus-level dedup stats: raw vs distinct-text vs distinct-fingerprint. */
+  def dedupStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).agg(
+      count(lit(1)).as("n_docs"),
+      count_distinct(col("text")).as("n_unique_text"),
+      count_distinct(md5(col("text").cast("binary"))).as("n_unique_fp"))
+
+  /** Near-duplicate pairs by word-set Jaccard ≥ 0.8, blocked on
+    * (lang, source) so the self-join is quadratic only within a block.
+    * |A∩B| and |A∪B| are exact ints, so the ratio is bit-stable.
+    */
+  def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), wordSet(col("text")).as("ws"))
+    val a = d.select(col("doc_id").as("a_id"), col("lang"), col("source"), col("ws").as("a_ws"))
+    val b = d.select(col("doc_id").as("b_id"), col("lang"), col("source"), col("ws").as("b_ws"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("jac",
+        round(size(array_intersect(col("a_ws"), col("b_ws"))).cast("double") /
+              size(array_union(col("a_ws"), col("b_ws"))).cast("double"), 6))
+      .filter(col("jac") >= 0.8)
+      .select(col("a_id"), col("b_id"), col("jac"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Embedding-cosine near-dup pairs within label blocks (the vector
+    * analogue of near-dup text detection). Blocked self-join; at 100 TB
+    * the block key becomes an LSH bucket ([[graft.operators.AnnSearch]]).
+    */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("a_id"), col("label"), col("embedding").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"), col("label"), col("embedding").as("b_emb"))
+    a.join(b, Seq("label"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", round(cosineSimilarity(col("a_emb"), col("b_emb")), 6))
+      .filter(col("cos") >= 0.4)
+      .select(col("label"), col("a_id"), col("b_id"), col("cos"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Token counting: whitespace tokens + distinct tokens, per language. */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(wordSet(col("text"))).cast("long").as("n_distinct"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(sum(col("n_tokens")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("avg_tokens"),
+        round(sum(col("n_distinct")).cast("double") / sum(col("n_tokens")).cast("double"), 6)
+          .as("lexical_diversity"))
+      .orderBy(col("lang"))
+
+  /** Per-document quality score: lexical diversity blended with a length
+    * score (the length/stopword-ratio family of LLM-corpus quality
+    * heuristics). Top 20 by score.
+    */
+  def qualityScores(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("diversity",
+        size(wordSet(col("text"))).cast("double") / col("n_tokens").cast("double"))
+      .withColumn("len_score",
+        least(lit(1.0), col("n_chars").cast("double") / lit(500.0)))
+      .withColumn("quality", round(col("diversity") * 0.5 + col("len_score") * 0.5, 6))
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .limit(20)
+
+  /** Language-ID heuristic: function-word rate (n-gram/stopword family).
+    * The corpus is synthetic same-vocabulary text, so this measures the
+    * *heuristic's* determinism cross-engine, aggregated per labeled lang.
+    */
+  def langIdHeuristic(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to")
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("stop_ratio",
+        size(filter(col("toks"), t => t.isInCollection(stop))).cast("double") /
+          size(col("toks")).cast("double"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("stop_ratio")), 6).as("avg_stop_ratio"),
+        sum(when(col("stop_ratio") > 0.05, 1L).otherwise(0L)).as("n_en_like"))
+      .orderBy(col("lang"))
+  }
+
+  /** Content fingerprints (md5 — stable across engines) for a key slice. */
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  override def queries: Map[String, QueryPack.Q] = Map(
+    "q_dedup_exact"      -> (dedupExact _),
+    "q_dedup_stats"      -> (dedupStats _),
+    "q_ngram_jaccard"    -> (ngramJaccardPairs _),
+    "q_neardup_embedding" -> (embeddingNearDup _),
+    "q_token_counts"     -> (tokenCounts _),
+    "q_quality_scores"   -> (qualityScores _),
+    "q_langid"           -> (langIdHeuristic _),
+    "q_fingerprints"     -> (fingerprints _))
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS canonical_id, count(*) AS n_copies
+        | FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,
+    "q_dedup_stats" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_unique_text,
+        |  count(DISTINCT md5(text)) AS n_unique_fp
+        | FROM documents""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, lang, source,
+        |   list_distinct(string_split(text, ' ')) AS ws FROM documents)
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+        |        CAST(len(list_distinct(a.ws || b.ws)) AS DOUBLE), 6) AS jac
+        | FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+        |  AND a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+        |       CAST(len(list_distinct(a.ws || b.ws)) AS DOUBLE) >= 0.8
+        | ORDER BY a_id, b_id""".stripMargin,
+    "q_neardup_embedding" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        | SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        | FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        | WHERE list_dot_product(a.v, b.v) /
+        |       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        | ORDER BY a_id, b_id""".stripMargin,
+    "q_token_counts" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) /
+        |        CAST(count(*) AS DOUBLE), 6) AS avg_tokens,
+        |  round(CAST(sum(len(list_distinct(string_split(text, ' ')))) AS DOUBLE) /
+        |        CAST(sum(len(string_split(text, ' '))) AS DOUBLE), 6) AS lexical_diversity
+        | FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_quality_scores" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  round(0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |               CAST(len(string_split(text, ' ')) AS DOUBLE)) +
+        |        0.5 * least(1.0, CAST(n_chars AS DOUBLE) / 500.0), 6) AS quality
+        | FROM documents ORDER BY quality DESC, doc_id LIMIT 20""".stripMargin,
+    "q_langid" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round(avg(CAST(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','and','of','to'))) AS DOUBLE) /
+        |        CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_stop_ratio,
+        |  CAST(sum(CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','and','of','to'))) AS DOUBLE) /
+        |        CAST(len(string_split(text, ' ')) AS DOUBLE) > 0.05
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_en_like
+        | FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_fingerprints" ->
+      """SELECT doc_id, md5(text) AS fp FROM documents
+        | WHERE doc_id < 50 ORDER BY doc_id""".stripMargin)
+}
