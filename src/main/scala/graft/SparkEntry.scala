@@ -14,7 +14,8 @@ object SparkEntry {
     graft.search.VectorSearch,
     graft.operators.Relational,
     graft.operators.Events,
-    graft.operators.TextAnalysis)
+    graft.operators.TextAnalysis,
+    graft.search.PatientPipeline)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline capability: scatter-gather top-k cosine

@@ -1,0 +1,119 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.feat.Normalization
+import graft.gen.PatientGenerator
+import graft.model.{FederatedTrainer, Mlp}
+import graft.schema.PatientSchema
+import graft.stats.TransplantStats
+import graft.store.PatientIndex
+
+/** The orchestration facade — capability parity with
+  * `PrivacyPreservingPatientSearch` (similarity_search.py:410-578):
+  * setup → federated training → index build → scatter-gather top-k search
+  * with transplant statistics.
+  *
+  * Lifecycle E1 (SURVEY.md §3): query dict → per-row-normalized 20-vector
+  * (P3) → driver-side MLP forward (O(1)) → literal array broadcast into a
+  * per-row cosine expression → window local top-k per hospital →
+  * TakeOrderedAndProject global top-k → one conditional-agg stats pass.
+  */
+class PatientSearch(spark: SparkSession) {
+
+  private var patients: Option[DataFrame] = None
+  private var weights: Mlp.Weights = Mlp.init()
+  private var index: Option[DataFrame] = None
+
+  /** Trained-model / index accessors (for tests and reuse). */
+  def globalWeights: Mlp.Weights = weights
+  def vectorIndex: Option[DataFrame] = index
+
+  /** setup_hospitals (similarity_search.py:419-434): generate shards,
+    * z-score per hospital (the reference normalizes each client against
+    * its own stats, similarity_search.py:180+198), assemble feature
+    * arrays.
+    */
+  def setupHospitals(configs: Seq[(String, Long)], seed: Long = 42L): DataFrame = {
+    val raw = PatientGenerator.setupHospitals(spark, configs, seed)
+    val normalized = Normalization.zscore(raw, perGroup = Some("hospital"))
+    val withFeatures = Normalization.assembleFeatures(normalized)
+      // keep raw outcome columns for metadata (z-scored features live in the array)
+      .cache()
+    patients = Some(withFeatures)
+    withFeatures
+  }
+
+  /** run_federated_training (similarity_search.py:436-474). */
+  def runFederatedTraining(rounds: Int = 3, localEpochs: Int = 5): Seq[Double] = {
+    val df = patients.getOrElse(sys.error("setupHospitals first"))
+    val (trained, losses) = FederatedTrainer.train(df, rounds, localEpochs)
+    weights = trained
+    losses
+  }
+
+  /** generate_and_store_embeddings (similarity_search.py:495-539). */
+  def generateAndStoreEmbeddings(): DataFrame = {
+    val df = patients.getOrElse(sys.error("setupHospitals first"))
+    val built = PatientIndex.build(FederatedTrainer.withEmbeddings(df, weights))
+    index = Some(built)
+    built
+  }
+
+  /** search_similar_patients (similarity_search.py:541-559 → 322-363).
+    * Returns (hits with rank/similarity/promoted outcome fields + metadata,
+    * statistics block, total_searched = n_hospitals × top_k candidate pool
+    * — the reference reports the pool size, not the corpus size,
+    * similarity_search.py:361).
+    */
+  def searchSimilarPatients(query: Map[String, Double], topK: Int = 10): PatientSearch.Result = {
+    val idx = index.getOrElse(sys.error("generateAndStoreEmbeddings first"))
+    val qFeatures = Normalization.prepareQueryFeatures(query)
+    val qEmbedding = Mlp.forward(weights, qFeatures)
+
+    val sim = graft.functions.VectorFunctions
+      .cosineSimilarity(col("embedding"), typedlit(qEmbedding.toSeq))
+
+    val localW = Window.partitionBy(col("hospital"))
+      .orderBy(col("similarity").desc, col("patient_id"))
+    val localTopK = idx
+      .withColumn("similarity", sim)
+      .withColumn("local_rank", row_number().over(localW))
+      .filter(col("local_rank") <= topK)
+
+    val hits = localTopK
+      .orderBy(col("similarity").desc, col("patient_id"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("similarity").desc, col("patient_id"))))
+      .select(col("rank"), col("patient_id"), col("similarity"),
+        col("hospital"), col("received_transplant"), col("transplant_success"),
+        col("days_to_transplant"),
+        // presentation form of the reference's 'N/A' sentinel (§1.2)
+        coalesce(date_format(col("transplant_date"), "yyyy-MM-dd"), lit("N/A"))
+          .as("transplant_date"),
+        col("waitlist_status"), col("metadata"))
+      .cache()
+
+    val nHospitals = idx.select(col("hospital")).distinct().count()
+    PatientSearch.Result(
+      topSimilarPatients = hits,
+      totalSearched = (nHospitals * topK).min(idx.count()),
+      transplantStatistics = TransplantStats.statisticsBlock(hits),
+      clinicalInsights = TransplantStats.clinicalInsights(hits))
+  }
+}
+
+object PatientSearch {
+  /** Search result shape (similarity_search.py:359-363). */
+  case class Result(topSimilarPatients: DataFrame, totalSearched: Long,
+                    transplantStatistics: DataFrame, clinicalInsights: DataFrame)
+
+  /** Compat alias parity: `HospitalVectorDB = HospitalVectorStorage`
+    * (similarity_search.py:316) — here the "storage" IS the index
+    * DataFrame.
+    */
+  type HospitalVectorDB = DataFrame
+}
