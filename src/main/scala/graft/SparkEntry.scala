@@ -15,7 +15,11 @@ object SparkEntry {
     graft.operators.Relational,
     graft.operators.Events,
     graft.operators.TextAnalysis,
-    graft.search.PatientPipeline)
+    graft.search.PatientPipeline,
+    graft.operators.MinHashDedup,
+    graft.operators.SimHash,
+    graft.operators.AnnSearch,
+    graft.operators.Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline capability: scatter-gather top-k cosine

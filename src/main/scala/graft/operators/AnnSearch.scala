@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+import graft.functions.VectorFunctions.cosineSimilarity
+
+/** Approximate nearest-neighbor search over an embedding column — the
+  * 100 TB scale path for [[graft.search.VectorSearch]]'s brute force.
+  *
+  * Two standard constructions:
+  *
+  *  - **Random-hyperplane LSH** (Charikar): bucket = sign-bit vector of h
+  *    seeded hyperplane projections. At rest the bucket is a partition
+  *    column — a query prunes the scan to its own bucket plus 1-bit-flip
+  *    neighbors (multiprobe), reading h+1 of 2^h partitions instead of the
+  *    corpus. Probability two vectors at angle θ share a bucket:
+  *    (1 − θ/π)^h.
+  *
+  *  - **IVF** (inverted-file, FAISS-style): k-means coarse quantizer
+  *    (MLlib KMeans); each vector is assigned to its nearest centroid's
+  *    list; a query probes the nprobe nearest lists. Centroids live on the
+  *    driver (k × dim floats — tiny); list id is again a partition column
+  *    at scale.
+  *
+  * Both return exact cosine ranking WITHIN the probed candidate set, so
+  * accuracy degrades only via recall, never via scoring error.
+  */
+object AnnSearch extends QueryPack {
+
+  // ---------------------------------------------------------------- LSH
+
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rng.nextGaussian())
+  }
+
+  private def bucketOf(v: Seq[Float], planes: Array[Array[Double]]): Int = {
+    var bucket = 0
+    var p = 0
+    while (p < planes.length) {
+      var dot = 0.0
+      val plane = planes(p)
+      var i = 0
+      while (i < plane.length) { dot += plane(i) * v(i); i += 1 }
+      if (dot >= 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
+  /** Corpus side: add the LSH bucket column (at scale: partitionBy this). */
+  def withLshBucket(df: DataFrame, embCol: String, planes: Array[Array[Double]]): DataFrame = {
+    val ps = planes
+    val bucketUdf = udf { (v: Seq[Float]) => bucketOf(v, ps) }
+    df.withColumn("lsh_bucket", bucketUdf(col(embCol)))
+  }
+
+  /** Query side: own bucket + all 1-bit flips (multiprobe). */
+  def probeBuckets(queryVec: Array[Float], planes: Array[Array[Double]]): Seq[Int] = {
+    val b = bucketOf(queryVec.toSeq, planes)
+    b +: planes.indices.map(i => b ^ (1 << i))
+  }
+
+  /** LSH ANN: filter to probe buckets (partition pruning at scale), exact
+    * cosine top-k within.
+    */
+  def lshSearch(corpus: DataFrame, embCol: String, idCol: String,
+                queryVec: Array[Float], topK: Int = 10,
+                nPlanes: Int = 4, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nPlanes, queryVec.length, seed)
+    withLshBucket(corpus, embCol, planes)
+      .filter(col("lsh_bucket").isin(probeBuckets(queryVec, planes): _*))
+      .withColumn("sim",
+        round(cosineSimilarity(col(embCol), typedlit(queryVec.toSeq)), 6))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(topK)
+      .select(col(idCol), col("lsh_bucket"), col("sim"))
+  }
+
+  // ---------------------------------------------------------------- IVF
+
+  /** IVF index: (corpus with `ivf_list` column, centroid matrix). */
+  def buildIvf(corpus: DataFrame, embCol: String, nLists: Int = 16,
+               seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+    val toVec = udf { (v: Seq[Float]) => Vectors.dense(v.map(_.toDouble).toArray) }
+    val vecDf = corpus.withColumn("__vec", toVec(col(embCol)))
+    val model = new KMeans().setK(nLists).setSeed(seed)
+      .setFeaturesCol("__vec").setPredictionCol("ivf_list")
+      .fit(vecDf)
+    val assigned = model.transform(vecDf).drop("__vec")
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** nprobe nearest centroids by Euclidean distance (driver-side, O(k·d)). */
+  def nearestLists(queryVec: Array[Float], centroids: Array[Array[Double]],
+                   nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0
+      var j = 0
+      while (j < c.length) { val t = c(j) - queryVec(j); d += t * t; j += 1 }
+      (d, i)
+    }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+
+  def ivfSearch(indexed: DataFrame, centroids: Array[Array[Double]],
+                embCol: String, idCol: String, queryVec: Array[Float],
+                topK: Int = 10, nprobe: Int = 3): DataFrame =
+    indexed
+      .filter(col("ivf_list").isin(nearestLists(queryVec, centroids, nprobe): _*))
+      .withColumn("sim",
+        round(cosineSimilarity(col(embCol), typedlit(queryVec.toSeq)), 6))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(topK)
+      .select(col(idCol), col("ivf_list"), col("sim"))
+
+  // ------------------------------------------------- driver-contract glue
+
+  private def queryVector(s: SparkSession, dir: String): Array[Float] =
+    Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+  def lshQuery(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    lshSearch(corpus, "embedding", "vec_id", queryVector(s, dir))
+  }
+
+  def ivfQuery(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+    val (indexed, centroids) = buildIvf(corpus, "embedding")
+    ivfSearch(indexed, centroids, "embedding", "vec_id", queryVector(s, dir))
+  }
+
+  override def queries: Map[String, QueryPack.Q] = Map(
+    "q_ann_lsh" -> (lshQuery _),
+    "q_ann_ivf" -> (ivfQuery _))
+
+  /** Seeded-hyperplane/KMeans state isn't DuckDB-expressible; recall vs
+    * the exact brute-force oracle is scalatest-asserted in AnnSearchSpec.
+    */
+  override def oracleSql: Map[String, String] = Map.empty
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+
+/** `[EXT]` multimodal-column operators: image/audio/video as opaque
+  * `binary` columns with typed metadata, processed in partition-sized
+  * batches.
+  *
+  * The decode step is a clearly-marked deterministic STUB (no image/audio
+  * codecs exist in this container); everything around it — the schema
+  * (binary payload + struct metadata), the batched `mapPartitions`
+  * execution shape (one buffer per batch, mirroring how a real decoder
+  * amortizes model/codec setup per batch), partitioning, and the
+  * downstream feature pipeline — is real Spark and tested.
+  *
+  * Scale design: media rows are large; the pipeline never shuffles
+  * payloads — decode/featurize are narrow maps, and only the small
+  * feature vectors / metadata flow into joins and aggregations.
+  */
+object Multimodal extends QueryPack {
+
+  case class MediaRow(media_id: Long, payload: Array[Byte], media_type: String)
+  case class DecodedMeta(width: Int, height: Int, channels: Int, n_bytes: Long)
+  case class MediaFeatures(media_id: Long, media_type: String,
+                           meta: DecodedMeta, features: Array[Float])
+
+  /** ===== STUB ===== deterministic fake decoder standing in for an image
+    * codec: "dimensions" derive from a stable byte hash, "pixels" are the
+    * raw bytes. A real deployment swaps this body for e.g. a JNI codec;
+    * the signature and batch shape are the contract.
+    */
+  def decodeStub(payload: Array[Byte]): DecodedMeta = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < math.min(payload.length, 64)) { h = 31 * h + payload(i); i += 1 }
+    val w = 16 + math.floorMod(h, 16).toInt * 16
+    val hgt = 16 + math.floorMod(h >> 8, 16).toInt * 16
+    DecodedMeta(w, hgt, 3, payload.length.toLong)
+  }
+
+  /** ===== STUB-adjacent ===== feature extraction: 16-bin byte histogram,
+    * L1-normalized — deterministic, plays the role of an image-embedding
+    * model's output.
+    */
+  def featurize(payload: Array[Byte]): Array[Float] = {
+    val bins = new Array[Float](16)
+    var i = 0
+    while (i < payload.length) { bins((payload(i) & 0xFF) >> 4) += 1f; i += 1 }
+    val n = math.max(payload.length, 1).toFloat
+    bins.map(_ / n)
+  }
+
+  /** "Video" frame sampling stub: k evenly-spaced byte slices. */
+  def sampleFrames(payload: Array[Byte], k: Int): Seq[Array[Byte]] = {
+    if (payload.isEmpty) Seq.empty
+    else {
+      val step = math.max(payload.length / k, 1)
+      (0 until k).flatMap { i =>
+        val off = i * step
+        if (off < payload.length)
+          Some(payload.slice(off, math.min(off + step, payload.length)))
+        else None
+      }
+    }
+  }
+
+  /** Documents as a fake media table: payload = UTF-8 bytes (deterministic). */
+  def asMediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("payload"),
+        // deterministic type label so the pipeline exercises per-type paths
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("media_type"))
+      .as[MediaRow]
+  }
+
+  /** The batched decode/featurize pass: `mapPartitions` processes rows in
+    * fixed-size batches (the shape a real vectorized decoder / GPU model
+    * wants), emitting small typed rows. No payload ever shuffles.
+    */
+  def decodeAndFeaturize(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch setup would live here (codec/model init amortization)
+        batch.map { r =>
+          MediaFeatures(r.media_id, r.media_type, decodeStub(r.payload), featurize(r.payload))
+        }
+      }
+    }
+  }
+
+  /** Driver-contract query: per-type feature/meta aggregates (rows-only —
+    * the stub decode is ours, not SQL).
+    */
+  def mediaFeaturesQuery(s: SparkSession, dir: String): DataFrame =
+    decodeAndFeaturize(asMediaTable(s, dir)).toDF()
+      .groupBy(col("media_type"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("meta.n_bytes")).as("total_bytes"),
+        round(avg(col("meta.width")), 2).as("avg_width"),
+        round(avg(element_at(col("features"), 1)), 6).as("avg_bin0"))
+      .orderBy(col("media_type"))
+
+  /** Frame-sampling query: frames per media item (rows-only). */
+  def frameSampleQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frames = asMediaTable(s, dir)
+      .filter(col("media_type") === "video")
+      .map(r => (r.media_id, sampleFrames(r.payload, 4).length,
+        sampleFrames(r.payload, 4).map(_.length.toLong).sum))
+      .toDF("media_id", "n_frames", "frame_bytes")
+    frames.filter(col("media_id") < 60).orderBy(col("media_id"))
+  }
+
+  override def queries: Map[String, QueryPack.Q] = Map(
+    "q_media_features" -> (mediaFeaturesQuery _),
+    "q_media_frames"   -> (frameSampleQuery _))
+
+  override def oracleSql: Map[String, String] = Map.empty
+}

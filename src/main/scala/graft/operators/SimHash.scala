@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+
+/** SimHash near-duplicate fingerprinting (Charikar random-hyperplane
+  * sketch over token features, as used for web-scale dedup in the Google
+  * crawl-dedup line of work).
+  *
+  * 64-bit fingerprint: each token hashes to 64 bits; per bit position the
+  * fingerprint accumulates +1/−1 by bit value; the sign vector is the
+  * fingerprint. Near-dup ⇔ Hamming distance ≤ 3.
+  *
+  * Candidate generation at scale (pigeonhole): split the 64 bits into 4
+  * chunks of 16; distance ≤ 3 ⇒ at least one chunk identical ⇒ join on
+  * (chunk_id, chunk_value) buckets — like MinHash banding, the shuffle is
+  * bucket-sized, never corpus². Verification = `bit_count(a ^ b)` — one
+  * codegen'd expression, no UDF in the join path.
+  */
+object SimHash extends QueryPack {
+
+  val hammingThreshold = 3
+  private val chunks = hammingThreshold + 1 // pigeonhole: ≤3 diffs over 4 chunks
+  private val chunkBits = 64 / chunks
+
+  /** Fingerprint UDF: token list → 64-bit simhash. */
+  private val simhashUdf = udf { (tokens: Seq[String]) =>
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      // xxhash-free stable 64-bit string hash (FNV-1a), deterministic
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < t.length) { h ^= t.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
+        bit += 1
+      }
+    }
+    var fp = 0L
+    var bit = 0
+    while (bit < 64) { if (acc(bit) > 0) fp |= (1L << bit); bit += 1 }
+    fp
+  }
+
+  def withFingerprint(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("simhash", simhashUdf(split(col(textCol), " ")))
+
+  /** Near-dup pairs: chunk-bucket join + Hamming verification. */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxDistance: Int = hammingThreshold): DataFrame = {
+    val fps = withFingerprint(docs, textCol)
+      .select(col(idCol).as("id"), col("simhash"))
+
+    val chunkCols = (0 until chunks).map { c =>
+      struct(lit(c).as("chunk_id"),
+        shiftrightunsigned(col("simhash"), c * chunkBits)
+          .bitwiseAND(lit((1L << chunkBits) - 1)).as("chunk_val"))
+    }
+    val chunked = fps.withColumn("chunk", explode(array(chunkCols: _*)))
+      .select(col("id"), col("simhash"), col("chunk.chunk_id"), col("chunk.chunk_val"))
+
+    val a = chunked.select(col("chunk_id"), col("chunk_val"),
+      col("id").as("a_id"), col("simhash").as("a_fp"))
+    val b = chunked.select(col("chunk_id"), col("chunk_val"),
+      col("id").as("b_id"), col("simhash").as("b_fp"))
+
+    a.join(b, Seq("chunk_id", "chunk_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).as("hamming"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(col("hamming") <= maxDistance)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def simhashQuery(s: SparkSession, dir: String): DataFrame =
+    nearDupPairs(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Fingerprint sample for observability (rows-only check). */
+  def fingerprintQuery(s: SparkSession, dir: String): DataFrame =
+    withFingerprint(Tables.documents(s, dir), "text")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("simhash"))
+      .orderBy(col("doc_id"))
+
+  override def queries: Map[String, QueryPack.Q] = Map(
+    "q_simhash_neardup" -> (simhashQuery _),
+    "q_simhash_fps"     -> (fingerprintQuery _))
+
+  /** FNV/simhash bit math isn't DuckDB-expressible; scalatest-verified
+    * (identical docs ⇒ distance 0; perturbation ⇒ small distance;
+    * unrelated ⇒ large).
+    */
+  override def oracleSql: Map[String, String] = Map.empty
+}

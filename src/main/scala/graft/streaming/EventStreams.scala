@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.Tables
+
+/** `[EXT]` Structured Streaming over the events table (SURVEY.md §2.9):
+  * watermarked tumbling-window aggregation and custom session state via
+  * `flatMapGroupsWithState` — the streaming forms of
+  * [[graft.operators.Events.hourlyCounts]] / [[graft.operators.Events.sessions]].
+  *
+  * Locally a static parquet dir drives the stream to completion
+  * (memory sink + processAllAvailable); in production the same plan runs
+  * on a file/Kafka source unchanged. State scales per-key (event_type /
+  * user_id partitions), watermark bounds state size.
+  */
+object EventStreams {
+
+  /** The streaming file source wants a DIRECTORY; the corpus ships single
+    * parquet files — stage a symlink dir (never touches the corpus).
+    */
+  private def stagedDir(dir: String): String = {
+    val tmp = Files.createTempDirectory("graft_events_src")
+    Files.createSymbolicLink(
+      tmp.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    tmp.toString
+  }
+
+  /** Tumbling 1-hour counts with a 30-minute watermark, streamed to a
+    * memory sink in complete mode; returns the final table.
+    */
+  def hourlyCountsStreaming(spark: SparkSession, dir: String): DataFrame = {
+    // nanos-as-long conf must be set before footer/schema inference
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val source = spark.readStream
+      .schema(Tables.load(spark, dir, "events").schema)
+      .parquet(stagedDir(dir))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+    val agg = source
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"))
+
+    val name = s"hourly_${System.nanoTime()}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(name)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_stream_ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("hour"), col("event_type"))
+  }
+
+  case class Event(user_id: Long, tsMicros: Long)
+  case class SessionState(lastTs: Long, sessions: Long, events: Long)
+  case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Gap-based sessionization as explicit streaming state (30-minute gap,
+    * same rule as the batch window variant): one `SessionState` per user,
+    * updated per micro-batch.
+    */
+  def sessionizeStreaming(spark: SparkSession, dir: String,
+                          gapSeconds: Long = 1800): DataFrame = {
+    import spark.implicits._
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val source = spark.readStream
+      .schema(Tables.load(spark, dir, "events").schema)
+      .parquet(stagedDir(dir))
+      .select(col("user_id"), expr("ts div 1000").as("tsMicros"))
+      .as[Event]
+
+    val sessions = source
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSessions](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, events: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = events.toSeq.sortBy(_.tsMicros)
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            val gap = st.lastTs == Long.MinValue ||
+              (e.tsMicros - st.lastTs) / 1000000L > gapSeconds
+            st = SessionState(e.tsMicros,
+              st.sessions + (if (gap) 1 else 0), st.events + 1)
+          }
+          state.update(st)
+          Iterator(UserSessions(user, st.events, st.sessions))
+      }
+
+    val name = s"sessions_${System.nanoTime()}"
+    val q = sessions.writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory").queryName(name)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_stream_ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // update mode emits one row per key per batch; keep the latest
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"), max(col("n_sessions")).as("n_sessions"))
+      .orderBy(col("user_id"))
+  }
+}

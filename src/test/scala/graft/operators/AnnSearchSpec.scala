@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.functions.VectorFunctions.cosineSimilarity
+
+/** ANN recall measured against the exact brute-force top-k. */
+class AnnSearchSpec extends SparkSpec {
+
+  private lazy val corpus = Tables.embeddings(spark, sfDir)
+    .filter(col("vec_id") =!= 0).cache()
+
+  private lazy val queryVec: Array[Float] =
+    Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).toArray
+
+  private lazy val bruteTop10: Set[Long] =
+    corpus.withColumn("sim", cosineSimilarity(col("embedding"), typedlit(queryVec.toSeq)))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10).select("vec_id").collect().map(_.getLong(0)).toSet
+
+  test("LSH search returns k results ranked by exact cosine within candidates") {
+    val hits = AnnSearch.lshSearch(corpus, "embedding", "vec_id", queryVec).collect()
+    assert(hits.length == 10)
+    val sims = hits.map(_.getAs[Double]("sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("LSH multiprobe prunes the corpus yet keeps recall") {
+    val planes = AnnSearch.hyperplanes(4, queryVec.length)
+    val probes = AnnSearch.probeBuckets(queryVec, planes).toSet
+    assert(probes.size == 5) // own bucket + 4 single-bit flips
+    val candidates = AnnSearch.withLshBucket(corpus, "embedding", planes)
+      .filter(col("lsh_bucket").isin(probes.toSeq: _*)).count()
+    val total = corpus.count()
+    assert(candidates < total, "bucketing must prune")
+    val got = AnnSearch.lshSearch(corpus, "embedding", "vec_id", queryVec)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = got.intersect(bruteTop10).size / 10.0
+    assert(recall >= 0.5, s"LSH recall@10 = $recall (candidates $candidates/$total)")
+  }
+
+  test("IVF search probes few lists and reaches high recall") {
+    val (indexed, centroids) = AnnSearch.buildIvf(corpus, "embedding", nLists = 8)
+    assert(centroids.length == 8)
+    val nLists = indexed.select("ivf_list").distinct().count()
+    assert(nLists <= 8)
+    val got = AnnSearch.ivfSearch(indexed, centroids, "embedding", "vec_id",
+      queryVec, topK = 10, nprobe = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = got.intersect(bruteTop10).size / 10.0
+    assert(recall >= 0.5, s"IVF recall@10 = $recall")
+    // probing all lists must recover brute force exactly
+    val full = AnnSearch.ivfSearch(indexed, centroids, "embedding", "vec_id",
+      queryVec, topK = 10, nprobe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(full == bruteTop10)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** MinHash-LSH and SimHash verified against exact baselines. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus with planted duplicates: exact dup, near dup (1-word edit),
+  // moderately similar, and unrelated documents
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"), // = 0
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // ~ 0
+    (3L, "a completely different document about spark query engines and shuffles"),
+    (4L, "spark query engines shuffle data between executors during wide stages"),
+    (5L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod")
+  ).toDF("doc_id", "text")
+
+  private def exactJaccardPairs(threshold: Double) = {
+    val d = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+    val a = d.select(col("doc_id").as("a_id"), col("ws").as("a_ws"))
+    val b = d.select(col("doc_id").as("b_id"), col("ws").as("b_ws"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("jac",
+        size(array_intersect(col("a_ws"), col("b_ws"))).cast("double") /
+          size(array_union(col("a_ws"), col("b_ws"))).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash finds exact and near duplicates (recall vs exact Jaccard)") {
+    val got = MinHashDedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = exactJaccardPairs(0.8)
+    assert(want.nonEmpty, "planted dups must produce exact pairs")
+    // verification step makes precision exact; banding gives ~0.9998
+    // recall at s=0.8, and the planted pairs are at s ∈ {1.0, ~0.86}
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("minhash candidates shrink vs the quadratic pair space") {
+    val real = Tables_docs()
+    val pairs = MinHashDedup.nearDupPairs(real, "doc_id", "text", threshold = 0.8)
+    // on the driver corpus the near-dup set is small but non-explosive;
+    // mainly: the pipeline runs end-to-end on real data
+    assert(pairs.count() >= 0)
+  }
+
+  private def Tables_docs() = graft.Tables.documents(spark, sfDir)
+
+  test("minhash signature is deterministic and length-k") {
+    val sigs = MinHashDedup.withSignature(docs, "text")
+      .select("minhash_sig").collect().map(_.getSeq[Long](0))
+    assert(sigs.forall(_.length == MinHashDedup.numHashes))
+    val again = MinHashDedup.withSignature(docs, "text")
+      .select("minhash_sig").collect().map(_.getSeq[Long](0))
+    sigs.zip(again).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("identical texts share identical signatures; signature agreement " +
+    "estimates jaccard") {
+    val sigs = MinHashDedup.withSignature(docs, "text")
+      .select("doc_id", "minhash_sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    val agree02 = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
+      .toDouble / MinHashDedup.numHashes
+    assert(agree02 > 0.5, s"near-dup signature agreement $agree02")
+    val agree05 = sigs(0L).zip(sigs(5L)).count { case (a, b) => a == b }
+      .toDouble / MinHashDedup.numHashes
+    assert(agree05 < 0.3, s"unrelated signature agreement $agree05")
+  }
+
+  test("simhash: identical ⇒ distance 0; near-dup small; unrelated large") {
+    val fps = SimHash.withFingerprint(docs, "text")
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(dist(fps(0L), fps(1L)) == 0)
+    assert(dist(fps(0L), fps(2L)) <= 12, "one-word edit stays close")
+    assert(dist(fps(0L), fps(5L)) > 12, "unrelated drifts far")
+  }
+
+  test("simhash near-dup pairs include the planted duplicates") {
+    val got = SimHash.nearDupPairs(docs, "doc_id", "text", maxDistance = 3)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)))
+    // pigeonhole banding guarantee: any pair within distance ≤ 3 IS found
+    val all = SimHash.withFingerprint(docs, "text")
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val want = (for {
+      (ia, fa) <- all; (ib, fb) <- all if ia < ib
+      if java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (ia, ib)).toSet
+    assert(got == want)
+  }
+}

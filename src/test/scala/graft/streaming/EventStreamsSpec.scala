@@ -1,0 +1,32 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Events
+
+/** Streaming results must equal their batch counterparts on the same
+  * static input — the strongest correctness statement a local streaming
+  * test can make.
+  */
+class EventStreamsSpec extends SparkSpec {
+
+  test("streaming tumbling-window counts == batch date_trunc counts") {
+    val streamed = EventStreams.hourlyCountsStreaming(spark, sfDir)
+      .select("hour", "event_type", "n")
+    val batch = Events.hourlyCounts(spark, sfDir)
+      .select(col("hour"), col("event_type"), col("n"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("flatMapGroupsWithState sessionization == batch lag-window sessions") {
+    val streamed = EventStreams.sessionizeStreaming(spark, sfDir)
+      .filter(col("user_id") < 100)
+    val batch = Events.sessions(spark, sfDir)
+    assert(streamed.exceptAll(batch).count() == 0,
+      "streaming sessions missing from batch")
+    assert(batch.exceptAll(streamed).count() == 0,
+      "batch sessions missing from streaming")
+  }
+}
