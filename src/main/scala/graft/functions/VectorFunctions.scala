@@ -28,12 +28,22 @@ object VectorFunctions {
 
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 
-  /** Cosine similarity with the sklearn zero-vector convention:
-    * sklearn maps a zero-norm vector to similarity 0 (it substitutes
-    * norm 1e-... internally yielding 0 numerator anyway); we guard the
-    * division explicitly so 0/0 never yields NaN.
+  /** Cosine similarity with the sklearn zero-vector convention (zero-norm
+    * vector ⇒ similarity 0, never NaN — matching
+    * `sklearn.metrics.pairwise.cosine_similarity`, reference
+    * similarity_search.py:300-302).
+    *
+    * Dispatches to the codegen'd [[CosineSimilarityExpr]] (bit-identical
+    * to the HOF formulation below, see CosineExprParitySpec).
     */
-  def cosineSimilarity(a: Column, b: Column): Column = {
+  def cosineSimilarity(a: Column, b: Column): Column =
+    CosineSimilarityExpr(a, b)
+
+  /** Reference formulation via SQL higher-order functions — kept as the
+    * parity oracle for the codegen expression and for use on
+    * `array<double>` inputs.
+    */
+  def cosineSimilarityHof(a: Column, b: Column): Column = {
     val denom = l2Norm(a) * l2Norm(b)
     when(denom === 0.0, lit(0.0)).otherwise(dotProduct(a, b) / denom)
   }

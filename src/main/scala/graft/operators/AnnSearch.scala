@@ -87,11 +87,15 @@ object AnnSearch extends QueryPack {
   def buildIvf(corpus: DataFrame, embCol: String, nLists: Int = 16,
                seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
     val toVec = udf { (v: Seq[Float]) => Vectors.dense(v.map(_.toDouble).toArray) }
-    val vecDf = corpus.withColumn("__vec", toVec(col(embCol)))
-    val model = new KMeans().setK(nLists).setSeed(seed)
+    val vecDf = corpus.withColumn("__vec", toVec(col(embCol))).cache()
+    // coarse quantizer: a handful of Lloyd iterations places centroids
+    // well enough for an IVF router (recall comes from nprobe, not from
+    // a converged k-means)
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("__vec").setPredictionCol("ivf_list")
       .fit(vecDf)
     val assigned = model.transform(vecDf).drop("__vec")
+    vecDf.unpersist()
     (assigned, model.clusterCenters.map(_.toArray))
   }
 

@@ -38,17 +38,45 @@ object MinHashDedup extends QueryPack {
         (rng.nextLong() & Long.MaxValue) % prime))
   }
 
-  /** Word n-gram shingles hashed to longs, as columns (codegen'd). */
-  def shingleHashes(text: Column, n: Int = 3): Column = {
-    val toks = split(text, " ")
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    array_distinct(transform(idx, i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  /** Word-shingle hashes for one text, pure JVM (FNV-1a per token,
+    * order-aware mix over the n-gram window) — fused here rather than as
+    * an HOF column tree: building shingle strings through
+    * transform/concat_ws/xxhash64 cost ~3× the whole signature UDF.
+    */
+  private[operators] def shingleHashesJvm(text: String, n: Int = 3): Array[Long] = {
+    val toks = text.split(' ')
+    if (toks.isEmpty) return Array.empty
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < t.length) { h ^= t.charAt(j).toLong; h *= 0x100000001b3L; j += 1 }
+      th(i) = h
+      i += 1
+    }
+    val nSh = math.max(toks.length - n + 1, 1)
+    val out = new Array[Long](nSh)
+    i = 0
+    while (i < nSh) {
+      var h = 0L
+      var j = 0
+      while (j < math.min(n, toks.length)) {
+        h = h * 0x9E3779B97F4A7C15L + th(i + j) // order-aware combine
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    out
   }
 
-  /** MinHash signature UDF: shingle hash set → k-long signature. */
+  /** MinHash signature UDF: text → k-long signature in one JVM pass. */
   private def signatureUdf(seed: Long) = {
     val cs = coeffs(seed)
-    udf { (hashes: Seq[Long]) =>
+    udf { (text: String) =>
+      val hashes = shingleHashesJvm(text)
       if (hashes.isEmpty) Array.fill(numHashes)(Long.MaxValue)
       else {
         val sig = Array.fill(numHashes)(Long.MaxValue)
@@ -58,8 +86,6 @@ object MinHashDedup extends QueryPack {
           var i = 0
           while (i < numHashes) {
             val (a, b) = cs(i)
-            // (a*x + b) mod p without overflow: use Math.multiplyHigh-free
-            // path via BigInt-free mulmod (128-bit via unsigned ops)
             val v = mulModP(a, x, b)
             if (v < sig(i)) sig(i) = v
             i += 1
@@ -83,35 +109,41 @@ object MinHashDedup extends QueryPack {
 
   /** Add `minhash_sig` to a DataFrame bearing a text column. */
   def withSignature(df: DataFrame, textCol: String, seed: Long = 42L): DataFrame =
-    df.withColumn("minhash_sig", signatureUdf(seed)(shingleHashes(col(textCol))))
+    df.withColumn("minhash_sig", signatureUdf(seed)(col(textCol)))
 
   /** Candidate pairs from band-bucket join, verified with exact Jaccard on
     * word sets; returns pairs with jaccard ≥ threshold.
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
-    val sigs = withSignature(docs, textCol, seed)
-      .select(col(idCol).as("id"),
-        array_distinct(split(col(textCol), " ")).as("ws"),
-        col("minhash_sig"))
+    // candidate generation carries ONLY (band, bucket, id) through the
+    // shuffle — word-set payloads would multiply shuffle bytes by the
+    // banding factor; they join back in only for the (small) verified set
+    val banded = withSignature(docs, textCol, seed)
+      .select(col(idCol).as("id"), col("minhash_sig"))
+      .withColumn("band",
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band_id"),
+            xxhash64(b, concat_ws(",",
+              slice(col("minhash_sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+              .as("bucket")))))
+      .select(col("band.band_id"), col("band.bucket"), col("id"))
+      // the self-join consumes this twice; without caching, the signature
+      // UDF runs 2× over the corpus
+      .cache()
 
-    val banded = sigs.withColumn("band",
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band_id"),
-          xxhash64(b, concat_ws(",",
-            slice(col("minhash_sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
-            .as("bucket")))))
-      .select(col("id"), col("ws"), col("band.band_id"), col("band.bucket"))
-
-    val a = banded.select(col("band_id"), col("bucket"),
-      col("id").as("a_id"), col("ws").as("a_ws"))
-    val b = banded.select(col("band_id"), col("bucket"),
-      col("id").as("b_id"), col("ws").as("b_ws"))
-
-    a.join(b, Seq("band_id", "bucket"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"), Seq("band_id", "bucket"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_ws"), col("b_ws"))
-      .dropDuplicates("a_id", "b_id") // candidate may collide in many bands
+      .distinct() // a pair may collide in many bands
+
+    val ws = docs.select(col(idCol).as("id"),
+      array_distinct(split(col(textCol), " ")).as("ws"))
+
+    candidates
+      .join(ws.select(col("id").as("a_id"), col("ws").as("a_ws")), "a_id")
+      .join(ws.select(col("id").as("b_id"), col("ws").as("b_ws")), "b_id")
       .withColumn("jac",
         round(size(array_intersect(col("a_ws"), col("b_ws"))).cast("double") /
               size(array_union(col("a_ws"), col("b_ws"))).cast("double"), 6))
