@@ -126,6 +126,68 @@ object TextAnalysis extends QueryPack {
       .orderBy(col("lang"))
   }
 
+  /** BPE-ish tokenization: greedy regex word-piece chunking (≤4-char
+    * alpha pieces | digit runs | other) — the regex-fallback shape of a
+    * byte-pair tokenizer's pre-tokenizer, counted per language.
+    */
+  def bpeTokenPieces(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        size(regexp_extract_all(col("text"), lit("[a-z]{1,4}|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("n_pieces"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_pieces")).as("total_pieces"),
+        round(sum(col("n_pieces")).cast("double") /
+              sum(col("n_words")).cast("double"), 6).as("pieces_per_word"))
+      .orderBy(col("lang"))
+
+  /** Winnowing document fingerprints (Schleimer et al., MOSS): rolling
+    * FNV char k-gram hashes, minimum per sliding window — guarantees any
+    * shared substring ≥ w+k−1 chars yields a shared fingerprint. The
+    * fingerprint SET is the dedup key space; at scale explode + groupBy
+    * fingerprint replaces pairwise comparison entirely.
+    */
+  def winnowFingerprints(text: String, k: Int = 8, w: Int = 4): Array[Long] = {
+    if (text.length < k) return Array(fnv(text))
+    val grams = new Array[Long](text.length - k + 1)
+    var i = 0
+    while (i < grams.length) { grams(i) = fnv(text.substring(i, i + k)); i += 1 }
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    i = 0
+    while (i + w <= grams.length) {
+      var m = grams(i)
+      var j = 1
+      while (j < w) { if (grams(i + j) < m) m = grams(i + j); j += 1 }
+      out += m
+      i += 1
+    }
+    out.toArray
+  }
+
+  private def fnv(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Per-doc winnowing fingerprint stats + cross-doc sharing (rows-only:
+    * FNV winnowing isn't DuckDB-expressible).
+    */
+  def winnowQuery(s: SparkSession, dir: String): DataFrame = {
+    val fpUdf = udf { (t: String) => winnowFingerprints(t) }
+    val fps = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(fpUdf(col("text"))).as("fp"))
+    fps.groupBy(col("fp"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+      .groupBy(col("n_docs"))
+      .agg(count(lit(1)).as("n_fingerprints"))
+      .orderBy(col("n_docs"))
+  }
+
   /** Content fingerprints (md5 — stable across engines) for a key slice. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -141,7 +203,9 @@ object TextAnalysis extends QueryPack {
     "q_token_counts"     -> (tokenCounts _),
     "q_quality_scores"   -> (qualityScores _),
     "q_langid"           -> (langIdHeuristic _),
-    "q_fingerprints"     -> (fingerprints _))
+    "q_fingerprints"     -> (fingerprints _),
+    "q_token_pieces"     -> (bpeTokenPieces _),
+    "q_winnow_fp"        -> (winnowQuery _))
 
   override def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -198,5 +262,12 @@ object TextAnalysis extends QueryPack {
         | FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_fingerprints" ->
       """SELECT doc_id, md5(text) AS fp FROM documents
-        | WHERE doc_id < 50 ORDER BY doc_id""".stripMargin)
+        | WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+    "q_token_pieces" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+        |    AS total_pieces,
+        |  round(CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]+|[^a-z0-9 ]'))) AS DOUBLE) /
+        |        CAST(sum(len(string_split(text, ' '))) AS DOUBLE), 6) AS pieces_per_word
+        | FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
 }

@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Persistence for engine outputs — the at-rest half of the scale design.
+  *
+  * The reference has zero I/O (everything lives in Python dicts,
+  * similarity_search.py:263-292); a standalone engine needs durable
+  * indexes. Layout choices ARE the 100 TB story:
+  *
+  *  - the patient/vector index is written `partitionBy(hospital)` so every
+  *    per-shard operation (local top-k, local training, per-hospital
+  *    stats) prunes to its own partition directories — `PartitionFilters`
+  *    in the scan, zero bytes read from other shards;
+  *  - an ANN index adds the LSH bucket / IVF list as a second partition
+  *    column: a query's probe set becomes a partition-pruned scan of
+  *    h+1 (multiprobe) or nprobe directories out of 2^h / nLists;
+  *  - plain parquet keeps the whole index readable by any engine
+  *    (including the DuckDB oracle).
+  */
+object TableIO {
+
+  /** Write the vector index partitioned by shard. */
+  def writeIndex(index: DataFrame, path: String,
+                 partitionCols: Seq[String] = Seq("hospital")): Unit =
+    index.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  def readIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Write an ANN-ready index: shard + bucket partitioning (bucket =
+    * lsh_bucket or ivf_list column added by [[graft.operators.AnnSearch]]).
+    */
+  def writeAnnIndex(indexed: DataFrame, path: String, bucketCol: String): Unit =
+    indexed.write.mode(SaveMode.Overwrite)
+      .partitionBy(bucketCol)
+      .parquet(path)
+}
