@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.CosineSimilarityExpr
+
+/** SparkSessionExtensions entry point — makes the engine's custom
+  * Catalyst expressions first-class SQL functions:
+  *
+  * {{{
+  * val spark = SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)   // or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   ...
+  * spark.sql("SELECT cosine_similarity(a.embedding, b.embedding) FROM ...")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(
+        classOf[CosineSimilarityExpr].getName, null, "cosine_similarity",
+        "_FUNC_(a, b) - cosine similarity of two float vectors " +
+          "(zero-norm vectors map to 0.0, sklearn convention)",
+        "_FUNC_(array<float>, array<float>)"),
+      exprs => CosineSimilarityExpr(exprs(0), exprs(1))))
+  }
+}

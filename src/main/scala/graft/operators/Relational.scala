@@ -179,7 +179,56 @@ object Relational extends QueryPack {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("status_label"))
 
+  /** TPC-H Q5-shaped: 6-table join, region-filtered, revenue by nation.
+    * The dim chain (region→nation→supplier/customer) broadcasts; only the
+    * lineitem⨝orders join shuffles. The c_nationkey = s_nationkey
+    * condition is Q5's signature local-supplier constraint.
+    */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val asia = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+               (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+             .cast("double").as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Scalar subquery: customers above the global average balance, counted
+    * per nation — the subquery is one broadcast row, no shuffle of the
+    * fact side beyond the final agg.
+    */
+  def aboveAvgCustomers(s: SparkSession, dir: String): DataFrame = {
+    val avgBal = Tables.customer(s, dir)
+      .agg(avg(col("c_acctbal")).as("__avg_bal"))
+    Tables.customer(s, dir)
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("__avg_bal"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_above_avg"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** Per-group distinct aggregation. */
+  def distinctNationsPerSegment(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        count_distinct(col("c_nationkey")).as("n_nations"))
+      .orderBy(col("c_mktsegment"))
+
   override def queries: Map[String, QueryPack.Q] = Map(
+    "q5_local_supplier"   -> (q5LocalSupplier _),
+    "q_scalar_subquery"   -> (aboveAvgCustomers _),
+    "q_distinct_agg"      -> (distinctNationsPerSegment _),
     "q1_pricing_summary"  -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q_region_rollup"     -> (regionNationRollup _),
@@ -195,6 +244,27 @@ object Relational extends QueryPack {
     "q_decode_status"     -> (decodeStatus _))
 
   override def oracleSql: Map[String, String] = Map(
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        | FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | WHERE r_name = 'ASIA'
+        | GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT c_nationkey, count(*) AS n_above_avg
+        | FROM customer
+        | WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        | GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  count(DISTINCT c_nationkey) AS n_nations
+        | FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -69,9 +69,19 @@ class PatientSearch(spark: SparkSession) {
     * similarity_search.py:361).
     */
   def searchSimilarPatients(query: Map[String, Double], topK: Int = 10): PatientSearch.Result = {
-    val idx = index.getOrElse(sys.error("generateAndStoreEmbeddings first"))
     val qFeatures = Normalization.prepareQueryFeatures(query)
-    val qEmbedding = Mlp.forward(weights, qFeatures)
+    secureSimilaritySearch(Mlp.forward(weights, qFeatures), topK)
+  }
+
+  /** §2.12 parity: `SecureMultiPartyComputation.secure_similarity_search`
+    * (similarity_search.py:322-363) — scatter-gather over the shard
+    * boundary from a raw query embedding. "Secure" in the reference means
+    * only local top-k winners leave each shard; here that is literally
+    * the dataflow: the window's local filter runs shard-side and only
+    * n_shards × k candidate rows reach the global merge.
+    */
+  def secureSimilaritySearch(qEmbedding: Array[Float], topK: Int = 10): PatientSearch.Result = {
+    val idx = index.getOrElse(sys.error("generateAndStoreEmbeddings first"))
 
     val sim = graft.functions.VectorFunctions
       .cosineSimilarity(col("embedding"), typedlit(qEmbedding.toSeq))

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extension-registered SQL function must work from a plain
+  * `spark.sql` string — the surface a SQL-only user of the engine sees.
+  *
+  * Extensions only apply at session construction, so this suite manages
+  * its own session (getOrCreate would silently reuse a previous suite's
+  * extension-less session).
+  */
+class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("GraftExtensionsSpec")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
+
+  test("cosine_similarity is callable from SQL") {
+    val r = spark.sql(
+      """SELECT cosine_similarity(
+        |  CAST(array(1.0, 2.0, 3.0) AS array<float>),
+        |  CAST(array(3.0, 2.0, 1.0) AS array<float>)) AS c""".stripMargin)
+      .head().getDouble(0)
+    // (3+4+3)/sqrt(14)/sqrt(14) = 10/14
+    assert(math.abs(r - 10.0 / 14.0) < 1e-12)
+  }
+
+  test("SQL path matches the Column API path on corpus data") {
+    val dir = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("emb")
+    val viaSql = spark.sql(
+      """SELECT e.vec_id,
+        |  round(cosine_similarity(e.embedding, q.embedding), 6) AS sim
+        | FROM emb e, (SELECT embedding FROM emb WHERE vec_id = 0) q
+        | WHERE e.vec_id <> 0
+        | ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaApi = graft.search.VectorSearch.knnBrute(spark, dir)
+      .limit(5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaSql == viaApi)
+  }
+}
