@@ -51,6 +51,10 @@ object TextAnalysis extends QueryPack {
     val b = d.select(col("doc_id").as("b_id"), col("lang"), col("source"), col("ws").as("b_ws"))
     a.join(b, Seq("lang", "source"))
       .filter(col("a_id") < col("b_id"))
+      // length-ratio pruning, result-preserving: jac ≤ min(|A|,|B|)/max(|A|,|B|),
+      // so a size ratio below the 0.8 threshold can never qualify
+      .filter(size(col("a_ws")) * 5 >= size(col("b_ws")) * 4 &&
+              size(col("b_ws")) * 5 >= size(col("a_ws")) * 4)
       .withColumn("jac",
         round(size(array_intersect(col("a_ws"), col("b_ws"))).cast("double") /
               size(array_union(col("a_ws"), col("b_ws"))).cast("double"), 6))
