@@ -19,6 +19,8 @@ import graft.functions.CosineSimilarityExpr
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // opt-in ANN top-k rewrite (spark.graft.ann.rewrite=true)
+    e.injectOptimizerRule(_ => graft.plans.AnnTopKRewrite)
     e.injectFunction((
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(
