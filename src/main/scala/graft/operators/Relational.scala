@@ -216,6 +216,19 @@ object Relational extends QueryPack {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Exact percentiles (linear interpolation — Spark `percentile` and
+    * DuckDB `quantile_cont` share the definition, so this is
+    * oracle-checkable; `approx_percentile` sketches would not be).
+    */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
   /** Per-group distinct aggregation. */
   def distinctNationsPerSegment(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
@@ -228,6 +241,7 @@ object Relational extends QueryPack {
   override def queries: Map[String, QueryPack.Q] = Map(
     "q5_local_supplier"   -> (q5LocalSupplier _),
     "q_scalar_subquery"   -> (aboveAvgCustomers _),
+    "q_percentiles"       -> (percentiles _),
     "q_distinct_agg"      -> (distinctNationsPerSegment _),
     "q1_pricing_summary"  -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -261,6 +275,12 @@ object Relational extends QueryPack {
         | FROM customer
         | WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
         | GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  count(*) AS n
+        | FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_distinct_agg" ->
       """SELECT c_mktsegment, count(*) AS n_customers,
         |  count(DISTINCT c_nationkey) AS n_nations
