@@ -99,6 +99,37 @@ object VectorSearch extends QueryPack {
       count_distinct(col("hospital")).as("hospitals_hit"))
   }
 
+  /** Batched multi-query top-k: all query vectors broadcast at once, one
+    * scan of the corpus, per-query bounded-heap partial aggregation
+    * ([[graft.functions.TopKAggregator]]). The shuffle carries ≤ k
+    * candidates per (partition × query) — corpus rows never shuffle, so
+    * query THROUGHPUT scales with cluster width while per-query latency
+    * stays one scan amortized over the whole batch. This is the shape
+    * that beats the reference's one-query-at-a-time loop.
+    */
+  def batchKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col("query_id"),  col("vec_id"),
+        round(cosineSimilarity(col("embedding"), col("q_emb")), 6).as("sim"))
+      .as[(Long, Long, Double)]
+    scored.groupByKey(_._1)
+      .mapValues { case (_, id, sim) => (id, sim) }
+      .agg(graft.functions.TopKAggregator(k).toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._1").as("vec_id"), col("col._2").as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def batchKnnQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    batchKnn(emb, queries, 5)
+  }
+
   /** A4: scalar variance over every element of the embedding matrix
     * (torch.var = sample variance, similarity_search.py:256-260).
     */
@@ -112,6 +143,7 @@ object VectorSearch extends QueryPack {
     "q_knn_per_shard"  -> (knnPerShard _),
     "q_scatter_gather" -> (scatterGather _),
     "q_knn_stats"      -> (knnStats _),
+    "q_batch_knn"      -> (batchKnnQuery _),
     "q_emb_variance"   -> (embVariance _))
 
   private val cosSql =
@@ -154,5 +186,18 @@ object VectorSearch extends QueryPack {
          | FROM (SELECT * FROM ($scoredSql) ORDER BY sim DESC, vec_id LIMIT 50)""".stripMargin,
     "q_emb_variance" ->
       """SELECT round(var_samp(x), 6) AS emb_var, count(*) AS n_elems
-        | FROM (SELECT unnest(embedding::DOUBLE[]) AS x FROM embeddings)""".stripMargin)
+        | FROM (SELECT unnest(embedding::DOUBLE[]) AS x FROM embeddings)""".stripMargin,
+    "q_batch_knn" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5)
+        | SELECT query_id, CAST(rank AS INT) AS rank, vec_id, sim FROM (
+        |  SELECT q.query_id, e.vec_id,
+        |   round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+        |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6) AS sim,
+        |   row_number() OVER (PARTITION BY q.query_id
+        |     ORDER BY round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+        |      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6) DESC, e.vec_id) AS rank
+        |  FROM embeddings e, q)
+        | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
 }
