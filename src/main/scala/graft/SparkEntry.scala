@@ -19,7 +19,8 @@ object SparkEntry {
     graft.operators.MinHashDedup,
     graft.operators.SimHash,
     graft.operators.AnnSearch,
-    graft.operators.Multimodal)
+    graft.operators.Multimodal,
+    graft.operators.AsOfJoin)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline capability: scatter-gather top-k cosine
