@@ -122,6 +122,54 @@ object Mlp {
     Weights(accW, accB)
   }
 
+  /** Rebuild weights of an arbitrary shape from a flat vector (inverse of
+    * `flatten` for non-production dims; `unflatten` covers the standard
+    * net).
+    */
+  def unflattenLike(shape: Weights, flat: Array[Double]): Weights = {
+    var off = 0
+    val ws = Vector.newBuilder[Array[Array[Double]]]
+    val bs = Vector.newBuilder[Array[Double]]
+    shape.w.indices.foreach { l =>
+      ws += shape.w(l).map { row =>
+        val r = new Array[Double](row.length)
+        System.arraycopy(flat, off, r, 0, row.length); off += row.length
+        r
+      }
+      val bv = new Array[Double](shape.b(l).length)
+      System.arraycopy(flat, off, bv, 0, bv.length); off += bv.length
+      bs += bv
+    }
+    Weights(ws.result(), bs.result())
+  }
+
+  /** Gram-reconstruction loss of a batch under given weights (V5,
+    * similarity_search.py:236-238) — exposed for the numerical gradient
+    * check in MlpSpec and for loss inspection.
+    */
+  def lossOf(wts: Weights, x: Array[Array[Double]]): Double = {
+    val b = x.length
+    val emb = x.map(row => forward(wts, row.map(_.toFloat)).map(_.toDouble))
+    val d = emb(0).length
+    var loss = 0.0
+    var r = 0
+    while (r < b) {
+      var c = 0
+      while (c < b) {
+        var re = 0.0; var rx = 0.0
+        var j = 0
+        while (j < d) { re += emb(r)(j) * emb(c)(j); j += 1 }
+        j = 0
+        while (j < x(0).length) { rx += x(r)(j) * x(c)(j); j += 1 }
+        val dd = re - rx
+        loss += dd * dd
+        c += 1
+      }
+      r += 1
+    }
+    loss / (b.toDouble * b)
+  }
+
   /** M2 — local minibatch training with the Gram-reconstruction loss
     * `L = MSE(E·Eᵀ, X·Xᵀ)` (similarity_search.py:236-238) under Adam
     * (lr 1e-3, similarity_search.py:177). Batching mirrors the reference:

@@ -158,6 +158,26 @@ object Relational extends QueryPack {
       .agg(count(lit(1)).as("customers"))
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
 
+  /** CUBE grouping sets (all four (returnflag, linestatus) combinations). */
+  def cubeFlagStatus(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Plain UNION ALL of two order slices (the reference's only set op,
+    * similarity_search.py:330-350, as an explicit oracle-checked query).
+    */
+  def unionAllSlices(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    ord.filter(col("o_orderstatus") === "P")
+      .select(col("o_orderkey"), lit("pending").as("slice"))
+      .unionByName(
+        ord.filter(col("o_totalprice") > 550000)
+          .select(col("o_orderkey"), lit("big").as("slice")))
+      .orderBy(col("slice"), col("o_orderkey"))
+  }
+
   /** Date bucketing: orders per month (V6 date arithmetic surface). */
   def monthlyOrders(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -242,6 +262,8 @@ object Relational extends QueryPack {
     "q5_local_supplier"   -> (q5LocalSupplier _),
     "q_scalar_subquery"   -> (aboveAvgCustomers _),
     "q_percentiles"       -> (percentiles _),
+    "q_cube"              -> (cubeFlagStatus _),
+    "q_union_all"         -> (unionAllSlices _),
     "q_distinct_agg"      -> (distinctNationsPerSegment _),
     "q1_pricing_summary"  -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -275,6 +297,17 @@ object Relational extends QueryPack {
         | FROM customer
         | WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
         | GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        | FROM lineitem
+        | GROUP BY CUBE (l_returnflag, l_linestatus)
+        | ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_union_all" ->
+      """SELECT o_orderkey, 'pending' AS slice FROM orders WHERE o_orderstatus = 'P'
+        | UNION ALL
+        | SELECT o_orderkey, 'big' AS slice FROM orders WHERE o_totalprice > 550000
+        | ORDER BY slice, o_orderkey""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderstatus,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

@@ -54,6 +54,39 @@ class MlpSpec extends AnyFunSuite {
       s"loss did not decrease: ${losses.head} -> ${losses.last}")
   }
 
+  test("backprop direction agrees with the numerical gradient") {
+    // one Adam step ≈ -lr·sign(g) (bias-corrected first moment at t=1),
+    // so each weight must move OPPOSITE the numerical gradient's sign
+    val rng = new scala.util.Random(5)
+    val x = Array.fill(8)(Array.fill(4)(rng.nextGaussian()))
+    val start = Mlp.Weights(
+      Vector(
+        Array.fill(6, 4)((rng.nextDouble() * 2 - 1) * 0.5),
+        Array.fill(2, 6)((rng.nextDouble() * 2 - 1) * 0.4)),
+      Vector(Array.fill(6)(0.1), Array.fill(2)(-0.1)))
+    val (after, _) = Mlp.localFit(start, x, epochs = 1, batchSize = 8, lr = 1e-4)
+    val flatBefore = start.flatten
+    val flatAfter = after.flatten
+
+    val eps = 1e-3
+    var checked = 0
+    var agree = 0
+    (0 until flatBefore.length by 3).foreach { i =>
+      val plus = flatBefore.clone(); plus(i) += eps
+      val minus = flatBefore.clone(); minus(i) -= eps
+      val numG = (Mlp.lossOf(Mlp.unflattenLike(start, plus), x) -
+        Mlp.lossOf(Mlp.unflattenLike(start, minus), x)) / (2 * eps)
+      if (math.abs(numG) > 1e-3) {
+        checked += 1
+        val step = flatAfter(i) - flatBefore(i)
+        if (math.signum(step) == -math.signum(numG)) agree += 1
+      }
+    }
+    assert(checked > 10, s"too few significant coordinates ($checked)")
+    assert(agree.toDouble / checked >= 0.9,
+      s"gradient sign agreement ${agree.toDouble / checked} ($agree/$checked)")
+  }
+
   test("localFit on empty shard is a no-op") {
     val w = Mlp.init(1)
     val (out, losses) = Mlp.localFit(w, Array.empty, epochs = 2)
