@@ -158,6 +158,58 @@ object Relational extends QueryPack {
       .agg(count(lit(1)).as("customers"))
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
 
+  /** TPC-H Q4-shaped correlated EXISTS, written through the SQL front end
+    * so Catalyst's subquery decorrelation (rewrite to left-semi join) is
+    * exercised — the DataFrame API can't express a correlated subquery
+    * directly.
+    */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders
+        | FROM graft_orders
+        | WHERE EXISTS (
+        |   SELECT 1 FROM graft_lineitem
+        |   WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        | GROUP BY o_orderpriority
+        | ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** TPC-H Q10-shaped: revenue lost to returned items per customer+nation. */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+               (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+             .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** Interval (range) join: pairs of the same user's events within one
+    * hour of each other — equi key (user) + time-band predicate. Catalyst
+    * plans the equality as the join key with the band as a post-filter;
+    * at 100 TB both sides bucket on the key and the band bounds the
+    * per-key blow-up. (events and orders live in disjoint time domains in
+    * this corpus, so the demo is a self-interval-join.)
+    */
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).filter(col("user_id") < 25)
+    val a = e.select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+    val b = e.select(col("user_id"), col("event_id").as("b_id"), col("ts").as("b_ts"))
+    a.join(b, Seq("user_id"))
+      .filter(col("a_id") < col("b_id") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") < col("a_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        (unix_timestamp(col("b_ts")) - unix_timestamp(col("a_ts")))
+          .cast("long").as("gap_s"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** CUBE grouping sets (all four (returnflag, linestatus) combinations). */
   def cubeFlagStatus(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -263,6 +315,9 @@ object Relational extends QueryPack {
     "q_scalar_subquery"   -> (aboveAvgCustomers _),
     "q_percentiles"       -> (percentiles _),
     "q_cube"              -> (cubeFlagStatus _),
+    "q4_order_priority"   -> (q4OrderPriority _),
+    "q10_returned_items"  -> (q10ReturnedItems _),
+    "q_interval_join"     -> (intervalJoin _),
     "q_union_all"         -> (unionAllSlices _),
     "q_distinct_agg"      -> (distinctNationsPerSegment _),
     "q1_pricing_summary"  -> (q1PricingSummary _),
@@ -297,6 +352,34 @@ object Relational extends QueryPack {
         | FROM customer
         | WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
         | GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        | FROM orders
+        | WHERE EXISTS (
+        |   SELECT 1 FROM lineitem
+        |   WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        | GROUP BY o_orderpriority
+        | ORDER BY o_orderpriority""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        | FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | WHERE l_returnflag = 'R'
+        | GROUP BY c_custkey, c_name, n_name
+        | ORDER BY revenue DESC, c_custkey
+        | LIMIT 20""".stripMargin,
+    "q_interval_join" ->
+      """WITH e AS (SELECT user_id, event_id, ts FROM events WHERE user_id < 25)
+        | SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |  CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_s
+        | FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND a.event_id < b.event_id
+        |  AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
+        | ORDER BY a_id, b_id""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
