@@ -22,6 +22,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in ANN top-k rewrite (spark.graft.ann.rewrite=true)
     e.injectOptimizerRule(_ => graft.plans.AnnTopKRewrite)
     e.injectFunction((
+      new FunctionIdentifier("topk_by"),
+      new ExpressionInfo(
+        classOf[graft.functions.TopKByExpr].getName, null, "topk_by",
+        "_FUNC_(id, score, k) - aggregate keeping the k highest-scoring " +
+          "(id, score) pairs per group, sorted score desc, ties id asc",
+        "_FUNC_(bigint, double, int)"),
+      // analyzer wraps a bare AggregateFunction in AggregateExpression
+      exprs => graft.functions.TopKByExpr(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(
         classOf[CosineSimilarityExpr].getName, null, "cosine_similarity",
