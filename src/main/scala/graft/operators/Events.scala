@@ -72,13 +72,33 @@ object Events extends QueryPack {
       .orderBy(col("total_spent").desc, col("user_id"))
       .limit(10)
 
+  /** Per-type top-3 events by value through the native `topk_by`
+    * TypedImperativeAggregate — oracle-checked against a window query.
+    */
+  def topkByType(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.TopKByExpr(col("event_id"), col("value"), 3).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("event_id"), col("col.score").as("value"))
+      .orderBy(col("event_type"), col("rank"))
+
   override def queries: Map[String, QueryPack.Q] = Map(
+    "q_topk_by_type"    -> (topkByType _),
     "q_events_json"     -> (jsonExtract _),
     "q_events_hourly"   -> (hourlyCounts _),
     "q_events_sessions" -> (sessions _),
     "q_events_topusers" -> (topPurchasers _))
 
   override def oracleSql: Map[String, String] = Map(
+    "q_topk_by_type" ->
+      """SELECT event_type, CAST(rank AS INT) AS rank, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |   row_number() OVER (PARTITION BY event_type
+        |     ORDER BY value DESC, event_id) AS rank
+        |  FROM events)
+        | WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
     "q_events_json" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -107,21 +107,16 @@ object VectorSearch extends QueryPack {
     * stays one scan amortized over the whole batch. This is the shape
     * that beats the reference's one-query-at-a-time loop.
     */
-  def batchKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    import corpus.sparkSession.implicits._
-    val scored = corpus.crossJoin(broadcast(queries))
-      .select(col("query_id"),  col("vec_id"),
+  def batchKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    corpus.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
         round(cosineSimilarity(col("embedding"), col("q_emb")), 6).as("sim"))
-      .as[(Long, Long, Double)]
-    scored.groupByKey(_._1)
-      .mapValues { case (_, id, sim) => (id, sim) }
-      .agg(graft.functions.TopKAggregator(k).toColumn.name("top"))
-      .toDF("query_id", "top")
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKByExpr(col("vec_id"), col("sim"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("col._1").as("vec_id"), col("col._2").as("sim"))
+        col("col.id").as("vec_id"), col("col.score").as("sim"))
       .orderBy(col("query_id"), col("rank"))
-  }
 
   def batchKnnQuery(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)

@@ -62,6 +62,35 @@ object EventStreams {
     spark.table(name).orderBy(col("hour"), col("event_type"))
   }
 
+  /** Streaming exact-dedup: `dropDuplicates` on a key with a watermark
+    * bounding the dedup state (keys older than the watermark age out —
+    * the unbounded-stream form of the batch hash-dedup in
+    * [[graft.operators.TextAnalysis.dedupExact]]).
+    */
+  def dedupStreaming(spark: SparkSession, dir: String,
+                     keys: Seq[String] = Seq("user_id", "event_type")): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val source = spark.readStream
+      .schema(Tables.load(spark, dir, "events").schema)
+      .parquet(stagedDir(dir))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates(keys :+ "ts")
+      .dropDuplicates(keys) // within-watermark key dedup
+      .select(keys.map(col): _*)
+
+    val name = s"dedup_${System.nanoTime()}"
+    val q = source.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_stream_ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).distinct().orderBy(keys.map(col): _*)
+  }
+
   case class Event(user_id: Long, tsMicros: Long)
   case class SessionState(lastTs: Long, sessions: Long, events: Long)
   case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)

@@ -20,6 +20,15 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming dropDuplicates key set == batch distinct") {
+    val streamed = EventStreams.dedupStreaming(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch)
+  }
+
   test("flatMapGroupsWithState sessionization == batch lag-window sessions") {
     val streamed = EventStreams.sessionizeStreaming(spark, sfDir)
       .filter(col("user_id") < 100)
