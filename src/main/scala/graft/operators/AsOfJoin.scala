@@ -41,6 +41,52 @@ object AsOfJoin extends QueryPack {
       .drop("__asof_rn")
   }
 
+  /** Single-pass as-of variant for UNBOUNDED right sides: union-tag both
+    * inputs, one window sorted by (key, time) carrying
+    * `last(right-cols, ignoreNulls)` forward — no join, one sort, state
+    * O(1) per key. Equivalent semantics to [[asofBackward]] when right
+    * times are unique per key after tiebreak ordering (the window's sort
+    * puts the tiebreak-greatest right row last among equal times, which
+    * `last()` then carries — matching asofBackward's tiebreak-desc pick).
+    */
+  def asofBackwardSinglePass(left: DataFrame, right: DataFrame,
+                             leftKey: String, rightKey: String,
+                             leftTime: Column, rightTime: Column,
+                             rightCols: Seq[String], tiebreak: Column): DataFrame = {
+    val l = left
+      .withColumn("__k", col(leftKey)).withColumn("__t", leftTime)
+      .withColumn("__is_left", lit(1)).withColumn("__tb", lit(Long.MaxValue))
+    val lAligned = rightCols.foldLeft(l)((df, c) =>
+      df.withColumn(s"__r_$c", lit(null)))
+    val r = right
+      .withColumn("__k", col(rightKey)).withColumn("__t", rightTime)
+      .withColumn("__is_left", lit(0)).withColumn("__tb", tiebreak.cast("long"))
+    val rAligned = rightCols.foldLeft(r)((df, c) =>
+      df.withColumn(s"__r_$c", col(c)))
+
+    val unioned = lAligned.select(
+      (left.columns.map(col) :+ col("__k") :+ col("__t") :+ col("__is_left")
+        :+ col("__tb")) ++ rightCols.map(c => col(s"__r_$c")): _*)
+      .unionByName(rAligned.select(
+        (left.schema.fields.map(f => lit(null).cast(f.dataType).as(f.name)).toSeq
+          :+ col("__k") :+ col("__t") :+ col("__is_left") :+ col("__tb")) ++
+          rightCols.map(c => col(s"__r_$c")): _*))
+
+    // right rows sort before left rows at the same instant (__is_left asc)
+    // so a left row sees a same-timestamp right row; among equal right
+    // times the greatest tiebreak sorts last and wins last()
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__is_left"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(unioned)((df, c) =>
+      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w)))
+
+    carried.filter(col("__is_left") === 1)
+      .filter(rightCols.map(c => col(s"__r_$c").isNotNull).reduce(_ && _))
+      .select(left.columns.map(col) ++
+        rightCols.map(c => col(s"__r_$c").as(c)): _*)
+  }
+
   /** Driver-contract query: each event joined to the user's most recent
     * order at event time (user_id ≡ o_custkey in the corpus domain).
     */

@@ -230,6 +230,46 @@ object Relational extends QueryPack {
       .orderBy(col("slice"), col("o_orderkey"))
   }
 
+  /** RANGE-frame window: 7-day moving average of daily revenue (two-level
+    * agg: daily rollup, then a range frame over epoch-day — the frame is
+    * value-based, so gaps in the calendar are handled correctly, unlike a
+    * ROWS frame).
+    */
+  def movingAverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, dir)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_dec"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("daily_rev", col("rev_dec").cast("double"))
+      .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01")))
+    val w = Window.orderBy(col("epoch_day")).rangeBetween(-6, 0)
+    daily
+      // moving aggregates stay EXACT (decimal sum, integer count) — a
+      // rounded ratio of money sums lands on .xxxx5 boundaries
+      // systematically, where Spark (BigDecimal half-up on the exact
+      // expansion) and DuckDB (float-multiply rounding) disagree
+      .withColumn("ma7_sum", sum(col("rev_dec")).over(w).cast("double"))
+      .withColumn("ma7_n", sum(col("n_orders")).over(w))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("daily_rev"), col("n_orders"), col("ma7_sum"), col("ma7_n"))
+      .orderBy(col("day"))
+      .limit(500)
+  }
+
+  /** Correlation / covariance statistics (round-guarded — both engines
+    * use streaming co-moment formulas that agree to well under 1e-6).
+    */
+  def corrStats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** Date bucketing: orders per month (V6 date arithmetic surface). */
   def monthlyOrders(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -318,6 +358,8 @@ object Relational extends QueryPack {
     "q4_order_priority"   -> (q4OrderPriority _),
     "q10_returned_items"  -> (q10ReturnedItems _),
     "q_interval_join"     -> (intervalJoin _),
+    "q_moving_avg"        -> (movingAverage _),
+    "q_corr"              -> (corrStats _),
     "q_union_all"         -> (unionAllSlices _),
     "q_distinct_agg"      -> (distinctNationsPerSegment _),
     "q1_pricing_summary"  -> (q1PricingSummary _),
@@ -380,6 +422,25 @@ object Relational extends QueryPack {
         |  AND a.event_id < b.event_id
         |  AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
         | ORDER BY a_id, b_id""".stripMargin,
+    "q_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day,
+        |   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+        |   count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        | SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(rev_dec AS DOUBLE) AS daily_rev, n_orders,
+        |  CAST(sum(rev_dec) OVER w AS DOUBLE) AS ma7_sum,
+        |  CAST(sum(n_orders) OVER w AS BIGINT) AS ma7_n
+        | FROM (SELECT *, date_diff('day', DATE '1970-01-01', day) AS epoch_day FROM daily)
+        | WINDOW w AS (ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        | ORDER BY day LIMIT 500""".stripMargin,
+    "q_corr" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc,
+        |  count(*) AS n
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
