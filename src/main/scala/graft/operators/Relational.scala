@@ -210,6 +210,20 @@ object Relational extends QueryPack {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Explicit GROUPING SETS with grouping_id disambiguation (SQL front
+    * end — finer-grained than rollup/cube).
+    */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n
+        | FROM graft_orders_gs
+        | GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        | ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
   /** CUBE grouping sets (all four (returnflag, linestatus) combinations). */
   def cubeFlagStatus(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -359,6 +373,7 @@ object Relational extends QueryPack {
     "q10_returned_items"  -> (q10ReturnedItems _),
     "q_interval_join"     -> (intervalJoin _),
     "q_moving_avg"        -> (movingAverage _),
+    "q_grouping_sets"     -> (groupingSets _),
     "q_corr"              -> (corrStats _),
     "q_union_all"         -> (unionAllSlices _),
     "q_distinct_agg"      -> (distinctNationsPerSegment _),
@@ -435,6 +450,12 @@ object Relational extends QueryPack {
         | FROM (SELECT *, date_diff('day', DATE '1970-01-01', day) AS epoch_day FROM daily)
         | WINDOW w AS (ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         | ORDER BY day LIMIT 500""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, count(*) AS n
+        | FROM orders
+        | GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        | ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q_corr" ->
       """SELECT l_returnflag,
         |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,

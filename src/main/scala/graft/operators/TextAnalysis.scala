@@ -192,6 +192,19 @@ object TextAnalysis extends QueryPack {
       .orderBy(col("n_docs"))
   }
 
+  /** Array-function pipeline: sort → distinct → slice → join, emitted as
+    * a string (cross-engine-safe scalar) — the array manipulation surface
+    * (SURVEY.md §2.8 notes the reference has none; `[EXT]`).
+    */
+  def wordPrefix(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        concat_ws(",", slice(array_sort(wordSet(col("text"))), 1, 5))
+          .as("first_words"),
+        size(wordSet(col("text"))).cast("long").as("n_distinct"))
+      .orderBy(col("doc_id"))
+
   /** Content fingerprints (md5 — stable across engines) for a key slice. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -209,6 +222,7 @@ object TextAnalysis extends QueryPack {
     "q_langid"           -> (langIdHeuristic _),
     "q_fingerprints"     -> (fingerprints _),
     "q_token_pieces"     -> (bpeTokenPieces _),
+    "q_word_prefix"      -> (wordPrefix _),
     "q_winnow_fp"        -> (winnowQuery _))
 
   override def oracleSql: Map[String, String] = Map(
@@ -267,6 +281,12 @@ object TextAnalysis extends QueryPack {
     "q_fingerprints" ->
       """SELECT doc_id, md5(text) AS fp FROM documents
         | WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+    "q_word_prefix" ->
+      """SELECT doc_id,
+        |  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ',')
+        |    AS first_words,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+        | FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     "q_token_pieces" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
