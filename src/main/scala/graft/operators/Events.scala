@@ -41,6 +41,20 @@ object Events extends QueryPack {
       .agg(count(lit(1)).as("n"), decSum(col("value")).as("total_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Sliding windows (1-hour width, 30-minute slide) — each event lands
+    * in exactly two windows; `window()` is the same construct Structured
+    * Streaming uses, so this is the batch form of the streaming sliding
+    * agg. (Oracle: union of two tumbling grids shifted by the slide.)
+    */
+  def slidingCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"))
+      .orderBy(col("w_start"), col("event_type"))
+
   /** Gap-based sessionization: a new session starts when >30 min elapse
     * since the user's previous event (lag window). Partitioned by user —
     * shuffles once on user_id, then everything is per-partition; the same
@@ -88,6 +102,7 @@ object Events extends QueryPack {
     "q_topk_by_type"    -> (topkByType _),
     "q_events_json"     -> (jsonExtract _),
     "q_events_hourly"   -> (hourlyCounts _),
+    "q_events_sliding"  -> (slidingCounts _),
     "q_events_sessions" -> (sessions _),
     "q_events_topusers" -> (topPurchasers _))
 
@@ -110,6 +125,16 @@ object Events extends QueryPack {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         | FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_events_sliding" ->
+      """WITH grid AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |   event_type FROM events
+        |  UNION ALL
+        |  SELECT strftime(date_trunc('hour', ts - INTERVAL 30 MINUTE) + INTERVAL 30 MINUTE,
+        |    '%Y-%m-%d %H:%M:%S') AS w_start,
+        |   event_type FROM events)
+        | SELECT w_start, event_type, count(*) AS n
+        | FROM grid GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
     "q_events_sessions" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(new_session) AS BIGINT) AS n_sessions
