@@ -55,6 +55,22 @@ object Events extends QueryPack {
         col("event_type"), col("n"))
       .orderBy(col("w_start"), col("event_type"))
 
+  /** Native session windows: `session_window(ts, gap)` merges events
+    * closer than the gap into one window per key — the built-in form of
+    * the lag-based sessionization below (Spark closes a session when the
+    * next event is ≥ gap away).
+    */
+  def sessionWindows(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("user_id") < 50)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"))
+      .orderBy(col("user_id"))
+
   /** Gap-based sessionization: a new session starts when >30 min elapse
     * since the user's previous event (lag window). Partitioned by user —
     * shuffles once on user_id, then everything is per-partition; the same
@@ -103,6 +119,7 @@ object Events extends QueryPack {
     "q_events_json"     -> (jsonExtract _),
     "q_events_hourly"   -> (hourlyCounts _),
     "q_events_sliding"  -> (slidingCounts _),
+    "q_session_window"  -> (sessionWindows _),
     "q_events_sessions" -> (sessions _),
     "q_events_topusers" -> (topPurchasers _))
 
@@ -135,6 +152,26 @@ object Events extends QueryPack {
         |   event_type FROM events)
         | SELECT w_start, event_type, count(*) AS n
         | FROM grid GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "q_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |   CASE WHEN lag(ts) OVER w IS NULL
+        |     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events WHERE user_id < 50
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | sess AS (
+        |  SELECT user_id,
+        |   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        | per_session AS (
+        |  SELECT user_id, sid, count(*) AS n_events
+        |  FROM sess GROUP BY user_id, sid)
+        | SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  CAST(max(n_events) AS BIGINT) AS max_session_events
+        | FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_events_sessions" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(new_session) AS BIGINT) AS n_sessions

@@ -91,6 +91,44 @@ object EventStreams {
     spark.table(name).distinct().orderBy(keys.map(col): _*)
   }
 
+  /** Stream-stream inner join with watermarks on both sides and a time
+    * band (purchases joined to clicks by the same user within the
+    * preceding hour) — watermark + band bound both join states. The batch
+    * form of the same join proves result equality in the spec.
+    */
+  def purchaseClickJoinStreaming(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stagedDir(dir)
+    def src = spark.readStream
+      .schema(Tables.load(spark, dir, "events").schema)
+      .parquet(staged)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("p_id"), col("c_id"))
+
+    val name = s"ssjoin_${System.nanoTime()}"
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_stream_ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("p_id"), col("c_id"))
+  }
+
   case class Event(user_id: Long, tsMicros: Long)
   case class SessionState(lastTs: Long, sessions: Long, events: Long)
   case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)

@@ -20,6 +20,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-stream banded join == batch join on the same input") {
+    val streamed = EventStreams.purchaseClickJoinStreaming(spark, sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val ev = graft.Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+    val batch = p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_id"), col("c_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming dropDuplicates key set == batch distinct") {
     val streamed = EventStreams.dedupStreaming(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
