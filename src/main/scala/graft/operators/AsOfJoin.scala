@@ -65,10 +65,10 @@ object AsOfJoin extends QueryPack {
       df.withColumn(s"__r_$c", col(c)))
 
     val unioned = lAligned.select(
-      (left.columns.map(col) :+ col("__k") :+ col("__t") :+ col("__is_left")
+      (left.columns.toSeq.map(col) :+ col("__k") :+ col("__t") :+ col("__is_left")
         :+ col("__tb")) ++ rightCols.map(c => col(s"__r_$c")): _*)
       .unionByName(rAligned.select(
-        (left.schema.fields.map(f => lit(null).cast(f.dataType).as(f.name)).toSeq
+        (left.schema.fields.toSeq.map(f => lit(null).cast(f.dataType).as(f.name))
           :+ col("__k") :+ col("__t") :+ col("__is_left") :+ col("__tb")) ++
           rightCols.map(c => col(s"__r_$c")): _*))
 
@@ -83,7 +83,7 @@ object AsOfJoin extends QueryPack {
 
     carried.filter(col("__is_left") === 1)
       .filter(rightCols.map(c => col(s"__r_$c").isNotNull).reduce(_ && _))
-      .select(left.columns.map(col) ++
+      .select(left.columns.toSeq.map(col) ++
         rightCols.map(c => col(s"__r_$c").as(c)): _*)
   }
 

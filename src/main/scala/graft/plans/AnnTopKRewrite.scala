@@ -76,5 +76,5 @@ object AnnTopKRewrite extends Rule[LogicalPlan] {
     }.flatten
 
   private def literalFloats(l: Literal): Array[Float] =
-    l.value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray
+    l.value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray()
 }
