@@ -210,6 +210,20 @@ object Relational extends QueryPack {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** String-function surface: LIKE, regexp extraction, length/case ops —
+    * aggregated per segment for a compact deterministic result.
+    */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("c_name").like("%1%"), 1L).otherwise(0L)).as("n_like_1"),
+        sum(length(col("c_name"))).as("total_name_len"),
+        min(upper(col("c_name"))).as("first_upper"),
+        max(regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long")).as("max_name_num"))
+      .orderBy(col("c_mktsegment"))
+
   /** Explicit GROUPING SETS with grouping_id disambiguation (SQL front
     * end — finer-grained than rollup/cube).
     */
@@ -374,6 +388,7 @@ object Relational extends QueryPack {
     "q_interval_join"     -> (intervalJoin _),
     "q_moving_avg"        -> (movingAverage _),
     "q_grouping_sets"     -> (groupingSets _),
+    "q_string_funcs"      -> (stringFuncs _),
     "q_corr"              -> (corrStats _),
     "q_union_all"         -> (unionAllSlices _),
     "q_distinct_agg"      -> (distinctNationsPerSegment _),
@@ -450,6 +465,13 @@ object Relational extends QueryPack {
         | FROM (SELECT *, date_diff('day', DATE '1970-01-01', day) AS epoch_day FROM daily)
         | WINDOW w AS (ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         | ORDER BY day LIMIT 500""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END) AS BIGINT) AS n_like_1,
+        |  CAST(sum(length(c_name)) AS BIGINT) AS total_name_len,
+        |  min(upper(c_name)) AS first_upper,
+        |  CAST(max(CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS max_name_num
+        | FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, count(*) AS n
