@@ -62,6 +62,21 @@ class PatientSearch(spark: SparkSession) {
     built
   }
 
+  /** Persist the built index shard-partitioned (the durable form of the
+    * reference's in-memory store — reads prune to one hospital's
+    * directories; see [[graft.sources.TableIO]]).
+    */
+  def persistIndex(path: String): Unit =
+    graft.sources.TableIO.writeIndex(
+      index.getOrElse(sys.error("generateAndStoreEmbeddings first")), path)
+
+  /** Reload a persisted index into this facade (cold-start serving). */
+  def loadIndex(path: String): DataFrame = {
+    val loaded = graft.sources.TableIO.readIndex(spark, path).cache()
+    index = Some(loaded)
+    loaded
+  }
+
   /** search_similar_patients (similarity_search.py:541-559 → 322-363).
     * Returns (hits with rank/similarity/promoted outcome fields + metadata,
     * statistics block, total_searched = n_hospitals × top_k candidate pool

@@ -82,6 +82,21 @@ class PatientSearchSpec extends SparkSpec {
     }
   }
 
+  test("index persists shard-partitioned and search works after reload") {
+    val (ps, before) = system
+    val dir = java.nio.file.Files.createTempDirectory("graft_psearch").toString
+    ps.persistIndex(dir)
+    val reloaded = ps.loadIndex(dir)
+    assert(reloaded.count() == 370)
+    val after = ps.searchSimilarPatients(
+      graft.schema.PatientSchema.demoQueryPatient, topK)
+    val idsBefore = before.topSimilarPatients.select("patient_id")
+      .collect().map(_.getString(0)).toSeq
+    val idsAfter = after.topSimilarPatients.select("patient_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(idsAfter == idsBefore, "cold-start search must reproduce results")
+  }
+
   test("transplant_date presentation uses the reference's 'N/A' sentinel") {
     val dates = system._2.topSimilarPatients
       .select("transplant_date", "received_transplant").collect()
