@@ -112,6 +112,50 @@ object Relational extends QueryPack {
       .select(col("c_custkey"))
       .orderBy(col("c_custkey"))
 
+  /** Left-outer join with null-group accounting: every low-key customer,
+    * including the orderless ones (null-generating side aggregated with
+    * count-of-column vs count(*) distinction).
+    */
+  def leftOuterJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).filter(col("c_custkey") < 200)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_pending"), // nulls not counted
+        count(lit(1)).as("n_rows"),               // join rows incl. null match
+        coalesce(decSum(col("o_totalprice")), lit(0.0)).as("pending_value"))
+      .orderBy(col("c_custkey"))
+
+  /** FULL OUTER join over two disjoint-ish aggregates (suppliers vs
+    * customers per nation) — both null sides exercised.
+    */
+  def fullOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val custPerNation = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey").as("nation")).agg(count(lit(1)).as("n_cust"))
+    val suppPerNation = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") > 0)
+      .groupBy(col("s_nationkey").as("s_nation")).agg(count(lit(1)).as("n_supp"))
+    custPerNation.join(suppPerNation,
+      col("nation") === col("s_nation"), "full_outer")
+      .select(
+        coalesce(col("nation"), col("s_nation")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** INTERSECT ALL / EXCEPT ALL — the multiplicity-preserving variants. */
+  def setOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    def keys(flag: String) =
+      li.filter(col("l_returnflag") === flag).select(col("l_orderkey"))
+    keys("A").intersectAll(keys("R"))
+      .exceptAll(keys("N"))
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("multiplicity"))
+      .orderBy(col("l_orderkey"))
+  }
+
   /** INTERSECT / EXCEPT set operators (SURVEY.md §2.7 — the reference only
     * has UNION ALL; these complete the set-op surface).
     */
@@ -389,6 +433,9 @@ object Relational extends QueryPack {
     "q_moving_avg"        -> (movingAverage _),
     "q_grouping_sets"     -> (groupingSets _),
     "q_string_funcs"      -> (stringFuncs _),
+    "q_left_join"         -> (leftOuterJoin _),
+    "q_full_outer"        -> (fullOuterJoin _),
+    "q_setops_all"        -> (setOpsAll _),
     "q_corr"              -> (corrStats _),
     "q_union_all"         -> (unionAllSlices _),
     "q_distinct_agg"      -> (distinctNationsPerSegment _),
@@ -465,6 +512,33 @@ object Relational extends QueryPack {
         | FROM (SELECT *, date_diff('day', DATE '1970-01-01', day) AS epoch_day FROM daily)
         | WINDOW w AS (ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         | ORDER BY day LIMIT 500""".stripMargin,
+    "q_left_join" ->
+      """SELECT c_custkey,
+        |  count(o_orderkey) AS n_pending,
+        |  count(*) AS n_rows,
+        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS pending_value
+        | FROM customer
+        | LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus = 'P'
+        | WHERE c_custkey < 200
+        | GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_full_outer" ->
+      """SELECT coalesce(c.nation, s.s_nation) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        | FROM (SELECT c_nationkey AS nation, count(*) AS n_cust
+        |       FROM customer GROUP BY 1) c
+        | FULL OUTER JOIN
+        |      (SELECT s_nationkey AS s_nation, count(*) AS n_supp
+        |       FROM supplier WHERE s_acctbal > 0 GROUP BY 1) s
+        | ON c.nation = s.s_nation
+        | ORDER BY nationkey""".stripMargin,
+    "q_setops_all" ->
+      """SELECT l_orderkey, count(*) AS multiplicity FROM (
+        |  (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+        |   INTERSECT ALL
+        |   SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+        |  EXCEPT ALL
+        |  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'N')
+        | GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "q_string_funcs" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(sum(CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END) AS BIGINT) AS n_like_1,

@@ -31,6 +31,14 @@ class FormatsSpec extends SparkSpec {
     assert(docs.exceptAll(back).count() == 0)
   }
 
+  test("orc round-trip") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.exceptAll(docs).count() == 0)
+    assert(docs.exceptAll(back).count() == 0)
+  }
+
   test("partitioned csv write prunes on read like parquet") {
     val dir = Files.createTempDirectory("graft_csv_part").toString
     docs.write.mode("overwrite").partitionBy("lang")
