@@ -254,6 +254,25 @@ object Relational extends QueryPack {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Value histogram via width_bucket (SQL-standard bucketing). */
+  def histogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(width_bucket(col("o_totalprice"), lit(0.0), lit(600000.0), lit(12))
+        .as("bucket"))
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("bucket_value"))
+      .orderBy(col("bucket"))
+
+  /** HLL sketch distinct counts — NOT oracle-comparable (engines use
+    * different sketches); the driver records rows-only and
+    * ApproxDistinctSpec asserts the ≤2% typical HLL error against exact.
+    */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      count_distinct(col("l_orderkey")).as("exact_orders"),
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      count_distinct(col("l_partkey")).as("exact_parts"))
+
   /** String-function surface: LIKE, regexp extraction, length/case ops —
     * aggregated per segment for a compact deterministic result.
     */
@@ -436,6 +455,8 @@ object Relational extends QueryPack {
     "q_left_join"         -> (leftOuterJoin _),
     "q_full_outer"        -> (fullOuterJoin _),
     "q_setops_all"        -> (setOpsAll _),
+    "q_histogram"         -> (histogram _),
+    "q_approx_distinct"   -> (approxDistinct _),
     "q_corr"              -> (corrStats _),
     "q_union_all"         -> (unionAllSlices _),
     "q_distinct_agg"      -> (distinctNationsPerSegment _),
@@ -512,6 +533,13 @@ object Relational extends QueryPack {
         | FROM (SELECT *, date_diff('day', DATE '1970-01-01', day) AS epoch_day FROM daily)
         | WINDOW w AS (ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         | ORDER BY day LIMIT 500""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+        |   WHEN o_totalprice >= 600000.0 THEN 13
+        |   ELSE floor(o_totalprice * 12 / 600000.0) + 1 END AS BIGINT) AS bucket,
+        | count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_value
+        | FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_left_join" ->
       """SELECT c_custkey,
         |  count(o_orderkey) AS n_pending,

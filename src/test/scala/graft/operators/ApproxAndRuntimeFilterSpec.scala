@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Approximate sketches (HLL error bound vs exact) and Spark's runtime
+  * bloom-filter join pruning (the mechanism that stops a selective
+  * fact⨝dim join from scanning non-matching fact rows at 100 TB).
+  */
+class ApproxAndRuntimeFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("ApproxAndRuntimeFilterSpec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      // force runtime bloom filters on regardless of size estimates
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      .config("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // disable broadcast so the join is shuffle-based (bloom filters
+      // target shuffle joins; broadcast joins don't need them)
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
+
+  test("HLL approx_count_distinct within 5% of exact on real keys") {
+    val r = Relational.approxDistinct(spark, "/root/testdata/sf0.01").head()
+    val (approxO, exactO) = (r.getLong(0), r.getLong(1))
+    val (approxP, exactP) = (r.getLong(2), r.getLong(3))
+    assert(math.abs(approxO - exactO).toDouble / exactO < 0.05,
+      s"orders: $approxO vs $exactO")
+    assert(math.abs(approxP - exactP).toDouble / exactP < 0.05,
+      s"parts: $approxP vs $exactP")
+  }
+
+  test("selective dim join injects a runtime bloom filter on the fact side") {
+    val dir = "/root/testdata/sf0.01"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderstatus") === "P") // selective build side
+    val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.optimizedPlan.toString
+    assert(plan.contains("bloom_filter_agg") || plan.contains("BloomFilterMightContain") ||
+      plan.contains("might_contain"), s"expected a runtime bloom filter:\n$plan")
+    assert(joined.collect().map(_.getLong(1)).sum > 0)
+  }
+}
