@@ -62,6 +62,31 @@ object EventStreams {
     spark.table(name).orderBy(col("hour"), col("event_type"))
   }
 
+  /** Streaming top-k per key through the custom TypedImperativeAggregate
+    * ([[graft.functions.TopKByExpr]]) in complete mode — custom Catalyst
+    * aggregates compose with streaming state like built-ins do.
+    */
+  def topkStreaming(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val source = spark.readStream
+      .schema(Tables.load(spark, dir, "events").schema)
+      .parquet(stagedDir(dir))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.TopKByExpr(col("event_id"), col("value"), k).as("top"))
+      .select(col("event_type"), explode(col("top.id")).as("event_id"))
+
+    val name = s"topk_${System.nanoTime()}"
+    val q = source.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(name)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_stream_ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("event_type"), col("event_id"))
+  }
+
   /** Streaming exact-dedup: `dropDuplicates` on a key with a watermark
     * bounding the dedup state (keys older than the watermark age out —
     * the unbounded-stream form of the batch hash-dedup in

@@ -20,6 +20,15 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming top-k through the custom aggregate == batch top-k") {
+    val streamed = EventStreams.topkStreaming(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = graft.operators.Events.topkByType(spark, sfDir)
+      .select(col("event_type"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+  }
+
   test("stream-stream banded join == batch join on the same input") {
     val streamed = EventStreams.purchaseClickJoinStreaming(spark, sfDir)
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
