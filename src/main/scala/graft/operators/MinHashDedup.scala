@@ -111,16 +111,80 @@ object MinHashDedup extends QueryPack {
   def withSignature(df: DataFrame, textCol: String, seed: Long = 42L): DataFrame =
     df.withColumn("minhash_sig", signatureUdf(seed)(col(textCol)))
 
-  /** Candidate pairs from band-bucket join, verified with exact Jaccard on
-    * word sets; returns pairs with jaccard ≥ threshold.
+  /** Default bucket-occupancy cap: a band bucket larger than this is
+    * dropped from candidate generation (and counted in the
+    * `graft.minhash.droppedBuckets` accumulator) instead of going
+    * quadratic. 2000 docs in ONE band bucket means ≥ ~2M candidate pairs
+    * from a single key — the hot-bucket cliff on boilerplate/empty-text
+    * corpora — while genuinely-duplicate groups that large are still
+    * reported via the capped-bucket accumulators rather than silently
+    * hung on.
+    */
+  val defaultMaxBucketSize = 2000
+
+  /** Name of the accumulator counting band buckets dropped by the
+    * occupancy cap (per SparkContext; visible in the Spark UI).
+    */
+  val droppedBucketsAcc = "graft.minhash.droppedBuckets"
+  val droppedDocSlotsAcc = "graft.minhash.droppedDocSlots"
+
+  /** Accumulators of the most recent [[nearDupPairs]] plan (buckets
+    * dropped, doc slots dropped). Values are meaningful after the
+    * returned DataFrame materializes; also visible per-stage in the
+    * Spark UI under the accumulator names above.
+    */
+  @volatile var lastDropStats
+      : Option[(org.apache.spark.util.LongAccumulator,
+                org.apache.spark.util.LongAccumulator)] = None
+
+  /** Candidate pairs from band-bucket grouping, prefiltered by signature
+    * agreement, then verified with exact Jaccard on word sets; returns
+    * pairs with jaccard ≥ threshold.
+    *
+    * Scale design (each stage bounds the next):
+    *  1. candidate generation carries ONLY (band, bucket, id) through the
+    *     one shuffle — word/signature payloads would multiply shuffle
+    *     bytes by the banding factor;
+    *  2. pairs are emitted LOCALLY per bucket (groupBy + combinations)
+    *     instead of a bucket self-join, so a bucket of m docs costs
+    *     m(m−1)/2 local emits, and buckets above `maxBucketSize` are
+    *     dropped + counted in accumulators — the hot-bucket quadratic
+    *     cliff (a globally-frequent shingle whose hash happens to be the
+    *     band minimum for a large doc population, or all-empty texts
+    *     sharing one signature) is bounded, never silent;
+    *  3. signature-agreement prefilter: estimated (shingle) Jaccard =
+    *     (matching minhash positions)/k is an unbiased estimator of the
+    *     true shingle Jaccard (Broder, σ = √(s(1−s)/k) ≈ 0.06 at k=64).
+    *     Verification runs on word-SET Jaccard, which on reordered text
+    *     can sit well above shingle Jaccard, so the margin is deliberately
+    *     wide: est ≥ threshold − `sigAgreementMargin` (default 0.35,
+    *     ≈ 6σ). On real corpora candidate similarity is bimodal — hot
+    *     buckets are dominated by near-zero-similarity accidental
+    *     co-minima — so even this conservative bound kills the bulk of
+    *     false candidates with a codegen'd zip_with/aggregate over
+    *     fixed-width longs, BEFORE any string payload is shuffled;
+    *  4. exact word-set verification runs only on the (small) survivor
+    *     set, keeping precision exact.
+    *
+    * No caching: the signature UDF is a narrow scan-bound pass and is
+    * recomputed (once for banding, twice joining into the prefilter)
+    * rather than pinned in executor memory for the life of the session —
+    * at warehouse scale signatures live at rest next to the corpus
+    * (see [[graft.sources.TableIO]]) and all three reads hit parquet.
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                   threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
-    // candidate generation carries ONLY (band, bucket, id) through the
-    // shuffle — word-set payloads would multiply shuffle bytes by the
-    // banding factor; they join back in only for the (small) verified set
-    val banded = withSignature(docs, textCol, seed)
+                   threshold: Double = 0.8, seed: Long = 42L,
+                   maxBucketSize: Int = defaultMaxBucketSize,
+                   sigAgreementMargin: Double = 0.35): DataFrame = {
+    val spark = docs.sparkSession
+    val droppedBuckets = spark.sparkContext.longAccumulator(droppedBucketsAcc)
+    val droppedSlots = spark.sparkContext.longAccumulator(droppedDocSlotsAcc)
+    lastDropStats = Some((droppedBuckets, droppedSlots))
+
+    val sigs = withSignature(docs, textCol, seed)
       .select(col(idCol).as("id"), col("minhash_sig"))
+
+    val banded = sigs
       .withColumn("band",
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band_id"),
@@ -128,20 +192,51 @@ object MinHashDedup extends QueryPack {
               slice(col("minhash_sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
               .as("bucket")))))
       .select(col("band.band_id"), col("band.bucket"), col("id"))
-      // the self-join consumes this twice; without caching, the signature
-      // UDF runs 2× over the corpus
-      .cache()
 
-    val candidates = banded.as("a")
-      .join(banded.as("b"), Seq("band_id", "bucket"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .filter(col("a_id") < col("b_id"))
+    // local pair emission per bucket; cap ⇒ drop + count, never silent
+    val emitPairs = udf { (ids: Seq[Long]) =>
+      if (ids.length > maxBucketSize) {
+        droppedBuckets.add(1)
+        droppedSlots.add(ids.length)
+        Array.empty[(Long, Long)]
+      } else {
+        val sorted = ids.sorted
+        val out = Array.newBuilder[(Long, Long)]
+        var i = 0
+        while (i < sorted.length) {
+          var j = i + 1
+          while (j < sorted.length) {
+            out += ((sorted(i), sorted(j))); j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+    }
+
+    val candidates = banded
+      .groupBy("band_id", "bucket").agg(collect_list("id").as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(emitPairs(col("ids"))).as("p"))
+      .select(col("p._1").as("a_id"), col("p._2").as("b_id"))
       .distinct() // a pair may collide in many bands
+
+    // signature-agreement prefilter (codegen'd; no string payloads yet)
+    val estMin = math.max(0.0, threshold - sigAgreementMargin)
+    val prefiltered = candidates
+      .join(sigs.select(col("id").as("a_id"), col("minhash_sig").as("a_sig")), "a_id")
+      .join(sigs.select(col("id").as("b_id"), col("minhash_sig").as("b_sig")), "b_id")
+      .withColumn("est",
+        aggregate(zip_with(col("a_sig"), col("b_sig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, m) => acc + m).cast("double") / numHashes)
+      .filter(col("est") >= estMin)
+      .select("a_id", "b_id")
 
     val ws = docs.select(col(idCol).as("id"),
       array_distinct(split(col(textCol), " ")).as("ws"))
 
-    candidates
+    prefiltered
       .join(ws.select(col("id").as("a_id"), col("ws").as("a_ws")), "a_id")
       .join(ws.select(col("id").as("b_id"), col("ws").as("b_ws")), "b_id")
       .withColumn("jac",

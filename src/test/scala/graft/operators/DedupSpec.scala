@@ -75,6 +75,37 @@ class DedupSpec extends SparkSpec {
     assert(agree05 < 0.3, s"unrelated signature agreement $agree05")
   }
 
+  test("minhash: hot-bucket occupancy cap bounds a pathological corpus " +
+    "and reports drops via accumulators") {
+    // 120 identical documents: every band bucket holds all 120 docs —
+    // uncapped this is 16 × 120·119/2 ≈ 114k emitted pairs; with the cap
+    // every bucket is dropped, counted, and the query stays bounded
+    val same = spark.range(120)
+      .selectExpr("id as doc_id", "'all documents share this exact text body' as text")
+    val got = MinHashDedup.nearDupPairs(same, "doc_id", "text",
+      threshold = 0.8, maxBucketSize = 50)
+    assert(got.count() == 0, "capped buckets emit no pairs")
+    val (buckets, slots) = MinHashDedup.lastDropStats.get
+    assert(buckets.value == MinHashDedup.bands,
+      s"all ${MinHashDedup.bands} band buckets dropped, got ${buckets.value}")
+    assert(slots.value == MinHashDedup.bands.toLong * 120,
+      s"dropped doc slots counted, got ${slots.value}")
+    // and with the cap above occupancy, the same corpus yields all pairs
+    val uncapped = MinHashDedup.nearDupPairs(same, "doc_id", "text",
+      threshold = 0.8, maxBucketSize = 500)
+    assert(uncapped.count() == 120L * 119 / 2)
+  }
+
+  test("minhash signature-agreement prefilter keeps true near-dups " +
+    "(margin is recall-safe on the planted corpus)") {
+    // with the default margin the planted one-word-edit pair (word-set
+    // jaccard ≈ 0.86, shingle jaccard ≈ 0.57) must survive the prefilter
+    val got = MinHashDedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)), "exact dup")
+    assert(got.contains((0L, 2L)), "one-word edit near-dup")
+  }
+
   test("simhash: identical ⇒ distance 0; near-dup small; unrelated large") {
     val fps = SimHash.withFingerprint(docs, "text")
       .select("doc_id", "simhash").collect()
