@@ -114,8 +114,10 @@ object Multimodal extends QueryPack {
     import s.implicits._
     val frames = asMediaTable(s, dir)
       .filter(col("media_type") === "video")
-      .map(r => (r.media_id, sampleFrames(r.payload, 4).length,
-        sampleFrames(r.payload, 4).map(_.length.toLong).sum))
+      .map { r =>
+        val fs = sampleFrames(r.payload, 4)
+        (r.media_id, fs.length, fs.map(_.length.toLong).sum)
+      }
       .toDF("media_id", "n_frames", "frame_bytes")
     frames.filter(col("media_id") < 60).orderBy(col("media_id"))
   }

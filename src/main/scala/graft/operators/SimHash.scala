@@ -48,9 +48,41 @@ object SimHash extends QueryPack {
   def withFingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("simhash", simhashUdf(split(col(textCol), " ")))
 
-  /** Near-dup pairs: chunk-bucket join + Hamming verification. */
+  /** Default chunk-bucket occupancy cap; see [[graft.operators.MinHashDedup]]
+    * for the rationale. A 16-bit chunk bucket above this size (boilerplate
+    * corpora where thousands of docs share a fingerprint chunk) is dropped
+    * and COUNTED — the pigeonhole completeness guarantee ("distance ≤ 3 ⇒
+    * found") then holds for all pairs not entirely inside dropped buckets,
+    * and the accumulators make the exception auditable rather than silent.
+    */
+  val defaultMaxBucketSize = 2000
+  val droppedBucketsAcc = "graft.simhash.droppedBuckets"
+  val droppedDocSlotsAcc = "graft.simhash.droppedDocSlots"
+
+  /** Accumulators of the most recent [[nearDupPairs]] plan; meaningful
+    * after the returned DataFrame materializes (also in the Spark UI).
+    */
+  @volatile var lastDropStats
+      : Option[(org.apache.spark.util.LongAccumulator,
+                org.apache.spark.util.LongAccumulator)] = None
+
+  /** Near-dup pairs: chunk-bucket grouping + local Hamming verification.
+    *
+    * One shuffle: (chunk_id, chunk_val, id, fp) groups per bucket; pairs
+    * are emitted locally per bucket (never a bucket self-join) and the
+    * Hamming check runs inside the emit, so only pairs already within
+    * `maxDistance` reach the cross-chunk dedup shuffle. The fingerprint
+    * is a single long, so carrying it into the bucket costs 8 bytes/slot
+    * — unlike MinHash there is no payload-multiplication concern.
+    */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDistance: Int = hammingThreshold): DataFrame = {
+                   maxDistance: Int = hammingThreshold,
+                   maxBucketSize: Int = defaultMaxBucketSize): DataFrame = {
+    val spark = docs.sparkSession
+    val droppedBuckets = spark.sparkContext.longAccumulator(droppedBucketsAcc)
+    val droppedSlots = spark.sparkContext.longAccumulator(droppedDocSlotsAcc)
+    lastDropStats = Some((droppedBuckets, droppedSlots))
+
     val fps = withFingerprint(docs, textCol)
       .select(col(idCol).as("id"), col("simhash"))
 
@@ -60,19 +92,38 @@ object SimHash extends QueryPack {
           .bitwiseAND(lit((1L << chunkBits) - 1)).as("chunk_val"))
     }
     val chunked = fps.withColumn("chunk", explode(array(chunkCols: _*)))
-      .select(col("id"), col("simhash"), col("chunk.chunk_id"), col("chunk.chunk_val"))
+      .select(col("chunk.chunk_id"), col("chunk.chunk_val"),
+        array(col("id"), col("simhash")).as("doc"))
 
-    val a = chunked.select(col("chunk_id"), col("chunk_val"),
-      col("id").as("a_id"), col("simhash").as("a_fp"))
-    val b = chunked.select(col("chunk_id"), col("chunk_val"),
-      col("id").as("b_id"), col("simhash").as("b_fp"))
+    val emitVerified = udf { (ds: Seq[Seq[Long]]) =>
+      if (ds.length > maxBucketSize) {
+        droppedBuckets.add(1)
+        droppedSlots.add(ds.length)
+        Array.empty[(Long, Long, Int)]
+      } else {
+        val sorted = ds.map(r => (r(0), r(1))).sortBy(_._1)
+        val out = Array.newBuilder[(Long, Long, Int)]
+        var i = 0
+        while (i < sorted.length) {
+          var j = i + 1
+          while (j < sorted.length) {
+            val d = java.lang.Long.bitCount(sorted(i)._2 ^ sorted(j)._2)
+            if (d <= maxDistance) out += ((sorted(i)._1, sorted(j)._1, d))
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+    }
 
-    a.join(b, Seq("chunk_id", "chunk_val"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).as("hamming"))
+    chunked
+      .groupBy("chunk_id", "chunk_val").agg(collect_list("doc").as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(emitVerified(col("ds"))).as("p"))
+      .select(col("p._1").as("a_id"), col("p._2").as("b_id"),
+        col("p._3").as("hamming"))
       .dropDuplicates("a_id", "b_id")
-      .filter(col("hamming") <= maxDistance)
       .orderBy(col("a_id"), col("b_id"))
   }
 

@@ -26,10 +26,18 @@ class PatientSearch(spark: SparkSession) {
   private var patients: Option[DataFrame] = None
   private var weights: Mlp.Weights = Mlp.init()
   private var index: Option[DataFrame] = None
+  // per-shard row counts, computed ONCE at index build/load — the search
+  // path must not rescan the corpus for bookkeeping (at warehouse scale
+  // that is two extra full scans per query)
+  private var shardSizes: Option[Map[String, Long]] = None
 
   /** Trained-model / index accessors (for tests and reuse). */
   def globalWeights: Mlp.Weights = weights
   def vectorIndex: Option[DataFrame] = index
+
+  private def computeShardSizes(idx: DataFrame): Map[String, Long] =
+    idx.groupBy(col("hospital")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** setup_hospitals (similarity_search.py:419-434): generate shards,
     * z-score per hospital (the reference normalizes each client against
@@ -59,6 +67,7 @@ class PatientSearch(spark: SparkSession) {
     val df = patients.getOrElse(sys.error("setupHospitals first"))
     val built = PatientIndex.build(FederatedTrainer.withEmbeddings(df, weights))
     index = Some(built)
+    shardSizes = Some(computeShardSizes(built))
     built
   }
 
@@ -74,14 +83,15 @@ class PatientSearch(spark: SparkSession) {
   def loadIndex(path: String): DataFrame = {
     val loaded = graft.sources.TableIO.readIndex(spark, path).cache()
     index = Some(loaded)
+    shardSizes = Some(computeShardSizes(loaded))
     loaded
   }
 
   /** search_similar_patients (similarity_search.py:541-559 → 322-363).
     * Returns (hits with rank/similarity/promoted outcome fields + metadata,
-    * statistics block, total_searched = n_hospitals × top_k candidate pool
-    * — the reference reports the pool size, not the corpus size,
-    * similarity_search.py:361).
+    * statistics block, total_searched = the gathered candidate-pool size
+    * `len(all_results)` = Σ_shards min(k, |shard|) — the reference reports
+    * the pool size, not the corpus size, similarity_search.py:361).
     */
   def searchSimilarPatients(query: Map[String, Double], topK: Int = 10): PatientSearch.Result = {
     val qFeatures = Normalization.prepareQueryFeatures(query)
@@ -122,10 +132,16 @@ class PatientSearch(spark: SparkSession) {
         col("waitlist_status"), col("metadata"))
       .cache()
 
-    val nHospitals = idx.select(col("hospital")).distinct().count()
+    // total_searched is the reference's candidate-pool size,
+    // len(all_results) (similarity_search.py:361): each shard contributes
+    // min(k, |shard|) local winners. Shard sizes were computed once at
+    // index build/load — NO corpus scan happens on the search path.
+    val sizes = shardSizes.getOrElse {
+      val s = computeShardSizes(idx); shardSizes = Some(s); s
+    }
     PatientSearch.Result(
       topSimilarPatients = hits,
-      totalSearched = (nHospitals * topK).min(idx.count()),
+      totalSearched = sizes.valuesIterator.map(math.min(_, topK.toLong)).sum,
       transplantStatistics = TransplantStats.statisticsBlock(hits),
       clinicalInsights = TransplantStats.clinicalInsights(hits))
   }

@@ -116,6 +116,21 @@ class DedupSpec extends SparkSpec {
     assert(dist(fps(0L), fps(5L)) > 12, "unrelated drifts far")
   }
 
+  test("simhash: hot-bucket cap bounds a pathological corpus, drops are " +
+    "counted, and completeness accounting is auditable") {
+    // identical docs ⇒ identical fingerprints ⇒ each of the 4 chunk
+    // buckets holds the whole corpus
+    val same = spark.range(120)
+      .selectExpr("id as doc_id", "'boilerplate text repeated across the corpus' as text")
+    val capped = SimHash.nearDupPairs(same, "doc_id", "text", maxBucketSize = 50)
+    assert(capped.count() == 0)
+    val (buckets, slots) = SimHash.lastDropStats.get
+    assert(buckets.value == 4, s"4 chunk buckets dropped, got ${buckets.value}")
+    assert(slots.value == 4L * 120, s"dropped slots counted, got ${slots.value}")
+    val uncapped = SimHash.nearDupPairs(same, "doc_id", "text", maxBucketSize = 500)
+    assert(uncapped.count() == 120L * 119 / 2)
+  }
+
   test("simhash near-dup pairs include the planted duplicates") {
     val got = SimHash.nearDupPairs(docs, "doc_id", "text", maxDistance = 3)
       .select("a_id", "b_id").collect()

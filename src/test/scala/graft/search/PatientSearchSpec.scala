@@ -64,6 +64,25 @@ class PatientSearchSpec extends SparkSpec {
     assert(system._2.totalSearched == 3L * topK)
   }
 
+  test("search path runs no bookkeeping scans: secureSimilaritySearch " +
+    "launches zero Spark jobs (shard sizes come from index build)") {
+    val ps = system._1
+    system._2 // force lazy system init (training + index build jobs happen here)
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = ps.searchSimilarPatients(PatientSchema.demoQueryPatient, topK)
+      assert(r.totalSearched == 3L * topK)
+      Thread.sleep(500) // listener bus is async; let any job event land
+      assert(jobs == 0,
+        s"search construction must not scan the corpus, saw $jobs jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("stats block: counts partition and rates are consistent (A3)") {
     val s = system._2.transplantStatistics.head()
     val total = s.getAs[Long]("total_similar_patients")
