@@ -131,10 +131,43 @@ object AnnSearch extends QueryPack {
     lshSearch(corpus, "embedding", "vec_id", queryVector(s, dir))
   }
 
+  /** Build-once bookkeeping for [[ivfQuery]]: (index path, centroids) per
+    * corpus dir, plus a build counter the spec asserts on. Index BUILD is
+    * an offline job (k-means fit + one partitioned write); the QUERY path
+    * only reads the list-partitioned parquet — at 100 TB a per-query
+    * training job is the difference between an index lookup and a full
+    * pass over the corpus.
+    */
+  private val ivfBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Array[Double]])]()
+  private[operators] val ivfBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Ensure a persisted, `ivf_list`-partitioned index exists for `dir`'s
+    * embeddings table; returns (index path, centroids). Fits k-means at
+    * most once per corpus per process and always round-trips through
+    * parquet, so serving exercises the real cold-start path.
+    */
+  def ensureIvfIndex(s: SparkSession, dir: String): (String, Array[Array[Double]]) =
+    ivfBuilt.computeIfAbsent(dir, { _ =>
+      ivfBuildCount.incrementAndGet()
+      val corpus = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val (assigned, centroids) = buildIvf(corpus, "embedding")
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_ivf_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      graft.sources.TableIO.writeAnnIndex(assigned, path, "ivf_list")
+      graft.sources.TableIO.writeIvfCentroids(s, path, centroids)
+      (path, centroids)
+    })
+
+  /** Serve-path IVF search against the persisted index: the nprobe list
+    * filter is a PARTITION filter on the scan (spec-asserted), so only
+    * nprobe of nLists directories are read; no fit in the query.
+    */
   def ivfQuery(s: SparkSession, dir: String): DataFrame = {
-    val corpus = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
-    val (indexed, centroids) = buildIvf(corpus, "embedding")
-    ivfSearch(indexed, centroids, "embedding", "vec_id", queryVector(s, dir))
+    val (path, centroids) = ensureIvfIndex(s, dir)
+    ivfSearch(s.read.parquet(path), centroids,
+      "embedding", "vec_id", queryVector(s, dir))
   }
 
   override def queries: Map[String, QueryPack.Q] = Map(

@@ -37,4 +37,26 @@ object TableIO {
     indexed.write.mode(SaveMode.Overwrite)
       .partitionBy(bucketCol)
       .parquet(path)
+
+  /** Persist an IVF coarse quantizer next to its list-partitioned index
+    * (sibling dir — writing inside the index root would break partition
+    * discovery). Centroids are k × dim doubles: tiny, but durable so a
+    * cold process can serve without re-fitting.
+    */
+  def writeIvfCentroids(spark: SparkSession, indexPath: String,
+                        centroids: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(centroidsPath(indexPath))
+  }
+
+  def readIvfCentroids(spark: SparkSession, indexPath: String): Array[Array[Double]] =
+    spark.read.parquet(centroidsPath(indexPath))
+      .orderBy("list_id")
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  def centroidsPath(indexPath: String): String =
+    indexPath.stripSuffix("/") + "__centroids"
 }

@@ -57,4 +57,22 @@ class AnnSearchSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(full == bruteTop10)
   }
+
+  test("q_ann_ivf serves from the persisted list-partitioned index: " +
+    "partition-pruned scan, no k-means fit in the query") {
+    val before = AnnSearch.ivfBuildCount.get()
+    val first = AnnSearch.ivfQuery(spark, sfDir)
+    assert(first.count() == 10)
+    val second = AnnSearch.ivfQuery(spark, sfDir)
+    assert(second.count() == 10)
+    assert(AnnSearch.ivfBuildCount.get() <= before + 1,
+      "index must be built at most once across repeated queries")
+    // the nprobe filter must reach the scan as a PARTITION filter —
+    // nprobe directories read, not the corpus
+    val plan = second.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["),
+      s"expected PartitionFilters in scan:\n$plan")
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("ivf_list"), s"partition filter must be on ivf_list: $pf")
+  }
 }
