@@ -92,6 +92,44 @@ class AnnTopKRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.graft.ann.rewrite", "false")
   }
 
+  test("intervening Filter between Sort and relation: rewrite still fires " +
+    "and composes with the user predicate") {
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val approx = corpus
+        .filter(col("vec_id") % 2 === 1) // user predicate survives pushdown shapes
+        .withColumn("sim", cosineSimilarity(col("embedding"), typedlit(queryVec.toSeq)))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("sim"))
+      val plan = approx.queryExecution.optimizedPlan.toString
+      assert(plan.contains("lsh_bucket#") && plan.contains(" IN "), plan)
+      val rows = approx.collect()
+      assert(rows.length == 10)
+      assert(rows.forall(_.getLong(0) % 2 == 1), "user filter preserved")
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
+  test("double Project above the sort key: alias chain is resolved, " +
+    "rewrite fires, and the probe filter is injected exactly once") {
+    spark.conf.set("spark.graft.ann.rewrite", "true")
+    try {
+      val approx = corpus
+        .select(col("vec_id"), col("embedding"), col("lsh_bucket"))
+        .withColumn("s0", cosineSimilarity(col("embedding"), typedlit(queryVec.toSeq)))
+        .select(col("vec_id"), col("s0").as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+      val plan = approx.queryExecution.optimizedPlan.toString
+      assert(plan.contains("lsh_bucket#") && plan.contains(" IN "), plan)
+      // exactly one injected probe filter (fixpoint idempotency)
+      val inCount = plan.linesIterator.count(l =>
+        l.contains("lsh_bucket#") && l.contains(" IN "))
+      assert(inCount == 1, s"expected one probe filter, plan:\n$plan")
+      assert(approx.collect().length == 10)
+    } finally spark.conf.set("spark.graft.ann.rewrite", "false")
+  }
+
   test("no lsh_bucket column: rewrite does not fire even when enabled") {
     spark.conf.set("spark.graft.ann.rewrite", "true")
     try {
