@@ -27,19 +27,33 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // two timed passes, min per query — single-shot local[4] timings carry
-    // multi-second GC/scheduling noise
-    def timeOne(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // multi-second GC/scheduling noise. A failing query reports an "err"
+    // marker, never a (fast-looking) elapsed time.
+    def timeOne(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      catch {
+        case e: Throwable =>
+          val msg = (e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("")).take(120)
+          Left(msg.replaceAll("[\"\\\\\n\r\t]", " "))
+      }
     }
     val results = ordered.map { case (name, fn) =>
-      name -> math.min(timeOne(fn), timeOne(fn))
+      name -> ((timeOne(fn), timeOne(fn)) match {
+        case (Right(a), Right(b)) => Right(math.min(a, b))
+        case (Left(e), _)         => Left(e)
+        case (_, Left(e))         => Left(e)
+      })
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Right(v)) => "\"" + k + "\":" + v
+      case (k, Left(e))  => "\"" + k + "\":\"err " + e + "\""
+    }.mkString("{", ",", "}")
+    val ok = results.collect { case (_, Right(v)) => v }
+    val errs = results.count(_._2.isLeft)
+    val total = ok.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
