@@ -41,6 +41,24 @@ object AsOfJoin extends QueryPack {
       .drop("__asof_rn")
   }
 
+  /** Left-outer backward as-of: like [[asofBackward]] but left rows with
+    * no right row at-or-before their time are KEPT with null right
+    * columns (DuckDB `ASOF LEFT JOIN` semantics). The left outer join
+    * emits exactly one all-null right row for an unmatched left id, so
+    * the same rn=1 window picks either the latest match or that null row
+    * — one shuffle on the key, one window, no second pass.
+    */
+  def asofBackwardOuter(left: DataFrame, right: DataFrame, on: (Column, Column),
+                        leftTime: Column, rightTime: Column,
+                        leftId: Column, tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(leftId)
+      .orderBy(rightTime.desc, tiebreak.desc)
+    left.join(right, on._1 === on._2 && rightTime <= leftTime, "left")
+      .withColumn("__asof_rn", row_number().over(w))
+      .filter(col("__asof_rn") === 1)
+      .drop("__asof_rn")
+  }
+
   /** Single-pass as-of variant for UNBOUNDED right sides: union-tag both
     * inputs, one window sorted by (key, time) carrying
     * `last(right-cols, ignoreNulls)` forward — no join, one sort, state
@@ -106,8 +124,33 @@ object AsOfJoin extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** Left-outer driver-contract query: every event keeps a row; users
+    * with no RECENT order (right side restricted to o_orderdate ≥
+    * 2000-06-01 — in this corpus every user has *some* ancient order, so
+    * an unrestricted right side never leaves a row unmatched) carry null
+    * order columns. ~20-30 % of rows are unmatched at every SF, so the
+    * outer semantics are genuinely exercised by the oracle.
+    */
+  def eventsAsofOrdersOuter(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir).filter(col("user_id") < 50)
+    val orders = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-06-01"))
+    asofBackwardOuter(
+      events, orders,
+      on = (col("user_id"), col("o_custkey")),
+      leftTime = col("ts"), rightTime = col("o_orderdate"),
+      leftId = col("event_id"), tiebreak = col("o_orderkey"))
+      .select(
+        col("event_id"), col("user_id"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        datediff(col("ts").cast("date"), col("o_orderdate").cast("date"))
+          .as("days_since"))
+      .orderBy(col("event_id"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
-    "q_asof_join" -> (eventsAsofOrders _))
+    "q_asof_join" -> (eventsAsofOrders _),
+    "q_asof_left" -> (eventsAsofOrdersOuter _))
 
   override def oracleSql: Map[String, String] = Map(
     "q_asof_join" ->
@@ -120,6 +163,20 @@ object AsOfJoin extends QueryPack {
         |     ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
         |  FROM events e
         |  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |  WHERE e.user_id < 50)
+        | WHERE rn = 1
+        | ORDER BY event_id""".stripMargin,
+    "q_asof_left" ->
+      """SELECT event_id, user_id, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(date_diff('day', o_orderdate::DATE, ts::DATE) AS INT) AS days_since
+        | FROM (
+        |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+        |   row_number() OVER (PARTITION BY e.event_id
+        |     ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  LEFT JOIN (SELECT * FROM orders WHERE o_orderdate >= DATE '2000-06-01') o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
         |  WHERE e.user_id < 50)
         | WHERE rn = 1
         | ORDER BY event_id""".stripMargin)
