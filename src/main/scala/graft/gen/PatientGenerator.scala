@@ -41,11 +41,21 @@ object PatientGenerator {
   /** Fixed "now" (reference uses wall-clock; we pin for determinism). */
   val epoch: String = "2026-01-01"
 
+  /** `rand(seed)`/`randn(seed)` draw a per-PARTITION stream, so the same
+    * seed over a differently-split range yields different values. Pinning
+    * the partition count makes generation bit-deterministic across
+    * cluster sizes (local[4] ≡ local[32] ≡ 1000 executors) — required for
+    * the golden-value oracle on `q_patient_gen`. 64 partitions still
+    * parallelizes a 150B-row generate; raise deliberately if a single
+    * partition's range outgrows a task.
+    */
+  val genPartitions = 64
+
   /** S1+S2: n patients for one hospital. Seed shifts per column; pass a
     * different base seed per hospital for distinct populations.
     */
   def patients(spark: SparkSession, n: Long, hospital: String, seed: Long): DataFrame = {
-    val base = spark.range(n)
+    val base = spark.range(0, n, 1, genPartitions)
       // S1 — features (similarity_search.py:59-80)
       .withColumn("age", clip(normal(55, 15, seed + 1), 18, 80))
       .withColumn("meld_score", clip(exponential(15, seed + 2), 6, 40))

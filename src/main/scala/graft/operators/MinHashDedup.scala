@@ -176,15 +176,51 @@ object MinHashDedup extends QueryPack {
                    threshold: Double = 0.8, seed: Long = 42L,
                    maxBucketSize: Int = defaultMaxBucketSize,
                    sigAgreementMargin: Double = 0.35): DataFrame = {
+    val sigs = withSignature(docs, textCol, seed)
+      .select(col(idCol).as("id"), col("minhash_sig"))
+
+    val candidates = candidatePairs(docs, idCol, textCol, seed, maxBucketSize)
+
+    // signature-agreement prefilter (codegen'd; no string payloads yet)
+    val estMin = math.max(0.0, threshold - sigAgreementMargin)
+    val prefiltered = candidates
+      .join(sigs.select(col("id").as("a_id"), col("minhash_sig").as("a_sig")), "a_id")
+      .join(sigs.select(col("id").as("b_id"), col("minhash_sig").as("b_sig")), "b_id")
+      .withColumn("est",
+        aggregate(zip_with(col("a_sig"), col("b_sig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, m) => acc + m).cast("double") / numHashes)
+      .filter(col("est") >= estMin)
+      .select("a_id", "b_id")
+
+    val ws = docs.select(col(idCol).as("id"),
+      array_distinct(split(col(textCol), " ")).as("ws"))
+
+    prefiltered
+      .join(ws.select(col("id").as("a_id"), col("ws").as("a_ws")), "a_id")
+      .join(ws.select(col("id").as("b_id"), col("ws").as("b_ws")), "b_id")
+      .withColumn("jac",
+        round(size(array_intersect(col("a_ws"), col("b_ws"))).cast("double") /
+              size(array_union(col("a_ws"), col("b_ws"))).cast("double"), 6))
+      .filter(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jac"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** LSH candidate pairs (banding only — BEFORE any verification): ids of
+    * docs sharing at least one band bucket, deduped. Factored out so
+    * banding recall is measurable independently of the verify step.
+    */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                     seed: Long = 42L,
+                     maxBucketSize: Int = defaultMaxBucketSize): DataFrame = {
     val spark = docs.sparkSession
     val droppedBuckets = spark.sparkContext.longAccumulator(droppedBucketsAcc)
     val droppedSlots = spark.sparkContext.longAccumulator(droppedDocSlotsAcc)
     lastDropStats = Some((droppedBuckets, droppedSlots))
 
-    val sigs = withSignature(docs, textCol, seed)
+    val banded = withSignature(docs, textCol, seed)
       .select(col(idCol).as("id"), col("minhash_sig"))
-
-    val banded = sigs
       .withColumn("band",
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band_id"),
@@ -214,49 +250,167 @@ object MinHashDedup extends QueryPack {
       }
     }
 
-    val candidates = banded
+    banded
       .groupBy("band_id", "bucket").agg(collect_list("id").as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(explode(emitPairs(col("ids"))).as("p"))
       .select(col("p._1").as("a_id"), col("p._2").as("b_id"))
       .distinct() // a pair may collide in many bands
+  }
 
-    // signature-agreement prefilter (codegen'd; no string payloads yet)
-    val estMin = math.max(0.0, threshold - sigAgreementMargin)
-    val prefiltered = candidates
-      .join(sigs.select(col("id").as("a_id"), col("minhash_sig").as("a_sig")), "a_id")
-      .join(sigs.select(col("id").as("b_id"), col("minhash_sig").as("b_sig")), "b_id")
-      .withColumn("est",
-        aggregate(zip_with(col("a_sig"), col("b_sig"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, m) => acc + m).cast("double") / numHashes)
-      .filter(col("est") >= estMin)
-      .select("a_id", "b_id")
+  val droppedShinglesAcc = "graft.allpairs.droppedShingles"
 
-    val ws = docs.select(col(idCol).as("id"),
-      array_distinct(split(col(textCol), " ")).as("ws"))
+  /** EXACT all-pairs shingle-set similarity self-join via an inverted
+    * index (the Vernica/Carey-style blocked form): explode doc → distinct
+    * shingle hashes, group postings per shingle, emit co-occurring pairs
+    * locally (capped + counted, like the LSH buckets), then count shared
+    * shingles per pair in ONE aggregation — Jaccard = m / (|A|+|B|−m) is
+    * exact integer math. No n² anywhere: work is Σ_shingle f² bounded by
+    * the postings cap. This is both the recall oracle for MinHash banding
+    * and a standalone exact near-dup operator for corpora where the
+    * postings lists stay bounded.
+    */
+  def exactShinglePairs(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double = 0.8,
+                        maxPostings: Int = defaultMaxBucketSize): DataFrame = {
+    val spark = docs.sparkSession
+    val dropped = spark.sparkContext.longAccumulator(droppedShinglesAcc)
 
-    prefiltered
-      .join(ws.select(col("id").as("a_id"), col("ws").as("a_ws")), "a_id")
-      .join(ws.select(col("id").as("b_id"), col("ws").as("b_ws")), "b_id")
-      .withColumn("jac",
-        round(size(array_intersect(col("a_ws"), col("b_ws"))).cast("double") /
-              size(array_union(col("a_ws"), col("b_ws"))).cast("double"), 6))
+    val shingleSet = udf { (text: String) => shingleHashesJvm(text).distinct }
+    val sets = docs.select(col(idCol).as("id"), shingleSet(col(textCol)).as("shs"))
+      .withColumn("n_sh", size(col("shs")).cast("long"))
+
+    // postings: one (shingle, [id, setSize]) slot per doc-shingle
+    val emitCo = udf { (ds: Seq[Seq[Long]]) =>
+      if (ds.length > maxPostings) {
+        dropped.add(1)
+        Array.empty[(Long, Long, Long, Long)]
+      } else {
+        val sorted = ds.map(d => (d(0), d(1))).sortBy(_._1)
+        val out = Array.newBuilder[(Long, Long, Long, Long)]
+        var i = 0
+        while (i < sorted.length) {
+          var j = i + 1
+          while (j < sorted.length) {
+            out += ((sorted(i)._1, sorted(i)._2, sorted(j)._1, sorted(j)._2))
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+    }
+
+    sets.select(col("id"), col("n_sh"), explode(col("shs")).as("sh"))
+      .select(col("sh"), array(col("id"), col("n_sh")).as("d"))
+      .groupBy("sh").agg(collect_list("d").as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(emitCo(col("ds"))).as("p"))
+      .select(col("p._1").as("a_id"), col("p._2").as("a_n"),
+        col("p._3").as("b_id"), col("p._4").as("b_n"))
+      .groupBy("a_id", "b_id", "a_n", "b_n")
+      .agg(count(lit(1)).as("m"))
+      .withColumn("jac", round(col("m").cast("double") /
+        (col("a_n") + col("b_n") - col("m")), 6))
       .filter(col("jac") >= threshold)
       .select(col("a_id"), col("b_id"), col("jac"))
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   def minhashQuery(s: SparkSession, dir: String): DataFrame =
     nearDupPairs(Tables.documents(s, dir), "doc_id", "text", threshold = 0.8)
 
-  override def queries: Map[String, QueryPack.Q] = Map(
-    "q_minhash_neardup" -> (minhashQuery _))
-
-  /** MinHash banding isn't DuckDB-expressible (xxhash64 + custom affine
-    * hashes); correctness is scalatest-checked against the exact blocked
-    * Jaccard join (recall/precision), and the final pairs are a subset
-    * relation the suite asserts.
+  /** Driver-visible dedup-quality report (one row):
+    *
+    *  - `n_shingle_pairs`: exact shingle-Jaccard ≥ 0.8 pairs
+    *    ([[exactShinglePairs]] — the similarity MinHash provably
+    *    approximates);
+    *  - `n_banded`: of those, how many the LSH banding surfaced as
+    *    candidates — banding recall × n_shingle_pairs;
+    *  - `recall_banding`: the ratio (S-curve bound: ≈ 0.9998 at s = 0.8);
+    *  - `n_word_pairs`: the engine's exact blocked word-set truth
+    *    ([[TextAnalysis.ngramJaccardPairs]]);
+    *  - `n_found_word`: minhash end-to-end output ∩ that truth;
+    *  - `recall_vs_word_truth`: the honest cross-measure number — on
+    *    reordered bag-of-words corpora shingle-MinHash legitimately
+    *    misses word-set-similar pairs; this row makes that visible
+    *    instead of implied.
+    *
+    * The DuckDB oracle recomputes both exact truths quadratically (fine
+    * at oracle SF) and asserts banding recall is exactly 1.0 and that the
+    * end-to-end output equals the shingle truth — i.e. the oracle FAILS
+    * if LSH ever misses a true pair or leaks a spurious one at the gate
+    * scale. That is a strictly stronger check than rows-only.
     */
-  override def oracleSql: Map[String, String] = Map.empty
+  def recallReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val shingleTruth = exactShinglePairs(docs, "doc_id", "text", 0.8)
+      .select("a_id", "b_id")
+    val cands = candidatePairs(docs, "doc_id", "text")
+    val found = nearDupPairs(docs, "doc_id", "text", 0.8).select("a_id", "b_id")
+    val wordTruth = TextAnalysis.ngramJaccardPairs(s, dir).select("a_id", "b_id")
+
+    val nShingle = shingleTruth.agg(count(lit(1)).as("n_shingle_pairs"))
+    val nBanded = cands.join(shingleTruth, Seq("a_id", "b_id"), "left_semi")
+      .agg(count(lit(1)).as("n_banded"))
+    val nWord = wordTruth.agg(count(lit(1)).as("n_word_pairs"))
+    val nFoundWord = found.join(wordTruth, Seq("a_id", "b_id"), "left_semi")
+      .agg(count(lit(1)).as("n_found_word"))
+
+    nShingle.crossJoin(nBanded).crossJoin(nWord).crossJoin(nFoundWord)
+      .select(col("n_shingle_pairs"), col("n_banded"),
+        round(col("n_banded").cast("double") / col("n_shingle_pairs"), 6)
+          .as("recall_banding"),
+        col("n_word_pairs"), col("n_found_word"),
+        round(col("n_found_word").cast("double") / col("n_word_pairs"), 6)
+          .as("recall_vs_word_truth"))
+  }
+
+  override def queries: Map[String, QueryPack.Q] = Map(
+    "q_minhash_neardup" -> (minhashQuery _),
+    "q_minhash_recall"  -> (recallReport _))
+
+  /** MinHash banding itself isn't DuckDB-expressible (xxhash64 + custom
+    * affine hashes), so `q_minhash_neardup` stays rows-only — but the
+    * RECALL report is: DuckDB recomputes the exact shingle and word
+    * truths quadratically and asserts the LSH pipeline matches them
+    * (recall 1.0 at gate scale). The shingle construction mirrors
+    * [[shingleHashesJvm]]: 3-token windows, < 3 tokens ⇒ one whole-text
+    * shingle; hashed vs string shingles agree w.h.p. at 64 bits.
+    */
+  override def oracleSql: Map[String, String] = Map(
+    "q_minhash_recall" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3
+        |      THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                          FOR i IN generate_series(1, len(t) - 2)])
+        |      ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM toks
+        |), spairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        |), ws AS (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), wpairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM ws a JOIN ws b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.w, b.w))::DOUBLE /
+        |        (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
+        |)
+        |SELECT
+        |  (SELECT count(*) FROM spairs) AS n_shingle_pairs,
+        |  (SELECT count(*) FROM spairs) AS n_banded,
+        |  CAST(1.0 AS DOUBLE) AS recall_banding,
+        |  (SELECT count(*) FROM wpairs) AS n_word_pairs,
+        |  (SELECT count(*) FROM spairs s
+        |     JOIN wpairs w ON s.a_id = w.a_id AND s.b_id = w.b_id) AS n_found_word,
+        |  round((SELECT count(*) FROM spairs s
+        |     JOIN wpairs w ON s.a_id = w.a_id AND s.b_id = w.b_id)::DOUBLE /
+        |        (SELECT count(*) FROM wpairs), 6) AS recall_vs_word_truth""".stripMargin)
 }

@@ -266,12 +266,25 @@ object Relational extends QueryPack {
     * different sketches); the driver records rows-only and
     * ApproxDistinctSpec asserts the ≤2% typical HLL error against exact.
     */
+  /** HLL++ sketch vs exact distinct counts. The raw HLL estimate isn't
+    * oracle-matchable (DuckDB's estimator differs), so the query emits
+    * the exact counts plus within-bound FLAGS at rsd = 0.01 / bound 5 %
+    * (5σ — the estimate is deterministic for fixed input, so a green flag
+    * is stable, and a regression in the sketch path flips it to 0 and
+    * fails the hash). The raw estimate stays spec-checked in
+    * ApproxAndRuntimeFilterSpec.
+    */
   def approxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).agg(
-      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
       count_distinct(col("l_orderkey")).as("exact_orders"),
-      approx_count_distinct(col("l_partkey")).as("approx_parts"),
-      count_distinct(col("l_partkey")).as("exact_parts"))
+      count_distinct(col("l_partkey")).as("exact_parts"),
+      approx_count_distinct(col("l_orderkey"), 0.01).as("__ao"),
+      approx_count_distinct(col("l_partkey"), 0.01).as("__ap"))
+    .select(col("exact_orders"), col("exact_parts"),
+      (abs(col("__ao") - col("exact_orders")).cast("double") <=
+        col("exact_orders") * 0.05).cast("bigint").as("orders_within_5pct"),
+      (abs(col("__ap") - col("exact_parts")).cast("double") <=
+        col("exact_parts") * 0.05).cast("bigint").as("parts_within_5pct"))
 
   /** String-function surface: LIKE, regexp extraction, length/case ops —
     * aggregated per segment for a compact deterministic result.
@@ -533,6 +546,12 @@ object Relational extends QueryPack {
         | FROM (SELECT *, date_diff('day', DATE '1970-01-01', day) AS epoch_day FROM daily)
         | WINDOW w AS (ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         | ORDER BY day LIMIT 500""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT count(DISTINCT l_orderkey) AS exact_orders,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  CAST(1 AS BIGINT) AS orders_within_5pct,
+        |  CAST(1 AS BIGINT) AS parts_within_5pct
+        | FROM lineitem""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
         |   WHEN o_totalprice >= 600000.0 THEN 13

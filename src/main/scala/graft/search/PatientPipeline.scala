@@ -55,10 +55,15 @@ object PatientPipeline extends QueryPack {
   def insights(s: SparkSession, dir: String): DataFrame =
     system(s)._1.clinicalInsights
 
-  /** Generator sanity summary (seeded column-expression generation). */
+  /** Generator sanity summary (seeded column-expression generation).
+    * Deterministic across cluster sizes because [[graft.gen.PatientGenerator]]
+    * pins the range partitioning, so the oracle is a golden-value SELECT:
+    * any drift in the seeded distributions (or a partitioning change that
+    * would silently reshuffle every seeded draw) fails the hash gate.
+    */
   def generatorSummary(s: SparkSession, dir: String): DataFrame =
     graft.gen.PatientGenerator.patients(s, 2000, "H_summary", 42)
-      .groupBy(col("received_transplant"))
+      .groupBy(col("received_transplant").cast("bigint").as("received_transplant"))
       .agg(
         count(lit(1)).as("n"),
         round(avg(col("age")), 2).as("avg_age"),
@@ -73,5 +78,20 @@ object PatientPipeline extends QueryPack {
     "q_patient_insights" -> (insights _),
     "q_patient_gen"      -> (generatorSummary _))
 
-  override def oracleSql: Map[String, String] = Map.empty
+  /** Search/stats/insights depend on trained float weights (parallel
+    * z-score and Adam sums are merge-order sensitive), so they stay
+    * rows-only. The GENERATOR summary is bit-deterministic (pinned range
+    * partitioning + per-column seeds + 2-decimal rounding), so its oracle
+    * is golden values captured from the pinned stream — verified
+    * identical on local[4] and local[32].
+    */
+  override def oracleSql: Map[String, String] = Map(
+    "q_patient_gen" ->
+      """SELECT CAST(0 AS BIGINT) AS received_transplant, CAST(1246 AS BIGINT) AS n,
+        |  CAST(54.35 AS DOUBLE) AS avg_age, CAST(13.02 AS DOUBLE) AS avg_meld,
+        |  CAST(0.0 AS DOUBLE) AS avg_days_to_transplant,
+        |  CAST(204.32 AS DOUBLE) AS avg_days_on_waitlist
+        |UNION ALL
+        |SELECT 1, 754, 54.72, 18.87, 121.01, 0.0
+        |ORDER BY received_transplant""".stripMargin)
 }

@@ -40,13 +40,16 @@ class ApproxAndRuntimeFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("HLL approx_count_distinct within 5% of exact on real keys") {
+    // driver-facing flags from the query itself
     val r = Relational.approxDistinct(spark, "/root/testdata/sf0.01").head()
-    val (approxO, exactO) = (r.getLong(0), r.getLong(1))
-    val (approxP, exactP) = (r.getLong(2), r.getLong(3))
-    assert(math.abs(approxO - exactO).toDouble / exactO < 0.05,
-      s"orders: $approxO vs $exactO")
-    assert(math.abs(approxP - exactP).toDouble / exactP < 0.05,
-      s"parts: $approxP vs $exactP")
+    assert(r.getAs[Long]("orders_within_5pct") == 1L)
+    assert(r.getAs[Long]("parts_within_5pct") == 1L)
+    // and the raw sketch estimate directly (the query only exposes flags)
+    val rr = graft.Tables.lineitem(spark, "/root/testdata/sf0.01").agg(
+      approx_count_distinct(col("l_orderkey"), 0.01).as("a"),
+      count_distinct(col("l_orderkey")).as("e")).head()
+    assert(math.abs(rr.getLong(0) - rr.getLong(1)).toDouble / rr.getLong(1) < 0.05,
+      s"orders raw: ${rr.getLong(0)} vs ${rr.getLong(1)}")
   }
 
   test("selective dim join injects a runtime bloom filter on the fact side") {

@@ -106,6 +106,34 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((0L, 2L)), "one-word edit near-dup")
   }
 
+  test("exact shingle all-pairs (inverted index) matches the quadratic " +
+    "definition") {
+    val expected = {
+      val sets = docs.collect().map(r =>
+        r.getLong(0) -> MinHashDedup.shingleHashesJvm(r.getString(1)).distinct.toSet)
+      (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        inter = sa.intersect(sb).size
+        jac = inter.toDouble / (sa.size + sb.size - inter)
+        if jac >= 0.8
+      } yield (ia, ib)).toSet
+    }
+    val got = MinHashDedup.exactShinglePairs(docs, "doc_id", "text", 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "planted dups must qualify")
+    assert(got == expected, s"got $got want $expected")
+  }
+
+  test("recall report: banding recall is 1.0 on the corpus and the " +
+    "end-to-end output covers the blocked word truth it can see") {
+    val row = MinHashDedup.recallReport(spark, sfDir).head()
+    assert(row.getAs[Long]("n_shingle_pairs") > 0)
+    assert(row.getAs[Long]("n_banded") == row.getAs[Long]("n_shingle_pairs"),
+      "LSH banding must surface every exact shingle pair here")
+    assert(row.getAs[Double]("recall_banding") == 1.0)
+    assert(row.getAs[Long]("n_found_word") <= row.getAs[Long]("n_word_pairs"))
+  }
+
   test("simhash: identical ⇒ distance 0; near-dup small; unrelated large") {
     val fps = SimHash.withFingerprint(docs, "text")
       .select("doc_id", "simhash").collect()
