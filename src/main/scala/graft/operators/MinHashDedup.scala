@@ -379,24 +379,24 @@ object MinHashDedup extends QueryPack {
     */
   override def oracleSql: Map[String, String] = Map(
     "q_minhash_recall" ->
-      """WITH toks AS (
+      """WITH toks AS MATERIALIZED (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |), sh AS (
+        |), sh AS MATERIALIZED (
         |  SELECT doc_id,
         |    CASE WHEN len(t) >= 3
         |      THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
         |                          FOR i IN generate_series(1, len(t) - 2)])
         |      ELSE [array_to_string(t, ' ')] END AS s
         |  FROM toks
-        |), spairs AS (
+        |), spairs AS MATERIALIZED (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
-        |), ws AS (
+        |), ws AS MATERIALIZED (
         |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS w
         |  FROM documents
-        |), wpairs AS (
+        |), wpairs AS MATERIALIZED (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
         |  FROM ws a JOIN ws b
         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id

@@ -55,6 +55,128 @@ object Relational extends QueryPack {
       .limit(10)
   }
 
+  private def decRevenue =
+    sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      .cast("double")
+
+  /** TPC-H Q6-shaped forecast-revenue: pure scan + filter + single agg —
+    * the canonical predicate-pushdown showcase (all four filters reach
+    * the parquet scan; only 4 columns read).
+    */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+              col("l_shipdate") <  lit("1997-01-01") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q7-shaped volume shipping: 5-way join — two broadcast nation
+    * dims aliased onto the supplier and customer sides, the two fact
+    * tables co-shuffled on the order key — revenue between two nation
+    * pairs per ship year.
+    */
+  def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+              (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(decRevenue.as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+  }
+
+  /** TPC-H Q8-shaped national market volume: region-restricted order
+    * revenue per order year, total vs one nation's share — emitted as two
+    * exact sums (a rounded money/money ratio sits on half-boundaries;
+    * see the numeric policy above).
+    */
+  def q8MarketVolume(s: SparkSession, dir: String): DataFrame = {
+    val rnames = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(rnames), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(
+        decRevenue.as("total_volume"),
+        sum(when(col("s_nationkey") === 6,
+            col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("double").as("nation6_volume"))
+      .orderBy(col("order_year"))
+  }
+
+  /** TPC-H Q14-shaped promo revenue: join to the part dim, conditional
+    * sum split by p_type — promo vs total emitted as exact sums.
+    */
+  def q14PromoRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-07-01"))
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("double").as("promo_revenue"),
+        decRevenue.as("total_revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q18-shaped large-volume customers: the having-on-aggregate
+    * pattern — group lineitem by order, keep orders above a quantity
+    * threshold, then enrich with order + customer dims. The heavy groupBy
+    * runs FIRST so only qualifying order keys join outward.
+    */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(decSum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 200)
+    big
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q19-shaped disjunctive bracket predicate: OR-of-ANDs over the
+    * part dim and lineitem measures — the join keeps only the union of
+    * brackets (Catalyst pushes the common l_quantity bound to the scan).
+    */
+  def q19BracketRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#25" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30)))
+      .agg(decRevenue.as("revenue"), count(lit(1)).as("n_lines"))
+
   /** Broadcast-join chain over the tiny dims + grouped agg. */
   def regionNationRollup(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
@@ -475,6 +597,12 @@ object Relational extends QueryPack {
     "q_distinct_agg"      -> (distinctNationsPerSegment _),
     "q1_pricing_summary"  -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q7_volume_shipping"  -> (q7VolumeShipping _),
+    "q8_market_volume"    -> (q8MarketVolume _),
+    "q14_promo_revenue"   -> (q14PromoRevenue _),
+    "q18_large_orders"    -> (q18LargeOrders _),
+    "q19_bracket_revenue" -> (q19BracketRevenue _),
     "q_region_rollup"     -> (regionNationRollup _),
     "q_window_running"    -> (windowRunning _),
     "q_topk_orders"       -> (topkOrders _),
@@ -546,6 +674,87 @@ object Relational extends QueryPack {
         | FROM (SELECT *, date_diff('day', DATE '1970-01-01', day) AS epoch_day FROM daily)
         | WINDOW w AS (ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         | ORDER BY day LIMIT 500""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                 CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |   AND l_discount BETWEEN 0.05 AND 0.07
+        |   AND l_quantity < 24""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue
+        | FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        | WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') OR
+        |        (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |   AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate <  TIMESTAMP '1998-01-01'
+        | GROUP BY 1, 2, 3
+        | ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_volume" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS total_volume,
+        |  CAST(sum(CASE WHEN s_nationkey = 6
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation6_volume
+        | FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation   ON s_nationkey = n_nationkey
+        |  JOIN region   ON n_regionkey = r_regionkey
+        | WHERE r_name = 'AMERICA'
+        | GROUP BY 1
+        | ORDER BY 1""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS total_revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |   AND l_shipdate <  TIMESTAMP '1997-07-01'""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  o_totalprice, sum_qty
+        | FROM (SELECT l_orderkey,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |        FROM lineitem GROUP BY 1 HAVING sum_qty > 200) big
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        | ORDER BY sum_qty DESC, o_orderkey
+        | LIMIT 100""".stripMargin,
+    "q19_bracket_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |          AND l_quantity BETWEEN 1 AND 11)
+        |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |          AND l_quantity BETWEEN 10 AND 20)
+        |    OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 35
+        |          AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q_approx_distinct" ->
       """SELECT count(DISTINCT l_orderkey) AS exact_orders,
         |  count(DISTINCT l_partkey) AS exact_parts,
