@@ -122,9 +122,40 @@ object Multimodal extends QueryPack {
     frames.filter(col("media_id") < 60).orderBy(col("media_id"))
   }
 
+  /** Chaining query — the full multimodal retrieval path: video payload →
+    * frame sampling → per-frame featurization → cosine top-k against a
+    * probe frame. Payloads never shuffle: frames are featurized inside
+    * the narrow flatMap, so only 16-float vectors reach the sort. At
+    * index scale the vectors would land in the LSH/IVF index
+    * ([[AnnSearch]]); the probe path is identical.
+    */
+  def frameEmbeddingSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frames = asMediaTable(s, dir)
+      .filter(col("media_type") === "video")
+      .flatMap { r =>
+        sampleFrames(r.payload, 4).zipWithIndex.map { case (f, i) =>
+          (r.media_id, i, featurize(f))
+        }
+      }
+      .toDF("media_id", "frame_no", "emb")
+    val probe = frames
+      .filter(col("media_id") === 2 && col("frame_no") === 0)
+      .select(col("emb")).head().getSeq[Float](0)
+    frames
+      .filter(!(col("media_id") === 2 && col("frame_no") === 0))
+      .withColumn("sim", round(graft.functions.VectorFunctions
+        .cosineSimilarity(col("emb"), typedlit(probe)), 6))
+      .orderBy(col("sim").desc, col("media_id"), col("frame_no"))
+      .limit(10)
+      .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
+        col("sim"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
-    "q_media_features" -> (mediaFeaturesQuery _),
-    "q_media_frames"   -> (frameSampleQuery _))
+    "q_media_features"  -> (mediaFeaturesQuery _),
+    "q_media_frames"    -> (frameSampleQuery _),
+    "q_media_frame_knn" -> (frameEmbeddingSearch _))
 
   override def oracleSql: Map[String, String] = Map.empty
 }

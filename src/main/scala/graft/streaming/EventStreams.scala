@@ -116,6 +116,40 @@ object EventStreams {
     spark.table(name).distinct().orderBy(keys.map(col): _*)
   }
 
+  /** Stream-STATIC dim enrichment: the event stream joined to the static
+    * customer dim (stream side keyed by user_id). The static side is a
+    * plain batch DataFrame — Spark plans it as a broadcast into every
+    * micro-batch, the production shape for dimension lookup at the edge
+    * of a 100 TB event firehose (no stream state, no shuffle of the
+    * stream side). Aggregates per market segment after enrichment.
+    */
+  def enrichStreaming(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val source = spark.readStream
+      .schema(Tables.load(spark, dir, "events").schema)
+      .parquet(stagedDir(dir))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+    val dim = broadcast(Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment")))
+
+    val enriched = source
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+    val name = s"enrich_${System.nanoTime()}"
+    val q = enriched.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(name)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_stream_ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
   /** Stream-stream inner join with watermarks on both sides and a time
     * band (purchases joined to clicks by the same user within the
     * preceding hour) — watermark + band bound both join states. The batch

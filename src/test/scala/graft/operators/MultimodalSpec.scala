@@ -34,4 +34,30 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.length).sum == 100)
     assert(Multimodal.sampleFrames(Array.emptyByteArray, 4).isEmpty)
   }
+
+  test("frame → embedding → top-k chain matches a driver-side brute force") {
+    val got = Multimodal.frameEmbeddingSearch(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 10)
+    val sims = got.map(_._3)
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+
+    // brute-force replication with the same stubs
+    val all = media.filter(_.media_type == "video").collect().flatMap { r =>
+      Multimodal.sampleFrames(r.payload, 4).zipWithIndex.map { case (f, i) =>
+        (r.media_id, i.toLong, Multimodal.featurize(f))
+      }
+    }
+    val probe = all.find(t => t._1 == 2L && t._2 == 0L).get._3
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = all.filter(t => !(t._1 == 2L && t._2 == 0L))
+      .map(t => (t._1, t._2,
+        BigDecimal(cos(t._3, probe)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+      .sortBy(t => (-t._3, t._1, t._2)).take(10).map(t => (t._1, t._2))
+    assert(got.map(t => (t._1, t._2)).toSeq == expected.toSeq)
+  }
 }

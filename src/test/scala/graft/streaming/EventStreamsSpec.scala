@@ -47,6 +47,21 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-static dim enrichment == batch join+agg, broadcast planned") {
+    val streamed = EventStreams.enrichStreaming(spark, sfDir)
+    val batch = graft.Tables.events(spark, sfDir)
+      .join(graft.Tables.customer(spark, sfDir),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    val s = streamed.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val b = batch.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(b.nonEmpty)
+    assert(s == b)
+  }
+
   test("streaming dropDuplicates key set == batch distinct") {
     val streamed = EventStreams.dedupStreaming(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
