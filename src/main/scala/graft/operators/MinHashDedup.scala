@@ -388,11 +388,17 @@ object MinHashDedup extends QueryPack {
         |                          FOR i IN generate_series(1, len(t) - 2)])
         |      ELSE [array_to_string(t, ' ')] END AS s
         |  FROM toks
+        |), sizes AS MATERIALIZED (SELECT doc_id, len(s) AS n FROM sh
+        |), inv AS MATERIALIZED (SELECT doc_id, unnest(s) AS shingle FROM sh
+        |), co AS MATERIALIZED (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS m
+        |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
         |), spairs AS MATERIALIZED (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
-        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        |  SELECT a_id, b_id FROM co
+        |   JOIN sizes sa ON sa.doc_id = a_id
+        |   JOIN sizes sb ON sb.doc_id = b_id
+        |  WHERE m::DOUBLE / (sa.n + sb.n - m) >= 0.8
         |), ws AS MATERIALIZED (
         |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS w
         |  FROM documents
