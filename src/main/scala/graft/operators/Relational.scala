@@ -384,10 +384,6 @@ object Relational extends QueryPack {
       .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("bucket_value"))
       .orderBy(col("bucket"))
 
-  /** HLL sketch distinct counts — NOT oracle-comparable (engines use
-    * different sketches); the driver records rows-only and
-    * ApproxDistinctSpec asserts the ≤2% typical HLL error against exact.
-    */
   /** HLL++ sketch vs exact distinct counts. The raw HLL estimate isn't
     * oracle-matchable (DuckDB's estimator differs), so the query emits
     * the exact counts plus within-bound FLAGS at rsd = 0.01 / bound 5 %
@@ -407,6 +403,44 @@ object Relational extends QueryPack {
         col("exact_orders") * 0.05).cast("bigint").as("orders_within_5pct"),
       (abs(col("__ap") - col("exact_parts")).cast("double") <=
         col("exact_parts") * 0.05).cast("bigint").as("parts_within_5pct"))
+
+  /** Correlated scalar-aggregate subquery through the SQL front end:
+    * Catalyst decorrelates `> (SELECT avg(..) WHERE correlated)` into an
+    * aggregate + join (RewriteCorrelatedScalarSubquery) — no per-row
+    * re-execution, one shuffle on the correlation key.
+    */
+  def corrScalarAggSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_cust_corr")
+    s.sql(
+      """SELECT c_custkey, c_name, c_acctbal
+        | FROM graft_cust_corr c
+        | WHERE c_acctbal > 2 * (SELECT avg(c2.c_acctbal)
+        |                        FROM graft_cust_corr c2
+        |                        WHERE c2.c_nationkey = c.c_nationkey)
+        | ORDER BY c_custkey
+        | LIMIT 200""".stripMargin)
+  }
+
+  /** Window-function breadth on one deterministic frame: lag/lead, ntile,
+    * percent_rank, cume_dist, first/last over (customer ORDER BY date,
+    * key) — the unique trailing key makes every rank-derived value
+    * engine-stable.
+    */
+  def windowFuncs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 20)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first(col("o_totalprice")).over(w).as("first_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
 
   /** String-function surface: LIKE, regexp extraction, length/case ops —
     * aggregated per segment for a compact deterministic result.
@@ -592,6 +626,8 @@ object Relational extends QueryPack {
     "q_setops_all"        -> (setOpsAll _),
     "q_histogram"         -> (histogram _),
     "q_approx_distinct"   -> (approxDistinct _),
+    "q_corr_subquery"     -> (corrScalarAggSubquery _),
+    "q_window_funcs"      -> (windowFuncs _),
     "q_corr"              -> (corrStats _),
     "q_union_all"         -> (unionAllSlices _),
     "q_distinct_agg"      -> (distinctNationsPerSegment _),
@@ -674,6 +710,26 @@ object Relational extends QueryPack {
         | FROM (SELECT *, date_diff('day', DATE '1970-01-01', day) AS epoch_day FROM daily)
         | WINDOW w AS (ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         | ORDER BY day LIMIT 500""".stripMargin,
+    "q_corr_subquery" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        | FROM customer c
+        | WHERE c_acctbal > 2 * (SELECT avg(c2.c_acctbal)
+        |                        FROM customer c2
+        |                        WHERE c2.c_nationkey = c.c_nationkey)
+        | ORDER BY c_custkey
+        | LIMIT 200""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  first_value(o_totalprice) OVER w AS first_price
+        | FROM orders
+        | WHERE o_custkey < 20
+        | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        | ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q6_forecast_revenue" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |                 CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

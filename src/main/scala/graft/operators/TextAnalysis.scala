@@ -205,6 +205,22 @@ object TextAnalysis extends QueryPack {
         size(wordSet(col("text"))).cast("long").as("n_distinct"))
       .orderBy(col("doc_id"))
 
+  /** Higher-order-function surface: lambda `filter` / `transform` /
+    * `aggregate` / `exists` over token arrays, entirely inside
+    * whole-stage codegen (no UDF) — DuckDB mirrors with list lambdas.
+    */
+  def hofTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        size(filter(col("toks"), t => length(t) > 4)).cast("long").as("n_long"),
+        aggregate(transform(col("toks"), t => length(t)), lit(0),
+          (acc, x) => acc + x).cast("long").as("total_chars"),
+        array_max(transform(col("toks"), t => length(t))).cast("long").as("max_len"),
+        exists(col("toks"), t => t === "spark").cast("bigint").as("has_spark"))
+      .orderBy(col("doc_id"))
+
   /** Content fingerprints (md5 — stable across engines) for a key slice. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -223,9 +239,20 @@ object TextAnalysis extends QueryPack {
     "q_fingerprints"     -> (fingerprints _),
     "q_token_pieces"     -> (bpeTokenPieces _),
     "q_word_prefix"      -> (wordPrefix _),
+    "q_hof_tokens"       -> (hofTokens _),
     "q_winnow_fp"        -> (winnowQuery _))
 
   override def oracleSql: Map[String, String] = Map(
+    "q_hof_tokens" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(toks, t -> len(t) > 4)) AS BIGINT) AS n_long,
+        |  CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT) AS total_chars,
+        |  CAST(list_max(list_transform(toks, t -> len(t))) AS BIGINT) AS max_len,
+        |  CAST(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END AS BIGINT)
+        |    AS has_spark
+        | FROM d ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS canonical_id, count(*) AS n_copies
         | FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,
