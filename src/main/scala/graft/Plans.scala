@@ -20,15 +20,21 @@ object Plans {
 
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
+      // materialize THIS df's own plan: count() would build a different
+      // query (its own agg) and leave this one's AQE plan non-final with
+      // no codegen annotations — collect() finalizes the plan we audit
+      df.collect()
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
+      val executed = df.queryExecution.executedPlan.toString
       println(s"\n======== $name ========")
       println(plan)
-      def has(s: String) = if (plan.contains(s)) "yes" else "NO"
-      println(s"[audit] $name: PushedFilters=${has("PushedFilters: [")} " +
-        s"WholeStageCodegen=${has("codegen id")} " +
-        s"TakeOrdered=${has("TakeOrderedAndProject")} " +
-        s"BroadcastHashJoin=${has("BroadcastHashJoin")} " +
+      def has(p: String, s: String) = if (p.contains(s)) "yes" else "NO"
+      // codegen spans appear as "*(n)" markers in the executed simple string
+      println(s"[audit] $name: PushedFilters=${has(plan, "PushedFilters: [")} " +
+        s"WholeStageCodegen=${has(executed, "*(")} " +
+        s"TakeOrdered=${has(plan + executed, "TakeOrderedAndProject")} " +
+        s"BroadcastHashJoin=${has(plan + executed, "BroadcastHashJoin")} " +
         s"Exchanges=${plan.sliding("Exchange".length).count(_ == "Exchange")}")
     }
     spark.stop()
