@@ -205,6 +205,49 @@ object TextAnalysis extends QueryPack {
         size(wordSet(col("text"))).cast("long").as("n_distinct"))
       .orderBy(col("doc_id"))
 
+  /** End-to-end corpus-curation funnel — the composed LLM-training-data
+    * pipeline (length gate → quality gate → language gate → exact dedup)
+    * with per-stage retention accounting per source, the report a data
+    * engineer reads before a training run. One scan + one window (dedup
+    * canonical pick among survivors) + one aggregation: every stage is a
+    * column flag, so the funnel costs one pass regardless of how many
+    * gates compose. Near-dup removal chains after via
+    * [[MinHashDedup.nearDupPairs]] on the survivors (kept out of this
+    * query so the funnel stays fully oracle-checkable).
+    */
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to")
+    val flagged = Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("diversity",
+        size(array_distinct(col("toks"))).cast("double") / col("n_tokens").cast("double"))
+      .withColumn("len_score",
+        least(lit(1.0), col("n_chars").cast("double") / lit(500.0)))
+      .withColumn("quality", col("diversity") * 0.5 + col("len_score") * 0.5)
+      .withColumn("stop_ratio",
+        size(filter(col("toks"), t => t.isInCollection(stop))).cast("double") /
+          col("n_tokens").cast("double"))
+      .withColumn("pass_len", col("n_tokens").between(10, 1000))
+      .withColumn("pass_quality", col("pass_len") && col("quality") >= 0.5)
+      .withColumn("pass_lang", col("pass_quality") && col("stop_ratio") > 0.02)
+      // exact dedup among surviving docs: canonical = smallest surviving id
+      .withColumn("min_survivor",
+        min(when(col("pass_lang"), col("doc_id")))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("text"))))
+      .withColumn("kept", col("pass_lang") && col("doc_id") === col("min_survivor"))
+    flagged
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("pass_len"), 1L).otherwise(0L)).as("n_after_length"),
+        sum(when(col("pass_quality"), 1L).otherwise(0L)).as("n_after_quality"),
+        sum(when(col("pass_lang"), 1L).otherwise(0L)).as("n_after_lang"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+      .orderBy(col("source"))
+  }
+
   /** Higher-order-function surface: lambda `filter` / `transform` /
     * `aggregate` / `exists` over token arrays, entirely inside
     * whole-stage codegen (no UDF) — DuckDB mirrors with list lambdas.
@@ -240,9 +283,45 @@ object TextAnalysis extends QueryPack {
     "q_token_pieces"     -> (bpeTokenPieces _),
     "q_word_prefix"      -> (wordPrefix _),
     "q_hof_tokens"       -> (hofTokens _),
+    "q_curation_funnel"  -> (curationFunnel _),
     "q_winnow_fp"        -> (winnowQuery _))
 
   override def oracleSql: Map[String, String] = Map(
+    "q_curation_funnel" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT doc_id, source, text,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_distinct(string_split(text, ' ')))::DOUBLE /
+        |      len(string_split(text, ' ')) AS diversity,
+        |    least(1.0, n_chars::DOUBLE / 500.0) AS len_score,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','and','of','to')))::DOUBLE /
+        |      len(string_split(text, ' ')) AS stop_ratio
+        |  FROM documents
+        |), f AS MATERIALIZED (
+        |  SELECT *,
+        |    (n_tokens BETWEEN 10 AND 1000) AS pass_len,
+        |    (n_tokens BETWEEN 10 AND 1000)
+        |      AND (diversity * 0.5 + len_score * 0.5 >= 0.5) AS pass_quality,
+        |    (n_tokens BETWEEN 10 AND 1000)
+        |      AND (diversity * 0.5 + len_score * 0.5 >= 0.5)
+        |      AND (stop_ratio > 0.02) AS pass_lang
+        |  FROM e
+        |), g AS (
+        |  SELECT *, min(CASE WHEN pass_lang THEN doc_id END)
+        |    OVER (PARTITION BY text) AS min_survivor
+        |  FROM f
+        |)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_raw,
+        |  CAST(sum(CASE WHEN pass_len THEN 1 ELSE 0 END) AS BIGINT) AS n_after_length,
+        |  CAST(sum(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality,
+        |  CAST(sum(CASE WHEN pass_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_after_lang,
+        |  CAST(sum(CASE WHEN pass_lang AND doc_id = min_survivor THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN pass_lang AND doc_id = min_survivor THEN n_tokens
+        |    ELSE 0 END) AS BIGINT) AS tokens_kept
+        | FROM g GROUP BY source ORDER BY source""".stripMargin,
     "q_hof_tokens" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents WHERE doc_id < 100)
