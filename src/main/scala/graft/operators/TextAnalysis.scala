@@ -264,6 +264,22 @@ object TextAnalysis extends QueryPack {
         exists(col("toks"), t => t === "spark").cast("bigint").as("has_spark"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic hash sampling — the reproducible form of corpus
+    * downsampling (a seeded `sample()` is partitioning-dependent; hashing
+    * the key is not): bucket = first 8 md5 hex chars of the id mod 100,
+    * keep buckets < 30 for an exact, engine-independent 30 % sample.
+    * Any engine (here: DuckDB) reproduces the member set bit-exactly —
+    * which also makes train/holdout splits auditable.
+    */
+  def hashSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("bucket",
+        (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long") % 100))
+      .filter(col("bucket") < 30)
+      .select(col("doc_id"), col("bucket"), col("lang"))
+      .orderBy(col("doc_id"))
+
   /** Content fingerprints (md5 — stable across engines) for a key slice. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -284,9 +300,17 @@ object TextAnalysis extends QueryPack {
     "q_word_prefix"      -> (wordPrefix _),
     "q_hof_tokens"       -> (hofTokens _),
     "q_curation_funnel"  -> (curationFunnel _),
+    "q_hash_sample"      -> (hashSample _),
     "q_winnow_fp"        -> (winnowQuery _))
 
   override def oracleSql: Map[String, String] = Map(
+    "q_hash_sample" ->
+      """SELECT doc_id, CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))
+        |    AS BIGINT) % 100 AS bucket, lang
+        | FROM documents
+        | WHERE CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))
+        |    AS BIGINT) % 100 < 30
+        | ORDER BY doc_id""".stripMargin,
     "q_curation_funnel" ->
       """WITH e AS MATERIALIZED (
         |  SELECT doc_id, source, text,

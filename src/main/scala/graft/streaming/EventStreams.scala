@@ -188,6 +188,34 @@ object EventStreams {
     spark.table(name).orderBy(col("p_id"), col("c_id"))
   }
 
+  /** Streaming ETL to a durable sink: `foreachBatch` appends each
+    * micro-batch to type-partitioned parquet — the write path of a
+    * production event pipeline (exactly-once per batch id via the
+    * checkpoint; downstream readers partition-prune on event_type).
+    * Returns the sink directory.
+    */
+  def etlToParquet(spark: SparkSession, dir: String, outDir: String): String = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val source = spark.readStream
+      .schema(Tables.load(spark, dir, "events").schema)
+      .parquet(stagedDir(dir))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("day", to_date(col("ts")))
+
+    val q = source.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append")
+          .partitionBy("event_type")
+          .parquet(outDir)
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_stream_ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    outDir
+  }
+
   case class Event(user_id: Long, tsMicros: Long)
   case class SessionState(lastTs: Long, sessions: Long, events: Long)
   case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)

@@ -62,6 +62,21 @@ class EventStreamsSpec extends SparkSpec {
     assert(s == b)
   }
 
+  test("foreachBatch parquet ETL sink: rows round-trip, sink is " +
+    "partition-pruned on event_type") {
+    val out = java.nio.file.Files.createTempDirectory("graft_etl_sink").toString
+    EventStreams.etlToParquet(spark, sfDir, out)
+    val written = spark.read.parquet(out)
+    val n = graft.Tables.events(spark, sfDir).count()
+    assert(written.count() == n, "every event lands in the sink")
+    // partition pruning on the sink layout
+    val one = written.filter(col("event_type") === "click")
+    one.collect()
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"sink reads must prune on event_type:\n$plan")
+  }
+
   test("streaming dropDuplicates key set == batch distinct") {
     val streamed = EventStreams.dedupStreaming(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
