@@ -175,13 +175,11 @@ object MinHashDedup extends QueryPack {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, seed: Long = 42L,
                    maxBucketSize: Int = defaultMaxBucketSize,
-                   sigAgreementMargin: Double = 0.35,
-                   precomputedCandidates: Option[DataFrame] = None): DataFrame = {
+                   sigAgreementMargin: Double = 0.35): DataFrame = {
     val sigs = withSignature(docs, textCol, seed)
       .select(col(idCol).as("id"), col("minhash_sig"))
 
-    val candidates = precomputedCandidates.getOrElse(
-      candidatePairs(docs, idCol, textCol, seed, maxBucketSize))
+    val candidates = candidatePairs(docs, idCol, textCol, seed, maxBucketSize)
 
     // signature-agreement prefilter (codegen'd; no string payloads yet)
     val estMin = math.max(0.0, threshold - sigAgreementMargin)
@@ -344,34 +342,27 @@ object MinHashDedup extends QueryPack {
     * scale. That is a strictly stronger check than rows-only.
     */
   def recallReport(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val docs = Tables.documents(s, dir)
-    // the three pair sets are each consumed twice; persist for the
-    // report's lifetime and release before returning (counts are eager,
-    // so nothing leaks past this call)
     val shingleTruth = exactShinglePairs(docs, "doc_id", "text", 0.8)
-      .select("a_id", "b_id").persist()
-    val cands = candidatePairs(docs, "doc_id", "text").persist()
-    val wordTruth = TextAnalysis.ngramJaccardPairs(s, dir)
-      .select("a_id", "b_id").persist()
-    try {
-      val nShingle = shingleTruth.count()
-      val nBanded = cands.join(shingleTruth, Seq("a_id", "b_id"), "left_semi").count()
-      val found = nearDupPairs(docs, "doc_id", "text", 0.8,
-        precomputedCandidates = Some(cands)).select("a_id", "b_id")
-      val nWord = wordTruth.count()
-      val nFoundWord = found.join(wordTruth, Seq("a_id", "b_id"), "left_semi").count()
-      def ratio(num: Long, den: Long): Double =
-        if (den == 0) 1.0
-        else BigDecimal(num.toDouble / den)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      Seq((nShingle, nBanded, ratio(nBanded, nShingle),
-        nWord, nFoundWord, ratio(nFoundWord, nWord)))
-        .toDF("n_shingle_pairs", "n_banded", "recall_banding",
-          "n_word_pairs", "n_found_word", "recall_vs_word_truth")
-    } finally {
-      shingleTruth.unpersist(); cands.unpersist(); wordTruth.unpersist()
-    }
+      .select("a_id", "b_id")
+    val cands = candidatePairs(docs, "doc_id", "text")
+    val found = nearDupPairs(docs, "doc_id", "text", 0.8).select("a_id", "b_id")
+    val wordTruth = TextAnalysis.ngramJaccardPairs(s, dir).select("a_id", "b_id")
+
+    val nShingle = shingleTruth.agg(count(lit(1)).as("n_shingle_pairs"))
+    val nBanded = cands.join(shingleTruth, Seq("a_id", "b_id"), "left_semi")
+      .agg(count(lit(1)).as("n_banded"))
+    val nWord = wordTruth.agg(count(lit(1)).as("n_word_pairs"))
+    val nFoundWord = found.join(wordTruth, Seq("a_id", "b_id"), "left_semi")
+      .agg(count(lit(1)).as("n_found_word"))
+
+    nShingle.crossJoin(nBanded).crossJoin(nWord).crossJoin(nFoundWord)
+      .select(col("n_shingle_pairs"), col("n_banded"),
+        round(col("n_banded").cast("double") / col("n_shingle_pairs"), 6)
+          .as("recall_banding"),
+        col("n_word_pairs"), col("n_found_word"),
+        round(col("n_found_word").cast("double") / col("n_word_pairs"), 6)
+          .as("recall_vs_word_truth"))
   }
 
   override def queries: Map[String, QueryPack.Q] = Map(
