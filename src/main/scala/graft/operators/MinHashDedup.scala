@@ -72,28 +72,37 @@ object MinHashDedup extends QueryPack {
     out
   }
 
+  /** One text → k-long signature with prebuilt coefficients. */
+  private def signatureWith(cs: Array[(Long, Long)], text: String): Array[Long] = {
+    val hashes = shingleHashesJvm(text)
+    if (hashes.isEmpty) Array.fill(numHashes)(Long.MaxValue)
+    else {
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      hashes.foreach { h =>
+        // map into [0, prime) once; affine per hash function
+        val x = java.lang.Long.remainderUnsigned(h, prime)
+        var i = 0
+        while (i < numHashes) {
+          val (a, b) = cs(i)
+          val v = mulModP(a, x, b)
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      sig
+    }
+  }
+
+  /** Pure JVM signature of one text (the kernel behind the DataFrame UDF
+    * and the SQL-registered `minhash_sig`).
+    */
+  def signatureOf(text: String, seed: Long = 42L): Array[Long] =
+    signatureWith(coeffs(seed), text)
+
   /** MinHash signature UDF: text → k-long signature in one JVM pass. */
   private def signatureUdf(seed: Long) = {
     val cs = coeffs(seed)
-    udf { (text: String) =>
-      val hashes = shingleHashesJvm(text)
-      if (hashes.isEmpty) Array.fill(numHashes)(Long.MaxValue)
-      else {
-        val sig = Array.fill(numHashes)(Long.MaxValue)
-        hashes.foreach { h =>
-          // map into [0, prime) once; affine per hash function
-          val x = java.lang.Long.remainderUnsigned(h, prime)
-          var i = 0
-          while (i < numHashes) {
-            val (a, b) = cs(i)
-            val v = mulModP(a, x, b)
-            if (v < sig(i)) sig(i) = v
-            i += 1
-          }
-        }
-        sig
-      }
-    }
+    udf { (text: String) => signatureWith(cs, text) }
   }
 
   /** (a*x + b) mod 2^61-1 using 128-bit intermediate via Math.multiplyHigh. */

@@ -25,8 +25,10 @@ object SimHash extends QueryPack {
   private val chunks = hammingThreshold + 1 // pigeonhole: ≤3 diffs over 4 chunks
   private val chunkBits = 64 / chunks
 
-  /** Fingerprint UDF: token list → 64-bit simhash. */
-  private val simhashUdf = udf { (tokens: Seq[String]) =>
+  /** Pure JVM fingerprint of a token list (the kernel behind the
+    * DataFrame UDF and the SQL-registered `simhash64`).
+    */
+  def fingerprintOf(tokens: Seq[String]): Long = {
     val acc = new Array[Int](64)
     tokens.foreach { t =>
       // xxhash-free stable 64-bit string hash (FNV-1a), deterministic
@@ -44,6 +46,9 @@ object SimHash extends QueryPack {
     while (bit < 64) { if (acc(bit) > 0) fp |= (1L << bit); bit += 1 }
     fp
   }
+
+  /** Fingerprint UDF: token list → 64-bit simhash. */
+  private val simhashUdf = udf { (tokens: Seq[String]) => fingerprintOf(tokens) }
 
   def withFingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("simhash", simhashUdf(split(col(textCol), " ")))

@@ -60,4 +60,22 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .limit(5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(viaSql == viaApi)
   }
+
+  test("dedup kernels register as SQL functions and agree with the " +
+    "operator API") {
+    graft.functions.GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT minhash_sig('the quick brown fox jumps over the lazy dog') AS sig,
+        |  simhash64('the quick brown fox') AS fp,
+        |  sig_agreement(minhash_sig('a b c d e f g'), minhash_sig('a b c d e f g')) AS self,
+        |  sig_agreement(minhash_sig('a b c d e f g'), minhash_sig('x y z w v u t')) AS other
+        |""".stripMargin).head()
+    assert(row.getSeq[Long](0) ==
+      graft.operators.MinHashDedup
+        .signatureOf("the quick brown fox jumps over the lazy dog").toSeq)
+    assert(row.getLong(1) ==
+      graft.operators.SimHash.fingerprintOf(Seq("the", "quick", "brown", "fox")))
+    assert(row.getDouble(2) == 1.0)
+    assert(row.getDouble(3) < 0.3)
+  }
 }
