@@ -59,4 +59,26 @@ object TableIO {
 
   def centroidsPath(indexPath: String): String =
     indexPath.stripSuffix("/") + "__centroids"
+
+  /** Persist the LSH hyperplanes next to their bucket-partitioned index
+    * (the IVF-centroid pattern): h × dim doubles plus the seed, durable so
+    * a cold process probes with the exact planes the index was built with
+    * — a seed mismatch between build and serve silently zeroes recall.
+    */
+  def writeLshPlanes(spark: SparkSession, indexPath: String,
+                     planes: Array[Array[Double]], seed: Long): Unit = {
+    import spark.implicits._
+    planes.zipWithIndex.map { case (p, i) => (i, p, seed) }.toSeq
+      .toDF("plane_id", "plane", "seed")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(planesPath(indexPath))
+  }
+
+  def readLshPlanes(spark: SparkSession, indexPath: String): Array[Array[Double]] =
+    spark.read.parquet(planesPath(indexPath))
+      .orderBy("plane_id")
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  def planesPath(indexPath: String): String =
+    indexPath.stripSuffix("/") + "__planes"
 }

@@ -1,0 +1,43 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc oracle self-check harness (not a spec): dumps the named queries
+  * (all oracle-bearing queries when no args) at every SF for
+  * `scripts/check.py`, which mirrors the driver's DuckDB compare. Run:
+  * `sbt "Test/runMain graft.Scratch q_ann_recall ..."`.
+  */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names: Seq[String] =
+      if (args.nonEmpty) args.toSeq else SparkEntry.oracleSql.keys.toSeq.sorted
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      val out = s"/tmp/verify_scratch/$sf"
+      new java.io.File(out).mkdirs()
+      names.foreach { n =>
+        SparkEntry.queries(n)(spark, dir).coalesce(1)
+          .write.mode("overwrite").parquet(s"$out/$n")
+      }
+      def q(s: String): String = "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      val json = names.map(n => s"${q(n)}: ${q(SparkEntry.oracleSql(n))}")
+        .mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$out/oracle_sql.json"), json)
+    }
+    spark.stop()
+  }
+}

@@ -58,6 +58,51 @@ class AnnSearchSpec extends SparkSpec {
     assert(full == bruteTop10)
   }
 
+  test("q_ann_lsh serves from the persisted bucket-partitioned index: " +
+    "partition-pruned scan, no hashing UDF in the query") {
+    val before = AnnSearch.lshBuildCount.get()
+    val first = AnnSearch.lshQuery(spark, sfDir)
+    assert(first.count() == 10)
+    val second = AnnSearch.lshQuery(spark, sfDir)
+    assert(second.count() == 10)
+    assert(AnnSearch.lshBuildCount.get() <= before + 1,
+      "index must be built at most once across repeated queries")
+    // the probe-set filter must reach the scan as a PARTITION filter —
+    // h+1 multiprobe directories read, not the corpus
+    val plan = second.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["),
+      s"expected PartitionFilters in scan:\n$plan")
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("lsh_bucket"), s"partition filter must be on lsh_bucket: $pf")
+    // buckets were hashed once at BUILD: the serve plan evaluates no UDF
+    assert(!plan.contains("UDF"), s"serve plan must not evaluate the bucket UDF:\n$plan")
+    // serve rows must equal the inline (build-free) search on the same corpus
+    val inline = AnnSearch.lshSearch(corpus, "embedding", "vec_id", queryVec)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val served = second.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(served == inline, "persisted-index serve must match inline search")
+  }
+
+  test("LSH planes round-trip through the persisted sidecar") {
+    val (path, planes) = AnnSearch.ensureLshIndex(spark, sfDir)
+    val back = graft.sources.TableIO.readLshPlanes(spark, path)
+    assert(back.length == planes.length)
+    planes.zip(back).foreach { case (a, b) => assert(a.sameElements(b)) }
+  }
+
+  test("q_ann_recall: LSH recall is oracle-exact; IVF recall above floor") {
+    val row = AnnSearch.annRecallQuery(spark, sfDir).head()
+    assert(row.getAs[Long]("n_brute") == 10)
+    assert(row.getAs[Long]("lsh_candidates") < row.getAs[Long]("n_corpus"),
+      "bucketing must prune")
+    // 4-plane/5-probe LSH recall on the driver corpora ranges 0.3–0.6 —
+    // the report's job is to SURFACE the number (oracle recomputes it
+    // exactly); the spec only pins a sanity floor.
+    val lshRecall = row.getAs[Double]("lsh_recall")
+    assert(lshRecall >= 0.3, s"LSH recall@10 = $lshRecall")
+    assert(row.getAs[Boolean]("ivf_recall_ge_half"), "IVF recall@10 must be >= 0.5")
+  }
+
   test("q_ann_ivf serves from the persisted list-partitioned index: " +
     "partition-pruned scan, no k-means fit in the query") {
     val before = AnnSearch.ivfBuildCount.get()
