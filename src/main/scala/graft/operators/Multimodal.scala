@@ -131,6 +131,12 @@ object Multimodal extends QueryPack {
     */
   def frameEmbeddingSearch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Probe = frame 0 of media 2, decoded from THAT row alone: a pushed-
+    // down point lookup on the media table (no frame flatMap), so the
+    // payload-bearing decode pass below runs exactly ONCE per query —
+    // previously the probe's head() was a second full decode job.
+    val probeRow = asMediaTable(s, dir).filter(col("media_id") === 2).head()
+    val probe: Seq[Float] = featurize(sampleFrames(probeRow.payload, 4).head).toSeq
     val frames = asMediaTable(s, dir)
       .filter(col("media_type") === "video")
       .flatMap { r =>
@@ -139,9 +145,6 @@ object Multimodal extends QueryPack {
         }
       }
       .toDF("media_id", "frame_no", "emb")
-    val probe = frames
-      .filter(col("media_id") === 2 && col("frame_no") === 0)
-      .select(col("emb")).head().getSeq[Float](0)
     frames
       .filter(!(col("media_id") === 2 && col("frame_no") === 0))
       .withColumn("sim", round(graft.functions.VectorFunctions

@@ -231,10 +231,14 @@ object TextAnalysis extends QueryPack {
       .withColumn("pass_len", col("n_tokens").between(10, 1000))
       .withColumn("pass_quality", col("pass_len") && col("quality") >= 0.5)
       .withColumn("pass_lang", col("pass_quality") && col("stop_ratio") > 0.02)
-      // exact dedup among surviving docs: canonical = smallest surviving id
+      // exact dedup among surviving docs: canonical = smallest surviving
+      // id. The window keys on md5(text), not text — same groups, but the
+      // shuffle carries 32-hex keys instead of full documents (~64×
+      // smaller exchange on long docs; the dedupExact guidance above).
       .withColumn("min_survivor",
         min(when(col("pass_lang"), col("doc_id")))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("text"))))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(md5(col("text").cast("binary")))))
       .withColumn("kept", col("pass_lang") && col("doc_id") === col("min_survivor"))
     flagged
       .groupBy(col("source"))
@@ -333,7 +337,7 @@ object TextAnalysis extends QueryPack {
         |  FROM e
         |), g AS (
         |  SELECT *, min(CASE WHEN pass_lang THEN doc_id END)
-        |    OVER (PARTITION BY text) AS min_survivor
+        |    OVER (PARTITION BY md5(text)) AS min_survivor
         |  FROM f
         |)
         |SELECT source,
