@@ -135,6 +135,56 @@ object SimHash extends QueryPack {
   def simhashQuery(s: SparkSession, dir: String): DataFrame =
     nearDupPairs(Tables.documents(s, dir), "doc_id", "text")
 
+  /** Driver-visible SimHash quality report (one row, every column
+    * oracle-exact — DuckDB recomputes the full FNV/simhash pair set, see
+    * [[oracleSql]]):
+    *
+    *  - `n_simhash_pairs`: Hamming ≤ 3 pairs the pipeline emits;
+    *  - `n_multiset_pairs` / `n_found_multiset` / `multiset_complete`:
+    *    simhash is TOKEN-ORDER-INVARIANT, so docs with equal token
+    *    multisets MUST collide at distance 0 and pigeonhole-completeness
+    *    MUST surface them — `multiset_complete` goes false (and the row
+    *    hash-mismatches) if the occupancy caps ever drop such a pair;
+    *  - `n_word_pairs` / `n_sim_in_word` / `precision_vs_word`: the honest
+    *    cross-measure vs the exact blocked word-set-Jaccard truth. On the
+    *    driver corpora (tiny vocab, ~23-word docs) precision is ≈ 0.02:
+    *    Hamming ≤ 3 here matches token FREQUENCY PROFILES, not word sets —
+    *    this row surfaces that instead of implying the measures agree.
+    */
+  def qualityReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = nearDupPairs(docs, "doc_id", "text")
+    // multiset key: md5 of the sorted token list — any deterministic sort
+    // works, since only key EQUALITY (= multiset equality) is consumed
+    val keyed = docs.select(col("doc_id"),
+      md5(concat_ws(" ", array_sort(split(col("text"), " "))).cast("binary"))
+        .as("mkey"))
+    val word = TextAnalysis.ngramJaccardPairs(s, dir).select("a_id", "b_id")
+
+    val nPairsLeg = pairs.agg(count(lit(1)).as("n_simhash_pairs"))
+    val msLeg = keyed.groupBy("mkey").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L))
+        .as("n_multiset_pairs"))
+    val foundMsLeg = pairs
+      .join(keyed.select(col("doc_id").as("a_id"), col("mkey").as("a_key")), "a_id")
+      .join(keyed.select(col("doc_id").as("b_id"), col("mkey").as("b_key")), "b_id")
+      .filter(col("a_key") === col("b_key"))
+      .agg(count(lit(1)).as("n_found_multiset"))
+    val nWordLeg = word.agg(count(lit(1)).as("n_word_pairs"))
+    val simInWordLeg = pairs.join(word, Seq("a_id", "b_id"), "left_semi")
+      .agg(count(lit(1)).as("n_sim_in_word"))
+
+    nPairsLeg.crossJoin(msLeg).crossJoin(foundMsLeg)
+      .crossJoin(nWordLeg).crossJoin(simInWordLeg)
+      .select(col("n_simhash_pairs"), col("n_multiset_pairs"),
+        col("n_found_multiset"),
+        (col("n_found_multiset") === col("n_multiset_pairs"))
+          .as("multiset_complete"),
+        col("n_word_pairs"), col("n_sim_in_word"),
+        round(col("n_sim_in_word").cast("double") /
+          nullif(col("n_simhash_pairs"), lit(0L)), 6).as("precision_vs_word"))
+  }
+
   /** Fingerprint sample for observability (rows-only check). */
   def fingerprintQuery(s: SparkSession, dir: String): DataFrame =
     withFingerprint(Tables.documents(s, dir), "text")
@@ -144,11 +194,102 @@ object SimHash extends QueryPack {
 
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_simhash_neardup" -> (simhashQuery _),
-    "q_simhash_fps"     -> (fingerprintQuery _))
+    "q_simhash_fps"     -> (fingerprintQuery _),
+    "q_simhash_quality" -> (qualityReport _))
 
-  /** FNV/simhash bit math isn't DuckDB-expressible; scalatest-verified
-    * (identical docs ⇒ distance 0; perturbation ⇒ small distance;
-    * unrelated ⇒ large).
+  /** Shared oracle prelude: DuckDB recomputes the FNV-1a/simhash
+    * fingerprints bit-exactly via HUGEINT mod-2^64 arithmetic —
+    * `list_reduce` is the sequential FNV fold, `xor`/`<<`/`bit_count`
+    * operate on HUGEINT natively. `unicode()` (codepoints) matches Java
+    * `charAt` (UTF-16 units) on the BMP-only driver corpora. Distinct
+    * tokens are hashed once, then joined back to occurrences (tiny vocab
+    * ⇒ the token-hash table is small).
     */
-  override def oracleSql: Map[String, String] = Map.empty
+  private def fpPrelude(where: String): String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents $where
+       |), dtok AS (SELECT DISTINCT tok FROM toks
+       |), thash AS MATERIALIZED (
+       |  SELECT tok, list_reduce(
+       |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |        [CAST(unicode(substring(tok, i, 1)) AS HUGEINT)
+       |         FOR i IN generate_series(1, length(tok))]),
+       |      (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616) AS h
+       |  FROM dtok
+       |), bits AS (
+       |  SELECT t.doc_id, b.bit,
+       |    sum(CASE WHEN (th.h >> b.bit) % 2 = 1 THEN 1 ELSE -1 END) AS acc
+       |  FROM toks t JOIN thash th USING (tok)
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+       |  GROUP BY 1, 2
+       |), fps AS MATERIALIZED (
+       |  SELECT doc_id, CAST(sum(CASE WHEN acc > 0
+       |      THEN CAST(1 AS HUGEINT) << bit
+       |      ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS fp
+       |  FROM bits GROUP BY 1
+       |)""".stripMargin
+
+  /** The full SimHash family is DuckDB-oracle-checked: the exact Hamming
+    * ≤ 3 pair set is quadratic in the oracle (fine at gate SF) while the
+    * engine side stays chunk-bucketed — a hash match proves the banded
+    * pipeline loses nothing vs brute force at gate scale. Occupancy-cap
+    * drops would surface as a mismatch, not silence.
+    */
+  override def oracleSql: Map[String, String] = Map(
+    "q_simhash_fps" ->
+      s"""${fpPrelude("WHERE doc_id < 20")}
+         |SELECT doc_id,
+         |  CAST(CASE WHEN fp >= (CAST(1 AS HUGEINT) << 63)
+         |    THEN fp - (CAST(1 AS HUGEINT) << 64) ELSE fp END AS BIGINT)
+         |    AS simhash
+         |FROM fps ORDER BY doc_id""".stripMargin,
+    "q_simhash_neardup" ->
+      s"""${fpPrelude("")}
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+         |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= $hammingThreshold
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q_simhash_quality" ->
+      s"""${fpPrelude("")},
+         |spairs AS MATERIALIZED (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.fp, b.fp)) <= $hammingThreshold
+         |), mkeys AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS mkey
+         |  FROM documents
+         |), ws AS MATERIALIZED (
+         |  SELECT doc_id, lang, source,
+         |    list_distinct(string_split(text, ' ')) AS w
+         |  FROM documents
+         |), wpairs AS MATERIALIZED (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM ws a JOIN ws b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.w, b.w))::DOUBLE /
+         |        (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
+         |), agg AS (
+         |  SELECT
+         |    (SELECT count(*) FROM spairs) AS n_simhash_pairs,
+         |    (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT)
+         |       FROM (SELECT count(*) AS n FROM mkeys GROUP BY mkey))
+         |      AS n_multiset_pairs,
+         |    (SELECT count(*) FROM spairs s
+         |       JOIN mkeys a ON s.a_id = a.doc_id
+         |       JOIN mkeys b ON s.b_id = b.doc_id
+         |      WHERE a.mkey = b.mkey) AS n_found_multiset,
+         |    (SELECT count(*) FROM wpairs) AS n_word_pairs,
+         |    (SELECT count(*) FROM spairs s
+         |       JOIN wpairs w ON s.a_id = w.a_id AND s.b_id = w.b_id)
+         |      AS n_sim_in_word
+         |)
+         |SELECT n_simhash_pairs, n_multiset_pairs, n_found_multiset,
+         |  (n_found_multiset = n_multiset_pairs) AS multiset_complete,
+         |  n_word_pairs, n_sim_in_word,
+         |  round(n_sim_in_word::DOUBLE / nullif(n_simhash_pairs, 0), 6)
+         |    AS precision_vs_word
+         |FROM agg""".stripMargin)
 }

@@ -34,7 +34,8 @@ object Scratch {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-      val json = names.map(n => s"${q(n)}: ${q(SparkEntry.oracleSql(n))}")
+      val json = names.filter(SparkEntry.oracleSql.contains)
+        .map(n => s"${q(n)}: ${q(SparkEntry.oracleSql(n))}")
         .mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$out/oracle_sql.json"), json)
     }

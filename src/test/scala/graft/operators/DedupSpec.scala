@@ -159,6 +159,16 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() == 120L * 119 / 2)
   }
 
+  test("simhash quality report: multiset-equal docs are always found at " +
+    "distance 0 (order invariance + pigeonhole completeness)") {
+    val row = SimHash.qualityReport(spark, sfDir).head()
+    assert(row.getAs[Long]("n_found_multiset") == row.getAs[Long]("n_multiset_pairs"),
+      "every token-multiset-equal pair must surface")
+    assert(row.getAs[Boolean]("multiset_complete"))
+    assert(row.getAs[Long]("n_sim_in_word") <= row.getAs[Long]("n_simhash_pairs"))
+    assert(row.getAs[Long]("n_sim_in_word") <= row.getAs[Long]("n_word_pairs"))
+  }
+
   test("simhash near-dup pairs include the planted duplicates") {
     val got = SimHash.nearDupPairs(docs, "doc_id", "text", maxDistance = 3)
       .select("a_id", "b_id").collect()
