@@ -3,16 +3,21 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-contract benchmark: times every SparkEntry query at
-  * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
+  * SPARK_GRAFT_SF_DIR, one JSON line on stdout per config.
+  *
+  * With SPARK_GRAFT_CPUS set, runs that single config. Unset, runs BOTH
+  * local[32] (the driver's box) and local[4] (the contract config in
+  * BASELINE.md) in one invocation — 32 first, 4 LAST, so an artifact that
+  * captures only the tail always contains the contract line.
   *
   * Each query gets one untimed warmup pass (JIT + codegen + parquet
-  * footer caching + the memoized patient-pipeline training) and one timed
-  * pass — the driver's number then measures the engine, not JVM startup.
+  * footer caching + the memoized patient-pipeline training) and two timed
+  * passes, min — the driver's number then measures the engine, not JVM
+  * startup or GC noise.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  private def runConfig(cpus: String, sfDir: String): String = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,7 +34,7 @@ object Bench {
     // two timed passes, min per query — single-shot local[4] timings carry
     // multi-second GC/scheduling noise. A failing query reports an "err"
     // marker, never a (fast-looking) elapsed time.
-    def timeOne(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
       catch {
@@ -53,7 +58,16 @@ object Bench {
     val ok = results.collect { case (_, Right(v)) => v }
     val errs = results.count(_._2.isLeft)
     val total = ok.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"cpus":$cpus,"sf":"$sfDir"}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val configs = sys.env.get("SPARK_GRAFT_CPUS") match {
+      case Some(c) => Seq(c)
+      case None    => Seq("32", "4") // contract config (BASELINE.md) last
+    }
+    configs.foreach(c => println(runConfig(c, sfDir)))
   }
 }
