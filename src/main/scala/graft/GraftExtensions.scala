@@ -31,6 +31,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // analyzer wraps a bare AggregateFunction in AggregateExpression
       exprs => graft.functions.TopKByExpr(exprs(0), exprs(1), exprs(2))))
     e.injectFunction((
+      new FunctionIdentifier("sample_k"),
+      new ExpressionInfo(
+        classOf[graft.functions.SampleKExpr].getName, null, "sample_k",
+        "_FUNC_(id, seed, k) - deterministic bottom-k-by-md5-priority " +
+          "sample per group: membership is a pure function of (seed, id), " +
+          "independent of partitioning and row order",
+        "_FUNC_(bigint, bigint, int)"),
+      exprs => graft.functions.SampleKExpr(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(
         classOf[CosineSimilarityExpr].getName, null, "cosine_similarity",

@@ -284,6 +284,21 @@ object TextAnalysis extends QueryPack {
       .select(col("doc_id"), col("bucket"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Stratified deterministic sample — 5 docs per language via
+    * [[graft.functions.SampleKExpr]] (bottom-k by md5("seed:id")
+    * priority). Membership is a pure function of (seed, id): any
+    * partitioning, any row order, any md5-bearing engine produces the
+    * SAME members, which is what makes a train/holdout split auditable.
+    * The DuckDB oracle reproduces the exact rows.
+    */
+  def sampleKQuery(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(graft.functions.SampleKExpr(col("doc_id"), seed = 42L, k = 5).as("sample"))
+      .select(col("lang"), explode(col("sample")).as("s"))
+      .select(col("lang"), col("s.id").as("doc_id"), col("s.pri").as("pri"))
+      .orderBy(col("lang"), col("pri"), col("doc_id"))
+
   /** Content fingerprints (md5 — stable across engines) for a key slice. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -305,9 +320,19 @@ object TextAnalysis extends QueryPack {
     "q_hof_tokens"       -> (hofTokens _),
     "q_curation_funnel"  -> (curationFunnel _),
     "q_hash_sample"      -> (hashSample _),
+    "q_sample_k"         -> (sampleKQuery _),
     "q_winnow_fp"        -> (winnowQuery _))
 
   override def oracleSql: Map[String, String] = Map(
+    "q_sample_k" ->
+      """SELECT lang, doc_id, pri FROM (
+        |  SELECT lang, doc_id,
+        |    md5('42:' || CAST(doc_id AS VARCHAR)) AS pri,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5
+        |ORDER BY lang, pri, doc_id""".stripMargin,
     "q_hash_sample" ->
       """SELECT doc_id, CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))
         |    AS BIGINT) % 100 AS bucket, lang

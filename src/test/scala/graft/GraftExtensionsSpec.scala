@@ -61,6 +61,56 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql == viaApi)
   }
 
+  test("sample_k: deterministic across partitionings, matches brute-force " +
+    "bottom-k, callable from SQL") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    def run(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, String)] =
+      df.groupBy(col("lang"))
+        .agg(graft.functions.SampleKExpr(col("doc_id"), 42L, 5).as("s"))
+        .select(col("lang"), explode(col("s")).as("e"))
+        .select(col("lang"), col("e.id"), col("e.pri"))
+        .orderBy("lang", "pri")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+
+    val base = run(docs)
+    assert(base.nonEmpty)
+    // membership is a pure function of (seed, id): any partitioning agrees
+    assert(run(docs.repartition(1)) == base)
+    assert(run(docs.repartition(13)) == base)
+    assert(run(docs.repartition(4, col("doc_id"))) == base)
+    assert(run(docs.orderBy(col("doc_id").desc)) == base)
+
+    // brute force: k smallest (md5("42:"+id), id) per lang
+    val all = docs.select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = all.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      rows.map { case (_, id) => (lang, id, graft.functions.SampleKExpr.priority(42L, id)) }
+        .sortBy(t => (t._3, t._2)).take(5)
+    }.sortBy(t => (t._1, t._3))
+    assert(base == expected)
+
+    // SQL-registered form agrees with the Column API form
+    docs.createOrReplaceTempView("docs_sk")
+    val viaSql = spark.sql(
+      """SELECT lang, e.id, e.pri
+        |FROM (SELECT lang, sample_k(doc_id, 42, 5) AS s FROM docs_sk GROUP BY lang)
+        |LATERAL VIEW explode(s) AS e
+        |ORDER BY lang, e.pri""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(viaSql == base)
+
+    // a different seed draws a different (but equally deterministic) sample
+    val reseeded = docs.groupBy(col("lang"))
+      .agg(graft.functions.SampleKExpr(col("doc_id"), 7L, 5).as("s"))
+      .select(col("lang"), explode(col("s")).as("e"))
+      .select(col("lang"), col("e.id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(reseeded.toSet != base.map(t => (t._1, t._2)).toSet)
+  }
+
   test("dedup kernels register as SQL functions and agree with the " +
     "operator API") {
     graft.functions.GraftFunctions.register(spark)
