@@ -18,6 +18,7 @@ object SparkEntry {
     graft.search.PatientPipeline,
     graft.operators.MinHashDedup,
     graft.operators.SimHash,
+    graft.operators.CdcChunking,
     graft.operators.AnnSearch,
     graft.operators.Multimodal,
     graft.operators.AsOfJoin)
