@@ -216,6 +216,27 @@ object MinHashDedup extends QueryPack {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** The banding projection: one row per (doc, band) with the band's
+    * bucket key — `bucket = xxhash64(band_id, sig[band slice])`. Narrow
+    * (signature UDF + explode, no shuffle), streaming-compatible; shared
+    * by [[candidatePairs]] and the streaming near-dup dedup
+    * ([[graft.streaming.DocDedupStream]]). Extra columns of `docs` are
+    * preserved.
+    */
+  def bandKeys(docs: DataFrame, idCol: String, textCol: String,
+               seed: Long = 42L): DataFrame =
+    withSignature(docs, textCol, seed)
+      .withColumn("band",
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band_id"),
+            xxhash64(b, concat_ws(",",
+              slice(col("minhash_sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+              .as("bucket")))))
+      .withColumn("id", col(idCol))
+      .withColumn("band_id", col("band.band_id"))
+      .withColumn("bucket", col("band.bucket"))
+      .drop("band", "minhash_sig")
+
   /** LSH candidate pairs (banding only — BEFORE any verification): ids of
     * docs sharing at least one band bucket, deduped. Factored out so
     * banding recall is measurable independently of the verify step.
@@ -228,15 +249,8 @@ object MinHashDedup extends QueryPack {
     val droppedSlots = spark.sparkContext.longAccumulator(droppedDocSlotsAcc)
     lastDropStats = Some((droppedBuckets, droppedSlots))
 
-    val banded = withSignature(docs, textCol, seed)
-      .select(col(idCol).as("id"), col("minhash_sig"))
-      .withColumn("band",
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band_id"),
-            xxhash64(b, concat_ws(",",
-              slice(col("minhash_sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
-              .as("bucket")))))
-      .select(col("band.band_id"), col("band.bucket"), col("id"))
+    val banded = bandKeys(docs, idCol, textCol, seed)
+      .select(col("band_id"), col("bucket"), col("id"))
 
     // local pair emission per bucket; cap ⇒ drop + count, never silent
     val emitPairs = udf { (ids: Seq[Long]) =>
@@ -376,7 +390,11 @@ object MinHashDedup extends QueryPack {
 
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_minhash_neardup" -> (minhashQuery _),
-    "q_minhash_recall"  -> (recallReport _))
+    "q_minhash_recall"  -> (recallReport _),
+    // streaming near-dup admission control; rows-only (first-arrival
+    // semantics — membership is arrival-order-defined, not SQL-derivable;
+    // stream ≡ sequential-greedy spec in DocDedupStreamSpec)
+    "q_stream_neardup"  -> (graft.streaming.DocDedupStream.nearDupDedupStreaming _))
 
   /** MinHash banding itself isn't DuckDB-expressible (xxhash64 + custom
     * affine hashes), so `q_minhash_neardup` stays rows-only — but the
