@@ -137,15 +137,6 @@ object MinHashDedup extends QueryPack {
   val droppedBucketsAcc = "graft.minhash.droppedBuckets"
   val droppedDocSlotsAcc = "graft.minhash.droppedDocSlots"
 
-  /** Accumulators of the most recent [[nearDupPairs]] plan (buckets
-    * dropped, doc slots dropped). Values are meaningful after the
-    * returned DataFrame materializes; also visible per-stage in the
-    * Spark UI under the accumulator names above.
-    */
-  @volatile var lastDropStats
-      : Option[(org.apache.spark.util.LongAccumulator,
-                org.apache.spark.util.LongAccumulator)] = None
-
   /** Candidate pairs from band-bucket grouping, prefiltered by signature
     * agreement, then verified with exact Jaccard on word sets; returns
     * pairs with jaccard ≥ threshold.
@@ -184,23 +175,32 @@ object MinHashDedup extends QueryPack {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, seed: Long = 42L,
                    maxBucketSize: Int = defaultMaxBucketSize,
-                   sigAgreementMargin: Double = 0.35): DataFrame = {
+                   sigAgreementMargin: Option[Double] = Some(0.35)): DataFrame = {
     val sigs = withSignature(docs, textCol, seed)
       .select(col(idCol).as("id"), col("minhash_sig"))
 
     val candidates = candidatePairs(docs, idCol, textCol, seed, maxBucketSize)
 
-    // signature-agreement prefilter (codegen'd; no string payloads yet)
-    val estMin = math.max(0.0, threshold - sigAgreementMargin)
-    val prefiltered = candidates
-      .join(sigs.select(col("id").as("a_id"), col("minhash_sig").as("a_sig")), "a_id")
-      .join(sigs.select(col("id").as("b_id"), col("minhash_sig").as("b_sig")), "b_id")
-      .withColumn("est",
-        aggregate(zip_with(col("a_sig"), col("b_sig"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, m) => acc + m).cast("double") / numHashes)
-      .filter(col("est") >= estMin)
-      .select("a_id", "b_id")
+    // signature-agreement prefilter (codegen'd; no string payloads yet).
+    // `None` disables it: a band-colliding pair whose word-set Jaccard
+    // clears the threshold but whose SHINGLE agreement sits below
+    // threshold − margin (heavily reordered text) would otherwise be
+    // dropped before verification — on corpora where that mode matters,
+    // trade the prefilter's shuffle savings for exactness here.
+    val prefiltered = sigAgreementMargin match {
+      case None => candidates
+      case Some(margin) =>
+        val estMin = math.max(0.0, threshold - margin)
+        candidates
+          .join(sigs.select(col("id").as("a_id"), col("minhash_sig").as("a_sig")), "a_id")
+          .join(sigs.select(col("id").as("b_id"), col("minhash_sig").as("b_sig")), "b_id")
+          .withColumn("est",
+            aggregate(zip_with(col("a_sig"), col("b_sig"),
+                (x, y) => when(x === y, 1).otherwise(0)),
+              lit(0), (acc, m) => acc + m).cast("double") / numHashes)
+          .filter(col("est") >= estMin)
+          .select("a_id", "b_id")
+    }
 
     val ws = docs.select(col(idCol).as("id"),
       array_distinct(split(col(textCol), " ")).as("ws"))
@@ -243,11 +243,20 @@ object MinHashDedup extends QueryPack {
     */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
                      seed: Long = 42L,
-                     maxBucketSize: Int = defaultMaxBucketSize): DataFrame = {
+                     maxBucketSize: Int = defaultMaxBucketSize): DataFrame =
+    candidatePairsWithStats(docs, idCol, textCol, seed, maxBucketSize)._1
+
+  /** [[candidatePairs]] plus ITS OWN drop accumulators — no shared
+    * global, so concurrent/composed plans can't read each other's
+    * counters. See [[DropStats]] for retry semantics.
+    */
+  def candidatePairsWithStats(docs: DataFrame, idCol: String, textCol: String,
+                              seed: Long = 42L,
+                              maxBucketSize: Int = defaultMaxBucketSize): (DataFrame, DropStats) = {
+    requireLongId(docs, idCol)
     val spark = docs.sparkSession
     val droppedBuckets = spark.sparkContext.longAccumulator(droppedBucketsAcc)
     val droppedSlots = spark.sparkContext.longAccumulator(droppedDocSlotsAcc)
-    lastDropStats = Some((droppedBuckets, droppedSlots))
 
     val banded = bandKeys(docs, idCol, textCol, seed)
       .select(col("band_id"), col("bucket"), col("id"))
@@ -273,12 +282,24 @@ object MinHashDedup extends QueryPack {
       }
     }
 
-    banded
+    val pairs = banded
       .groupBy("band_id", "bucket").agg(collect_list("id").as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(explode(emitPairs(col("ids"))).as("p"))
       .select(col("p._1").as("a_id"), col("p._2").as("b_id"))
       .distinct() // a pair may collide in many bands
+    (pairs, DropStats(droppedBuckets, droppedSlots))
+  }
+
+  /** The local pair-emission UDFs pack ids as Long — enforce the bigint-id
+    * contract up front with a clear error instead of a mid-job cast
+    * failure (string/int id corpora: add a surrogate `monotonically_
+    * increasing_id` or cast explicitly before calling).
+    */
+  private[operators] def requireLongId(docs: DataFrame, idCol: String): Unit = {
+    val dt = docs.schema(idCol).dataType
+    require(dt == org.apache.spark.sql.types.LongType,
+      s"near-dup pair emission requires a BIGINT id column; '$idCol' is $dt")
   }
 
   val droppedShinglesAcc = "graft.allpairs.droppedShingles"
@@ -296,7 +317,13 @@ object MinHashDedup extends QueryPack {
   def exactShinglePairs(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double = 0.8,
                         maxPostings: Int = defaultMaxBucketSize): DataFrame = {
+    requireLongId(docs, idCol)
     val spark = docs.sparkSession
+    // CAVEAT for oracle/gate use: if this accumulator is nonzero after
+    // materialization, a hot shingle's postings were capped and this
+    // "exact" truth silently UNDERCOUNTS shared shingles (false
+    // negatives) — check it (Spark UI or accumulator) before trusting
+    // the pair set as ground truth; on the pinned gate corpora it is 0.
     val dropped = spark.sparkContext.longAccumulator(droppedShinglesAcc)
 
     val shingleSet = udf { (text: String) => shingleHashesJvm(text).distinct }
@@ -363,6 +390,14 @@ object MinHashDedup extends QueryPack {
     * end-to-end output equals the shingle truth — i.e. the oracle FAILS
     * if LSH ever misses a true pair or leaks a spurious one at the gate
     * scale. That is a strictly stronger check than rows-only.
+    *
+    * CAVEAT (applies to the pinned gate corpora ONLY): banding recall is
+    * probabilistic — P(candidate | s = 0.8) ≈ 0.9998 per pair under the
+    * 16×4 S-curve — so the oracle's hard-coded `recall_banding = 1.0`
+    * holds for these corpora/seed, not as a law; regenerating the corpus
+    * or reseeding can fail the gate with no engine bug. The exact side
+    * is likewise trustworthy only while [[droppedShinglesAcc]] stays 0
+    * (see [[exactShinglePairs]]).
     */
   def recallReport(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)

@@ -64,13 +64,6 @@ object SimHash extends QueryPack {
   val droppedBucketsAcc = "graft.simhash.droppedBuckets"
   val droppedDocSlotsAcc = "graft.simhash.droppedDocSlots"
 
-  /** Accumulators of the most recent [[nearDupPairs]] plan; meaningful
-    * after the returned DataFrame materializes (also in the Spark UI).
-    */
-  @volatile var lastDropStats
-      : Option[(org.apache.spark.util.LongAccumulator,
-                org.apache.spark.util.LongAccumulator)] = None
-
   /** Near-dup pairs: chunk-bucket grouping + local Hamming verification.
     *
     * One shuffle: (chunk_id, chunk_val, id, fp) groups per bucket; pairs
@@ -82,11 +75,19 @@ object SimHash extends QueryPack {
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDistance: Int = hammingThreshold,
-                   maxBucketSize: Int = defaultMaxBucketSize): DataFrame = {
+                   maxBucketSize: Int = defaultMaxBucketSize): DataFrame =
+    nearDupPairsWithStats(docs, idCol, textCol, maxDistance, maxBucketSize)._1
+
+  /** [[nearDupPairs]] plus ITS OWN drop accumulators — no shared global;
+    * see [[DropStats]] for retry semantics.
+    */
+  def nearDupPairsWithStats(docs: DataFrame, idCol: String, textCol: String,
+                            maxDistance: Int = hammingThreshold,
+                            maxBucketSize: Int = defaultMaxBucketSize): (DataFrame, DropStats) = {
+    MinHashDedup.requireLongId(docs, idCol)
     val spark = docs.sparkSession
     val droppedBuckets = spark.sparkContext.longAccumulator(droppedBucketsAcc)
     val droppedSlots = spark.sparkContext.longAccumulator(droppedDocSlotsAcc)
-    lastDropStats = Some((droppedBuckets, droppedSlots))
 
     val fps = withFingerprint(docs, textCol)
       .select(col(idCol).as("id"), col("simhash"))
@@ -122,7 +123,7 @@ object SimHash extends QueryPack {
       }
     }
 
-    chunked
+    val pairs = chunked
       .groupBy("chunk_id", "chunk_val").agg(collect_list("doc").as("ds"))
       .filter(size(col("ds")) >= 2)
       .select(explode(emitVerified(col("ds"))).as("p"))
@@ -130,6 +131,7 @@ object SimHash extends QueryPack {
         col("p._3").as("hamming"))
       .dropDuplicates("a_id", "b_id")
       .orderBy(col("a_id"), col("b_id"))
+    (pairs, DropStats(droppedBuckets, droppedSlots))
   }
 
   def simhashQuery(s: SparkSession, dir: String): DataFrame =

@@ -82,14 +82,14 @@ class DedupSpec extends SparkSpec {
     // every bucket is dropped, counted, and the query stays bounded
     val same = spark.range(120)
       .selectExpr("id as doc_id", "'all documents share this exact text body' as text")
-    val got = MinHashDedup.nearDupPairs(same, "doc_id", "text",
-      threshold = 0.8, maxBucketSize = 50)
-    assert(got.count() == 0, "capped buckets emit no pairs")
-    val (buckets, slots) = MinHashDedup.lastDropStats.get
-    assert(buckets.value == MinHashDedup.bands,
-      s"all ${MinHashDedup.bands} band buckets dropped, got ${buckets.value}")
-    assert(slots.value == MinHashDedup.bands.toLong * 120,
-      s"dropped doc slots counted, got ${slots.value}")
+    val (cands, stats) = MinHashDedup.candidatePairsWithStats(
+      same, "doc_id", "text", maxBucketSize = 50)
+    assert(cands.count() == 0, "capped buckets emit no pairs")
+    assert(stats.buckets.value == MinHashDedup.bands,
+      s"all ${MinHashDedup.bands} band buckets dropped, got ${stats.buckets.value}")
+    assert(stats.slots.value == MinHashDedup.bands.toLong * 120,
+      s"dropped doc slots counted, got ${stats.slots.value}")
+    assert(stats.any)
     // and with the cap above occupancy, the same corpus yields all pairs
     val uncapped = MinHashDedup.nearDupPairs(same, "doc_id", "text",
       threshold = 0.8, maxBucketSize = 500)
@@ -104,6 +104,27 @@ class DedupSpec extends SparkSpec {
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.contains((0L, 1L)), "exact dup")
     assert(got.contains((0L, 2L)), "one-word edit near-dup")
+    // disabling the prefilter (None) can only widen the verified set
+    val noPrefilter = MinHashDedup.nearDupPairs(docs, "doc_id", "text",
+      threshold = 0.8, sigAgreementMargin = None)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(noPrefilter))
+  }
+
+  test("near-dup operators enforce the bigint-id contract with a clear error") {
+    val strIds = docs.selectExpr("CAST(doc_id AS STRING) AS doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      MinHashDedup.nearDupPairs(strIds, "doc_id", "text")
+    }
+    assert(e1.getMessage.contains("BIGINT"))
+    val e2 = intercept[IllegalArgumentException] {
+      SimHash.nearDupPairs(strIds, "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("BIGINT"))
+    val e3 = intercept[IllegalArgumentException] {
+      MinHashDedup.exactShinglePairs(strIds, "doc_id", "text")
+    }
+    assert(e3.getMessage.contains("BIGINT"))
   }
 
   test("exact shingle all-pairs (inverted index) matches the quadratic " +
@@ -150,11 +171,13 @@ class DedupSpec extends SparkSpec {
     // buckets holds the whole corpus
     val same = spark.range(120)
       .selectExpr("id as doc_id", "'boilerplate text repeated across the corpus' as text")
-    val capped = SimHash.nearDupPairs(same, "doc_id", "text", maxBucketSize = 50)
+    val (capped, stats) = SimHash.nearDupPairsWithStats(
+      same, "doc_id", "text", maxBucketSize = 50)
     assert(capped.count() == 0)
-    val (buckets, slots) = SimHash.lastDropStats.get
-    assert(buckets.value == 4, s"4 chunk buckets dropped, got ${buckets.value}")
-    assert(slots.value == 4L * 120, s"dropped slots counted, got ${slots.value}")
+    assert(stats.buckets.value == 4,
+      s"4 chunk buckets dropped, got ${stats.buckets.value}")
+    assert(stats.slots.value == 4L * 120,
+      s"dropped slots counted, got ${stats.slots.value}")
     val uncapped = SimHash.nearDupPairs(same, "doc_id", "text", maxBucketSize = 500)
     assert(uncapped.count() == 120L * 119 / 2)
   }

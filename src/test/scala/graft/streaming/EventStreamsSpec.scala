@@ -65,10 +65,16 @@ class EventStreamsSpec extends SparkSpec {
   test("foreachBatch parquet ETL sink: rows round-trip, sink is " +
     "partition-pruned on event_type") {
     val out = java.nio.file.Files.createTempDirectory("graft_etl_sink").toString
-    EventStreams.etlToParquet(spark, sfDir, out)
+    val ck = java.nio.file.Files.createTempDirectory("graft_etl_ck").toString
+    EventStreams.etlToParquet(spark, sfDir, out, checkpoint = Some(ck))
     val written = spark.read.parquet(out)
     val n = graft.Tables.events(spark, sfDir).count()
     assert(written.count() == n, "every event lands in the sink")
+    assert(written.columns.contains("batch_id"), "batch-scoped idempotent layout")
+    // idempotence: re-running against the SAME durable checkpoint finds
+    // no new source data and must not duplicate the sink
+    EventStreams.etlToParquet(spark, sfDir, out, checkpoint = Some(ck))
+    assert(spark.read.parquet(out).count() == n, "re-run must not append dups")
     // partition pruning on the sink layout
     val one = written.filter(col("event_type") === "click")
     one.collect()
