@@ -24,8 +24,10 @@ object Scratch {
       val out = s"/tmp/verify_scratch/$sf"
       new java.io.File(out).mkdirs()
       names.foreach { n =>
+        val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, dir).coalesce(1)
           .write.mode("overwrite").parquet(s"$out/$n")
+        println(f"SCRATCH $sf $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
       def q(s: String): String = "\"" + s.flatMap {
         case '"'  => "\\\""
