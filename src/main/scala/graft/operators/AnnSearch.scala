@@ -273,9 +273,11 @@ object AnnSearch extends QueryPack {
     "q_ann_ivf"    -> (ivfQuery _),
     "q_ann_recall" -> (annRecallQuery _))
 
-  /** `q_ann_lsh`/`q_ann_ivf` return top-k rows whose seeded-hyperplane /
-    * k-means state isn't DuckDB-expressible (recall is scalatest-asserted
-    * in AnnSearchSpec); their QUALITY is driver-checked via q_ann_recall.
+  /** `q_ann_lsh` is fully hash-matched: the seeded hyperplanes are pure
+    * f(seed, dim), so DuckDB re-derives every bucket, the probe set and
+    * the served top-10 bit-for-bit. `q_ann_ivf` rides on MLlib's k-means
+    * fit (not SQL-expressible) and stays rows-only with its recall
+    * driver-gated via q_ann_recall's `ivf_recall_ge_half`.
     */
   override def oracleSql: Map[String, String] = {
     // the exact planes the engine builds with: pure f(seed=42, dim=64)
@@ -285,7 +287,22 @@ object AnnSearch extends QueryPack {
       planes.zipWithIndex.map { case (p, i) =>
         s"CASE WHEN list_dot_product($vec, ${lit(p)}) >= 0 THEN ${1 << i} ELSE 0 END"
       }.mkString("(", " + ", ")")
-    Map("q_ann_recall" ->
+    Map("q_ann_lsh" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         | corp AS MATERIALIZED (
+         |  SELECT e.vec_id,
+         |   ${bucketExpr("e.embedding::DOUBLE[]")} AS b,
+         |   round(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+         |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+         |     sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+         |  FROM embeddings e, q WHERE e.vec_id <> 0),
+         | qb AS (SELECT ${bucketExpr("qv")} AS b FROM q)
+         |SELECT corp.vec_id, CAST(corp.b AS INT) AS lsh_bucket, corp.sim
+         |FROM corp, qb
+         |WHERE corp.b = qb.b OR corp.b = xor(qb.b, 1) OR corp.b = xor(qb.b, 2)
+         |   OR corp.b = xor(qb.b, 4) OR corp.b = xor(qb.b, 8)
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+      "q_ann_recall" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
          | corp AS MATERIALIZED (
          |  SELECT e.vec_id,

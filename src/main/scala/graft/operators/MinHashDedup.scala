@@ -431,15 +431,97 @@ object MinHashDedup extends QueryPack {
     // stream ≡ sequential-greedy spec in DocDedupStreamSpec)
     "q_stream_neardup"  -> (graft.streaming.DocDedupStream.nearDupDedupStreaming _))
 
-  /** MinHash banding itself isn't DuckDB-expressible (xxhash64 + custom
-    * affine hashes), so `q_minhash_neardup` stays rows-only — but the
-    * RECALL report is: DuckDB recomputes the exact shingle and word
-    * truths quadratically and asserts the LSH pipeline matches them
-    * (recall 1.0 at gate scale). The shingle construction mirrors
-    * [[shingleHashesJvm]]: 3-token windows, < 3 tokens ⇒ one whole-text
-    * shingle; hashed vs string shingles agree w.h.p. at 64 bits.
+  /** Both minhash queries are DuckDB-oracle-checked. `q_minhash_neardup`
+    * is hash-matched end-to-end via [[minhashNeardupOracle]] (exact
+    * signature replication). The RECALL report's oracle recomputes the
+    * exact shingle and word truths quadratically and asserts the LSH
+    * pipeline matches them (recall 1.0 at gate scale). The shingle
+    * construction mirrors [[shingleHashesJvm]]: 3-token windows,
+    * < 3 tokens ⇒ one whole-text shingle; hashed vs string shingles
+    * agree w.h.p. at 64 bits.
     */
+  /** Full DuckDB replication of the minhash pipeline (the SimHash-oracle
+    * technique, one level up): token FNV-1a and the order-aware shingle
+    * mix run in HUGEINT mod-2^64 (the shingle constant is ~2^63, so a*C
+    * uses a 32-bit split multiply — a straight HUGEINT product would
+    * overflow 2^127); the 64 affine hashes (a·x+b) mod 2^61−1 inline the
+    * exact [[coeffs]] literals; banding joins on raw signature SLICES
+    * (engine buckets are xxhash64 of the same slices — equal modulo hash
+    * collisions); then the same agreement prefilter and word-set verify.
+    * Distinct-shingle precomputation keeps it vectorized (~4 s at the
+    * sf0.01 gate).
+    */
+  private def minhashNeardupOracle: String = {
+    val cs = coeffs(42L)
+    val asLit = cs.map(_._1).mkString("[", ",", "]")
+    val bsLit = cs.map(_._2).mkString("[", ",", "]")
+    val m64 = "18446744073709551616"
+    val p = prime.toString
+    val c = java.lang.Long.toUnsignedString(0x9E3779B97F4A7C15L)
+    def mulC(a: String): String =
+      s"((((${a}) % 4294967296) * $c + " +
+        s"((($a) // 4294967296) * $c % 4294967296) * 4294967296) % $m64)"
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), tpos AS MATERIALIZED (
+       |  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks
+       |), trows AS MATERIALIZED (
+       |  SELECT doc_id, i, t[i] AS tok FROM tpos
+       |), thash AS MATERIALIZED (
+       |  SELECT tok, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |      [CAST(unicode(substring(tok, ci, 1)) AS HUGEINT)
+       |       FOR ci IN generate_series(1, length(tok))]),
+       |      (h, c) -> (xor(h, c) * 1099511628211) % $m64) AS h
+       |  FROM (SELECT DISTINCT tok FROM trows)
+       |), th AS MATERIALIZED (
+       |  SELECT r.doc_id, r.i, t.h,
+       |    lead(t.h, 1) OVER w AS h1, lead(t.h, 2) OVER w AS h2,
+       |    count(*) OVER (PARTITION BY r.doc_id) AS n
+       |  FROM trows r JOIN thash t USING (tok)
+       |  WINDOW w AS (PARTITION BY r.doc_id ORDER BY r.i)
+       |), shrows AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, (${mulC(mulC("h") + " + h1")} + h2) % $m64 AS s
+       |  FROM th WHERE n >= 3 AND h2 IS NOT NULL
+       |  UNION
+       |  SELECT doc_id, (${mulC("h")} + h1) % $m64 FROM th WHERE n = 2 AND i = 1
+       |  UNION
+       |  SELECT doc_id, h FROM th WHERE n = 1
+       |), coef AS MATERIALIZED (
+       |  SELECT i, ($asLit)[i] AS a, ($bsLit)[i] AS b
+       |  FROM (SELECT unnest(generate_series(1, $numHashes)) AS i)
+       |), vdist AS MATERIALIZED (
+       |  SELECT s, c.i, (c.a * (s % $p) % $p + c.b) % $p AS v
+       |  FROM (SELECT DISTINCT s FROM shrows) CROSS JOIN coef c
+       |), vals AS MATERIALIZED (
+       |  SELECT doc_id, i, min(v) AS v
+       |  FROM shrows JOIN vdist USING (s)
+       |  GROUP BY 1, 2
+       |), bnd AS MATERIALIZED (
+       |  SELECT doc_id, (i - 1) // $rowsPerBand AS band, list(v ORDER BY i) AS sl
+       |  FROM vals GROUP BY 1, 2
+       |), cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.sl = b.sl AND a.doc_id < b.doc_id
+       |), pre AS MATERIALIZED (
+       |  SELECT a_id, b_id
+       |  FROM cand JOIN vals va ON va.doc_id = a_id
+       |            JOIN vals vb ON vb.doc_id = b_id AND vb.i = va.i
+       |  GROUP BY 1, 2
+       |  HAVING sum(CASE WHEN va.v = vb.v THEN 1 ELSE 0 END) / $numHashes.0 >= 0.45
+       |), ws AS MATERIALIZED (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents
+       |)
+       |SELECT a_id, b_id,
+       |  round(len(list_intersect(a.w, b.w))::DOUBLE /
+       |        (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))), 6) AS jac
+       |FROM pre JOIN ws a ON a.doc_id = a_id JOIN ws b ON b.doc_id = b_id
+       |WHERE round(len(list_intersect(a.w, b.w))::DOUBLE /
+       |        (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))), 6) >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
+    "q_minhash_neardup" -> minhashNeardupOracle,
     "q_minhash_recall" ->
       """WITH toks AS MATERIALIZED (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -178,8 +178,13 @@ object TextAnalysis extends QueryPack {
     h
   }
 
-  /** Per-doc winnowing fingerprint stats + cross-doc sharing (rows-only:
-    * FNV winnowing isn't DuckDB-expressible).
+  /** Per-doc winnowing fingerprint stats + cross-doc sharing — fully
+    * DuckDB-oracle-checked: the oracle recomputes the FNV char-8-grams in
+    * HUGEINT mod-2^64, converts to SIGNED before the window-4 rolling min
+    * (the JVM compares signed longs), and reproduces the distinct
+    * fingerprint sets bit-exactly, including the two edge cases (< 8
+    * chars ⇒ whole-text fingerprint; 8–10 chars ⇒ no window fits ⇒ no
+    * fingerprints).
     */
   def winnowQuery(s: SparkSession, dir: String): DataFrame = {
     val fpUdf = udf { (t: String) => winnowFingerprints(t) }
@@ -324,6 +329,43 @@ object TextAnalysis extends QueryPack {
     "q_winnow_fp"        -> (winnowQuery _))
 
   override def oracleSql: Map[String, String] = Map(
+    "q_winnow_fp" ->
+      """WITH glist AS MATERIALIZED (
+        |  SELECT doc_id, length(text) AS tl,
+        |    CASE WHEN length(text) >= 8
+        |      THEN [substring(text, i, 8) FOR i IN generate_series(1, length(text) - 7)]
+        |      ELSE [text] END AS grams
+        |  FROM documents
+        |), grows AS MATERIALIZED (
+        |  SELECT doc_id, tl, grams, unnest(generate_series(1, len(grams))) AS i FROM glist
+        |), gr AS MATERIALIZED (
+        |  SELECT doc_id, tl, i, grams[i] AS gram FROM grows
+        |), gh AS MATERIALIZED (
+        |  SELECT gram,
+        |    CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616
+        |      ELSE hu END AS BIGINT) AS h
+        |  FROM (
+        |    SELECT gram, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        [CAST(unicode(substring(gram, ci, 1)) AS HUGEINT)
+        |         FOR ci IN generate_series(1, length(gram))]),
+        |        (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616) AS hu
+        |    FROM (SELECT DISTINCT gram FROM gr))
+        |), hr AS MATERIALIZED (
+        |  SELECT doc_id, tl, i, h FROM gr JOIN gh USING (gram)
+        |), wmin AS MATERIALIZED (
+        |  SELECT doc_id, tl, i,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+        |    count(*) OVER (PARTITION BY doc_id) AS ng
+        |  FROM hr
+        |), fps AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, m AS fp FROM wmin WHERE tl >= 8 AND i + 3 <= ng
+        |  UNION
+        |  SELECT DISTINCT doc_id, h AS fp FROM hr WHERE tl < 8
+        |)
+        |SELECT n_docs, CAST(count(*) AS BIGINT) AS n_fingerprints
+        |FROM (SELECT fp, count(DISTINCT doc_id) AS n_docs FROM fps GROUP BY fp)
+        |GROUP BY n_docs ORDER BY n_docs""".stripMargin,
     "q_sample_k" ->
       """SELECT lang, doc_id, pri FROM (
         |  SELECT lang, doc_id,
