@@ -160,5 +160,81 @@ object Multimodal extends QueryPack {
     "q_media_frames"    -> (frameSampleQuery _),
     "q_media_frame_knn" -> (frameEmbeddingSearch _))
 
-  override def oracleSql: Map[String, String] = Map.empty
+  /** All three media queries are DuckDB-oracle-checked: the stub decode /
+    * featurize / frame-sample kernels are deterministic byte arithmetic,
+    * and the driver corpus is pure printable ASCII, so UTF-8 payload
+    * bytes == codepoints (`unicode(substring(...))`) and `length(text)`
+    * == payload size — the oracle recomputes the 31·h+b meta hash in
+    * HUGEINT mod-2^64, the 16-bin L1 histograms (through REAL, matching
+    * the engine's float bins), slice geometry, and the frame cosine
+    * top-k bit-for-bit. A non-ASCII corpus would need BLOB byte access
+    * instead; the engine side is byte-correct either way.
+    */
+  override def oracleSql: Map[String, String] = {
+    val media =
+      """media AS MATERIALIZED (
+        |  SELECT doc_id AS media_id, text,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    length(text) AS n_bytes
+        |  FROM documents
+        |)""".stripMargin
+    Map(
+      "q_media_features" ->
+        s"""WITH $media,
+           |meta AS MATERIALIZED (
+           |  SELECT media_id, media_type, n_bytes,
+           |    list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+           |      [CAST(unicode(substring(text, i, 1)) AS HUGEINT)
+           |       FOR i IN generate_series(1, least(n_bytes, 64))]),
+           |      (h, c) -> (h * 31 + c) % 18446744073709551616) AS h,
+           |    len(list_filter([unicode(substring(text, i, 1))
+           |        FOR i IN generate_series(1, n_bytes)],
+           |        c -> c // 16 = 0))::DOUBLE / greatest(n_bytes, 1) AS bin0
+           |  FROM media
+           |)
+           |SELECT media_type,
+           |  CAST(count(*) AS BIGINT) AS n_media,
+           |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           |  round(avg(16 + (h % 16) * 16), 2) AS avg_width,
+           |  round(avg(CAST(bin0 AS REAL)), 6) AS avg_bin0
+           |FROM meta GROUP BY media_type ORDER BY media_type""".stripMargin,
+      "q_media_frames" ->
+        s"""WITH $media,
+           |v AS (SELECT media_id, n_bytes, greatest(n_bytes // 4, 1) AS step
+           |      FROM media WHERE media_type = 'video'),
+           |f AS (
+           |  SELECT media_id, least(i * step + step, n_bytes) - i * step AS flen
+           |  FROM v, (SELECT unnest(generate_series(0, 3)) AS i)
+           |  WHERE i * step < n_bytes
+           |)
+           |SELECT media_id, CAST(count(*) AS INT) AS n_frames,
+           |  CAST(sum(flen) AS BIGINT) AS frame_bytes
+           |FROM f WHERE media_id < 60
+           |GROUP BY media_id ORDER BY media_id""".stripMargin,
+      "q_media_frame_knn" ->
+        s"""WITH $media,
+           |v AS (SELECT media_id, text, n_bytes, greatest(n_bytes // 4, 1) AS step
+           |      FROM media WHERE media_type = 'video'),
+           |fr AS MATERIALIZED (
+           |  SELECT media_id, i AS frame_no,
+           |    substring(text, i * step + 1,
+           |      least(i * step + step, n_bytes) - i * step) AS frame
+           |  FROM v, (SELECT unnest(generate_series(0, 3)) AS i)
+           |  WHERE i * step < n_bytes
+           |), hist AS MATERIALIZED (
+           |  SELECT media_id, frame_no,
+           |    [CAST(len(list_filter([unicode(substring(frame, ci, 1))
+           |        FOR ci IN generate_series(1, length(frame))], c -> c // 16 = b))::DOUBLE
+           |      / greatest(length(frame), 1) AS REAL)::DOUBLE
+           |     FOR b IN generate_series(0, 15)] AS emb
+           |  FROM fr
+           |), probe AS (SELECT emb AS p FROM hist WHERE media_id = 2 AND frame_no = 0)
+           |SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
+           |  round(list_dot_product(emb, p) /
+           |    (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(p, p))), 6) AS sim
+           |FROM hist, probe
+           |WHERE NOT (media_id = 2 AND frame_no = 0)
+           |ORDER BY sim DESC, media_id, frame_no LIMIT 10""".stripMargin)
+  }
 }
