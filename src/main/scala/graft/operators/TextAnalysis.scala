@@ -304,6 +304,78 @@ object TextAnalysis extends QueryPack {
       .select(col("lang"), col("s.id").as("doc_id"), col("s.pri").as("pri"))
       .orderBy(col("lang"), col("pri"), col("doc_id"))
 
+  /** Train/eval CONTAMINATION detection — the benchmark-leakage check run
+    * before any evaluation is trusted: does an eval document's content
+    * appear (as a long word n-gram) anywhere in the training split?
+    *
+    * Split = the deterministic md5 buckets of [[hashSample]] (bucket < 30
+    * ⇒ eval, else train), so the check is reproducible anywhere. Grams
+    * are word 8-grams (whole text for < 8-token docs); the join key is
+    * md5(gram) — at 100 TB the train side is a distinct-gram table
+    * (hash-agg, shuffled once) and the probe is a semi-join on 16-byte
+    * keys, never on gram text. All outputs are integer counts plus ONE
+    * terminal division, so the oracle (joining raw gram strings —
+    * md5-collision-free equivalence) matches bit-for-bit.
+    */
+  def contaminationReport(s: SparkSession, dir: String): DataFrame = {
+    val bucketed = Tables.documents(s, dir)
+      .withColumn("bucket",
+        (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long") % 100))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("grams",
+        when(size(col("toks")) >= 8,
+          transform(sequence(lit(0), size(col("toks")) - 8),
+            i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(8))).cast("binary"))))
+          .otherwise(array(md5(col("text").cast("binary")))))
+    val trainGrams = bucketed.filter(col("bucket") >= 30)
+      .select(explode(col("grams")).as("g")).distinct()
+    val evalGrams = bucketed.filter(col("bucket") < 30)
+      .select(col("doc_id"), col("source"), explode(col("grams")).as("g"))
+      .distinct()
+    val perDoc = evalGrams
+      .join(trainGrams.withColumn("hit", lit(1L)), Seq("g"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    perDoc.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_eval_docs"),
+        sum(when(col("n_hit") > 0, 1L).otherwise(0L)).as("n_contam_docs"),
+        sum(col("n_grams")).as("n_eval_grams"),
+        sum(col("n_hit")).as("n_contam_grams"))
+      .withColumn("contam_rate",
+        round(col("n_contam_grams").cast("double") /
+          nullif(col("n_eval_grams"), lit(0L)), 6))
+      .orderBy(col("source"))
+  }
+
+  /** Corpus statistics profile — the first report run on any new corpus:
+    * token totals, vocabulary size, Zipf head share (top-10 tokens'
+    * fraction of all occurrences), and hapax count (tokens seen once —
+    * the long-tail / noise indicator). One explode + two hash-aggregates;
+    * every column is exact integer math plus terminal divisions.
+    */
+  def corpusStats(s: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val freq = tokens.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    val top10 = freq.orderBy(col("f").desc, col("tok")).limit(10)
+      .agg(sum(col("f")).as("top10_tokens"))
+    val base = freq.agg(
+      sum(col("f")).as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      sum(when(col("f") === 1, 1L).otherwise(0L)).as("hapax"))
+    val docs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    docs.crossJoin(base).crossJoin(top10)
+      .select(col("n_docs"), col("n_tokens"), col("vocab"), col("hapax"),
+        col("top10_tokens"),
+        round(col("top10_tokens").cast("double") /
+          nullif(col("n_tokens"), lit(0L)), 6).as("top10_share"),
+        round(col("hapax").cast("double") /
+          nullif(col("vocab"), lit(0L)), 6).as("hapax_share"))
+  }
+
   /** Content fingerprints (md5 — stable across engines) for a key slice. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -326,9 +398,58 @@ object TextAnalysis extends QueryPack {
     "q_curation_funnel"  -> (curationFunnel _),
     "q_hash_sample"      -> (hashSample _),
     "q_sample_k"         -> (sampleKQuery _),
+    "q_contamination"    -> (contaminationReport _),
+    "q_corpus_stats"     -> (corpusStats _),
     "q_winnow_fp"        -> (winnowQuery _))
 
   override def oracleSql: Map[String, String] = Map(
+    "q_contamination" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT doc_id, source, text,
+        |    CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT) % 100 AS bucket,
+        |    string_split(text, ' ') AS t
+        |  FROM documents
+        |), g AS MATERIALIZED (
+        |  SELECT doc_id, source, bucket,
+        |    CASE WHEN len(t) >= 8
+        |      THEN [array_to_string(t[i:i+7], ' ') FOR i IN generate_series(1, len(t) - 7)]
+        |      ELSE [text] END AS grams
+        |  FROM b
+        |), train AS MATERIALIZED (
+        |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE bucket >= 30
+        |), ev AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, source, unnest(grams) AS gram FROM g WHERE bucket < 30
+        |), perdoc AS (
+        |  SELECT doc_id, source, count(*) AS n_grams,
+        |    sum(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        |  FROM ev LEFT JOIN train t USING (gram)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_eval_docs,
+        |  CAST(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contam_docs,
+        |  CAST(sum(n_grams) AS BIGINT) AS n_eval_grams,
+        |  CAST(sum(n_hit) AS BIGINT) AS n_contam_grams,
+        |  round(sum(n_hit)::DOUBLE / nullif(sum(n_grams), 0), 6) AS contam_rate
+        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
+    "q_corpus_stats" ->
+      """WITH tok AS MATERIALIZED (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |), freq AS MATERIALIZED (
+        |  SELECT tok, count(*) AS f FROM tok GROUP BY tok
+        |), top10 AS (
+        |  SELECT CAST(sum(f) AS BIGINT) AS top10_tokens
+        |  FROM (SELECT f FROM freq ORDER BY f DESC, tok LIMIT 10)
+        |), base AS (
+        |  SELECT CAST(sum(f) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS vocab,
+        |    CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+        |  FROM freq
+        |), d AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT n_docs, n_tokens, vocab, hapax, top10_tokens,
+        |  round(top10_tokens::DOUBLE / nullif(n_tokens, 0), 6) AS top10_share,
+        |  round(hapax::DOUBLE / nullif(vocab, 0), 6) AS hapax_share
+        |FROM d, base, top10""".stripMargin,
     "q_winnow_fp" ->
       """WITH glist AS MATERIALIZED (
         |  SELECT doc_id, length(text) AS tl,
