@@ -601,6 +601,28 @@ object Relational extends QueryPack {
         count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
 
+  /** Approximate quantile SKETCH next to its exact truth (the
+    * [[approxDistinct]] pattern): `approx_percentile` is the
+    * KLL/GK-style mergeable sketch a 100 TB profiler actually runs —
+    * single pass, bounded memory, map-side mergeable — while exact
+    * `percentile` buffers each group. The sketch values themselves are
+    * engine-private, so the driver row carries the EXACT percentiles
+    * plus within-2%-relative flags the oracle pins to 1: sketch drift
+    * beyond the tolerance fails the hash gate.
+    */
+  def approxQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).agg(
+      round(expr("percentile(o_totalprice, 0.5)"), 4).as("exact_p50"),
+      round(expr("percentile(o_totalprice, 0.99)"), 4).as("exact_p99"),
+      expr("approx_percentile(o_totalprice, 0.5, 1000)").as("__a50"),
+      expr("approx_percentile(o_totalprice, 0.99, 1000)").as("__a99"),
+      count(lit(1)).as("n"))
+    .select(col("exact_p50"), col("exact_p99"), col("n"),
+      (abs(col("__a50") - col("exact_p50")) <= col("exact_p50") * 0.02)
+        .cast("bigint").as("p50_within_2pct"),
+      (abs(col("__a99") - col("exact_p99")) <= col("exact_p99") * 0.02)
+        .cast("bigint").as("p99_within_2pct"))
+
   /** Per-group distinct aggregation. */
   def distinctNationsPerSegment(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
@@ -626,6 +648,7 @@ object Relational extends QueryPack {
     "q_setops_all"        -> (setOpsAll _),
     "q_histogram"         -> (histogram _),
     "q_approx_distinct"   -> (approxDistinct _),
+    "q_approx_quantile"   -> (approxQuantiles _),
     "q_corr_subquery"     -> (corrScalarAggSubquery _),
     "q_window_funcs"      -> (windowFuncs _),
     "q_corr"              -> (corrStats _),
@@ -881,6 +904,13 @@ object Relational extends QueryPack {
         | UNION ALL
         | SELECT o_orderkey, 'big' AS slice FROM orders WHERE o_totalprice > 550000
         | ORDER BY slice, o_orderkey""".stripMargin,
+    "q_approx_quantile" ->
+      """SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+        |  round(quantile_cont(o_totalprice, 0.99), 4) AS exact_p99,
+        |  count(*) AS n,
+        |  CAST(1 AS BIGINT) AS p50_within_2pct,
+        |  CAST(1 AS BIGINT) AS p99_within_2pct
+        | FROM orders""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderstatus,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

@@ -376,6 +376,31 @@ object TextAnalysis extends QueryPack {
           nullif(col("vocab"), lit(0L)), 6).as("hapax_share"))
   }
 
+  /** Sequence PACKING — assigning documents to fixed-capacity training
+    * sequences (context windows) ahead of tokenizer/loader work: docs are
+    * packed greedily in doc_id order WITHIN each source (the pack key
+    * keeps the window partitioned — a global pack order would serialize
+    * the whole corpus through one window partition at 100 TB), and a doc
+    * belongs to the sequence its starting token falls in (pack-with-
+    * overflow: a doc crossing the 2048 boundary stays in its start
+    * sequence; loaders that split docs instead shift only the tail).
+    * One window cumsum + one aggregation; all integer math, so the
+    * per-sequence report is oracle-exact.
+    */
+  def seqPack(s: SparkSession, dir: String, capacity: Long = 2048L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("start_tok", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("seq_id", (col("start_tok") / capacity).cast("long"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("fill", round(col("n_tokens").cast("double") / capacity, 6))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
   /** Content fingerprints (md5 — stable across engines) for a key slice. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -400,6 +425,7 @@ object TextAnalysis extends QueryPack {
     "q_sample_k"         -> (sampleKQuery _),
     "q_contamination"    -> (contaminationReport _),
     "q_corpus_stats"     -> (corpusStats _),
+    "q_seq_pack"         -> ((s, d) => seqPack(s, d)),
     "q_winnow_fp"        -> (winnowQuery _))
 
   override def oracleSql: Map[String, String] = Map(
@@ -432,6 +458,20 @@ object TextAnalysis extends QueryPack {
         |  CAST(sum(n_hit) AS BIGINT) AS n_contam_grams,
         |  round(sum(n_hit)::DOUBLE / nullif(sum(n_grams), 0), 6) AS contam_rate
         |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
+    "q_seq_pack" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok AS start_tok
+        |  FROM d
+        |)
+        |SELECT source, CAST(start_tok // 2048 AS BIGINT) AS seq_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  round(sum(n_tok)::DOUBLE / 2048, 6) AS fill
+        |FROM c GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin,
     "q_corpus_stats" ->
       """WITH tok AS MATERIALIZED (
         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
