@@ -39,7 +39,7 @@ object CdcChunking extends QueryPack {
   private val mask = (1 << avgBits) - 1
 
   /** Seeded gear table: 256 random longs (deterministic across executors). */
-  private val gear: Array[Long] = {
+  private[operators] val gear: Array[Long] = {
     val rng = new scala.util.Random(42L)
     Array.fill(256)(rng.nextLong())
   }
@@ -187,11 +187,107 @@ object CdcChunking extends QueryPack {
     "q_cdc_stats"   -> (chunkStatsQuery _),
     "q_cdc_overlap" -> (overlapQuery _))
 
-  /** Chunk boundaries come from the JVM gear/rolling-hash kernel (a
-    * sequential stateful scan with min/max bounds — not expressible as
-    * DuckDB SQL), so both queries are rows-only; the chunking invariants
-    * (reassembly, size bounds, boundary re-sync after edits, shared
-    * suffix ⇒ shared chunks) are spec-asserted in CdcChunkingSpec.
+  /** Both CDC queries are DuckDB-oracle-checked despite the sequential
+    * chunking kernel, via two observations:
+    *
+    *  1. the boundary predicate `(h & 31) == 0` only sees the last 5
+    *     bytes — `gear(b) << k` vanishes under the mask for k ≥ 5, and
+    *     minSize (16) ≥ 5 guarantees the 5-byte window never crosses the
+    *     chunk start — so "is position i a cut point" is computable
+    *     per-position from a sliding window, independent of where the
+    *     chunk started (spec-asserted equivalence in CdcChunkingSpec);
+    *  2. segmentation then becomes a recursive CTE walking a precomputed
+    *     next-cut-at-or-after array with the min/max bounds as pure
+    *     arithmetic.
+    *
+    * The gear table literals are inlined from the exact seeded JVM table;
+    * chunk identity re-derives FNV-1a over the chunk text (ASCII corpus ⇒
+    * bytes = codepoints, as in the multimodal oracles).
     */
-  override def oracleSql: Map[String, String] = Map.empty
+  override def oracleSql: Map[String, String] = {
+    val gearLit = gear.map(g =>
+      s"CAST(${java.lang.Long.toUnsignedString(g)} AS HUGEINT)")
+      .mkString("[", ",", "]")
+    val fnv =
+      """list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |    [CAST(unicode(substring(chunk, ci, 1)) AS HUGEINT)
+        |     FOR ci IN generate_series(1, length(chunk))]),
+        |    (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616)""".stripMargin
+    val prelude =
+      s"""WITH RECURSIVE codes AS MATERIALIZED (
+         |  SELECT doc_id, source, text, length(text) AS n,
+         |    [unicode(substring(text, i, 1)) FOR i IN generate_series(1, length(text))] AS cs
+         |  FROM documents
+         |), g AS MATERIALIZED (SELECT $gearLit AS t
+         |), pos AS MATERIALIZED (
+         |  SELECT doc_id, i,
+         |    (( g.t[cs[i] + 1]
+         |     + CASE WHEN i >= 2 THEN g.t[cs[i-1] + 1] * 2 ELSE 0 END
+         |     + CASE WHEN i >= 3 THEN g.t[cs[i-2] + 1] * 4 ELSE 0 END
+         |     + CASE WHEN i >= 4 THEN g.t[cs[i-3] + 1] * 8 ELSE 0 END
+         |     + CASE WHEN i >= 5 THEN g.t[cs[i-4] + 1] * 16 ELSE 0 END) % 32 = 0) AS p
+         |  FROM (SELECT doc_id, cs, unnest(generate_series(1, n)) AS i FROM codes), g
+         |), nb AS MATERIALIZED (
+         |  SELECT doc_id, list(CASE WHEN nxt IS NULL THEN 1000000000 ELSE nxt END ORDER BY i) AS nxts
+         |  FROM (
+         |    SELECT doc_id, i,
+         |      min(CASE WHEN p THEN i END) OVER (PARTITION BY doc_id ORDER BY i
+         |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+         |    FROM pos)
+         |  GROUP BY doc_id
+         |), meta AS MATERIALIZED (
+         |  SELECT c.doc_id, c.source, c.text, c.n, nb.nxts FROM codes c JOIN nb USING (doc_id)
+         |), ch AS (
+         |  SELECT doc_id, 0 AS idx, 0 AS s,
+         |    least(CASE WHEN $minSize <= n THEN nxts[$minSize] ELSE 1000000000 END, $maxSize, n) AS e,
+         |    n, nxts
+         |  FROM meta
+         |  UNION ALL
+         |  SELECT doc_id, idx + 1, e,
+         |    least(CASE WHEN e + $minSize <= n THEN nxts[e + $minSize] ELSE 1000000000 END,
+         |          e + $maxSize, n),
+         |    n, nxts
+         |  FROM ch WHERE e < n
+         |), chunks AS MATERIALIZED (
+         |  SELECT m.doc_id, m.source, ch.idx AS chunk_idx,
+         |    substring(m.text, ch.s + 1, ch.e - ch.s) AS chunk,
+         |    ch.e - ch.s AS chunk_len
+         |  FROM ch JOIN meta m USING (doc_id)
+         |), chash AS MATERIALIZED (
+         |  SELECT chunk,
+         |    CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616
+         |      ELSE hu END AS BIGINT) AS chunk_hash
+         |  FROM (SELECT chunk, $fnv AS hu FROM (SELECT DISTINCT chunk FROM chunks))
+         |), refs AS MATERIALIZED (
+         |  SELECT c.doc_id, c.source, c.chunk_idx, h.chunk_hash, c.chunk_len
+         |  FROM chunks c JOIN chash h USING (chunk)
+         |)""".stripMargin
+    Map(
+      "q_cdc_stats" -> (prelude +
+        """
+          |, per AS (
+          |  SELECT chunk_hash, count(*) AS refs, min(chunk_len) AS chunk_len,
+          |    min(struct_pack(doc_id := doc_id, chunk_idx := chunk_idx,
+          |                    source := source)) AS owner
+          |  FROM refs GROUP BY chunk_hash
+          |)
+          |SELECT owner.source AS source,
+          |  CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+          |  CAST(sum(refs) AS BIGINT) AS n_chunk_refs,
+          |  CAST(sum(chunk_len * refs) AS BIGINT) AS total_bytes,
+          |  CAST(sum(chunk_len) AS BIGINT) AS distinct_bytes,
+          |  CAST(sum(chunk_len * (refs - 1)) AS BIGINT) AS dup_chunk_bytes
+          |FROM per GROUP BY 1 ORDER BY source""".stripMargin),
+      "q_cdc_overlap" -> (prelude +
+        """
+          |, dref AS (
+          |  SELECT DISTINCT doc_id, chunk_hash, chunk_len FROM refs
+          |)
+          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |  CAST(count(*) AS BIGINT) AS shared_chunks,
+          |  CAST(sum(a.chunk_len) AS BIGINT) AS shared_bytes
+          |FROM dref a JOIN dref b ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+          |GROUP BY 1, 2 HAVING count(*) >= 2
+          |ORDER BY a_id, b_id""".stripMargin))
+  }
 }

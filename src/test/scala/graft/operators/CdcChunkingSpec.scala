@@ -58,6 +58,38 @@ class CdcChunkingSpec extends SparkSpec {
     assert(sharedPrefix.nonEmpty, "leading chunks must match")
   }
 
+  test("boundary predicate locality: (h & 31) == 0 depends only on the " +
+    "last 5 bytes, so per-position cut points + min/max walk reproduce " +
+    "the sequential kernel (the oracle's construction)") {
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    texts.foreach { t =>
+      val bytes = t.getBytes("UTF-8")
+      val n = bytes.length
+      // P(i): 5-byte sliding-window predicate, position-independent
+      val p = Array.tabulate(n) { i =>
+        var h = 0L
+        var j = math.max(0, i - 4)
+        while (j <= i) { h += gear(bytes(j) & 0xFF) << (i - j); j += 1 }
+        (h & 31L) == 0L
+      }
+      // segmentation as the oracle does it: next cut at-or-after + bounds
+      val out = Array.newBuilder[Int]
+      var start = 0
+      while (start < n) {
+        val hard = math.min(start + maxSize, n)
+        var end = -1
+        var i = start + minSize - 1
+        while (i < hard && end < 0) { if (p(i)) end = i + 1; i += 1 }
+        if (end < 0) end = hard
+        out += end
+        start = end
+      }
+      assert(out.result().toSeq == boundaries(bytes).toSeq,
+        s"predicate walk must equal sequential kernel for: ${t.take(40)}…")
+    }
+  }
+
   test("chunkStats: bytes add up and dedup accounting is exact") {
     val row = chunkStats(spark, sfDir)
     val agg = row.agg(
