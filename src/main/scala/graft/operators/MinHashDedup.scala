@@ -426,9 +426,9 @@ object MinHashDedup extends QueryPack {
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_minhash_neardup" -> (minhashQuery _),
     "q_minhash_recall"  -> (recallReport _),
-    // streaming near-dup admission control; rows-only (first-arrival
-    // semantics — membership is arrival-order-defined, not SQL-derivable;
-    // stream ≡ sequential-greedy spec in DocDedupStreamSpec)
+    // streaming near-dup admission control; oracle-checked via the
+    // closed form of first-arrival claims ([[streamNeardupOracle]]);
+    // stream ≡ sequential-greedy spec in DocDedupStreamSpec
     "q_stream_neardup"  -> (graft.streaming.DocDedupStream.nearDupDedupStreaming _))
 
   /** Both minhash queries are DuckDB-oracle-checked. `q_minhash_neardup`
@@ -451,7 +451,12 @@ object MinHashDedup extends QueryPack {
     * Distinct-shingle precomputation keeps it vectorized (~4 s at the
     * sf0.01 gate).
     */
-  private def minhashNeardupOracle: String = {
+  /** Shared oracle prelude: documents → per-doc, per-band signature
+    * slices (`bnd`), replicating [[signatureOf]] + the banding
+    * projection exactly. Used by the pair oracle and the streaming
+    * kept-set oracle.
+    */
+  private def sigPrelude: String = {
     val cs = coeffs(42L)
     val asLit = cs.map(_._1).mkString("[", ",", "]")
     val bsLit = cs.map(_._2).mkString("[", ",", "]")
@@ -499,7 +504,12 @@ object MinHashDedup extends QueryPack {
        |), bnd AS MATERIALIZED (
        |  SELECT doc_id, (i - 1) // $rowsPerBand AS band, list(v ORDER BY i) AS sl
        |  FROM vals GROUP BY 1, 2
-       |), cand AS MATERIALIZED (
+       |)""".stripMargin
+  }
+
+  private def minhashNeardupOracle: String =
+    s"""$sigPrelude,
+       | cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.sl = b.sl AND a.doc_id < b.doc_id
        |), pre AS MATERIALIZED (
@@ -518,10 +528,28 @@ object MinHashDedup extends QueryPack {
        |WHERE round(len(list_intersect(a.w, b.w))::DOUBLE /
        |        (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))), 6) >= 0.8
        |ORDER BY a_id, b_id""".stripMargin
-  }
+
+  /** Streaming kept-set oracle: with arrival order = doc_id order (the
+    * corpus files are doc_id-ordered; spec-asserted determinism), the
+    * first-arrival claim process has a closed form — every doc claims
+    * its novel buckets whether or not it is admitted, so the claimed set
+    * after doc d is simply ALL buckets of docs ≤ d, and d is admitted
+    * iff it is the MIN doc_id in every one of its 16 (band, slice)
+    * groups. No recursion needed: one window min + one group filter.
+    */
+  private def streamNeardupOracle: String =
+    s"""$sigPrelude,
+       | firsts AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY band, sl) AS first_id
+       |  FROM bnd
+       |)
+       |SELECT doc_id FROM firsts GROUP BY doc_id
+       |HAVING sum(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END) = $bands
+       |ORDER BY doc_id""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
     "q_minhash_neardup" -> minhashNeardupOracle,
+    "q_stream_neardup" -> streamNeardupOracle,
     "q_minhash_recall" ->
       """WITH toks AS MATERIALIZED (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
