@@ -216,6 +216,53 @@ object AnnSearch extends QueryPack {
       "embedding", "vec_id", queryVector(s, dir), nprobe = 4)
   }
 
+  /** BATCHED ANN serving — N queries against the persisted LSH index in
+    * ONE partition-pruned scan (the serving-tier shape: amortize the
+    * index read across a query batch instead of one scan per query):
+    *
+    *  1. the query batch's probe sets union into a single `isin`
+    *     partition filter — the index is read once, covering every
+    *     query's buckets;
+    *  2. a tiny (query_id, bucket, embedding) probe table broadcasts
+    *     into the scan — each candidate row joins only the queries
+    *     probing its bucket, so no corpus row fans out to unrelated
+    *     queries;
+    *  3. per-query top-k runs through the native [[graft.functions.TopKByExpr]]
+    *     aggregate — only k-sized heaps shuffle, never candidate sets.
+    *
+    * Queries here are corpus vectors 1..5 (self-match excluded); the
+    * whole chain — buckets, probe sets, cosine, ranking — is
+    * DuckDB-oracle-checked from the seeded hyperplane literals.
+    */
+  def batchLshQuery(s: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    import s.implicits._
+    val (path, planes) = ensureLshIndex(s, dir)
+    val queries = Tables.embeddings(s, dir)
+      .filter(col("vec_id").between(1, 5))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probeRows = queries.flatMap { case (qid, emb) =>
+      probeBuckets(emb, planes).map(b => (qid, b, emb.toSeq))
+    }.toSeq
+    val probes = probeRows.toDF("query_id", "lsh_bucket", "q_emb")
+    val allBuckets = probeRows.map(_._2).distinct
+
+    val candidates = s.read.parquet(path)
+      .filter(col("lsh_bucket").isin(allBuckets: _*)) // ONE pruned scan
+      .join(broadcast(probes), Seq("lsh_bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        round(cosineSimilarity(col("embedding"), col("q_emb")), 6))
+
+    candidates
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKByExpr(col("vec_id"), col("sim"), topK).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("vec_id"), col("t.score").as("sim"))
+      .orderBy(col("query_id"), col("sim").desc, col("vec_id"))
+  }
+
   // ------------------------------------------------ ANN quality report
 
   /** Driver-visible ANN quality (the `q_minhash_recall` pattern): ONE row
@@ -271,6 +318,7 @@ object AnnSearch extends QueryPack {
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_ann_lsh"    -> (lshQuery _),
     "q_ann_ivf"    -> (ivfQuery _),
+    "q_ann_batch"  -> ((s, d) => batchLshQuery(s, d)),
     "q_ann_recall" -> (annRecallQuery _))
 
   /** `q_ann_lsh` is fully hash-matched: the seeded hyperplanes are pure
@@ -287,7 +335,34 @@ object AnnSearch extends QueryPack {
       planes.zipWithIndex.map { case (p, i) =>
         s"CASE WHEN list_dot_product($vec, ${lit(p)}) >= 0 THEN ${1 << i} ELSE 0 END"
       }.mkString("(", " + ", ")")
-    Map("q_ann_lsh" ->
+    Map(
+      "q_ann_batch" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |           FROM embeddings WHERE vec_id BETWEEN 1 AND 5),
+           | corp AS MATERIALIZED (
+           |  SELECT vec_id, ${bucketExpr("embedding::DOUBLE[]")} AS b,
+           |    embedding::DOUBLE[] AS ev
+           |  FROM embeddings WHERE vec_id <> 0),
+           | qb AS (SELECT query_id, qv, ${bucketExpr("qv")} AS b0 FROM q),
+           | probes AS (
+           |  SELECT query_id, qv,
+           |    unnest([b0, xor(b0, 1), xor(b0, 2), xor(b0, 4), xor(b0, 8)]) AS b
+           |  FROM qb),
+           | cand AS (
+           |  SELECT p.query_id, c.vec_id,
+           |    round(list_dot_product(c.ev, p.qv) /
+           |      (sqrt(list_dot_product(c.ev, c.ev)) *
+           |       sqrt(list_dot_product(p.qv, p.qv))), 6) AS sim
+           |  FROM corp c JOIN probes p ON c.b = p.b
+           |  WHERE c.vec_id <> p.query_id),
+           | ranked AS (
+           |  SELECT query_id, vec_id, sim,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, vec_id) AS rn
+           |  FROM cand)
+           |SELECT query_id, vec_id, sim FROM ranked WHERE rn <= 3
+           |ORDER BY query_id, sim DESC, vec_id""".stripMargin,
+      "q_ann_lsh" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
          | corp AS MATERIALIZED (
          |  SELECT e.vec_id,

@@ -83,6 +83,35 @@ class AnnSearchSpec extends SparkSpec {
     assert(served == inline, "persisted-index serve must match inline search")
   }
 
+  test("q_ann_batch: one pruned scan serves the whole query batch; " +
+    "per-query results match the single-query search") {
+    val batch = AnnSearch.batchLshQuery(spark, sfDir)
+    val rows = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).distinct.sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // plan: ONE partition-pruned index scan + broadcast probe table
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"pruned scan expected:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "probe table must broadcast")
+    // AQE prints Final + Initial plans; count scans in the final one only
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(finalPlan).length == 1,
+      s"the index must be scanned once for the whole batch:\n$finalPlan")
+    // parity: each query's top-3 equals the single-query LSH search with
+    // self-matches excluded
+    val (_, planes) = AnnSearch.ensureLshIndex(spark, sfDir)
+    rows.groupBy(_._1).foreach { case (qid, got) =>
+      val qv = corpus.filter(s"vec_id = $qid")
+        .select("embedding").head().getSeq[Float](0).toArray
+      val expected = AnnSearch.lshSearch(
+          corpus.filter(s"vec_id <> $qid"), "embedding", "vec_id", qv, topK = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(got.sortBy(t => (-t._3, t._2)).map(t => (t._2, t._3)).toSeq == expected,
+        s"query $qid mismatch")
+    }
+  }
+
   test("LSH planes round-trip through the persisted sidecar") {
     val (path, planes) = AnnSearch.ensureLshIndex(spark, sfDir)
     val back = graft.sources.TableIO.readLshPlanes(spark, path)
