@@ -216,6 +216,33 @@ object AnnSearch extends QueryPack {
       "embedding", "vec_id", queryVector(s, dir), nprobe = 4)
   }
 
+  /** Incremental LSH index maintenance: hash ONLY the new vectors with
+    * the persisted sidecar planes and append them into the existing
+    * bucket partition directories — O(|new batch|) work per update,
+    * versus the reference's full per-update rebuild
+    * (similarity_search.py:284-286). Serving is unchanged: the appended
+    * files land inside the same partition-pruned layout.
+    */
+  def appendToLshIndex(s: SparkSession, path: String, newVectors: DataFrame,
+                       embCol: String = "embedding"): Unit = {
+    val planes = graft.sources.TableIO.readLshPlanes(s, path)
+    graft.sources.TableIO.appendAnnIndex(
+      withLshBucket(newVectors, embCol, planes), path, "lsh_bucket")
+  }
+
+  /** IVF twin of [[appendToLshIndex]]: assign new vectors to their
+    * nearest persisted centroid (no re-fit — the quantizer is frozen
+    * between offline rebuilds, the standard IVF maintenance contract)
+    * and append into the list directories.
+    */
+  def appendToIvfIndex(s: SparkSession, path: String, newVectors: DataFrame,
+                       embCol: String = "embedding"): Unit = {
+    val centroids = graft.sources.TableIO.readIvfCentroids(s, path)
+    val assign = udf { (v: Seq[Float]) => nearestLists(v.toArray, centroids, 1).head }
+    graft.sources.TableIO.appendAnnIndex(
+      newVectors.withColumn("ivf_list", assign(col(embCol))), path, "ivf_list")
+  }
+
   /** BATCHED ANN serving — N queries against the persisted LSH index in
     * ONE partition-pruned scan (the serving-tier shape: amortize the
     * index read across a query batch instead of one scan per query):

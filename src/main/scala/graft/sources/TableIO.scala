@@ -38,6 +38,21 @@ object TableIO {
       .partitionBy(bucketCol)
       .parquet(path)
 
+  /** INCREMENTAL index maintenance: hash/assign only the NEW vectors and
+    * append their files into the existing bucket partition directories —
+    * the at-rest answer to the reference's per-update full index rebuild
+    * (similarity_search.py:284-286, the one part of the reference a
+    * scale design must NOT mirror). Dynamic partition append touches
+    * only the partitions the new batch lands in; existing files are
+    * never rewritten, and serve-path partition pruning is unchanged.
+    * (Periodic compaction of small appended files is an offline
+    * housekeeping job, orthogonal to correctness.)
+    */
+  def appendAnnIndex(indexed: DataFrame, path: String, bucketCol: String): Unit =
+    indexed.write.mode(SaveMode.Append)
+      .partitionBy(bucketCol)
+      .parquet(path)
+
   /** Persist an IVF coarse quantizer next to its list-partitioned index
     * (sibling dir — writing inside the index root would break partition
     * discovery). Centroids are k × dim doubles: tiny, but durable so a

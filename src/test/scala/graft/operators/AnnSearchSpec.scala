@@ -112,6 +112,62 @@ class AnnSearchSpec extends SparkSpec {
     }
   }
 
+  test("incremental append: hashing only the new batch reproduces the " +
+    "full-rebuild index (LSH and IVF), and serving is unchanged") {
+    import org.apache.spark.sql.functions.col
+    // fresh index in a private path: 80% initial build, 20% appended
+    val all = corpus
+    val initial = all.filter(col("vec_id") % 5 =!= 0)
+    val late = all.filter(col("vec_id") % 5 === 0)
+    val planes = AnnSearch.hyperplanes(4, 64, 42L)
+    val path = java.nio.file.Files.createTempDirectory("ann_append").toString + "/lsh"
+    graft.sources.TableIO.writeAnnIndex(
+      AnnSearch.withLshBucket(initial, "embedding", planes), path, "lsh_bucket")
+    graft.sources.TableIO.writeLshPlanes(spark, path, planes, 42L)
+
+    AnnSearch.appendToLshIndex(spark, path, late)
+
+    val appended = spark.read.parquet(path)
+      .select("vec_id", "lsh_bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val rebuilt = AnnSearch.withLshBucket(all, "embedding", planes)
+      .select("vec_id", "lsh_bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(appended == rebuilt, "append must equal full rebuild")
+
+    // serve from the appended index == inline search on the full corpus
+    val served = spark.read.parquet(path)
+      .filter(col("lsh_bucket").isin(AnnSearch.probeBuckets(queryVec, planes): _*))
+      .withColumn("sim", org.apache.spark.sql.functions.round(
+        graft.functions.VectorFunctions.cosineSimilarity(
+          col("embedding"),
+          org.apache.spark.sql.functions.typedlit(queryVec.toSeq)), 6))
+      .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(r.fieldIndex("sim")))).toSeq
+    val inline = AnnSearch.lshSearch(all, "embedding", "vec_id", queryVec)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(served == inline)
+
+    // IVF twin: frozen quantizer, assignment parity with the build path
+    val (ivfAssigned, centroids) = AnnSearch.buildIvf(initial, "embedding")
+    val ivfPath = java.nio.file.Files.createTempDirectory("ann_append").toString + "/ivf"
+    graft.sources.TableIO.writeAnnIndex(ivfAssigned, ivfPath, "ivf_list")
+    graft.sources.TableIO.writeIvfCentroids(spark, ivfPath, centroids)
+    AnnSearch.appendToIvfIndex(spark, ivfPath, late)
+    val total = spark.read.parquet(ivfPath).count()
+    assert(total == all.count(), "every vector lands in exactly one list")
+    // appended rows sit in their nearest list
+    val lateAssign = spark.read.parquet(ivfPath)
+      .join(late.select(col("vec_id")), "vec_id")
+      .select("vec_id", "ivf_list").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    late.select("vec_id", "embedding").collect().foreach { r =>
+      val want = AnnSearch.nearestLists(
+        r.getSeq[Float](1).toArray, centroids, 1).head
+      assert(lateAssign(r.getLong(0)) == want)
+    }
+  }
+
   test("LSH planes round-trip through the persisted sidecar") {
     val (path, planes) = AnnSearch.ensureLshIndex(spark, sfDir)
     val back = graft.sources.TableIO.readLshPlanes(spark, path)
