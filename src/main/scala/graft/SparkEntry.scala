@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  private val packs: Seq[QueryPack] = Seq(
+  private[graft] val packs: Seq[QueryPack] = Seq(
     graft.search.VectorSearch,
     graft.operators.Relational,
     graft.operators.Events,

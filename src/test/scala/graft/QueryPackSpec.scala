@@ -11,6 +11,16 @@ class QueryPackSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle without query: $orphans")
   }
 
+  test("query and oracle names are unique across packs (flatMap.toMap " +
+    "would silently drop a duplicate)") {
+    val qNames = SparkEntry.packs.flatMap(_.queries.keys)
+    val qDups = qNames.groupBy(identity).filter(_._2.size > 1).keys
+    assert(qDups.isEmpty, s"duplicate query names across packs: $qDups")
+    val oNames = SparkEntry.packs.flatMap(_.oracleSql.keys)
+    val oDups = oNames.groupBy(identity).filter(_._2.size > 1).keys
+    assert(oDups.isEmpty, s"duplicate oracle names across packs: $oDups")
+  }
+
   test("entry (flagship scatter-gather) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
