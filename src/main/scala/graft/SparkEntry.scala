@@ -21,7 +21,8 @@ object SparkEntry {
     graft.operators.CdcChunking,
     graft.operators.AnnSearch,
     graft.operators.Multimodal,
-    graft.operators.AsOfJoin)
+    graft.operators.AsOfJoin,
+    graft.operators.SkewJoin)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline capability: scatter-gather top-k cosine

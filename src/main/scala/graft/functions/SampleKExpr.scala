@@ -55,6 +55,23 @@ case class SampleKExpr(idExpr: Expression, seedExpr: Expression, kExpr: Expressi
 
   override def children: Seq[Expression] = Seq(idExpr, seedExpr, kExpr)
 
+  // fail misuse at ANALYSIS time (update() casts id straight to Long;
+  // without this, sample_k(int_col, ...) would pass analysis and throw
+  // ClassCastException mid-job)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (idExpr.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"sample_k id must be BIGINT, got ${idExpr.dataType.simpleString} (cast the id column)")
+    else if (!seedExpr.foldable || !Seq(IntegerType, LongType).contains(seedExpr.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"sample_k seed must be an integral literal, got ${seedExpr.sql}")
+    else if (!kExpr.foldable || !Seq(IntegerType, LongType).contains(kExpr.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"sample_k k must be an integral literal, got ${kExpr.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("pri", StringType, nullable = false))), containsNull = false)

@@ -34,6 +34,23 @@ case class TopKByExpr(idExpr: Expression, scoreExpr: Expression, kExpr: Expressi
 
   override def children: Seq[Expression] = Seq(idExpr, scoreExpr, kExpr)
 
+  // fail misuse at ANALYSIS time (update() casts id straight to Long;
+  // without this, topk_by(int_col, ...) would pass analysis and throw
+  // ClassCastException mid-job)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (idExpr.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_by id must be BIGINT, got ${idExpr.dataType.simpleString} (cast the id column)")
+    else if (!scoreExpr.dataType.isInstanceOf[NumericType])
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_by score must be numeric, got ${scoreExpr.dataType.simpleString}")
+    else if (!kExpr.foldable || !Seq(IntegerType, LongType).contains(kExpr.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_by k must be an integral literal, got ${kExpr.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("score", DoubleType, nullable = false))), containsNull = false)

@@ -126,6 +126,18 @@ object AnnSearch extends QueryPack {
     Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
 
+  /** Per-corpus on-disk index location, keyed by a collision-RESISTANT
+    * digest of the corpus dir (not `String.hashCode`: two dirs with
+    * colliding 32-bit hashes would share a path and the second build
+    * would overwrite an index the first dir's cache entry still serves).
+    */
+  private def indexPath(prefix: String, dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    new java.io.File(sys.props("java.io.tmpdir"), s"$prefix$digest").getAbsolutePath
+  }
+
   /** Build-once bookkeeping for [[lshQuery]] — the LSH twin of
     * [[ensureIvfIndex]]. The corpus is hashed and written ONCE per corpus
     * as an `lsh_bucket`-partitioned parquet (planes persisted alongside);
@@ -149,10 +161,15 @@ object AnnSearch extends QueryPack {
       lshBuildCount.incrementAndGet()
       val corpus = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
       val dim = corpus.select(col("embedding")).head().getSeq[Float](0).length
+      // the q_ann_lsh / q_ann_batch oracles inline hyperplanes(4, dim=64);
+      // a corpus with a different dim would build correct planes but the
+      // oracle would silently derive wrong buckets — fail loudly at BUILD
+      require(dim == 64,
+        s"ensureLshIndex serves the driver corpus contract (dim=64, matching " +
+        s"the inlined oracle hyperplanes); got dim=$dim — use lshSearch/" +
+        s"withLshBucket directly for other corpora")
       val planes = hyperplanes(nPlanes, dim, seed)
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        s"graft_lsh_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      val path = indexPath("graft_lsh_", dir)
       graft.sources.TableIO.writeAnnIndex(
         withLshBucket(corpus, "embedding", planes), path, "lsh_bucket")
       graft.sources.TableIO.writeLshPlanes(s, path, planes, seed)
@@ -194,11 +211,20 @@ object AnnSearch extends QueryPack {
   def ensureIvfIndex(s: SparkSession, dir: String): (String, Array[Array[Double]]) =
     ivfBuilt.computeIfAbsent(dir, { _ =>
       ivfBuildCount.incrementAndGet()
+      // Pin the fit input to ONE sorted partition: the seeded k-means fit
+      // is then a fully sequential float fold — bit-deterministic
+      // regardless of local[N]/cluster width (file splits vary with
+      // default parallelism, and parallel float aggregation order follows
+      // the splits). This is what makes the q_ann_ivf golden-value oracle
+      // safe (the q_patient_gen recipe). The quantizer fit input is
+      // sample-sized BY DESIGN — at 100 TB you fit the coarse quantizer
+      // on a bounded sample on one node (standard IVF practice) and only
+      // the ASSIGNMENT runs distributed (see [[appendToIvfIndex]]'s udf
+      // for the distributed-assignment shape).
       val corpus = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+        .coalesce(1).sortWithinPartitions("vec_id")
       val (assigned, centroids) = buildIvf(corpus, "embedding")
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        s"graft_ivf_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      val path = indexPath("graft_ivf_", dir)
       graft.sources.TableIO.writeAnnIndex(assigned, path, "ivf_list")
       graft.sources.TableIO.writeIvfCentroids(s, path, centroids)
       (path, centroids)
@@ -224,10 +250,34 @@ object AnnSearch extends QueryPack {
     * files land inside the same partition-pruned layout.
     */
   def appendToLshIndex(s: SparkSession, path: String, newVectors: DataFrame,
-                       embCol: String = "embedding"): Unit = {
+                       embCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    requireNewIds(s, path, newVectors, idCol)
     val planes = graft.sources.TableIO.readLshPlanes(s, path)
     graft.sources.TableIO.appendAnnIndex(
       withLshBucket(newVectors, embCol, planes), path, "lsh_bucket")
+  }
+
+  /** Duplicate-id guard for incremental appends: re-appending an id would
+    * silently duplicate it in the index (it would appear twice in every
+    * top-k it reaches). The check broadcasts the (small) new batch's ids
+    * and semi-joins the index's id column — a column-pruned scan, no
+    * shuffle, no full-index collect — and fails with a clear error
+    * instead of corrupting the index.
+    */
+  private def requireNewIds(s: SparkSession, path: String,
+                            newVectors: DataFrame, idCol: String): Unit = {
+    val batchIds = newVectors.select(col(idCol)).distinct()
+    val batchN = newVectors.count()
+    val distinctN = batchIds.count()
+    require(distinctN == batchN,
+      s"append batch contains ${batchN - distinctN} duplicate $idCol values within itself")
+    val clashes = s.read.parquet(path).select(col(idCol))
+      .join(broadcast(batchIds), Seq(idCol), "left_semi")
+      .limit(5).collect().map(_.get(0))
+    require(clashes.isEmpty,
+      s"append would duplicate ${clashes.length}+ existing $idCol values " +
+      s"(e.g. ${clashes.mkString(", ")}) already in the index at $path; " +
+      s"de-duplicate the batch or rebuild the index to upsert")
   }
 
   /** IVF twin of [[appendToLshIndex]]: assign new vectors to their
@@ -236,7 +286,8 @@ object AnnSearch extends QueryPack {
     * and append into the list directories.
     */
   def appendToIvfIndex(s: SparkSession, path: String, newVectors: DataFrame,
-                       embCol: String = "embedding"): Unit = {
+                       embCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    requireNewIds(s, path, newVectors, idCol)
     val centroids = graft.sources.TableIO.readIvfCentroids(s, path)
     val assign = udf { (v: Seq[Float]) => nearestLists(v.toArray, centroids, 1).head }
     graft.sources.TableIO.appendAnnIndex(
@@ -283,6 +334,44 @@ object AnnSearch extends QueryPack {
         round(cosineSimilarity(col("embedding"), col("q_emb")), 6))
 
     candidates
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKByExpr(col("vec_id"), col("sim"), topK).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("vec_id"), col("t.score").as("sim"))
+      .orderBy(col("query_id"), col("sim").desc, col("vec_id"))
+  }
+
+  /** IVF twin of [[batchLshQuery]] — same serving-tier shape on the
+    * list-partitioned index: the query batch's nprobe list sets union
+    * into ONE `isin` partition filter (one pruned scan covers every
+    * query), a tiny (query_id, ivf_list, embedding) probe table
+    * broadcasts into it (each candidate row meets only the queries
+    * probing its list), and per-query top-k runs through the native
+    * [[graft.functions.TopKByExpr]] heap — only k-sized buffers shuffle.
+    * Reference analogue: the per-query loop at similarity_search.py:322-363
+    * rescans the corpus once PER query; this is one pruned scan per BATCH.
+    */
+  def batchIvfQuery(s: SparkSession, dir: String, topK: Int = 3,
+                    nprobe: Int = 4): DataFrame = {
+    import s.implicits._
+    val (path, centroids) = ensureIvfIndex(s, dir)
+    val queries = Tables.embeddings(s, dir)
+      .filter(col("vec_id").between(1, 5))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probeRows = queries.flatMap { case (qid, emb) =>
+      nearestLists(emb, centroids, nprobe).map(l => (qid, l, emb.toSeq))
+    }.toSeq
+    val probes = probeRows.toDF("query_id", "ivf_list", "q_emb")
+    val allLists = probeRows.map(_._2).distinct
+
+    s.read.parquet(path)
+      .filter(col("ivf_list").isin(allLists: _*)) // ONE pruned scan
+      .join(broadcast(probes), Seq("ivf_list"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        round(cosineSimilarity(col("embedding"), col("q_emb")), 6))
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKByExpr(col("vec_id"), col("sim"), topK).as("top"))
       .select(col("query_id"), explode(col("top")).as("t"))
@@ -343,10 +432,11 @@ object AnnSearch extends QueryPack {
   }
 
   override def queries: Map[String, QueryPack.Q] = Map(
-    "q_ann_lsh"    -> (lshQuery _),
-    "q_ann_ivf"    -> (ivfQuery _),
-    "q_ann_batch"  -> ((s, d) => batchLshQuery(s, d)),
-    "q_ann_recall" -> (annRecallQuery _))
+    "q_ann_lsh"       -> (lshQuery _),
+    "q_ann_ivf"       -> (ivfQuery _),
+    "q_ann_batch"     -> ((s, d) => batchLshQuery(s, d)),
+    "q_ann_batch_ivf" -> ((s, d) => batchIvfQuery(s, d)),
+    "q_ann_recall"    -> (annRecallQuery _))
 
   /** `q_ann_lsh` is fully hash-matched: the seeded hyperplanes are pure
     * f(seed, dim), so DuckDB re-derives every bucket, the probe set and

@@ -133,12 +133,31 @@ object CdcChunking extends QueryPack {
     * via postings co-occurrence on chunk hashes (capped + counted, the
     * [[MinHashDedup.exactShinglePairs]] shape). Emits shared-chunk count
     * and shared bytes per pair.
+    *
+    * CAVEAT (the [[MinHashDedup.exactShinglePairs]] one): the
+    * `q_cdc_overlap` oracle enumerates ALL co-occurring chunk pairs,
+    * so the gate is trustworthy only while the drop counters stay 0 —
+    * a chunk whose posting list exceeds `maxPostings` (hot boilerplate
+    * on a larger corpus) is dropped by the engine but not by the
+    * oracle. Use [[overlapPairsWithStats]] and check
+    * `stats.any == false` before trusting completeness.
     */
   def overlapPairs(docs: DataFrame, idCol: String, textCol: String,
                    minShared: Int = 2,
-                   maxPostings: Int = MinHashDedup.defaultMaxBucketSize): DataFrame = {
+                   maxPostings: Int = MinHashDedup.defaultMaxBucketSize): DataFrame =
+    overlapPairsWithStats(docs, idCol, textCol, minShared, maxPostings)._1
+
+  /** [[overlapPairs]] plus ITS OWN drop accumulators (`buckets` = dropped
+    * posting lists, `slots` = doc slots inside them) — the
+    * [[MinHashDedup.candidatePairsWithStats]] contract: no shared global
+    * state, at-least-once semantics under task retry.
+    */
+  def overlapPairsWithStats(docs: DataFrame, idCol: String, textCol: String,
+                            minShared: Int = 2,
+                            maxPostings: Int = MinHashDedup.defaultMaxBucketSize): (DataFrame, DropStats) = {
     val spark = docs.sparkSession
     val dropped = spark.sparkContext.longAccumulator(droppedChunksAcc)
+    val droppedSlots = spark.sparkContext.longAccumulator(droppedChunksAcc + ".slots")
     val refs = chunkRefs(docs, idCol, textCol)
       // a doc repeating a chunk internally counts it once toward overlap
       .dropDuplicates("doc_id", "chunk_hash")
@@ -146,6 +165,7 @@ object CdcChunking extends QueryPack {
     val emitCo = udf { (ds: Seq[Seq[Long]]) =>
       if (ds.length > maxPostings) {
         dropped.add(1)
+        droppedSlots.add(ds.length)
         Array.empty[(Long, Long, Long)]
       } else {
         val sorted = ds.map(d => (d(0), d(1))).sortBy(_._1)
@@ -163,7 +183,7 @@ object CdcChunking extends QueryPack {
       }
     }
 
-    refs
+    val pairs = refs
       .select(col("chunk_hash"), array(col("doc_id"), col("chunk_len")).as("d"))
       .groupBy("chunk_hash").agg(collect_list("d").as("ds"))
       .filter(size(col("ds")) >= 2)
@@ -175,6 +195,7 @@ object CdcChunking extends QueryPack {
         sum(col("chunk_len")).as("shared_bytes"))
       .filter(col("shared_chunks") >= minShared)
       .orderBy(col("a_id"), col("b_id"))
+    (pairs, DropStats(dropped, droppedSlots))
   }
 
   def chunkStatsQuery(s: SparkSession, dir: String): DataFrame =

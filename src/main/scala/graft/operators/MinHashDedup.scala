@@ -426,9 +426,15 @@ object MinHashDedup extends QueryPack {
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_minhash_neardup" -> (minhashQuery _),
     "q_minhash_recall"  -> (recallReport _),
-    // streaming near-dup admission control; oracle-checked via the
-    // closed form of first-arrival claims ([[streamNeardupOracle]]);
-    // stream ≡ sequential-greedy spec in DocDedupStreamSpec
+    // Streaming near-dup admission control; oracle-checked via the
+    // closed form of first-arrival claims ([[streamNeardupOracle]]).
+    // PRECONDITION the oracle depends on: arrival order == doc_id order,
+    // which DocDedupStream guarantees via maxFilesPerTrigger=1 over
+    // mtime-staged files (part-name order) + the corpus's doc_id-ordered
+    // writes. A source whose files/rows are NOT doc_id-ordered still
+    // dedups correctly (first arrival wins) but no longer matches this
+    // closed form. Stream ≡ sequential-greedy spec in DocDedupStreamSpec
+    // covers single- and two-file sources.
     "q_stream_neardup"  -> (graft.streaming.DocDedupStream.nearDupDedupStreaming _))
 
   /** Both minhash queries are DuckDB-oracle-checked. `q_minhash_neardup`

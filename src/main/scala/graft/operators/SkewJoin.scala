@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
 
 /** Manual key-salting for skewed equi-joins — the explicit form of what
   * AQE's skew-join optimization does adaptively. Still needed when (a) the
@@ -14,15 +16,61 @@ import org.apache.spark.sql.functions._
   * moderate) right side replicates `saltBuckets`×, so each hot key's rows
   * spread over `saltBuckets` reducers instead of one.
   */
-object SkewJoin {
+object SkewJoin extends QueryPack {
 
+  /** `joinHint` (e.g. Some("merge")) is applied to the replicated side AT
+    * the join, where it reliably reaches the join node — salting exists
+    * to fix a SHUFFLE join's reducer skew, so callers often need to hold
+    * off auto-broadcast to exercise it.
+    */
   def saltedEquiJoin(skewed: DataFrame, other: DataFrame, key: String,
-                     saltBuckets: Int = 8): DataFrame = {
+                     saltBuckets: Int = 8,
+                     joinHint: Option[String] = None): DataFrame = {
     require(saltBuckets > 0)
     val salted = skewed.withColumn("__salt",
       (rand(42) * saltBuckets).cast("int"))
-    val replicated = other.withColumn("__salt",
+    val replicated0 = other.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
+    val replicated = joinHint.fold(replicated0)(replicated0.hint(_))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Driver-visible salted join over a DELIBERATELY skewed key: 75% of
+    * orders are rerouted to customer 1 (the power-law hot key every real
+    * corpus has somewhere), then joined to `customer` salted. The salt
+    * values come from `rand` but CANNOT affect the result — the right
+    * side carries every salt for every key, so salting only re-buckets
+    * the shuffle — which is exactly why the query is DuckDB-oracle-
+    * checkable against the plain (unsalted) join. The `merge` hint keeps
+    * the join a shuffle join (a broadcast of the tiny dim would bypass
+    * the skewed exchange this query exists to exercise);
+    * SkewJoinSpec asserts the salt actually lands in the shuffle keys
+    * and that salted ≡ plain.
+    */
+  def skewJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+      .withColumn("hot_cust",
+        when(col("o_orderkey") % 4 < 3, lit(1L)).otherwise(col("o_custkey")))
+    val customer = Tables.customer(s, dir)
+      .select(col("c_custkey").as("hot_cust"), col("c_mktsegment"))
+    saltedEquiJoin(orders, customer, "hot_cust", joinHint = Some("merge"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  override def queries: Map[String, QueryPack.Q] = Map(
+    "q_skew_join" -> (skewJoinQuery _))
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_skew_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer
+        |  ON (CASE WHEN o_orderkey % 4 < 3 THEN 1 ELSE o_custkey END) = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
 }

@@ -22,13 +22,17 @@ object TextAnalysis extends QueryPack {
   /** Distinct word set per document — the unigram "shingle" set. */
   private def wordSet(c: Column): Column = array_distinct(split(c, " "))
 
-  /** Exact dedup via hash-groupBy on full text: canonical id = min(doc_id)
-    * per identical text. One shuffle on the text hash; at 100 TB group by
-    * md5(text) instead of raw text to shrink shuffle keys.
+  /** Exact dedup via hash-groupBy on the content FINGERPRINT: canonical
+    * id = min(doc_id) per identical text. The group key is md5(text) — 16
+    * bytes — so the one shuffle moves fingerprints, never document bodies;
+    * at 100 TB that is the difference between shuffling 32 GB of keys and
+    * shuffling the corpus. (The same key the curation funnel and
+    * `q_hash_sample` already use; md5 collisions would merge distinct
+    * texts, the standard accepted trade of content-addressed dedup.)
     */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .groupBy(col("text"))
+      .groupBy(md5(col("text").cast("binary")))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select(col("canonical_id"), col("n_copies"))
       .orderBy(col("canonical_id"))
@@ -590,7 +594,7 @@ object TextAnalysis extends QueryPack {
         | FROM d ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS canonical_id, count(*) AS n_copies
-        | FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,
+        | FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin,
     "q_dedup_stats" ->
       """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_unique_text,
         |  count(DISTINCT md5(text)) AS n_unique_fp

@@ -55,6 +55,22 @@ object PatientPipeline extends QueryPack {
   def insights(s: SparkSession, dir: String): DataFrame =
     system(s)._1.clinicalInsights
 
+  /** ALWAYS-COLD end-to-end pipeline: trains a deliberately tiny fresh
+    * system on every call (no memo), so the bench always carries one
+    * non-memoized generate→normalize→train→index→search number instead
+    * of relying on a SCALE.md footnote staying current. Budgeted small
+    * (110 patients, 1 round × 1 epoch ≈ 2-3 s); the memoized system
+    * above measures steady-state serving, this one measures cold start.
+    */
+  def coldSearch(s: SparkSession, dir: String): DataFrame = {
+    val ps = new PatientSearch(s)
+    ps.setupHospitals(Seq(("Cold_A", 60L), ("Cold_B", 50L)))
+    ps.runFederatedTraining(rounds = 1, localEpochs = 1)
+    ps.generateAndStoreEmbeddings()
+    ps.searchSimilarPatients(PatientSchema.demoQueryPatient, topK = 5)
+      .topSimilarPatients.drop("metadata")
+  }
+
   /** Generator sanity summary (seeded column-expression generation).
     * Deterministic across cluster sizes because [[graft.gen.PatientGenerator]]
     * pins the range partitioning, so the oracle is a golden-value SELECT:
@@ -76,9 +92,11 @@ object PatientPipeline extends QueryPack {
     "q_patient_search"   -> (searchHits _),
     "q_patient_stats"    -> (stats _),
     "q_patient_insights" -> (insights _),
+    "q_patient_cold"     -> (coldSearch _),
     "q_patient_gen"      -> (generatorSummary _))
 
-  /** Search/stats/insights depend on trained float weights (parallel
+  /** Search/stats/insights (and the cold-path run) depend on trained
+    * float weights (parallel
     * z-score and Adam sums are merge-order sensitive), so they stay
     * rows-only. The GENERATOR summary is bit-deterministic (pinned range
     * partitioning + per-column seeds + 2-decimal rounding), so its oracle

@@ -53,6 +53,29 @@ object TableIO {
       .partitionBy(bucketCol)
       .parquet(path)
 
+  /** Offline compaction for an append-maintained index: every append
+    * lands new small files in the bucket directories it touches; after
+    * many appends a serve-path scan pays per-file open cost. Compaction
+    * rewrites the index hash-partitioned ON the bucket column — each
+    * bucket collapses into a single task and therefore a single file —
+    * then atomically swaps directories (write to a sibling, rename over).
+    * Run it like any housekeeping job: off the serve path, per index,
+    * when file counts grow.
+    */
+  def compactAnnIndex(spark: SparkSession, path: String, bucketCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = path.stripSuffix("/") + "__compacting"
+    val old = path.stripSuffix("/") + "__precompact"
+    spark.read.parquet(path)
+      .repartition(org.apache.spark.sql.functions.col(bucketCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(bucketCol).parquet(tmp)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(old), true)
+    require(fs.rename(new Path(path), new Path(old)), s"compact: could not stage $path aside")
+    require(fs.rename(new Path(tmp), new Path(path)), s"compact: could not move $tmp into place")
+    fs.delete(new Path(old), true)
+  }
+
   /** Persist an IVF coarse quantizer next to its list-partitioned index
     * (sibling dir — writing inside the index root would break partition
     * discovery). Centroids are k × dim doubles: tiny, but durable so a

@@ -35,11 +35,28 @@ object DocDedupStream {
 
   /** The streaming file source wants a DIRECTORY; the corpus ships single
     * parquet files — stage a symlink dir (never touches the corpus).
+    *
+    * If the table path is itself a DIRECTORY of part files, each part is
+    * symlinked with strictly increasing mtimes in lexicographic part-name
+    * order, so the file source's mtime ordering (and
+    * `maxFilesPerTrigger=1` in [[nearDupDedupStreaming]]) replays parts
+    * in name order — the order a sorted write produced them in.
     */
   private def stagedDir(dir: String, file: String): String = {
     val tmp = Files.createTempDirectory("graft_docs_src")
-    Files.createSymbolicLink(
-      tmp.resolve(file), java.nio.file.Paths.get(s"$dir/$file"))
+    val src = java.nio.file.Paths.get(s"$dir/$file")
+    if (Files.isDirectory(src)) {
+      val parts = Files.list(src).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val link = tmp.resolve(p.getFileName.toString)
+        Files.createSymbolicLink(link, p)
+        Files.setLastModifiedTime(link,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 1000L))
+      }
+    } else {
+      Files.createSymbolicLink(tmp.resolve(file), src)
+    }
     tmp.toString
   }
 
@@ -55,13 +72,26 @@ object DocDedupStream {
 
   /** Drive the documents table through the streaming near-dup dedup and
     * return the admitted (near-novel) docs: `n_claimed` = 16 means no
-    * band collided with any earlier arrival. Arrival order = parquet row
-    * order (single small file ⇒ one input split, order-preserving).
+    * band collided with any earlier arrival.
+    *
+    * ARRIVAL-ORDER CONTRACT (what the closed-form oracle relies on):
+    * membership of a streaming dedup is inherently a function of arrival
+    * order; this driver makes that order an explicit, reproducible
+    * contract rather than an accident of file listing —
+    * `maxFilesPerTrigger=1` processes one file per micro-batch in staged
+    * mtime order ([[stagedDir]] pins mtimes to part-name order), and
+    * within a file the row order is the write order. The corpus writes
+    * documents in doc_id order, so arrival = doc_id order and the
+    * first-arrival claim process has the closed form the
+    * `q_stream_neardup` oracle computes (min doc_id per band group).
+    * DocDedupStreamSpec asserts stream ≡ sequential-greedy on a 2-file
+    * source driven through this same path.
     */
   def nearDupDedupStreaming(spark: SparkSession, dir: String): DataFrame = {
     val static = Tables.documents(spark, dir)
     val source = spark.readStream
       .schema(static.schema)
+      .option("maxFilesPerTrigger", 1)
       .parquet(stagedDir(dir, "documents.parquet"))
       // synthetic event time (corpus has none): 1s per doc, watermark demo
       .withColumn("ts", timestamp_micros(lit(1700000000000000L) +

@@ -36,6 +36,26 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     SparkSession.clearDefaultSession()
   }
 
+  test("sample_k / topk_by reject a non-bigint id at ANALYSIS time " +
+    "(not as a mid-job ClassCastException)") {
+    spark.range(10)
+      .selectExpr("CAST(id AS INT) AS i", "CAST(id AS DOUBLE) AS s")
+      .createOrReplaceTempView("tc_t")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT sample_k(i, 42, 3) FROM tc_t").collect()
+    }
+    assert(e1.getMessage.contains("BIGINT"), e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT topk_by(i, s, 3) FROM tc_t").collect()
+    }
+    assert(e2.getMessage.contains("BIGINT"), e2.getMessage)
+    // and a non-literal k fails analysis too
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT sample_k(CAST(i AS BIGINT), 42, i) FROM tc_t").collect()
+    }
+    assert(e3.getMessage.contains("literal"), e3.getMessage)
+  }
+
   test("cosine_similarity is callable from SQL") {
     val r = spark.sql(
       """SELECT cosine_similarity(

@@ -168,6 +168,108 @@ class AnnSearchSpec extends SparkSpec {
     }
   }
 
+  test("q_ann_batch_ivf: one pruned scan serves the whole query batch; " +
+    "per-query results match the single-query IVF search") {
+    val batch = AnnSearch.batchIvfQuery(spark, sfDir)
+    val rows = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).distinct.sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // plan: ONE partition-pruned index scan + broadcast probe table
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"pruned scan expected:\n$plan")
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("ivf_list"), s"partition filter must be on ivf_list: $pf")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "probe table must broadcast")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(finalPlan).length == 1,
+      s"the index must be scanned once for the whole batch:\n$finalPlan")
+    // parity: each query's top-3 equals the single-query IVF search on the
+    // same persisted index with self-matches excluded
+    val (path, centroids) = AnnSearch.ensureIvfIndex(spark, sfDir)
+    rows.groupBy(_._1).foreach { case (qid, got) =>
+      val qv = Tables.embeddings(spark, sfDir).filter(s"vec_id = $qid")
+        .select("embedding").head().getSeq[Float](0).toArray
+      val expected = AnnSearch.ivfSearch(
+          spark.read.parquet(path).filter(s"vec_id <> $qid"), centroids,
+          "embedding", "vec_id", qv, topK = 3, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(got.sortBy(t => (-t._3, t._2)).map(t => (t._2, t._3)).toSeq == expected,
+        s"query $qid mismatch")
+    }
+  }
+
+  test("incremental append rejects duplicate ids with a clear error; " +
+    "index row count unchanged") {
+    val all = corpus
+    val initial = all.filter(col("vec_id") % 5 =!= 0)
+    val late = all.filter(col("vec_id") % 5 === 0)
+    val planes = AnnSearch.hyperplanes(4, 64, 42L)
+    val path = java.nio.file.Files.createTempDirectory("ann_dup").toString + "/lsh"
+    graft.sources.TableIO.writeAnnIndex(
+      AnnSearch.withLshBucket(initial, "embedding", planes), path, "lsh_bucket")
+    graft.sources.TableIO.writeLshPlanes(spark, path, planes, 42L)
+
+    AnnSearch.appendToLshIndex(spark, path, late)
+    val n1 = spark.read.parquet(path).count()
+    assert(n1 == all.count())
+
+    // re-appending the same batch must fail loudly, not silently duplicate
+    val ex = intercept[IllegalArgumentException] {
+      AnnSearch.appendToLshIndex(spark, path, late)
+    }
+    assert(ex.getMessage.contains("duplicate"), ex.getMessage)
+    assert(spark.read.parquet(path).count() == n1, "failed append must not write")
+
+    // a batch with internal duplicates is rejected before touching the index
+    val freshPath = java.nio.file.Files.createTempDirectory("ann_dup").toString + "/lsh2"
+    graft.sources.TableIO.writeAnnIndex(
+      AnnSearch.withLshBucket(initial, "embedding", planes), freshPath, "lsh_bucket")
+    graft.sources.TableIO.writeLshPlanes(spark, freshPath, planes, 42L)
+    val ex2 = intercept[IllegalArgumentException] {
+      AnnSearch.appendToLshIndex(spark, freshPath, late.union(late))
+    }
+    assert(ex2.getMessage.contains("within itself"), ex2.getMessage)
+  }
+
+  test("compactAnnIndex bounds files per bucket and preserves contents") {
+    val all = corpus
+    val planes = AnnSearch.hyperplanes(4, 64, 42L)
+    val path = java.nio.file.Files.createTempDirectory("ann_compact").toString + "/lsh"
+    // initial build + 3 appends → several small files per touched bucket
+    graft.sources.TableIO.writeAnnIndex(
+      AnnSearch.withLshBucket(all.filter(col("vec_id") % 4 === 1), "embedding", planes),
+      path, "lsh_bucket")
+    graft.sources.TableIO.writeLshPlanes(spark, path, planes, 42L)
+    Seq(2, 3, 0).foreach { m =>
+      AnnSearch.appendToLshIndex(spark, path, all.filter(col("vec_id") % 4 === m))
+    }
+    val before = spark.read.parquet(path)
+      .select("vec_id", "lsh_bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+
+    def filesPerBucket: Map[String, Int] = {
+      val root = new java.io.File(path)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("lsh_bucket="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    }
+    assert(filesPerBucket.values.exists(_ > 1),
+      "appends should have produced multiple files in at least one bucket")
+
+    graft.sources.TableIO.compactAnnIndex(spark, path, "lsh_bucket")
+
+    assert(filesPerBucket.values.forall(_ == 1),
+      s"every bucket must collapse to one file after compact: $filesPerBucket")
+    val after = spark.read.parquet(path)
+      .select("vec_id", "lsh_bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(after == before, "compaction must not change index contents")
+    // the planes sidecar survives the directory swap untouched
+    val back = graft.sources.TableIO.readLshPlanes(spark, path)
+    planes.zip(back).foreach { case (a, b) => assert(a.sameElements(b)) }
+  }
+
   test("LSH planes round-trip through the persisted sidecar") {
     val (path, planes) = AnnSearch.ensureLshIndex(spark, sfDir)
     val back = graft.sources.TableIO.readLshPlanes(spark, path)

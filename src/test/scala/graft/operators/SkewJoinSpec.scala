@@ -30,4 +30,35 @@ class SkewJoinSpec extends SparkSpec {
       .filter($"k" === 7).select("__salt").distinct().count()
     assert(saltsUsed > 4)
   }
+
+  test("q_skew_join: the salt lands in the shuffle keys (shuffle join, " +
+    "not broadcast) and salted ≡ plain join result") {
+    val df = SkewJoin.skewJoinQuery(spark, sfDir)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // plan audit on the FINAL adaptive plan: the join must stay a shuffle
+    // join (the merge hint held off auto-broadcast) and its exchanges must
+    // hash on (hot_cust, __salt) — the hot key spread over salt buckets
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("SortMergeJoin") || finalPlan.contains("ShuffledHashJoin"),
+      s"salted join must shuffle, not broadcast:\n$finalPlan")
+    val saltedExchange = finalPlan.linesIterator
+      .exists(l => l.contains("hashpartitioning") && l.contains("__salt"))
+    assert(saltedExchange, s"__salt must appear in the shuffle keys:\n$finalPlan")
+
+    // result equivalence with the plain (unsalted) join
+    val orders = graft.Tables.orders(spark, sfDir)
+      .withColumn("hot_cust",
+        when(col("o_orderkey") % 4 < 3, lit(1L)).otherwise(col("o_custkey")))
+    val customer = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("hot_cust"), col("c_mktsegment"))
+    val plain = orders.join(customer, "hot_cust")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+      .orderBy(col("c_mktsegment"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == plain)
+  }
 }
