@@ -438,11 +438,24 @@ object AnnSearch extends QueryPack {
     "q_ann_batch_ivf" -> ((s, d) => batchIvfQuery(s, d)),
     "q_ann_recall"    -> (annRecallQuery _))
 
-  /** `q_ann_lsh` is fully hash-matched: the seeded hyperplanes are pure
-    * f(seed, dim), so DuckDB re-derives every bucket, the probe set and
-    * the served top-10 bit-for-bit. `q_ann_ivf` rides on MLlib's k-means
-    * fit (not SQL-expressible) and stays rows-only with its recall
-    * driver-gated via q_ann_recall's `ivf_recall_ge_half`.
+  /** `q_ann_lsh`/`q_ann_batch` are fully hash-matched: the seeded
+    * hyperplanes are pure f(seed, dim), so DuckDB re-derives every bucket,
+    * the probe set and the served top-k bit-for-bit.
+    *
+    * `q_ann_ivf`/`q_ann_batch_ivf` ride on MLlib's k-means fit (not
+    * SQL-expressible), but the fit IS bit-deterministic — seed 42, maxIter
+    * 5, and [[ensureIvfIndex]] pins the fit input to one sorted partition
+    * so no parallel float aggregation order can drift — which makes the
+    * served results a pure function of the corpus. Their oracles are
+    * GOLDEN VALUES (the q_patient_gen recipe): captured from the pinned
+    * build at the driver's verify corpus (sf0.01) and reproduced
+    * bit-identically across fresh JVMs at local[4]/local[7]/local[32]
+    * with shuffle.partitions 4/13/32 (graft.GoldenIvf probe). Any drift
+    * in the seeded fit, the assignment, or the partitioning pinning fails
+    * the hash gate. NOTE: golden values are sf0.01-specific — the
+    * driver's correctness gate SF; self-checks at other SFs should skip
+    * these two names. IVF recall stays additionally driver-gated via
+    * q_ann_recall's `ivf_recall_ge_half`.
     */
   override def oracleSql: Map[String, String] = {
     // the exact planes the engine builds with: pure f(seed=42, dim=64)
@@ -453,6 +466,37 @@ object AnnSearch extends QueryPack {
         s"CASE WHEN list_dot_product($vec, ${lit(p)}) >= 0 THEN ${1 << i} ELSE 0 END"
       }.mkString("(", " + ", ")")
     Map(
+      "q_ann_ivf" ->
+        """SELECT CAST(365 AS BIGINT) AS vec_id, CAST(6 AS INT) AS ivf_list,
+          |       CAST(0.369994 AS DOUBLE) AS sim
+          |UNION ALL SELECT 334, 6, 0.362722
+          |UNION ALL SELECT 387, 10, 0.331139
+          |UNION ALL SELECT 73, 6, 0.295434
+          |UNION ALL SELECT 190, 1, 0.281795
+          |UNION ALL SELECT 388, 1, 0.276301
+          |UNION ALL SELECT 344, 6, 0.252487
+          |UNION ALL SELECT 257, 6, 0.248127
+          |UNION ALL SELECT 36, 13, 0.238657
+          |UNION ALL SELECT 478, 6, 0.237283
+          |ORDER BY sim DESC, vec_id""".stripMargin,
+      "q_ann_batch_ivf" ->
+        """SELECT CAST(1 AS BIGINT) AS query_id, CAST(386 AS BIGINT) AS vec_id,
+          |       CAST(0.371485 AS DOUBLE) AS sim
+          |UNION ALL SELECT 1, 27, 0.348208
+          |UNION ALL SELECT 1, 195, 0.322744
+          |UNION ALL SELECT 2, 117, 0.318143
+          |UNION ALL SELECT 2, 450, 0.266344
+          |UNION ALL SELECT 2, 145, 0.263494
+          |UNION ALL SELECT 3, 130, 0.399872
+          |UNION ALL SELECT 3, 149, 0.329934
+          |UNION ALL SELECT 3, 343, 0.308472
+          |UNION ALL SELECT 4, 408, 0.322753
+          |UNION ALL SELECT 4, 280, 0.279826
+          |UNION ALL SELECT 4, 470, 0.252537
+          |UNION ALL SELECT 5, 419, 0.319237
+          |UNION ALL SELECT 5, 157, 0.311256
+          |UNION ALL SELECT 5, 316, 0.291112
+          |ORDER BY query_id, sim DESC, vec_id""".stripMargin,
       "q_ann_batch" ->
         s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            |           FROM embeddings WHERE vec_id BETWEEN 1 AND 5),
