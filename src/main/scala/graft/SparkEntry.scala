@@ -22,7 +22,8 @@ object SparkEntry {
     graft.operators.AnnSearch,
     graft.operators.Multimodal,
     graft.operators.AsOfJoin,
-    graft.operators.SkewJoin)
+    graft.operators.SkewJoin,
+    graft.operators.DedupClusters)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline capability: scatter-gather top-k cosine

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+
+/** `[EXT]` near-duplicate CLUSTER formation — the step a real dedup
+  * pipeline needs after pair detection: pairs say "A≈B, B≈C", but the
+  * deletion decision needs the transitive closure {A,B,C} with one kept
+  * representative. This is connected components over the near-dup pair
+  * graph.
+  *
+  * Algorithm: iterative hash-to-min label propagation with POINTER
+  * DOUBLING — each round every node takes the min label over itself and
+  * its neighbors (one shuffle: join + groupBy-min), then jumps to its
+  * label's label (one more join), halving the remaining chain depth, so
+  * convergence is O(log diameter) rounds, not O(diameter). This is the
+  * practical warehouse-scale CC construction (the map-reduce CC family of
+  * Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * rephrased on DataFrames); near-dup clusters additionally have tiny
+  * diameters in practice, so the loop typically closes in 2-3 rounds.
+  *
+  * Scale design: state per round is one (node, label) row per vertex of
+  * the PAIR GRAPH (near-dup pairs only — far smaller than the corpus),
+  * labels are 8-byte ids, every step is a key-partitioned join/agg (no
+  * driver-side graph), and each round CHECKPOINTS its labels — the
+  * pointer-jump is a self-join, so without truncation the plan tree
+  * doubles every round and planning itself becomes exponential (measured:
+  * explain-string OOM by round ~5). `localCheckpoint` here; on a real
+  * cluster use `checkpoint` to durable storage so a lost executor doesn't
+  * replay the whole loop. A `maxIter` bound turns a pathological input
+  * into a loud error instead of a runaway job.
+  */
+object DedupClusters extends QueryPack {
+
+  /** Connected components over an undirected pair list. Returns one row
+    * per distinct node: (node, cluster_rep) with cluster_rep = min node
+    * id reachable — deterministic under any partitioning.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
+                          bCol: String = "b_id", maxIter: Int = 20): DataFrame = {
+    // materialize the pair list ONCE before symmetrizing: the self-union
+    // would otherwise evaluate the (possibly expensive) upstream pair
+    // pipeline twice
+    val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .localCheckpoint()
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      .distinct().cache()
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // neighbor-min: label(u) <- min(label(u), min_{v ∈ Γ(u)} label(v))
+      val nbrMin = sym
+        .join(labels.select(col("node").as("v"), col("label").as("vl")), "v")
+        .groupBy(col("u").as("node")).agg(min(col("vl")).as("nl"))
+      val merged = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // pointer doubling: label(u) <- label(label(u)) — labels are always
+      // node ids, so the jump table is merged itself
+      val jump = merged.select(col("node").as("jn"), col("label").as("jl"))
+      val doubled = merged.join(jump, col("label") === col("jn"), "left")
+        .select(col("node"), coalesce(col("jl"), col("label")).as("label"))
+        .localCheckpoint() // truncate lineage: the self-join doubles the plan per round
+
+      val changed = doubled
+        .join(labels.select(col("node"), col("label").as("old")), "node")
+        .filter(col("label") =!= col("old")).limit(1).count() > 0
+      labels = doubled
+      done = !changed
+      iter += 1
+    }
+    sym.unpersist()
+    require(done, s"connectedComponents did not converge in $maxIter rounds " +
+      "(pointer doubling needs ~log2(diameter); raise maxIter for extreme chains)")
+    labels.select(col("node"), col("label").as("cluster_rep"))
+  }
+
+  /** Driver query: near-dup clusters over the verified MinHash pair set
+    * (the q_minhash_neardup pairs), one row per clustered doc with its
+    * representative (min doc_id — the doc a dedup pass KEEPS) and the
+    * cluster size. Docs in no near-dup pair are not emitted (they are
+    * their own singleton clusters by definition).
+    */
+  def clustersQuery(s: SparkSession, dir: String): DataFrame = {
+    val pairs = MinHashDedup.minhashQuery(s, dir).select("a_id", "b_id")
+    connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("cluster_rep"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_rep"))))
+      .orderBy(col("doc_id"))
+  }
+
+  override def queries: Map[String, QueryPack.Q] = Map(
+    "q_dedup_clusters" -> (clustersQuery _))
+
+  /** The oracle recomputes the SAME pair set the engine clusters (the
+    * full minhash signature/banding/verify replication from
+    * [[MinHashDedup.minhashNeardupOracle]], nested as a subquery) and
+    * then takes the transitive closure with a recursive CTE — min
+    * reachable id per node ≡ the engine's converged min-label.
+    */
+  override def oracleSql: Map[String, String] = Map(
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE vpairs AS MATERIALIZED (
+         |  SELECT a_id, b_id FROM (
+         |${MinHashDedup.minhashNeardupOracle}
+         |  ) t
+         |), nodes AS (
+         |  SELECT a_id AS n FROM vpairs UNION SELECT b_id FROM vpairs
+         |), edges AS (
+         |  SELECT a_id AS u, b_id AS v FROM vpairs
+         |  UNION SELECT b_id, a_id FROM vpairs
+         |), reach AS (
+         |  SELECT n AS node, n AS m FROM nodes
+         |  UNION
+         |  SELECT e.v AS node, r.m AS m FROM reach r JOIN edges e ON e.u = r.node
+         |), comp AS MATERIALIZED (
+         |  SELECT node, min(m) AS rep FROM reach GROUP BY node
+         |), csize AS (
+         |  SELECT rep, count(*) AS n FROM comp GROUP BY rep
+         |)
+         |SELECT c.node AS doc_id, CAST(c.rep AS BIGINT) AS cluster_rep,
+         |  CAST(s.n AS BIGINT) AS cluster_size
+         |FROM comp c JOIN csize s ON s.rep = c.rep
+         |ORDER BY doc_id""".stripMargin)
+}

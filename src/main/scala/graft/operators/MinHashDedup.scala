@@ -513,7 +513,7 @@ object MinHashDedup extends QueryPack {
        |)""".stripMargin
   }
 
-  private def minhashNeardupOracle: String =
+  private[operators] def minhashNeardupOracle: String =
     s"""$sigPrelude,
        | cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def comps(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    DedupClusters.connectedComponents(pairs.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two components: chain and pair resolve to min-id representatives") {
+    val got = comps(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("long chain converges in O(log d) pointer-doubling rounds") {
+    // a 33-node path: plain hash-to-min would need 32 rounds; pointer
+    // doubling must close it well inside maxIter = 20
+    val chain = (0L until 32L).map(i => (i, i + 1))
+    val got = comps(chain)
+    assert(got.size == 33)
+    assert(got.values.forall(_ == 0L))
+  }
+
+  test("result is independent of pair order and direction") {
+    val base = Seq((5L, 9L), (9L, 2L), (7L, 8L), (3L, 7L))
+    val flipped = scala.util.Random.shuffle(base.map { case (a, b) => (b, a) })
+    assert(comps(base) == comps(flipped))
+  }
+
+  test("q_dedup_clusters: every near-dup pair is co-clustered, reps are " +
+    "cluster minima, sizes consistent") {
+    val pairs = MinHashDedup.minhashQuery(spark, sfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus must contain near-dup pairs")
+    val rows = DedupClusters.clustersQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rep = rows.map(t => t._1 -> t._2).toMap
+    pairs.foreach { case (a, b) =>
+      assert(rep(a) == rep(b), s"pair ($a,$b) must share a cluster")
+    }
+    // representative = min member; size = member count
+    rows.groupBy(_._2).foreach { case (r, members) =>
+      assert(members.map(_._1).min == r, s"rep $r must be its cluster's min id")
+      members.foreach(m => assert(m._3 == members.length))
+    }
+  }
+}
