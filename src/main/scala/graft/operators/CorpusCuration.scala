@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+
+/** `[EXT]` corpus-curation operators — the decision layer of a
+  * training-data pipeline, downstream of scoring/dedup and upstream of
+  * training:
+  *
+  *  - **budgeted mixture sampling** ([[budgetedMix]]): sample each
+  *    stratum (lang/source/domain) down to a TOKEN budget — the "data
+  *    mixing" step that turns corpus proportions into a training recipe;
+  *  - **quality-rule gate** ([[qualityRules]]): thresholded keep/drop
+  *    decisions in the published Gopher/C4 rule family (length, mean
+  *    word length, stopword presence, repetition, symbol ratio);
+  *  - **BPE merge-step pair counts** ([[bpePairCounts]]): the inner
+  *    primitive of byte-pair-encoding tokenizer training — count
+  *    adjacent symbol pairs within words across the corpus, rank by
+  *    frequency.
+  *
+  * All three are single-scan shapes: narrow per-row expressions followed
+  * by one hash aggregation (or one window over the stratum), nothing
+  * quadratic, no UDF in the hot path — at 100 TB each is a map-side-
+  * combined pass over the documents table.
+  */
+object CorpusCuration extends QueryPack {
+
+  private val mixSeed = 42L
+  private val mixBudget = 400L
+
+  /** Deterministic token-budget sampling per stratum: order the stratum's
+    * docs by md5("seed:doc_id") priority (the [[graft.functions.SampleKExpr]]
+    * priority — membership is a pure function of (seed, id), auditable by
+    * any md5-bearing engine) and keep docs while the running token total
+    * stays within the budget. Output size is budget-bound, not
+    * corpus-bound: the same query returns ~budget tokens per stratum at
+    * any scale. One window over the stratum — a single shuffle on the
+    * stratum key.
+    */
+  def budgetedMix(docs: DataFrame, idCol: String, textCol: String,
+                  stratumCol: String, budgetTokens: Long = mixBudget,
+                  seed: Long = mixSeed): DataFrame = {
+    val pri = md5(concat(lit(seed.toString + ":"), col(idCol).cast("string")).cast("binary"))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col("pri"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(stratumCol), col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+        pri.as("pri"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+  }
+
+  def mixQuery(s: SparkSession, dir: String): DataFrame =
+    budgetedMix(Tables.documents(s, dir), "doc_id", "text", "lang")
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Gopher/C4-family quality rules, summarized per language: how many
+    * docs fail each rule and how many survive all of them. Thresholds are
+    * tuned to this corpus's shape (short synthetic docs) — the OPERATOR is
+    * the point: per-row boolean columns folded in one conditional-agg
+    * pass, the decision layer a 100 TB curation run executes before
+    * training.
+    */
+  def qualityRules(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to")
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("word_chars",
+        aggregate(transform(col("toks"), t => length(t)), lit(0), (a, x) => a + x)
+          .cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isInCollection(stop))).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("clean_len",
+        length(regexp_replace(col("text"), "[^a-z0-9 ]", "")).cast("long"))
+      .withColumn("ok_len", col("n_words").between(5, 500))
+      // mean word length in [3, 12]: integer cross-multiplied, no division
+      .withColumn("ok_mwl",
+        col("word_chars") >= col("n_words") * 3 && col("word_chars") <= col("n_words") * 12)
+      .withColumn("ok_stop", col("n_stop") >= 1)
+      // repetition: at least half the tokens distinct
+      .withColumn("ok_rep", col("n_distinct") * 2 >= col("n_words"))
+      // symbol ratio ≤ 10%: non-[a-z0-9 ] chars are at most 1/10 of chars
+      .withColumn("ok_sym",
+        (length(col("text")) - col("clean_len")) * 10 <= length(col("text")))
+      .withColumn("keep",
+        col("ok_len") && col("ok_mwl") && col("ok_stop") && col("ok_rep") && col("ok_sym"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!col("ok_len"), 1L).otherwise(0L)).as("fail_len"),
+        sum(when(!col("ok_mwl"), 1L).otherwise(0L)).as("fail_mwl"),
+        sum(when(!col("ok_stop"), 1L).otherwise(0L)).as("fail_stop"),
+        sum(when(!col("ok_rep"), 1L).otherwise(0L)).as("fail_rep"),
+        sum(when(!col("ok_sym"), 1L).otherwise(0L)).as("fail_sym"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        round(sum(when(col("keep"), 1L).otherwise(0L)).cast("double") /
+              count(lit(1)).cast("double"), 6).as("keep_rate"))
+      .orderBy(col("lang"))
+  }
+
+  /** The BPE training inner step: count adjacent character pairs WITHIN
+    * words (word boundaries never merge) across the corpus and rank the
+    * top candidates — at iteration 0 the symbols are single characters,
+    * and the top row is exactly the first merge a BPE trainer would
+    * perform. explode + hash-agg + top-k: one scan, one shuffle on the
+    * 2-char pair key, TakeOrderedAndProject for the limit.
+    */
+  def bpePairCounts(s: SparkSession, dir: String, topK: Int = 50): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+
+  override def queries: Map[String, QueryPack.Q] = Map(
+    "q_token_budget_mix" -> (mixQuery _),
+    "q_quality_rules"    -> (qualityRules _),
+    "q_bpe_pairs"        -> ((s, d) => bpePairCounts(s, d)))
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_token_budget_mix" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    md5('$mixSeed:' || CAST(doc_id AS VARCHAR)) AS pri
+         |  FROM documents
+         |), c AS (
+         |  SELECT lang, doc_id, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY pri, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  FROM t
+         |)
+         |SELECT lang, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_tokens <= $mixBudget
+         |ORDER BY doc_id""".stripMargin,
+    "q_quality_rules" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(string_split(text, ' '), t -> len(t)))
+        |      AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS BIGINT) AS n_stop,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |    CAST(length(text) AS BIGINT) AS n_chars_t,
+        |    CAST(length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS clean_len
+        |  FROM documents
+        |), f AS (
+        |  SELECT lang,
+        |    (n_words BETWEEN 5 AND 500) AS ok_len,
+        |    (word_chars >= n_words * 3 AND word_chars <= n_words * 12) AS ok_mwl,
+        |    (n_stop >= 1) AS ok_stop,
+        |    (n_distinct * 2 >= n_words) AS ok_rep,
+        |    ((n_chars_t - clean_len) * 10 <= n_chars_t) AS ok_sym
+        |  FROM d
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN NOT ok_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
+        |  CAST(sum(CASE WHEN NOT ok_mwl THEN 1 ELSE 0 END) AS BIGINT) AS fail_mwl,
+        |  CAST(sum(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+        |  CAST(sum(CASE WHEN NOT ok_rep THEN 1 ELSE 0 END) AS BIGINT) AS fail_rep,
+        |  CAST(sum(CASE WHEN NOT ok_sym THEN 1 ELSE 0 END) AS BIGINT) AS fail_sym,
+        |  CAST(sum(CASE WHEN ok_len AND ok_mwl AND ok_stop AND ok_rep AND ok_sym
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  round(sum(CASE WHEN ok_len AND ok_mwl AND ok_stop AND ok_rep AND ok_sym
+        |    THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS keep_rate
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |), p AS (
+        |  SELECT unnest([substring(w, i, 2) FOR i IN generate_series(1, len(w) - 1)]) AS pair
+        |  FROM w WHERE len(w) >= 2
+        |)
+        |SELECT pair, count(*) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin)
+}
