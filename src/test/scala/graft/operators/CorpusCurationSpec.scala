@@ -53,6 +53,28 @@ class CorpusCurationSpec extends SparkSpec {
     assert(got.forall(!_._1.contains(" ")), "pairs must never span a word boundary")
   }
 
+  test("plan shapes: mix = one hash shuffle on the stratum key; bpe pairs " +
+    "= partial agg + TakeOrderedAndProject; no UDF anywhere") {
+    val mix = CorpusCuration.mixQuery(spark, sfDir)
+    mix.collect()
+    val mixPlan = mix.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val hashEx = mixPlan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"budgeted mix must shuffle once, on the stratum:\n$mixPlan")
+    assert(!mixPlan.contains("UDF"), "curation ops stay in codegen expressions")
+
+    val bpe = CorpusCuration.bpePairCounts(spark, sfDir)
+    bpe.collect()
+    val bpePlan = bpe.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(bpePlan.contains("TakeOrderedAndProject"),
+      s"top-k must avoid a full sort:\n$bpePlan")
+    assert(bpePlan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"pair counting must combine map-side:\n$bpePlan")
+    assert(!bpePlan.contains("UDF"))
+  }
+
   test("qualityRules: keep counts consistent with per-rule failures") {
     val rows = CorpusCuration.qualityRules(spark, sfDir).collect()
     assert(rows.nonEmpty)
