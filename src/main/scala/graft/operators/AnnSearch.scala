@@ -259,10 +259,13 @@ object AnnSearch extends QueryPack {
 
   /** Duplicate-id guard for incremental appends: re-appending an id would
     * silently duplicate it in the index (it would appear twice in every
-    * top-k it reaches). The check broadcasts the (small) new batch's ids
-    * and semi-joins the index's id column — a column-pruned scan, no
-    * shuffle, no full-index collect — and fails with a clear error
-    * instead of corrupting the index.
+    * top-k it reaches). The check semi-joins the index's id column (a
+    * column-pruned scan — 8 bytes per indexed vector, never the
+    * embeddings) against the batch's ids and fails with a clear error
+    * instead of corrupting the index. Join strategy is left to
+    * Catalyst/AQE: a typical small batch broadcasts; a bulk backfill
+    * falls back to a shuffle join rather than an OOM-ing forced
+    * broadcast.
     */
   private def requireNewIds(s: SparkSession, path: String,
                             newVectors: DataFrame, idCol: String): Unit = {
@@ -272,7 +275,7 @@ object AnnSearch extends QueryPack {
     require(distinctN == batchN,
       s"append batch contains ${batchN - distinctN} duplicate $idCol values within itself")
     val clashes = s.read.parquet(path).select(col(idCol))
-      .join(broadcast(batchIds), Seq(idCol), "left_semi")
+      .join(batchIds, Seq(idCol), "left_semi")
       .limit(5).collect().map(_.get(0))
     require(clashes.isEmpty,
       s"append would duplicate ${clashes.length}+ existing $idCol values " +

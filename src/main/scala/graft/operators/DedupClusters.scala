@@ -50,6 +50,9 @@ object DedupClusters extends QueryPack {
       .distinct().cache()
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("label"))).head().getLong(0)
+    var prevSum = labelSum(labels)
 
     var iter = 0
     var done = false
@@ -68,11 +71,13 @@ object DedupClusters extends QueryPack {
         .select(col("node"), coalesce(col("jl"), col("label")).as("label"))
         .localCheckpoint() // truncate lineage: the self-join doubles the plan per round
 
-      val changed = doubled
-        .join(labels.select(col("node"), col("label").as("old")), "node")
-        .filter(col("label") =!= col("old")).limit(1).count() > 0
+      // convergence: labels only ever DECREASE (min folds), so the label
+      // sum is strictly monotone until fixpoint — an O(|V|) scan of the
+      // fresh checkpoint instead of a join against the previous round
+      val newSum = labelSum(doubled)
       labels = doubled
-      done = !changed
+      done = newSum == prevSum
+      prevSum = newSum
       iter += 1
     }
     sym.unpersist()

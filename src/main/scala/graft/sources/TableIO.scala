@@ -58,7 +58,9 @@ object TableIO {
     * many appends a serve-path scan pays per-file open cost. Compaction
     * rewrites the index hash-partitioned ON the bucket column — each
     * bucket collapses into a single task and therefore a single file —
-    * then atomically swaps directories (write to a sibling, rename over).
+    * then swaps directories via two renames (atomic on HDFS-like
+    * filesystems; on an object store without atomic rename, point
+    * serving at versioned index paths instead and flip the pointer).
     * Run it like any housekeeping job: off the serve path, per index,
     * when file counts grow.
     */
