@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
+import graft.functions.SampleKExpr
 
 /** `[EXT]` corpus-curation operators — the decision layer of a
   * training-data pipeline, downstream of scoring/dedup and upstream of
@@ -31,25 +32,76 @@ object CorpusCuration extends QueryPack {
   private val mixSeed = 42L
   private val mixBudget = 400L
 
+  /** Budgets up to this many tokens take the bottom-k pre-prune path (the
+    * per-group sketch buffer allocates k slots eagerly; ~4M × 40 B ≈ 160 MB
+    * is the ceiling we accept per aggregation buffer). Budgets beyond it —
+    * billions of tokens per stratum — would need a priority-threshold
+    * estimate (bucket the 32-hex priority space, prefix-sum per-bucket
+    * token counts, window only the cutoff bucket) instead of a heap; at
+    * that point fall back to the plain window.
+    */
+  private val maxPruneK: Long = 1L << 22
+
+  /** Pre-window candidate set for [[budgetedMix]]: each stratum pruned to
+    * its bottom-`budgetTokens` docs by the md5("seed:id") priority, via the
+    * [[SampleKExpr]] bottom-k aggregate (map-side k-bounded heaps, one
+    * shuffle of k-sized buffers on the stratum key).
+    *
+    * Why pruning is result-preserving: every doc carries ≥ 1 token
+    * (`split` never returns an empty array), so a row surviving
+    * `cum_tokens <= budgetTokens` has at most `budgetTokens` rows at or
+    * before it in the (pri, id) order — i.e. every survivor sits inside
+    * the bottom-`budgetTokens` PREFIX of the stratum's sort order, and a
+    * prefix prune leaves each survivor's running sum unchanged. Without
+    * this prune a dominant stratum (lang='en' on a web corpus) funnels
+    * nearly the whole table through ONE window reducer; with it the
+    * window sees ≤ budgetTokens rows per stratum at any corpus size.
+    *
+    * The joined-back candidate side is ≤ budget·n_strata rows — AQE
+    * broadcasts it, so the corpus side is never shuffled for the join.
+    */
+  private[graft] def mixCandidates(docs: DataFrame, idCol: String, textCol: String,
+                                   stratumCol: String, budgetTokens: Long,
+                                   seed: Long): DataFrame = {
+    val narrow = docs.select(col(stratumCol), col(idCol).cast("long").as(idCol),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    if (budgetTokens > maxPruneK) {
+      // plain-window fallback for heap-hostile budgets (see maxPruneK)
+      narrow.withColumn("pri",
+        md5(concat(lit(seed.toString + ":"), col(idCol).cast("string")).cast("binary")))
+    } else {
+      // SampleKExpr's priority IS md5("seed:id") with the same (pri, id)
+      // tie-break as the window's ORDER BY, so its kept set is exactly the
+      // bottom-k prefix of the stratum order
+      val kept = narrow.groupBy(col(stratumCol))
+        .agg(SampleKExpr(col(idCol), seed, budgetTokens.toInt).as("kept"))
+        .select(col(stratumCol).as("__mix_stratum"), explode(col("kept")).as("kv"))
+        .select(col("__mix_stratum"), col("kv.id").as("__mix_id"),
+          col("kv.pri").as("pri"))
+      kept.join(narrow,
+          kept("__mix_stratum") <=> narrow(stratumCol) &&
+            kept("__mix_id") === narrow(idCol))
+        .select(col(stratumCol), col(idCol), col("n_tokens"), col("pri"))
+    }
+  }
+
   /** Deterministic token-budget sampling per stratum: order the stratum's
     * docs by md5("seed:doc_id") priority (the [[graft.functions.SampleKExpr]]
     * priority — membership is a pure function of (seed, id), auditable by
     * any md5-bearing engine) and keep docs while the running token total
     * stays within the budget. Output size is budget-bound, not
     * corpus-bound: the same query returns ~budget tokens per stratum at
-    * any scale. One window over the stratum — a single shuffle on the
-    * stratum key.
+    * any scale. The stratum is pre-pruned to its bottom-`budgetTokens`
+    * candidates BEFORE the running-sum window (see [[mixCandidates]] for
+    * the proof), so no stratum — however dominant — pushes more than
+    * `budgetTokens` rows through a single window reducer.
     */
   def budgetedMix(docs: DataFrame, idCol: String, textCol: String,
                   stratumCol: String, budgetTokens: Long = mixBudget,
                   seed: Long = mixSeed): DataFrame = {
-    val pri = md5(concat(lit(seed.toString + ":"), col(idCol).cast("string")).cast("binary"))
     val w = Window.partitionBy(col(stratumCol)).orderBy(col("pri"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .select(col(stratumCol), col(idCol),
-        size(split(col(textCol), " ")).cast("long").as("n_tokens"),
-        pri.as("pri"))
+    mixCandidates(docs, idCol, textCol, stratumCol, budgetTokens, seed)
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budgetTokens)
   }

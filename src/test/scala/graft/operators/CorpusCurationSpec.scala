@@ -36,6 +36,40 @@ class CorpusCurationSpec extends SparkSpec {
     assert(shuffled == keptIds)
   }
 
+  test("budgetedMix: pre-prune is invisible on a deliberately skewed stratum " +
+    "and bounds the window input to k rows per stratum") {
+    // one dominant stratum (4,900 docs) vs one rare (100) — the shape that
+    // kills an unpruned per-stratum window at scale
+    val docs = (0L until 5000L)
+      .map(i => (i, Seq.fill((i % 7).toInt + 1)("w").mkString(" "),
+        if (i % 50 == 0) "rare" else "en"))
+      .toDF("doc_id", "text", "lang")
+    val budget = 100L
+    val got = CorpusCuration.budgetedMix(docs, "doc_id", "text", "lang", budget)
+      .select("lang", "doc_id", "n_tokens", "cum_tokens")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._2))
+    // reference: the plain unbounded window over the WHOLE stratum
+    val pri = md5(concat(lit("42:"), $"doc_id".cast("string")).cast("binary"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"pri", $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ref = docs
+      .select($"lang", $"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tokens"), pri.as("pri"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .filter($"cum_tokens" <= budget)
+      .select("lang", "doc_id", "n_tokens", "cum_tokens")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._2))
+    assert(got.nonEmpty && got.toSeq == ref.toSeq,
+      "pruned result must equal the unpruned window's")
+    // the window never sees more than budget rows per stratum
+    val cand = CorpusCuration.mixCandidates(docs, "doc_id", "text", "lang", budget, 42L)
+    assert(cand.count() <= budget * 2, "pre-window rows must be <= k * n_strata")
+  }
+
   test("bpePairCounts: top pair equals a local recount; no cross-word pairs") {
     val texts = Tables.documents(spark, sfDir)
       .select("text").collect().map(_.getString(0))
@@ -59,9 +93,15 @@ class CorpusCurationSpec extends SparkSpec {
     mix.collect()
     val mixPlan = mix.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
+    assert(mixPlan.toLowerCase.contains("samplek"),
+      s"budgeted mix must pre-prune each stratum with the bottom-k sketch:\n$mixPlan")
     val hashEx = mixPlan.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning"))
-    assert(hashEx == 1, s"budgeted mix must shuffle once, on the stratum:\n$mixPlan")
+    assert(hashEx <= 2, s"budgeted mix shuffles at most twice (sketch agg + " +
+      s"window), both on the stratum key:\n$mixPlan")
+    assert(mixPlan.contains("BroadcastHashJoin"),
+      s"the budget-bound candidate set must broadcast for the join-back " +
+      s"(the corpus side never shuffles for it):\n$mixPlan")
     assert(!mixPlan.contains("UDF"), "curation ops stay in codegen expressions")
 
     val bpe = CorpusCuration.bpePairCounts(spark, sfDir)
