@@ -24,7 +24,8 @@ object SparkEntry {
     graft.operators.AsOfJoin,
     graft.operators.SkewJoin,
     graft.operators.DedupClusters,
-    graft.operators.CorpusCuration)
+    graft.operators.CorpusCuration,
+    graft.operators.CuratedCorpus)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline capability: scatter-gather top-k cosine

@@ -111,16 +111,14 @@ object CorpusCuration extends QueryPack {
       .select(col("lang"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
       .orderBy(col("doc_id"))
 
-  /** Gopher/C4-family quality rules, summarized per language: how many
-    * docs fail each rule and how many survive all of them. Thresholds are
-    * tuned to this corpus's shape (short synthetic docs) — the OPERATOR is
-    * the point: per-row boolean columns folded in one conditional-agg
-    * pass, the decision layer a 100 TB curation run executes before
-    * training.
+  /** Per-document quality-rule flags — the row-level decision layer shared
+    * by the per-language summary ([[qualityRules]]) and the curated-corpus
+    * materialization ([[CuratedCorpus]]). Adds the five `ok_*` booleans and
+    * the combined `keep` to `docs`; all narrow expressions, no shuffle.
     */
-  def qualityRules(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def qualityFlags(docs: DataFrame): DataFrame = {
     val stop = Seq("the", "a", "and", "of", "to")
-    Tables.documents(s, dir)
+    docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_words", size(col("toks")).cast("long"))
       .withColumn("word_chars",
@@ -143,6 +141,17 @@ object CorpusCuration extends QueryPack {
         (length(col("text")) - col("clean_len")) * 10 <= length(col("text")))
       .withColumn("keep",
         col("ok_len") && col("ok_mwl") && col("ok_stop") && col("ok_rep") && col("ok_sym"))
+  }
+
+  /** Gopher/C4-family quality rules, summarized per language: how many
+    * docs fail each rule and how many survive all of them. Thresholds are
+    * tuned to this corpus's shape (short synthetic docs) — the OPERATOR is
+    * the point: per-row boolean columns ([[qualityFlags]]) folded in one
+    * conditional-agg pass, the decision layer a 100 TB curation run
+    * executes before training.
+    */
+  def qualityRules(s: SparkSession, dir: String): DataFrame = {
+    qualityFlags(Tables.documents(s, dir))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -175,6 +184,31 @@ object CorpusCuration extends QueryPack {
       .orderBy(col("n").desc, col("pair"))
       .limit(topK)
 
+  /** DuckDB mirror of [[qualityFlags]] — per-doc `ok_*` booleans, shared
+    * by the `q_quality_rules` oracle and the curated-corpus oracle
+    * ([[CuratedCorpus.oracleSql]]). Expressions replicate the engine's
+    * integer-only rule arithmetic exactly.
+    */
+  private[operators] val qualityRowsSql: String =
+    """  SELECT doc_id, lang,
+      |    (n_words BETWEEN 5 AND 500) AS ok_len,
+      |    (word_chars >= n_words * 3 AND word_chars <= n_words * 12) AS ok_mwl,
+      |    (n_stop >= 1) AS ok_stop,
+      |    (n_distinct * 2 >= n_words) AS ok_rep,
+      |    ((n_chars_t - clean_len) * 10 <= n_chars_t) AS ok_sym
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |      CAST(list_sum(list_transform(string_split(text, ' '), t -> len(t)))
+      |        AS BIGINT) AS word_chars,
+      |      CAST(len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS BIGINT) AS n_stop,
+      |      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+      |      CAST(length(text) AS BIGINT) AS n_chars_t,
+      |      CAST(length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS clean_len
+      |    FROM documents
+      |  )""".stripMargin
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_token_budget_mix" -> (mixQuery _),
     "q_quality_rules"    -> (qualityRules _),
@@ -197,26 +231,8 @@ object CorpusCuration extends QueryPack {
          |FROM c WHERE cum_tokens <= $mixBudget
          |ORDER BY doc_id""".stripMargin,
     "q_quality_rules" ->
-      """WITH d AS (
-        |  SELECT lang,
-        |    string_split(text, ' ') AS toks,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-        |    CAST(list_sum(list_transform(string_split(text, ' '), t -> len(t)))
-        |      AS BIGINT) AS word_chars,
-        |    CAST(len(list_filter(string_split(text, ' '),
-        |      t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS BIGINT) AS n_stop,
-        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
-        |    CAST(length(text) AS BIGINT) AS n_chars_t,
-        |    CAST(length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS clean_len
-        |  FROM documents
-        |), f AS (
-        |  SELECT lang,
-        |    (n_words BETWEEN 5 AND 500) AS ok_len,
-        |    (word_chars >= n_words * 3 AND word_chars <= n_words * 12) AS ok_mwl,
-        |    (n_stop >= 1) AS ok_stop,
-        |    (n_distinct * 2 >= n_words) AS ok_rep,
-        |    ((n_chars_t - clean_len) * 10 <= n_chars_t) AS ok_sym
-        |  FROM d
+      s"""WITH f AS (
+        |$qualityRowsSql
         |)
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN NOT ok_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,

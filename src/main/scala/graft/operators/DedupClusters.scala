@@ -88,9 +88,11 @@ object DedupClusters extends QueryPack {
 
   /** Driver query: near-dup clusters over the verified MinHash pair set
     * (the q_minhash_neardup pairs), one row per clustered doc with its
-    * representative (min doc_id — the doc a dedup pass KEEPS) and the
-    * cluster size. Docs in no near-dup pair are not emitted (they are
-    * their own singleton clusters by definition).
+    * representative (min doc_id — the doc a dedup pass KEEPS), the
+    * cluster size, and the DELETION decision (`is_kept` = 1 iff the doc
+    * IS the representative — the drop-side a dedup pass executes). Docs
+    * in no near-dup pair are not emitted (they are their own singleton
+    * clusters by definition).
     */
   def clustersQuery(s: SparkSession, dir: String): DataFrame = {
     val pairs = MinHashDedup.minhashQuery(s, dir).select("a_id", "b_id")
@@ -98,40 +100,48 @@ object DedupClusters extends QueryPack {
       .select(col("node").as("doc_id"), col("cluster_rep"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_rep"))))
+      .withColumn("is_kept",
+        when(col("doc_id") === col("cluster_rep"), 1L).otherwise(0L))
       .orderBy(col("doc_id"))
   }
 
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_dedup_clusters" -> (clustersQuery _))
 
-  /** The oracle recomputes the SAME pair set the engine clusters (the
+  /** Shared oracle prelude: the SAME pair set the engine clusters (the
     * full minhash signature/banding/verify replication from
-    * [[MinHashDedup.minhashNeardupOracle]], nested as a subquery) and
-    * then takes the transitive closure with a recursive CTE — min
-    * reachable id per node ≡ the engine's converged min-label.
+    * [[MinHashDedup.minhashNeardupOracle]], nested as a subquery), then
+    * the transitive closure with a recursive CTE — min reachable id per
+    * node ≡ the engine's converged min-label. Ends with `comp(node, rep)`;
+    * callers append their own CTEs/SELECT. Reused by
+    * [[CuratedCorpus.oracleSql]].
     */
+  private[operators] def closurePrelude: String =
+    s"""WITH RECURSIVE vpairs AS MATERIALIZED (
+       |  SELECT a_id, b_id FROM (
+       |${MinHashDedup.minhashNeardupOracle}
+       |  ) t
+       |), nodes AS (
+       |  SELECT a_id AS n FROM vpairs UNION SELECT b_id FROM vpairs
+       |), edges AS (
+       |  SELECT a_id AS u, b_id AS v FROM vpairs
+       |  UNION SELECT b_id, a_id FROM vpairs
+       |), reach AS (
+       |  SELECT n AS node, n AS m FROM nodes
+       |  UNION
+       |  SELECT e.v AS node, r.m AS m FROM reach r JOIN edges e ON e.u = r.node
+       |), comp AS MATERIALIZED (
+       |  SELECT node, min(m) AS rep FROM reach GROUP BY node
+       |)""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
     "q_dedup_clusters" ->
-      s"""WITH RECURSIVE vpairs AS MATERIALIZED (
-         |  SELECT a_id, b_id FROM (
-         |${MinHashDedup.minhashNeardupOracle}
-         |  ) t
-         |), nodes AS (
-         |  SELECT a_id AS n FROM vpairs UNION SELECT b_id FROM vpairs
-         |), edges AS (
-         |  SELECT a_id AS u, b_id AS v FROM vpairs
-         |  UNION SELECT b_id, a_id FROM vpairs
-         |), reach AS (
-         |  SELECT n AS node, n AS m FROM nodes
-         |  UNION
-         |  SELECT e.v AS node, r.m AS m FROM reach r JOIN edges e ON e.u = r.node
-         |), comp AS MATERIALIZED (
-         |  SELECT node, min(m) AS rep FROM reach GROUP BY node
-         |), csize AS (
+      s"""$closurePrelude, csize AS (
          |  SELECT rep, count(*) AS n FROM comp GROUP BY rep
          |)
          |SELECT c.node AS doc_id, CAST(c.rep AS BIGINT) AS cluster_rep,
-         |  CAST(s.n AS BIGINT) AS cluster_size
+         |  CAST(s.n AS BIGINT) AS cluster_size,
+         |  CAST(CASE WHEN c.node = c.rep THEN 1 ELSE 0 END AS BIGINT) AS is_kept
          |FROM comp c JOIN csize s ON s.rep = c.rep
          |ORDER BY doc_id""".stripMargin)
 }
