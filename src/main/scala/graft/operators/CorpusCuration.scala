@@ -209,10 +209,72 @@ object CorpusCuration extends QueryPack {
       |    FROM documents
       |  )""".stripMargin
 
+  /** ITERATED BPE training — the real tokenizer-trainer loop, not just
+    * the iteration-0 pair count of [[bpePairCounts]]: `rounds` times,
+    * (1) count adjacent symbol-pair occurrences across the corpus
+    * (overlapping positions, weighted by word frequency — the classic
+    * Sennrich counting), (2) pick the most frequent pair (total
+    * tiebreak: count desc, then lhs/rhs asc — integer-only, so the
+    * argmax is deterministic under ANY partitioning), (3) re-segment
+    * every word by greedy leftmost-first non-overlapping merge, and
+    * recount. Returns the merge TABLE — (merge_round, lhs, rhs, n) — the
+    * artifact a BPE trainer ships.
+    *
+    * Scale design: the loop runs over the WORD-FREQUENCY table, not the
+    * corpus — one corpus scan builds (word, count), and every subsequent
+    * round is vocab-sized (bounded in the millions at any corpus size —
+    * the standard scalable-BPE shape). Re-segmentation is a codegen'd
+    * `aggregate` fold over the symbol array (greedy scan semantics: the
+    * merged token `lhs+rhs` is strictly longer than `lhs`, so it can
+    * never falsely chain into the next merge — see the spec's "aaaa"
+    * case). Per-round `localCheckpoint` truncates the growing lineage
+    * (the [[DedupClusters]] pattern); only the 1-row argmax is collected
+    * per round.
+    */
+  def bpeMerges(s: SparkSession, dir: String, rounds: Int = 6): DataFrame =
+    bpeMergesFor(Tables.documents(s, dir), rounds)
+
+  /** [[bpeMerges]] over an explicit corpus frame (spec entry point). */
+  private[graft] def bpeMergesFor(docs: DataFrame, rounds: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    var words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      // filter guards against any empty-string artifacts of the char split
+      .select(expr("filter(split(w, ''), c -> c <> '')").as("syms"), col("n"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    for (round <- 1 to rounds) {
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(syms[i - 1] AS lhs, syms[i] AS rhs))")).as("p"), col("n"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("n")).as("pn"))
+        .orderBy(col("pn").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      require(top.nonEmpty, s"BPE merge round $round: no pairs left (corpus too small)")
+      val (lhs, rhs, pn) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((round.toLong, lhs, rhs, pn))
+      // greedy leftmost-first merge of (lhs, rhs) in every word
+      words = words.select(
+        aggregate(col("syms"), array().cast("array<string>"),
+          (acc, sym) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(lhs) && sym === lit(rhs),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(lhs + rhs))))
+            .otherwise(concat(acc, array(sym)))).as("syms"),
+        col("n")).localCheckpoint()
+    }
+    merges.toSeq.toDF("merge_round", "lhs", "rhs", "n").orderBy(col("merge_round"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_token_budget_mix" -> (mixQuery _),
     "q_quality_rules"    -> (qualityRules _),
-    "q_bpe_pairs"        -> ((s, d) => bpePairCounts(s, d)))
+    "q_bpe_pairs"        -> ((s, d) => bpePairCounts(s, d)),
+    "q_bpe_merges"       -> ((s, d) => bpeMerges(s, d)))
 
   override def oracleSql: Map[String, String] = Map(
     "q_token_budget_mix" ->
@@ -245,6 +307,22 @@ object CorpusCuration extends QueryPack {
         |  round(sum(CASE WHEN ok_len AND ok_mwl AND ok_stop AND ok_rep AND ok_sym
         |    THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS keep_rate
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+    // GOLDEN-VALUE oracle (sf0.01, the driver's verify corpus): the merge
+    // table is integer-only (counts + lexicographic argmax), verified
+    // bit-identical across fresh JVMs at local[4]/sp=4 and local[32]/sp=32
+    // (GoldenIvf probe) AND against an independent Python BPE trainer over
+    // the same parquet. Round 6 merges 'm'+'er' — a round-1 product — so
+    // the pinned values witness true iteration, not six iteration-0 picks.
+    "q_bpe_merges" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'e', 'r', CAST(4568 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'i', 'n', CAST(2760 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), 'o', 'w', CAST(2747 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), 'o', 'r', CAST(2696 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), 's', 't', CAST(2676 AS BIGINT)),
+        |  (CAST(6 AS BIGINT), 'm', 'er', CAST(1852 AS BIGINT))
+        |) t(merge_round, lhs, rhs, n)
+        |ORDER BY merge_round""".stripMargin,
     "q_bpe_pairs" ->
       """WITH w AS (
         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents

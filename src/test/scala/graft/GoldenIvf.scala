@@ -20,7 +20,9 @@ object GoldenIvf {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q_ann_ivf", "q_ann_batch_ivf")) {
+    val names =
+      if (args.length > 2) args.drop(2).toSeq else Seq("q_ann_ivf", "q_ann_batch_ivf")
+    for (q <- names) {
       SparkEntry.queries(q)(spark, dir).collect().foreach { r =>
         println(s"GOLDEN $q " + (0 until r.length).map(r.get(_).toString).mkString("|"))
       }

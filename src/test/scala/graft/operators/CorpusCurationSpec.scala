@@ -115,6 +115,45 @@ class CorpusCurationSpec extends SparkSpec {
     assert(!bpePlan.contains("UDF"))
   }
 
+  test("bpeMerges: matches an independent greedy-scan reference, including " +
+    "overlapping pairs and merged-token chaining") {
+    // "aaaa" exercises overlap counting (3 positions of (a,a)) AND the
+    // greedy scan ([a,a,a,a] -> [aa,aa], never [aa,a,a]); "banana"/"abab"
+    // exercise merged tokens participating in later rounds
+    val docs = Seq((1L, "aaaa abab banana"), (2L, "aaaa aaaa cocoa banana"))
+      .toDF("doc_id", "text")
+    val rounds = 5
+
+    // independent reference: plain-Scala Sennrich-style trainer
+    var words: Seq[(Vector[String], Long)] =
+      docs.collect().flatMap(_.getString(1).split(" ")).toSeq
+        .groupBy(identity).map { case (w, ws) =>
+          w.split("").toVector -> ws.size.toLong }.toSeq
+    val expect = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, n) <- words; i <- 0 until syms.size - 1)
+        counts((syms(i), syms(i + 1))) += n
+      val ((lhs, rhs), pn) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      expect += ((r.toLong, lhs, rhs, pn))
+      words = words.map { case (syms, n) =>
+        val res = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == lhs && syms(i + 1) == rhs) {
+            res += lhs + rhs; i += 2
+          } else { res += syms(i); i += 1 }
+        }
+        res.toVector -> n
+      }
+    }
+
+    val got = CorpusCuration.bpeMergesFor(docs, rounds)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == expect.toSeq)
+  }
+
   test("qualityRules: keep counts consistent with per-rule failures") {
     val rows = CorpusCuration.qualityRules(spark, sfDir).collect()
     assert(rows.nonEmpty)
