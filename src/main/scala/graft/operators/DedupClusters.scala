@@ -28,28 +28,42 @@ import graft.QueryPack
   * driver-side graph), and each round CHECKPOINTS its labels — the
   * pointer-jump is a self-join, so without truncation the plan tree
   * doubles every round and planning itself becomes exponential (measured:
-  * explain-string OOM by round ~5). `localCheckpoint` here; on a real
-  * cluster use `checkpoint` to durable storage so a lost executor doesn't
-  * replay the whole loop. A `maxIter` bound turns a pathological input
-  * into a loud error instead of a runaway job.
+  * explain-string OOM by round ~5). Truncation is `localCheckpoint` by
+  * default; pass `checkpointDir` (durable storage) to switch to reliable
+  * `checkpoint` so a lost executor doesn't abort the loop. A `maxIter`
+  * bound turns a pathological input into a loud error instead of a
+  * runaway job.
   */
 object DedupClusters extends QueryPack {
 
   /** Connected components over an undirected pair list. Returns one row
     * per distinct node: (node, cluster_rep) with cluster_rep = min node
     * id reachable — deterministic under any partitioning.
+    *
+    * `checkpointDir`: per-round lineage truncation defaults to
+    * `localCheckpoint` (executor-stored — fine single-JVM, but on a real
+    * cluster a lost executor aborts the job). Pass a DURABLE directory
+    * (HDFS/S3) to switch every truncation to reliable `checkpoint`, so
+    * executor loss recomputes from storage instead of killing the loop.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
-                          bCol: String = "b_id", maxIter: Int = 20): DataFrame = {
+                          bCol: String = "b_id", maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val ck: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
     // materialize the pair list ONCE before symmetrizing: the self-union
     // would otherwise evaluate the (possibly expensive) upstream pair
     // pipeline twice
-    val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .localCheckpoint()
+    val edges = ck(
+      pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")))
     val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       .distinct().cache()
-    var labels = sym.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+    var labels = ck(sym.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")))
     def labelSum(df: DataFrame): Long =
       df.agg(sum(col("label"))).head().getLong(0)
     var prevSum = labelSum(labels)
@@ -67,9 +81,9 @@ object DedupClusters extends QueryPack {
       // pointer doubling: label(u) <- label(label(u)) — labels are always
       // node ids, so the jump table is merged itself
       val jump = merged.select(col("node").as("jn"), col("label").as("jl"))
-      val doubled = merged.join(jump, col("label") === col("jn"), "left")
-        .select(col("node"), coalesce(col("jl"), col("label")).as("label"))
-        .localCheckpoint() // truncate lineage: the self-join doubles the plan per round
+      // truncate lineage: the self-join doubles the plan per round
+      val doubled = ck(merged.join(jump, col("label") === col("jn"), "left")
+        .select(col("node"), coalesce(col("jl"), col("label")).as("label")))
 
       // convergence: labels only ever DECREASE (min folds), so the label
       // sum is strictly monotone until fixpoint — an O(|V|) scan of the

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
@@ -24,14 +24,32 @@ import graft.operators.AnnSearch
 object AnnIngestStream {
 
   def ingestLsh(spark: SparkSession, srcDir: String, indexPath: String,
-                schema: StructType, checkpointDir: String): Unit = {
+                schema: StructType, checkpointDir: String): Unit =
+    runIngest(spark, srcDir, schema, checkpointDir) { batch =>
+      AnnSearch.appendToLshIndex(spark, indexPath, batch)
+    }
+
+  /** IVF twin of [[ingestLsh]]: each micro-batch is assigned to its
+    * nearest PERSISTED centroid (the quantizer stays frozen between
+    * offline rebuilds — [[AnnSearch.appendToIvfIndex]]) and appended into
+    * the list partition directories. Same at-least-once + loud-guard
+    * failure semantics.
+    */
+  def ingestIvf(spark: SparkSession, srcDir: String, indexPath: String,
+                schema: StructType, checkpointDir: String): Unit =
+    runIngest(spark, srcDir, schema, checkpointDir) { batch =>
+      AnnSearch.appendToIvfIndex(spark, indexPath, batch)
+    }
+
+  private def runIngest(spark: SparkSession, srcDir: String, schema: StructType,
+                        checkpointDir: String)(append: DataFrame => Unit): Unit = {
     val q = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        if (!batch.isEmpty) AnnSearch.appendToLshIndex(spark, indexPath, batch.toDF())
+        if (!batch.isEmpty) append(batch.toDF())
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

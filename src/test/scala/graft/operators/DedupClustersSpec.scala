@@ -25,6 +25,19 @@ class DedupClustersSpec extends SparkSpec {
     assert(got.values.forall(_ == 0L))
   }
 
+  test("durable checkpointDir: same result via reliable checkpoint, and " +
+    "checkpoint state actually lands in the directory") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_ck").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    val durable = DedupClusters.connectedComponents(
+        pairs.toDF("a_id", "b_id"), checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(durable == comps(pairs))
+    def anyFile(p: java.io.File): Boolean =
+      p.isFile || Option(p.listFiles).exists(_.exists(anyFile))
+    assert(anyFile(new java.io.File(dir)), "reliable checkpoints must be on disk")
+  }
+
   test("result is independent of pair order and direction") {
     val base = Seq((5L, 9L), (9L, 2L), (7L, 8L), (3L, 7L))
     val flipped = scala.util.Random.shuffle(base.map { case (a, b) => (b, a) })
