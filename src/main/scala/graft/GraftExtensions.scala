@@ -40,6 +40,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "_FUNC_(bigint, bigint, int)"),
       exprs => graft.functions.SampleKExpr(exprs(0), exprs(1), exprs(2))))
     e.injectFunction((
+      new FunctionIdentifier("space_saving"),
+      new ExpressionInfo(
+        classOf[graft.functions.SpaceSavingExpr].getName, null, "space_saving",
+        "_FUNC_(item, capacity) - bounded-memory space-saving heavy-hitter " +
+          "sketch per group: every item with frequency > N/capacity is " +
+          "guaranteed present; counts are upper bounds with per-entry error",
+        "_FUNC_(string, int)"),
+      exprs => graft.functions.SpaceSavingExpr(exprs(0), exprs(1))))
+    e.injectFunction((
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(
         classOf[CosineSimilarityExpr].getName, null, "cosine_similarity",

@@ -405,6 +405,46 @@ object TextAnalysis extends QueryPack {
       .orderBy(col("source"), col("seq_id"))
   }
 
+  /** Deterministic heavy hitters at bounded memory — the standard corpus
+    * profiler ("what are the top-k n-grams / domains") in the shape that
+    * survives unbounded cardinality. Two passes:
+    *
+    *  1. CANDIDATES: one [[graft.functions.SpaceSavingExpr]] sketch over
+    *     the gram stream — map-side partial sketches merge additively, so
+    *     the driver's final buffer is `capacity` entries whatever the
+    *     gram cardinality, and every item with frequency > N/capacity is
+    *     guaranteed present (the published space-saving bound);
+    *  2. EXACT RECOUNT: semi-join the gram stream against the ≤ capacity
+    *     candidates (broadcast) and count exactly, then take the
+    *     tiebroken top-k.
+    *
+    * The recount is what makes the result DETERMINISTIC (sketch counts
+    * are order-dependent upper bounds; exact counts are not) — MLlib's
+    * `freqItems` stops at pass 1 and is thus nondeterministic, which is
+    * why it can't be oracle-gated. Capacity must be sized so the k-th
+    * hitter clears N/capacity; 1024 comfortably covers this corpus's
+    * full bigram space (≤ 31² < 1024 — the sketch never even evicts at
+    * gate scale, so the gate exercises the exact path while the spec
+    * exercises eviction on adversarial synthetic streams).
+    */
+  def heavyHitters(s: SparkSession, dir: String, capacity: Int = 1024,
+                   k: Int = 20): DataFrame = {
+    def grams = Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))")).as("bg"))
+    val cand = grams
+      .agg(graft.functions.SpaceSavingExpr(col("bg"), capacity).as("sk"))
+      .select(explode(col("sk")).as("c"))
+      .select(col("c.item").as("bg"))
+    grams.join(cand, Seq("bg"), "left_semi")
+      .groupBy(col("bg"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bg"))
+      .limit(k)
+  }
+
   /** Content fingerprints (md5 — stable across engines) for a key slice. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -430,9 +470,24 @@ object TextAnalysis extends QueryPack {
     "q_contamination"    -> (contaminationReport _),
     "q_corpus_stats"     -> (corpusStats _),
     "q_seq_pack"         -> ((s, d) => seqPack(s, d)),
-    "q_winnow_fp"        -> (winnowQuery _))
+    "q_winnow_fp"        -> (winnowQuery _),
+    "q_heavy_hitters"    -> ((s, d) => heavyHitters(s, d)))
 
   override def oracleSql: Map[String, String] = Map(
+    // exact full top-k: valid against the engine's two-pass shape because
+    // the sketch candidate set provably contains every true heavy hitter
+    // (and, at gate scale, the whole bigram space) and the second pass
+    // recounts exactly
+    "q_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents
+        |), b AS (
+        |  SELECT unnest([w[i] || ' ' || w[i + 1]
+        |    FOR i IN generate_series(1, len(w) - 1)]) AS bg
+        |  FROM w WHERE len(w) >= 2
+        |)
+        |SELECT bg, count(*) AS n FROM b
+        |GROUP BY bg ORDER BY n DESC, bg LIMIT 20""".stripMargin,
     "q_contamination" ->
       """WITH b AS MATERIALIZED (
         |  SELECT doc_id, source, text,
