@@ -41,24 +41,71 @@ object DocDedupStream {
     * order, so the file source's mtime ordering (and
     * `maxFilesPerTrigger=1` in [[nearDupDedupStreaming]]) replays parts
     * in name order — the order a sorted write produced them in.
+    *
+    * The staging path is FIXED per corpus (md5 of the source path — the
+    * ensureLshIndex pattern) and reused across runs: a long-lived session
+    * holds at most one staging dir per corpus instead of one per run. If
+    * the source's part set changed since staging (e.g. an appended part),
+    * the dir is wiped and re-staged.
     */
-  private def stagedDir(dir: String, file: String): String = {
-    val tmp = Files.createTempDirectory("graft_docs_src")
+  private[streaming] def stagedDir(dir: String, file: String): String = {
     val src = java.nio.file.Paths.get(s"$dir/$file")
-    if (Files.isDirectory(src)) {
-      val parts = Files.list(src).toArray.map(_.asInstanceOf[java.nio.file.Path])
-        .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(src.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_docs_src_$digest")
+    val parts: Seq[java.nio.file.Path] =
+      if (Files.isDirectory(src))
+        Files.list(src).toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .sortBy(_.getFileName.toString).toSeq
+      else Seq(src)
+    val wanted = parts.map(_.getFileName.toString)
+    val current =
+      if (Files.isDirectory(tmp))
+        Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .map(_.getFileName.toString).toSeq.sorted
+      else Seq.empty
+    if (current != wanted) {
+      current.foreach(n => Files.delete(tmp.resolve(n)))
+      Files.createDirectories(tmp)
       parts.zipWithIndex.foreach { case (p, i) =>
         val link = tmp.resolve(p.getFileName.toString)
         Files.createSymbolicLink(link, p)
         Files.setLastModifiedTime(link,
           java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 1000L))
       }
-    } else {
-      Files.createSymbolicLink(tmp.resolve(file), src)
     }
     tmp.toString
   }
+
+  /** Fresh checkpoint dirs are unavoidable per run (reusing one would
+    * make the re-run a no-op replay), but they all live under ONE
+    * process-scoped root that a shutdown hook removes — a long-lived
+    * session no longer accumulates them.
+    */
+  private lazy val ckRoot: java.nio.file.Path = {
+    val root = Files.createTempDirectory("graft_stream_ck")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+          Files.list(p).toArray.foreach(c => rm(c.asInstanceOf[java.nio.file.Path]))
+        Files.deleteIfExists(p)
+      }
+      rm(root)
+    }))
+    root
+  }
+
+  private[streaming] def freshCheckpointDir(): String =
+    Files.createTempDirectory(ckRoot, "run").toString
+
+  /** One live memory-sink table per corpus: the previous run's table is
+    * dropped before the next run registers its own, so repeated runs
+    * don't leak one catalog entry each.
+    */
+  private val lastSinkTable = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Core transform (works on a streaming OR batch docs frame bearing an
     * event-time column): band keys → watermarked first-claim per bucket.
@@ -100,11 +147,12 @@ object DocDedupStream {
     val claims = claimBands(source, "doc_id", "text", "ts", "1 hour")
 
     val name = s"neardup_${System.nanoTime()}"
+    Option(lastSinkTable.put(dir, name))
+      .foreach(prev => spark.catalog.dropTempView(prev))
     val q = claims.writeStream
       .outputMode(OutputMode.Append())
       .format("memory").queryName(name)
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft_stream_ck").toString)
+      .option("checkpointLocation", freshCheckpointDir())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

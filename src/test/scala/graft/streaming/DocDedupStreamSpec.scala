@@ -111,5 +111,13 @@ class DocDedupStreamSpec extends SparkSpec {
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(a.toSet == greedyKept(texts))
+    // litter bounds: staging is fixed per corpus (reused, not re-created),
+    // and the catalog holds at most ONE neardup memory-sink table per
+    // corpus — the earlier run's was dropped by the later one
+    assert(DocDedupStream.stagedDir(sfDir, "documents.parquet") ==
+      DocDedupStream.stagedDir(sfDir, "documents.parquet"))
+    val sinkTables = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("neardup_"))
+    assert(sinkTables.length <= 1, s"leaked sink tables: ${sinkTables.mkString(",")}")
   }
 }
