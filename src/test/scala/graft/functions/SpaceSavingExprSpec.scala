@@ -98,6 +98,21 @@ class SpaceSavingExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cands.length <= 8)
   }
 
+  test("plan shape: partial sketches map-side, candidates broadcast into a " +
+    "semi-join, top-k is TakeOrderedAndProject, no UDF") {
+    val df = graft.operators.TextAnalysis.heavyHitters(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("partial_spacesavingexpr"),
+      s"sketch must combine map-side before the single-partition merge:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"bounded candidate set must broadcast into the recount semi-join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"final top-k must avoid a full sort:\n$plan")
+    assert(!plan.contains("UDF"))
+  }
+
   test("SQL registration + analysis-time type errors") {
     val sp = spark
     import sp.implicits._
