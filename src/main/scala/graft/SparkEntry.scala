@@ -25,7 +25,8 @@ object SparkEntry {
     graft.operators.SkewJoin,
     graft.operators.DedupClusters,
     graft.operators.CorpusCuration,
-    graft.operators.CuratedCorpus)
+    graft.operators.CuratedCorpus,
+    graft.operators.BucketedJoin)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline capability: scatter-gather top-k cosine

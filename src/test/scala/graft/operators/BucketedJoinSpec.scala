@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class BucketedJoinSpec extends SparkSpec {
+
+  test("bucketed join: NO hashpartitioning exchange on either side, both " +
+    "scans bucketed, result equals the plain shuffled join") {
+    val df = BucketedJoin.bucketJoinQuery(spark, sfDir)
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("SortMergeJoin"), s"merge hint must hold:\n$plan")
+    // the whole point: bucketing already co-locates the join keys, so the
+    // only exchange left is the final groupBy/orderBy, never the join
+    val joinSection = plan.split("SortMergeJoin")(1)
+    assert(!joinSection.contains("Exchange hashpartitioning"),
+      s"bucketed sides must join exchange-free:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"scans must report their bucketing:\n$plan")
+
+    val plain = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        count_distinct(col("o_orderkey")).as("n_orders"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == plain, "bucketing is a layout change, never a semantic one")
+  }
+
+  test("layout builds once per corpus per process") {
+    val t1 = BucketedJoin.ensureBucketed(spark, sfDir)
+    val t2 = BucketedJoin.ensureBucketed(spark, sfDir)
+    assert(t1 == t2)
+    assert(spark.catalog.tableExists(t1._1) && spark.catalog.tableExists(t1._2))
+  }
+}
