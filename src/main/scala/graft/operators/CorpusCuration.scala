@@ -258,23 +258,61 @@ object CorpusCuration extends QueryPack {
       require(top.nonEmpty, s"BPE merge round $round: no pairs left (corpus too small)")
       val (lhs, rhs, pn) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       merges += ((round.toLong, lhs, rhs, pn))
-      // greedy leftmost-first merge of (lhs, rhs) in every word
-      words = words.select(
-        aggregate(col("syms"), array().cast("array<string>"),
-          (acc, sym) => when(
-            size(acc) > 0 && element_at(acc, -1) === lit(lhs) && sym === lit(rhs),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(lhs + rhs))))
-            .otherwise(concat(acc, array(sym)))).as("syms"),
-        col("n")).localCheckpoint()
+      words = words.select(greedyMerge(col("syms"), lhs, rhs).as("syms"), col("n"))
+        .localCheckpoint()
     }
     merges.toSeq.toDF("merge_round", "lhs", "rhs", "n").orderBy(col("merge_round"))
+  }
+
+  /** Greedy leftmost-first non-overlapping merge of (lhs, rhs) in a
+    * symbol array — a codegen'd `aggregate` fold. Equivalent to the
+    * classic i/i+1 scan: the merged token `lhs+rhs` is strictly longer
+    * than `lhs`, so it can never falsely chain into the following `rhs`.
+    */
+  private def greedyMerge(syms: org.apache.spark.sql.Column, lhs: String,
+                          rhs: String): org.apache.spark.sql.Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, sym) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(lhs) && sym === lit(rhs),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(lhs + rhs))))
+        .otherwise(concat(acc, array(sym))))
+
+  /** APPLY the trained tokenizer — the other half of the BPE loop: train
+    * the merge table ([[bpeMergesFor]], vocab-sized), then re-segment the
+    * CORPUS with it (the distributed half: `rounds` chained greedy-merge
+    * folds inside one scan — no shuffle until the final per-language
+    * aggregate) and report per-language piece statistics. `compression`
+    * is pieces/chars — the ratio a tokenizer trainer tracks per merge
+    * budget; a ratio of exact ints under round(·,6) is oracle-safe.
+    */
+  def bpeTokenizeStats(s: SparkSession, dir: String, rounds: Int = 6): DataFrame =
+    bpeTokenizeStatsFor(Tables.documents(s, dir), rounds)
+
+  /** [[bpeTokenizeStats]] over an explicit corpus frame (spec entry point). */
+  private[graft] def bpeTokenizeStatsFor(docs: DataFrame, rounds: Int): DataFrame = {
+    val merges = bpeMergesFor(docs, rounds).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    var seg = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("syms", expr("filter(split(w, ''), c -> c <> '')"))
+    for ((lhs, rhs) <- merges)
+      seg = seg.withColumn("syms", greedyMerge(col("syms"), lhs, rhs))
+    seg.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(size(col("syms")).cast("long")).as("n_pieces"))
+      .withColumn("compression",
+        round(col("n_pieces").cast("double") / col("n_chars").cast("double"), 6))
+      .orderBy(col("lang"))
   }
 
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_token_budget_mix" -> (mixQuery _),
     "q_quality_rules"    -> (qualityRules _),
     "q_bpe_pairs"        -> ((s, d) => bpePairCounts(s, d)),
-    "q_bpe_merges"       -> ((s, d) => bpeMerges(s, d)))
+    "q_bpe_merges"       -> ((s, d) => bpeMerges(s, d)),
+    "q_bpe_tokenize"     -> ((s, d) => bpeTokenizeStats(s, d)))
 
   override def oracleSql: Map[String, String] = Map(
     "q_token_budget_mix" ->
@@ -323,6 +361,19 @@ object CorpusCuration extends QueryPack {
         |  (CAST(6 AS BIGINT), 'm', 'er', CAST(1852 AS BIGINT))
         |) t(merge_round, lhs, rhs, n)
         |ORDER BY merge_round""".stripMargin,
+    // GOLDEN-VALUE oracle (sf0.01): integer piece counts + a ratio of
+    // exact ints; bit-identical across local[4]/local[32] (GoldenIvf
+    // probe) and reproduced by the same independent Python trainer+
+    // tokenizer that validates q_bpe_merges.
+    "q_bpe_tokenize" ->
+      """SELECT * FROM (VALUES
+        |  ('de', CAST(3549 AS BIGINT), CAST(16046 AS BIGINT), CAST(13758 AS BIGINT), CAST(0.85741 AS DOUBLE)),
+        |  ('en', CAST(11757 AS BIGINT), CAST(52898 AS BIGINT), CAST(45451 AS BIGINT), CAST(0.85922 AS DOUBLE)),
+        |  ('es', CAST(3958 AS BIGINT), CAST(17871 AS BIGINT), CAST(15348 AS BIGINT), CAST(0.858822 AS DOUBLE)),
+        |  ('fr', CAST(3758 AS BIGINT), CAST(16929 AS BIGINT), CAST(14539 AS BIGINT), CAST(0.858822 AS DOUBLE)),
+        |  ('zh', CAST(4143 AS BIGINT), CAST(18765 AS BIGINT), CAST(16114 AS BIGINT), CAST(0.858726 AS DOUBLE))
+        |) t(lang, n_words, n_chars, n_pieces, compression)
+        |ORDER BY lang""".stripMargin,
     "q_bpe_pairs" ->
       """WITH w AS (
         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents

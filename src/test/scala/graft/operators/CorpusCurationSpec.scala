@@ -152,6 +152,19 @@ class CorpusCurationSpec extends SparkSpec {
     val got = CorpusCuration.bpeMergesFor(docs, rounds)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(got.toSeq == expect.toSeq)
+
+    // APPLY side: per-lang piece counts equal the reference tokenizer's
+    // (words holds the final reference segmentation after `rounds` merges)
+    val refPieces = words.map { case (syms, n) => syms.size.toLong * n }.sum
+    val refChars = words.map { case (syms, n) => syms.map(_.length).sum.toLong * n }.sum
+    val stats = CorpusCuration.bpeTokenizeStatsFor(docs.withColumn("lang", lit("xx")), rounds)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(stats.length == 1)
+    val (_, nWords, nChars, nPieces) = stats.head
+    assert(nWords == words.map(_._2).sum)
+    assert(nChars == refChars, "pre-merge pieces = chars")
+    assert(nPieces == refPieces, "post-merge piece count must match the reference")
+    assert(nPieces < nChars, "merges must actually compress")
   }
 
   test("qualityRules: keep counts consistent with per-rule failures") {
