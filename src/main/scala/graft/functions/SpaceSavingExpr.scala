@@ -21,8 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * "Efficient computation of frequent and top-k elements in data
   * streams", 2005).
   *
-  * Guarantees (per the published analysis, preserved under the additive
-  * sketch merge of Agarwal et al., "Mergeable summaries"): every item
+  * Guarantees (per the published analysis, preserved under the
+  * min-inheriting SSMerge — see [[SpaceSavingExpr.Buffer.mergeFrom]] —
+  * in the mergeable-summaries family of Agarwal et al.): every item
   * with true frequency > N / capacity is IN the sketch, and each entry's
   * true count lies in [cnt − err, cnt]. The CANDIDATE SET is therefore a
   * provable superset of the heavy hitters — but the estimated counts and
@@ -133,7 +134,7 @@ object SpaceSavingExpr {
 
   final class Entry(var cnt: Long, var err: Long)
 
-  final class Buffer(cap: Int) {
+  final class Buffer(val cap: Int) {
     val entries: mutable.HashMap[String, Entry] = mutable.HashMap.empty
 
     /** One observation of `item` — increment, insert, or evict-replace. */
@@ -150,17 +151,32 @@ object SpaceSavingExpr {
         }
     }
 
-    /** Additive sketch merge: counts and error bounds sum per item, then
-      * the combined map is trimmed back to the top-`cap` by (cnt desc,
-      * item asc) — the mergeable-summaries construction, preserving the
-      * freq > N/cap containment guarantee over the union.
+    /** Space-saving sketch merge (the SSMerge construction): an item
+      * ABSENT from one side may still have occurred in that side's stream
+      * and been evicted — its count absorbed up to that sketch's MINIMUM
+      * — so absence contributes (min, min) to (cnt, err), not (0, 0);
+      * items present on both sides sum. A sketch that never filled has
+      * min 0 (absence there really means zero occurrences, so merging
+      * never-filled sketches stays exact). The combined map is then
+      * trimmed back to the top-`cap` by (cnt desc, item asc). This
+      * preserves both per-entry bounds — true ≤ cnt and cnt − err ≤ true
+      * — and the freq > N/cap containment over the union
+      * (CurationPropertySpec checks all three on random zipf streams).
       */
     def mergeFrom(other: Buffer): Unit = {
-      other.entries.foreach { case (item, oe) =>
-        entries.get(item) match {
-          case Some(e) => e.cnt += oe.cnt; e.err += oe.err
-          case None    => entries.put(item, new Entry(oe.cnt, oe.err))
+      def floorOf(b: Buffer): Long =
+        if (b.entries.size >= b.cap) b.entries.valuesIterator.map(_.cnt).min else 0L
+      val minThis = floorOf(this)
+      val minOther = floorOf(other)
+      entries.foreach { case (item, e) =>
+        other.entries.get(item) match {
+          case Some(oe) => e.cnt += oe.cnt; e.err += oe.err
+          case None     => e.cnt += minOther; e.err += minOther
         }
+      }
+      other.entries.foreach { case (item, oe) =>
+        if (!entries.contains(item))
+          entries.put(item, new Entry(oe.cnt + minThis, oe.err + minThis))
       }
       if (entries.size > cap) {
         val keep = entries.toSeq

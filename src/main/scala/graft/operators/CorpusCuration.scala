@@ -269,7 +269,7 @@ object CorpusCuration extends QueryPack {
     * classic i/i+1 scan: the merged token `lhs+rhs` is strictly longer
     * than `lhs`, so it can never falsely chain into the following `rhs`.
     */
-  private def greedyMerge(syms: org.apache.spark.sql.Column, lhs: String,
+  private[graft] def greedyMerge(syms: org.apache.spark.sql.Column, lhs: String,
                           rhs: String): org.apache.spark.sql.Column =
     aggregate(syms, array().cast("array<string>"),
       (acc, sym) => when(
