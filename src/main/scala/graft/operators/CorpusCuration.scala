@@ -166,6 +166,46 @@ object CorpusCuration extends QueryPack {
       .orderBy(col("lang"))
   }
 
+  /** Gopher's REPETITION rule proper — the duplicate word-n-gram
+    * character fraction (the "fraction of characters in duplicated
+    * 3-grams" family), the published repetition signal the coarse
+    * distinct-token ratio in [[qualityFlags]] approximates. Entirely
+    * NARROW: the trigram list, the duplicate scan, and both character
+    * sums are per-row higher-order functions (quadratic only within a
+    * document's own trigram list), so at 100 TB the query is one scan
+    * plus a 5-row language aggregate — no shuffle carries grams. All
+    * integers until one terminal division; `n_flagged` (> 10% duplicated
+    * chars) is an integer cross-multiply.
+    */
+  def repetitionReport(s: SparkSession, dir: String): DataFrame =
+    repetitionReportFor(Tables.documents(s, dir))
+
+  /** [[repetitionReport]] over an explicit corpus frame (spec entry point). */
+  private[graft] def repetitionReportFor(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("grams", expr(
+        "CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])) " +
+          "ELSE array() END"))
+      .withColumn("tot_chars", expr(
+        "aggregate(grams, 0L, (a, g) -> a + length(g))"))
+      .withColumn("dup_chars", expr(
+        "aggregate(array_distinct(grams), 0L, (a, g) -> a + " +
+          "CASE WHEN size(filter(grams, x -> x = g)) > 1 " +
+          "THEN CAST(length(g) * size(filter(grams, x -> x = g)) AS BIGINT) " +
+          "ELSE 0L END)"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("dup_chars")).as("dup_chars"),
+        sum(col("tot_chars")).as("tot_chars"),
+        round(sum(col("dup_chars")).cast("double") /
+          nullif(sum(col("tot_chars")), lit(0L)).cast("double"), 6).as("dup_rate"),
+        sum(when(col("dup_chars") * 10 > col("tot_chars"), 1L).otherwise(0L))
+          .as("n_flagged"))
+      .orderBy(col("lang"))
+
   /** The BPE training inner step: count adjacent character pairs WITHIN
     * words (word boundaries never merge) across the corpus and rank the
     * top candidates — at iteration 0 the symbols are single characters,
@@ -312,7 +352,8 @@ object CorpusCuration extends QueryPack {
     "q_quality_rules"    -> (qualityRules _),
     "q_bpe_pairs"        -> ((s, d) => bpePairCounts(s, d)),
     "q_bpe_merges"       -> ((s, d) => bpeMerges(s, d)),
-    "q_bpe_tokenize"     -> ((s, d) => bpeTokenizeStats(s, d)))
+    "q_bpe_tokenize"     -> ((s, d) => bpeTokenizeStats(s, d)),
+    "q_rep_ngrams"       -> (repetitionReport _))
 
   override def oracleSql: Map[String, String] = Map(
     "q_token_budget_mix" ->
@@ -345,6 +386,30 @@ object CorpusCuration extends QueryPack {
         |  round(sum(CASE WHEN ok_len AND ok_mwl AND ok_stop AND ok_rep AND ok_sym
         |    THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS keep_rate
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_rep_ngrams" ->
+      """WITH d AS (
+        |  SELECT lang, string_split(text, ' ') AS t FROM documents
+        |), g AS (
+        |  SELECT lang,
+        |    CASE WHEN len(t) >= 3 THEN [array_to_string(t[i:i+2], ' ')
+        |      FOR i IN generate_series(1, len(t) - 2)] ELSE [] END AS grams
+        |  FROM d
+        |), c AS (
+        |  SELECT lang,
+        |    COALESCE(list_sum(list_transform(grams, gg -> length(gg))), 0) AS tot_chars,
+        |    COALESCE(list_sum(list_transform(list_distinct(grams), gg ->
+        |      CASE WHEN len(list_filter(grams, x -> x = gg)) > 1
+        |      THEN length(gg) * len(list_filter(grams, x -> x = gg)) ELSE 0 END)), 0)
+        |      AS dup_chars
+        |  FROM g
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(dup_chars) AS BIGINT) AS dup_chars,
+        |  CAST(sum(tot_chars) AS BIGINT) AS tot_chars,
+        |  round(sum(dup_chars)::DOUBLE / nullif(sum(tot_chars), 0), 6) AS dup_rate,
+        |  CAST(sum(CASE WHEN dup_chars * 10 > tot_chars THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
     // GOLDEN-VALUE oracle (sf0.01, the driver's verify corpus): the merge
     // table is integer-only (counts + lexicographic argmax), verified
     // bit-identical across fresh JVMs at local[4]/sp=4 and local[32]/sp=32

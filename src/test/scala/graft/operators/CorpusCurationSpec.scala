@@ -167,6 +167,26 @@ class CorpusCurationSpec extends SparkSpec {
     assert(nPieces < nChars, "merges must actually compress")
   }
 
+  test("repetitionReport: hand-computed duplicate-trigram char fractions, " +
+    "short docs contribute zero, flag threshold fires") {
+    // "a b a b a b" -> trigrams [a b a, b a b, a b a, b a b]: ALL duplicated
+    // -> dup = tot = 4*5 = 20, flagged. "x y z w" -> trigrams [x y z, y z w]
+    // distinct -> dup 0 of 10. "p q" -> no trigram -> 0/0.
+    val docs = Seq(
+      (1L, "a b a b a b", "en"),
+      (2L, "x y z w", "en"),
+      (3L, "p q", "en")).toDF("doc_id", "text", "lang")
+    val r = CorpusCuration.repetitionReportFor(docs).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "en")
+    assert(row.getLong(1) == 3L, "n_docs")
+    assert(row.getLong(2) == 20L, s"dup_chars: $row")
+    assert(row.getLong(3) == 30L, s"tot_chars: $row")
+    assert(row.getDouble(4) == math.round(20.0 / 30.0 * 1e6) / 1e6)
+    assert(row.getLong(5) == 1L, "only the fully-repetitive doc crosses 10%")
+  }
+
   test("qualityRules: keep counts consistent with per-rule failures") {
     val rows = CorpusCuration.qualityRules(spark, sfDir).collect()
     assert(rows.nonEmpty)
