@@ -434,12 +434,40 @@ object AnnSearch extends QueryPack {
       .crossJoin(lshLeg).crossJoin(ivfLeg)
   }
 
+  /** SemDeDup-style embedding near-dup AT SCALE: the blocked self-join of
+    * [[TextAnalysis.embeddingNearDup]] with the block key its scaladoc
+    * promises for 100 TB — the ANN partition. Pairs are emitted only
+    * WITHIN an IVF list of the persisted index, so the quadratic term is
+    * Σ_list f² (bounded by the k-means balance) instead of corpus², and
+    * the join reads the list-partitioned layout directly. The trade is
+    * the standard SemDeDup one: cross-list near-dups are missed — the
+    * spec measures that recall against the exact all-pairs truth at spec
+    * scale instead of hiding it.
+    */
+  def ivfNearDupQuery(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val (path, _) = ensureIvfIndex(s, dir)
+    val idx = s.read.parquet(path)
+      .select(col("ivf_list").cast("long").as("ivf_list"),
+        col("vec_id"), col("embedding"))
+    val a = idx.select(col("ivf_list"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"))
+    val b = idx.select(col("ivf_list"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"))
+    a.join(b, Seq("ivf_list"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", round(cosineSimilarity(col("a_emb"), col("b_emb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("ivf_list"), col("a_id"), col("b_id"), col("cos"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_ann_lsh"       -> (lshQuery _),
     "q_ann_ivf"       -> (ivfQuery _),
     "q_ann_batch"     -> ((s, d) => batchLshQuery(s, d)),
     "q_ann_batch_ivf" -> ((s, d) => batchIvfQuery(s, d)),
-    "q_ann_recall"    -> (annRecallQuery _))
+    "q_ann_recall"    -> (annRecallQuery _),
+    "q_ann_neardup"   -> ((s, d) => ivfNearDupQuery(s, d)))
 
   /** `q_ann_lsh`/`q_ann_batch` are fully hash-matched: the seeded
     * hyperplanes are pure f(seed, dim), so DuckDB re-derives every bucket,
@@ -469,6 +497,36 @@ object AnnSearch extends QueryPack {
         s"CASE WHEN list_dot_product($vec, ${lit(p)}) >= 0 THEN ${1 << i} ELSE 0 END"
       }.mkString("(", " + ", ")")
     Map(
+      // GOLDEN-VALUE oracle (sf0.01): within-list pairs are a pure
+      // function of the pinned IVF build (same determinism argument as
+      // q_ann_ivf) plus the order-fixed cosine fold; bit-identical across
+      // local[4]/local[32] (GoldenIvf probe).
+      "q_ann_neardup" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(14 AS BIGINT), CAST(7 AS BIGINT), CAST(425 AS BIGINT), CAST(0.40752 AS DOUBLE)),
+          |  (CAST(4 AS BIGINT), CAST(16 AS BIGINT), CAST(402 AS BIGINT), CAST(0.446301 AS DOUBLE)),
+          |  (CAST(2 AS BIGINT), CAST(32 AS BIGINT), CAST(200 AS BIGINT), CAST(0.437866 AS DOUBLE)),
+          |  (CAST(5 AS BIGINT), CAST(45 AS BIGINT), CAST(298 AS BIGINT), CAST(0.45555 AS DOUBLE)),
+          |  (CAST(1 AS BIGINT), CAST(84 AS BIGINT), CAST(190 AS BIGINT), CAST(0.41243 AS DOUBLE)),
+          |  (CAST(10 AS BIGINT), CAST(85 AS BIGINT), CAST(404 AS BIGINT), CAST(0.43927 AS DOUBLE)),
+          |  (CAST(0 AS BIGINT), CAST(108 AS BIGINT), CAST(142 AS BIGINT), CAST(0.437164 AS DOUBLE)),
+          |  (CAST(0 AS BIGINT), CAST(166 AS BIGINT), CAST(324 AS BIGINT), CAST(0.473997 AS DOUBLE)),
+          |  (CAST(4 AS BIGINT), CAST(191 AS BIGINT), CAST(431 AS BIGINT), CAST(0.442058 AS DOUBLE)),
+          |  (CAST(1 AS BIGINT), CAST(203 AS BIGINT), CAST(414 AS BIGINT), CAST(0.409831 AS DOUBLE)),
+          |  (CAST(0 AS BIGINT), CAST(205 AS BIGINT), CAST(485 AS BIGINT), CAST(0.407421 AS DOUBLE)),
+          |  (CAST(8 AS BIGINT), CAST(234 AS BIGINT), CAST(384 AS BIGINT), CAST(0.444816 AS DOUBLE)),
+          |  (CAST(0 AS BIGINT), CAST(238 AS BIGINT), CAST(287 AS BIGINT), CAST(0.451568 AS DOUBLE)),
+          |  (CAST(8 AS BIGINT), CAST(262 AS BIGINT), CAST(291 AS BIGINT), CAST(0.417426 AS DOUBLE)),
+          |  (CAST(6 AS BIGINT), CAST(269 AS BIGINT), CAST(340 AS BIGINT), CAST(0.433849 AS DOUBLE)),
+          |  (CAST(6 AS BIGINT), CAST(290 AS BIGINT), CAST(325 AS BIGINT), CAST(0.458754 AS DOUBLE)),
+          |  (CAST(6 AS BIGINT), CAST(290 AS BIGINT), CAST(331 AS BIGINT), CAST(0.412944 AS DOUBLE)),
+          |  (CAST(6 AS BIGINT), CAST(325 AS BIGINT), CAST(331 AS BIGINT), CAST(0.428167 AS DOUBLE)),
+          |  (CAST(6 AS BIGINT), CAST(334 AS BIGINT), CAST(382 AS BIGINT), CAST(0.429677 AS DOUBLE)),
+          |  (CAST(6 AS BIGINT), CAST(334 AS BIGINT), CAST(438 AS BIGINT), CAST(0.403572 AS DOUBLE)),
+          |  (CAST(3 AS BIGINT), CAST(338 AS BIGINT), CAST(406 AS BIGINT), CAST(0.48266 AS DOUBLE)),
+          |  (CAST(14 AS BIGINT), CAST(355 AS BIGINT), CAST(417 AS BIGINT), CAST(0.40073 AS DOUBLE))
+          |) t(ivf_list, a_id, b_id, cos)
+          |ORDER BY a_id, b_id""".stripMargin,
       "q_ann_ivf" ->
         """SELECT CAST(365 AS BIGINT) AS vec_id, CAST(6 AS INT) AS ivf_list,
           |       CAST(0.369994 AS DOUBLE) AS sim

@@ -277,6 +277,35 @@ class AnnSearchSpec extends SparkSpec {
     planes.zip(back).foreach { case (a, b) => assert(a.sameElements(b)) }
   }
 
+  test("q_ann_neardup: IVF-blocked pairs are a subset of the exact truth " +
+    "(no false positives), with measured recall above floor") {
+    val found = AnnSearch.ivfNearDupQuery(spark, sfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact all-pairs truth at spec scale
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") =!= 0)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0
+      else math.round(d / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val truth = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && cos(va, vb) >= 0.4
+    } yield (ia, ib)).toSet
+    assert(truth.nonEmpty)
+    assert(found.subsetOf(truth),
+      s"blocked pairs must be exact within lists: ${found.diff(truth)}")
+    val recall = found.size.toDouble / truth.size
+    // SemDeDup's stated trade: cross-list pairs are missed. The floor pins
+    // the block assignment staying useful, not perfection.
+    assert(recall >= 0.2, s"recall $recall (${found.size}/${truth.size})")
+  }
+
   test("q_ann_recall: LSH recall is oracle-exact; IVF recall above floor") {
     val row = AnnSearch.annRecallQuery(spark, sfDir).head()
     assert(row.getAs[Long]("n_brute") == 10)
