@@ -50,11 +50,7 @@ object DocDedupStream {
     */
   private[streaming] def stagedDir(dir: String, file: String): String = {
     val src = java.nio.file.Paths.get(s"$dir/$file")
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(src.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
-    val tmp = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_docs_src_$digest")
+    val tmp = StreamHousekeeping.fixedStagingDir("graft_docs_src_", src.toString)
     val parts: Seq[java.nio.file.Path] =
       if (Files.isDirectory(src))
         Files.list(src).toArray.map(_.asInstanceOf[java.nio.file.Path])
@@ -79,33 +75,6 @@ object DocDedupStream {
     }
     tmp.toString
   }
-
-  /** Fresh checkpoint dirs are unavoidable per run (reusing one would
-    * make the re-run a no-op replay), but they all live under ONE
-    * process-scoped root that a shutdown hook removes — a long-lived
-    * session no longer accumulates them.
-    */
-  private lazy val ckRoot: java.nio.file.Path = {
-    val root = Files.createTempDirectory("graft_stream_ck")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
-          Files.list(p).toArray.foreach(c => rm(c.asInstanceOf[java.nio.file.Path]))
-        Files.deleteIfExists(p)
-      }
-      rm(root)
-    }))
-    root
-  }
-
-  private[streaming] def freshCheckpointDir(): String =
-    Files.createTempDirectory(ckRoot, "run").toString
-
-  /** One live memory-sink table per corpus: the previous run's table is
-    * dropped before the next run registers its own, so repeated runs
-    * don't leak one catalog entry each.
-    */
-  private val lastSinkTable = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Core transform (works on a streaming OR batch docs frame bearing an
     * event-time column): band keys → watermarked first-claim per bucket.
@@ -147,12 +116,11 @@ object DocDedupStream {
     val claims = claimBands(source, "doc_id", "text", "ts", "1 hour")
 
     val name = s"neardup_${System.nanoTime()}"
-    Option(lastSinkTable.put(dir, name))
-      .foreach(prev => spark.catalog.dropTempView(prev))
+    StreamHousekeeping.trackSink(spark, "neardup", dir, name)
     val q = claims.writeStream
       .outputMode(OutputMode.Append())
       .format("memory").queryName(name)
-      .option("checkpointLocation", freshCheckpointDir())
+      .option("checkpointLocation", StreamHousekeeping.freshCheckpointDir())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

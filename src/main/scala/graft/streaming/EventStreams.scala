@@ -21,20 +21,21 @@ import graft.Tables
 object EventStreams {
 
   /** The streaming file source wants a DIRECTORY; the corpus ships single
-    * parquet files — stage a symlink dir (never touches the corpus).
-    * Memoized per corpus dir: a checkpointed query restarted against the
-    * "same" source must see the same path (the file source pins its
-    * basePath in the checkpoint).
+    * parquet files — stage a symlink dir (never touches the corpus). The
+    * path is FIXED per corpus ([[StreamHousekeeping.fixedStagingDir]]), so
+    * repeated runs — and checkpointed queries restarted in a later
+    * process, which pin their basePath in the checkpoint — all see the
+    * same dir without accumulating one per run.
     */
-  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def stagedDir(dir: String): String =
-    staged.computeIfAbsent(dir, { _ =>
-      val tmp = Files.createTempDirectory("graft_events_src")
-      Files.createSymbolicLink(
-        tmp.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      tmp.toString
-    })
+  private def stagedDir(dir: String): String = {
+    val tmp = StreamHousekeeping.fixedStagingDir("graft_events_src_", dir)
+    val link = tmp.resolve("events.parquet")
+    if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      Files.createDirectories(tmp)
+      Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    }
+    tmp.toString
+  }
 
   /** Tumbling 1-hour counts with a 30-minute watermark, streamed to a
     * memory sink in complete mode; returns the final table.
@@ -56,11 +57,11 @@ object EventStreams {
         col("event_type"), col("n"))
 
     val name = s"hourly_${System.nanoTime()}"
+    StreamHousekeeping.trackSink(spark, "hourly", dir, name)
     val q = agg.writeStream
       .outputMode(OutputMode.Complete())
       .format("memory").queryName(name)
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft_stream_ck").toString)
+      .option("checkpointLocation", StreamHousekeeping.freshCheckpointDir())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -81,11 +82,11 @@ object EventStreams {
       .select(col("event_type"), explode(col("top.id")).as("event_id"))
 
     val name = s"topk_${System.nanoTime()}"
+    StreamHousekeeping.trackSink(spark, "topk", dir, name)
     val q = source.writeStream
       .outputMode(OutputMode.Complete())
       .format("memory").queryName(name)
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft_stream_ck").toString)
+      .option("checkpointLocation", StreamHousekeeping.freshCheckpointDir())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -110,11 +111,11 @@ object EventStreams {
       .select(keys.map(col): _*)
 
     val name = s"dedup_${System.nanoTime()}"
+    StreamHousekeeping.trackSink(spark, "dedup", dir, name)
     val q = source.writeStream
       .outputMode(OutputMode.Append())
       .format("memory").queryName(name)
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft_stream_ck").toString)
+      .option("checkpointLocation", StreamHousekeeping.freshCheckpointDir())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -144,11 +145,11 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
     val name = s"enrich_${System.nanoTime()}"
+    StreamHousekeeping.trackSink(spark, "enrich", dir, name)
     val q = enriched.writeStream
       .outputMode(OutputMode.Complete())
       .format("memory").queryName(name)
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft_stream_ck").toString)
+      .option("checkpointLocation", StreamHousekeeping.freshCheckpointDir())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -182,11 +183,11 @@ object EventStreams {
       .select(col("user_id"), col("p_id"), col("c_id"))
 
     val name = s"ssjoin_${System.nanoTime()}"
+    StreamHousekeeping.trackSink(spark, "ssjoin", dir, name)
     val q = joined.writeStream
       .outputMode(OutputMode.Append())
       .format("memory").queryName(name)
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft_stream_ck").toString)
+      .option("checkpointLocation", StreamHousekeeping.freshCheckpointDir())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -220,8 +221,8 @@ object EventStreams {
           .partitionBy("event_type")
           .parquet(s"$outDir/batch_id=$batchId")
       }
-      .option("checkpointLocation", checkpoint.getOrElse(
-        Files.createTempDirectory("graft_stream_ck").toString))
+      .option("checkpointLocation",
+        checkpoint.getOrElse(StreamHousekeeping.freshCheckpointDir()))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -265,11 +266,11 @@ object EventStreams {
       }
 
     val name = s"sessions_${System.nanoTime()}"
+    StreamHousekeeping.trackSink(spark, "sessions", dir, name)
     val q = sessions.writeStream
       .outputMode(OutputMode.Update())
       .format("memory").queryName(name)
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft_stream_ck").toString)
+      .option("checkpointLocation", StreamHousekeeping.freshCheckpointDir())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
