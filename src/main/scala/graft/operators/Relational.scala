@@ -161,6 +161,66 @@ object Relational extends QueryPack {
       .limit(100)
   }
 
+  /** TPC-H Q13-shaped customer order-count distribution (adapted: the
+    * corpus orders table carries no o_comment, so the comment exclusion
+    * is dropped): LEFT join so zero-order customers count, then a
+    * second aggregation over the first — the histogram-of-aggregates
+    * shape. All integers.
+    */
+  def q13CustomerDistribution(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q15-shaped top supplier: quarterly revenue per supplier, keep
+    * the max-revenue supplier(s) via a 1-row broadcast max (the view +
+    * scalar-subquery shape). Revenue equality compares exact decimals —
+    * no float tie ambiguity.
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1997-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .as("rev_dec"))
+    val mx = rev.agg(max(col("rev_dec")).as("mx"))
+    rev.join(broadcast(mx), col("rev_dec") === col("mx"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_dec").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q17-shaped small-quantity revenue (adapted: the corpus part
+    * table has no p_container, so the bracket is brand-only, and the
+    * avg_yearly division is left to the reader — a money-sum ÷ 7 lands on
+    * non-terminating decimals both engines round differently, so the
+    * exact decimal sum is emitted instead): per-part average-quantity
+    * threshold as the aggregate-join (correlated-subquery) shape.
+    * Quantities are whole numbers in this corpus, so
+    * `qty < 0.2·avg(qty)` is the EXACT integer comparison
+    * `5·qty·cnt < sum_qty` — no float threshold can flip a borderline
+    * row between engines.
+    */
+  def q17SmallQuantityRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val perPart = li.groupBy(col("l_partkey")).agg(
+      sum(col("l_quantity").cast("long")).as("sum_qty"),
+      count(lit(1)).as("cnt"))
+    li.join(broadcast(Tables.part(s, dir).filter(col("p_brand") === "Brand#23")),
+        col("l_partkey") === col("p_partkey"))
+      .join(perPart, "l_partkey")
+      .filter(col("l_quantity").cast("long") * 5 * col("cnt") < col("sum_qty"))
+      .agg(decSum(col("l_extendedprice")).as("lost_revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** TPC-H Q19-shaped disjunctive bracket predicate: OR-of-ANDs over the
     * part dim and lineitem measures — the join keeps only the union of
     * brackets (Catalyst pushes the common l_quantity bound to the scan).
@@ -659,7 +719,10 @@ object Relational extends QueryPack {
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q7_volume_shipping"  -> (q7VolumeShipping _),
     "q8_market_volume"    -> (q8MarketVolume _),
+    "q13_cust_distribution" -> (q13CustomerDistribution _),
     "q14_promo_revenue"   -> (q14PromoRevenue _),
+    "q15_top_supplier"    -> (q15TopSupplier _),
+    "q17_small_qty_revenue" -> (q17SmallQuantityRevenue _),
     "q18_large_orders"    -> (q18LargeOrders _),
     "q19_bracket_revenue" -> (q19BracketRevenue _),
     "q_region_rollup"     -> (regionNationRollup _),
@@ -797,6 +860,43 @@ object Relational extends QueryPack {
         | WHERE r_name = 'AMERICA'
         | GROUP BY 1
         | ORDER BY 1""".stripMargin,
+    "q13_cust_distribution" ->
+      """WITH c AS (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey
+        |)
+        |SELECT CAST(c_count AS BIGINT) AS c_count,
+        |  CAST(count(*) AS BIGINT) AS custdist
+        |FROM c GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |      AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s.s_suppkey, s.s_name, CAST(r.rev_dec AS DOUBLE) AS total_revenue
+        |FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.rev_dec = (SELECT max(rev_dec) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH pp AS (
+        |  SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |    count(*) AS cnt
+        |  FROM lineitem GROUP BY l_partkey
+        |)
+        |SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS lost_revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#23'
+        |JOIN pp ON pp.l_partkey = l.l_partkey
+        |WHERE CAST(l.l_quantity AS BIGINT) * 5 * pp.cnt < pp.sum_qty""".stripMargin,
     "q14_promo_revenue" ->
       """SELECT
         |  CAST(sum(CASE WHEN p_type = 'PROMO'
