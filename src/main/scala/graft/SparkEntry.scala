@@ -26,7 +26,9 @@ object SparkEntry {
     graft.operators.DedupClusters,
     graft.operators.CorpusCuration,
     graft.operators.CuratedCorpus,
-    graft.operators.BucketedJoin)
+    graft.operators.BucketedJoin,
+    graft.search.HybridSearch,
+    graft.search.QuantizedSearch)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline capability: scatter-gather top-k cosine

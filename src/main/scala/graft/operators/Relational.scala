@@ -237,6 +237,68 @@ object Relational extends QueryPack {
           col("l_quantity").between(20, 30)))
       .agg(decRevenue.as("revenue"), count(lit(1)).as("n_lines"))
 
+  /** TPC-H Q21-shaped waiting suppliers (adapted: the corpus lineitem has
+    * no commit/receipt dates, so "late" = shipped more than 80 days after
+    * the order date): suppliers who were the ONLY late supplier on a
+    * finished multi-supplier order. Written through the SQL front end —
+    * the double correlated EXISTS / NOT EXISTS is Q21's signature, and
+    * Catalyst decorrelates both into one left-semi and one left-anti join
+    * on the order key (the inner orders join keeps each correlation
+    * equality-only, which is what makes the rewrite possible). At 100 TB
+    * all three lineitem legs shuffle on l_orderkey — one co-partitioned
+    * exchange reused across the semi/anti probes.
+    */
+  def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders_q21")
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem_q21")
+    Tables.supplier(s, dir).createOrReplaceTempView("graft_supplier_q21")
+    s.sql(
+      """SELECT s_name, count(*) AS numwait
+        | FROM graft_supplier_q21
+        | JOIN graft_lineitem_q21 l1 ON s_suppkey = l1.l_suppkey
+        | JOIN graft_orders_q21 ON o_orderkey = l1.l_orderkey
+        | WHERE o_orderstatus = 'F'
+        |   AND l1.l_shipdate > o_orderdate + INTERVAL 80 DAY
+        |   AND EXISTS (
+        |     SELECT 1 FROM graft_lineitem_q21 l2
+        |     WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |   AND NOT EXISTS (
+        |     SELECT 1 FROM graft_lineitem_q21 l3
+        |     JOIN graft_orders_q21 o2 ON l3.l_orderkey = o2.o_orderkey
+        |     WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |       AND l3.l_shipdate > o2.o_orderdate + INTERVAL 80 DAY)
+        | GROUP BY s_name
+        | ORDER BY numwait DESC, s_name
+        | LIMIT 20""".stripMargin)
+  }
+
+  /** TPC-H Q22-shaped idle customers (adapted: the corpus customer table
+    * has no c_phone, so the country-code bracket is a nation-key IN list,
+    * and "no orders" — vacuously empty here since every customer ordered —
+    * becomes "no orders since 2000-01-01"): above-average-balance
+    * customers in selected nations who stopped ordering. The scalar
+    * average is a 1-row broadcast; the "stopped ordering" probe is a
+    * left-anti join against the date-pruned orders slice — at 100 TB the
+    * orders side is filtered BEFORE the anti join, so only the recent
+    * slice shuffles.
+    */
+  def q22IdleCustomers(s: SparkSession, dir: String): DataFrame = {
+    val nations = Seq(1, 3, 5, 7, 9, 11, 13)
+    val bracket = Tables.customer(s, dir).filter(col("c_nationkey").isin(nations: _*))
+    val avgBal = bracket.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("__avg_bal"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01"))
+      .select(col("o_custkey"))
+    bracket
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("__avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), decSum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Broadcast-join chain over the tiny dims + grouped agg. */
   def regionNationRollup(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
@@ -725,6 +787,8 @@ object Relational extends QueryPack {
     "q17_small_qty_revenue" -> (q17SmallQuantityRevenue _),
     "q18_large_orders"    -> (q18LargeOrders _),
     "q19_bracket_revenue" -> (q19BracketRevenue _),
+    "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
+    "q22_idle_customers"  -> (q22IdleCustomers _),
     "q_region_rollup"     -> (regionNationRollup _),
     "q_window_running"    -> (windowRunning _),
     "q_topk_orders"       -> (topkOrders _),
@@ -860,6 +924,35 @@ object Relational extends QueryPack {
         | WHERE r_name = 'AMERICA'
         | GROUP BY 1
         | ORDER BY 1""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        | FROM supplier
+        | JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        | JOIN orders ON o_orderkey = l1.l_orderkey
+        | WHERE o_orderstatus = 'F'
+        |   AND l1.l_shipdate > o_orderdate + INTERVAL 80 DAY
+        |   AND EXISTS (
+        |     SELECT 1 FROM lineitem l2
+        |     WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |   AND NOT EXISTS (
+        |     SELECT 1 FROM lineitem l3
+        |     JOIN orders o2 ON l3.l_orderkey = o2.o_orderkey
+        |     WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |       AND l3.l_shipdate > o2.o_orderdate + INTERVAL 80 DAY)
+        | GROUP BY s_name
+        | ORDER BY numwait DESC, s_name
+        | LIMIT 20""".stripMargin,
+    "q22_idle_customers" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        | FROM customer
+        | WHERE c_nationkey IN (1,3,5,7,9,11,13)
+        |   AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                    WHERE c_acctbal > 0 AND c_nationkey IN (1,3,5,7,9,11,13))
+        |   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                   AND o_orderdate >= TIMESTAMP '2000-01-01')
+        | GROUP BY c_nationkey
+        | ORDER BY c_nationkey""".stripMargin,
     "q13_cust_distribution" ->
       """WITH c AS (
         |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
