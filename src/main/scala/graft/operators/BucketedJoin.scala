@@ -31,8 +31,6 @@ object BucketedJoin extends QueryPack {
 
   private val nBuckets = 8
 
-  private val built = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
-
   private def digestOf(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -42,15 +40,23 @@ object BucketedJoin extends QueryPack {
     * their catalog table names. Layout build is a one-time offline job
     * (one shuffle of each table into its buckets); every query after it
     * joins without an exchange.
+    *
+    * Existence is keyed off the SESSION's catalog, not a JVM-wide memo: a
+    * process can host several sequential SparkSessions (Bench runs the
+    * local[32] and contract local[4] configs back-to-back), and each new
+    * session starts with a fresh in-memory catalog — a static memo would
+    * claim "built" while `s.table(name)` throws TABLE_OR_VIEW_NOT_FOUND.
+    * Rebuilding per session costs one extra layout shuffle, which is the
+    * correct trade for a layout whose metadata lives in the catalog.
     */
   private[graft] def ensureBucketed(s: SparkSession, dir: String): (String, String) =
-    built.computeIfAbsent(dir, { _ =>
+    synchronized {
       val digest = digestOf(dir)
       val root = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), s"graft_bucketed_$digest")
       val ot = s"graft_orders_b_$digest"
       val lt = s"graft_lineitem_b_$digest"
-      if (!s.catalog.tableExists(ot)) {
+      if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(lt)) {
         Tables.orders(s, dir).write
           .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
           .option("path", root.resolve("orders").toString)
@@ -61,7 +67,7 @@ object BucketedJoin extends QueryPack {
           .mode("overwrite").saveAsTable(lt)
       }
       (ot, lt)
-    })
+    }
 
   /** Per-priority revenue over the bucketed orders⋈lineitem join. The
     * `merge` hint pins the sort-merge strategy so the spec's

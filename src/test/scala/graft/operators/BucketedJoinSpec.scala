@@ -43,4 +43,18 @@ class BucketedJoinSpec extends SparkSpec {
     assert(t1 == t2)
     assert(spark.catalog.tableExists(t1._1) && spark.catalog.tableExists(t1._2))
   }
+
+  test("layout rebuilds when a fresh catalog has lost the tables " +
+    "(sequential-sessions regression: Bench runs local[32] then local[4] " +
+    "in one JVM)") {
+    val (ot, lt) = BucketedJoin.ensureBucketed(spark, sfDir)
+    // simulate the next session's empty in-memory catalog
+    spark.sql(s"DROP TABLE IF EXISTS $ot")
+    spark.sql(s"DROP TABLE IF EXISTS $lt")
+    assert(!spark.catalog.tableExists(ot))
+    val (ot2, lt2) = BucketedJoin.ensureBucketed(spark, sfDir)
+    assert((ot2, lt2) == (ot, lt))
+    assert(spark.catalog.tableExists(ot2) && spark.catalog.tableExists(lt2))
+    assert(BucketedJoin.bucketJoinQuery(spark, sfDir).count() > 0)
+  }
 }
