@@ -114,7 +114,48 @@ object Events extends QueryPack {
         col("col.id").as("event_id"), col("col.score").as("value"))
       .orderBy(col("event_type"), col("rank"))
 
+  /** Sequence-pattern match (the MATCH_RECOGNIZE gap in Spark SQL):
+    * view → click → purchase, strictly time-ordered per user, earliest
+    * completion. Two chained running-min windows over ONE per-user
+    * ordering: `view_before` marks each row that has a prior view;
+    * `qclick_before` marks each row with a prior click that itself had a
+    * prior view; a purchase with `qclick_before` set completes the
+    * pattern. Scale shape: one exchange on user_id + one sort feeds both
+    * window passes AND the final per-user aggregate (same partitioning —
+    * no second shuffle); state per row is two timestamps, never a
+    * collected event array, so a hot user cannot blow a task's memory.
+    */
+  def funnelMatch(s: SparkSession, dir: String): DataFrame =
+    funnelMatchOn(Tables.events(s, dir))
+
+  /** Core pattern matcher over any (user_id, event_id, ts, event_type)
+    * frame — split out so specs can drive hand-built sequences.
+    */
+  private[operators] def funnelMatchOn(events: DataFrame): DataFrame = {
+    val wPrev = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .withColumn("view_before",
+        min(when(col("event_type") === "view", col("ts"))).over(wPrev))
+      .withColumn("qclick_before",
+        min(when(col("event_type") === "click" && col("view_before").isNotNull,
+          col("ts"))).over(wPrev))
+      .groupBy(col("user_id"))
+      .agg(
+        unix_micros(min(when(col("event_type") === "view", col("ts"))))
+          .as("started_us"),
+        unix_micros(min(when(col("event_type") === "purchase" &&
+          col("qclick_before").isNotNull, col("ts")))).as("completed_us"))
+      .filter(col("completed_us").isNotNull)
+      .select(col("user_id"), col("started_us"), col("completed_us"),
+        (col("completed_us") - col("started_us")).as("funnel_us"))
+      .orderBy(col("user_id"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
+    "q_funnel_match"    -> (funnelMatch _),
     "q_topk_by_type"    -> (topkByType _),
     "q_events_json"     -> (jsonExtract _),
     "q_events_hourly"   -> (hourlyCounts _),
@@ -124,6 +165,32 @@ object Events extends QueryPack {
     "q_events_topusers" -> (topPurchasers _))
 
   override def oracleSql: Map[String, String] = Map(
+    "q_funnel_match" ->
+      """WITH f AS (SELECT user_id, event_id, ts, event_type FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
+        |e1 AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) OVER w AS view_before
+        |  FROM f
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |e2 AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'click' AND view_before IS NOT NULL
+        |             THEN ts END) OVER w AS qclick_before
+        |  FROM e1
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, started_us, completed_us,
+        |  completed_us - started_us AS funnel_us
+        |FROM (
+        |  SELECT user_id,
+        |    epoch_us(min(CASE WHEN event_type = 'view' THEN ts END)) AS started_us,
+        |    epoch_us(min(CASE WHEN event_type = 'purchase'
+        |             AND qclick_before IS NOT NULL THEN ts END)) AS completed_us
+        |  FROM e2 GROUP BY user_id)
+        |WHERE completed_us IS NOT NULL
+        |ORDER BY user_id""".stripMargin,
     "q_topk_by_type" ->
       """SELECT event_type, CAST(rank AS INT) AS rank, event_id, value FROM (
         |  SELECT event_type, event_id, value,
