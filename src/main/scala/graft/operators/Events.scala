@@ -131,7 +131,7 @@ object Events extends QueryPack {
   /** Core pattern matcher over any (user_id, event_id, ts, event_type)
     * frame — split out so specs can drive hand-built sequences.
     */
-  private[operators] def funnelMatchOn(events: DataFrame): DataFrame = {
+  private[graft] def funnelMatchOn(events: DataFrame): DataFrame = {
     val wPrev = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -156,6 +156,7 @@ object Events extends QueryPack {
 
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_funnel_match"    -> (funnelMatch _),
+    "q_stream_funnel"   -> (graft.streaming.FunnelStream.funnelStreaming _),
     "q_topk_by_type"    -> (topkByType _),
     "q_events_json"     -> (jsonExtract _),
     "q_events_hourly"   -> (hourlyCounts _),
@@ -164,9 +165,12 @@ object Events extends QueryPack {
     "q_events_sessions" -> (sessions _),
     "q_events_topusers" -> (topPurchasers _))
 
-  override def oracleSql: Map[String, String] = Map(
-    "q_funnel_match" ->
-      """WITH f AS (SELECT user_id, event_id, ts, event_type FROM events
+  /** Shared by the batch query and its streaming twin: the streaming
+    * state machine is exact under the arrival-order contract
+    * ([[graft.streaming.FunnelStream]]), so both reduce to this SQL.
+    */
+  private val funnelOracle =
+    """WITH f AS (SELECT user_id, event_id, ts, event_type FROM events
         |           WHERE event_type IN ('view', 'click', 'purchase')),
         |e1 AS (
         |  SELECT user_id, event_id, ts, event_type,
@@ -190,7 +194,11 @@ object Events extends QueryPack {
         |             AND qclick_before IS NOT NULL THEN ts END)) AS completed_us
         |  FROM e2 GROUP BY user_id)
         |WHERE completed_us IS NOT NULL
-        |ORDER BY user_id""".stripMargin,
+        |ORDER BY user_id""".stripMargin
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_funnel_match"  -> funnelOracle,
+    "q_stream_funnel" -> funnelOracle,
     "q_topk_by_type" ->
       """SELECT event_type, CAST(rank AS INT) AS rank, event_id, value FROM (
         |  SELECT event_type, event_id, value,
