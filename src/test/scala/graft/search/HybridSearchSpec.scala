@@ -59,6 +59,23 @@ class HybridSearchSpec extends SparkSpec {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("proximity search reports the minimum token gap within the window") {
+    val rows = HybridSearch.proximitySearch(spark, sfDir)
+      .join(graft.Tables.documents(spark, sfDir), "doc_id")
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val toks = r.getAs[String]("text").split(" ")
+      val p1 = toks.indices.filter(toks(_) == "merge")
+      val p2 = toks.indices.filter(toks(_) == "sort")
+      val gaps = for (a <- p1; b <- p2) yield math.abs(a - b)
+      assert(r.getAs[Long]("min_gap") === gaps.min.toLong)
+      assert(gaps.min <= 3)
+      assert(r.getAs[Long]("n_merge") === p1.size.toLong)
+      assert(r.getAs[Long]("n_sort") === p2.size.toLong)
+    }
+  }
+
   test("bm25 top-k plans as TakeOrderedAndProject (no global sort)") {
     val plan = HybridSearch.bm25TopDocs(spark, sfDir)
       .queryExecution.executedPlan.toString
