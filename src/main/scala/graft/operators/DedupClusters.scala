@@ -119,8 +119,56 @@ object DedupClusters extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** PageRank over an undirected pair list — link-analysis centrality for
+    * the same pair graph [[connectedComponents]] clusters: within a
+    * near-dup cluster, the highest-centrality member is the natural KEEP
+    * candidate when the policy is "keep the most-connected variant"
+    * rather than min-id. Fixed iteration count (power iteration converges
+    * geometrically; 3 rounds separate hubs from leaves on the
+    * small-diameter graphs near-dup detection produces) keeps the result
+    * closed-form for the oracle.
+    *
+    * Scale shape: state is one (vertex, degree, rank) row per PAIR-GRAPH
+    * vertex; each round is one key-partitioned join + agg + join — the CC
+    * loop's cost profile. Constants 0.15/0.85 are spelled as literals in
+    * both engines (the BM25 rule); per-vertex neighbor sums are the only
+    * order-sensitive float op, and the terminal round-6 absorbs ulp-level
+    * reorder drift.
+    */
+  def pageRank(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+               iters: Int = 3): DataFrame = {
+    val raw = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .localCheckpoint() // pair pipeline evaluated once, not once per leg
+    val edges = raw.union(raw.select(col("v").as("u"), col("u").as("v")))
+      .distinct().cache()
+    val deg = edges.groupBy(col("u").as("v_id"))
+      .agg(count(lit(1)).cast("double").as("deg"))
+    val n = deg.count().toDouble
+    var state = deg.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(state.select(col("v_id").as("u"), (col("rank") / col("deg")).as("w")), "u")
+        .groupBy(col("v").as("v_id")).agg(sum(col("w")).as("c"))
+      // every vertex of a symmetric edge list has degree >= 1, so the
+      // inner join drops nothing
+      state = deg.join(contrib, "v_id")
+        .withColumn("rank", lit(0.15 / n) + lit(0.85) * col("c"))
+    }
+    edges.unpersist()
+    state.select(col("v_id"), col("rank"), col("deg").cast("long").as("degree"))
+  }
+
+  /** Driver query: centrality of the near-dup pair graph, top 20. */
+  def pageRankQuery(s: SparkSession, dir: String): DataFrame =
+    pageRank(MinHashDedup.minhashQuery(s, dir).select("a_id", "b_id"))
+      .select(col("v_id").as("doc_id"),
+        round(col("rank"), 6).as("pagerank"), col("degree"))
+      .orderBy(col("pagerank").desc, col("doc_id"))
+      .limit(20)
+
   override def queries: Map[String, QueryPack.Q] = Map(
-    "q_dedup_clusters" -> (clustersQuery _))
+    "q_dedup_clusters" -> (clustersQuery _),
+    "q_pagerank"       -> (pageRankQuery _))
 
   /** Shared oracle prelude: the SAME pair set the engine clusters (the
     * full minhash signature/banding/verify replication from
@@ -148,7 +196,38 @@ object DedupClusters extends QueryPack {
        |  SELECT node, min(m) AS rep FROM reach GROUP BY node
        |)""".stripMargin
 
+  /** Power iteration unrolled to closed-form CTEs — one (contrib, rank)
+    * CTE pair per round, over the replicated pair set.
+    */
+  private def pageRankOracle: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""c$i AS (
+         |  SELECT e.v AS v_id, sum(r.rank / r.deg) AS c
+         |  FROM edges e JOIN r${i - 1} r ON r.v_id = e.u GROUP BY e.v
+         |), r$i AS (
+         |  SELECT d.v_id, d.deg, 0.15 / (SELECT n FROM nn) + 0.85 * c.c AS rank
+         |  FROM deg d JOIN c$i c ON c.v_id = d.v_id
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH vpairs AS MATERIALIZED (
+       |  SELECT a_id, b_id FROM (
+       |${MinHashDedup.minhashNeardupOracle}
+       |  ) t
+       |), edges AS (
+       |  SELECT a_id AS u, b_id AS v FROM vpairs
+       |  UNION SELECT b_id, a_id FROM vpairs
+       |), deg AS (
+       |  SELECT u AS v_id, count(*)::DOUBLE AS deg FROM edges GROUP BY u
+       |), nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+       |r0 AS (SELECT v_id, deg, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
+       |$rounds
+       |SELECT v_id AS doc_id, round(rank, 6) AS pagerank,
+       |  CAST(deg AS BIGINT) AS degree
+       |FROM r3 ORDER BY pagerank DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
+    "q_pagerank" -> pageRankOracle,
     "q_dedup_clusters" ->
       s"""$closurePrelude, csize AS (
          |  SELECT rep, count(*) AS n FROM comp GROUP BY rep
