@@ -154,7 +154,33 @@ object Events extends QueryPack {
       .orderBy(col("user_id"))
   }
 
+  /** Last-touch attribution: each purchase's value is credited to the
+    * user's most recent PRIOR non-purchase touchpoint (view/click/signup;
+    * purchases with no prior touch are 'direct'). One `last(..., ignore
+    * nulls)` window over the same per-user ordering the funnel uses, then
+    * a small grouped rollup — one shuffle on user_id, one on the
+    * (few-valued) channel key.
+    */
+  def lastTouchAttribution(s: SparkSession, dir: String): DataFrame =
+    attributionOn(Tables.events(s, dir))
+
+  private[graft] def attributionOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("last_touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("last_touch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        decSum(col("value")).as("attributed_value"))
+      .orderBy(col("channel"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
+    "q_attribution"     -> (lastTouchAttribution _),
     "q_funnel_match"    -> (funnelMatch _),
     "q_stream_funnel"   -> (graft.streaming.FunnelStream.funnelStreaming _),
     "q_topk_by_type"    -> (topkByType _),
@@ -197,6 +223,19 @@ object Events extends QueryPack {
         |ORDER BY user_id""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q_attribution" ->
+      """SELECT coalesce(last_touch, 'direct') AS channel,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+        |FROM (
+        |  SELECT event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |               IGNORE NULLS) OVER w AS last_touch
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_funnel_match"  -> funnelOracle,
     "q_stream_funnel" -> funnelOracle,
     "q_topk_by_type" ->

@@ -745,6 +745,36 @@ object Relational extends QueryPack {
       (abs(col("__a99") - col("exact_p99")) <= col("exact_p99") * 0.02)
         .cast("bigint").as("p99_within_2pct"))
 
+  /** Robust outlier detection via median absolute deviation (the
+    * data-quality rule that survives the skew a mean/std z-score
+    * doesn't): per order status, flag order values with
+    * |x − median| > 3 · 1.4826 · MAD (1.4826 = the standard normal
+    * consistency constant, spelled as a literal in both engines). Two
+    * grouped exact-percentile passes + one counting pass, dimension side
+    * broadcast back each time. Exact `percentile` buffers per group —
+    * correct for a bounded group count like this; at 100 TB cardinality
+    * the one-pass mergeable `approx_percentile` sketch ([[approxQuantiles]])
+    * replaces it.
+    */
+  def outliersMad(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val med = ord.groupBy(col("o_orderstatus"))
+      .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+    val dev = ord.join(broadcast(med), "o_orderstatus")
+      .withColumn("adev", abs(col("o_totalprice") - col("med")))
+    val mad = dev.groupBy(col("o_orderstatus"))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "o_orderstatus")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(max(col("med")), 4).as("median_price"),
+        round(max(col("mad")), 4).as("mad"),
+        sum(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Per-group distinct aggregation. */
   def distinctNationsPerSegment(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
@@ -799,6 +829,7 @@ object Relational extends QueryPack {
     "q_pivot_status"      -> (pivotStatus _),
     "q_rollup_region"     -> (rollupRegionNation _),
     "q_monthly_orders"    -> (monthlyOrders _),
+    "q_outliers_mad"      -> (outliersMad _),
     "q_decode_status"     -> (decodeStatus _))
 
   override def oracleSql: Map[String, String] = Map(
@@ -924,6 +955,24 @@ object Relational extends QueryPack {
         | WHERE r_name = 'AMERICA'
         | GROUP BY 1
         | ORDER BY 1""".stripMargin,
+    "q_outliers_mad" ->
+      """WITH med AS (
+        |  SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med
+        |  FROM orders GROUP BY o_orderstatus),
+        |dev AS (
+        |  SELECT o.o_orderstatus, abs(o.o_totalprice - m.med) AS adev, m.med
+        |  FROM orders o JOIN med m ON o.o_orderstatus = m.o_orderstatus),
+        |mad AS (
+        |  SELECT o_orderstatus, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY o_orderstatus)
+        |SELECT d.o_orderstatus, count(*) AS n,
+        |  round(max(d.med), 4) AS median_price,
+        |  round(max(m.mad), 4) AS mad,
+        |  CAST(sum(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m ON d.o_orderstatus = m.o_orderstatus
+        |GROUP BY d.o_orderstatus
+        |ORDER BY d.o_orderstatus""".stripMargin,
     "q21_waiting_suppliers" ->
       """SELECT s_name, count(*) AS numwait
         | FROM supplier
