@@ -28,7 +28,8 @@ object SparkEntry {
     graft.operators.CuratedCorpus,
     graft.operators.BucketedJoin,
     graft.search.HybridSearch,
-    graft.search.QuantizedSearch)
+    graft.search.QuantizedSearch,
+    graft.operators.Profiling)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline capability: scatter-gather top-k cosine

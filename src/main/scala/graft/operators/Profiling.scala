@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+
+/** `[EXT]` dataset observability — the profiling layer a 100 TB pipeline
+  * runs before and between every processing stage:
+  *
+  *  - column profile (the "what is in this table" first query),
+  *  - PSI distribution drift between two corpus slices (the train/serve
+  *    shift monitor of the credit-scoring literature, re-used verbatim by
+  *    ML feature pipelines),
+  *  - weekly cohort retention (first-seen week × active week — the
+  *    standard product-analytics matrix).
+  *
+  * All three are one- or two-scan aggregate shapes with no wide state:
+  * profile and PSI reduce to single aggregate rows; retention is a
+  * per-user min + one matrix aggregate.
+  */
+object Profiling extends QueryPack {
+
+  /** Long-form numeric column profile of lineitem: null count, distinct
+    * count, min/max/mean per measure column. One pass; the multiple exact
+    * count_distincts plan as one Expand-based aggregate (one shuffle) —
+    * at 100 TB swap approx_count_distinct per the [[Relational.approxDistinct]]
+    * pattern.
+    */
+  def columnProfile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        count_distinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast("double").as(s"${c}_min"),
+        max(col(c)).cast("double").as(s"${c}_max"),
+        round(avg(col(c)), 6).as(s"${c}_mean"))
+    }
+    val one = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    // stack takes a FLAT argument list (k groups laid out in sequence)
+    val stacked = cols.map(c =>
+      s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max, ${c}_mean")
+      .mkString(", ")
+    one.select(col("n_rows"), expr(
+      s"stack(${cols.size}, $stacked) AS (col_name, n_nulls, n_distinct, min_val, max_val, mean_val)"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"), col("mean_val"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Population stability index between the pre-1999 and post-1999 order
+    * value distributions over 6 fixed-width bins:
+    * PSI = Σ (p−q)·ln(p/q), proportions floored at 1e-6 (the standard
+    * zero-bin guard) — literals spelled identically in both engines, ln
+    * drift absorbed by the terminal round-6. Two filtered one-row
+    * aggregates; the bin histogram is a conditional-sum stack, so the
+    * whole monitor is ONE scan of the fact table.
+    */
+  private val PsiBins = 6
+  private val PsiWidth = 100000.0
+
+  def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val base = col("o_orderdate") < lit("1999-01-01")
+    def inBin(b: Int) =
+      col("o_totalprice") >= b * PsiWidth &&
+        (col("o_totalprice") < (b + 1) * PsiWidth || lit(b == PsiBins - 1))
+    val aggs =
+      Seq(sum(when(base, 1L).otherwise(0L)).as("n_base"),
+        sum(when(!base, 1L).otherwise(0L)).as("n_curr")) ++
+        (0 until PsiBins).map(b =>
+          sum(when(base && inBin(b), 1L).otherwise(0L)).as(s"pb$b")) ++
+        (0 until PsiBins).map(b =>
+          sum(when(!base && inBin(b), 1L).otherwise(0L)).as(s"qb$b"))
+    val one = Tables.orders(s, dir).agg(aggs.head, aggs.tail: _*)
+    val psi = (0 until PsiBins).map { b =>
+      val p = greatest(col(s"pb$b").cast("double") / col("n_base"), lit(0.000001))
+      val q = greatest(col(s"qb$b").cast("double") / col("n_curr"), lit(0.000001))
+      (p - q) * log(p / q)
+    }.reduce(_ + _)
+    one.select(col("n_base"), col("n_curr"), round(psi, 6).as("psi"))
+  }
+
+  /** Weekly cohort retention: users bucketed by first-seen week, counted
+    * per (cohort week, active week). Per-user first week is a grouped min
+    * (shuffle on user_id); the join back is co-partitioned on the same
+    * key; the matrix aggregate is a few dozen cells.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val weeks = Tables.events(s, dir)
+      .select(col("user_id"),
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"))
+    val firstWeek = weeks.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    weeks.distinct()
+      .join(firstWeek, "user_id")
+      .groupBy(col("cohort_week"), col("week").as("active_week"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("active_week"))
+  }
+
+  override def queries: Map[String, QueryPack.Q] = Map(
+    "q_profile"   -> (columnProfile _),
+    "q_psi_drift" -> (psiDrift _),
+    "q_cohort"    -> (cohortRetention _))
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_val,
+           |  CAST(max($c) AS DOUBLE) AS max_val,
+           |  round(avg($c), 6) AS mean_val
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    "q_psi_drift" -> {
+      def cnt(pred: String, b: Int): String = {
+        val lo = b * PsiWidth
+        val upper =
+          if (b == PsiBins - 1) "TRUE"
+          else s"o_totalprice < ${(b + 1) * PsiWidth}"
+        s"CAST(sum(CASE WHEN $pred AND o_totalprice >= $lo AND ($upper) THEN 1 ELSE 0 END) AS BIGINT)"
+      }
+      val isBase = "o_orderdate < TIMESTAMP '1999-01-01'"
+      val isCurr = "o_orderdate >= TIMESTAMP '1999-01-01'"
+      val binCols =
+        (0 until PsiBins).map(b => s"${cnt(isBase, b)} AS pb$b") ++
+          (0 until PsiBins).map(b => s"${cnt(isCurr, b)} AS qb$b")
+      val terms = (0 until PsiBins).map { b =>
+        val p = s"greatest(CAST(pb$b AS DOUBLE) / n_base, 0.000001)"
+        val q = s"greatest(CAST(qb$b AS DOUBLE) / n_curr, 0.000001)"
+        s"(($p) - ($q)) * ln(($p) / ($q))"
+      }.mkString(" + ")
+      s"""SELECT n_base, n_curr, round($terms, 6) AS psi FROM (
+         |  SELECT
+         |    CAST(sum(CASE WHEN $isBase THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         |    CAST(sum(CASE WHEN $isCurr THEN 1 ELSE 0 END) AS BIGINT) AS n_curr,
+         |    ${binCols.mkString(",\n    ")}
+         |  FROM orders)""".stripMargin
+    },
+    "q_cohort" ->
+      """WITH w AS (
+        |  SELECT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week
+        |  FROM events),
+        |fw AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id)
+        |SELECT f.cohort_week, d.week AS active_week, count(*) AS n_users
+        |FROM (SELECT DISTINCT user_id, week FROM w) d
+        |JOIN fw f ON f.user_id = d.user_id
+        |GROUP BY f.cohort_week, d.week
+        |ORDER BY f.cohort_week, active_week""".stripMargin)
+}
