@@ -445,6 +445,46 @@ object TextAnalysis extends QueryPack {
       .limit(k)
   }
 
+  /** Top bigram collocations by pointwise mutual information —
+    * PMI(a,b) = ln(p(ab) / (p(a)·p(b))) with a min-count floor (the
+    * corpus-linguistics collocation measure; Church & Hanks 1990). Three
+    * count layers (bigrams, unigrams, totals): bigrams pair in-row via
+    * zip_with over two slices of the SAME token array (no self-join),
+    * unigram counts broadcast onto the bigram table twice, totals are
+    * 1-row aggregates. All counts are exact integers, so the PMI double
+    * expression is bit-identical cross-engine; terminal round 6.
+    */
+  def collocations(s: SparkSession, dir: String, minCount: Int = 5,
+                   k: Int = 20): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("w"))
+    val pairs = toks
+      .filter(size(col("w")) >= 2)
+      .select(explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bigrams = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+    val unigrams = toks.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = broadcast(pairs.agg(count(lit(1)).as("nb"))
+      .crossJoin(toks.select(explode(col("w")).as("t"))
+        .agg(count(lit(1)).as("nu"))))
+    bigrams.filter(col("c_ab") >= minCount)
+      .join(broadcast(unigrams.select(col("tok").as("w1"), col("c").as("ca"))), "w1")
+      .join(broadcast(unigrams.select(col("tok").as("w2"), col("c").as("cb"))), "w2")
+      .crossJoin(totals)
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log(
+          (col("c_ab").cast("double") / col("nb")) /
+            ((col("ca").cast("double") / col("nu")) *
+              (col("cb").cast("double") / col("nu")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Content fingerprints (md5 — stable across engines) for a key slice. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -471,9 +511,34 @@ object TextAnalysis extends QueryPack {
     "q_corpus_stats"     -> (corpusStats _),
     "q_seq_pack"         -> ((s, d) => seqPack(s, d)),
     "q_winnow_fp"        -> (winnowQuery _),
+    "q_collocations"     -> ((s, d) => collocations(s, d)),
     "q_heavy_hitters"    -> ((s, d) => heavyHitters(s, d)))
 
   override def oracleSql: Map[String, String] = Map(
+    "q_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |bi AS (
+        |  SELECT unnest(list_transform(range(len(w) - 1),
+        |    i -> w[i + 1] || ' ' || w[i + 2])) AS bg
+        |  FROM t WHERE len(w) >= 2),
+        |bc AS (
+        |  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+        |    count(*) AS c_ab
+        |  FROM bi GROUP BY 1, 2),
+        |uc AS (
+        |  SELECT tok, count(*) AS c
+        |  FROM (SELECT unnest(w) AS tok FROM t) GROUP BY tok),
+        |tot AS (
+        |  SELECT (SELECT count(*) FROM bi) AS nb,
+        |         (SELECT count(*) FROM (SELECT unnest(w) FROM t)) AS nu)
+        |SELECT b.w1, b.w2, b.c_ab,
+        |  round(ln((CAST(b.c_ab AS DOUBLE) / nb) /
+        |    ((CAST(u1.c AS DOUBLE) / nu) * (CAST(u2.c AS DOUBLE) / nu))), 6) AS pmi
+        |FROM bc b
+        |JOIN uc u1 ON u1.tok = b.w1
+        |JOIN uc u2 ON u2.tok = b.w2, tot
+        |WHERE b.c_ab >= 5
+        |ORDER BY pmi DESC, b.w1, b.w2 LIMIT 20""".stripMargin,
     // exact full top-k: valid against the engine's two-pass shape because
     // the sketch candidate set provably contains every true heavy hitter
     // (and, at gate scale, the whole bigram space) and the second pass
