@@ -29,7 +29,8 @@ object SparkEntry {
     graft.operators.BucketedJoin,
     graft.search.HybridSearch,
     graft.search.QuantizedSearch,
-    graft.operators.Profiling)
+    graft.operators.Profiling,
+    graft.operators.ProductQuant)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline capability: scatter-gather top-k cosine

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+
+/** Product quantization (Jégou/Douze/Schmid, PAMI 2011) — the compression
+  * half of IVF-PQ and the standard way a 100 TB embedding fleet fits in
+  * serving memory: each vector is split into M subvectors, each subvector
+  * replaced by the id of its nearest sub-centroid from a per-subspace
+  * codebook. With M=8 subspaces × K=16 centroids a 64-dim float32 vector
+  * (256 bytes) becomes 8 4-bit codes — 4 bytes when packed, 64×
+  * compression — and queries run by ASYMMETRIC DISTANCE COMPUTATION: the
+  * query precomputes an M×K lookup table of sub-dot-products once, then
+  * scoring a corpus vector is M table lookups + adds, never touching a
+  * float vector.
+  *
+  * Spark shape: codebook training is M seeded k-means fits on the PINNED
+  * single-sorted-partition corpus (the [[AnnSearch.ensureIvfIndex]]
+  * determinism recipe — a bounded-sample offline fit in real deployments);
+  * encoding is one scan with a pure per-row UDF; the CODES table (id +
+  * tinyint array) is what persists and what serving scans — column-pruned,
+  * 4 bytes of payload per row. The ADC scorer is a per-row HOF chain
+  * (indexed-transform lookups into the broadcast-literal tables + a
+  * sequential fold), so the serve plan is scan → scalar math →
+  * TakeOrderedAndProject with no shuffle and no raw embeddings read.
+  *
+  * Oracle: the fit is not SQL-expressible, but (pinned fit + pure per-row
+  * encode + sequential ADC fold) is a bit-deterministic function of the
+  * corpus, so `q_ann_pq` carries a GOLDEN-VALUE oracle captured at the
+  * driver's verify corpus (sf0.01) and cross-checked across fresh JVMs at
+  * local[4]/local[32] (graft.GoldenIvf probe) — the q_ann_ivf recipe.
+  */
+object ProductQuant extends QueryPack {
+
+  val M = 8
+  val K = 16
+  private val Dim = 64
+  private val DSub = Dim / M
+
+  /** Per-subspace codebooks fit on the pinned corpus: Array[M][K][DSub].
+    * Seeds are `seed + j` so subspaces train independent codebooks.
+    */
+  def buildCodebooks(corpus: DataFrame, embCol: String,
+                     seed: Long = 42L): Array[Array[Array[Double]]] = {
+    val cached = corpus.cache()
+    val books = (0 until M).map { j =>
+      val lo = j * DSub
+      val toSub = udf { (v: Seq[Float]) =>
+        Vectors.dense(v.slice(lo, lo + DSub).map(_.toDouble).toArray)
+      }
+      val sub = cached.withColumn("__sv", toSub(col(embCol)))
+      new KMeans().setK(K).setSeed(seed + j).setMaxIter(5)
+        .setFeaturesCol("__sv").setPredictionCol("__c")
+        .fit(sub).clusterCenters.map(_.toArray)
+    }.toArray
+    cached.unpersist()
+    books
+  }
+
+  /** Pure per-row encoder: nearest sub-centroid id (L2², ties → lowest
+    * id) per subspace. Returns M bytes.
+    */
+  private[operators] def encode(v: Seq[Float],
+                                books: Array[Array[Array[Double]]]): Seq[Byte] =
+    (0 until M).map { j =>
+      val lo = j * DSub
+      var best = 0
+      var bestD = Double.MaxValue
+      var i = 0
+      while (i < K) {
+        val c = books(j)(i)
+        var d = 0.0
+        var t = 0
+        while (t < DSub) { val e = v(lo + t) - c(t); d += e * e; t += 1 }
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best.toByte
+    }
+
+  private val pqBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Array[Array[Double]]])]()
+  private[operators] val pqBuildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def indexPath(dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    new java.io.File(sys.props("java.io.tmpdir"), s"graft_pq_$digest").getAbsolutePath
+  }
+
+  /** Ensure the persisted codes table + codebook sidecar exist for `dir`;
+    * returns (codes path, codebooks). One fit + one encode scan per
+    * corpus per process; serving only reads.
+    */
+  def ensurePqIndex(s: SparkSession, dir: String): (String, Array[Array[Array[Double]]]) =
+    pqBuilt.computeIfAbsent(dir, { _ =>
+      pqBuildCount.incrementAndGet()
+      val corpus = Tables.embeddings(s, dir).filter(col("vec_id") =!= 0)
+      val dim = corpus.select(col("embedding")).head().getSeq[Float](0).length
+      require(dim == Dim,
+        s"ensurePqIndex serves the driver corpus contract (dim=$Dim); got $dim")
+      val pinned = corpus.coalesce(1).sortWithinPartitions("vec_id")
+      val books = buildCodebooks(pinned, "embedding")
+      val enc = udf { (v: Seq[Float]) => encode(v, books) }
+      val path = indexPath(dir)
+      corpus.select(col("vec_id"), enc(col("embedding")).as("pq_codes"))
+        .write.mode("overwrite").parquet(path)
+      graft.sources.TableIO.writePqCodebooks(s, path, books)
+      (path, books)
+    })
+
+  /** ADC top-10 against the persisted codes table. The query-side M×K
+    * dot and norm² tables are driver-computed doubles shipped as flat
+    * 128-element literals; per-row scoring is two indexed-transform
+    * lookups + sequential folds.
+    */
+  def pqQuery(s: SparkSession, dir: String): DataFrame = {
+    val (path, books) = ensurePqIndex(s, dir)
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    def subDot(j: Int, c: Array[Double]): Double = {
+      var d = 0.0
+      var t = 0
+      while (t < DSub) { d += q(j * DSub + t).toDouble * c(t); t += 1 }
+      d
+    }
+    val dotFlat: Seq[Double] =
+      for (j <- 0 until M; i <- 0 until K) yield subDot(j, books(j)(i))
+    val normFlat: Seq[Double] =
+      for (j <- 0 until M; i <- 0 until K)
+        yield books(j)(i).map(x => x * x).sum
+    val qNorm = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+    val dotLit = typedlit(dotFlat)
+    val normLit = typedlit(normFlat)
+    def lookupSum(table: org.apache.spark.sql.Column) =
+      aggregate(
+        transform(col("pq_codes"),
+          (c, j) => element_at(table, j * K + c.cast("int") + 1)),
+        lit(0.0), (acc, x) => acc + x)
+    s.read.parquet(path)
+      .withColumn("adot", lookupSum(dotLit))
+      .withColumn("anorm2", lookupSum(normLit))
+      .select(col("vec_id"),
+        round(col("adot") / (lit(qNorm) * sqrt(col("anorm2"))), 6).as("sim_pq"))
+      .orderBy(col("sim_pq").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  override def queries: Map[String, QueryPack.Q] = Map(
+    "q_ann_pq" -> (pqQuery _))
+
+  /** GOLDEN-VALUE oracle (sf0.01-specific, the q_ann_ivf recipe) —
+    * captured from the pinned build and reproduced bit-identically
+    * across fresh JVMs at local[4]/local[32] (GoldenIvf probe).
+    */
+  override def oracleSql: Map[String, String] = Map(
+    "q_ann_pq" -> PqGolden.sql)
+}

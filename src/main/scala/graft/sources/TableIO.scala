@@ -121,4 +121,28 @@ object TableIO {
 
   def planesPath(indexPath: String): String =
     indexPath.stripSuffix("/") + "__planes"
+
+  /** Persist PQ codebooks next to their codes table (the centroid/plane
+    * sidecar pattern): m × k sub-centroids, keyed (subspace, code).
+    */
+  def writePqCodebooks(spark: SparkSession, indexPath: String,
+                       books: Array[Array[Array[Double]]]): Unit = {
+    import spark.implicits._
+    (for ((book, j) <- books.zipWithIndex; (c, i) <- book.zipWithIndex)
+      yield (j, i, c.toSeq)).toSeq
+      .toDF("subspace", "code", "center")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(pqBooksPath(indexPath))
+  }
+
+  def readPqCodebooks(spark: SparkSession, indexPath: String): Array[Array[Array[Double]]] =
+    spark.read.parquet(pqBooksPath(indexPath))
+      .orderBy("subspace", "code")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2).toArray).toArray
+
+  def pqBooksPath(indexPath: String): String =
+    indexPath.stripSuffix("/") + "__pqbooks"
 }

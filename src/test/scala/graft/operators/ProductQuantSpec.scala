@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** PQ encode/ADC correctness: code-range and shape invariants, the ADC
+  * score against a scalar recompute from codes + codebooks, top-k recall
+  * vs the exact ranking, and build-once bookkeeping.
+  */
+class ProductQuantSpec extends SparkSpec {
+
+  test("ADC scores match a scalar recompute from codes and codebooks") {
+    val (path, books) = ProductQuant.ensurePqIndex(spark, sfDir)
+    assert(books.length === ProductQuant.M)
+    assert(books.forall(_.length === ProductQuant.K))
+
+    val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val dsub = q.length / ProductQuant.M
+    val codes = spark.read.parquet(path)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(codes.values.forall(cs =>
+      cs.length == ProductQuant.M && cs.forall(c => c >= 0 && c < ProductQuant.K)))
+
+    def scalarSim(cs: Seq[Byte]): Double = {
+      var adot = 0.0; var anorm2 = 0.0
+      for (j <- 0 until ProductQuant.M) {
+        val c = books(j)(cs(j).toInt)
+        var d = 0.0
+        for (t <- 0 until dsub) d += q(j * dsub + t).toDouble * c(t)
+        adot += d
+        anorm2 += c.map(x => x * x).sum
+      }
+      val qn = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+      BigDecimal(adot / (qn * math.sqrt(anorm2)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = ProductQuant.pqQuery(spark, sfDir).collect()
+    assert(got.length === 10)
+    for (r <- got)
+      assert(r.getDouble(1) === scalarSim(codes(r.getLong(0))), s"vec ${r.getLong(0)}")
+  }
+
+  test("pq top-10 overlaps the exact top-10 (lossy but not random)") {
+    val pq = ProductQuant.pqQuery(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = graft.search.VectorSearch.knnBrute(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // 8x16 PQ on 64 dims is coarse by design (64x compression); the spec
+    // pins "substantially better than the ~0.2 random-overlap baseline"
+    assert((pq & exact).size >= 3, s"pq=$pq exact=$exact")
+  }
+
+  test("index builds once per corpus per process") {
+    val before = ProductQuant.pqBuildCount.get()
+    ProductQuant.pqQuery(spark, sfDir).collect()
+    ProductQuant.pqQuery(spark, sfDir).collect()
+    assert(ProductQuant.pqBuildCount.get() === math.max(before, 1))
+  }
+}
