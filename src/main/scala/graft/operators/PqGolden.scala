@@ -18,4 +18,18 @@ private[operators] object PqGolden {
       |UNION ALL SELECT 190, 0.270334
       |UNION ALL SELECT 423, 0.26911
       |ORDER BY sim_pq DESC, vec_id""".stripMargin
+
+  val rerankSql: String =
+    """SELECT CAST(334 AS BIGINT) AS vec_id, CAST(0.362722 AS DOUBLE) AS sim,
+      |       CAST(0.313616 AS DOUBLE) AS sim_pq
+      |UNION ALL SELECT 423, 0.296934, 0.26911
+      |UNION ALL SELECT 190, 0.281795, 0.270334
+      |UNION ALL SELECT 464, 0.276628, 0.276995
+      |UNION ALL SELECT 388, 0.276301, 0.241452
+      |UNION ALL SELECT 483, 0.2567, 0.343424
+      |UNION ALL SELECT 131, 0.240641, 0.283917
+      |UNION ALL SELECT 36, 0.238657, 0.186702
+      |UNION ALL SELECT 415, 0.237975, 0.285691
+      |UNION ALL SELECT 478, 0.237283, 0.208403
+      |ORDER BY sim DESC, vec_id""".stripMargin
 }

@@ -52,6 +52,21 @@ class ProductQuantSpec extends SparkSpec {
     assert((pq & exact).size >= 3, s"pq=$pq exact=$exact")
   }
 
+  test("rerank recovers at least as many true neighbors as raw ADC, and " +
+    "its sim column is the exact cosine") {
+    val exact = graft.search.VectorSearch.knnBrute(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pq = ProductQuant.pqQuery(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val rr = ProductQuant.pqRerankQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert((rr.map(_._1).toSet & exact.keySet).size >= (pq & exact.keySet).size)
+    // every reranked hit that IS a true top-10 member carries the same
+    // exact similarity knnBrute computed for it
+    for ((id, sim) <- rr if exact.contains(id))
+      assert(sim === exact(id), s"vec $id")
+  }
+
   test("index builds once per corpus per process") {
     val before = ProductQuant.pqBuildCount.get()
     ProductQuant.pqQuery(spark, sfDir).collect()
