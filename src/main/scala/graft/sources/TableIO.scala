@@ -78,6 +78,50 @@ object TableIO {
     fs.delete(new Path(old), true)
   }
 
+  /** TARGETED deletion from an append-maintained index (the GDPR /
+    * takedown maintenance op next to [[appendAnnIndex]] and
+    * [[compactAnnIndex]]): only the bucket partitions that actually
+    * CONTAIN requested ids are rewritten (anti-join within each), via
+    * per-partition dir swap; untouched buckets keep their files
+    * byte-for-byte. Ids absent from the index are counted, not errors —
+    * a deletion list routinely outlives the rows it names. Returns
+    * (deleted, requested) counts so callers can log reconciliation.
+    */
+  def deleteFromAnnIndex(spark: SparkSession, path: String, bucketCol: String,
+                         ids: DataFrame, idCol: String = "vec_id"): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    val requested = ids.select(col(idCol)).distinct().cache()
+    val nRequested = requested.count()
+    val index = spark.read.parquet(path)
+    val hit = index.join(requested, Seq(idCol), "left_semi")
+      .groupBy(col(bucketCol))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.get(0) -> r.getLong(1))
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var deleted = 0L
+    for ((bucket, n) <- hit) {
+      val dir = s"${path.stripSuffix("/")}/$bucketCol=$bucket"
+      // staging dirs are SIBLINGS of the index root, not of the partition
+      // dir — a `bucket=3__deleting` inside the root would confuse
+      // partition discovery for any concurrent reader
+      val tmp = s"${path.stripSuffix("/")}__del_tmp_$bucket"
+      val old = s"${path.stripSuffix("/")}__del_old_$bucket"
+      spark.read.parquet(dir)
+        .join(requested, Seq(idCol), "left_anti")
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      fs.delete(new Path(old), true)
+      require(fs.rename(new Path(dir), new Path(old)), s"delete: could not stage $dir aside")
+      require(fs.rename(new Path(tmp), new Path(dir)), s"delete: could not move $tmp into place")
+      fs.delete(new Path(old), true)
+      deleted += n
+    }
+    requested.unpersist()
+    (deleted, nRequested)
+  }
+
   /** Persist an IVF coarse quantizer next to its list-partitioned index
     * (sibling dir — writing inside the index root would break partition
     * discovery). Centroids are k × dim doubles: tiny, but durable so a

@@ -1,0 +1,69 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.operators.AnnSearch
+
+/** Targeted ANN index deletion: equals a rebuild-without, rewrites only
+  * the hit partitions, reconciles counts, and serving never returns a
+  * deleted id.
+  */
+class AnnDeleteSpec extends SparkSpec {
+
+  test("delete == rebuild-without; untouched buckets keep their files") {
+    import spark.implicits._
+    val corpus = Tables.embeddings(spark, sfDir).filter(col("vec_id") =!= 0)
+    val planes = AnnSearch.hyperplanes(4, 64, 42L)
+    val indexed = AnnSearch.withLshBucket(corpus, "embedding", planes)
+
+    val root = Files.createTempDirectory("ann_delete").toString
+    val victim = root + "/victim"
+    TableIO.writeAnnIndex(indexed, victim, "lsh_bucket")
+
+    // delete the members of one bucket plus a few scattered ids + one
+    // id that does not exist
+    val byBucket = indexed.select("vec_id", "lsh_bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val someBucket = byBucket.head._2
+    val doomed = byBucket.filter(_._2 == someBucket).map(_._1).take(3).toSeq ++
+      byBucket.filter(_._2 != someBucket).map(_._1).take(2).toSeq
+    val untouchedBucket = byBucket.map(_._2).distinct
+      .find(b => !doomed.map(d => byBucket.find(_._1 == d).get._2).contains(b)).get
+    def filesOf(b: Int): Set[(String, Long)] = {
+      val d = Paths.get(victim, s"lsh_bucket=$b")
+      Files.list(d).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => (p.getFileName.toString, Files.getLastModifiedTime(p).toMillis))
+        .toSet
+    }
+    val untouchedBefore = filesOf(untouchedBucket)
+
+    val (deleted, requested) = TableIO.deleteFromAnnIndex(
+      spark, victim, "lsh_bucket", (doomed :+ 999999L).toDF("vec_id"))
+    assert(requested === doomed.size + 1L)
+    assert(deleted === doomed.size.toLong)
+
+    // equality with a rebuild that never contained the doomed ids
+    val expect = indexed.filter(!col("vec_id").isin(doomed: _*))
+      .select("vec_id", "lsh_bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val got = spark.read.parquet(victim)
+      .select("vec_id", "lsh_bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got === expect)
+
+    // untouched bucket: identical file names AND mtimes
+    assert(filesOf(untouchedBucket) === untouchedBefore)
+
+    // serving the pruned layout never sees a deleted id
+    val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val served = spark.read.parquet(victim)
+      .filter(col("lsh_bucket").isin(AnnSearch.probeBuckets(q, planes): _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(served.intersect(doomed.toSet).isEmpty)
+  }
+}
