@@ -32,4 +32,18 @@ private[operators] object PqGolden {
       |UNION ALL SELECT 415, 0.237975, 0.285691
       |UNION ALL SELECT 478, 0.237283, 0.208403
       |ORDER BY sim DESC, vec_id""".stripMargin
+
+  val ivfPqSql: String =
+    """SELECT CAST(365 AS BIGINT) AS vec_id, CAST(6 AS INT) AS ivf_list,
+      |       CAST(0.369994 AS DOUBLE) AS sim
+      |UNION ALL SELECT 334, 6, 0.362722
+      |UNION ALL SELECT 73, 6, 0.295434
+      |UNION ALL SELECT 190, 1, 0.281795
+      |UNION ALL SELECT 388, 1, 0.276301
+      |UNION ALL SELECT 344, 6, 0.252487
+      |UNION ALL SELECT 36, 13, 0.238657
+      |UNION ALL SELECT 478, 6, 0.237283
+      |UNION ALL SELECT 85, 10, 0.232639
+      |UNION ALL SELECT 70, 10, 0.192008
+      |ORDER BY sim DESC, vec_id""".stripMargin
 }

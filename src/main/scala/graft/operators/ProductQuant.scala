@@ -179,9 +179,82 @@ object ProductQuant extends QueryPack {
       .limit(pool)
   }
 
+  private val ivfPqBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Array[Double]], Array[Array[Array[Double]]])]()
+
+  /** Composed IVF-PQ layout — the FAISS-IVFPQ serving shape at 100 TB:
+    * the coarse quantizer routes (partition pruning on `ivf_list`), the
+    * PQ codes are the only payload scanned within probed lists. Built by
+    * joining the two existing persisted artifacts (IVF assignments + PQ
+    * codes) and re-partitioning by list; both underlying builds are the
+    * pinned deterministic fits. This is the NON-residual variant (codes
+    * quantize raw vectors, not x − centroid); residual encoding is the
+    * standard refinement when nLists grows — noted, not needed for the
+    * routing+compression shape this demonstrates.
+    */
+  def ensureIvfPqIndex(s: SparkSession, dir: String): (String, Array[Array[Double]], Array[Array[Array[Double]]]) =
+    ivfPqBuilt.computeIfAbsent(dir, { _ =>
+      val (ivfPath, centroids) = AnnSearch.ensureIvfIndex(s, dir)
+      val (pqPath, books) = ensurePqIndex(s, dir)
+      val path = indexPath(dir) + "_ivf"
+      s.read.parquet(ivfPath).select(col("vec_id"), col("ivf_list"))
+        .join(s.read.parquet(pqPath), "vec_id")
+        .write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+      (path, centroids, books)
+    })
+
+  /** IVF-PQ serve: route to nprobe lists (partition-pruned scan of the
+    * composed codes layout), ADC-score the ~nprobe/nLists fraction of
+    * codes, keep a pool, re-rank the pool exactly from raw embeddings.
+    * Scan cost at 100 TB: (nprobe/nLists) × 4 bytes/vector, plus
+    * O(pool) raw reads.
+    */
+  def ivfPqQuery(s: SparkSession, dir: String, nprobe: Int = 4,
+                 pool: Int = 50, topK: Int = 10): DataFrame = {
+    val (path, centroids, books) = ensureIvfPqIndex(s, dir)
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val lists = AnnSearch.nearestLists(q, centroids, nprobe)
+    def subDot(j: Int, c: Array[Double]): Double = {
+      var d = 0.0
+      var t = 0
+      while (t < DSub) { d += q(j * DSub + t).toDouble * c(t); t += 1 }
+      d
+    }
+    val dotLit = typedlit(
+      for (j <- 0 until M; i <- 0 until K) yield subDot(j, books(j)(i)))
+    val normLit = typedlit(
+      for (j <- 0 until M; i <- 0 until K) yield books(j)(i).map(x => x * x).sum)
+    val qNorm = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+    def lookupSum(table: org.apache.spark.sql.Column) =
+      aggregate(
+        transform(col("pq_codes"),
+          (c, j) => element_at(table, j * K + c.cast("int") + 1)),
+        lit(0.0), (acc, x) => acc + x)
+    val candidates = s.read.parquet(path)
+      .filter(col("ivf_list").isin(lists: _*))
+      .withColumn("adot", lookupSum(dotLit))
+      .withColumn("anorm2", lookupSum(normLit))
+      .select(col("vec_id"), col("ivf_list"),
+        round(col("adot") / (lit(qNorm) * sqrt(col("anorm2"))), 6).as("sim_pq"))
+      .orderBy(col("sim_pq").desc, col("vec_id"))
+      .limit(pool)
+    val qDf = broadcast(Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb")))
+    Tables.embeddings(s, dir)
+      .join(broadcast(candidates), "vec_id")
+      .crossJoin(qDf)
+      .select(col("vec_id"), col("ivf_list").cast("int").as("ivf_list"),
+        round(graft.functions.VectorFunctions.cosineSimilarity(
+          col("embedding"), col("q_emb")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(topK)
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_ann_pq"        -> (pqQuery _),
-    "q_ann_pq_rerank" -> ((s, d) => pqRerankQuery(s, d)))
+    "q_ann_pq_rerank" -> ((s, d) => pqRerankQuery(s, d)),
+    "q_ann_ivfpq"     -> ((s, d) => ivfPqQuery(s, d)))
 
   /** GOLDEN-VALUE oracle (sf0.01-specific, the q_ann_ivf recipe) —
     * captured from the pinned build and reproduced bit-identically
@@ -189,5 +262,6 @@ object ProductQuant extends QueryPack {
     */
   override def oracleSql: Map[String, String] = Map(
     "q_ann_pq"        -> PqGolden.sql,
-    "q_ann_pq_rerank" -> PqGolden.rerankSql)
+    "q_ann_pq_rerank" -> PqGolden.rerankSql,
+    "q_ann_ivfpq"     -> PqGolden.ivfPqSql)
 }

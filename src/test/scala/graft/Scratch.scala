@@ -22,7 +22,8 @@ object Scratch {
     // golden-value oracles are pinned to the driver's verify corpus
     // (sf0.01); checking them at other SFs is a guaranteed false FAIL
     val sf001Only = Set("q_ann_ivf", "q_ann_batch_ivf", "q_ann_neardup",
-      "q_ann_pq", "q_ann_pq_rerank", "q_bpe_merges", "q_bpe_tokenize")
+      "q_ann_pq", "q_ann_pq_rerank", "q_ann_ivfpq",
+      "q_bpe_merges", "q_bpe_tokenize")
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val names =
         if (sf == "sf0.01") allNames else allNames.filterNot(sf001Only)

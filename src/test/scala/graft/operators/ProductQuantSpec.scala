@@ -67,6 +67,21 @@ class ProductQuantSpec extends SparkSpec {
       assert(sim === exact(id), s"vec $id")
   }
 
+  test("ivf-pq routes by partition-pruned lists and tracks the flat IVF results") {
+    val df = ProductQuant.ivfPqQuery(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length === 10)
+    // the codes scan must be partition-pruned on ivf_list
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ivf_list"), plan)
+    // same routing as flat IVF + exact rerank: the only loss vs IVF-flat
+    // is ADC pool truncation — results should largely agree
+    val flat = AnnSearch.ivfQuery(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivfpq = rows.map(_.getLong(0)).toSet
+    assert((ivfpq & flat).size >= 6, s"ivfpq=$ivfpq flat=$flat")
+  }
+
   test("index builds once per corpus per process") {
     val before = ProductQuant.pqBuildCount.get()
     ProductQuant.pqQuery(spark, sfDir).collect()
