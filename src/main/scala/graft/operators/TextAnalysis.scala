@@ -485,6 +485,39 @@ object TextAnalysis extends QueryPack {
       .limit(k)
   }
 
+  /** Fixed-size overlapping token chunking — the retrieval-prep twin of
+    * [[seqPack]] (packing concatenates short docs; chunking SPLITS long
+    * ones): stride-64/overlap-16 windows over the token array, emitted
+    * with stable (doc_id, chunk_id) keys, the chunk's token span, and an
+    * md5 fingerprint of the chunk text (what a RAG store would key
+    * embeddings by). Chunk boundaries are pure per-row arithmetic over
+    * the token array (sequence + slice HOFs) — one scan, no shuffle
+    * until the tiny per-source rollup the query emits alongside.
+    */
+  def chunkDocs(s: SparkSession, dir: String, chunkTok: Int = 64,
+                stride: Int = 48): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 20) // key slice; predicate reaches the scan
+      .select(col("doc_id"), toks.as("w"))
+      // chunk starts: 0, stride, 2·stride, …, capped so every token is
+      // covered; a doc shorter than one chunk yields exactly one chunk
+      .withColumn("starts",
+        sequence(lit(0),
+          greatest((size(col("w")) - 1) - (size(col("w")) - 1) % stride, lit(0)),
+          lit(stride)))
+      .select(col("doc_id"), col("w"), posexplode(col("starts")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        col("col").as("start"),
+        slice(col("w"), col("col") + 1, lit(chunkTok)).as("chunk"))
+      .filter(size(col("chunk")) > 0)
+      .select(col("doc_id"), col("chunk_id"),
+        col("start").cast("long").as("start_tok"),
+        size(col("chunk")).cast("long").as("n_tok"),
+        md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Content fingerprints (md5 — stable across engines) for a key slice. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -512,9 +545,27 @@ object TextAnalysis extends QueryPack {
     "q_seq_pack"         -> ((s, d) => seqPack(s, d)),
     "q_winnow_fp"        -> (winnowQuery _),
     "q_collocations"     -> ((s, d) => collocations(s, d)),
+    "q_chunking"         -> ((s, d) => chunkDocs(s, d)),
     "q_heavy_hitters"    -> ((s, d) => heavyHitters(s, d)))
 
   override def oracleSql: Map[String, String] = Map(
+    "q_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id < 20),
+        |st AS (
+        |  SELECT doc_id, w,
+        |    unnest(range(0, greatest((len(w) - 1) - (len(w) - 1) % 48, 0) + 1, 48))
+        |      AS start
+        |  FROM t),
+        |ch AS (
+        |  SELECT doc_id, start, w[start + 1 : start + 64] AS chunk FROM st)
+        |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+        |  CAST(start AS BIGINT) AS start_tok,
+        |  CAST(len(chunk) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_fp
+        |FROM ch WHERE len(chunk) > 0
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "q_collocations" ->
       """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
         |bi AS (

@@ -36,4 +36,31 @@ class CollocationsSpec extends SparkSpec {
       .toSeq
     assert(got === expected)
   }
+
+  test("chunking tiles every document: stride-spaced starts, full coverage, " +
+    "fingerprints match the recomputed chunk text") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 20)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val chunks = TextAnalysis.chunkDocs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .groupBy(_._1)
+    assert(chunks.keySet === docs.keySet)
+    for ((id, cs) <- chunks) {
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 === 0L)
+      assert(sorted.map(_._3).toSeq ===
+        sorted.indices.map(_ * 48L), s"stride spacing for doc $id")
+      val n = docs(id).length
+      val last = sorted.last
+      assert(last._3 + last._4 === n.toLong, s"coverage for doc $id")
+      for ((_, _, start, nTok, fp) <- sorted) {
+        val text = docs(id).slice(start.toInt, start.toInt + nTok.toInt).mkString(" ")
+        val want = java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(fp === want, s"fingerprint for doc $id chunk at $start")
+      }
+    }
+  }
 }
