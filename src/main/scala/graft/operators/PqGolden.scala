@@ -46,4 +46,12 @@ private[operators] object PqGolden {
       |UNION ALL SELECT 85, 10, 0.232639
       |UNION ALL SELECT 70, 10, 0.192008
       |ORDER BY sim DESC, vec_id""".stripMargin
+
+  val recallSql: String =
+    """SELECT CAST(1.0 AS DOUBLE) AS sq8_recall_at10,
+      |  CAST(0.4 AS DOUBLE) AS pq_recall_at10,
+      |  CAST(0.5 AS DOUBLE) AS pq_rerank_recall_at10,
+      |  CAST(0.5 AS DOUBLE) AS ivfpq_recall_at10,
+      |  CAST(8 AS BIGINT) AS pq_bytes_per_vec,
+      |  CAST(256 AS BIGINT) AS raw_bytes_per_vec""".stripMargin
 }

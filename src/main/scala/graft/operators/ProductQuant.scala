@@ -251,10 +251,33 @@ object ProductQuant extends QueryPack {
       .limit(topK)
   }
 
+  /** Compression-tier quality report: recall@10 vs the exact brute-force
+    * ranking for every compressed serving path, one driver-visible row
+    * (the q_ann_recall pattern extended to the compression family). The
+    * four top-k lists are k-sized driver collects — the report costs four
+    * index probes, not corpus scans.
+    */
+  def compressionRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def ids(df: DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(graft.search.VectorSearch.knnBrute(s, dir))
+    def recall(df: DataFrame): Double = (ids(df) & exact).size / 10.0
+    Seq((
+      recall(graft.search.QuantizedSearch.sqTopK(s, dir)),
+      recall(pqQuery(s, dir)),
+      recall(pqRerankQuery(s, dir)),
+      recall(ivfPqQuery(s, dir)),
+      8L, 256L))
+      .toDF("sq8_recall_at10", "pq_recall_at10", "pq_rerank_recall_at10",
+        "ivfpq_recall_at10", "pq_bytes_per_vec", "raw_bytes_per_vec")
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_ann_pq"        -> (pqQuery _),
     "q_ann_pq_rerank" -> ((s, d) => pqRerankQuery(s, d)),
-    "q_ann_ivfpq"     -> ((s, d) => ivfPqQuery(s, d)))
+    "q_ann_ivfpq"     -> ((s, d) => ivfPqQuery(s, d)),
+    "q_compression_recall" -> (compressionRecall _))
 
   /** GOLDEN-VALUE oracle (sf0.01-specific, the q_ann_ivf recipe) —
     * captured from the pinned build and reproduced bit-identically
@@ -263,5 +286,6 @@ object ProductQuant extends QueryPack {
   override def oracleSql: Map[String, String] = Map(
     "q_ann_pq"        -> PqGolden.sql,
     "q_ann_pq_rerank" -> PqGolden.rerankSql,
-    "q_ann_ivfpq"     -> PqGolden.ivfPqSql)
+    "q_ann_ivfpq"     -> PqGolden.ivfPqSql,
+    "q_compression_recall" -> PqGolden.recallSql)
 }

@@ -22,7 +22,7 @@ object Scratch {
     // golden-value oracles are pinned to the driver's verify corpus
     // (sf0.01); checking them at other SFs is a guaranteed false FAIL
     val sf001Only = Set("q_ann_ivf", "q_ann_batch_ivf", "q_ann_neardup",
-      "q_ann_pq", "q_ann_pq_rerank", "q_ann_ivfpq",
+      "q_ann_pq", "q_ann_pq_rerank", "q_ann_ivfpq", "q_compression_recall",
       "q_bpe_merges", "q_bpe_tokenize")
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val names =
