@@ -99,10 +99,62 @@ object Profiling extends QueryPack {
       .orderBy(col("cohort_week"), col("active_week"))
   }
 
+  /** Data-contract validation — the admission gate a pipeline runs before
+    * trusting a new drop: referential integrity (left-anti counts on the
+    * join keys), domain ranges, and enum membership, one row per rule so
+    * a single non-zero cell names the broken contract. The FK probes are
+    * key-only anti-joins (column-pruned scans, co-partitioned shuffles);
+    * the range/enum rules fold into per-table single-scan conditional
+    * aggregates.
+    */
+  def contractChecks(s: SparkSession, dir: String): DataFrame =
+    contractChecksOn(Tables.orders(s, dir), Tables.lineitem(s, dir),
+      Tables.customer(s, dir))
+
+  private[graft] def contractChecksOn(orders: DataFrame, li: DataFrame,
+                                      customer: DataFrame): DataFrame = {
+    def oneRow(rule: String, d: DataFrame) =
+      d.select(lit(rule).as("rule"), col("n"))
+    val orphanOrders = oneRow("fk_orders_custkey",
+      orders.select(col("o_custkey"))
+        .join(customer.select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n")))
+    val orphanLines = oneRow("fk_lineitem_orderkey",
+      li.select(col("l_orderkey"))
+        .join(orders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n")))
+    val orderRules = orders.agg(
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("neg_price"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("bad_status"))
+    val lineRules = li
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .agg(
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+          .otherwise(0L)).as("bad_discount"),
+        sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L))
+          .as("ship_before_order"))
+    orphanOrders
+      .unionByName(orphanLines)
+      .unionByName(oneRow("range_totalprice_positive",
+        orderRules.select(col("neg_price").as("n"))))
+      .unionByName(oneRow("enum_orderstatus",
+        orderRules.select(col("bad_status").as("n"))))
+      .unionByName(oneRow("range_discount_unit",
+        lineRules.select(col("bad_discount").as("n"))))
+      .unionByName(oneRow("order_ship_after_order",
+        lineRules.select(col("ship_before_order").as("n"))))
+      .select(col("rule"), col("n").as("n_violations"))
+      .orderBy(col("rule"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_profile"   -> (columnProfile _),
     "q_psi_drift" -> (psiDrift _),
-    "q_cohort"    -> (cohortRetention _))
+    "q_cohort"    -> (cohortRetention _),
+    "q_contract_checks" -> (contractChecks _))
 
   override def oracleSql: Map[String, String] = Map(
     "q_profile" -> {
@@ -142,6 +194,30 @@ object Profiling extends QueryPack {
          |    ${binCols.mkString(",\n    ")}
          |  FROM orders)""".stripMargin
     },
+    "q_contract_checks" ->
+      """SELECT rule, n AS n_violations FROM (
+        |  SELECT 'fk_orders_custkey' AS rule, count(*) AS n FROM orders
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_orderkey', count(*) FROM lineitem
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |  UNION ALL
+        |  SELECT 'range_totalprice_positive',
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'enum_orderstatus',
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'range_discount_unit',
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'order_ship_after_order',
+        |    CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |ORDER BY rule""".stripMargin,
     "q_cohort" ->
       """WITH w AS (
         |  SELECT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week

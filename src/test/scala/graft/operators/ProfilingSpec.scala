@@ -23,6 +23,49 @@ class ProfilingSpec extends SparkSpec {
       graft.Tables.orders(spark, sfDir).count())
   }
 
+  test("contract checks: clean corpus reports zero violations; injected " +
+    "breaks surface with exact counts") {
+    val report = Profiling.contractChecks(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report.size === 6)
+    // the corpus satisfies the FK/range/enum contracts…
+    for (rule <- Seq("fk_orders_custkey", "fk_lineitem_orderkey",
+      "range_totalprice_positive", "enum_orderstatus", "range_discount_unit"))
+      assert(report(rule) === 0L, rule)
+    // …but genuinely CONTAINS early-ship rows — the report must find
+    // them all (independent recompute), not assume cleanliness
+    import org.apache.spark.sql.functions.col
+    val earlyShips = graft.Tables.lineitem(spark, sfDir)
+      .join(graft.Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") < col("o_orderdate")).count()
+    assert(earlyShips > 0, "corpus is known to contain early ships")
+    assert(report("order_ship_after_order") === earlyShips)
+
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val early = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    val customers = Seq(Tuple1(1L)).toDF("c_custkey")
+    val orders = Seq(
+      (10L, 1L, "O", 100.0, ts),   // clean
+      (11L, 9L, "X", -5.0, ts))    // orphan custkey + bad status + bad price
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    val lines = Seq(
+      (10L, 0.1, ts),              // clean
+      (10L, 1.5, early),           // bad discount + ships before order
+      (99L, 0.2, ts))              // orphan orderkey
+      .toDF("l_orderkey", "l_discount", "l_shipdate")
+    val got = Profiling.contractChecksOn(orders, lines, customers).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "fk_orders_custkey" -> 1L,
+      "fk_lineitem_orderkey" -> 1L,
+      "range_totalprice_positive" -> 1L,
+      "enum_orderstatus" -> 1L,
+      "range_discount_unit" -> 1L,
+      "order_ship_after_order" -> 1L))
+  }
+
   test("every user is active in their own cohort week (diagonal covers all users)") {
     val m = Profiling.cohortRetention(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
