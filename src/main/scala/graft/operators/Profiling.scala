@@ -150,11 +150,43 @@ object Profiling extends QueryPack {
       .orderBy(col("rule"))
   }
 
+  /** Differentially-private count release (Laplace mechanism, ε = 1,
+    * sensitivity 1 for counts) with CONSISTENT noise: the Laplace draw is
+    * derived from md5 of a fixed seed string + the group key (inverse
+    * CDF over the md5-uniform), so re-running the release returns the
+    * SAME noisy values — the standard defence against averaging-away the
+    * noise over repeated queries. The privacy guarantee is that of a
+    * seeded-PRNG DP release: it holds against consumers of the output,
+    * not against an adversary who holds the seed — which is the contract
+    * every production DP system with reproducible releases documents.
+    * Extends the reference's privacy posture (federated scatter-gather,
+    * similarity_search.py:322-363) with the aggregate-release layer.
+    * Shape: one grouped count + per-group scalar math; noise math is the
+    * [[graft.operators.TextAnalysis.hashSample]] md5-parity recipe, so
+    * DuckDB reproduces the release bit-for-bit.
+    */
+  def dpCounts(s: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(
+      concat(lit("dp1:"), col("n_name")).cast("binary")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val noise = signum(lit(0.5) - u) * log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("true_n"))
+      .select(col("n_name"),
+        round(col("true_n") + noise, 6).as("dp_count"),
+        lit(1.0).as("epsilon"))
+      .orderBy(col("n_name"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_profile"   -> (columnProfile _),
     "q_psi_drift" -> (psiDrift _),
     "q_cohort"    -> (cohortRetention _),
-    "q_contract_checks" -> (contractChecks _))
+    "q_contract_checks" -> (contractChecks _),
+    "q_dp_counts" -> (dpCounts _))
 
   override def oracleSql: Map[String, String] = Map(
     "q_profile" -> {
@@ -194,6 +226,21 @@ object Profiling extends QueryPack {
          |    ${binCols.mkString(",\n    ")}
          |  FROM orders)""".stripMargin
     },
+    "q_dp_counts" ->
+      """WITH g AS (
+        |  SELECT n_name, count(*) AS true_n
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name),
+        |u AS (
+        |  SELECT n_name, true_n,
+        |    (CAST(('0x' || substring(md5('dp1:' || n_name), 1, 8)) AS BIGINT)
+        |      + 0.5) / 4294967296.0 AS uu
+        |  FROM g)
+        |SELECT n_name,
+        |  round(true_n + sign(0.5 - uu) * ln(1.0 - 2.0 * abs(uu - 0.5)), 6)
+        |    AS dp_count,
+        |  CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM u ORDER BY n_name""".stripMargin,
     "q_contract_checks" ->
       """SELECT rule, n AS n_violations FROM (
         |  SELECT 'fk_orders_custkey' AS rule, count(*) AS n FROM orders

@@ -66,6 +66,32 @@ class ProfilingSpec extends SparkSpec {
       "order_ship_after_order" -> 1L))
   }
 
+  test("dp release: noise matches a scalar Laplace recompute, is bounded, " +
+    "and re-running returns the identical release") {
+    import org.apache.spark.sql.functions.col
+    val truth = graft.Tables.customer(spark, sfDir)
+      .join(graft.Tables.nation(spark, sfDir),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def release() = Profiling.dpCounts(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    val rel = release()
+    assert(rel.keySet === truth.keySet)
+    for ((name, dp) <- rel) {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dp1:$name".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(hex.take(8), 16) + 0.5) / 4294967296.0
+      val noise = math.signum(0.5 - u) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      val want = BigDecimal(truth(name) + noise)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(dp === want, s"nation $name")
+      // |noise| <= -ln(2^-32) ~ 22.2 by construction of the md5-uniform
+      assert(math.abs(dp - truth(name)) < 23.0)
+    }
+    assert(release() === rel, "consistent-noise release must be reproducible")
+  }
+
   test("every user is active in their own cohort week (diagonal covers all users)") {
     val m = Profiling.cohortRetention(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
