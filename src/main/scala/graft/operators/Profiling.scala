@@ -181,12 +181,32 @@ object Profiling extends QueryPack {
       .orderBy(col("n_name"))
   }
 
+  /** k-anonymity audit over a quasi-identifier projection (the release
+    * gate that pairs with [[dpCounts]]): equivalence-class sizes for
+    * (nation, segment, balance-band), the achieved k (min class size),
+    * and how many rows a k=5 release would have to suppress. One grouped
+    * count + a 1-row rollup — the audit never materializes the classes.
+    */
+  def kAnonymity(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 2000).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("class_size"))
+      .agg(
+        count(lit(1)).as("n_classes"),
+        min(col("class_size")).as("k_achieved"),
+        sum(when(col("class_size") < k, col("class_size")).otherwise(0L))
+          .as("rows_suppressed_at_k5"),
+        sum(when(col("class_size") < k, 1L).otherwise(0L))
+          .as("classes_below_k5"))
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_profile"   -> (columnProfile _),
     "q_psi_drift" -> (psiDrift _),
     "q_cohort"    -> (cohortRetention _),
     "q_contract_checks" -> (contractChecks _),
-    "q_dp_counts" -> (dpCounts _))
+    "q_dp_counts" -> (dpCounts _),
+    "q_k_anonymity" -> ((s, d) => kAnonymity(s, d)))
 
   override def oracleSql: Map[String, String] = Map(
     "q_profile" -> {
@@ -226,6 +246,19 @@ object Profiling extends QueryPack {
          |    ${binCols.mkString(",\n    ")}
          |  FROM orders)""".stripMargin
     },
+    "q_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+        |    count(*) AS class_size
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT count(*) AS n_classes,
+        |  CAST(min(class_size) AS BIGINT) AS k_achieved,
+        |  CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+        |    AS BIGINT) AS rows_suppressed_at_k5,
+        |  CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS classes_below_k5
+        |FROM cls""".stripMargin,
     "q_dp_counts" ->
       """WITH g AS (
         |  SELECT n_name, count(*) AS true_n

@@ -92,6 +92,19 @@ class ProfilingSpec extends SparkSpec {
     assert(release() === rel, "consistent-noise release must be reproducible")
   }
 
+  test("k-anonymity audit matches a scalar recompute of the class sizes") {
+    val classes = graft.Tables.customer(spark, sfDir)
+      .select("c_nationkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getString(1),
+        math.floor(r.getAs[Number](2).doubleValue() / 2000).toLong))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val r = Profiling.kAnonymity(spark, sfDir).collect().head
+    assert(r.getLong(0) === classes.size.toLong)
+    assert(r.getLong(1) === classes.values.min)
+    assert(r.getLong(2) === classes.values.filter(_ < 5).sum)
+    assert(r.getLong(3) === classes.values.count(_ < 5).toLong)
+  }
+
   test("every user is active in their own cohort week (diagonal covers all users)") {
     val m = Profiling.cohortRetention(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
