@@ -472,9 +472,13 @@ object TextAnalysis extends QueryPack {
     val totals = broadcast(pairs.agg(count(lit(1)).as("nb"))
       .crossJoin(toks.select(explode(col("w")).as("t"))
         .agg(count(lit(1)).as("nu"))))
+    // join strategy left to Catalyst/AQE: this corpus's vocabulary
+    // broadcasts, a web corpus's (10⁸+ distinct tokens) must shuffle —
+    // forcing broadcast() here would OOM exactly when the operator
+    // matters most
     bigrams.filter(col("c_ab") >= minCount)
-      .join(broadcast(unigrams.select(col("tok").as("w1"), col("c").as("ca"))), "w1")
-      .join(broadcast(unigrams.select(col("tok").as("w2"), col("c").as("cb"))), "w2")
+      .join(unigrams.select(col("tok").as("w1"), col("c").as("ca")), "w1")
+      .join(unigrams.select(col("tok").as("w2"), col("c").as("cb")), "w2")
       .crossJoin(totals)
       .select(col("w1"), col("w2"), col("c_ab"),
         round(log(
