@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-contract benchmark: times every SparkEntry query at
-  * SPARK_GRAFT_SF_DIR, one JSON line on stdout per config.
+  * SPARK_GRAFT_SF_DIR. Per config it prints a full-detail JSON line (every
+  * query's time) followed by a compact contract line (total + slowest 25)
+  * sized to survive the driver's tail-of-stdout capture — see runConfig.
   *
   * With SPARK_GRAFT_CPUS set, runs that single config. Unset, runs BOTH
   * local[32] (the driver's box) and local[4] (the contract config in
@@ -17,7 +19,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  private def runConfig(cpus: String, sfDir: String): String = {
+  private def runConfig(cpus: String, sfDir: String): (String, String) = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -59,7 +61,19 @@ object Bench {
     val errs = results.count(_._2.isLeft)
     val total = ok.sum
     spark.stop()
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"cpus":$cpus,"sf":"$sfDir"}"""
+    val detail =
+      s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"cpus":$cpus,"sf":"$sfDir"}"""
+    // Compact line LAST: the driver keeps only the final ~2KB of stdout, so
+    // the full per-query map (130+ queries ≈ 4.5 KB) gets its head cut off
+    // and never parses. The contract line instead carries the total plus the
+    // slowest 25 queries at 3 decimals — always < 1 KB, always parseable.
+    val slowest = results.collect { case (k, Right(v)) => (k, v) }
+      .sortBy(-_._2).take(25)
+      .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"queries":$slowest,"errors":$errs,"cpus":$cpus,"sf":"$sfDir"}"""
+    (detail, compact)
   }
 
   def main(args: Array[String]): Unit = {
@@ -68,6 +82,10 @@ object Bench {
       case Some(c) => Seq(c)
       case None    => Seq("32", "4") // contract config (BASELINE.md) last
     }
-    configs.foreach(c => println(runConfig(c, sfDir)))
+    configs.foreach { c =>
+      val (detail, compact) = runConfig(c, sfDir)
+      println(detail)
+      println(compact)
+    }
   }
 }
