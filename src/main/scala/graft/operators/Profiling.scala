@@ -159,6 +159,11 @@ object Profiling extends QueryPack {
     * seeded-PRNG DP release: it holds against consumers of the output,
     * not against an adversary who holds the seed — which is the contract
     * every production DP system with reproducible releases documents.
+    * Because THIS demo's seed is a source-visible string ("dp1:"), the
+    * emitted budget column is named `nominal_epsilon`: it records the
+    * mechanism's parameter, not an achieved guarantee against a reader of
+    * this repository. A real deployment must draw the seed from a secret
+    * store; only then does nominal become effective.
     * Extends the reference's privacy posture (federated scatter-gather,
     * similarity_search.py:322-363) with the aggregate-release layer.
     * Shape: one grouped count + per-group scalar math; noise math is the
@@ -177,15 +182,18 @@ object Profiling extends QueryPack {
       .agg(count(lit(1)).as("true_n"))
       .select(col("n_name"),
         round(col("true_n") + noise, 6).as("dp_count"),
-        lit(1.0).as("epsilon"))
+        lit(1.0).as("nominal_epsilon"))
       .orderBy(col("n_name"))
   }
 
   /** k-anonymity audit over a quasi-identifier projection (the release
     * gate that pairs with [[dpCounts]]): equivalence-class sizes for
     * (nation, segment, balance-band), the achieved k (min class size),
-    * and how many rows a k=5 release would have to suppress. One grouped
-    * count + a 1-row rollup — the audit never materializes the classes.
+    * and how many rows a release at the given k would have to suppress.
+    * Output column names carry the k they were computed at
+    * (`rows_suppressed_at_k<k>`), so a non-default k can't masquerade as
+    * the default. One grouped count + a 1-row rollup — the audit never
+    * materializes the classes.
     */
   def kAnonymity(s: SparkSession, dir: String, k: Int = 5): DataFrame =
     Tables.customer(s, dir)
@@ -196,9 +204,9 @@ object Profiling extends QueryPack {
         count(lit(1)).as("n_classes"),
         min(col("class_size")).as("k_achieved"),
         sum(when(col("class_size") < k, col("class_size")).otherwise(0L))
-          .as("rows_suppressed_at_k5"),
+          .as(s"rows_suppressed_at_k$k"),
         sum(when(col("class_size") < k, 1L).otherwise(0L))
-          .as("classes_below_k5"))
+          .as(s"classes_below_k$k"))
 
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_profile"   -> (columnProfile _),
@@ -272,7 +280,7 @@ object Profiling extends QueryPack {
         |SELECT n_name,
         |  round(true_n + sign(0.5 - uu) * ln(1.0 - 2.0 * abs(uu - 0.5)), 6)
         |    AS dp_count,
-        |  CAST(1.0 AS DOUBLE) AS epsilon
+        |  CAST(1.0 AS DOUBLE) AS nominal_epsilon
         |FROM u ORDER BY n_name""".stripMargin,
     "q_contract_checks" ->
       """SELECT rule, n AS n_violations FROM (

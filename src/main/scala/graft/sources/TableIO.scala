@@ -86,11 +86,28 @@ object TableIO {
     * byte-for-byte. Ids absent from the index are counted, not errors —
     * a deletion list routinely outlives the rows it names. Returns
     * (deleted, requested) counts so callers can log reconciliation.
+    *
+    * CONCURRENCY CONTRACT: the per-bucket swap (rename dir aside, rename
+    * rewrite into place) is NOT atomic — between the two renames the live
+    * bucket directory is absent, so a concurrent reader fails or silently
+    * misses that bucket. Run deletions with exclusive access to the index,
+    * like [[compactAnnIndex]] (serve from versioned paths and flip a
+    * pointer if readers can't be paused). A crash between the renames is
+    * recovered on the NEXT call: [[recoverDeleteLeftovers]] restores any
+    * bucket parked in `__del_old_` whose live dir is missing and clears
+    * stale staging dirs before new work starts.
+    *
+    * Each rewritten bucket keeps its original file count (rewrite is
+    * repartitioned to the bucket's pre-delete parquet file count, floor 1)
+    * — a delete never collapses a many-file bucket into one file/one task
+    * the way an unconditional coalesce(1) would at scale.
     */
   def deleteFromAnnIndex(spark: SparkSession, path: String, bucketCol: String,
                          ids: DataFrame, idCol: String = "vec_id"): (Long, Long) = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.functions.col
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDeleteLeftovers(fs, path, bucketCol)
     val requested = ids.select(col(idCol)).distinct().cache()
     val nRequested = requested.count()
     val index = spark.read.parquet(path)
@@ -99,7 +116,6 @@ object TableIO {
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n"))
       .collect().map(r => r.get(0) -> r.getLong(1))
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     var deleted = 0L
     for ((bucket, n) <- hit) {
       val dir = s"${path.stripSuffix("/")}/$bucketCol=$bucket"
@@ -108,9 +124,12 @@ object TableIO {
       // partition discovery for any concurrent reader
       val tmp = s"${path.stripSuffix("/")}__del_tmp_$bucket"
       val old = s"${path.stripSuffix("/")}__del_old_$bucket"
+      // preserve the bucket's file count across the rewrite (see scaladoc)
+      val nFiles = fs.listStatus(new Path(dir))
+        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       spark.read.parquet(dir)
         .join(requested, Seq(idCol), "left_anti")
-        .coalesce(1)
+        .repartition(math.max(1, nFiles))
         .write.mode(SaveMode.Overwrite).parquet(tmp)
       fs.delete(new Path(old), true)
       require(fs.rename(new Path(dir), new Path(old)), s"delete: could not stage $dir aside")
@@ -120,6 +139,34 @@ object TableIO {
     }
     requested.unpersist()
     (deleted, nRequested)
+  }
+
+  /** Crash recovery for [[deleteFromAnnIndex]]'s two-rename swap: a
+    * `__del_old_<bucket>` sibling whose live `bucketCol=<bucket>` dir is
+    * missing marks a crash BETWEEN the renames — rename it back (the old
+    * data is intact; the delete simply didn't happen). One whose live dir
+    * exists is post-swap cleanup debris — remove it. Stale `__del_tmp_`
+    * staging dirs are always safe to remove (tmp is only renamed into
+    * place after old is parked, so a surviving tmp was never live).
+    */
+  private[graft] def recoverDeleteLeftovers(fs: org.apache.hadoop.fs.FileSystem,
+                                            path: String, bucketCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path.stripSuffix("/"))
+    val parent = root.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val oldPrefix = root.getName + "__del_old_"
+    val tmpPrefix = root.getName + "__del_tmp_"
+    fs.listStatus(parent).map(_.getPath).foreach { p =>
+      val name = p.getName
+      if (name.startsWith(tmpPrefix)) fs.delete(p, true)
+      else if (name.startsWith(oldPrefix)) {
+        val bucket = name.stripPrefix(oldPrefix)
+        val live = new Path(root, s"$bucketCol=$bucket")
+        if (!fs.exists(live)) require(fs.rename(p, live), s"recover: could not restore $p to $live")
+        else fs.delete(p, true)
+      }
+    }
   }
 
   /** Persist an IVF coarse quantizer next to its list-partitioned index

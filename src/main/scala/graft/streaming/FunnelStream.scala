@@ -22,11 +22,16 @@ import graft.Tables
   * a micro-batch the group iterator is explicitly sorted) — which is why
   * the driver query can share the BATCH funnel's DuckDB oracle verbatim.
   *
-  * Scale shape: state is three longs per user — never a collected event
-  * array — and only (user, ts, type, id) tuples shuffle; a hot user costs
-  * the same 24 bytes as a cold one. At 100 TB/day the same plan runs with
-  * a real event-time watermark + state TTL for abandoned funnels (here
-  * NoTimeout, since the corpus replay is finite).
+  * Scale shape: CROSS-BATCH state is three longs per user — never a
+  * collected event array — and only (user, ts, type, id) tuples shuffle;
+  * across micro-batches a hot user costs the same 24 bytes as a cold one.
+  * WITHIN one micro-batch, though, `detect` buffers and sorts each user's
+  * events for that batch in task memory (`evs.toSeq.sortBy`) to pin the
+  * processing order — bounded here by `maxFilesPerTrigger=1` (one staged
+  * file per batch), and at production scale by the watermark window.
+  * At 100 TB/day the same plan runs with a real event-time watermark +
+  * state TTL for abandoned funnels (here NoTimeout, since the corpus
+  * replay is finite).
   */
 object FunnelStream {
 

@@ -105,6 +105,20 @@ class ProfilingSpec extends SparkSpec {
     assert(r.getLong(3) === classes.values.count(_ < 5).toLong)
   }
 
+  test("k-anonymity column names and thresholds follow the requested k") {
+    val df = Profiling.kAnonymity(spark, sfDir, k = 3)
+    assert(df.columns.toSeq ===
+      Seq("n_classes", "k_achieved", "rows_suppressed_at_k3", "classes_below_k3"))
+    val classes = graft.Tables.customer(spark, sfDir)
+      .select("c_nationkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getString(1),
+        math.floor(r.getAs[Number](2).doubleValue() / 2000).toLong))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val r = df.collect().head
+    assert(r.getLong(2) === classes.values.filter(_ < 3).sum)
+    assert(r.getLong(3) === classes.values.count(_ < 3).toLong)
+  }
+
   test("every user is active in their own cohort week (diagonal covers all users)") {
     val m = Profiling.cohortRetention(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))

@@ -66,4 +66,64 @@ class AnnDeleteSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(served.intersect(doomed.toSet).isEmpty)
   }
+
+  test("rewritten bucket keeps its pre-delete file count (no coalesce(1) collapse)") {
+    import spark.implicits._
+    val corpus = Tables.embeddings(spark, sfDir)
+    val planes = AnnSearch.hyperplanes(2, 64, 42L)
+    val indexed = AnnSearch.withLshBucket(corpus, "embedding", planes)
+      .repartition(4) // several files per bucket partition
+    val root = Files.createTempDirectory("ann_delete_files").toString
+    val victim = root + "/victim"
+    TableIO.writeAnnIndex(indexed, victim, "lsh_bucket")
+
+    val (id, bucket) = {
+      val r = spark.read.parquet(victim).select("vec_id", "lsh_bucket").head()
+      (r.getLong(0), r.getInt(1))
+    }
+    def nFiles: Int = {
+      val d = Paths.get(victim, s"lsh_bucket=$bucket")
+      Files.list(d).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .count(_.getFileName.toString.endsWith(".parquet"))
+    }
+    val before = nFiles
+    assert(before > 1, "fixture must start with a multi-file bucket")
+    TableIO.deleteFromAnnIndex(spark, victim, "lsh_bucket", Seq(id).toDF("vec_id"))
+    assert(nFiles === before)
+  }
+
+  test("a crash between the swap renames is recovered on the next call") {
+    import spark.implicits._
+    val corpus = Tables.embeddings(spark, sfDir)
+    val planes = AnnSearch.hyperplanes(2, 64, 42L)
+    val indexed = AnnSearch.withLshBucket(corpus, "embedding", planes)
+    val root = Files.createTempDirectory("ann_delete_crash").toString
+    val victim = root + "/victim"
+    TableIO.writeAnnIndex(indexed, victim, "lsh_bucket")
+    val all = spark.read.parquet(victim)
+      .select("vec_id", "lsh_bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val crashBucket = all.head._2
+
+    // simulate a crash BETWEEN rename(dir -> old) and rename(tmp -> dir):
+    // the live bucket dir is gone, the data is parked in __del_old_, and a
+    // stale __del_tmp_ from the aborted rewrite is also left behind
+    val live = Paths.get(victim, s"lsh_bucket=$crashBucket")
+    val parked = Paths.get(victim + s"__del_old_$crashBucket")
+    Files.move(live, parked)
+    Files.createDirectory(Paths.get(victim + s"__del_tmp_$crashBucket"))
+
+    // next deletion call recovers first, then deletes one unrelated id
+    val otherId = all.find(_._2 != crashBucket).get._1
+    val (deleted, _) = TableIO.deleteFromAnnIndex(
+      spark, victim, "lsh_bucket", Seq(otherId).toDF("vec_id"))
+    assert(deleted === 1L)
+    assert(Files.exists(live), "parked bucket must be restored")
+    assert(!Files.exists(parked))
+    assert(!Files.exists(Paths.get(victim + s"__del_tmp_$crashBucket")))
+    val got = spark.read.parquet(victim)
+      .select("vec_id", "lsh_bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got === all.toSet - all.find(_._1 == otherId).get)
+  }
 }
