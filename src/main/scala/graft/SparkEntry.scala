@@ -30,7 +30,9 @@ object SparkEntry {
     graft.search.HybridSearch,
     graft.search.QuantizedSearch,
     graft.operators.Profiling,
-    graft.operators.ProductQuant)
+    graft.operators.ProductQuant,
+    graft.operators.NgramLm,
+    graft.operators.TextPrep)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline capability: scatter-gather top-k cosine

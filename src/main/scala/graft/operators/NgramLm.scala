@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+
+/** `[EXT]` N-gram language-model perplexity scoring — the CCNet-style
+  * quality filter (Wenzek et al., "CCNet: Extracting High Quality
+  * Monolingual Datasets from Web Crawl Data", 2020): score every document
+  * by the perplexity of a language model and keep/bucket by score. Real
+  * CCNet uses a KenLM 5-gram model trained on Wikipedia; the same
+  * pipeline shape with an add-k-smoothed bigram model keeps every number
+  * exactly reproducible by the DuckDB oracle (a trained KenLM binary
+  * can't be) while exercising the identical Spark plan: train counts in
+  * one pass, score in one join.
+  *
+  * Model: P(w2 | w1) = (c(w1,w2) + k) / (c(w1) + k·V) with k = 0.5,
+  * V = |vocabulary|, trained on the corpus itself (self-scoring — the
+  * demo stand-in for CCNet's held-out reference corpus; swapping the
+  * count tables for ones built from a reference corpus changes nothing
+  * in the plan). Document score = exp(−mean ln P) over its bigrams.
+  *
+  * Scale shape (the part that must survive 100 TB):
+  *  - bigram extraction is a single narrow scan — `transform` zips each
+  *    token array with its own tail in place, so no positional explode +
+  *    self-join over token positions;
+  *  - count tables are hash-aggregates on the gram key: map-side
+  *    combined, one shuffle of (gram, count) pairs — the LM is orders of
+  *    magnitude smaller than the corpus (vocabulary², sub-linear in
+  *    practice) and is the ONLY thing that shuffles twice;
+  *  - scoring joins doc-bigrams to the two count tables on the gram key
+  *    — plain hash joins that AQE broadcasts when the vocabulary fits
+  *    (at sf0.1 it does; at 100 TB they stay shuffle joins on 16-byte
+  *    keys, never on document bodies);
+  *  - the final top-k is TakeOrderedAndProject, never a global sort.
+  */
+object NgramLm extends QueryPack {
+
+  private val K = 0.5 // add-k smoothing mass
+
+  /** (doc_id, w1, w2) bigram stream — one narrow scan, no self-join. */
+  private def docBigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), expr(
+        """filter(
+          |  transform(toks, (w, i) ->
+          |    IF(i < size(toks) - 1, struct(w AS w1, toks[i + 1] AS w2), NULL)),
+          |  x -> x IS NOT NULL)""".stripMargin).as("bis"))
+      .select(col("doc_id"), explode(col("bis")).as("bi"))
+      .select(col("doc_id"), col("bi.w1"), col("bi.w2"))
+
+  /** The 20 highest-perplexity documents (the junk tail a CCNet-style
+    * filter would drop), with bigram coverage so a reviewer can see the
+    * evidence mass behind each score.
+    */
+  def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bi = docBigrams(docs)
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    bi.join(big, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocab)) // 1-row V — a literal at plan time
+      .select(col("doc_id"),
+        log((col("c2") + lit(K)) / (col("c1") + lit(K) * col("v"))).as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("logp")).as("avg_logp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(exp(-col("avg_logp")), 6).as("ppl"))
+      .orderBy(col("ppl").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  override def queries: Map[String, QueryPack.Q] = Map(
+    "q_lm_perplexity" -> (lmPerplexity _))
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_lm_perplexity" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |uni AS (
+         |  SELECT w, count(*) AS c1
+         |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+         |vocab AS (SELECT count(*) AS v FROM uni),
+         |bi AS (
+         |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+         |  FROM toks, UNNEST(range(1, len(t))) AS r(i)),
+         |big AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2)
+         |SELECT bi.doc_id, count(*) AS n_bigrams,
+         |  round(exp(-avg(ln((c2 + $K) / (c1 + $K * v)))), 6) AS ppl
+         |FROM bi
+         |JOIN big USING (w1, w2)
+         |JOIN uni ON uni.w = bi.w1
+         |CROSS JOIN vocab
+         |GROUP BY bi.doc_id
+         |ORDER BY ppl DESC, bi.doc_id
+         |LIMIT 20""".stripMargin)
+}
