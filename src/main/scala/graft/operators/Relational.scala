@@ -464,6 +464,31 @@ object Relational extends QueryPack {
         | ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** LATERAL correlated subquery — per-customer top-3 orders by value.
+    * Written through the SQL front end (the DataFrame API has no lateral
+    * join) so Catalyst's lateral-join decorrelation machinery
+    * (`DecorrelateInnerQuery` + `RewriteLateralSubquery`) is exercised:
+    * the per-row LIMIT subquery rewrites to one window-ranked join, NOT a
+    * per-customer re-scan of orders — the difference between one shuffle
+    * and |customers| scans at 100 TB. Bounded to one segment so the
+    * driver output stays reviewable.
+    */
+  def lateralTopOrders(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+    Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
+    s.sql(
+      """SELECT c_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        | FROM graft_customer,
+        | LATERAL (
+        |   SELECT o_orderkey, o_totalprice
+        |   FROM graft_orders
+        |   WHERE o_custkey = c_custkey
+        |   ORDER BY o_totalprice DESC, o_orderkey
+        |   LIMIT 3)
+        | WHERE c_mktsegment = 'BUILDING' AND c_custkey % 10 = 0
+        | ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
   /** TPC-H Q10-shaped: revenue lost to returned items per customer+nation. */
   def q10ReturnedItems(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
@@ -830,7 +855,8 @@ object Relational extends QueryPack {
     "q_rollup_region"     -> (rollupRegionNation _),
     "q_monthly_orders"    -> (monthlyOrders _),
     "q_outliers_mad"      -> (outliersMad _),
-    "q_decode_status"     -> (decodeStatus _))
+    "q_decode_status"     -> (decodeStatus _),
+    "q_lateral_topk"      -> (lateralTopOrders _))
 
   override def oracleSql: Map[String, String] = Map(
     "q5_local_supplier" ->
@@ -1252,5 +1278,16 @@ object Relational extends QueryPack {
       """SELECT CASE o_orderstatus WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Finished'
         |       WHEN 'P' THEN 'Pending' ELSE 'Unknown' END AS status_label,
         |  count(*) AS n
-        | FROM orders GROUP BY 1 ORDER BY status_label""".stripMargin)
+        | FROM orders GROUP BY 1 ORDER BY status_label""".stripMargin,
+    "q_lateral_topk" ->
+      """SELECT c_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        | FROM customer,
+        | LATERAL (
+        |   SELECT o_orderkey, o_totalprice
+        |   FROM orders
+        |   WHERE o_custkey = c_custkey
+        |   ORDER BY o_totalprice DESC, o_orderkey
+        |   LIMIT 3)
+        | WHERE c_mktsegment = 'BUILDING' AND c_custkey % 10 = 0
+        | ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
 }
