@@ -32,7 +32,8 @@ object SparkEntry {
     graft.operators.Profiling,
     graft.operators.ProductQuant,
     graft.operators.NgramLm,
-    graft.operators.TextPrep)
+    graft.operators.TextPrep,
+    graft.operators.ZOrder)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline capability: scatter-gather top-k cosine
