@@ -33,7 +33,9 @@ object SparkEntry {
     graft.operators.ProductQuant,
     graft.operators.NgramLm,
     graft.operators.TextPrep,
-    graft.operators.ZOrder)
+    graft.operators.ZOrder,
+    graft.sources.Ingest,
+    graft.operators.IncrementalAgg)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline capability: scatter-gather top-k cosine
