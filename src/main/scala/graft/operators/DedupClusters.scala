@@ -166,9 +166,55 @@ object DedupClusters extends QueryPack {
       .orderBy(col("pagerank").desc, col("doc_id"))
       .limit(20)
 
+  /** Triangle counts + local clustering coefficient over an undirected
+    * pair graph given as canonical (a < b) edges. Enumeration is the
+    * standard two-join wedge-close shape on the ALREADY-ordered edge
+    * list: e1=(a,b), e2=(b,c) closes iff (a,c) is an edge, and a < b < c
+    * holds by construction so every triangle is produced exactly once —
+    * no post-hoc dedup, no symmetric blow-up. Cost is Σ_(u,v) wedges, the
+    * same bucket-bounded quadratic every near-dup stage here accepts; at
+    * 100 TB the standard refinement (orient edges from low- to
+    * high-DEGREE instead of low-to-high id) drops the wedge count to
+    * O(m^1.5) with one extra degree join — shape unchanged.
+    */
+  private[operators] def triangles(pairs: DataFrame,
+                                   aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val perNode = tri.select(col("a").as("node"))
+      .union(tri.select(col("b").as("node")))
+      .union(tri.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)), 6))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+  }
+
+  /** Driver query: triangle structure of the near-dup pair graph, top 20
+    * by triangle participation — dense triangles mark template families
+    * (boilerplate) where pair-level dedup under-reports redundancy.
+    */
+  def trianglesQuery(s: SparkSession, dir: String): DataFrame =
+    triangles(MinHashDedup.minhashQuery(s, dir).select("a_id", "b_id"))
+      .select(col("node").as("doc_id"), col("degree"),
+        col("n_triangles"), col("clustering_coeff"))
+      .orderBy(col("n_triangles").desc, col("doc_id"))
+      .limit(20)
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_dedup_clusters" -> (clustersQuery _),
-    "q_pagerank"       -> (pageRankQuery _))
+    "q_pagerank"       -> (pageRankQuery _),
+    "q_triangles"      -> (trianglesQuery _))
 
   /** Shared oracle prelude: the SAME pair set the engine clusters (the
     * full minhash signature/banding/verify replication from
@@ -226,8 +272,39 @@ object DedupClusters extends QueryPack {
        |FROM r3 ORDER BY pagerank DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  private def trianglesOracle: String =
+    s"""WITH vpairs AS MATERIALIZED (
+       |  SELECT a_id, b_id FROM (
+       |${MinHashDedup.minhashNeardupOracle}
+       |  ) t
+       |), edges AS (
+       |  SELECT a_id AS u, b_id AS v FROM vpairs
+       |  UNION ALL SELECT b_id, a_id FROM vpairs
+       |), deg AS (
+       |  SELECT u AS node, count(*) AS degree FROM edges GROUP BY u
+       |), tri AS (
+       |  SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+       |  FROM vpairs e1
+       |  JOIN vpairs e2 ON e2.a_id = e1.b_id
+       |  JOIN vpairs e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id
+       |), pernode AS (
+       |  SELECT node, count(*) AS n_triangles FROM (
+       |    SELECT a AS node FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri) GROUP BY node
+       |)
+       |SELECT d.node AS doc_id, d.degree,
+       |  coalesce(p.n_triangles, 0) AS n_triangles,
+       |  CASE WHEN d.degree >= 2 THEN
+       |    round(2.0 * coalesce(p.n_triangles, 0)
+       |      / (d.degree * (d.degree - 1)), 6)
+       |  ELSE 0.0 END AS clustering_coeff
+       |FROM deg d LEFT JOIN pernode p ON p.node = d.node
+       |ORDER BY n_triangles DESC, doc_id LIMIT 20""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracle,
+    "q_triangles" -> trianglesOracle,
     "q_dedup_clusters" ->
       s"""$closurePrelude, csize AS (
          |  SELECT rep, count(*) AS n FROM comp GROUP BY rep

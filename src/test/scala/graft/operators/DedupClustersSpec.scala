@@ -11,6 +11,23 @@ class DedupClustersSpec extends SparkSpec {
     DedupClusters.connectedComponents(pairs.toDF("a_id", "b_id"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  test("triangle counts and clustering coefficients on a hand graph") {
+    // K4 minus edge (3,4): triangles (1,2,3) and (1,2,4); node degrees
+    // 1:3 2:3 3:2 4:2; coefficients 1:2*2/(3*2)=0.666667, 3:2*1/(2*1)=1.0
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (5L, 6L)) // plus a triangle-free pair
+    val got = DedupClusters.triangles(edges.toDF("a_id", "b_id"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) === ((3L, 2L, 0.666667)))
+    assert(got(2L) === ((3L, 2L, 0.666667)))
+    assert(got(3L) === ((2L, 1L, 1.0)))
+    assert(got(4L) === ((2L, 1L, 1.0)))
+    assert(got(5L) === ((1L, 0L, 0.0)))
+    assert(got(6L) === ((1L, 0L, 0.0)))
+  }
+
   test("two components: chain and pair resolve to min-id representatives") {
     val got = comps(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)))
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
