@@ -208,13 +208,44 @@ object Profiling extends QueryPack {
         sum(when(col("class_size") < k, 1L).otherwise(0L))
           .as(s"classes_below_k$k"))
 
+  /** Deterministic pseudonymization (the GDPR-article-4(5) masking op):
+    * replace direct identifiers with md5-derived tokens so datasets stay
+    * JOINABLE — the same key always maps to the same token, across tables
+    * and runs — while names never leave the engine. The query proves both
+    * properties the op is used for: token↔name bijectivity per nation
+    * (distinct-token count == distinct-name count) and join preservation
+    * (order counts joined THROUGH the pseudonymous key equal the
+    * plain-key counts the oracle computes). Same caveat as [[dpCounts]]:
+    * with a source-visible salt this is pseudonymization (reversible by
+    * whoever holds the salt + a name list), not anonymization — the k
+    * side of that story is [[kAnonymity]].
+    */
+  def pseudonymize(s: SparkSession, dir: String): DataFrame = {
+    def tok(c: org.apache.spark.sql.Column) =
+      substring(md5(concat(lit("pseud1:"), c.cast("string")).cast("binary")), 1, 16)
+    val cust = Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_name"),
+        tok(col("c_name")).as("name_token"), tok(col("c_custkey")).as("key_token"))
+    val ord = Tables.orders(s, dir)
+      .select(tok(col("o_custkey")).as("o_key_token"))
+    cust.join(ord, col("key_token") === col("o_key_token"), "left")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count_distinct(col("c_name")).as("n_names"),
+        count_distinct(col("name_token")).as("n_name_tokens"),
+        sum(when(col("o_key_token").isNotNull, 1L).otherwise(0L))
+          .as("n_orders_via_token"))
+      .orderBy(col("c_nationkey"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_profile"   -> (columnProfile _),
     "q_psi_drift" -> (psiDrift _),
     "q_cohort"    -> (cohortRetention _),
     "q_contract_checks" -> (contractChecks _),
     "q_dp_counts" -> (dpCounts _),
-    "q_k_anonymity" -> ((s, d) => kAnonymity(s, d)))
+    "q_k_anonymity" -> ((s, d) => kAnonymity(s, d)),
+    "q_pseudonymize" -> (pseudonymize _))
 
   override def oracleSql: Map[String, String] = Map(
     "q_profile" -> {
@@ -267,6 +298,16 @@ object Profiling extends QueryPack {
         |  CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS classes_below_k5
         |FROM cls""".stripMargin,
+    "q_pseudonymize" ->
+      """SELECT c_nationkey,
+        |  CAST(count(DISTINCT c_name) AS BIGINT) AS n_names,
+        |  CAST(count(DISTINCT substring(md5('pseud1:' || c_name), 1, 16))
+        |    AS BIGINT) AS n_name_tokens,
+        |  CAST(coalesce(sum(o.n), 0) AS BIGINT) AS n_orders_via_token
+        |FROM customer
+        |LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) o
+        |  ON o.o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_dp_counts" ->
       """WITH g AS (
         |  SELECT n_name, count(*) AS true_n

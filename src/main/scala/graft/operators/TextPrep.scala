@@ -120,10 +120,36 @@ object TextPrep extends QueryPack {
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy(col("doc_id"))
 
+  /** Weighted sampling without replacement, Efraimidis–Spirakis (2006):
+    * key each row with −ln(u)/w for u ~ md5-uniform in (0,1) and take the
+    * bottom-k — the standard one-pass distributed weighted reservoir
+    * (exactly the math, with the rng replaced by the [[graft.operators
+    * .Profiling.dpCounts]] md5-uniform so membership is a pure function
+    * of (seed, id) and the oracle reproduces it). Weight = token count:
+    * long documents proportionally likelier, the importance-sampling knob
+    * corpus mixers use between pure rates and hard token budgets.
+    * Bottom-k is TakeOrderedAndProject — no global sort, no reducer owns
+    * more than k rows.
+    */
+  def weightedSample(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val u = (conv(substring(md5(
+      concat(lit("ws1:"), col("doc_id").cast("string")).cast("binary")), 1, 8),
+      16, 10).cast("double") + lit(0.5)) / lit(4294967296.0)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        u.as("u"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(-log(col("u")) / col("n_tokens"), 9).as("es_key"))
+      .orderBy(col("es_key"), col("doc_id"))
+      .limit(k)
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_pii_redact"        -> (piiRedact _),
     "q_text_normalize"    -> (textNormalize _),
-    "q_stratified_sample" -> (stratifiedSampleQuery _))
+    "q_stratified_sample" -> (stratifiedSampleQuery _),
+    "q_weighted_sample"   -> ((s, d) => weightedSample(s, d)))
 
   override def oracleSql: Map[String, String] = Map(
     "q_pii_redact" -> {
@@ -164,5 +190,14 @@ object TextPrep extends QueryPack {
         |WHERE bucket < CASE lang
         |  WHEN 'en' THEN 25 WHEN 'zh' THEN 50 WHEN 'es' THEN 50
         |  WHEN 'de' THEN 50 ELSE 100 END
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    (CAST(('0x' || substring(md5('ws1:' || doc_id::VARCHAR), 1, 8))
+        |      AS BIGINT) + 0.5) / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, round(-ln(u) / n_tokens, 9) AS es_key
+        |FROM w ORDER BY es_key, doc_id LIMIT 20""".stripMargin)
 }

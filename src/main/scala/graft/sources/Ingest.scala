@@ -101,13 +101,49 @@ object Ingest extends QueryPack {
           1L).otherwise(0L)).as("n_roundtrip"))
   }
 
+  /** Stage documents as ORC once per corpus (deterministic path) — the
+    * columnar sibling of [[ensureCsv]]; Spark ships the ORC reader/writer
+    * in core, and a pipeline claiming format breadth should prove the
+    * typed round-trip, not assume it.
+    */
+  private[sources] def ensureOrc(s: SparkSession, dir: String): String = {
+    val path = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_ingest_orc_${md5Hex(dir)}")
+    if (!Files.exists(path))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+        .write.orc(path.toString)
+    path.toString
+  }
+
+  /** ORC write → read → join-back fidelity report (schema carried by the
+    * format itself, unlike CSV).
+    */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val back = s.read.orc(ensureOrc(s, dir))
+      .select(col("doc_id").as("r_id"), col("lang").as("r_lang"),
+        col("text").as("r_text"), col("n_chars").as("r_n"))
+    Tables.documents(s, dir)
+      .join(back, col("doc_id") === col("r_id"), "full_outer")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("doc_id").isNull || col("r_id").isNull, 1L).otherwise(0L))
+          .as("n_unmatched"),
+        sum(when(col("text") === col("r_text") && col("lang") === col("r_lang")
+          && col("n_chars") === col("r_n"), 1L).otherwise(0L)).as("n_identical"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_csv_roundtrip" -> (csvRoundtrip _),
+    "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_jsonl_parse"   -> (jsonlParse _))
 
   override def oracleSql: Map[String, String] = Map(
     // the pinned claim: NOTHING is lost or altered by the CSV round-trip
     "q_csv_roundtrip" ->
+      """SELECT count(*) AS n_rows, CAST(0 AS BIGINT) AS n_unmatched,
+        |  count(*) AS n_identical FROM documents""".stripMargin,
+    "q_orc_roundtrip" ->
       """SELECT count(*) AS n_rows, CAST(0 AS BIGINT) AS n_unmatched,
         |  count(*) AS n_identical FROM documents""".stripMargin,
     // corrupt set = exactly the doc_id % 50 = 0 rows; all others round-trip

@@ -105,6 +105,21 @@ class ProfilingSpec extends SparkSpec {
     assert(r.getLong(3) === classes.values.count(_ < 5).toLong)
   }
 
+  test("pseudonymization is bijective on names and preserves join counts") {
+    val rows = Profiling.pseudonymize(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2),
+        s"token/name distinct counts differ in nation ${r.get(0)}")
+    }
+    val viaToken = rows.map(_.getLong(3)).sum
+    val direct = graft.Tables.orders(spark, sfDir)
+      .join(graft.Tables.customer(spark, sfDir),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .count()
+    assert(viaToken === direct)
+  }
+
   test("k-anonymity column names and thresholds follow the requested k") {
     val df = Profiling.kAnonymity(spark, sfDir, k = 3)
     assert(df.columns.toSeq ===

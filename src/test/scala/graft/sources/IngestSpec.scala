@@ -22,6 +22,14 @@ class IngestSpec extends SparkSpec {
     assert(r.getLong(2) === n)
   }
 
+  test("ORC round-trip: every document survives with identical fields") {
+    val r = Ingest.orcRoundtrip(spark, sfDir).head()
+    val n = Tables.documents(spark, sfDir).count()
+    assert(r.getLong(0) === n)
+    assert(r.getLong(1) === 0L)
+    assert(r.getLong(2) === n)
+  }
+
   test("JSONL parse: exactly the deterministic 1-in-50 subset is corrupt, rest round-trips") {
     val r = Ingest.jsonlParse(spark, sfDir).head()
     val docs = Tables.documents(spark, sfDir)
