@@ -32,13 +32,12 @@ object CorpusCuration extends QueryPack {
   private val mixSeed = 42L
   private val mixBudget = 400L
 
-  /** Budgets up to this many tokens take the bottom-k pre-prune path (the
-    * per-group sketch buffer allocates k slots eagerly; ~4M × 40 B ≈ 160 MB
-    * is the ceiling we accept per aggregation buffer). Budgets beyond it —
-    * billions of tokens per stratum — would need a priority-threshold
-    * estimate (bucket the 32-hex priority space, prefix-sum per-bucket
-    * token counts, window only the cutoff bucket) instead of a heap; at
-    * that point fall back to the plain window.
+  /** Budgets up to this many tokens take the bottom-k heap pre-prune path
+    * (the per-group sketch buffer allocates k slots eagerly; ~4M × 40 B ≈
+    * 160 MB is the ceiling we accept per aggregation buffer). Budgets
+    * beyond it — billions of tokens per stratum — take the
+    * [[thresholdCandidates]] priority-threshold prune instead: no heap,
+    * two map-side-combined aggregations, same result.
     */
   private val maxPruneK: Long = 1L << 22
 
@@ -66,9 +65,7 @@ object CorpusCuration extends QueryPack {
     val narrow = docs.select(col(stratumCol), col(idCol).cast("long").as(idCol),
       size(split(col(textCol), " ")).cast("long").as("n_tokens"))
     if (budgetTokens > maxPruneK) {
-      // plain-window fallback for heap-hostile budgets (see maxPruneK)
-      narrow.withColumn("pri",
-        md5(concat(lit(seed.toString + ":"), col(idCol).cast("string")).cast("binary")))
+      thresholdCandidates(narrow, idCol, stratumCol, budgetTokens, seed)
     } else {
       // SampleKExpr's priority IS md5("seed:id") with the same (pri, id)
       // tie-break as the window's ORDER BY, so its kept set is exactly the
@@ -83,6 +80,47 @@ object CorpusCuration extends QueryPack {
             kept("__mix_id") === narrow(idCol))
         .select(col(stratumCol), col(idCol), col("n_tokens"), col("pri"))
     }
+  }
+
+  /** Heap-free pre-prune for budgets past [[maxPruneK]]: bucket the
+    * priority space by its first 4 hex chars (65 536 order-preserving
+    * prefix buckets), prefix-sum per-bucket token totals per stratum, and
+    * keep only buckets whose PRECEDING cumulative total is still under
+    * the budget.
+    *
+    * Result-preserving: priorities sort lexicographically and buckets are
+    * priority PREFIXES, so every doc in an earlier bucket precedes every
+    * doc in a later one in the window's (pri, id) order. A row in bucket
+    * b therefore has cum_tokens ≥ (tokens of all buckets before b) + 1 —
+    * if that preceding total already reaches the budget, the row cannot
+    * survive the `cum_tokens <= budget` filter, so dropping bucket b
+    * whole is exact. What remains per stratum is ≤ budget tokens plus one
+    * bucket (~1/65536 of the stratum): the exact window runs over that,
+    * never the whole stratum.
+    *
+    * Cost: two hash aggregations (both map-side combined; the per-bucket
+    * table is ≤ 65 536 rows per stratum) + a window over that tiny table
+    * + one semi-join back — no 160 MB heap buffers, no budget-sized
+    * aggregation state, valid for ANY budget.
+    */
+  private[graft] def thresholdCandidates(narrow: DataFrame, idCol: String,
+                                         stratumCol: String, budgetTokens: Long,
+                                         seed: Long): DataFrame = {
+    val withPri = narrow.withColumn("pri",
+        md5(concat(lit(seed.toString + ":"), col(idCol).cast("string")).cast("binary")))
+      .withColumn("__pb", substring(col("pri"), 1, 4))
+    val wB = Window.partitionBy(col("__s")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val liveBuckets = withPri
+      .groupBy(col(stratumCol).as("__s"), col("__pb").as("__b"))
+      .agg(sum(col("n_tokens")).as("__bt"))
+      .withColumn("__before", coalesce(sum(col("__bt")).over(wB), lit(0L)))
+      .filter(col("__before") < budgetTokens)
+      .select(col("__s"), col("__b"))
+    withPri.join(liveBuckets,
+        withPri(stratumCol) <=> liveBuckets("__s") &&
+          withPri("__pb") === liveBuckets("__b"), "left_semi")
+      .select(col(stratumCol), col(idCol), col("n_tokens"), col("pri"))
   }
 
   /** Deterministic token-budget sampling per stratum: order the stratum's

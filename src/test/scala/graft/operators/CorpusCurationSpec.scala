@@ -70,6 +70,48 @@ class CorpusCurationSpec extends SparkSpec {
     assert(cand.count() <= budget * 2, "pre-window rows must be <= k * n_strata")
   }
 
+  test("thresholdCandidates (heap-free path for huge budgets) is result-" +
+    "preserving and bounded") {
+    val docs = Tables.documents(spark, sfDir)
+    val budget = 400L
+    val viaHeap = CorpusCuration.budgetedMix(docs, "doc_id", "text", "lang",
+      budgetTokens = budget)
+      .select($"lang", $"doc_id", $"n_tokens", $"cum_tokens")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    // drive the threshold path directly at the same small budget (it only
+    // engages past maxPruneK in production) and finish with the same
+    // cumsum window + filter budgetedMix applies
+    val narrow = docs.select(col("lang"), col("doc_id").cast("long").as("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val cands = CorpusCuration.thresholdCandidates(
+      narrow, "doc_id", "lang", budget, seed = 42L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("pri"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val viaThreshold = cands
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select($"lang", $"doc_id", $"n_tokens", $"cum_tokens")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(viaThreshold === viaHeap)
+
+    // bound: per stratum, candidates carry at most budget + one bucket
+    val maxBucket = narrow
+      .withColumn("pri", md5(concat(lit("42:"), col("doc_id").cast("string"))
+        .cast("binary")))
+      .groupBy(col("lang"), substring(col("pri"), 1, 4))
+      .agg(sum("n_tokens").as("bt"))
+      .agg(max("bt")).head().getLong(0)
+    cands.groupBy("lang").agg(sum("n_tokens").as("tok")).collect().foreach { r =>
+      assert(r.getLong(1) <= budget + maxBucket,
+        s"candidate tokens ${r.getLong(1)} exceed budget+bucket bound in ${r.get(0)}")
+    }
+  }
+
   test("bpePairCounts: top pair equals a local recount; no cross-word pairs") {
     val texts = Tables.documents(spark, sfDir)
       .select("text").collect().map(_.getString(0))
