@@ -179,7 +179,28 @@ object Events extends QueryPack {
       .orderBy(col("channel"))
   }
 
+  /** Event-transition path analysis — the Sankey/"user paths" source
+    * table every product-analytics stack derives: per-user consecutive
+    * event-type transitions via one `lead` window, then a grouped count
+    * with distinct-user reach per (from, to) edge. Same per-user
+    * (ts, event_id) ordering contract as the funnel and attribution; one
+    * shuffle on user_id, one on the tiny edge key. Top 20 edges by
+    * transition count.
+    */
+  def eventPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_transitions").desc, col("from_type"), col("to_type"))
+      .limit(20)
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
+    "q_event_paths"     -> (eventPaths _),
     "q_attribution"     -> (lastTouchAttribution _),
     "q_funnel_match"    -> (funnelMatch _),
     "q_stream_funnel"   -> (graft.streaming.FunnelStream.funnelStreaming _),
@@ -223,6 +244,19 @@ object Events extends QueryPack {
         |ORDER BY user_id""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q_event_paths" ->
+      """SELECT event_type AS from_type, next_type AS to_type,
+        |  count(*) AS n_transitions,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM (
+        |  SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY n_transitions DESC, from_type, to_type
+        |LIMIT 20""".stripMargin,
     "q_attribution" ->
       """SELECT coalesce(last_touch, 'direct') AS channel,
         |  count(*) AS n_purchases,

@@ -11,6 +11,26 @@ class AttributionSpec extends SparkSpec {
 
   private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
 
+  test("event paths: transitions match a per-user scalar recompute") {
+    val evs = graft.Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2), r.getString(3)))
+    val expect = evs.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      rows.sortBy(r => (r._2, r._3)).map(_._4).toSeq.sliding(2)
+        .collect { case Seq(a, b) => (a, b, u) }.toSeq
+    }
+    val byEdge = expect.groupBy(e => (e._1, e._2)).map { case (k, v) =>
+      k -> ((v.size.toLong, v.map(_._3).distinct.size.toLong))
+    }
+    val want = byEdge.toSeq
+      .sortBy { case ((f, t), (n, _)) => (-n, f, t) }.take(20)
+      .map { case ((f, t), (n, u)) => (f, t, n, u) }
+    val got = Events.eventPaths(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+  }
+
   test("purchase credits the most recent prior non-purchase touch") {
     import spark.implicits._
     val events = Seq(
