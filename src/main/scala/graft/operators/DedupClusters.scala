@@ -179,7 +179,11 @@ object DedupClusters extends QueryPack {
     */
   private[operators] def triangles(pairs: DataFrame,
                                    aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    // materialize the edge list once: the wedge-close references it three
+    // times, and without this the upstream pair pipeline (minhash
+    // signatures + banding + verify) is cloned into all three join legs
     val e = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .localCheckpoint()
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
     val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
     val tri = e.as("e1")
