@@ -39,7 +39,13 @@ object NgramLm extends QueryPack {
 
   private val K = 0.5 // add-k smoothing mass
 
-  /** (doc_id, w1, w2) bigram stream — one narrow scan, no self-join. */
+  /** (doc_id, w1, w2) bigram stream — one narrow scan, no self-join.
+    * `explode_outer` rather than `explode`: plain explode lets Catalyst
+    * push a `size(bis) > 0` predicate below the Generate, which
+    * re-evaluates the whole transform+filter lambda a second time per
+    * row — measured 8× slower at sf0.1. The outer variant emits one null
+    * row per bigram-less doc instead, dropped by a cheap scalar filter.
+    */
   private def docBigrams(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), expr(
@@ -47,7 +53,8 @@ object NgramLm extends QueryPack {
           |  transform(toks, (w, i) ->
           |    IF(i < size(toks) - 1, struct(w AS w1, toks[i + 1] AS w2), NULL)),
           |  x -> x IS NOT NULL)""".stripMargin).as("bis"))
-      .select(col("doc_id"), explode(col("bis")).as("bi"))
+      .select(col("doc_id"), explode_outer(col("bis")).as("bi"))
+      .filter(col("bi").isNotNull)
       .select(col("doc_id"), col("bi.w1"), col("bi.w2"))
 
   /** The 20 highest-perplexity documents (the junk tail a CCNet-style
