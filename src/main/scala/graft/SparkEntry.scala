@@ -35,7 +35,8 @@ object SparkEntry {
     graft.operators.TextPrep,
     graft.operators.ZOrder,
     graft.sources.Ingest,
-    graft.operators.IncrementalAgg)
+    graft.operators.IncrementalAgg,
+    graft.operators.PrefixJoin)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline capability: scatter-gather top-k cosine
