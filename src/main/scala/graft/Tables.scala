@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Loaders for the driver-generated Parquet corpus (TESTDATA.md).
   *
@@ -36,4 +37,84 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** `[EXT]` RICH derived corpus — a deterministic wide-vocabulary
+    * re-texting of `documents` that fixes the fixture degeneracy the
+    * synthetic corpus has for similarity work (31 distinct tokens total,
+    * so ~60% of all pairs qualify at Jaccard 0.8 and every posting list
+    * is corpus-sized). Derived, not stored: both engines (Spark here,
+    * DuckDB in the oracle CTE [[richCorpusSql]]) recompute the same text
+    * from `doc_id` alone, so the driver's hash compare still holds.
+    *
+    * Construction (all integer / md5 arithmetic — no floating point, so
+    * cross-engine equality is exact, not within-ULP):
+    *  - docs form groups of 4 (`gid = doc_id div 4`) — the near-dup
+    *    planted structure;
+    *  - length `m = 30 + h8('n'||gid) % 21` (group-constant, 30..50);
+    *  - position i draws its token from the GROUP seed `g<gid>:<i>`
+    *    except a 5% deterministic mutation to the DOC seed `d<doc>:<i>`
+    *    — same-group Jaccard lands ~0.7-1.0 (straddling the 0.8 join
+    *    threshold), cross-group overlap only via rank collisions;
+    *  - seed → rank: `u = h8(seed) % 20000`; u < 10000 is uniform rank
+    *    u+1 (the long tail), else rank `10000 div (u-9999)` (Zipf-ish
+    *    head: P(rank r) ≈ 1/(2r(r+1)) — rank 1 in ~25% of draws);
+    *    wordform = `w<rank>`, vocabulary 10 000.
+    * where `h8(s) = int(md5(s)[0:8 hex])`. Measured at sf0.01: 2 665
+    * distinct tokens, distinct-set sizes 17-38, 549 of 124 750 pairs
+    * qualifying (0.44%) — Zipfian postings and a selective join, which
+    * is what the 31-token corpus could never show.
+    */
+  def richDocuments(s: SparkSession, d: String): DataFrame = {
+    val h8 = (sql: String) =>
+      s"CAST(conv(substring(md5(CAST($sql AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
+    documents(s, d).select(col("doc_id"), expr("doc_id div 4").as("gid"))
+      .select(col("doc_id"), expr(
+        s"""array_join(
+           |  transform(
+           |    transform(
+           |      sequence(1, 30 + ${h8("concat('n', gid)")} % 21),
+           |      i -> ${h8(
+                 """CASE WHEN %s %% 20 = 0
+                   | THEN concat('d', doc_id, ':', i)
+                   | ELSE concat('g', gid, ':', i) END"""
+                   .stripMargin.format(h8("concat('m', doc_id, ':', i)")))} % 20000),
+           |    u -> concat('w', CASE WHEN u < 10000 THEN u + 1
+           |                         ELSE 10000 div (u - 10000 + 1) END)),
+           |  ' ')""".stripMargin).as("text"))
+  }
+
+  /** DuckDB CTE computing the identical rich corpus from `documents` —
+    * prepend to any oracle that reads `rich(doc_id, text)`. concat()
+    * (not ||) throughout: DuckDB's || needs explicit VARCHAR casts on
+    * BIGINT operands and a leading || gets eaten by stripMargin.
+    */
+  val richCorpusSql: String = {
+    val h8 = (sql: String) =>
+      s"CAST(concat('0x', substring(md5($sql), 1, 8)) AS BIGINT)"
+    s"""WITH rich AS (
+       |  SELECT doc_id,
+       |    array_to_string(
+       |      list_transform(
+       |        list_transform(
+       |          range(1, 31 + ${h8("concat('n', doc_id // 4)")} % 21),
+       |          i -> ${h8(
+             """CASE WHEN %s %% 20 = 0
+               | THEN concat('d', doc_id, ':', i)
+               | ELSE concat('g', doc_id // 4, ':', i) END"""
+               .stripMargin.format(h8("concat('m', doc_id, ':', i)")))} % 20000),
+       |        u -> concat('w', CASE WHEN u < 10000 THEN u + 1
+       |                              ELSE 10000 // (u - 10000 + 1) END)),
+       |      ' ') AS text
+       |  FROM documents)""".stripMargin
+  }
+
+  /** Retarget an existing documents-table oracle at the rich corpus:
+    * splice [[richCorpusSql]] in front and point every scan at `rich`.
+    * Both strings are repo-authored, so the textual rewrite is exact.
+    */
+  def richOracle(sql: String): String = {
+    val r = sql.replace("FROM documents", "FROM rich")
+    if (r.startsWith("WITH ")) richCorpusSql + ",\n" + r.stripPrefix("WITH ")
+    else richCorpusSql + "\n" + r
+  }
 }

@@ -61,12 +61,25 @@ object NgramLm extends QueryPack {
     * filter would drop), with bigram coverage so a reviewer can see the
     * evidence mass behind each score.
     */
-  def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  def lmPerplexity(s: SparkSession, dir: String): DataFrame =
+    lmPerplexityOn(Tables.documents(s, dir))
+
+  /** Same scoring over the wide-vocabulary [[Tables.richDocuments]]
+    * corpus — Zipfian unigram/bigram counts instead of the 31-token
+    * fixture's near-flat ones, so the perplexity spread is evidential.
+    */
+  def lmPerplexityRich(s: SparkSession, dir: String): DataFrame =
+    lmPerplexityOn(Tables.richDocuments(s, dir))
+
+  private[operators] def lmPerplexityOn(docs: DataFrame): DataFrame = {
     val bi = docBigrams(docs)
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("w"))
+    // materialized once: the count leg and the vocabulary leg both read
+    // it, and without the checkpoint Catalyst clones the whole token
+    // explode + aggregate subtree into each (the q_triangles lesson)
     val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      .localCheckpoint(eager = false)
     val vocab = uni.agg(count(lit(1)).as("v"))
     val big = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     bi.join(big, Seq("w1", "w2"))
@@ -83,10 +96,14 @@ object NgramLm extends QueryPack {
   }
 
   override def queries: Map[String, QueryPack.Q] = Map(
-    "q_lm_perplexity" -> (lmPerplexity _))
+    "q_lm_perplexity" -> (lmPerplexity _),
+    "q_lm_perplexity_rich" -> (lmPerplexityRich _))
 
   override def oracleSql: Map[String, String] = Map(
-    "q_lm_perplexity" ->
+    "q_lm_perplexity_rich" -> Tables.richOracle(lmPerplexitySql),
+    "q_lm_perplexity" -> lmPerplexitySql)
+
+  private val lmPerplexitySql: String =
       s"""WITH toks AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |uni AS (
@@ -105,5 +122,5 @@ object NgramLm extends QueryPack {
          |CROSS JOIN vocab
          |GROUP BY bi.doc_id
          |ORDER BY ppl DESC, bi.doc_id
-         |LIMIT 20""".stripMargin)
+         |LIMIT 20""".stripMargin
 }

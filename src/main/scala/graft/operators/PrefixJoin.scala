@@ -32,28 +32,37 @@ import graft.{QueryPack, Tables}
   */
 object PrefixJoin extends QueryPack {
 
-  private val Threshold = 0.8 // Jaccard; prefix len = n - ceil(t*n) + 1
+  private val Threshold = 0.8 // Jaccard = 4/5; prefix len via exact integer arithmetic
 
-  /** All pairs in `docs` (doc_id, text) with word-set Jaccard ≥ 0.8 —
-    * corpus-wide, no blocking.
+  /** (doc_id, ws) distinct word sets. */
+  private[operators] def tokenSets(docsIn: DataFrame): DataFrame =
+    docsIn.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+
+  /** Candidate pairs (a_id, b_id) from the prefix-postings join + size-ratio
+    * prune, BEFORE the exact verify — exposed so the selectivity spec can
+    * assert |candidates| ≪ n(n−1)/2 on the rich corpus. `docs` is
+    * [[tokenSets]] output.
+    *
+    * Prefix length n − ⌈t·n⌉ + 1 with t = 4/5 computed in INTEGER
+    * arithmetic: ⌈4n/5⌉ = (4n + 4) div 5, so no floating-point product
+    * whose rounding could shorten the prefix below the safe bound if the
+    * threshold ever changes (at t=0.8 the double happened to round
+    * exactly; the integer form is correct for any rational threshold).
     */
-  private[operators] def prefixJaccardOn(docsIn: DataFrame): DataFrame = {
-    val docs = docsIn
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+  private[operators] def candidatePairs(docs: DataFrame): DataFrame = {
     val freq = docs.select(col("doc_id"), explode(col("ws")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    // per-doc tokens in (cnt, tok) order; prefix of n - ceil(t*n) + 1
     val sorted = docs.select(col("doc_id"), explode(col("ws")).as("tok"))
       .join(freq, Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("cnt"), col("tok")))).as("ord"),
         count(lit(1)).as("n"))
       .select(col("doc_id"), col("n"),
-        expr(s"transform(slice(ord, 1, CAST(n - ceil($Threshold * n) + 1 AS INT)), " +
+        expr("transform(slice(ord, 1, CAST(n - ((4 * n + 4) div 5) + 1 AS INT)), " +
           "x -> x.tok)").as("prefix"))
     val posts = sorted.select(col("doc_id"), col("n"),
       explode(col("prefix")).as("tok"))
-    val cands = posts.select(col("tok"), col("doc_id").as("a_id"), col("n").as("a_n"))
+    posts.select(col("tok"), col("doc_id").as("a_id"), col("n").as("a_n"))
       .join(posts.select(col("tok"), col("doc_id").as("b_id"), col("n").as("b_n")),
         Seq("tok"))
       .filter(col("a_id") < col("b_id"))
@@ -61,10 +70,17 @@ object PrefixJoin extends QueryPack {
       .filter(col("a_n") * 5 >= col("b_n") * 4 && col("b_n") * 5 >= col("a_n") * 4)
       .select(col("a_id"), col("b_id"))
       .distinct()
+  }
+
+  /** All pairs in `docs` (doc_id, text) with word-set Jaccard ≥ 0.8 —
+    * corpus-wide, no blocking.
+    */
+  private[operators] def prefixJaccardOn(docsIn: DataFrame): DataFrame = {
+    val docs = tokenSets(docsIn)
     // exact verify on the candidate pairs only
     val aSets = docs.select(col("doc_id").as("a_id"), col("ws").as("a_ws"))
     val bSets = docs.select(col("doc_id").as("b_id"), col("ws").as("b_ws"))
-    cands.join(aSets, Seq("a_id")).join(bSets, Seq("b_id"))
+    candidatePairs(docs).join(aSets, Seq("a_id")).join(bSets, Seq("b_id"))
       .withColumn("jac",
         round(size(array_intersect(col("a_ws"), col("b_ws"))).cast("double") /
               size(array_union(col("a_ws"), col("b_ws"))).cast("double"), 6))
@@ -88,8 +104,19 @@ object PrefixJoin extends QueryPack {
       .filter(conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
         16, 10).cast("long") % 100 < 10))
 
+  /** The same join over [[Tables.richDocuments]] with NO subsample — the
+    * wide-vocabulary corpus makes the result linear in the planted
+    * near-dup groups (549 of 124 750 pairs at sf0.01, measured), so the
+    * driver artifact finally DEMONSTRATES prefix-filtering selectivity
+    * (candidates ≪ n(n−1)/2 — asserted by PrefixJoinSpec) instead of
+    * arguing it around a degenerate fixture.
+    */
+  def prefixJaccardRich(s: SparkSession, dir: String): DataFrame =
+    prefixJaccardOn(Tables.richDocuments(s, dir))
+
   override def queries: Map[String, QueryPack.Q] = Map(
-    "q_prefix_jaccard" -> (prefixJaccardPairs _))
+    "q_prefix_jaccard" -> (prefixJaccardPairs _),
+    "q_prefix_jaccard_rich" -> (prefixJaccardRich _))
 
   /** Oracle: the UNBLOCKED exact quadratic — tractable for DuckDB at
     * sf0.01, which is exactly why the engine side must NOT use it.
@@ -109,5 +136,19 @@ object PrefixJoin extends QueryPack {
         |WHERE round(len(list_intersect(a.ws, b.ws))::DOUBLE
         |    / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6)
         |  >= 0.8
-        |ORDER BY a_id, b_id""".stripMargin)
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_prefix_jaccard_rich" -> (Tables.richCorpusSql +
+      """,
+        |d AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+        |  FROM rich)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(len(list_intersect(a.ws, b.ws))::DOUBLE
+        |    / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6)
+        |    AS jac
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.ws, b.ws))::DOUBLE
+        |    / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6)
+        |  >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin))
 }

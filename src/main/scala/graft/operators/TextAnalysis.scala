@@ -455,9 +455,20 @@ object TextAnalysis extends QueryPack {
     * expression is bit-identical cross-engine; terminal round 6.
     */
   def collocations(s: SparkSession, dir: String, minCount: Int = 5,
-                   k: Int = 20): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(split(col("text"), " ").as("w"))
+                   k: Int = 20): DataFrame =
+    collocationsOn(Tables.documents(s, dir), minCount, k)
+
+  /** Rich-corpus PMI at minCount=4: each planted near-dup group has 4
+    * docs sharing ~95% of positions, so its bigrams count exactly ≤ 4 —
+    * PMI's top-20 then DISCOVERS the planted group structure (rare,
+    * perfectly-correlated pairs), which a 31-token corpus can't show.
+    */
+  def collocationsRich(s: SparkSession, dir: String): DataFrame =
+    collocationsOn(Tables.richDocuments(s, dir), minCount = 4, k = 20)
+
+  private[operators] def collocationsOn(docs: DataFrame, minCount: Int,
+                                        k: Int): DataFrame = {
+    val toks = docs.select(split(col("text"), " ").as("w"))
     val pairs = toks
       .filter(size(col("w")) >= 2)
       .select(explode(zip_with(
@@ -549,8 +560,34 @@ object TextAnalysis extends QueryPack {
     "q_seq_pack"         -> ((s, d) => seqPack(s, d)),
     "q_winnow_fp"        -> (winnowQuery _),
     "q_collocations"     -> ((s, d) => collocations(s, d)),
+    "q_collocations_rich" -> (collocationsRich _),
     "q_chunking"         -> ((s, d) => chunkDocs(s, d)),
     "q_heavy_hitters"    -> ((s, d) => heavyHitters(s, d)))
+
+  private def collocationsSql(minCount: Int): String =
+    s"""WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |bi AS (
+       |  SELECT unnest(list_transform(range(len(w) - 1),
+       |    i -> w[i + 1] || ' ' || w[i + 2])) AS bg
+       |  FROM t WHERE len(w) >= 2),
+       |bc AS (
+       |  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+       |    count(*) AS c_ab
+       |  FROM bi GROUP BY 1, 2),
+       |uc AS (
+       |  SELECT tok, count(*) AS c
+       |  FROM (SELECT unnest(w) AS tok FROM t) GROUP BY tok),
+       |tot AS (
+       |  SELECT (SELECT count(*) FROM bi) AS nb,
+       |         (SELECT count(*) FROM (SELECT unnest(w) FROM t)) AS nu)
+       |SELECT b.w1, b.w2, b.c_ab,
+       |  round(ln((CAST(b.c_ab AS DOUBLE) / nb) /
+       |    ((CAST(u1.c AS DOUBLE) / nu) * (CAST(u2.c AS DOUBLE) / nu))), 6) AS pmi
+       |FROM bc b
+       |JOIN uc u1 ON u1.tok = b.w1
+       |JOIN uc u2 ON u2.tok = b.w2, tot
+       |WHERE b.c_ab >= $minCount
+       |ORDER BY pmi DESC, b.w1, b.w2 LIMIT 20""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
     "q_chunking" ->
@@ -570,30 +607,8 @@ object TextAnalysis extends QueryPack {
         |  md5(array_to_string(chunk, ' ')) AS chunk_fp
         |FROM ch WHERE len(chunk) > 0
         |ORDER BY doc_id, chunk_id""".stripMargin,
-    "q_collocations" ->
-      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
-        |bi AS (
-        |  SELECT unnest(list_transform(range(len(w) - 1),
-        |    i -> w[i + 1] || ' ' || w[i + 2])) AS bg
-        |  FROM t WHERE len(w) >= 2),
-        |bc AS (
-        |  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
-        |    count(*) AS c_ab
-        |  FROM bi GROUP BY 1, 2),
-        |uc AS (
-        |  SELECT tok, count(*) AS c
-        |  FROM (SELECT unnest(w) AS tok FROM t) GROUP BY tok),
-        |tot AS (
-        |  SELECT (SELECT count(*) FROM bi) AS nb,
-        |         (SELECT count(*) FROM (SELECT unnest(w) FROM t)) AS nu)
-        |SELECT b.w1, b.w2, b.c_ab,
-        |  round(ln((CAST(b.c_ab AS DOUBLE) / nb) /
-        |    ((CAST(u1.c AS DOUBLE) / nu) * (CAST(u2.c AS DOUBLE) / nu))), 6) AS pmi
-        |FROM bc b
-        |JOIN uc u1 ON u1.tok = b.w1
-        |JOIN uc u2 ON u2.tok = b.w2, tot
-        |WHERE b.c_ab >= 5
-        |ORDER BY pmi DESC, b.w1, b.w2 LIMIT 20""".stripMargin,
+    "q_collocations" -> collocationsSql(5),
+    "q_collocations_rich" -> Tables.richOracle(collocationsSql(4)),
     // exact full top-k: valid against the engine's two-pass shape because
     // the sketch candidate set provably contains every true heavy hitter
     // (and, at gate scale, the whole bigram space) and the second pass

@@ -39,15 +39,21 @@ object HybridSearch extends QueryPack {
   /** Fixed demo query terms (present in the synthetic vocabulary). */
   private[search] val Terms: Seq[String] = Seq("merge", "sort", "stream")
 
+  /** Rich-corpus query terms: Zipf ranks 5 / 20 / 80 — high, mid, and
+    * low document frequency, the idf spread BM25 exists to exploit and
+    * the near-uniform 31-token corpus cannot produce.
+    */
+  private[search] val RichTerms: Seq[String] = Seq("w5", "w20", "w80")
+
   /** Per-document term statistics over the whitespace tokenizer:
     * doc_id, dl (token count), tf_i per query term. One narrow scan.
     */
-  private[search] def docTermStats(docs: DataFrame): DataFrame = {
+  private[search] def docTermStats(docs: DataFrame, terms: Seq[String]): DataFrame = {
     val toks = split(col("text"), " ")
     docs.select(
       col("doc_id") +:
         size(toks).cast("double").as("dl") +:
-        Terms.zipWithIndex.map { case (t, i) =>
+        terms.zipWithIndex.map { case (t, i) =>
           size(filter(toks, x => x === lit(t))).cast("double").as(s"tf$i")
         }: _*)
   }
@@ -58,11 +64,12 @@ object HybridSearch extends QueryPack {
     * deriving 2.2 as k1+1 in Scala yields a different double than the
     * parsed literal 2.2, which would break oracle bit-parity.
     */
-  private[search] def bm25Scored(docs: DataFrame): DataFrame = {
-    val d = docTermStats(docs)
+  private[search] def bm25Scored(docs: DataFrame,
+                                 terms: Seq[String] = Terms): DataFrame = {
+    val d = docTermStats(docs, terms)
     val statCols = count(lit(1)).cast("double").as("n_docs") +:
       avg(col("dl")).as("avgdl") +:
-      Terms.indices.map { i =>
+      terms.indices.map { i =>
         sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i")
       }
     val stats = d.agg(statCols.head, statCols.tail: _*)
@@ -73,15 +80,23 @@ object HybridSearch extends QueryPack {
       idf * (tf * lit(2.2)) /
         (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
     }
-    d.filter(Terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
+    d.filter(terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
-        round(Terms.indices.map(termWeight).reduce(_ + _), 6).as("bm25"))
+        round(terms.indices.map(termWeight).reduce(_ + _), 6).as("bm25"))
   }
 
   /** Lexical top-20: BM25 over the documents table. */
   def bm25TopDocs(s: SparkSession, dir: String): DataFrame =
     bm25Scored(Tables.documents(s, dir))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+
+  /** BM25 over [[Tables.richDocuments]] with the idf-spread
+    * [[RichTerms]] — same plan, evidential score distribution.
+    */
+  def bm25TopDocsRich(s: SparkSession, dir: String): DataFrame =
+    bm25Scored(Tables.richDocuments(s, dir), RichTerms)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(20)
 
@@ -160,17 +175,20 @@ object HybridSearch extends QueryPack {
 
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_bm25"        -> (bm25TopDocs _),
+    "q_bm25_rich"   -> (bm25TopDocsRich _),
     "q_hybrid_rrf"  -> (hybridRrf _),
     "q_prox_search" -> (proximitySearch _))
 
+  private val bm25Cte = bm25CteFor(Terms)
+
   /** Shared CTE text: per-doc term stats + the 1-row stats, DuckDB side. */
-  private val bm25Cte =
-    """WITH d AS (
+  private def bm25CteFor(terms: Seq[String]): String =
+    s"""WITH d AS (
       |  SELECT doc_id,
       |    len(string_split(text, ' '))::DOUBLE AS dl,
-      |    len(list_filter(string_split(text, ' '), x -> x = 'merge'))::DOUBLE AS tf0,
-      |    len(list_filter(string_split(text, ' '), x -> x = 'sort'))::DOUBLE AS tf1,
-      |    len(list_filter(string_split(text, ' '), x -> x = 'stream'))::DOUBLE AS tf2
+      |    len(list_filter(string_split(text, ' '), x -> x = '${terms(0)}'))::DOUBLE AS tf0,
+      |    len(list_filter(string_split(text, ' '), x -> x = '${terms(1)}'))::DOUBLE AS tf1,
+      |    len(list_filter(string_split(text, ' '), x -> x = '${terms(2)}'))::DOUBLE AS tf2
       |  FROM documents),
       |st AS (
       |  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,
@@ -211,6 +229,10 @@ object HybridSearch extends QueryPack {
       s"""$bm25Cte
          |SELECT doc_id, bm25 FROM scored
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_bm25_rich" -> Tables.richOracle(
+      s"""${bm25CteFor(RichTerms)}
+         |SELECT doc_id, bm25 FROM scored
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin),
     "q_hybrid_rrf" ->
       s"""$bm25Cte,
          |lex AS (
