@@ -368,13 +368,10 @@ object CorpusCuration extends QueryPack {
 
   /** [[bpeTokenizeStats]] over an explicit corpus frame (spec entry point). */
   private[graft] def bpeTokenizeStatsFor(docs: DataFrame, rounds: Int): DataFrame = {
-    val merges = bpeMergesFor(docs, rounds).collect()
-      .map(r => (r.getString(1), r.getString(2)))
-    var seg = docs
-      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("syms", expr("filter(split(w, ''), c -> c <> '')"))
-    for ((lhs, rhs) <- merges)
-      seg = seg.withColumn("syms", greedyMerge(col("syms"), lhs, rhs))
+    val seg = applyMergesOnePass(
+      docs.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .withColumn("syms", expr("filter(split(w, ''), c -> c <> '')")),
+      bpeMergesFor(docs, rounds))
     seg.groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_words"),
@@ -384,6 +381,50 @@ object CorpusCuration extends QueryPack {
         round(col("n_pieces").cast("double") / col("n_chars").cast("double"), 6))
       .orderBy(col("lang"))
   }
+
+  /** Apply a trained merge table to a segmented corpus in ONE column
+    * operation — plan depth CONSTANT in merge count. The chained
+    * alternative (`rounds` stacked [[greedyMerge]] folds) is fine at the
+    * 6-round demo contract but adds one full `aggregate` lambda to the
+    * expression tree per merge: at a production 32k-100k merge budget
+    * the plan and codegen explode — a parameter-scale killer.
+    *
+    * Here the RANKED merge list rides as DATA: collect_list into a 1-row
+    * array<struct> frame (vocab-loop-sized — rounds entries), broadcast,
+    * and replayed by a single nested `aggregate`: the outer fold walks
+    * merges in rank order (array_sort on the distinct merge_round key),
+    * the inner fold is the same greedy leftmost-first scan as
+    * [[greedyMerge]], entered only when lhs occurs in the word (the
+    * array_position guard makes a non-applicable merge a cheap linear
+    * scan, which at real budgets is nearly all of them). Equality with
+    * the chained form — merge-by-merge replay in identical order with
+    * identical fold semantics — is asserted by CorpusCurationSpec at
+    * both trained and synthetic 60-merge tables.
+    */
+  private[graft] def applyMergesOnePass(seg: DataFrame,
+                                        mergesDf: DataFrame): DataFrame = {
+    val ms = mergesDf.agg(array_sort(collect_list(
+      struct(col("merge_round"), col("lhs"), col("rhs")))).as("ms"))
+    seg.crossJoin(broadcast(ms))
+      .withColumn("syms", expr(
+        """aggregate(ms, syms, (acc, m) ->
+          |  IF(array_position(acc, m.lhs) = 0, acc,
+          |    aggregate(acc, CAST(array() AS ARRAY<STRING>), (a2, sym) ->
+          |      IF(size(a2) > 0 AND element_at(a2, -1) = m.lhs AND sym = m.rhs,
+          |         concat(slice(a2, 1, size(a2) - 1), array(concat(m.lhs, m.rhs))),
+          |         concat(a2, array(sym))))))""".stripMargin))
+      .drop("ms")
+  }
+
+  /** The chained reference form — one [[greedyMerge]] fold per merge,
+    * plan depth linear in merge count. Retained ONLY as the equality
+    * baseline for [[applyMergesOnePass]]'s spec; not on any query path.
+    */
+  private[graft] def applyMergesChained(seg: DataFrame,
+                                        merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(seg) { case (d, (lhs, rhs)) =>
+      d.withColumn("syms", greedyMerge(col("syms"), lhs, rhs))
+    }
 
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_token_budget_mix" -> (mixQuery _),

@@ -129,6 +129,65 @@ class CorpusCurationSpec extends SparkSpec {
     assert(got.forall(!_._1.contains(" ")), "pairs must never span a word boundary")
   }
 
+  test("one-pass BPE apply ≡ chained folds on the trained 6-round table") {
+    val docs = Tables.documents(spark, sfDir)
+    val seg = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("syms", expr("filter(split(w, ''), c -> c <> '')"))
+    val mergesDf = CorpusCuration.bpeMergesFor(docs, rounds = 6)
+      .localCheckpoint()
+    val merges = mergesDf.orderBy("merge_round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val one = CorpusCuration.applyMergesOnePass(seg, mergesDf)
+      .select("w", "syms").orderBy("w").collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    val chained = CorpusCuration.applyMergesChained(seg, merges)
+      .select("w", "syms").orderBy("w").collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    assert(one.toSeq === chained.toSeq)
+  }
+
+  test("one-pass BPE apply: 60-merge synthetic table — chained-equal, " +
+    "and plan size does NOT grow with merge count") {
+    // a merge table far past the demo budget, incl. chaining merges
+    // (products of earlier merges on the lhs/rhs) and no-op merges
+    val words = Seq("aaaaaaab", "abababab", "bananabandana", "cddcddcdd",
+      "zzzzzz", "aabbaabb", "banana").map(w => ("xx", w))
+    val seg = words.toDF("lang", "w")
+      .withColumn("syms", expr("filter(split(w, ''), c -> c <> '')"))
+    val base = Seq(("a", "a"), ("aa", "aa"), ("a", "b"), ("b", "a"),
+      ("ab", "ab"), ("n", "a"), ("na", "na"), ("c", "d"), ("d", "d"),
+      ("cd", "dc"))
+    val merges = (base ++ (1 to 50).map(i => (s"q$i", s"r$i")))
+      .zipWithIndex.map { case ((l, r), i) => (i.toLong + 1, l, r) }
+    def mergesDf(n: Int) =
+      merges.take(n).toDF("merge_round", "lhs", "rhs")
+    val one = CorpusCuration.applyMergesOnePass(seg, mergesDf(60))
+      .select("w", "syms").orderBy("w").collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    val chained = CorpusCuration.applyMergesChained(
+        seg, merges.take(60).map(m => (m._2, m._3)))
+      .select("w", "syms").orderBy("w").collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    assert(one.toSeq === chained.toSeq)
+    // constant plan depth: the merge list is DATA, so the expression
+    // tree for 60 merges is the same size as for 10 — the chained form
+    // grows by one aggregate lambda per merge. Measured on the ANALYZED
+    // plan (the optimizer folds these tiny LocalRelation inputs away,
+    // which would make the comparison vacuous).
+    def planChars(n: Int): Int = CorpusCuration
+      .applyMergesOnePass(seg, mergesDf(n))
+      .queryExecution.analyzed.treeString.length
+    val p10 = planChars(10)
+    val p60 = planChars(60)
+    assert(math.abs(p60 - p10) <= p10 / 20,
+      s"one-pass plan must not grow with merges: 10→$p10 chars, 60→$p60")
+    val chained10 = CorpusCuration.applyMergesChained(
+      seg, merges.take(10).map(m => (m._2, m._3)))
+      .queryExecution.analyzed.treeString.length
+    val chained60 = CorpusCuration.applyMergesChained(
+      seg, merges.take(60).map(m => (m._2, m._3)))
+      .queryExecution.analyzed.treeString.length
+    assert(chained60 > chained10 * 3,
+      s"sanity: the chained form DOES grow ($chained10 → $chained60)")
+  }
+
   test("plan shapes: mix = one hash shuffle on the stratum key; bpe pairs " +
     "= partial agg + TakeOrderedAndProject; no UDF anywhere") {
     val mix = CorpusCuration.mixQuery(spark, sfDir)
