@@ -21,18 +21,20 @@ import graft.{QueryPack, Tables}
   */
 object Profiling extends QueryPack {
 
-  /** Long-form numeric column profile of lineitem: null count, distinct
-    * count, min/max/mean per measure column. One pass; the multiple exact
-    * count_distincts plan as one Expand-based aggregate (one shuffle) —
-    * at 100 TB swap approx_count_distinct per the [[Relational.approxDistinct]]
-    * pattern.
+  /** Long-form numeric column profile of lineitem: null count,
+    * min/max/mean per measure column. ONE pass, one 1-row aggregate, NO
+    * Expand: the routine always-on profile must not pay cardinality's
+    * cost. Exact distinct counts live in [[profileDistinct]] — multiple
+    * `count_distinct`s in one aggregate make Catalyst replicate the fact
+    * scan once per distinct column through an Expand (measured as the
+    * r5→r6 bench regression when they sat here), which is the wrong
+    * default plan at 100 TB.
     */
   def columnProfile(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-        count_distinct(col(c)).as(s"${c}_distinct"),
         min(col(c)).cast("double").as(s"${c}_min"),
         max(col(c)).cast("double").as(s"${c}_max"),
         round(avg(col(c)), 6).as(s"${c}_mean"))
@@ -40,12 +42,38 @@ object Profiling extends QueryPack {
     val one = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
     // stack takes a FLAT argument list (k groups laid out in sequence)
     val stacked = cols.map(c =>
-      s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max, ${c}_mean")
+      s"'$c', ${c}_nulls, ${c}_min, ${c}_max, ${c}_mean")
       .mkString(", ")
     one.select(col("n_rows"), expr(
-      s"stack(${cols.size}, $stacked) AS (col_name, n_nulls, n_distinct, min_val, max_val, mean_val)"))
+      s"stack(${cols.size}, $stacked) AS (col_name, n_nulls, min_val, max_val, mean_val)"))
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
-        col("n_distinct"), col("min_val"), col("max_val"), col("mean_val"))
+        col("min_val"), col("max_val"), col("mean_val"))
+      .orderBy(col("col_name"))
+  }
+
+  /** The opt-in cardinality audit split out of [[columnProfile]]:
+    * documented-EXACT distinct counts (this query deliberately buys the
+    * Expand-replicated scan — it is the audit, not the routine profile)
+    * plus the approx_count_distinct sketch each exact count validates,
+    * emitted as within-5% flags the oracle pins to 1 (the
+    * [[Relational.approxDistinct]] pattern). At 100 TB the profile runs
+    * always, this runs on demand — and the flags are the evidence the
+    * sketch is a safe substitute when even this query gets too expensive.
+    */
+  def profileDistinct(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count_distinct(col(c)).as(s"${c}_distinct"),
+        approx_count_distinct(col(c), 0.01).as(s"__a_$c"))
+    }
+    val one = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c =>
+      s"'$c', ${c}_distinct, " +
+        s"CAST(CAST(abs(__a_$c - ${c}_distinct) AS DOUBLE) <= ${c}_distinct * 0.05 AS BIGINT)")
+      .mkString(", ")
+    one.select(expr(
+      s"stack(${cols.size}, $stacked) AS (col_name, n_distinct, approx_within_5pct)"))
       .orderBy(col("col_name"))
   }
 
@@ -240,6 +268,7 @@ object Profiling extends QueryPack {
 
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_profile"   -> (columnProfile _),
+    "q_profile_distinct" -> (profileDistinct _),
     "q_psi_drift" -> (psiDrift _),
     "q_cohort"    -> (cohortRetention _),
     "q_contract_checks" -> (contractChecks _),
@@ -253,10 +282,18 @@ object Profiling extends QueryPack {
       cols.map { c =>
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,
            |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
            |  CAST(min($c) AS DOUBLE) AS min_val,
            |  CAST(max($c) AS DOUBLE) AS max_val,
            |  round(avg($c), 6) AS mean_val
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    "q_profile_distinct" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(1 AS BIGINT) AS approx_within_5pct
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },

@@ -4,15 +4,32 @@ import graft.SparkSpec
 
 class ProfilingSpec extends SparkSpec {
 
-  test("profile invariants: bounds ordered, distincts bounded, no nulls here") {
-    val rows = Profiling.columnProfile(spark, sfDir).collect()
+  test("profile invariants: bounds ordered, no nulls here; plan has no Expand") {
+    val df = Profiling.columnProfile(spark, sfDir)
+    val rows = df.collect()
     assert(rows.map(_.getString(0)).toSeq ===
       Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
     for (r <- rows) {
       assert(r.getLong(2) === 0L, s"nulls in ${r.getString(0)}")
-      assert(r.getLong(3) <= r.getLong(1))
-      assert(r.getDouble(4) <= r.getDouble(6) && r.getDouble(6) <= r.getDouble(5),
+      assert(r.getDouble(3) <= r.getDouble(5) && r.getDouble(5) <= r.getDouble(4),
         s"min <= mean <= max for ${r.getString(0)}")
+    }
+    // the routine profile must stay a single-scan aggregate — the exact
+    // distinct counts moved to profileDistinct precisely to keep the
+    // Expand-replicated scan out of this plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"profile must not Expand:\n$plan")
+  }
+
+  test("profileDistinct: exact counts bounded by rows; sketch within 5%") {
+    val rows = Profiling.profileDistinct(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+    val nRows = graft.Tables.lineitem(spark, sfDir).count()
+    for (r <- rows) {
+      assert(r.getLong(1) > 0 && r.getLong(1) <= nRows)
+      assert(r.getLong(2) === 1L,
+        s"approx_count_distinct drifted >5% for ${r.getString(0)}")
     }
   }
 
