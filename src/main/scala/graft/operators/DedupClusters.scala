@@ -136,23 +136,47 @@ object DedupClusters extends QueryPack {
     * reorder drift.
     */
   def pageRank(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
-               iters: Int = 3): DataFrame = {
-    val raw = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .localCheckpoint() // pair pipeline evaluated once, not once per leg
+               iters: Int = 3, tol: Option[Double] = None,
+               checkpointDir: Option[String] = None): DataFrame = {
+    val ck: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
+    val raw = ck(
+      pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")))
     val edges = raw.union(raw.select(col("v").as("u"), col("u").as("v")))
       .distinct().cache()
     val deg = edges.groupBy(col("u").as("v_id"))
       .agg(count(lit(1)).cast("double").as("deg"))
     val n = deg.count().toDouble
-    var state = deg.withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to iters) {
+    // per-round checkpoint — the [[connectedComponents]] `ck` pattern:
+    // each round joins against the previous round's state, so without
+    // truncation plan depth grows linearly and anyone raising `iters`
+    // past the demo 3 hits the same plan explosion CC solved
+    var state = ck(deg.withColumn("rank", lit(1.0 / n)))
+    var iter = 0
+    var done = false
+    while (iter < iters && !done) {
       val contrib = edges
         .join(state.select(col("v_id").as("u"), (col("rank") / col("deg")).as("w")), "u")
         .groupBy(col("v").as("v_id")).agg(sum(col("w")).as("c"))
       // every vertex of a symmetric edge list has degree >= 1, so the
       // inner join drops nothing
-      state = deg.join(contrib, "v_id")
+      val next = ck(deg.join(contrib, "v_id")
         .withColumn("rank", lit(0.15 / n) + lit(0.85) * col("c"))
+        .select(col("v_id"), col("deg"), col("rank")))
+      // optional convergence stop on max |Δrank| — OFF by default so the
+      // fixed-round driver query stays closed-form for its unrolled
+      // oracle; an O(|V|) scan of two checkpointed states when on
+      tol.foreach { t =>
+        done = next.join(state.select(col("v_id"), col("rank").as("prev")), "v_id")
+          .agg(max(abs(col("rank") - col("prev"))).as("d"))
+          .head().getDouble(0) < t
+      }
+      state = next
+      iter += 1
     }
     edges.unpersist()
     state.select(col("v_id"), col("rank"), col("deg").cast("long").as("degree"))
@@ -166,31 +190,59 @@ object DedupClusters extends QueryPack {
       .orderBy(col("pagerank").desc, col("doc_id"))
       .limit(20)
 
+  /** Orient canonical (u < v) edges from the LOW-degree endpoint to the
+    * HIGH-degree endpoint (ties broken by id — any total order works).
+    * The classic triangle-counting refinement (Chiba–Nishizeki /
+    * Schank–Wagner "forward" orientation): out-degrees are bounded by
+    * O(√m), so the wedge count the enumeration joins over drops from
+    * Σ deg² (quadratic in the hub degree — a skewed star graph is the
+    * worst case) to O(m^1.5), with one extra degree join to pay for it.
+    */
+  private[operators] def orientByDegree(e: DataFrame, deg: DataFrame): DataFrame =
+    e.join(deg.select(col("node").as("u"), col("degree").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("degree").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("o"))
+      .select(col("o.src").as("src"), col("o.dst").as("dst"))
+
+  /** Wedges of an oriented edge list: one row per unordered pair of
+    * out-neighbors {b, c} of a common source, emitted with b < c so the
+    * closing edge lookup is canonical. Exposed for the spec's wedge-count
+    * comparison (degree orientation vs id orientation on a star graph).
+    */
+  private[operators] def wedges(oriented: DataFrame): DataFrame =
+    oriented.as("o1").join(oriented.as("o2"),
+        col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
+      .select(col("o1.src").as("a"), col("o1.dst").as("b"), col("o2.dst").as("c"))
+
   /** Triangle counts + local clustering coefficient over an undirected
     * pair graph given as canonical (a < b) edges. Enumeration is the
-    * standard two-join wedge-close shape on the ALREADY-ordered edge
-    * list: e1=(a,b), e2=(b,c) closes iff (a,c) is an edge, and a < b < c
-    * holds by construction so every triangle is produced exactly once —
-    * no post-hoc dedup, no symmetric blow-up. Cost is Σ_(u,v) wedges, the
-    * same bucket-bounded quadratic every near-dup stage here accepts; at
-    * 100 TB the standard refinement (orient edges from low- to
-    * high-DEGREE instead of low-to-high id) drops the wedge count to
-    * O(m^1.5) with one extra degree join — shape unchanged.
+    * standard wedge-close shape under DEGREE orientation
+    * ([[orientByDegree]]): every triangle has exactly one vertex with
+    * two out-edges (its degree-order minimum), so each is found exactly
+    * once — no post-hoc dedup, no symmetric blow-up — and the wedge
+    * volume is O(m^1.5) regardless of skew. The closing edge is probed
+    * in the CANONICAL id-ordered list (wedge legs emit b < c), so the
+    * close join needs no per-side orientation logic.
     */
   private[operators] def triangles(pairs: DataFrame,
                                    aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
-    // materialize the edge list once: the wedge-close references it three
-    // times, and without this the upstream pair pipeline (minhash
-    // signatures + banding + verify) is cloned into all three join legs
+    // materialize the edge list once: orientation, wedge-close, and the
+    // degree table all reference it, and without this the upstream pair
+    // pipeline (minhash signatures + banding + verify) is cloned into
+    // every join leg
     val e = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .localCheckpoint()
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
     val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.v") === col("e2.u"))
-      .join(e.as("e3"),
-        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
-      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    // oriented list materialized once too — both wedge legs scan it
+    val oriented = orientByDegree(e, deg).localCheckpoint()
+    val tri = wedges(oriented)
+      .join(e.as("e3"), col("e3.u") === col("b") && col("e3.v") === col("c"))
+      .select(col("a"), col("b"), col("c"))
     val perNode = tri.select(col("a").as("node"))
       .union(tri.select(col("b").as("node")))
       .union(tri.select(col("c").as("node")))

@@ -28,6 +28,31 @@ class DedupClustersSpec extends SparkSpec {
     assert(got(6L) === ((1L, 0L, 0.0)))
   }
 
+  test("degree orientation collapses the star graph's wedge count") {
+    // star: hub 0 — leaves 1..50, plus chord (1,2) closing one triangle.
+    // Id orientation points every hub edge OUT of 0 (lowest id), so the
+    // hub alone contributes C(50,2) = 1225 wedges; degree orientation
+    // points leaf→hub, leaving the hub zero out-edges — only the chord's
+    // endpoints form wedges.
+    val edges = ((1L to 50L).map(l => (0L, l)) :+ (1L, 2L))
+      .toDF("a_id", "b_id")
+      .select(col("a_id").cast("long").as("u"), col("b_id").cast("long").as("v"))
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
+    val idWedges = DedupClusters.wedges(
+      edges.select(col("u").as("src"), col("v").as("dst"))).count()
+    val degWedges = DedupClusters.wedges(
+      DedupClusters.orientByDegree(edges, deg)).count()
+    assert(idWedges >= 1225L, s"id orientation must pay the hub: $idWedges")
+    assert(degWedges <= 2L, s"degree orientation must not: $degWedges")
+    // and the triangle answer is unchanged by the orientation choice
+    val tri = DedupClusters.triangles(
+        ((1L to 50L).map(l => (0L, l)) :+ (1L, 2L)).toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(tri(0L) === 1L && tri(1L) === 1L && tri(2L) === 1L)
+    assert((3L to 50L).forall(tri(_) === 0L))
+  }
+
   test("two components: chain and pair resolve to min-id representatives") {
     val got = comps(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)))
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
