@@ -183,7 +183,9 @@ object AnnSearch extends QueryPack {
   def lshQuery(s: SparkSession, dir: String): DataFrame = {
     val (path, planes) = ensureLshIndex(s, dir)
     val q = queryVector(s, dir)
-    s.read.parquet(path)
+    // openAnnIndex (not a bare read): heals a crashed delete swap so the
+    // first READER repairs the index, not just the next mutation
+    graft.sources.TableIO.openAnnIndex(s, path, "lsh_bucket")
       .filter(col("lsh_bucket").isin(probeBuckets(q, planes): _*))
       .withColumn("sim",
         round(cosineSimilarity(col("embedding"), typedlit(q.toSeq)), 6))
@@ -238,7 +240,7 @@ object AnnSearch extends QueryPack {
     */
   def ivfQuery(s: SparkSession, dir: String): DataFrame = {
     val (path, centroids) = ensureIvfIndex(s, dir)
-    ivfSearch(s.read.parquet(path), centroids,
+    ivfSearch(graft.sources.TableIO.openAnnIndex(s, path, "ivf_list"), centroids,
       "embedding", "vec_id", queryVector(s, dir), nprobe = 4)
   }
 

@@ -42,17 +42,47 @@ object Ingest extends QueryPack {
     StructField("doc_id", LongType), StructField("lang", StringType),
     StructField("text", StringType), StructField("n_chars", LongType)))
 
+  /** Stage a dataset once per deterministic path, ATOMICALLY: a bare
+    * `Files.exists` gate would reuse a crashed partial write and race
+    * concurrent stagers into ErrorIfExists failures. Instead: a staging
+    * is valid only if its `_SUCCESS` marker exists (a marker-less dir is
+    * a crashed write — removed and redone); writers write to a private
+    * temp sibling and RENAME into place, so readers only ever see
+    * nothing or a complete staging; a loser of the rename race discards
+    * its own copy and reuses the winner's.
+    */
+  private def ensureStaged(path: java.nio.file.Path)(write: String => Unit): String = {
+    def complete = Files.exists(path.resolve("_SUCCESS"))
+    if (!complete) {
+      if (Files.exists(path)) deleteRec(path) // crashed partial staging
+      val tmp = path.resolveSibling(
+        s"${path.getFileName}__stage_${java.util.UUID.randomUUID.toString.take(8)}")
+      write(tmp.toString)
+      try Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException =>
+          // lost the rename race — reuse the winner's staging if complete
+          deleteRec(tmp)
+          require(complete, s"concurrent staging of $path left no valid copy")
+      }
+    }
+    path.toString
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  }
+
   /** Stage documents as CSV once per corpus (deterministic path). */
-  private[sources] def ensureCsv(s: SparkSession, dir: String): String = {
-    val path = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_ingest_csv_${md5Hex(dir)}")
-    if (!Files.exists(path))
+  private[sources] def ensureCsv(s: SparkSession, dir: String): String =
+    ensureStaged(Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_ingest_csv_${md5Hex(dir)}")) { tmp =>
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
         .write.option("header", "true").option("quoteAll", "true")
-        .csv(path.toString)
-    path.toString
-  }
+        .csv(tmp)
+    }
 
   /** CSV write → schema-checked read → join-back fidelity report. */
   def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
@@ -106,15 +136,13 @@ object Ingest extends QueryPack {
     * in core, and a pipeline claiming format breadth should prove the
     * typed round-trip, not assume it.
     */
-  private[sources] def ensureOrc(s: SparkSession, dir: String): String = {
-    val path = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_ingest_orc_${md5Hex(dir)}")
-    if (!Files.exists(path))
+  private[sources] def ensureOrc(s: SparkSession, dir: String): String =
+    ensureStaged(Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_ingest_orc_${md5Hex(dir)}")) { tmp =>
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
-        .write.orc(path.toString)
-    path.toString
-  }
+        .write.orc(tmp)
+    }
 
   /** ORC write → read → join-back fidelity report (schema carried by the
     * format itself, unlike CSV).

@@ -68,6 +68,11 @@ object TableIO {
     import org.apache.hadoop.fs.Path
     val tmp = path.stripSuffix("/") + "__compacting"
     val old = path.stripSuffix("/") + "__precompact"
+    // heal any crashed delete swap FIRST: compacting an index with a
+    // parked __del_old_ bucket would bake the hole into the rewrite
+    recoverDeleteLeftovers(
+      new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration),
+      path, bucketCol)
     spark.read.parquet(path)
       .repartition(org.apache.spark.sql.functions.col(bucketCol))
       .write.mode(SaveMode.Overwrite).partitionBy(bucketCol).parquet(tmp)
@@ -139,6 +144,24 @@ object TableIO {
     }
     requested.unpersist()
     (deleted, nRequested)
+  }
+
+  /** READ-path index open that heals a crashed [[deleteFromAnnIndex]]
+    * swap first: without this, a crash between the two renames leaves a
+    * bucket parked in `__del_old_` that plain `spark.read.parquet`
+    * silently misses until the NEXT mutation runs recovery. The check is
+    * one `listStatus` of the parent dir (no-op when clean), so serve
+    * paths can afford it on every open; recovery itself only engages on
+    * leftovers. Mutating callers keep their exclusive-access contract;
+    * healing is idempotent, so a reader racing the recovery of another
+    * reader at worst re-lists.
+    */
+  def openAnnIndex(spark: SparkSession, path: String, bucketCol: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    recoverDeleteLeftovers(
+      new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration),
+      path, bucketCol)
+    spark.read.parquet(path)
   }
 
   /** Crash recovery for [[deleteFromAnnIndex]]'s two-rename swap: a

@@ -126,4 +126,31 @@ class AnnDeleteSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(got === all.toSet - all.find(_._1 == otherId).get)
   }
+
+  test("openAnnIndex heals a crashed swap on the READ path — a plain " +
+    "reader would silently miss the parked bucket") {
+    val corpus = Tables.embeddings(spark, sfDir)
+    val planes = AnnSearch.hyperplanes(2, 64, 42L)
+    val indexed = AnnSearch.withLshBucket(corpus, "embedding", planes)
+    val root = Files.createTempDirectory("ann_open_heal").toString
+    val victim = root + "/victim"
+    TableIO.writeAnnIndex(indexed, victim, "lsh_bucket")
+    val all = spark.read.parquet(victim)
+      .select("vec_id", "lsh_bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val crashBucket = all.head._2
+    val live = Paths.get(victim, s"lsh_bucket=$crashBucket")
+    val parked = Paths.get(victim + s"__del_old_$crashBucket")
+    Files.move(live, parked)
+
+    // evidence of the failure mode: the bare read misses the bucket
+    val bare = spark.read.parquet(victim).count()
+    assert(bare < all.size, "precondition: plain read must see the hole")
+
+    val healed = TableIO.openAnnIndex(spark, victim, "lsh_bucket")
+      .select("vec_id", "lsh_bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(healed === all, "openAnnIndex must restore and serve the full index")
+    assert(Files.exists(live) && !Files.exists(parked))
+  }
 }

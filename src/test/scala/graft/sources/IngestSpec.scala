@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.{SparkSpec, Tables}
@@ -49,5 +51,21 @@ class IngestSpec extends SparkSpec {
     val after = java.nio.file.Files.list(java.nio.file.Paths.get(path))
       .toArray.map(_.toString).toSet
     assert(after === before)
+  }
+
+  test("a crashed partial staging (no _SUCCESS) is discarded and redone") {
+    import java.nio.file.{Files, Paths}
+    val good = Paths.get(Ingest.ensureCsv(spark, sfDir))
+    assert(Files.exists(good.resolve("_SUCCESS")),
+      "valid staging must carry the completion marker")
+    // simulate the crash: replace the staging with a marker-less husk
+    Files.walk(good).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    Files.createDirectories(good)
+    Files.writeString(good.resolve("part-00000.csv"), "doc_id\n999999\n")
+    val r = Ingest.csvRoundtrip(spark, sfDir).head()
+    // the husk must NOT have been served: full fidelity report again
+    val n = Tables.documents(spark, sfDir).count()
+    assert(r.getLong(0) === n && r.getLong(1) === 0L && r.getLong(2) === n)
+    assert(Files.exists(good.resolve("_SUCCESS")), "staging must be rebuilt")
   }
 }
