@@ -36,6 +36,7 @@ object SparkEntry {
     graft.operators.ZOrder,
     graft.sources.Ingest,
     graft.operators.IncrementalAgg,
+    graft.operators.IncrementalDedup,
     graft.operators.PrefixJoin)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

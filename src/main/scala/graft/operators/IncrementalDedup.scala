@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+
+/** `[EXT]` INCREMENTAL near-duplicate detection against a persisted band
+  * store — the production dedup shape the batch and streaming paths both
+  * miss: [[MinHashDedup]] re-bands the whole corpus every run, and
+  * [[graft.streaming.DocDedupStream]] dedups within one stream. A
+  * continuously-ingesting pipeline instead keeps the LSH postings
+  * (band_id, bucket, doc_id) AT REST beside the corpus (the
+  * [[graft.sources.TableIO]] sidecar pattern) and, per new batch:
+  *
+  *  1. bands ONLY the batch (one narrow signature pass over new docs —
+  *     history is never re-scanned, let alone re-hashed);
+  *  2. candidates = batch-bands ⋈ store (old×new) ∪ batch-bands local
+  *     pair emission (new×new), with the SAME occupancy cap as the batch
+  *     path, applied to the COMBINED (store + batch) bucket size;
+  *  3. the same signature-agreement prefilter and exact word-set verify
+  *     as [[MinHashDedup.nearDupPairs]] — old texts are read only for
+  *     the candidate ids (a semi-join against the corpus, partition/
+  *     predicate-prunable at rest);
+  *  4. [[absorbBatch]] appends the batch's postings, so the store after
+  *     N batches equals a from-scratch rebuild (spec-asserted) and the
+  *     next batch sees this one as history.
+  *
+  * EQUIVALENCE (the oracle's closed form): because a full-corpus run's
+  * candidate set is "pairs sharing ≥1 band bucket", restricting it to
+  * pairs touching the batch yields exactly step 2's union — old×old
+  * pairs are the only ones excluded. Prefilter and verify are per-pair,
+  * so `dedupNewBatch(old-store, batch) ≡ nearDupPairs(old ∪ batch)
+  * restricted to pairs with an endpoint in the batch` — which is what
+  * the driver oracle checks, hash-exact.
+  *
+  * Scale shape: the store is one 20-byte row per (doc, band) — 16 rows
+  * per document regardless of size — partitioned like any fact table;
+  * the candidate join keys on (band_id, bucket) and carries ids only;
+  * batch-sized legs (bands, signatures, word sets of candidates) are
+  * the only per-run compute. History cost: zero scans, one postings
+  * append.
+  */
+object IncrementalDedup extends QueryPack {
+
+  import MinHashDedup.{bandKeys, defaultMaxBucketSize, withSignature, numHashes}
+
+  /** Write (or overwrite) the band store for a corpus slice. */
+  def writeBandStore(docs: DataFrame, path: String,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     seed: Long = 42L): Unit =
+    bandKeys(docs, idCol, textCol, seed)
+      .select(col("band_id"), col("bucket"), col("id").as("doc_id"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Append a processed batch's postings — after this the store equals a
+    * from-scratch [[writeBandStore]] over history ∪ batch (spec-asserted),
+    * and the next batch sees this one as history. Dynamic append: only
+    * new files land, existing postings are never rewritten.
+    */
+  def absorbBatch(batch: DataFrame, path: String,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  seed: Long = 42L): Unit =
+    bandKeys(batch, idCol, textCol, seed)
+      .select(col("band_id"), col("bucket"), col("id").as("doc_id"))
+      .write.mode(SaveMode.Append).parquet(path)
+
+  /** Near-dup pairs (a_id, b_id, jac ≥ threshold) touching the new batch:
+    * batch×history via the persisted store at `storePath` plus
+    * batch×batch, verified exactly. `corpus` supplies historical TEXTS
+    * for the candidate verify only (semi-joined down to candidate ids) —
+    * it is never banded or signature-hashed beyond those candidates.
+    */
+  def dedupNewBatch(corpus: DataFrame, storePath: String, batch: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    threshold: Double = 0.8, seed: Long = 42L,
+                    maxBucketSize: Int = defaultMaxBucketSize,
+                    sigAgreementMargin: Option[Double] = Some(0.35)): DataFrame = {
+    MinHashDedup.requireLongId(batch, idCol)
+    val spark = batch.sparkSession
+    val droppedBuckets = spark.sparkContext.longAccumulator(MinHashDedup.droppedBucketsAcc)
+    val droppedSlots = spark.sparkContext.longAccumulator(MinHashDedup.droppedDocSlotsAcc)
+
+    val store = spark.read.parquet(storePath)
+    // batch banded ONCE, reused by cross pairs, intra pairs, and occupancy
+    val bb = bandKeys(batch, idCol, textCol, seed)
+      .select(col("band_id"), col("bucket"), col("id"))
+      .localCheckpoint(eager = false)
+
+    // combined occupancy per bucket — the cap must see what the full-run
+    // bucket would hold (store + batch), or a hot bucket that the batch
+    // path refuses would slip through the incremental path
+    val occ = store.groupBy(col("band_id"), col("bucket"))
+      .agg(count(lit(1)).as("n_old"))
+      .join(bb.groupBy(col("band_id"), col("bucket")).agg(count(lit(1)).as("n_new")),
+        Seq("band_id", "bucket"), "full_outer")
+      .select(col("band_id"), col("bucket"),
+        (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_new"), lit(0L))).as("n_tot"))
+
+    // cap accounting rides one UDF evaluated exactly once per bucket (no
+    // Or-expression: Catalyst does not promise short-circuit order, and a
+    // side-effecting branch must not run per evaluation whim); the
+    // checkpoint stops the two candidate legs from cloning this subtree
+    // and double-counting the accumulators
+    val admit = udf { (n: Long) =>
+      if (n > maxBucketSize) { droppedBuckets.add(1); droppedSlots.add(n); false }
+      else true
+    }
+    val okBuckets = occ.filter(admit(col("n_tot")))
+      .select(col("band_id"), col("bucket"))
+      .localCheckpoint(eager = false)
+
+    val cross = bb.join(okBuckets, Seq("band_id", "bucket"), "left_semi")
+      .join(store.select(col("band_id"), col("bucket"), col("doc_id").as("old_id")),
+        Seq("band_id", "bucket"))
+      .select(least(col("id"), col("old_id")).as("a_id"),
+        greatest(col("id"), col("old_id")).as("b_id"))
+    val intra = bb.join(okBuckets, Seq("band_id", "bucket"), "left_semi")
+      .groupBy(col("band_id"), col("bucket")).agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y ->
+          |    struct(least(x, y) AS a, greatest(x, y) AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+    val candidates = cross.union(intra).distinct()
+
+    // texts of every candidate endpoint: batch texts + ONLY the touched
+    // slice of history (left-semi keeps the scan prunable at rest)
+    val cand = candidates.localCheckpoint(eager = false)
+    val candIds = cand.select(col("a_id").as("cid"))
+      .union(cand.select(col("b_id"))).distinct()
+    val touched = corpus.select(col(idCol), col(textCol))
+      .join(candIds, col(idCol) === col("cid"), "left_semi")
+      .union(batch.select(col(idCol), col(textCol)))
+
+    val prefiltered = sigAgreementMargin match {
+      case None => cand
+      case Some(margin) =>
+        val estMin = math.max(0.0, threshold - margin)
+        val sigs = withSignature(touched, textCol, seed)
+          .select(col(idCol).as("id"), col("minhash_sig"))
+        cand
+          .join(sigs.select(col("id").as("a_id"), col("minhash_sig").as("a_sig")), "a_id")
+          .join(sigs.select(col("id").as("b_id"), col("minhash_sig").as("b_sig")), "b_id")
+          .withColumn("est",
+            aggregate(zip_with(col("a_sig"), col("b_sig"),
+                (x, y) => when(x === y, 1).otherwise(0)),
+              lit(0), (acc, m) => acc + m).cast("double") / numHashes)
+          .filter(col("est") >= estMin)
+          .select("a_id", "b_id")
+    }
+
+    val ws = touched.select(col(idCol).as("id"),
+      array_distinct(split(col(textCol), " ")).as("ws"))
+    prefiltered
+      .join(ws.select(col("id").as("a_id"), col("ws").as("a_ws")), "a_id")
+      .join(ws.select(col("id").as("b_id"), col("ws").as("b_ws")), "b_id")
+      .withColumn("jac",
+        round(size(array_intersect(col("a_ws"), col("b_ws"))).cast("double") /
+              size(array_union(col("a_ws"), col("b_ws"))).cast("double"), 6))
+      .filter(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jac"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Deterministic 1-in-10 "new batch" split of the documents corpus
+    * (md5(doc_id) % 10 = 7 — the q_prefix_jaccard sampling pattern), so
+    * the oracle can reproduce the exact same split.
+    */
+  private def isBatch = conv(substring(
+    md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+    .cast("long") % 10 === 7
+
+  /** Build-once band store of the HISTORY slice per corpus dir (atomic
+    * staging — the [[graft.sources.Ingest.ensureStaged]] contract).
+    */
+  private[operators] def ensureHistoryStore(s: SparkSession, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    graft.sources.Ingest.ensureStaged(java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_bandstore_$key")) { tmp =>
+      writeBandStore(Tables.documents(s, dir).filter(!isBatch), tmp)
+    }
+  }
+
+  /** Driver query: the md5-split batch deduped against the persisted
+    * history store. Oracle = the FULL-corpus minhash pipeline restricted
+    * to pairs touching the batch — the equivalence the scaladoc argues,
+    * checked hash-exact.
+    */
+  def incrNeardupQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    dedupNewBatch(docs.filter(!isBatch), ensureHistoryStore(s, dir),
+      docs.filter(isBatch))
+  }
+
+  override def queries: Map[String, QueryPack.Q] = Map(
+    "q_incr_neardup" -> (incrNeardupQuery _))
+
+  /** The full-run pair oracle with a touching-the-batch restriction —
+    * DuckDB's md5 split matches [[isBatch]] exactly.
+    */
+  override def oracleSql: Map[String, String] = Map(
+    "q_incr_neardup" -> {
+      def inBatch(c: String) =
+        s"CAST(concat('0x', substring(md5($c::VARCHAR), 1, 8)) AS BIGINT) % 10 = 7"
+      s"""SELECT a_id, b_id, jac FROM (
+         |${MinHashDedup.minhashNeardupOracle}
+         |) t
+         |WHERE ${inBatch("a_id")} OR ${inBatch("b_id")}
+         |ORDER BY a_id, b_id""".stripMargin
+    })
+}

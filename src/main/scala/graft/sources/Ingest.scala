@@ -51,7 +51,7 @@ object Ingest extends QueryPack {
     * nothing or a complete staging; a loser of the rename race discards
     * its own copy and reuses the winner's.
     */
-  private def ensureStaged(path: java.nio.file.Path)(write: String => Unit): String = {
+  private[graft] def ensureStaged(path: java.nio.file.Path)(write: String => Unit): String = {
     def complete = Files.exists(path.resolve("_SUCCESS"))
     if (!complete) {
       if (Files.exists(path)) deleteRec(path) // crashed partial staging
