@@ -68,6 +68,60 @@ object EventStreams {
     spark.table(name).orderBy(col("hour"), col("event_type"))
   }
 
+  /** Watermarked hourly counts in APPEND mode over a multi-file source
+    * (one file per micro-batch) WITH late-data accounting — what the
+    * complete-mode demo above cannot show: complete mode never evicts,
+    * so it never drops, while the production append/update path silently
+    * discards sub-watermark rows. This surfaces Spark's own per-batch
+    * `numRowsDroppedByWatermark` (summed over the run) next to the
+    * result, so the pipeline reports what it REFUSED alongside what it
+    * produced — the observability gap a silent-drop incident postmortem
+    * always finds. Returns (finalized hourly counts, rows dropped as
+    * too-late). EventStreamsSpec injects a late event and asserts the
+    * drop count moves while the finalized result does not.
+    *
+    * `srcDir`/`schema` are caller-staged (the spec controls file arrival
+    * order; production points this at the landing directory) with a
+    * TimestampType `ts` and an `event_type` column.
+    *
+    * Drop timing is Spark's two-phase watermark (SPARK-39931): in batch
+    * N the LATE-EVENT filter uses the watermark that was in force during
+    * batch N−1, while EVICTION uses the one advanced by batch N−1's
+    * data. So a row that is late relative to data seen one batch ago is
+    * merged into still-open state (or silently ignored if its window
+    * already closed — never double-emitted, since append emits a window
+    * once); only rows a full batch behind the advanced watermark are
+    * counted as dropped. The spec stages three files to land the late
+    * row in that third batch.
+    */
+  def hourlyCountsWithDropReport(spark: SparkSession, srcDir: String,
+                                 schema: org.apache.spark.sql.types.StructType,
+                                 delay: String = "30 minutes"): (DataFrame, Long) = {
+    val source = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val agg = source
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"))
+    val name = s"hourly_drops_${System.nanoTime()}"
+    StreamHousekeeping.trackSink(spark, "hourly_drops", srcDir, name)
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .option("checkpointLocation", StreamHousekeeping.freshCheckpointDir())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dropped = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      .map(_.numRowsDroppedByWatermark).sum
+    (spark.table(name).orderBy(col("hour"), col("event_type")), dropped)
+  }
+
   /** Streaming top-k per key through the custom TypedImperativeAggregate
     * ([[graft.functions.TopKByExpr]]) in complete mode — custom Catalyst
     * aggregates compose with streaming state like built-ins do.

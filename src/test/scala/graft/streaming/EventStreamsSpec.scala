@@ -20,6 +20,61 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("late-data accounting: an injected late event moves the dropped " +
+    "count, not the finalized result") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val onTime = Seq(
+      (ts("2024-01-01 10:00:00"), "click"),
+      (ts("2024-01-01 10:20:00"), "click"),
+      // the mover: after this batch the watermark sits at 12:30, well
+      // past the 10:00 window's end, finalizing it
+      (ts("2024-01-01 13:05:00"), "view"))
+    // batch 2 exists so the 12:30 watermark is a full batch old by the
+    // time the late row arrives — Spark's late-event filter in batch N
+    // uses batch N−1's in-force watermark (see hourlyCountsWithDropReport
+    // scaladoc), so a late row landing in batch 1 would be merged, not
+    // counted as dropped
+    val followup = Seq((ts("2024-01-01 13:10:00"), "view"))
+    val third = Seq((ts("2024-01-01 13:15:00"), "view"))
+    val late = Seq((ts("2024-01-01 10:15:00"), "click")) // < watermark ⇒ drop
+
+    def run(last: Seq[(Timestamp, String)]): (Map[(String, String), Long], Long) = {
+      val dir = java.nio.file.Files.createTempDirectory("late_acct")
+      val staged = Seq(onTime, followup, last)
+      val src = dir.resolve("src"); java.nio.file.Files.createDirectories(src)
+      // arrival order pinned by mtime: one file per micro-batch, in order
+      staged.zipWithIndex.foreach { case (rows, i) =>
+        val tmp = dir.resolve(s"stage$i")
+        rows.toDF("ts", "event_type").coalesce(1).write.parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head
+        val dst = src.resolve(f"part-$i%04d.parquet")
+        java.nio.file.Files.move(java.nio.file.Paths.get(part), dst)
+        dst.toFile.setLastModified(1000000L * (i + 1))
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType)))
+      val (df, dropped) = EventStreams.hourlyCountsWithDropReport(
+        spark, src.toString, schema)
+      (df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+        dropped)
+    }
+
+    val (cleanResult, cleanDropped) = run(third)
+    val (lateResult, lateDropped) = run(third ++ late)
+    assert(cleanDropped === 0L)
+    assert(lateDropped === 1L, "the late click must be counted as dropped")
+    assert(lateResult === cleanResult,
+      "a dropped late row must not change the finalized windows")
+    assert(cleanResult(("2024-01-01 10:00:00", "click")) === 2L,
+      "the 10:00 window must have finalized with its on-time rows")
+  }
+
   test("streaming top-k through the custom aggregate == batch top-k") {
     val streamed = EventStreams.topkStreaming(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
