@@ -54,20 +54,41 @@ object Profiling extends QueryPack {
   /** The opt-in cardinality audit split out of [[columnProfile]]:
     * documented-EXACT distinct counts (this query deliberately buys the
     * Expand-replicated scan — it is the audit, not the routine profile)
-    * plus the approx_count_distinct sketch each exact count validates,
-    * emitted as within-5% flags the oracle pins to 1 (the
+    * plus the DataSketches HLL sketch each exact count validates, emitted
+    * as within-5% flags the oracle pins to 1 (the
     * [[Relational.approxDistinct]] pattern). At 100 TB the profile runs
     * always, this runs on demand — and the flags are the evidence the
     * sketch is a safe substitute when even this query gets too expensive.
     */
   def profileDistinct(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    val aggs = cols.flatMap { c =>
-      Seq(
-        count_distinct(col(c)).as(s"${c}_distinct"),
-        approx_count_distinct(col(c), 0.01).as(s"__a_$c"))
-    }
-    val one = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    // The exact and approx halves MUST be separate aggregates: Catalyst
+    // rewrites multi-distinct as Expand → partial agg keyed on
+    // (gid, value), and any non-distinct aggregate in the same plan is
+    // carried in EVERY (gid, value) group's buffer. With four rsd=0.01
+    // HLL++ sketches (~16 KB each) that is ~64 KB of buffer per distinct
+    // value — measured 5.8 s at sf0.001 fused vs 0.5 s split. Each half
+    // is a 1-row aggregate; the crossJoin is a broadcast of one row.
+    // Sketch of choice: hll_sketch_agg (Apache DataSketches), NOT
+    // approx_count_distinct. The built-in HLL++ is a plain
+    // ImperativeAggregate whose buffer is one attribute per register
+    // word, and in a grouping-less HashAggregate every input row pays a
+    // cost proportional to that buffer — measured 3.3 s warm at sf0.001
+    // for four rsd=0.01 sketches vs 0.2 s for four lgK=14 DataSketches
+    // (object buffer, true O(1) update; same ~0.8% standard error). The
+    // string cast is required by hll_sketch_agg's input contract and is
+    // distinct-preserving for these positive decimals.
+    val fact = Tables.lineitem(s, dir)
+    val exact = fact.agg(
+      count_distinct(col(cols.head)).as(s"${cols.head}_distinct"),
+      cols.tail.map(c => count_distinct(col(c)).as(s"${c}_distinct")): _*)
+    val approx = fact.agg(
+      hll_sketch_estimate(hll_sketch_agg(col(cols.head).cast("string"), lit(14)))
+        .as(s"__a_${cols.head}"),
+      cols.tail.map(c =>
+        hll_sketch_estimate(hll_sketch_agg(col(c).cast("string"), lit(14)))
+          .as(s"__a_$c")): _*)
+    val one = exact.crossJoin(broadcast(approx))
     val stacked = cols.map(c =>
       s"'$c', ${c}_distinct, " +
         s"CAST(CAST(abs(__a_$c - ${c}_distinct) AS DOUBLE) <= ${c}_distinct * 0.05 AS BIGINT)")
