@@ -37,6 +37,8 @@ object SparkEntry {
     graft.sources.Ingest,
     graft.operators.IncrementalAgg,
     graft.operators.IncrementalDedup,
+    graft.operators.LeakageSplit,
+    graft.operators.EpochMix,
     graft.operators.PrefixJoin)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
