@@ -69,8 +69,76 @@ object IncrementalAgg extends QueryPack {
     finalize(merge(partialAgg(base), partialAgg(delta)))
   }
 
+  // ---- mergeable MOMENTS state (mean / variance / skewness) ----------
+  //
+  // Distribution-shape monitoring (drift in spread or asymmetry of order
+  // values) needs more than count/sum/min/max, and the naive route —
+  // var_pop/skewness over the base table per refresh — rescans 100 TB
+  // per day. Power sums (n, Σx, Σx², Σx³) ARE a mergeable state for all
+  // three: merging is elementwise addition, so the same
+  // batch-aggregate-then-merge discipline applies. Sums are kept in
+  // EXACT decimals (x ≤ 6 digits ⇒ x³ ≤ 24 digits ⇒ a 150k-row sum ≤ 30
+  // digits, inside decimal(38,6)) — double sums would make the state
+  // merge-order-dependent. Finalization uses only IEEE-deterministic
+  // double ops (+,*,/, sqrt — var^1.5 is spelled var·sqrt(var), never
+  // pow, whose last-ulp rounding differs between libm and the JVM).
+
+  /** Mergeable moments state from one slice: (grp, n, s1, s2, s3). */
+  private[operators] def partialMoments(slice: DataFrame): DataFrame = {
+    val x = col("o_totalprice").cast("decimal(12,2)")
+    slice.groupBy(col(grp))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("s1"),
+        sum((x * x).cast("decimal(25,4)")).as("s2"),
+        sum((x * x * x).cast("decimal(38,6)")).as("s3"))
+  }
+
+  /** Elementwise-additive merge — associative and commutative because
+    * decimal addition is.
+    */
+  private[operators] def mergeMoments(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col(grp))
+      .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
+        sum(col("s2")).as("s2"), sum(col("s3")).as("s3"))
+
+  /** Read-time derivation: population mean / stddev / skewness from the
+    * power sums. Spelled identically in the oracle so every double op
+    * sequence matches. STDDEV, deliberately not variance: every emitted
+    * double must be small enough that round(x, 6) sits above the
+    * engines' ulp-level disagreement (decimal→double casts of > 2⁵³
+    * unscaled values round engine-privately). Variance of prices is
+    * O(10¹⁰) — round-6 would demand 17 significant digits and the cast
+    * noise shows through (measured: last-decimal flake at sf0.01);
+    * stddev is O(10⁵) and skew O(1), where the same noise lands ~10⁻¹¹.
+    */
+  private[operators] def finalizeMoments(state: DataFrame): DataFrame = {
+    val n = col("n").cast("double")
+    val m = col("s1").cast("double") / n
+    val v = col("s2").cast("double") / n - m * m
+    val sk = (col("s3").cast("double") / n - lit(3.0) * m * v - m * m * m) /
+      (v * sqrt(v))
+    state.select(col(grp), col("n"),
+      round(m, 6).as("mean_price"),
+      round(sqrt(v), 6).as("stddev_price"),
+      round(sk, 6).as("skew_price"))
+      .orderBy(col(grp))
+  }
+
+  /** Driver query: moments maintained across the same base/delta split,
+    * proven equal to a direct full-table computation by the oracle.
+    */
+  def incrementalMoments(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val cut = lit("1998-01-01")
+    val base = orders.filter(col("o_orderdate") < cut)
+    val delta = orders.filter(col("o_orderdate") >= cut)
+    finalizeMoments(mergeMoments(partialMoments(base), partialMoments(delta)))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
-    "q_incr_agg" -> (incrementalView _))
+    "q_incr_agg" -> (incrementalView _),
+    "q_incr_moments" -> (incrementalMoments _))
 
   override def oracleSql: Map[String, String] = Map(
     "q_incr_agg" ->
@@ -80,5 +148,32 @@ object IncrementalAgg extends QueryPack {
         |    / count(*), 6) AS avg_price,
         |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
         |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // power sums exact in decimal; the double derivation is spelled with
+    // the same op sequence as finalizeMoments (sqrt, never pow)
+    "q_incr_moments" ->
+      """WITH st AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS s1,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        |      * CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(25,4))) AS s2,
+        |    sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        |      * CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(25,4))
+        |      * CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(38,6))) AS s3
+        |  FROM orders GROUP BY o_orderpriority
+        |), d AS (
+        |  SELECT o_orderpriority, n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS ex2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS ex3
+        |  FROM st
+        |), e AS (
+        |  SELECT o_orderpriority, n, m, ex2 - m * m AS v, ex3 FROM d
+        |)
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+        |  round(m, 6) AS mean_price,
+        |  round(sqrt(v), 6) AS stddev_price,
+        |  round((ex3 - 3.0 * m * v - m * m * m) / (v * sqrt(v)), 6)
+        |    AS skew_price
+        |FROM e ORDER BY o_orderpriority""".stripMargin)
 }

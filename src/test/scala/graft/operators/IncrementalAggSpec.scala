@@ -36,4 +36,48 @@ class IncrementalAggSpec extends SparkSpec {
     assert(left === right)
     assert(left === rows(IncrementalAgg.finalize(IncrementalAgg.partialAgg(orders))))
   }
+
+  private def mrows(df: DataFrame): Seq[(String, Long, Double, Double, Double)] =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4))).toSeq
+
+  test("moments state merges to the direct computation at any split, in any tree") {
+    val orders = Tables.orders(spark, sfDir)
+    val direct = mrows(IncrementalAgg.finalizeMoments(
+      IncrementalAgg.partialMoments(orders)))
+    for (cut <- Seq("1993-06-01", "1998-01-01")) {
+      val base = orders.filter(col("o_orderdate") < lit(cut))
+      val delta = orders.filter(col("o_orderdate") >= lit(cut))
+      val merged = mrows(IncrementalAgg.finalizeMoments(
+        IncrementalAgg.mergeMoments(
+          IncrementalAgg.partialMoments(base),
+          IncrementalAgg.partialMoments(delta))))
+      assert(merged === direct, s"split at $cut")
+    }
+    val a = IncrementalAgg.partialMoments(orders.filter(col("o_orderkey") % 3 === 0))
+    val b = IncrementalAgg.partialMoments(orders.filter(col("o_orderkey") % 3 === 1))
+    val c = IncrementalAgg.partialMoments(orders.filter(col("o_orderkey") % 3 === 2))
+    assert(mrows(IncrementalAgg.finalizeMoments(
+      IncrementalAgg.mergeMoments(IncrementalAgg.mergeMoments(a, b), c))) === direct)
+    assert(mrows(IncrementalAgg.finalizeMoments(
+      IncrementalAgg.mergeMoments(a, IncrementalAgg.mergeMoments(b, c)))) === direct)
+  }
+
+  test("derived moments agree with Spark's own var_pop/skewness to float tolerance") {
+    val orders = Tables.orders(spark, sfDir)
+    val ours = mrows(IncrementalAgg.finalizeMoments(
+      IncrementalAgg.partialMoments(orders))).map(t => t._1 -> t).toMap
+    val ref = orders.groupBy(col("o_orderpriority"))
+      .agg(avg(col("o_totalprice")).as("m"),
+        stddev_pop(col("o_totalprice")).as("v"),
+        skewness(col("o_totalprice")).as("sk"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    for ((g, (m, v, sk)) <- ref) {
+      val (_, _, om, ov, osk) = ours(g)
+      assert(math.abs(om - m) / m < 1e-9, s"$g mean")
+      assert(math.abs(ov - v) / v < 1e-6, s"$g stddev")
+      // Spark's skewness is the population skew too (m3 / m2^1.5)
+      assert(math.abs(osk - sk) < 1e-6, s"$g skew: $osk vs $sk")
+    }
+  }
 }
