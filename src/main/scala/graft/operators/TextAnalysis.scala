@@ -466,6 +466,68 @@ object TextAnalysis extends QueryPack {
   def collocationsRich(s: SparkSession, dir: String): DataFrame =
     collocationsOn(Tables.richDocuments(s, dir), minCount = 4, k = 20)
 
+  /** Corpus frequency-shape report over the rich corpus: vocabulary
+    * size, token mass, the log-log rank/frequency regression slope
+    * (Zipf's law predicts ≈ −1; the fitted slope plus its r² is the
+    * standard one-number summary of whether a corpus has natural
+    * long-tail statistics or is synthetic/degenerate), and the share of
+    * mass in the top-100 types. This turns the round-6 "the rich corpus
+    * is Zipf-shaped" claim from construction-by-intent into a measured
+    * artifact the oracle re-derives.
+    *
+    * The regression runs over the HEAD (rank ≤ 100): every finite
+    * sample's rank/frequency tail bends off the power law once counts
+    * hit small integers (ties at c = 1 flatten into a staircase), so the
+    * standard practice is to fit the head region — measured here:
+    * whole-range r² 0.63 vs head r² 0.91 on the same corpus. Vocabulary,
+    * token mass, and head share still cover the full distribution.
+    *
+    * The slope is computed from explicit regression power sums with the
+    * SAME op sequence in both engines — never `regr_slope`, whose
+    * internal accumulation order is engine-private. The only
+    * order-sensitive step is summing 10k log values (ulp drift, absorbed
+    * by the terminal round 6).
+    *
+    * Scale shape: one token scan → vocabulary-sized aggregate; the rank
+    * window sorts the VOCABULARY (≪ corpus — the q_collocations
+    * argument), and the regression is a 1-row reduce over it.
+    */
+  def zipfSlope(s: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.richDocuments(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val ranked = freq.withColumn("r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("w"))))
+    val inHead = col("r") <= 100
+    val logs = ranked.select(col("c"), col("r"), inHead.as("h"),
+      log10(col("r").cast("double")).as("x"),
+      log10(col("c").cast("double")).as("y"))
+    logs.agg(
+      sum(when(col("h"), 1.0).otherwise(0.0)).as("n"),
+      sum(when(col("h"), col("x")).otherwise(0.0)).as("sx"),
+      sum(when(col("h"), col("y")).otherwise(0.0)).as("sy"),
+      sum(when(col("h"), col("x") * col("y")).otherwise(0.0)).as("sxy"),
+      sum(when(col("h"), col("x") * col("x")).otherwise(0.0)).as("sxx"),
+      sum(when(col("h"), col("y") * col("y")).otherwise(0.0)).as("syy"),
+      count(lit(1)).as("vocab"),
+      sum(col("c")).as("tot"),
+      sum(when(col("h"), col("c")).otherwise(0L)).as("head"))
+      .select(
+        col("vocab").as("vocab_size"),
+        col("tot").as("total_tokens"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("zipf_slope"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+               (col("n") * col("sxy") - col("sx") * col("sy"))) /
+              ((col("n") * col("sxx") - col("sx") * col("sx")) *
+               (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("zipf_r2"),
+        round(col("head").cast("double") / col("tot").cast("double"), 6)
+          .as("top100_share"))
+  }
+
   private[operators] def collocationsOn(docs: DataFrame, minCount: Int,
                                         k: Int): DataFrame = {
     val toks = docs.select(split(col("text"), " ").as("w"))
@@ -561,6 +623,7 @@ object TextAnalysis extends QueryPack {
     "q_winnow_fp"        -> (winnowQuery _),
     "q_collocations"     -> ((s, d) => collocations(s, d)),
     "q_collocations_rich" -> (collocationsRich _),
+    "q_zipf_slope"       -> (zipfSlope _),
     "q_chunking"         -> ((s, d) => chunkDocs(s, d)),
     "q_heavy_hitters"    -> ((s, d) => heavyHitters(s, d)))
 
@@ -609,6 +672,33 @@ object TextAnalysis extends QueryPack {
         |ORDER BY doc_id, chunk_id""".stripMargin,
     "q_collocations" -> collocationsSql(5),
     "q_collocations_rich" -> Tables.richOracle(collocationsSql(4)),
+    "q_zipf_slope" -> Tables.richOracle(
+      """WITH freq AS (
+        |  SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  GROUP BY w
+        |), ranked AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM freq
+        |), logs AS (
+        |  SELECT c, r, r <= 100 AS h, log10(CAST(r AS DOUBLE)) AS x,
+        |    log10(CAST(c AS DOUBLE)) AS y FROM ranked
+        |), s AS (
+        |  SELECT CAST(sum(CASE WHEN h THEN 1 ELSE 0 END) AS DOUBLE) AS n,
+        |    sum(CASE WHEN h THEN x ELSE 0.0 END) AS sx,
+        |    sum(CASE WHEN h THEN y ELSE 0.0 END) AS sy,
+        |    sum(CASE WHEN h THEN x * y ELSE 0.0 END) AS sxy,
+        |    sum(CASE WHEN h THEN x * x ELSE 0.0 END) AS sxx,
+        |    sum(CASE WHEN h THEN y * y ELSE 0.0 END) AS syy,
+        |    count(*) AS vocab, sum(c) AS tot,
+        |    sum(CASE WHEN h THEN c ELSE 0 END) AS head
+        |  FROM logs
+        |)
+        |SELECT CAST(vocab AS BIGINT) AS vocab_size, CAST(tot AS BIGINT) AS total_tokens,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+        |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS zipf_r2,
+        |  round(CAST(head AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS top100_share
+        |FROM s""".stripMargin),
     // exact full top-k: valid against the engine's two-pass shape because
     // the sketch candidate set provably contains every true heavy hitter
     // (and, at gate scale, the whole bigram space) and the second pass

@@ -33,4 +33,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m.getOrElse(1L, 0L) > 0L, "some fingerprints must be unique")
     assert(m.values.sum > 100L)
   }
+
+  test("zipf slope on the rich corpus: negative long-tail fit with high r2") {
+    val row = TextAnalysis.zipfSlope(spark, sfDir).collect().head
+    val (vocab, total) = (row.getLong(0), row.getLong(1))
+    val (slope, r2, head) = (row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    assert(vocab > 1000L, s"rich corpus vocabulary must be wide, got $vocab")
+    assert(total > vocab, "token mass exceeds type count")
+    assert(slope < -0.8 && slope > -2.0,
+      s"head-region rank/freq slope should be Zipf-like (~ -1), got $slope")
+    assert(r2 > 0.85, s"the head fit must explain most variance, got $r2")
+    assert(head > 0.2 && head < 1.0,
+      s"a Zipfian head carries a large share of mass, got $head")
+  }
 }
