@@ -39,6 +39,7 @@ object SparkEntry {
     graft.operators.IncrementalDedup,
     graft.operators.LeakageSplit,
     graft.operators.EpochMix,
+    graft.operators.GlobalShuffle,
     graft.operators.PrefixJoin)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
