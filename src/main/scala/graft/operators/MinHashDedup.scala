@@ -425,6 +425,15 @@ object MinHashDedup extends QueryPack {
 
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_minhash_neardup" -> (minhashQuery _),
+    // The same end-to-end LSH pipeline over the wide-vocabulary
+    // [[Tables.richDocuments]] corpus: Zipfian shingles and planted
+    // near-dup groups instead of the 31-token fixture's saturated
+    // buckets — the banding's selectivity is exercised for real (bucket
+    // occupancies hug 1, candidates ≈ the planted pairs), and the
+    // verify stage's word-set truth matches the identical SQL replay.
+    "q_minhash_rich"    -> ((s, d) =>
+      nearDupPairs(Tables.richDocumentsStaged(s, d), "doc_id", "text",
+        threshold = 0.8)),
     "q_minhash_recall"  -> (recallReport _),
     // Streaming near-dup admission control; oracle-checked via the
     // closed form of first-arrival claims ([[streamNeardupOracle]]).
@@ -555,6 +564,7 @@ object MinHashDedup extends QueryPack {
 
   override def oracleSql: Map[String, String] = Map(
     "q_minhash_neardup" -> minhashNeardupOracle,
+    "q_minhash_rich" -> Tables.richOracle(minhashNeardupOracle),
     "q_stream_neardup" -> streamNeardupOracle,
     "q_minhash_recall" ->
       """WITH toks AS MATERIALIZED (
