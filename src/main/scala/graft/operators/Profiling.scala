@@ -98,6 +98,90 @@ object Profiling extends QueryPack {
       .orderBy(col("col_name"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift between the pre-1996 and
+    * post-1996 order-value distributions: D = max over x of
+    * |F_pre(x) − F_post(x)| — the binning-free companion to [[psiDrift]]
+    * (PSI's fixed bins can hide a shift that lands inside one bin; the
+    * KS statistic sees every distinct value).
+    *
+    * The interesting part at scale is the CDF itself: a cumulative over
+    * ALL distinct values is the textbook single-partition-window
+    * anti-pattern. This computes it as a DISTRIBUTED PREFIX SUM:
+    * range-repartition the per-value counts, take per-partition totals
+    * (one row per partition — the only thing the driver ever sees),
+    * prefix them into per-partition offsets, broadcast, and let each
+    * partition emit its local running sum plus its offset. Work per
+    * partition is |values|/P; driver state is P rows, constant in data
+    * size.
+    *
+    * The ranged per-value table is persisted (memory-and-disk) BEFORE
+    * the totals pass: the offset map is keyed by partition id, so the
+    * cum pass must see the identical partitioning — a re-computed
+    * RangePartitioner can resample different boundaries. Persisting pins
+    * it (on a cluster this would be a durable checkpoint, the
+    * [[DedupClusters.connectedComponents]] `checkpointDir` argument
+    * pattern).
+    *
+    * Determinism: counts are exact longs end-to-end; the only doubles
+    * are the two terminal divisions and the max — IEEE-identical in any
+    * engine, order-independent for max.
+    */
+  def ksDistance(a: DataFrame, b: DataFrame, valCol: String,
+                 parts: Int = 32): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val tagged = a.select(col(valCol).cast("double").as("v"))
+      .withColumn("ca", lit(1L)).withColumn("cb", lit(0L))
+      .unionByName(b.select(col(valCol).cast("double").as("v"))
+        .withColumn("ca", lit(0L)).withColumn("cb", lit(1L)))
+    val byVal = tagged.groupBy(col("v"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val ranged = byVal.repartitionByRange(parts, col("v"))
+      .sortWithinPartitions(col("v"))
+      .select(col("v"), col("ca"), col("cb"))
+      .as[(Double, Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var sa = 0L; var sb = 0L
+      it.foreach { t => sa += t._2; sb += t._3 }
+      Iterator.single((pid, sa, sb))
+    }.collect().sortBy(_._1)
+    val offsets = {
+      var ca = 0L; var cb = 0L
+      totals.map { case (pid, sa, sb) =>
+        val r = pid -> (ca, cb); ca += sa; cb += sb; r
+      }.toMap
+    }
+    val n1 = totals.map(_._2).sum.toDouble
+    val n2 = totals.map(_._3).sum.toDouble
+    val bc = spark.sparkContext.broadcast(offsets)
+    val cum = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var (ca, cb) = bc.value.getOrElse(pid, (0L, 0L))
+      it.map { case (v, da, db) => ca += da; cb += db; (v, ca, cb) }
+    }.toDF("v", "ca_cum", "cb_cum")
+    // `ranged` stays persisted until the session drops it: the returned
+    // plan is lazy, and unpersisting before the caller's action would
+    // let the cum pass recompute the range partitioning — and the
+    // broadcast offsets are only valid for the partitioning the totals
+    // pass saw.
+    cum
+      .select(col("v"),
+        abs(col("ca_cum").cast("double") / n1 -
+            col("cb_cum").cast("double") / n2).as("d"))
+      .orderBy(col("d").desc, col("v")).limit(1)
+      .select(lit(n1.toLong).as("n_pre"), lit(n2.toLong).as("n_post"),
+        round(col("d"), 6).as("ks_stat"), col("v").as("ks_at"))
+  }
+
+  def ksDrift(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val cut = lit("1996-01-01")
+    ksDistance(orders.filter(col("o_orderdate") < cut),
+      orders.filter(col("o_orderdate") >= cut), "o_totalprice")
+  }
+
   /** Population stability index between the pre-1999 and post-1999 order
     * value distributions over 6 fixed-width bins:
     * PSI = Σ (p−q)·ln(p/q), proportions floored at 1e-6 (the standard
@@ -291,6 +375,7 @@ object Profiling extends QueryPack {
     "q_profile"   -> (columnProfile _),
     "q_profile_distinct" -> (profileDistinct _),
     "q_psi_drift" -> (psiDrift _),
+    "q_ks_drift" -> (ksDrift _),
     "q_cohort"    -> (cohortRetention _),
     "q_contract_checks" -> (contractChecks _),
     "q_dp_counts" -> (dpCounts _),
@@ -318,6 +403,30 @@ object Profiling extends QueryPack {
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+    // the oracle's cumulative is a plain window (fine at oracle SF);
+    // the engine's is the distributed prefix sum — same exact counts
+    "q_ks_drift" ->
+      """WITH tagged AS (
+        |  SELECT o_totalprice AS v,
+        |    CASE WHEN o_orderdate < '1996-01-01' THEN 1 ELSE 0 END AS ca,
+        |    CASE WHEN o_orderdate < '1996-01-01' THEN 0 ELSE 1 END AS cb
+        |  FROM orders
+        |), byval AS (
+        |  SELECT v, sum(ca) AS ca, sum(cb) AS cb FROM tagged GROUP BY v
+        |), n AS (
+        |  SELECT CAST(sum(ca) AS DOUBLE) AS n1, CAST(sum(cb) AS DOUBLE) AS n2
+        |  FROM byval
+        |), cum AS (
+        |  SELECT v, sum(ca) OVER (ORDER BY v) AS cca,
+        |    sum(cb) OVER (ORDER BY v) AS ccb
+        |  FROM byval
+        |), d AS (
+        |  SELECT v, abs(CAST(cca AS DOUBLE) / n1 - CAST(ccb AS DOUBLE) / n2) AS d
+        |  FROM cum CROSS JOIN n
+        |)
+        |SELECT CAST(n1 AS BIGINT) AS n_pre, CAST(n2 AS BIGINT) AS n_post,
+        |  round(d, 6) AS ks_stat, v AS ks_at
+        |FROM d CROSS JOIN n ORDER BY d DESC, v LIMIT 1""".stripMargin,
     "q_psi_drift" -> {
       def cnt(pred: String, b: Int): String = {
         val lo = b * PsiWidth

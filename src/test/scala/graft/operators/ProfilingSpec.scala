@@ -1,6 +1,8 @@
 package graft.operators
 
-import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
 
 class ProfilingSpec extends SparkSpec {
 
@@ -160,5 +162,46 @@ class ProfilingSpec extends SparkSpec {
     assert(diag === users)
     // no cell precedes its cohort week
     assert(m.forall(x => x._2 >= x._1))
+  }
+
+  test("distributed-prefix-sum KS equals the single-window recompute, " +
+    "for any partition count") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.orders(spark, sfDir)
+    val cut = lit("1996-01-01")
+    val (a, b) = (orders.filter(col("o_orderdate") < cut),
+      orders.filter(col("o_orderdate") >= cut))
+    // naive reference: global window cumulative (fine at spec SF)
+    val tagged = a.select(col("o_totalprice").as("v")).withColumn("ca", lit(1L))
+      .withColumn("cb", lit(0L))
+      .unionByName(b.select(col("o_totalprice").as("v"))
+        .withColumn("ca", lit(0L)).withColumn("cb", lit(1L)))
+    val byVal = tagged.groupBy("v").agg(sum("ca").as("ca"), sum("cb").as("cb"))
+    val n1 = a.count().toDouble; val n2 = b.count().toDouble
+    val w = Window.orderBy(col("v"))
+    val expected = byVal
+      .withColumn("d", abs(sum(col("ca")).over(w).cast("double") / n1 -
+        sum(col("cb")).over(w).cast("double") / n2))
+      .orderBy(col("d").desc, col("v")).limit(1)
+      .select(round(col("d"), 6), col("v")).collect().head
+    for (parts <- Seq(3, 32)) {
+      val got = Profiling.ksDistance(a, b, "o_totalprice", parts)
+        .collect().head
+      assert(got.getLong(0) === n1.toLong && got.getLong(1) === n2.toLong)
+      assert(got.getDouble(2) === expected.getDouble(0), s"parts=$parts")
+      assert(got.getDouble(3) === expected.getDouble(1), s"parts=$parts")
+    }
+  }
+
+  test("KS on a hand-built shift: distance and location are exact") {
+    import spark.implicits._
+    // F_a steps at 1..4 by 1/4; F_b steps at 3..6 by 1/4.
+    // Max gap is 1/2, first reached at v=2 (F_a=1/2, F_b=0).
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val b = Seq(3.0, 4.0, 5.0, 6.0).toDF("x")
+    val r = Profiling.ksDistance(a, b, "x", parts = 2).collect().head
+    assert(r.getLong(0) === 4L && r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 0.5)
+    assert(r.getDouble(3) === 2.0)
   }
 }
