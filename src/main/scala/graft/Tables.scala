@@ -83,6 +83,29 @@ object Tables {
            |  ' ')""".stripMargin).as("text"))
   }
 
+  /** The rich corpus MATERIALIZED: derived once per source corpus into
+    * a staged parquet (the [[graft.sources.Ingest.ensureStaged]] atomic
+    * write-rename contract) and read from columnar storage ever after.
+    * Every rich-corpus query consumes THIS — the defining md5 expression
+    * in [[richDocuments]] is ~40 hash evaluations per document, and a
+    * query plan that clones the derivation into several legs (postings +
+    * verify sides of the prefix join, train + score legs of the LM)
+    * pays it each time; a derived table this hot is exactly what a
+    * pipeline materializes. Parity with the defining expression is
+    * spec-asserted (TablesSpec).
+    */
+  def richDocumentsStaged(s: SparkSession, d: String): DataFrame = {
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val path = graft.sources.Ingest.ensureStaged(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_rich_corpus_$md5hex")) { tmp =>
+      richDocuments(s, d).write.parquet(tmp)
+    }
+    s.read.parquet(path)
+  }
+
   /** DuckDB CTE computing the identical rich corpus from `documents` —
     * prepend to any oracle that reads `rich(doc_id, text)`. concat()
     * (not ||) throughout: DuckDB's || needs explicit VARCHAR casts on

@@ -69,7 +69,7 @@ object NgramLm extends QueryPack {
     * fixture's near-flat ones, so the perplexity spread is evidential.
     */
   def lmPerplexityRich(s: SparkSession, dir: String): DataFrame =
-    lmPerplexityOn(Tables.richDocuments(s, dir))
+    lmPerplexityOn(Tables.richDocumentsStaged(s, dir))
 
   private[operators] def lmPerplexityOn(docs: DataFrame): DataFrame = {
     val bi = docBigrams(docs)

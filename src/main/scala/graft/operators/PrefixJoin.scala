@@ -112,7 +112,7 @@ object PrefixJoin extends QueryPack {
     * arguing it around a degenerate fixture.
     */
   def prefixJaccardRich(s: SparkSession, dir: String): DataFrame =
-    prefixJaccardOn(Tables.richDocuments(s, dir))
+    prefixJaccardOn(Tables.richDocumentsStaged(s, dir))
 
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_prefix_jaccard" -> (prefixJaccardPairs _),

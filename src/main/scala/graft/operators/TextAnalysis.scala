@@ -464,7 +464,7 @@ object TextAnalysis extends QueryPack {
     * perfectly-correlated pairs), which a 31-token corpus can't show.
     */
   def collocationsRich(s: SparkSession, dir: String): DataFrame =
-    collocationsOn(Tables.richDocuments(s, dir), minCount = 4, k = 20)
+    collocationsOn(Tables.richDocumentsStaged(s, dir), minCount = 4, k = 20)
 
   /** Corpus frequency-shape report over the rich corpus: vocabulary
     * size, token mass, the log-log rank/frequency regression slope
@@ -493,7 +493,7 @@ object TextAnalysis extends QueryPack {
     * argument), and the regression is a 1-row reduce over it.
     */
   def zipfSlope(s: SparkSession, dir: String): DataFrame = {
-    val freq = Tables.richDocuments(s, dir)
+    val freq = Tables.richDocumentsStaged(s, dir)
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val ranked = freq.withColumn("r",

@@ -96,7 +96,7 @@ object HybridSearch extends QueryPack {
     * [[RichTerms]] — same plan, evidential score distribution.
     */
   def bm25TopDocsRich(s: SparkSession, dir: String): DataFrame =
-    bm25Scored(Tables.richDocuments(s, dir), RichTerms)
+    bm25Scored(Tables.richDocumentsStaged(s, dir), RichTerms)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(20)
 
