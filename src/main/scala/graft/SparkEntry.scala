@@ -40,6 +40,7 @@ object SparkEntry {
     graft.operators.LeakageSplit,
     graft.operators.EpochMix,
     graft.operators.GlobalShuffle,
+    graft.operators.TrainingManifest,
     graft.operators.PrefixJoin)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -33,7 +33,14 @@ object CuratedCorpus extends QueryPack {
     * (factored out so specs can drive it with synthetic pairs). Returns
     * one row per doc: (doc_id, reason_bits, is_kept).
     */
-  private[graft] def decisionsFor(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  private[graft] def decisionsFor(docs: DataFrame, pairs: DataFrame): DataFrame =
+    decisionsFromComp(docs, DedupClusters.connectedComponents(pairs))
+
+  /** Same, from an already-computed (node, cluster_rep) table — so a
+    * pipeline that also needs the clusters elsewhere (the training
+    * manifest splits by them) runs connected components ONCE.
+    */
+  private[graft] def decisionsFromComp(docs: DataFrame, comp: DataFrame): DataFrame = {
     // exact-dup: canonical id = min doc_id per content fingerprint
     val fps = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
     val exact = fps
@@ -41,7 +48,7 @@ object CuratedCorpus extends QueryPack {
       .select(col("doc_id"), (col("doc_id") =!= col("canonical_id")).as("drop_exact"))
     // near-dup: cluster non-representatives (docs in no pair are absent —
     // their own singletons — hence the left join + coalesce below)
-    val neardup = DedupClusters.connectedComponents(pairs)
+    val neardup = comp
       .select(col("node").as("doc_id"),
         (col("node") =!= col("cluster_rep")).as("drop_neardup"))
     val quality = CorpusCuration.qualityFlags(docs)
@@ -92,6 +99,8 @@ object CuratedCorpus extends QueryPack {
     * ([[CorpusCuration.qualityRowsSql]]) and an exact-dup window, then
     * assembles the identical bitmap per doc.
     */
+  private[operators] def decisionsSqlShared: String = decisionsSql
+
   private def decisionsSql: String =
     s"""${DedupClusters.closurePrelude}, ex AS MATERIALIZED (
        |  SELECT doc_id,

@@ -41,9 +41,15 @@ object LeakageSplit extends QueryPack {
 
   /** Per-document split assignment: (doc_id, rep, bucket, split). */
   def splitAssignments(docs: DataFrame, pairs: DataFrame,
-                       idCol: String = "doc_id"): DataFrame = {
-    val comp = DedupClusters.connectedComponents(pairs)
-      .withColumnRenamed("node", idCol)
+                       idCol: String = "doc_id"): DataFrame =
+    splitFromComp(docs, DedupClusters.connectedComponents(pairs), idCol)
+
+  /** Same, from an already-computed (node, cluster_rep) table — lets a
+    * pipeline that already clustered (the training manifest) reuse it.
+    */
+  private[graft] def splitFromComp(docs: DataFrame, compIn: DataFrame,
+                                   idCol: String = "doc_id"): DataFrame = {
+    val comp = compIn.withColumnRenamed("node", idCol)
     docs.select(col(idCol))
       .join(comp, Seq(idCol), "left")
       .withColumn("clustered",
