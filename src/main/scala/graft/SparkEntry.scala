@@ -41,6 +41,7 @@ object SparkEntry {
     graft.operators.EpochMix,
     graft.operators.GlobalShuffle,
     graft.operators.TrainingManifest,
+    graft.sources.Upsert,
     graft.operators.PrefixJoin)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
