@@ -66,7 +66,7 @@ object CuratedCorpus extends QueryPack {
 
   private def decisions(s: SparkSession, dir: String): DataFrame =
     decisionsFor(Tables.documents(s, dir),
-      MinHashDedup.minhashQuery(s, dir).select("a_id", "b_id"))
+      MinHashDedup.minhashPairsStaged(s, dir).select("a_id", "b_id"))
 
   /** The materialized curated corpus: every doc with its reason bitmap;
     * `reason_bits = 0` rows ARE the kept corpus (filter on `is_kept` to

@@ -109,7 +109,7 @@ object DedupClusters extends QueryPack {
     * clusters by definition).
     */
   def clustersQuery(s: SparkSession, dir: String): DataFrame = {
-    val pairs = MinHashDedup.minhashQuery(s, dir).select("a_id", "b_id")
+    val pairs = MinHashDedup.minhashPairsStaged(s, dir).select("a_id", "b_id")
     connectedComponents(pairs)
       .select(col("node").as("doc_id"), col("cluster_rep"))
       .withColumn("cluster_size",
@@ -184,7 +184,7 @@ object DedupClusters extends QueryPack {
 
   /** Driver query: centrality of the near-dup pair graph, top 20. */
   def pageRankQuery(s: SparkSession, dir: String): DataFrame =
-    pageRank(MinHashDedup.minhashQuery(s, dir).select("a_id", "b_id"))
+    pageRank(MinHashDedup.minhashPairsStaged(s, dir).select("a_id", "b_id"))
       .select(col("v_id").as("doc_id"),
         round(col("rank"), 6).as("pagerank"), col("degree"))
       .orderBy(col("pagerank").desc, col("doc_id"))
@@ -261,7 +261,7 @@ object DedupClusters extends QueryPack {
     * (boilerplate) where pair-level dedup under-reports redundancy.
     */
   def trianglesQuery(s: SparkSession, dir: String): DataFrame =
-    triangles(MinHashDedup.minhashQuery(s, dir).select("a_id", "b_id"))
+    triangles(MinHashDedup.minhashPairsStaged(s, dir).select("a_id", "b_id"))
       .select(col("node").as("doc_id"), col("degree"),
         col("n_triangles"), col("clustering_coeff"))
       .orderBy(col("n_triangles").desc, col("doc_id"))

@@ -39,7 +39,7 @@ object TrainingManifest extends QueryPack {
 
   def manifest(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val pairs = MinHashDedup.minhashQuery(s, dir).select("a_id", "b_id")
+    val pairs = MinHashDedup.minhashPairsStaged(s, dir).select("a_id", "b_id")
     val comp = DedupClusters.connectedComponents(pairs)
     val dec = CuratedCorpus.decisionsFromComp(docs, comp)
     val kept = docs.join(
