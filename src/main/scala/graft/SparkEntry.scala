@@ -42,6 +42,7 @@ object SparkEntry {
     graft.operators.GlobalShuffle,
     graft.operators.TrainingManifest,
     graft.sources.Upsert,
+    graft.streaming.IncrDedupStream,
     graft.operators.PrefixJoin)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

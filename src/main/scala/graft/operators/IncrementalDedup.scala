@@ -168,7 +168,7 @@ object IncrementalDedup extends QueryPack {
     * (md5(doc_id) % 10 = 7 — the q_prefix_jaccard sampling pattern), so
     * the oracle can reproduce the exact same split.
     */
-  private def isBatch = conv(substring(
+  private[graft] def isBatch = conv(substring(
     md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
     .cast("long") % 10 === 7
 

@@ -546,7 +546,7 @@ object MinHashDedup extends QueryPack {
        |)""".stripMargin
   }
 
-  private[operators] def minhashNeardupOracle: String =
+  private[graft] def minhashNeardupOracle: String =
     s"""$sigPrelude,
        | cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id

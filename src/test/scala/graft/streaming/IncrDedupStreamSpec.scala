@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.operators.{IncrementalDedup, MinHashDedup}
+
+class IncrDedupStreamSpec extends SparkSpec {
+
+  private def pairsOf(df: DataFrame): Set[(Long, Long)] =
+    df.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("two-batch stream over the whole corpus = one-shot pair set, " +
+    "and a LATER stream continues from the same state") {
+    val docs = Tables.documents(spark, sfDir)
+    val work = java.nio.file.Files.createTempDirectory("incr_stream_spec")
+    val src = work.resolve("src"); java.nio.file.Files.createDirectories(src)
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = work.resolve(s"stage_$name")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dst = src.resolve(s"$name.parquet")
+      java.nio.file.Files.move(java.nio.file.Paths.get(part), dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    val history = docs.filter(!IncrementalDedup.isBatch)
+    val batch = docs.filter(IncrementalDedup.isBatch)
+    stage(history, "part-0001", 1000000L)
+    stage(batch, "part-0002", 2000000L)
+    val state = work.resolve("state").toString
+    val got = pairsOf(IncrDedupStream.run(spark, src.toString, docs.schema, state))
+    val oneShot = pairsOf(
+      MinHashDedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.8))
+    assert(got === oneShot,
+      "incremental union must equal the one-shot full-corpus pair set")
+
+    // a SECOND stream, same state, new arrivals: near-dup copies of two
+    // history docs (ids far above the corpus range)
+    val src2 = work.resolve("src2"); java.nio.file.Files.createDirectories(src2)
+    val seeds = history.orderBy("doc_id").limit(2)
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+    import spark.implicits._
+    val newDocs = seeds.zipWithIndex.map { case (r, i) =>
+      (1000000L + i, r.getString(1), r.getString(2), r.getString(3), r.getLong(4))
+    }.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp2 = work.resolve("stage2")
+    newDocs.coalesce(1).write.parquet(tmp2.toString)
+    val part2 = java.nio.file.Files.list(tmp2).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    java.nio.file.Files.move(java.nio.file.Paths.get(part2),
+      src2.resolve("part-0003.parquet"))
+    val got2 = pairsOf(IncrDedupStream.run(spark, src2.toString, docs.schema, state))
+    val expected2 = pairsOf(IncrementalDedup.dedupNewBatch(
+      docs, {
+        val store = work.resolve("rebuilt_store").toString
+        IncrementalDedup.writeBandStore(docs, store); store
+      }, newDocs))
+    assert((got2 -- got) === expected2,
+      "the restarted stream must dedup new arrivals against ALL prior state")
+    assert(got2.intersect(got) === got, "earlier results are retained in the sink")
+  }
+}
