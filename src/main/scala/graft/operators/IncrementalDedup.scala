@@ -60,10 +60,11 @@ object IncrementalDedup extends QueryPack {
     */
   def absorbBatch(batch: DataFrame, path: String,
                   idCol: String = "doc_id", textCol: String = "text",
-                  seed: Long = 42L): Unit =
+                  seed: Long = 42L,
+                  mode: SaveMode = SaveMode.Append): Unit =
     bandKeys(batch, idCol, textCol, seed)
       .select(col("band_id"), col("bucket"), col("id").as("doc_id"))
-      .write.mode(SaveMode.Append).parquet(path)
+      .write.mode(mode).parquet(path)
 
   /** Near-dup pairs (a_id, b_id, jac ≥ threshold) touching the new batch:
     * batch×history via the persisted store at `storePath` plus

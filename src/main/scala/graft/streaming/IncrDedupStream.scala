@@ -32,10 +32,14 @@ import graft.operators.{IncrementalDedup, MinHashDedup}
   * pair set, so `q_stream_incr_neardup` shares the `q_minhash_neardup`
   * oracle verbatim.
   *
-  * Retry caveat (documented, not hardened here): a re-delivered
-  * micro-batch would append its postings twice; production hardening is
-  * batch_id-scoped output directories exactly as
-  * [[EventStreams.etlToParquet]] demonstrates for its sink.
+  * Exactly-once state: every write is scoped to `batch_id=<id>` and
+  * OVERWRITES its own scope (the [[EventStreams.etlToParquet]]
+  * discipline), so a re-delivered micro-batch replaces its previous
+  * attempt instead of appending twice. The stream checkpoint lives
+  * UNDER `statePath`, which makes the whole directory the unit of
+  * state: re-running over the same source resumes after the processed
+  * files (batch ids never repeat — the checkpoint remembers), and the
+  * spec drives exactly that restart.
   */
 object IncrDedupStream extends QueryPack {
 
@@ -52,7 +56,7 @@ object IncrDedupStream extends QueryPack {
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
     val q = source.writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val s = batch.sparkSession
         val first = !java.nio.file.Files.exists(
           java.nio.file.Paths.get(bandsP))
@@ -61,20 +65,31 @@ object IncrDedupStream extends QueryPack {
             MinHashDedup.nearDupPairs(batch, "doc_id", "text", threshold = 0.8)
           else
             IncrementalDedup.dedupNewBatch(
-              s.read.schema(schema).parquet(docsP), bandsP, batch)
-        pairs.write.mode(SaveMode.Append).parquet(resultsP)
-        batch.write.mode(SaveMode.Append).parquet(docsP)
-        IncrementalDedup.absorbBatch(batch, bandsP)
+              s.read.parquet(docsP).select(
+                schema.fieldNames.map(col).toSeq: _*),
+              bandsP, batch)
+        // batch_id-scoped + Overwrite = a retried batch replaces itself
+        pairs.write.mode(SaveMode.Overwrite).parquet(s"$resultsP/batch_id=$id")
+        batch.write.mode(SaveMode.Overwrite).parquet(s"$docsP/batch_id=$id")
+        IncrementalDedup.absorbBatch(batch, s"$bandsP/batch_id=$id",
+          mode = SaveMode.Overwrite)
         ()
       }
-      .option("checkpointLocation", StreamHousekeeping.freshCheckpointDir())
+      .option("checkpointLocation", s"$statePath/checkpoint")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read
-      .schema("a_id BIGINT, b_id BIGINT, jac DOUBLE")
-      .parquet(resultsP)
+    // a run whose batches all produced zero pairs leaves only empty
+    // scoped dirs — no parquet footers to infer from
+    try spark.read.parquet(resultsP)
+      .select(col("a_id"), col("b_id"), col("jac"))
       .orderBy(col("a_id"), col("b_id"))
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row],
+          StructType.fromDDL("a_id BIGINT, b_id BIGINT, jac DOUBLE"))
+    }
   }
 
   /** Driver query: the documents corpus streamed as two mtime-ordered

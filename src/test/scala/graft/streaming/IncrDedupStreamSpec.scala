@@ -37,22 +37,18 @@ class IncrDedupStreamSpec extends SparkSpec {
     assert(got === oneShot,
       "incremental union must equal the one-shot full-corpus pair set")
 
-    // a SECOND stream, same state, new arrivals: near-dup copies of two
-    // history docs (ids far above the corpus range)
-    val src2 = work.resolve("src2"); java.nio.file.Files.createDirectories(src2)
+    // RESTART: drop a third file into the SAME source, re-run with the
+    // same state — the checkpoint under statePath must skip the two
+    // processed files and dedup only the new arrivals (near-dup copies
+    // of two history docs, ids far above the corpus range)
     val seeds = history.orderBy("doc_id").limit(2)
       .select("doc_id", "text", "lang", "source", "n_chars").collect()
     import spark.implicits._
     val newDocs = seeds.zipWithIndex.map { case (r, i) =>
       (1000000L + i, r.getString(1), r.getString(2), r.getString(3), r.getLong(4))
     }.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
-    val tmp2 = work.resolve("stage2")
-    newDocs.coalesce(1).write.parquet(tmp2.toString)
-    val part2 = java.nio.file.Files.list(tmp2).toArray.map(_.toString)
-      .filter(_.endsWith(".parquet")).head
-    java.nio.file.Files.move(java.nio.file.Paths.get(part2),
-      src2.resolve("part-0003.parquet"))
-    val got2 = pairsOf(IncrDedupStream.run(spark, src2.toString, docs.schema, state))
+    stage(newDocs, "part-0003", 3000000L)
+    val got2 = pairsOf(IncrDedupStream.run(spark, src.toString, docs.schema, state))
     val expected2 = pairsOf(IncrementalDedup.dedupNewBatch(
       docs, {
         val store = work.resolve("rebuilt_store").toString
