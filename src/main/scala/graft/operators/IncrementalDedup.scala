@@ -66,6 +66,107 @@ object IncrementalDedup extends QueryPack {
       .select(col("band_id"), col("bucket"), col("id").as("doc_id"))
       .write.mode(mode).parquet(path)
 
+  /** Batch ids of the `batch_id=N` subdirectories under `dir` (any
+    * Hadoop scheme — the probe goes through the `FileSystem` API, not
+    * `java.nio`). Empty when the directory does not exist yet.
+    */
+  def listBatchIds(spark: SparkSession, dir: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+  }
+
+  /** COMPACTION for a `batch_id=N`-scoped state directory (the
+    * [[graft.streaming.IncrDedupStream]] layout) — the
+    * [[graft.sources.TableIO.compactAnnIndex]] maintenance op for the
+    * band store: fold every `batch_id=N` directory with `N ≤ upTo` into
+    * ONE `batch_id=<max folded id>` directory, so a week of 1-minute
+    * micro-batches does not leave ~10k directories of tiny postings
+    * files for every later `dedupNewBatch` listing to pay for. The fold
+    * preserves rebuild equality (same rows, relabeled partitions) and
+    * retry semantics: a later batch M > upTo still selects the folded
+    * data via `batch_id < M`, and `upTo` must come from the stream's
+    * COMMITTED watermark (see [[graft.streaming.IncrDedupStream
+    * .compactState]]) so an uncommitted batch is never folded under an
+    * id it could be retried against.
+    *
+    * Swap discipline (all renames, any Hadoop scheme): write the fold to
+    * a sibling `__compacting` dir; park each folded `batch_id=N` into a
+    * sibling `__precompact`; rename the fold into place; delete the
+    * parked originals. A crash at any point is healed by
+    * [[recoverCompactLeftovers]] (run first here and by the stream):
+    * `__compacting` still present → roll BACK (restore parked dirs,
+    * drop the fold); only `__precompact` left → roll FORWARD (the fold
+    * is live; drop the parked originals).
+    */
+  def compactBatchDirs(spark: SparkSession, dir: String, upTo: Long,
+                       minDirs: Int = 2): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompactLeftovers(spark, dir)
+    val ids = listBatchIds(spark, dir).filter(_ <= upTo).sorted
+    if (ids.size < math.max(2, minDirs)) return
+    val target = ids.max
+    val tmp = new Path(dir.stripSuffix("/") + "__compacting")
+    val parked = new Path(dir.stripSuffix("/") + "__precompact")
+    val folded =
+      try spark.read.parquet(dir)
+        .filter(col("batch_id") <= upTo).drop("batch_id")
+      catch {
+        // every folded dir empty (zero-pair results batches write only
+        // _SUCCESS) — nothing to fold; tiny empty dirs are harmless
+        case e: org.apache.spark.sql.AnalysisException
+            if isEmptyReadCondition(e) => return
+      }
+    folded.coalesce(math.max(1, ids.size / 8)).write
+      .mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.mkdirs(parked)
+    for (id <- ids) {
+      val d = new Path(root, s"batch_id=$id")
+      require(fs.rename(d, new Path(parked, s"batch_id=$id")),
+        s"compact: could not park $d")
+    }
+    require(fs.rename(tmp, new Path(root, s"batch_id=$target")),
+      s"compact: could not move $tmp into place")
+    fs.delete(parked, true)
+  }
+
+  /** Heal a crashed [[compactBatchDirs]] swap — see its scaladoc. */
+  def recoverCompactLeftovers(spark: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir.stripSuffix("/") + "__compacting")
+    val parked = new Path(dir.stripSuffix("/") + "__precompact")
+    if (fs.exists(tmp)) {
+      // crashed BEFORE the fold went live: restore any parked originals
+      // whose live dir is missing, then drop the incomplete fold
+      if (fs.exists(parked))
+        for (st <- fs.listStatus(parked) if st.isDirectory) {
+          val live = new Path(root, st.getPath.getName)
+          if (!fs.exists(live))
+            require(fs.rename(st.getPath, live),
+              s"compact recovery: could not restore ${st.getPath}")
+        }
+      fs.delete(parked, true)
+      fs.delete(tmp, true)
+    } else if (fs.exists(parked)) {
+      // fold is live; the parked originals are superseded
+      fs.delete(parked, true)
+    }
+  }
+
+  /** True for the error conditions an empty/absent parquet read raises. */
+  private[graft] def isEmptyReadCondition(
+      e: org.apache.spark.sql.AnalysisException): Boolean =
+    Option(e.getCondition).exists(c =>
+      c.startsWith("UNABLE_TO_INFER_SCHEMA") || c.startsWith("PATH_NOT_FOUND"))
+
   /** Near-dup pairs (a_id, b_id, jac ≥ threshold) touching the new batch:
     * batch×history via the persisted store at `storePath` plus
     * batch×batch, verified exactly. `corpus` supplies historical TEXTS
@@ -76,13 +177,30 @@ object IncrementalDedup extends QueryPack {
                     idCol: String = "doc_id", textCol: String = "text",
                     threshold: Double = 0.8, seed: Long = 42L,
                     maxBucketSize: Int = defaultMaxBucketSize,
-                    sigAgreementMargin: Option[Double] = Some(0.35)): DataFrame = {
+                    sigAgreementMargin: Option[Double] = Some(0.35)): DataFrame =
+    dedupAgainstStore(corpus, batch.sparkSession.read.parquet(storePath),
+      batch, idCol, textCol, threshold, seed, maxBucketSize, sigAgreementMargin)
+
+  /** [[dedupNewBatch]] with the band store supplied as a DataFrame — the
+    * streaming front-end passes the `batch_id`-partitioned store FILTERED
+    * to `batch_id < current` here, so a re-delivered micro-batch never
+    * sees its own prior attempt's postings. Defensive even so: the cross
+    * leg drops `id = old_id` self-pairs and `touched` is deduplicated on
+    * the id column, so a store/batch overlap (a caller re-absorbing a
+    * batch) degrades to duplicate work rather than corrupt output
+    * (self-pairs at jac 1.0, doubled verify rows).
+    */
+  def dedupAgainstStore(corpus: DataFrame, bandStore: DataFrame, batch: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        threshold: Double = 0.8, seed: Long = 42L,
+                        maxBucketSize: Int = defaultMaxBucketSize,
+                        sigAgreementMargin: Option[Double] = Some(0.35)): DataFrame = {
     MinHashDedup.requireLongId(batch, idCol)
     val spark = batch.sparkSession
     val droppedBuckets = spark.sparkContext.longAccumulator(MinHashDedup.droppedBucketsAcc)
     val droppedSlots = spark.sparkContext.longAccumulator(MinHashDedup.droppedDocSlotsAcc)
 
-    val store = spark.read.parquet(storePath)
+    val store = bandStore.select(col("band_id"), col("bucket"), col("doc_id"))
     // batch banded ONCE, reused by cross pairs, intra pairs, and occupancy
     val bb = bandKeys(batch, idCol, textCol, seed)
       .select(col("band_id"), col("bucket"), col("id"))
@@ -114,6 +232,7 @@ object IncrementalDedup extends QueryPack {
     val cross = bb.join(okBuckets, Seq("band_id", "bucket"), "left_semi")
       .join(store.select(col("band_id"), col("bucket"), col("doc_id").as("old_id")),
         Seq("band_id", "bucket"))
+      .filter(col("id") =!= col("old_id")) // store/batch overlap ≠ a pair
       .select(least(col("id"), col("old_id")).as("a_id"),
         greatest(col("id"), col("old_id")).as("b_id"))
     val intra = bb.join(okBuckets, Seq("band_id", "bucket"), "left_semi")
@@ -131,9 +250,12 @@ object IncrementalDedup extends QueryPack {
     val cand = candidates.localCheckpoint(eager = false)
     val candIds = cand.select(col("a_id").as("cid"))
       .union(cand.select(col("b_id"))).distinct()
+    // dropDuplicates: an id present in BOTH corpus and batch (overlap)
+    // must contribute one text row, not two join matches per pair
     val touched = corpus.select(col(idCol), col(textCol))
       .join(candIds, col(idCol) === col("cid"), "left_semi")
       .union(batch.select(col(idCol), col(textCol)))
+      .dropDuplicates(idCol)
 
     val prefiltered = sigAgreementMargin match {
       case None => cand

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{AnalysisException, DataFrame, Dataset, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
@@ -20,11 +21,12 @@ import graft.operators.{IncrementalDedup, MinHashDedup}
   * all history at per-batch cost.
   *
   * State layout under `statePath` (all plain parquet, readable by any
-  * engine): `docs/` — absorbed documents (texts for candidate verify);
-  * `bands/` — the (band_id, bucket, doc_id) postings; `results/` — the
-  * accumulated verified pairs. The FIRST batch (no store yet) runs the
-  * plain intra-batch pipeline; every later batch runs
-  * [[IncrementalDedup.dedupNewBatch]].
+  * engine; `statePath` may be ANY Hadoop URI — every probe and move goes
+  * through the `FileSystem` API, never `java.nio`): `docs/` — absorbed
+  * documents (texts for candidate verify); `bands/` — the (band_id,
+  * bucket, doc_id) postings; `results/` — the accumulated verified
+  * pairs. Each is scoped `batch_id=<id>` per micro-batch;
+  * [[compactState]] folds committed scopes back into one directory.
   *
   * CLOSED FORM the oracle checks: streaming the corpus as
   * (history-file, batch-file) yields intra-history pairs (batch 0) plus
@@ -32,14 +34,21 @@ import graft.operators.{IncrementalDedup, MinHashDedup}
   * pair set, so `q_stream_incr_neardup` shares the `q_minhash_neardup`
   * oracle verbatim.
   *
-  * Exactly-once state: every write is scoped to `batch_id=<id>` and
-  * OVERWRITES its own scope (the [[EventStreams.etlToParquet]]
-  * discipline), so a re-delivered micro-batch replaces its previous
-  * attempt instead of appending twice. The stream checkpoint lives
-  * UNDER `statePath`, which makes the whole directory the unit of
-  * state: re-running over the same source resumes after the processed
-  * files (batch ids never repeat — the checkpoint remembers), and the
-  * spec drives exactly that restart.
+  * Exactly-once state, RETRY-SAFE: every write is scoped to
+  * `batch_id=<id>` and OVERWRITES its own scope (the
+  * [[EventStreams.etlToParquet]] discipline), so a re-delivered
+  * micro-batch replaces its previous attempt instead of appending twice
+  * — and, because the state writes land BEFORE the checkpoint commit, a
+  * retried batch reads the store and docs dirs FILTERED to
+  * `batch_id < id` (partition-pruned), so it never sees its own prior
+  * attempt's postings (which would emit self-pairs at jac 1.0 and
+  * doubled verify rows). "First batch" is likewise derived from the
+  * existence of STRICTLY EARLIER scopes, so a batch-0 retry re-runs the
+  * intra-batch path rather than deduping against itself. The stream
+  * checkpoint lives UNDER `statePath`, which makes the whole directory
+  * the unit of state: re-running over the same source resumes after the
+  * processed files (batch ids never repeat — the checkpoint remembers),
+  * and the spec drives exactly that restart.
   */
 object IncrDedupStream extends QueryPack {
 
@@ -52,22 +61,30 @@ object IncrDedupStream extends QueryPack {
     val bandsP = s"$statePath/bands"
     val docsP = s"$statePath/docs"
     val resultsP = s"$statePath/results"
+    // a crashed compactState swap would otherwise leave a parked/half-
+    // swapped store for every batch of this run to read
+    Seq(bandsP, docsP, resultsP).foreach(
+      IncrementalDedup.recoverCompactLeftovers(spark, _))
     val source = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
     val q = source.writeStream
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val s = batch.sparkSession
-        val first = !java.nio.file.Files.exists(
-          java.nio.file.Paths.get(bandsP))
+        // retry safety: only scopes strictly before THIS batch id are
+        // history — a re-delivered batch must not see its own prior
+        // attempt's state (self-pairs, doubled texts), and a batch-0
+        // retry must take the intra-batch path again
+        val first = !IncrementalDedup.listBatchIds(s, bandsP).exists(_ < id)
         val pairs =
           if (first)
             MinHashDedup.nearDupPairs(batch, "doc_id", "text", threshold = 0.8)
           else
-            IncrementalDedup.dedupNewBatch(
-              s.read.parquet(docsP).select(
-                schema.fieldNames.map(col).toSeq: _*),
-              bandsP, batch)
+            IncrementalDedup.dedupAgainstStore(
+              s.read.parquet(docsP).filter(col("batch_id") < id)
+                .select(schema.fieldNames.map(col).toSeq: _*),
+              s.read.parquet(bandsP).filter(col("batch_id") < id),
+              batch)
         // batch_id-scoped + Overwrite = a retried batch replaces itself
         pairs.write.mode(SaveMode.Overwrite).parquet(s"$resultsP/batch_id=$id")
         batch.write.mode(SaveMode.Overwrite).parquet(s"$docsP/batch_id=$id")
@@ -80,17 +97,51 @@ object IncrDedupStream extends QueryPack {
       .start()
     q.awaitTermination()
     // a run whose batches all produced zero pairs leaves only empty
-    // scoped dirs — no parquet footers to infer from
+    // scoped dirs — no parquet footers to infer from. Catch EXACTLY
+    // that condition; a genuinely corrupt results dir must still throw.
     try spark.read.parquet(resultsP)
       .select(col("a_id"), col("b_id"), col("jac"))
       .orderBy(col("a_id"), col("b_id"))
     catch {
-      case _: org.apache.spark.sql.AnalysisException =>
+      case e: AnalysisException if IncrementalDedup.isEmptyReadCondition(e) =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row],
           StructType.fromDDL("a_id BIGINT, b_id BIGINT, jac DOUBLE"))
     }
   }
+
+  /** Highest batch id the checkpoint has COMMITTED — the safe compaction
+    * watermark: a batch at or below it is never re-delivered, so folding
+    * it can't hide state from a retry's `batch_id < id` filter. None
+    * when the checkpoint has no commits yet.
+    */
+  def maxCommittedBatch(spark: SparkSession, checkpointPath: String): Option[Long] = {
+    val p = new Path(s"$checkpointPath/commits")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName.stripSuffix(".compact"))
+      .filter(_.forall(_.isDigit)).map(_.toLong)
+      .reduceOption(_ max _)
+  }
+
+  /** MAINTENANCE: fold every committed `batch_id=N` scope of the
+    * stream's state (bands, docs, results) into one directory each —
+    * the [[graft.sources.TableIO.compactAnnIndex]] lifecycle op this
+    * layout needs, or a week of 1-minute micro-batches leaves ~10k tiny
+    * postings directories for every later batch to list. Results are
+    * bit-identical for every later batch and reader (spec-asserted):
+    * the fold relabels committed scopes under the max committed id,
+    * which every later `batch_id < id` filter still selects. Run it
+    * like [[graft.sources.TableIO.compactAnnIndex]] — with the stream
+    * stopped (exclusive access); a crash mid-swap is healed on the next
+    * call OR the next [[run]].
+    */
+  def compactState(spark: SparkSession, statePath: String): Unit =
+    maxCommittedBatch(spark, s"$statePath/checkpoint").foreach { upTo =>
+      Seq("bands", "docs", "results").foreach(d =>
+        IncrementalDedup.compactBatchDirs(spark, s"$statePath/$d", upTo))
+    }
 
   /** Driver query: the documents corpus streamed as two mtime-ordered
     * files — history (the `q_incr_neardup` 9-in-10 slice) then the
@@ -101,20 +152,22 @@ object IncrDedupStream extends QueryPack {
   def streamIncrQuery(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val work = java.nio.file.Files.createTempDirectory("graft_incr_stream")
-    val src = work.resolve("src")
-    java.nio.file.Files.createDirectories(src)
+    val hconf = s.sparkContext.hadoopConfiguration
+    val src = new Path(work.toString, "src")
+    val fs = src.getFileSystem(hconf)
+    fs.mkdirs(src)
     def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = work.resolve(s"stage_$name")
+      val tmp = new Path(work.toString, s"stage_$name")
       df.coalesce(1).write.parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).head
-      val dst = src.resolve(s"$name.parquet")
-      java.nio.file.Files.move(java.nio.file.Paths.get(part), dst)
-      dst.toFile.setLastModified(mtime)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new Path(src, s"$name.parquet")
+      require(fs.rename(part, dst), s"stage: could not move $part")
+      fs.setTimes(dst, mtime, -1)
     }
     stage(docs.filter(!IncrementalDedup.isBatch), "part-0001", 1000000L)
     stage(docs.filter(IncrementalDedup.isBatch), "part-0002", 2000000L)
-    run(s, src.toString, docs.schema, work.resolve("state").toString)
+    run(s, src.toString, docs.schema, s"$work/state")
   }
 
   override def queries: Map[String, QueryPack.Q] = Map(

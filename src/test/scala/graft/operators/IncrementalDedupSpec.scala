@@ -68,6 +68,62 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(uncapped === expected)
   }
 
+  test("store/batch overlap (the retry shape) yields no self-pairs and no " +
+    "duplicate rows — output equals the clean non-overlapping run") {
+    val (old, batch, all) = split(sfDir)
+    val dir = Files.createTempDirectory("bandstore_overlap").toString
+    val clean = dir + "/clean"
+    val dirty = dir + "/dirty"
+    IncrementalDedup.writeBandStore(old, clean)
+    // the retry case: the batch's own postings are ALREADY in the store,
+    // and its docs are already in the corpus the verify reads
+    IncrementalDedup.writeBandStore(all, dirty)
+    val expected = IncrementalDedup.dedupNewBatch(old, clean, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val got = IncrementalDedup.dedupAgainstStore(
+      all, spark.read.parquet(dirty), batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(!got.exists(p => p._1 == p._2), "no self-pairs at jac 1.0")
+    assert(got.length === got.toSet.size, "no duplicated verify rows")
+    assert(got.toSet === expected.toSet)
+  }
+
+  test("compactBatchDirs folds committed scopes into one dir, content " +
+    "unchanged; crashed swaps heal both directions") {
+    import org.apache.hadoop.fs.Path
+    val root = Files.createTempDirectory("bandstore_compact").toString + "/bands"
+    val t = (i: Int) => s"w$i x$i y$i z$i"
+    for (id <- 0 to 3)
+      IncrementalDedup.writeBandStore(
+        Seq((id.toLong, t(id))).toDF("doc_id", "text"), s"$root/batch_id=$id")
+    def content() = spark.read.parquet(root)
+      .select("band_id", "bucket", "doc_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val before = content()
+    IncrementalDedup.compactBatchDirs(spark, root, upTo = 2L)
+    assert(IncrementalDedup.listBatchIds(spark, root).sorted === Seq(2L, 3L),
+      "scopes 0-2 fold under the max folded id; 3 (uncommitted) survives")
+    assert(content() === before, "the fold relabels, never drops or dups")
+
+    // crash BEFORE the fold went live: __compacting present, one scope
+    // parked — recovery must restore it and drop the fold
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parked = new Path(root + "__precompact")
+    fs.mkdirs(parked)
+    assert(fs.rename(new Path(root, "batch_id=3"), new Path(parked, "batch_id=3")))
+    fs.mkdirs(new Path(root + "__compacting"))
+    IncrementalDedup.recoverCompactLeftovers(spark, root)
+    assert(IncrementalDedup.listBatchIds(spark, root).sorted === Seq(2L, 3L))
+    assert(!fs.exists(parked) && !fs.exists(new Path(root + "__compacting")))
+    assert(content() === before)
+
+    // crash AFTER: only __precompact left — recovery rolls forward
+    fs.mkdirs(new Path(parked, "batch_id=9"))
+    IncrementalDedup.recoverCompactLeftovers(spark, root)
+    assert(!fs.exists(parked))
+    assert(content() === before)
+  }
+
   test("chained batches: second batch sees the first as history after absorb") {
     val t1 = "one two three four five six seven eight"
     val old = Seq((1L, t1)).toDF("doc_id", "text")

@@ -58,4 +58,68 @@ class IncrDedupStreamSpec extends SparkSpec {
       "the restarted stream must dedup new arrivals against ALL prior state")
     assert(got2.intersect(got) === got, "earlier results are retained in the sink")
   }
+
+  test("retried micro-batch (commit lost after state writes) reproduces the " +
+    "clean result — no self-pairs, no duplicates; state on a file: URI; " +
+    "compactState folds scopes without changing later batches") {
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.documents(spark, sfDir)
+    val work = java.nio.file.Files.createTempDirectory("incr_stream_retry")
+    val fs = new Path(work.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = new Path(work.toString, "src"); fs.mkdirs(src)
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = new Path(work.toString, s"stage_$name")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new Path(src, s"$name.parquet")
+      assert(fs.rename(part, dst)); fs.setTimes(dst, mtime, -1)
+    }
+    val history = docs.filter(!graft.operators.IncrementalDedup.isBatch)
+    val batch = docs.filter(graft.operators.IncrementalDedup.isBatch)
+    stage(history, "part-0001", 1000000L)
+    stage(batch, "part-0002", 2000000L)
+    // an explicit file:-scheme Hadoop URI — java.nio would choke on it
+    val state = s"file://$work/state"
+    val clean = IncrDedupStream.run(spark, src.toString, docs.schema, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(clean.nonEmpty)
+
+    // RETRY: drop the last commit marker — the state writes for batch 1
+    // are all in place, but the checkpoint says it never finished. The
+    // restarted stream re-delivers batch 1 against a store that already
+    // holds batch 1's own postings.
+    assert(fs.delete(new Path(s"$state/checkpoint/commits/1"), false),
+      "fixture: batch 1's commit marker must exist")
+    val retried = IncrDedupStream.run(spark, src.toString, docs.schema, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(!retried.exists(p => p._1 == p._2), "no self-pairs from the retry")
+    assert(retried.length === retried.toSet.size, "no duplicated rows")
+    assert(retried.toSet === clean.toSet,
+      "a retried batch reproduces its clean result exactly")
+
+    // COMPACTION: fold the two committed scopes; every state dir drops to
+    // one batch_id scope and a later stream behaves identically
+    IncrDedupStream.compactState(spark, state)
+    for (d <- Seq("bands", "docs"))
+      assert(graft.operators.IncrementalDedup
+        .listBatchIds(spark, s"$state/$d") === Seq(1L), s"$d folds to one scope")
+    val seeds = history.orderBy("doc_id").limit(2)
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+    import spark.implicits._
+    val newDocs = seeds.zipWithIndex.map { case (r, i) =>
+      (2000000L + i, r.getString(1), r.getString(2), r.getString(3), r.getLong(4))
+    }.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+    stage(newDocs, "part-0003", 3000000L)
+    val after = IncrDedupStream.run(spark, src.toString, docs.schema, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val store = new Path(work.toString, "rebuilt_store").toString
+    graft.operators.IncrementalDedup.writeBandStore(docs, store)
+    val expectedNew = graft.operators.IncrementalDedup
+      .dedupNewBatch(docs, store, newDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after === clean.toSet ++ expectedNew,
+      "a post-compaction batch sees exactly the same history")
+  }
 }
