@@ -46,9 +46,17 @@ object Bench {
           Left(msg.replaceAll("[\"\\\\\n\r\t]", " "))
       }
     }
-    val results = ordered.map { case (name, fn) =>
-      name -> ((timeOne(fn), timeOne(fn)) match {
-        case (Right(a), Right(b)) => Right(math.min(a, b))
+    // the two timed passes are INTERLEAVED as whole-suite rounds, not
+    // back-to-back per query: a transient (GC pause, tmpfs flush, page
+    // cache eviction) then has to persist across the entire suite to
+    // survive the min — back-to-back passes let one multi-second hiccup
+    // inflate both samples of a single query (the r7 q_outliers_mad /
+    // q_prox_search 3.8×/4.7× drift with unchanged code)
+    val roundA = ordered.map { case (name, fn) => name -> timeOne(fn) }
+    val roundB = ordered.map { case (name, fn) => name -> timeOne(fn) }
+    val results = roundA.zip(roundB).map { case ((name, a), (_, b)) =>
+      name -> ((a, b) match {
+        case (Right(x), Right(y)) => Right(math.min(x, y))
         case (Left(e), _)         => Left(e)
         case (_, Left(e))         => Left(e)
       })

@@ -140,4 +140,35 @@ object Tables {
     if (r.startsWith("WITH ")) richCorpusSql + ",\n" + r.stripPrefix("WITH ")
     else richCorpusSql + "\n" + r
   }
+
+  /** The rich corpus carrying the documents METADATA columns (lang,
+    * source, n_chars) — for operators that group or block by them
+    * (contamination per source, CDC ownership). One keyed join against
+    * the staged rich table; doc_id is unique on both sides.
+    */
+  def richDocumentsMeta(s: SparkSession, d: String): DataFrame =
+    documents(s, d).drop("text")
+      .join(richDocumentsStaged(s, d), Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+
+  /** [[richOracle]] for metadata-consuming oracles: scans retarget at a
+    * `richmeta` view = rich text joined back to the documents metadata.
+    * Handles `WITH RECURSIVE` heads (the keyword must lead the whole
+    * CTE list, with the spliced non-recursive CTEs after it).
+    */
+  def richMetaOracle(sql: String): String = {
+    val r = sql.replace("FROM documents", "FROM richmeta")
+    val spliced = richCorpusSql +
+      """,
+        |richmeta AS (
+        |  SELECT d.doc_id, r.text, d.lang, d.source, d.n_chars
+        |  FROM documents d JOIN rich r USING (doc_id))""".stripMargin
+    if (r.startsWith("WITH RECURSIVE "))
+      "WITH RECURSIVE " + spliced.stripPrefix("WITH ") + ",\n" +
+        r.stripPrefix("WITH RECURSIVE ")
+    else if (r.startsWith("WITH "))
+      spliced + ",\n" + r.stripPrefix("WITH ")
+    else spliced + "\n" + r
+  }
 }

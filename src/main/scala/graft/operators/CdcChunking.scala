@@ -204,8 +204,20 @@ object CdcChunking extends QueryPack {
   def overlapQuery(s: SparkSession, dir: String): DataFrame =
     overlapPairs(Tables.documents(s, dir), "doc_id", "text")
 
+  /** CDC overlap on the RICH corpus (metadata-joined — [[chunkRefs]]
+    * carries `source` for ownership): the 31-token fixture's texts are
+    * near-identical at the byte level, so chunk sharing is ~total;
+    * the wide-vocabulary corpus shows genuine partial overlap — group
+    * siblings share the content-defined chunks their unmutated runs
+    * produce, cross-group docs share almost none (spread spec-asserted
+    * in RichCorpusSpec).
+    */
+  def overlapRichQuery(s: SparkSession, dir: String): DataFrame =
+    overlapPairs(Tables.richDocumentsMeta(s, dir), "doc_id", "text")
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_cdc_stats"   -> (chunkStatsQuery _),
+    "q_cdc_rich"    -> (overlapRichQuery _),
     "q_cdc_overlap" -> (overlapQuery _))
 
   /** Both CDC queries are DuckDB-oracle-checked despite the sequential
@@ -299,16 +311,19 @@ object CdcChunking extends QueryPack {
           |  CAST(sum(chunk_len) AS BIGINT) AS distinct_bytes,
           |  CAST(sum(chunk_len * (refs - 1)) AS BIGINT) AS dup_chunk_bytes
           |FROM per GROUP BY 1 ORDER BY source""".stripMargin),
-      "q_cdc_overlap" -> (prelude +
-        """
-          |, dref AS (
-          |  SELECT DISTINCT doc_id, chunk_hash, chunk_len FROM refs
-          |)
-          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-          |  CAST(count(*) AS BIGINT) AS shared_chunks,
-          |  CAST(sum(a.chunk_len) AS BIGINT) AS shared_bytes
-          |FROM dref a JOIN dref b ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
-          |GROUP BY 1, 2 HAVING count(*) >= 2
-          |ORDER BY a_id, b_id""".stripMargin))
+      "q_cdc_overlap" -> (prelude + overlapTail),
+      "q_cdc_rich" -> graft.Tables.richMetaOracle(prelude + overlapTail))
   }
+
+  private val overlapTail: String =
+    """
+      |, dref AS (
+      |  SELECT DISTINCT doc_id, chunk_hash, chunk_len FROM refs
+      |)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(count(*) AS BIGINT) AS shared_chunks,
+      |  CAST(sum(a.chunk_len) AS BIGINT) AS shared_bytes
+      |FROM dref a JOIN dref b ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY a_id, b_id""".stripMargin
 }

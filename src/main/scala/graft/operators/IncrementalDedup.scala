@@ -250,12 +250,14 @@ object IncrementalDedup extends QueryPack {
     val cand = candidates.localCheckpoint(eager = false)
     val candIds = cand.select(col("a_id").as("cid"))
       .union(cand.select(col("b_id"))).distinct()
-    // dropDuplicates: an id present in BOTH corpus and batch (overlap)
-    // must contribute one text row, not two join matches per pair
+    // anti-join, not dropDuplicates: an id present in BOTH corpus and
+    // batch (overlap) must contribute one text row, not two join matches
+    // per pair — and the batch id list broadcasts where a global
+    // dropDuplicates would shuffle every candidate text
     val touched = corpus.select(col(idCol), col(textCol))
       .join(candIds, col(idCol) === col("cid"), "left_semi")
+      .join(batch.select(col(idCol)), Seq(idCol), "left_anti")
       .union(batch.select(col(idCol), col(textCol)))
-      .dropDuplicates(idCol)
 
     val prefiltered = sigAgreementMargin match {
       case None => cand

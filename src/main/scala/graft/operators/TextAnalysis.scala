@@ -190,9 +190,9 @@ object TextAnalysis extends QueryPack {
     * chars ⇒ whole-text fingerprint; 8–10 chars ⇒ no window fits ⇒ no
     * fingerprints).
     */
-  def winnowQuery(s: SparkSession, dir: String): DataFrame = {
+  def winnowHistogram(docs: DataFrame): DataFrame = {
     val fpUdf = udf { (t: String) => winnowFingerprints(t) }
-    val fps = Tables.documents(s, dir)
+    val fps = docs
       .select(col("doc_id"), explode(fpUdf(col("text"))).as("fp"))
     fps.groupBy(col("fp"))
       .agg(count_distinct(col("doc_id")).as("n_docs"))
@@ -200,6 +200,18 @@ object TextAnalysis extends QueryPack {
       .agg(count(lit(1)).as("n_fingerprints"))
       .orderBy(col("n_docs"))
   }
+
+  def winnowQuery(s: SparkSession, dir: String): DataFrame =
+    winnowHistogram(Tables.documents(s, dir))
+
+  /** Winnowing on the RICH corpus — the 31-token fixture makes char
+    * 8-gram sketches near-degenerate (every doc shares most grams); the
+    * wide-vocabulary corpus shows genuine sharing selectivity: most
+    * fingerprints in one doc, a planted-group tail at 2-4 (spec-asserted
+    * spread in RichCorpusSpec).
+    */
+  def winnowRich(s: SparkSession, dir: String): DataFrame =
+    winnowHistogram(Tables.richDocumentsStaged(s, dir))
 
   /** Array-function pipeline: sort → distinct → slice → join, emitted as
     * a string (cross-engine-safe scalar) — the array manipulation surface
@@ -321,8 +333,20 @@ object TextAnalysis extends QueryPack {
     * terminal division, so the oracle (joining raw gram strings —
     * md5-collision-free equivalence) matches bit-for-bit.
     */
-  def contaminationReport(s: SparkSession, dir: String): DataFrame = {
-    val bucketed = Tables.documents(s, dir)
+  def contaminationReport(s: SparkSession, dir: String): DataFrame =
+    contaminationOn(Tables.documents(s, dir))
+
+  /** Contamination on the RICH corpus (metadata-joined for the per-source
+    * rollup): token 8-gram overlap on the 31-token fixture is ~total —
+    * every eval doc shares grams with training; the rich corpus gives a
+    * mid-range rate driven by planted group siblings straddling the
+    * bucket split, which is what the detector exists to find.
+    */
+  def contaminationRich(s: SparkSession, dir: String): DataFrame =
+    contaminationOn(Tables.richDocumentsMeta(s, dir))
+
+  def contaminationOn(docs: DataFrame): DataFrame = {
+    val bucketed = docs
       .withColumn("bucket",
         (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
           16, 10).cast("long") % 100))
@@ -621,6 +645,8 @@ object TextAnalysis extends QueryPack {
     "q_corpus_stats"     -> (corpusStats _),
     "q_seq_pack"         -> ((s, d) => seqPack(s, d)),
     "q_winnow_fp"        -> (winnowQuery _),
+    "q_winnow_rich"      -> (winnowRich _),
+    "q_contamination_rich" -> (contaminationRich _),
     "q_collocations"     -> ((s, d) => collocations(s, d)),
     "q_collocations_rich" -> (collocationsRich _),
     "q_zipf_slope"       -> (zipfSlope _),
@@ -651,6 +677,74 @@ object TextAnalysis extends QueryPack {
        |JOIN uc u2 ON u2.tok = b.w2, tot
        |WHERE b.c_ab >= $minCount
        |ORDER BY pmi DESC, b.w1, b.w2 LIMIT 20""".stripMargin
+
+  private val contaminationSql: String =
+      """WITH b AS MATERIALIZED (
+        |  SELECT doc_id, source, text,
+        |    CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT) % 100 AS bucket,
+        |    string_split(text, ' ') AS t
+        |  FROM documents
+        |), g AS MATERIALIZED (
+        |  SELECT doc_id, source, bucket,
+        |    CASE WHEN len(t) >= 8
+        |      THEN [array_to_string(t[i:i+7], ' ') FOR i IN generate_series(1, len(t) - 7)]
+        |      ELSE [text] END AS grams
+        |  FROM b
+        |), train AS MATERIALIZED (
+        |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE bucket >= 30
+        |), ev AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, source, unnest(grams) AS gram FROM g WHERE bucket < 30
+        |), perdoc AS (
+        |  SELECT doc_id, source, count(*) AS n_grams,
+        |    sum(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        |  FROM ev LEFT JOIN train t USING (gram)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_eval_docs,
+        |  CAST(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contam_docs,
+        |  CAST(sum(n_grams) AS BIGINT) AS n_eval_grams,
+        |  CAST(sum(n_hit) AS BIGINT) AS n_contam_grams,
+        |  round(sum(n_hit)::DOUBLE / nullif(sum(n_grams), 0), 6) AS contam_rate
+        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
+
+  private val winnowSql: String =
+    """WITH glist AS MATERIALIZED (
+        |  SELECT doc_id, length(text) AS tl,
+        |    CASE WHEN length(text) >= 8
+        |      THEN [substring(text, i, 8) FOR i IN generate_series(1, length(text) - 7)]
+        |      ELSE [text] END AS grams
+        |  FROM documents
+        |), grows AS MATERIALIZED (
+        |  SELECT doc_id, tl, grams, unnest(generate_series(1, len(grams))) AS i FROM glist
+        |), gr AS MATERIALIZED (
+        |  SELECT doc_id, tl, i, grams[i] AS gram FROM grows
+        |), gh AS MATERIALIZED (
+        |  SELECT gram,
+        |    CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616
+        |      ELSE hu END AS BIGINT) AS h
+        |  FROM (
+        |    SELECT gram, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        [CAST(unicode(substring(gram, ci, 1)) AS HUGEINT)
+        |         FOR ci IN generate_series(1, length(gram))]),
+        |        (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616) AS hu
+        |    FROM (SELECT DISTINCT gram FROM gr))
+        |), hr AS MATERIALIZED (
+        |  SELECT doc_id, tl, i, h FROM gr JOIN gh USING (gram)
+        |), wmin AS MATERIALIZED (
+        |  SELECT doc_id, tl, i,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+        |    count(*) OVER (PARTITION BY doc_id) AS ng
+        |  FROM hr
+        |), fps AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, m AS fp FROM wmin WHERE tl >= 8 AND i + 3 <= ng
+        |  UNION
+        |  SELECT DISTINCT doc_id, h AS fp FROM hr WHERE tl < 8
+        |)
+        |SELECT n_docs, CAST(count(*) AS BIGINT) AS n_fingerprints
+        |FROM (SELECT fp, count(DISTINCT doc_id) AS n_docs FROM fps GROUP BY fp)
+        |GROUP BY n_docs ORDER BY n_docs""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
     "q_chunking" ->
@@ -713,35 +807,7 @@ object TextAnalysis extends QueryPack {
         |)
         |SELECT bg, count(*) AS n FROM b
         |GROUP BY bg ORDER BY n DESC, bg LIMIT 20""".stripMargin,
-    "q_contamination" ->
-      """WITH b AS MATERIALIZED (
-        |  SELECT doc_id, source, text,
-        |    CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 8)) AS BIGINT) % 100 AS bucket,
-        |    string_split(text, ' ') AS t
-        |  FROM documents
-        |), g AS MATERIALIZED (
-        |  SELECT doc_id, source, bucket,
-        |    CASE WHEN len(t) >= 8
-        |      THEN [array_to_string(t[i:i+7], ' ') FOR i IN generate_series(1, len(t) - 7)]
-        |      ELSE [text] END AS grams
-        |  FROM b
-        |), train AS MATERIALIZED (
-        |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE bucket >= 30
-        |), ev AS MATERIALIZED (
-        |  SELECT DISTINCT doc_id, source, unnest(grams) AS gram FROM g WHERE bucket < 30
-        |), perdoc AS (
-        |  SELECT doc_id, source, count(*) AS n_grams,
-        |    sum(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
-        |  FROM ev LEFT JOIN train t USING (gram)
-        |  GROUP BY 1, 2
-        |)
-        |SELECT source,
-        |  CAST(count(*) AS BIGINT) AS n_eval_docs,
-        |  CAST(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contam_docs,
-        |  CAST(sum(n_grams) AS BIGINT) AS n_eval_grams,
-        |  CAST(sum(n_hit) AS BIGINT) AS n_contam_grams,
-        |  round(sum(n_hit)::DOUBLE / nullif(sum(n_grams), 0), 6) AS contam_rate
-        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
+    "q_contamination" -> contaminationSql,
     "q_seq_pack" ->
       """WITH d AS MATERIALIZED (
         |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
@@ -774,43 +840,9 @@ object TextAnalysis extends QueryPack {
         |  round(top10_tokens::DOUBLE / nullif(n_tokens, 0), 6) AS top10_share,
         |  round(hapax::DOUBLE / nullif(vocab, 0), 6) AS hapax_share
         |FROM d, base, top10""".stripMargin,
-    "q_winnow_fp" ->
-      """WITH glist AS MATERIALIZED (
-        |  SELECT doc_id, length(text) AS tl,
-        |    CASE WHEN length(text) >= 8
-        |      THEN [substring(text, i, 8) FOR i IN generate_series(1, length(text) - 7)]
-        |      ELSE [text] END AS grams
-        |  FROM documents
-        |), grows AS MATERIALIZED (
-        |  SELECT doc_id, tl, grams, unnest(generate_series(1, len(grams))) AS i FROM glist
-        |), gr AS MATERIALIZED (
-        |  SELECT doc_id, tl, i, grams[i] AS gram FROM grows
-        |), gh AS MATERIALIZED (
-        |  SELECT gram,
-        |    CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616
-        |      ELSE hu END AS BIGINT) AS h
-        |  FROM (
-        |    SELECT gram, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
-        |        [CAST(unicode(substring(gram, ci, 1)) AS HUGEINT)
-        |         FOR ci IN generate_series(1, length(gram))]),
-        |        (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616) AS hu
-        |    FROM (SELECT DISTINCT gram FROM gr))
-        |), hr AS MATERIALIZED (
-        |  SELECT doc_id, tl, i, h FROM gr JOIN gh USING (gram)
-        |), wmin AS MATERIALIZED (
-        |  SELECT doc_id, tl, i,
-        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
-        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
-        |    count(*) OVER (PARTITION BY doc_id) AS ng
-        |  FROM hr
-        |), fps AS MATERIALIZED (
-        |  SELECT DISTINCT doc_id, m AS fp FROM wmin WHERE tl >= 8 AND i + 3 <= ng
-        |  UNION
-        |  SELECT DISTINCT doc_id, h AS fp FROM hr WHERE tl < 8
-        |)
-        |SELECT n_docs, CAST(count(*) AS BIGINT) AS n_fingerprints
-        |FROM (SELECT fp, count(DISTINCT doc_id) AS n_docs FROM fps GROUP BY fp)
-        |GROUP BY n_docs ORDER BY n_docs""".stripMargin,
+    "q_winnow_fp" -> winnowSql,
+    "q_winnow_rich" -> Tables.richOracle(winnowSql),
+    "q_contamination_rich" -> Tables.richMetaOracle(contaminationSql),
     "q_sample_k" ->
       """SELECT lang, doc_id, pri FROM (
         |  SELECT lang, doc_id,
