@@ -95,12 +95,9 @@ object Tables {
     * spec-asserted (TablesSpec).
     */
   def richDocumentsStaged(s: SparkSession, d: String): DataFrame = {
-    val md5hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
     val path = graft.sources.Ingest.ensureStaged(
-      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_rich_corpus_$md5hex")) { tmp =>
+      graft.sources.Ingest.stagedPath(s, "graft_rich_corpus_",
+        Seq(s"$d/documents.parquet"))) { tmp =>
       richDocuments(s, d).write.parquet(tmp)
     }
     s.read.parquet(path)

@@ -45,17 +45,52 @@ object GlobalShuffle extends QueryPack {
         Window.partitionBy(col("shard"))
           .orderBy(col("skey"), col(idCol))))
 
+  /** One task sorts and writes one whole shard, so the shard size is the
+    * unit of executor memory/disk this operator commits to. Default
+    * ~4M rows/shard (a few GB of typical documents) — tune to the
+    * deployment, but never let it follow the corpus unbounded.
+    */
+  val defaultTargetRowsPerShard = 4000000L
+
+  /** Shard count that holds every shard under `targetRowsPerShard` for a
+    * corpus of `nRows` — how `nShards` should be derived, so a 100×
+    * corpus gets 100× shards rather than 100× shard size.
+    */
+  def shardsFor(nRows: Long,
+                targetRowsPerShard: Long = defaultTargetRowsPerShard): Int = {
+    require(targetRowsPerShard > 0, "targetRowsPerShard must be positive")
+    math.max(1L, math.min(Int.MaxValue.toLong,
+      (nRows + targetRowsPerShard - 1) / targetRowsPerShard)).toInt
+  }
+
   /** Materialize the shuffle as shard files: one directory per shard,
     * rows already in serving order (`repartition` on the shard key +
     * in-partition sort, so each output file streams its shard's
-    * permutation without any reader-side sort).
+    * permutation without any reader-side sort). Returns the shard count
+    * used. `nShards = 0` (default) derives it from the corpus row count
+    * via [[shardsFor]]; an explicit `nShards` is GUARDED against the
+    * corpus — a caller can no longer ask 8 shards of a 100 TB corpus
+    * and hand one task a 12 TB sort.
     */
   def writeShards(docs: DataFrame, path: String, seed: String = "epoch0",
-                  nShards: Int = 8, idCol: String = "doc_id"): Unit =
-    shuffleAssignments(docs, seed, nShards, idCol)
-      .repartition(nShards, col("shard"))
+                  nShards: Int = 0, idCol: String = "doc_id",
+                  targetRowsPerShard: Long = defaultTargetRowsPerShard): Int = {
+    val nRows = docs.count()
+    val shards =
+      if (nShards <= 0) shardsFor(nRows, targetRowsPerShard)
+      else {
+        require(nRows / nShards <= targetRowsPerShard,
+          s"nShards=$nShards puts ~${nRows / nShards} rows in one task's " +
+            s"sort (target $targetRowsPerShard); use nShards >= " +
+            s"${shardsFor(nRows, targetRowsPerShard)} or raise targetRowsPerShard")
+        nShards
+      }
+    shuffleAssignments(docs, seed, shards, idCol)
+      .repartition(shards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+    shards
+  }
 
   /** Driver query: the per-shard serving manifest — size, the first
     * document each loader will see, and an exact order checksum

@@ -300,15 +300,12 @@ object IncrementalDedup extends QueryPack {
   /** Build-once band store of the HISTORY slice per corpus dir (atomic
     * staging — the [[graft.sources.Ingest.ensureStaged]] contract).
     */
-  private[operators] def ensureHistoryStore(s: SparkSession, dir: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
-    graft.sources.Ingest.ensureStaged(java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_bandstore_$key")) { tmp =>
+  private[operators] def ensureHistoryStore(s: SparkSession, dir: String): String =
+    graft.sources.Ingest.ensureStaged(
+      graft.sources.Ingest.stagedPath(s, "graft_bandstore_",
+        Seq(s"$dir/documents.parquet"))) { tmp =>
       writeBandStore(Tables.documents(s, dir).filter(!isBatch), tmp)
     }
-  }
 
   /** Driver query: the md5-split batch deduped against the persisted
     * history store. Oracle = the FULL-corpus minhash pipeline restricted

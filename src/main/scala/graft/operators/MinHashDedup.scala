@@ -382,12 +382,9 @@ object MinHashDedup extends QueryPack {
     * path: the staged table IS one materialization of that query).
     */
   def minhashPairsStaged(s: SparkSession, dir: String): DataFrame = {
-    val md5hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
     val path = graft.sources.Ingest.ensureStaged(
-      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_neardup_pairs_$md5hex")) { tmp =>
+      graft.sources.Ingest.stagedPath(s, "graft_neardup_pairs_",
+        Seq(s"$dir/documents.parquet"))) { tmp =>
       minhashQuery(s, dir).write.parquet(tmp)
     }
     s.read.parquet(path)

@@ -51,6 +51,32 @@ object Ingest extends QueryPack {
     * nothing or a complete staging; a loser of the rename race discards
     * its own copy and reuses the winner's.
     */
+  /** Deterministic staging path for a derivation of `sources`: keyed by
+    * md5 over the source paths PLUS each source file's (name, length,
+    * mtime). A key of the path alone goes stale when the data at that
+    * path is regenerated — the staged cache then silently serves the OLD
+    * derivation while queries recomputing from source see the NEW data,
+    * de-synchronizing engine and oracle. Folding the content fingerprint
+    * in makes regeneration produce a fresh key (the old staging is just
+    * an orphan in tmpdir).
+    */
+  private[graft] def stagedPath(spark: SparkSession, prefix: String,
+                                sources: Seq[String]): java.nio.file.Path = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def add(s: String): Unit =
+      md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    sources.foreach { src =>
+      add(src)
+      val p = new org.apache.hadoop.fs.Path(src)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        fs.listStatus(p).sortBy(_.getPath.getName.toString).foreach(st =>
+          add(s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"))
+    }
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      prefix + md.digest().map("%02x".format(_)).mkString)
+  }
+
   private[graft] def ensureStaged(path: java.nio.file.Path)(write: String => Unit): String = {
     def complete = Files.exists(path.resolve("_SUCCESS"))
     if (!complete) {
@@ -76,8 +102,8 @@ object Ingest extends QueryPack {
 
   /** Stage documents as CSV once per corpus (deterministic path). */
   private[sources] def ensureCsv(s: SparkSession, dir: String): String =
-    ensureStaged(Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_ingest_csv_${md5Hex(dir)}")) { tmp =>
+    ensureStaged(stagedPath(s, "graft_ingest_csv_",
+      Seq(s"$dir/documents.parquet"))) { tmp =>
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
         .write.option("header", "true").option("quoteAll", "true")
@@ -137,8 +163,8 @@ object Ingest extends QueryPack {
     * typed round-trip, not assume it.
     */
   private[sources] def ensureOrc(s: SparkSession, dir: String): String =
-    ensureStaged(Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_ingest_orc_${md5Hex(dir)}")) { tmp =>
+    ensureStaged(stagedPath(s, "graft_ingest_orc_",
+      Seq(s"$dir/documents.parquet"))) { tmp =>
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
         .write.orc(tmp)

@@ -35,14 +35,19 @@ import graft.{QueryPack, Tables}
   * read path, so a crashed swap is fixed by the first reader.
   *
   * An update row may MOVE a key across partitions (the partition value
-  * is part of the row, not the match condition) — handled because the
-  * key is anti-joined out of every affected partition it lived in, and
-  * the row lands in the partition its new value names, provided both
-  * partitions are in the batch's affected set. A mover whose OLD
-  * partition has no other row in the batch is the documented contract
-  * gap of partition-scoped merging (Hive/Delta dynamic-partition
-  * overwrite shares it): callers doing key-migration must include a
-  * tombstone row or merge unscoped.
+  * is part of the row, not the match condition). Movers whose old
+  * partition is itself in the batch's affected set are handled by the
+  * anti-join; movers whose OLD partition would otherwise be untouched
+  * were the classic silent gap of partition-scoped merging (Hive/Delta
+  * dynamic-partition overwrite shares it): the stale row survived as a
+  * duplicate key. [[upsertByKey]] now DETECTS them — one column-pruned
+  * (key, partition) scan of the unaffected partitions, semi-joined to
+  * the batch's keys — and AUTO-WIDENS the affected set with the old
+  * partitions it finds, so the stale copies are anti-joined out. The
+  * detection scan reads two columns of the rest of the table (cheap in
+  * columnar storage, zero rewrite for clean batches); callers that can
+  * PROVE keys never change partition (e.g. the partition value is
+  * derived from the key) can pass `detectMovers = false` to skip it.
   */
 object Upsert extends QueryPack {
 
@@ -50,11 +55,25 @@ object Upsert extends QueryPack {
     * (partitions rewritten, rows replaced, rows inserted).
     */
   def upsertByKey(spark: SparkSession, dir: String, updates: DataFrame,
-                  keyCol: String, partCol: String): (Long, Long, Long) = {
+                  keyCol: String, partCol: String,
+                  detectMovers: Boolean = true): (Long, Long, Long) = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverUpsertLeftovers(fs, dir, partCol)
-    val parts = updates.select(col(partCol)).distinct()
+    val batchParts = updates.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
+    // cross-partition movers: batch keys still living in partitions the
+    // batch doesn't name — widen the affected set so their stale copies
+    // are anti-joined out instead of surviving as duplicate keys. The
+    // scan is column-pruned to (key, partition) over the complement.
+    val moverParts =
+      if (!detectMovers) Seq.empty
+      else spark.read.parquet(dir)
+        .filter(!col(partCol).isin(batchParts: _*))
+        .select(col(keyCol), col(partCol))
+        .join(updates.select(col(keyCol)), Seq(keyCol), "left_semi")
+        .select(col(partCol)).distinct()
+        .collect().map(_.get(0)).toSeq
+    val parts = batchParts ++ moverParts
     val target = spark.read.parquet(dir)
       .filter(col(partCol).isin(parts: _*)) // partition-pruned
     val nReplaced = target.join(updates.select(col(keyCol)), Seq(keyCol),
@@ -66,9 +85,14 @@ object Upsert extends QueryPack {
     val stage = s"${dir.stripSuffix("/")}__ups_tmp_${java.util.UUID.randomUUID.toString.take(8)}"
     merged.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(stage)
     for (p <- parts) {
-      val live = new Path(dir, s"$partCol=$p")
-      val staged = new Path(stage, s"$partCol=$p")
-      val old = new Path(s"${dir.stripSuffix("/")}__ups_old_$p")
+      // Spark escapes partition values on write (space, '/', '%', ':',
+      // …) — build swap paths from the SAME escaping or the renames
+      // target nonexistent dirs for any value outside [A-Za-z0-9_]
+      val pe = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(String.valueOf(p))
+      val live = new Path(dir, s"$partCol=$pe")
+      val staged = new Path(stage, s"$partCol=$pe")
+      val old = new Path(s"${dir.stripSuffix("/")}__ups_old_$pe")
       if (fs.exists(live))
         require(fs.rename(live, old), s"upsert: could not park $live")
       if (fs.exists(staged)) // a partition can lose all rows only by moving keys out
@@ -126,12 +150,9 @@ object Upsert extends QueryPack {
     * computes the same merge relationally.
     */
   def upsertMergeQuery(s: SparkSession, dir: String): DataFrame = {
-    val md5hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
     val basePath = Ingest.ensureStaged(
-      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_upsert_base_$md5hex")) { tmp =>
+      Ingest.stagedPath(s, "graft_upsert_base_",
+        Seq(s"$dir/orders.parquet"))) { tmp =>
       Tables.orders(s, dir).select(baseCols.map(col): _*)
         .write.partitionBy("o_orderpriority").parquet(tmp)
     }

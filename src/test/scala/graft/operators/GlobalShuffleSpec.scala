@@ -37,6 +37,25 @@ class GlobalShuffleSpec extends SparkSpec {
     assert(mx / mn < 2.0, s"md5 sharding should balance, got ${sizes.toSeq}")
   }
 
+  test("shard sizing: derived count scales with the corpus; an explicit " +
+    "nShards that would oversize a task's sort is refused") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val n = docs.count()
+    assert(GlobalShuffle.shardsFor(n, targetRowsPerShard = 10) ===
+      ((n + 9) / 10).toInt)
+    assert(GlobalShuffle.shardsFor(0) === 1)
+    assert(GlobalShuffle.shardsFor(100L * 4000000L) === 100,
+      "a 100x corpus gets 100x shards, never 100x shard size")
+    val out = java.nio.file.Files.createTempDirectory("shards_sized").toString
+    // derived: target 10 rows/shard -> ceil(n/10) shards on disk
+    val derived = GlobalShuffle.writeShards(docs, out, targetRowsPerShard = 10)
+    assert(derived === ((n + 9) / 10).toInt)
+    val e = intercept[IllegalArgumentException] {
+      GlobalShuffle.writeShards(docs, out, nShards = 1, targetRowsPerShard = 10)
+    }
+    assert(e.getMessage.contains("one task's sort"))
+  }
+
   test("written shard files stream their permutation in order") {
     val docs = graft.Tables.documents(spark, sfDir)
     val out = java.nio.file.Files.createTempDirectory("shards").toString

@@ -68,4 +68,19 @@ class IngestSpec extends SparkSpec {
     assert(r.getLong(0) === n && r.getLong(1) === 0L && r.getLong(2) === n)
     assert(Files.exists(good.resolve("_SUCCESS")), "staging must be rebuilt")
   }
+
+  test("staging keys fingerprint source CONTENT: regenerating the data at " +
+    "the same path yields a fresh key (stale caches are orphaned)") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("stage_key").resolve("d.parquet")
+    import spark.implicits._
+    Seq((1L, "a")).toDF("k", "v").write.parquet(src.toString)
+    val k1 = Ingest.stagedPath(spark, "t_", Seq(src.toString))
+    assert(k1 === Ingest.stagedPath(spark, "t_", Seq(src.toString)),
+      "same content, same key — caching still works")
+    Thread.sleep(1100) // mtime granularity
+    Seq((1L, "b")).toDF("k", "v").write.mode("overwrite").parquet(src.toString)
+    val k2 = Ingest.stagedPath(spark, "t_", Seq(src.toString))
+    assert(k1 !== k2, "regenerated source must produce a different key")
+  }
 }

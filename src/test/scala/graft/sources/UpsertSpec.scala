@@ -65,6 +65,49 @@ class UpsertSpec extends SparkSpec {
     assert(!fs.exists(new Path(s"${dir}__ups_old_3-MEDIUM")))
   }
 
+  test("a mover whose OLD partition is NOT in the batch is detected and " +
+    "merged correctly (affected set auto-widens; no duplicate key)") {
+    val dir = freshTable()
+    val victim = spark.read.parquet(dir)
+      .filter(col("o_orderpriority") === "4-NOT SPECIFIED")
+      .orderBy("o_orderkey").limit(1).collect().head.getLong(0)
+    val before = Upsert.openMergedTable(spark, dir, "o_orderpriority").count()
+    // the batch names ONLY the destination partition — the r7 contract
+    // gap left the stale 4-NOT SPECIFIED copy alive as a duplicate
+    val updates = spark.range(1).select(
+      lit(victim).as("o_orderkey"), lit(2.0).as("o_totalprice"),
+      lit("1-URGENT").as("o_orderpriority"))
+    val (nParts, nRepl, nIns) = Upsert.upsertByKey(
+      spark, dir, updates, "o_orderkey", "o_orderpriority")
+    assert(nParts === 2L, "affected set must widen to the mover's old partition")
+    assert(nRepl === 1L && nIns === 0L,
+      "the mover is a REPLACE (its old copy is found), not an insert")
+    val after = Upsert.openMergedTable(spark, dir, "o_orderpriority")
+    assert(after.count() === before, "no net row change for a pure move")
+    val rows = after.filter(col("o_orderkey") === victim).collect()
+    assert(rows.length === 1, "the moved key must exist exactly once")
+    assert(rows.head.getAs[String]("o_orderpriority") === "1-URGENT")
+  }
+
+  test("partition values needing path escaping (colon, percent) swap the " +
+    "right directories") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ups_esc")
+      .resolve("t").toString
+    Seq((1L, 1.0, "a:b"), (2L, 2.0, "50%off"), (3L, 3.0, "plain"))
+      .toDF("k", "v", "p").write.partitionBy("p").parquet(dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(dir, "p=a%3Ab")),
+      "fixture: Spark escapes ':' on write — the swap must follow suit")
+    val updates = Seq((1L, 11.0, "a:b"), (4L, 44.0, "50%off"))
+      .toDF("k", "v", "p")
+    val (nParts, nRepl, nIns) = Upsert.upsertByKey(spark, dir, updates, "k", "p")
+    assert(nParts === 2L && nRepl === 1L && nIns === 1L)
+    val after = Upsert.openMergedTable(spark, dir, "p")
+      .orderBy("k").collect().map(r => (r.getAs[Long]("k"), r.getAs[Double]("v")))
+    assert(after.toSeq === Seq((1L, 11.0), (2L, 2.0), (3L, 3.0), (4L, 44.0)))
+  }
+
   test("a key can move partitions when both are in the batch") {
     val dir = freshTable()
     val victim = spark.read.parquet(dir)
