@@ -24,17 +24,43 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) in the parquet footer, which Spark 4
-    * refuses to read natively; read it as raw nanos (legacy conf) and
-    * convert to a microsecond TimestampType column. Integer `div` — a
-    * double round-trip would lose precision on epoch-nanos (~1.7e18 > 2^53).
+  /** events.ts has shipped in two physical forms across testdata
+    * generations: TIMESTAMP(NANOS) footers (which Spark 4 only reads as
+    * raw long nanos under the legacy conf) and native timestamp[us].
+    * Accept both — the loader inspects the scanned type and converts
+    * only when needed. Integer `div` — a double round-trip would lose
+    * precision on epoch-nanos (~1.7e18 > 2^53).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    tsToTimestamp(load(s, d, "events"))
   }
+
+  /** Normalize an events frame's `ts` to TimestampType (long-nanos →
+    * micros; TIMESTAMP_NTZ → session-tz timestamp — the session is pinned
+    * UTC, so wall-clock values and epoch micros are preserved and
+    * watermarks/`unix_micros`, which reject NTZ, work). Identity when the
+    * scan already yields TimestampType. Works on batch and streaming
+    * frames alike.
+    */
+  def tsToTimestamp(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
+  /** `ts` as epoch MICROS (bigint), whichever physical form the scan has. */
+  def tsMicrosCol(df: DataFrame): org.apache.spark.sql.Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => org.apache.spark.sql.functions.unix_micros(
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

@@ -46,7 +46,7 @@ object EventStreams {
     val source = spark.readStream
       .schema(Tables.load(spark, dir, "events").schema)
       .parquet(stagedDir(dir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.tsToTimestamp)
 
     val agg = source
       .withWatermark("ts", "30 minutes")
@@ -158,7 +158,7 @@ object EventStreams {
     val source = spark.readStream
       .schema(Tables.load(spark, dir, "events").schema)
       .parquet(stagedDir(dir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.tsToTimestamp)
       .withWatermark("ts", "1 hour")
       .dropDuplicates(keys :+ "ts")
       .dropDuplicates(keys) // within-watermark key dedup
@@ -188,7 +188,7 @@ object EventStreams {
     val source = spark.readStream
       .schema(Tables.load(spark, dir, "events").schema)
       .parquet(stagedDir(dir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.tsToTimestamp)
 
     val dim = broadcast(Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment")))
@@ -221,7 +221,7 @@ object EventStreams {
     def src = spark.readStream
       .schema(Tables.load(spark, dir, "events").schema)
       .parquet(staged)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.tsToTimestamp)
 
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
@@ -266,7 +266,7 @@ object EventStreams {
     val source = spark.readStream
       .schema(Tables.load(spark, dir, "events").schema)
       .parquet(stagedDir(dir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.tsToTimestamp)
       .withColumn("day", to_date(col("ts")))
 
     val q = source.writeStream
@@ -296,10 +296,11 @@ object EventStreams {
     import spark.implicits._
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val source = spark.readStream
+    val raw = spark.readStream
       .schema(Tables.load(spark, dir, "events").schema)
       .parquet(stagedDir(dir))
-      .select(col("user_id"), expr("ts div 1000").as("tsMicros"))
+    val source = raw
+      .select(col("user_id"), Tables.tsMicrosCol(raw).as("tsMicros"))
       .as[Event]
 
     val sessions = source

@@ -78,13 +78,14 @@ object FunnelStream {
   def funnelStreaming(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val source = spark.readStream
+    val raw = spark.readStream
       .schema(Tables.load(spark, dir, "events").schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(DocDedupStream.stagedDir(dir, "events.parquet"))
+    val source = raw
       .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("tsMicros"), col("event_type"))
+        Tables.tsMicrosCol(raw).as("tsMicros"), col("event_type"))
       .as[Ev]
 
     val name = s"funnel_${System.nanoTime()}"
