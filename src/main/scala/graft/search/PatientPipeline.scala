@@ -7,9 +7,11 @@ import graft.QueryPack
 import graft.schema.PatientSchema
 
 /** Driver-contract surface for the reference-parity pipeline (generate →
-  * normalize → federated-train → index → search → stats). Not
-  * DuckDB-expressible (trained embeddings), so these are rows-only checks;
-  * invariants are scalatest-verified in PatientSearchSpec.
+  * normalize → federated-train → index → search → stats). The trained
+  * embeddings have no closed-form SQL, but the whole pipeline is
+  * bit-deterministic given the seeded init, so every query here carries a
+  * golden-value oracle (see [[oracleSql]]); invariants are additionally
+  * scalatest-verified in PatientSearchSpec.
   *
   * The corpus here is intentionally small (the driver runs these every
   * round); scale comes from the config, not the code — the same plan runs
@@ -41,19 +43,46 @@ object PatientPipeline extends QueryPack {
       }
     }
 
+  /** Oracle-friendly projection of a hits frame: BIGINT/DOUBLE/STRING
+    * only (driver-gate type contract), similarity rounded to 6 decimals
+    * so the golden literal is ulp-robust, ordered by rank.
+    */
+  private def goldenHits(hits: DataFrame): DataFrame =
+    hits.select(
+      col("rank").cast("bigint").as("rank"),
+      col("patient_id"),
+      round(col("similarity"), 6).as("similarity"),
+      col("hospital"),
+      col("received_transplant").cast("bigint").as("received_transplant"),
+      col("transplant_success").cast("bigint").as("transplant_success"),
+      col("days_to_transplant"),
+      col("transplant_date"),
+      col("waitlist_status").cast("bigint").as("waitlist_status"))
+      .orderBy(col("rank"))
+
+  /** Round every double column to 6 decimals (golden-literal robustness),
+    * leaving longs/strings as-is.
+    */
+  private def golden6(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.DoubleType)
+        round(col(f.name), 6).as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*)
+
   /** Top-k hits for the demo query patient (metadata struct dropped for a
     * stable flat parquet schema).
     */
   def searchHits(s: SparkSession, dir: String): DataFrame =
-    system(s)._1.topSimilarPatients.drop("metadata")
+    goldenHits(system(s)._1.topSimilarPatients)
 
   /** A3 statistics block. */
   def stats(s: SparkSession, dir: String): DataFrame =
-    system(s)._1.transplantStatistics
+    golden6(system(s)._1.transplantStatistics)
 
   /** A6 clinical insights. */
   def insights(s: SparkSession, dir: String): DataFrame =
-    system(s)._1.clinicalInsights
+    golden6(system(s)._1.clinicalInsights)
 
   /** ALWAYS-COLD end-to-end pipeline: trains a deliberately tiny fresh
     * system on every call (no memo), so the bench always carries one
@@ -67,8 +96,8 @@ object PatientPipeline extends QueryPack {
     ps.setupHospitals(Seq(("Cold_A", 60L), ("Cold_B", 50L)))
     ps.runFederatedTraining(rounds = 1, localEpochs = 1)
     ps.generateAndStoreEmbeddings()
-    ps.searchSimilarPatients(PatientSchema.demoQueryPatient, topK = 5)
-      .topSimilarPatients.drop("metadata")
+    goldenHits(ps.searchSimilarPatients(PatientSchema.demoQueryPatient, topK = 5)
+      .topSimilarPatients)
   }
 
   /** Generator sanity summary (seeded column-expression generation).
@@ -95,15 +124,63 @@ object PatientPipeline extends QueryPack {
     "q_patient_cold"     -> (coldSearch _),
     "q_patient_gen"      -> (generatorSummary _))
 
-  /** Search/stats/insights (and the cold-path run) depend on trained
-    * float weights (parallel
-    * z-score and Adam sums are merge-order sensitive), so they stay
-    * rows-only. The GENERATOR summary is bit-deterministic (pinned range
-    * partitioning + per-column seeds + 2-decimal rounding), so its oracle
-    * is golden values captured from the pinned stream — verified
-    * identical on local[4] and local[32].
+  /** EVERY patient query is golden-pinned. Search/stats/insights (and
+    * the cold-path run) depend on trained float weights, but the whole
+    * train→search pipeline is bit-deterministic given the seeded init:
+    * probed bitwise-identical across repeated local[32] runs AND
+    * local[4] (the pinned range partitioning makes the z-score/Adam
+    * merge order deterministic). The goldens below are captured from
+    * that pinned stream; trained-float outputs (similarity, derived
+    * rates/means) are rounded to 6 decimals engine-side so the literal
+    * comparison is ulp-robust, while generated per-patient fields stay
+    * full precision (shortest-repr doubles round-trip exactly through
+    * DuckDB's parser). The GENERATOR summary was already golden-pinned
+    * the same way (2-decimal rounding).
     */
   override def oracleSql: Map[String, String] = Map(
+    "q_patient_search" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'PT_000110', CAST(0.678542 AS DOUBLE), 'Hospital_B',
+        |   CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(4.779313338784229 AS DOUBLE), '2022-07-18', CAST(0 AS BIGINT)),
+        |  (2, 'PT_000116', 0.632037, 'Hospital_B', 0, 0, 0.0, 'N/A', 1),
+        |  (3, 'PT_000180', 0.625349, 'Hospital_B', 0, 0, 0.0, 'N/A', 1),
+        |  (4, 'PT_000007', 0.608923, 'Hospital_C', 0, 0, 0.0, 'N/A', 0),
+        |  (5, 'PT_000048', 0.605538, 'Hospital_A', 0, 0, 0.0, 'N/A', 1)
+        |) AS t(rank, patient_id, similarity, hospital, received_transplant,
+        |       transplant_success, days_to_transplant, transplant_date, waitlist_status)
+        |ORDER BY rank""".stripMargin,
+    "q_patient_stats" ->
+      """SELECT CAST(5 AS BIGINT) AS total_similar_patients,
+        |  CAST(1 AS BIGINT) AS transplanted_count,
+        |  CAST(4 AS BIGINT) AS not_transplanted_count,
+        |  CAST(0.2 AS DOUBLE) AS transplant_rate,
+        |  CAST(1 AS BIGINT) AS successful_transplants,
+        |  CAST(1.0 AS DOUBLE) AS transplant_success_rate,
+        |  CAST(4.779313 AS DOUBLE) AS average_wait_time_days,
+        |  CAST(0.157008 AS DOUBLE) AS average_wait_time_months,
+        |  CAST(1 AS BIGINT) AS still_on_waitlist,
+        |  CAST(3 AS BIGINT) AS removed_too_sick,
+        |  CAST(0 AS BIGINT) AS removed_improved,
+        |  CAST(0 AS BIGINT) AS deceased_on_waitlist""".stripMargin,
+    "q_patient_insights" ->
+      """SELECT CAST(4.779313 AS DOUBLE) AS avg_wait_transplanted_days,
+        |  CAST(0.157008 AS DOUBLE) AS avg_wait_transplanted_months,
+        |  CAST(0.666107 AS DOUBLE) AS avg_age_success,
+        |  CAST(-0.810085 AS DOUBLE) AS avg_meld_success,
+        |  CAST(0.0 AS DOUBLE) AS diabetes_rate_success,
+        |  CAST(149.470504 AS DOUBLE) AS avg_wait_not_transplanted_days,
+        |  CAST(1 AS BIGINT) AS still_waiting""".stripMargin,
+    "q_patient_cold" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'PT_000041', CAST(0.822208 AS DOUBLE), 'Cold_B',
+        |   CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(85.95218826086206 AS DOUBLE), '2021-12-11', CAST(0 AS BIGINT)),
+        |  (2, 'PT_000014', 0.811834, 'Cold_A', 1, 1, 79.05251207530173, '2024-09-30', 0),
+        |  (3, 'PT_000037', 0.805875, 'Cold_B', 0, 0, 0.0, 'N/A', 1),
+        |  (4, 'PT_000028', 0.786216, 'Cold_B', 0, 0, 0.0, 'N/A', 1),
+        |  (5, 'PT_000026', 0.78499, 'Cold_B', 0, 0, 0.0, 'N/A', 0)
+        |) AS t(rank, patient_id, similarity, hospital, received_transplant,
+        |       transplant_success, days_to_transplant, transplant_date, waitlist_status)
+        |ORDER BY rank""".stripMargin,
     "q_patient_gen" ->
       """SELECT CAST(0 AS BIGINT) AS received_transplant, CAST(1246 AS BIGINT) AS n,
         |  CAST(54.35 AS DOUBLE) AS avg_age, CAST(13.02 AS DOUBLE) AS avg_meld,
