@@ -42,6 +42,7 @@ object SparkEntry {
     graft.operators.GlobalShuffle,
     graft.operators.TrainingManifest,
     graft.sources.Upsert,
+    graft.sources.SnapshotTable,
     graft.streaming.IncrDedupStream,
     graft.operators.PrefixJoin)
 

@@ -1,0 +1,411 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+
+/** `[EXT]` manifest-committed snapshot table — atomic multi-partition
+  * commits and snapshot-isolated readers for a plain-parquet table,
+  * following the published Iceberg/Delta construction (a log of
+  * immutable manifests naming immutable data files; readers pin one
+  * manifest; writers race on publishing the next). [[Upsert]] mutates
+  * partition directories in place — its two-rename swap is atomic per
+  * partition but a reader planned mid-loop can see partition A new and
+  * partition B old. Here a commit is ONE atomic event (the manifest
+  * rename), data files are never modified or renamed after creation,
+  * and old snapshots remain readable until [[vacuum]].
+  *
+  * Layout:
+  * {{{
+  *   table/data/<commit>-part-*.parquet   immutable; partition column
+  *                                        stored IN the rows (no hive dirs)
+  *   table/_manifests/v<N>.json           immutable; one line per file:
+  *                                        {"path","parts":[...],"rows"}
+  * }}}
+  *
+  * Commit protocol (optimistic, Iceberg's HadoopTableOperations shape):
+  * write data files → write `v<N+1>.json.tmp.<uuid>` → RENAME to
+  * `v<N+1>.json`. The rename is the commit point: it fails if a
+  * concurrent writer published N+1 first (loud conflict, caller re-reads
+  * and retries); a crash before it leaves orphan files that no manifest
+  * references (cleaned by [[vacuum]], invisible to readers). Version
+  * discovery lists `_manifests` — small (one entry per commit), so no
+  * hint file is needed; a real object-store deployment would add one as
+  * a fast path.
+  *
+  * Scale shape: planning reads ONE small manifest — no recursive
+  * directory listing (the 100 TB killer for hive layouts). Partition
+  * pruning becomes manifest-level FILE SKIPPING: each entry records the
+  * file's partition values (the writer emits exactly one value per
+  * file), and [[readWhere]] plans only intersecting files.
+  * [[commitMerge]] is the
+  * snapshot-isolated MERGE: affected files (batch partitions + detected
+  * cross-partition movers, both at FILE granularity) are read, merged,
+  * and replaced in the next manifest; untouched files are carried over
+  * by reference — zero IO, zero rewrite.
+  */
+object SnapshotTable extends QueryPack {
+
+  /** One manifest line. `parts` is the file's partition-value list
+    * (`None` = unknown, never skipped — reserved for future multi-value
+    * files; the current writer emits exactly one value per file).
+    */
+  final case class FileEntry(path: String, parts: Option[Seq[String]], rows: Long)
+
+  private def fs(spark: SparkSession, table: String): FileSystem =
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(table: String) = new Path(table, "_manifests")
+  private def dataDir(table: String) = new Path(table, "data")
+
+  private val vRe = raw"v(\d+)\.json".r
+
+  /** Committed versions, ascending (listing `_manifests`, tmp files and
+    * debris ignored).
+    */
+  def versions(spark: SparkSession, table: String): Seq[Long] = {
+    val f = fs(spark, table)
+    val dir = manifestDir(table)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.flatMap(_.getPath.getName match {
+      case vRe(n) => Some(n.toLong)
+      case _      => None
+    }).sorted
+  }
+
+  def currentVersion(spark: SparkSession, table: String): Long =
+    versions(spark, table).lastOption.getOrElse(
+      sys.error(s"snapshot table $table has no committed version"))
+
+  // ---- manifest (de)serialization: flat JSON lines, repo-escaped
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c    => c.toString
+    }
+  private def unesc(s: String): String = {
+    val b = new StringBuilder; var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '\\' if i + 1 < s.length =>
+          s(i + 1) match {
+            case 'u' => b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+            case c   => b.append(c); i += 2
+          }
+        case c => b.append(c); i += 1
+      }
+    }
+    b.toString
+  }
+
+  private def entryJson(e: FileEntry): String = {
+    val parts = e.parts match {
+      case None     => "\"*\""
+      case Some(ps) => ps.map(p => "\"" + esc(p) + "\"").mkString("[", ",", "]")
+    }
+    s"""{"path":"${esc(e.path)}","parts":$parts,"rows":${e.rows}}"""
+  }
+
+  private val entryRe =
+    raw"""\{"path":"(.*)","parts":(\[.*\]|"\*"),"rows":(\d+)\}""".r
+  private val quotedRe = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+
+  private def parseEntry(line: String): FileEntry = line.trim match {
+    case entryRe(p, parts, rows) =>
+      val ps = if (parts == "\"*\"") None
+        else Some(quotedRe.findAllMatchIn(parts).map(m => unesc(m.group(1))).toSeq)
+      FileEntry(unesc(p), ps, rows.toLong)
+    case other => sys.error(s"snapshot manifest: bad entry: $other")
+  }
+
+  def readManifest(spark: SparkSession, table: String, version: Long): Seq[FileEntry] = {
+    val f = fs(spark, table)
+    val in = f.open(new Path(manifestDir(table), s"v$version.json"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map(parseEntry).toList
+    finally in.close()
+  }
+
+  private[sources] def writeManifest(spark: SparkSession, table: String,
+                                     version: Long,
+                                     entries: Seq[FileEntry]): Unit = {
+    val f = fs(spark, table)
+    val dir = manifestDir(table)
+    f.mkdirs(dir)
+    val tmp = new Path(dir, s"v$version.json.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = f.create(tmp, false)
+    try out.write(entries.map(entryJson).mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val target = new Path(dir, s"v$version.json")
+    // THE commit point: rename fails (or the target already exists) iff a
+    // concurrent writer published this version first — surface it loudly;
+    // the caller re-reads the new current version and retries its commit.
+    if (f.exists(target) || !f.rename(tmp, target)) {
+      f.delete(tmp, false)
+      sys.error(s"snapshot commit conflict: v$version already published for $table")
+    }
+  }
+
+  // ---- data-file production
+
+  /** Write `df` as immutable data files under `data/`, exactly one
+    * partition value per file (so manifest skipping is exact), and
+    * return their manifest entries. Separation comes from the WRITER —
+    * `partitionBy` on a duplicate of the partition column — not from a
+    * hash repartition, which AQE's partition coalescing would merge at
+    * low volume. The duplicate keeps the real column in the row data
+    * (snapshot files have no hive layout to re-infer it from);
+    * `maxRecordsPerFile` splits a hot value into right-sized files at
+    * scale. Partition values must be non-null.
+    */
+  private def writeDataFiles(spark: SparkSession, table: String, df: DataFrame,
+                             partCol: String): Seq[FileEntry] = {
+    val f = fs(spark, table)
+    val commit = java.util.UUID.randomUUID.toString.take(8)
+    val staging = new Path(table, s"_staging_$commit")
+    df.withColumn("__part", col(partCol)).write
+      .option("maxRecordsPerFile", 5000000L)
+      .partitionBy("__part").parquet(staging.toString)
+
+    // per-file row counts: one count-only scan of the NEW files (never
+    // the table), keyed by (partition dir, file base)
+    val rows = spark.read.parquet(staging.toString)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("rows"))
+      .collect().map { r =>
+        val p = new Path(new java.net.URI(r.getString(0)).getPath)
+        (p.getParent.getName, p.getName) -> r.getLong(1)
+      }.toMap
+
+    f.mkdirs(dataDir(table))
+    val entries = f.listStatus(staging).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__part="))
+      .flatMap { dirSt =>
+        f.listStatus(dirSt.getPath).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(st => (dirSt.getPath.getName, st.getPath))
+      }
+      .zipWithIndex
+      .map { case ((dirName, src), i) =>
+        val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(dirName.stripPrefix("__part="))
+        val dest = new Path(dataDir(table), s"$commit-$i-${src.getName}")
+        require(f.rename(src, dest),
+          s"snapshot: could not place data file $dest")
+        FileEntry(s"data/$commit-$i-${src.getName}", Some(Seq(value)),
+          rows.getOrElse((dirName, src.getName), 0L))
+      }
+    f.delete(staging, true)
+    entries
+  }
+
+  private def readFiles(spark: SparkSession, table: String,
+                        entries: Seq[FileEntry]): DataFrame = {
+    require(entries.nonEmpty, "snapshot read: empty file set")
+    spark.read.parquet(entries.map(e => s"$table/${e.path}"): _*)
+  }
+
+  // ---- public surface
+
+  /** Create the table with `df` as version 1. */
+  def create(spark: SparkSession, table: String, df: DataFrame,
+             partCol: String): Long = {
+    require(versions(spark, table).isEmpty,
+      s"snapshot table $table already exists")
+    val entries = writeDataFiles(spark, table, df, partCol)
+    writeManifest(spark, table, 1L, entries)
+    1L
+  }
+
+  /** Read the current snapshot (resolved once, at call time — the plan
+    * stays on those files even if commits land before an action runs).
+    */
+  def read(spark: SparkSession, table: String): DataFrame =
+    readVersion(spark, table, currentVersion(spark, table))
+
+  /** Time travel: read an older (still un-vacuumed) snapshot. */
+  def readVersion(spark: SparkSession, table: String, version: Long): DataFrame =
+    readFiles(spark, table, readManifest(spark, table, version))
+
+  /** Manifest-level file skipping: plan ONLY files whose recorded
+    * partition values intersect `values` (a `*` entry always qualifies),
+    * with the residual row filter on top.
+    */
+  def readWhere(spark: SparkSession, table: String, partCol: String,
+                values: Seq[String]): DataFrame = {
+    val wanted = values.toSet
+    val hit = readManifest(spark, table, currentVersion(spark, table))
+      .filter(_.parts.forall(_.exists(wanted.contains)))
+    if (hit.isEmpty)
+      read(spark, table).filter(lit(false)) // schema-preserving empty
+    else readFiles(spark, table, hit).filter(col(partCol).isin(values: _*))
+  }
+
+  /** Snapshot-isolated MERGE: rows of `updates` replace same-key rows,
+    * only affected files are rewritten, the rest carry over by
+    * reference. Affected = files intersecting the batch's partition
+    * values, WIDENED by files still holding a batch key elsewhere
+    * (cross-partition movers, detected with one column-pruned scan of
+    * the complement — file-granular, so a clean batch rewrites nothing
+    * extra). Returns (new version, rows replaced, rows inserted).
+    */
+  def commitMerge(spark: SparkSession, table: String, updates: DataFrame,
+                  keyCol: String, partCol: String): (Long, Long, Long) = {
+    val v = currentVersion(spark, table)
+    val manifest = readManifest(spark, table, v)
+    val batchParts = updates.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+
+    val (hit0, miss0) = manifest.partition(
+      _.parts.forall(_.exists(batchParts.contains)))
+    val movers =
+      if (miss0.isEmpty) Seq.empty
+      else {
+        val stale = readFiles(spark, table, miss0)
+          .select(col(keyCol), input_file_name().as("__f"))
+          .join(updates.select(col(keyCol)), Seq(keyCol), "left_semi")
+          .select(col("__f")).distinct()
+          .collect().map(r => new Path(r.getString(0)).getName).toSet
+        miss0.filter(e => stale.contains(new Path(e.path).getName))
+      }
+    val affected = hit0 ++ movers
+    val carried = manifest.diff(affected)
+
+    val target =
+      if (affected.isEmpty) updates.filter(lit(false))
+      else readFiles(spark, table, affected)
+    val nReplaced = target.join(updates.select(col(keyCol)), Seq(keyCol),
+      "left_semi").count()
+    val nInserted = updates.count() - nReplaced
+    val merged = target
+      .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .unionByName(updates.select(target.columns.map(col).toIndexedSeq: _*))
+    val fresh = writeDataFiles(spark, table, merged, partCol)
+    writeManifest(spark, table, v + 1, carried ++ fresh)
+    (v + 1, nReplaced, nInserted)
+  }
+
+  /** Remove data files referenced by NO retained manifest and manifests
+    * older than the newest `keepVersions`. Orphans from crashed commits
+    * (files without a manifest, manifest tmps) go too. Returns files
+    * deleted.
+    */
+  def vacuum(spark: SparkSession, table: String, keepVersions: Int = 1): Long = {
+    require(keepVersions >= 1, "vacuum must keep at least the current version")
+    val f = fs(spark, table)
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"vacuum: $table has no committed version")
+    val keep = vs.takeRight(keepVersions)
+    val live: Set[String] = keep.flatMap(readManifest(spark, table, _))
+      .map(e => new Path(e.path).getName).toSet
+    var deleted = 0L
+    if (f.exists(dataDir(table)))
+      f.listStatus(dataDir(table)).foreach { st =>
+        if (!live.contains(st.getPath.getName)) {
+          f.delete(st.getPath, false); deleted += 1
+        }
+      }
+    f.listStatus(manifestDir(table)).foreach { st =>
+      st.getPath.getName match {
+        case vRe(n) if !keep.contains(n.toLong) =>
+          f.delete(st.getPath, false); deleted += 1
+        case name if name.contains(".json.tmp.") =>
+          f.delete(st.getPath, false); deleted += 1
+        case _ => ()
+      }
+    }
+    // crashed writeDataFiles stagings are unreferenced by construction
+    f.listStatus(new Path(table)).foreach { st =>
+      if (st.getPath.getName.startsWith("_staging_")) {
+        f.delete(st.getPath, true); deleted += 1
+      }
+    }
+    deleted
+  }
+
+  // ---- driver queries: the deterministic upsert scenario, run through
+  // snapshot commits (same batch as q_upsert_merge; its oracle replays
+  // the merge, and time travel replays the PRE-merge table)
+
+  private def scenario(s: SparkSession, dir: String): String = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_snapshot_run").resolve("t").toString
+    val orders = Tables.orders(s, dir)
+      .select(Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+        "o_orderpriority").map(col): _*)
+    create(s, work, orders, "o_orderpriority")
+    val changed = Tables.orders(s, dir).filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    val maxKey = Tables.orders(s, dir).agg(max(col("o_orderkey"))).head().getLong(0)
+    val fresh = s.range(1, 6).select(
+      (col("id") + maxKey).as("o_orderkey"),
+      lit(1L).as("o_custkey"),
+      lit(123.45).as("o_totalprice"),
+      to_timestamp(lit("1999-01-01")).as("o_orderdate"),
+      lit("1-URGENT").as("o_orderpriority"))
+    commitMerge(s, work, changed.unionByName(fresh),
+      "o_orderkey", "o_orderpriority")
+    work
+  }
+
+  private def rollup(df: DataFrame): DataFrame =
+    df.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Post-merge rollup from the NEW snapshot (shares the relational
+    * merge replay with `q_upsert_merge`'s oracle shape).
+    */
+  def snapshotMergeQuery(s: SparkSession, dir: String): DataFrame =
+    rollup(read(s, scenario(s, dir)))
+
+  /** The SAME table, version 1, read AFTER the merge committed — time
+    * travel must reproduce the pre-merge table exactly (oracle: plain
+    * rollup of `orders`).
+    */
+  def timeTravelQuery(s: SparkSession, dir: String): DataFrame =
+    rollup(readVersion(s, scenario(s, dir), 1L))
+
+  override def queries: Map[String, QueryPack.Q] = Map(
+    "q_snapshot_merge" -> (snapshotMergeQuery _),
+    "q_time_travel" -> (timeTravelQuery _))
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_snapshot_merge" ->
+      """WITH changed AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |), fresh AS (
+        |  SELECT (SELECT max(o_orderkey) FROM orders) + i AS o_orderkey,
+        |    CAST(1 AS BIGINT) AS o_custkey, 123.45 AS o_totalprice,
+        |    '1999-01-01' AS o_orderdate, '1-URGENT' AS o_orderpriority
+        |  FROM (SELECT unnest(generate_series(1, 5)) AS i)
+        |), upd AS (
+        |  SELECT * FROM changed UNION ALL SELECT * FROM fresh
+        |), merged AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM upd
+        |)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_time_travel" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+}

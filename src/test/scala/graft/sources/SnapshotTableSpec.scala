@@ -1,0 +1,189 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class SnapshotTableSpec extends SparkSpec {
+
+  private def freshTable(): String = {
+    val table = java.nio.file.Files.createTempDirectory("snap")
+      .resolve("t").toString
+    SnapshotTable.create(spark, table,
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority")),
+      "o_orderpriority")
+    table
+  }
+
+  private def updatesBatch(): DataFrame =
+    Tables.orders(spark, sfDir).filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"),
+        col("o_orderpriority"))
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.orderBy("o_orderkey").collect().map(_.toString).toSeq
+
+  test("commitMerge result equals the in-place Upsert merge on the same inputs") {
+    val table = freshTable()
+    val updates = updatesBatch()
+
+    // in-place reference: same base, same batch, hive-layout upsert
+    val upsDir = java.nio.file.Files.createTempDirectory("snapref")
+      .resolve("t").toString
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.partitionBy("o_orderpriority").parquet(upsDir)
+    Upsert.upsertByKey(spark, upsDir, updates, "o_orderkey", "o_orderpriority")
+
+    val (v, replaced, inserted) = SnapshotTable.commitMerge(
+      spark, table, updates, "o_orderkey", "o_orderpriority")
+    assert(v === 2L)
+    assert(inserted === 0L)
+    assert(replaced === updates.count())
+
+    val got = SnapshotTable.read(spark, table)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+    assert(sortedRows(got) === sortedRows(
+      Upsert.openMergedTable(spark, upsDir, "o_orderpriority")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))))
+  }
+
+  test("snapshot isolation: a reader pinned before the merge sees the old " +
+    "data after it commits; time travel reproduces v1 exactly") {
+    val table = freshTable()
+    val v1Pinned = SnapshotTable.read(spark, table) // resolved to v1 NOW
+    val v1Rows = sortedRows(v1Pinned)
+
+    SnapshotTable.commitMerge(spark, table, updatesBatch(),
+      "o_orderkey", "o_orderpriority")
+
+    // the pinned plan still reads v1's (immutable, un-vacuumed) files
+    assert(sortedRows(v1Pinned) === v1Rows)
+    assert(sortedRows(SnapshotTable.readVersion(spark, table, 1L)) === v1Rows)
+    // and the new current differs exactly on the updated keys
+    val changedKeys = SnapshotTable.read(spark, table)
+      .join(SnapshotTable.readVersion(spark, table, 1L)
+        .withColumnRenamed("o_totalprice", "old_price"),
+        Seq("o_orderkey", "o_custkey", "o_orderpriority"))
+      .filter(col("o_totalprice") =!= col("old_price"))
+      .select("o_orderkey").distinct().count()
+    assert(changedKeys === updatesBatch().count())
+  }
+
+  test("merge carries unaffected files by reference and manifest skipping " +
+    "plans only intersecting files") {
+    val table = freshTable()
+    val m1 = SnapshotTable.readManifest(spark, table, 1L)
+    val oneUrgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .orderBy("o_orderkey").limit(1)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + 5.0).as("o_totalprice"),
+        col("o_orderpriority"))
+    SnapshotTable.commitMerge(spark, table, oneUrgent,
+      "o_orderkey", "o_orderpriority")
+    val m2 = SnapshotTable.readManifest(spark, table, 2L)
+
+    // files not holding 1-URGENT carried over untouched (same path objects)
+    val carried = m1.filter(!_.parts.forall(_.contains("1-URGENT")))
+    assert(carried.nonEmpty)
+    assert(carried.forall(e => m2.exists(_.path == e.path)))
+    // files holding 1-URGENT were replaced
+    val rewritten = m1.filter(_.parts.forall(_.contains("1-URGENT")))
+    assert(rewritten.forall(e => !m2.exists(_.path == e.path)))
+
+    // readWhere plans a strict subset of the table's files
+    val planned = SnapshotTable
+      .readWhere(spark, table, "o_orderpriority", Seq("1-URGENT"))
+    assert(planned.inputFiles.length < m2.size)
+    assert(sortedRows(planned) === sortedRows(
+      SnapshotTable.read(spark, table)
+        .filter(col("o_orderpriority") === "1-URGENT")))
+  }
+
+  test("cross-partition movers are detected at file granularity") {
+    val table = freshTable()
+    // move one existing 5-LOW key to 1-URGENT; its old file is NOT in the
+    // batch's partition set
+    val mover = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "5-LOW")
+      .orderBy("o_orderkey").limit(1)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit(1.0).as("o_totalprice"), lit("1-URGENT").as("o_orderpriority"))
+    val key = mover.head().getLong(0)
+    SnapshotTable.commitMerge(spark, table, mover,
+      "o_orderkey", "o_orderpriority")
+    val rows = SnapshotTable.read(spark, table)
+      .filter(col("o_orderkey") === key).collect()
+    assert(rows.length === 1) // no stale duplicate in 5-LOW
+    assert(rows.head.getAs[String]("o_orderpriority") === "1-URGENT")
+  }
+
+  test("vacuum removes only unreferenced files; current stays readable, " +
+    "old versions go") {
+    val table = freshTable()
+    SnapshotTable.commitMerge(spark, table, updatesBatch(),
+      "o_orderkey", "o_orderpriority")
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // orphan debris: a crashed staging and a manifest tmp
+    fs.mkdirs(new Path(table, "_staging_deadbeef"))
+    val tmp = fs.create(new Path(table, "_manifests/v9.json.tmp.crash"), true)
+    tmp.write("{}".getBytes); tmp.close()
+
+    val before = SnapshotTable.read(spark, table).count()
+    val deleted = SnapshotTable.vacuum(spark, table, keepVersions = 1)
+    assert(deleted > 0)
+    assert(SnapshotTable.read(spark, table).count() === before)
+    assert(SnapshotTable.versions(spark, table) === Seq(2L))
+    intercept[Exception] { SnapshotTable.readVersion(spark, table, 1L).count() }
+    // every remaining data file is referenced by the kept manifest
+    val live = SnapshotTable.readManifest(spark, table, 2L)
+      .map(e => new Path(e.path).getName).toSet
+    val onDisk = fs.listStatus(new Path(table, "data"))
+      .map(_.getPath.getName).toSet
+    assert(onDisk === live)
+  }
+
+  test("concurrent commit conflict is loud: publishing an already-taken " +
+    "version fails and leaves the winner's manifest intact") {
+    val table = freshTable()
+    val winner = SnapshotTable.readManifest(spark, table, 1L)
+    // winner publishes v2; a racing writer that also resolved current=1
+    // then tries to publish ITS v2 — the rename commit point must refuse
+    SnapshotTable.writeManifest(spark, table, 2L, winner)
+    val err = intercept[RuntimeException] {
+      SnapshotTable.writeManifest(spark, table, 2L, winner.take(1))
+    }
+    assert(err.getMessage.contains("conflict"))
+    assert(SnapshotTable.currentVersion(spark, table) === 2L)
+    assert(SnapshotTable.readManifest(spark, table, 2L) === winner)
+    // and no tmp debris survives the failed publish
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(new Path(table, "_manifests"))
+      .exists(_.getPath.getName.contains(".tmp.")))
+  }
+
+  test("manifest entries round-trip values that need escaping") {
+    val table = java.nio.file.Files.createTempDirectory("snapesc")
+      .resolve("t").toString
+    import spark.implicits._
+    val df = Seq((1L, "a \"quoted\"\\part"), (2L, "plain")).toDF("k", "p")
+    SnapshotTable.create(spark, table, df, "p")
+    val m = SnapshotTable.readManifest(spark, table, 1L)
+    assert(m.flatMap(_.parts).flatten.toSet ===
+      Set("a \"quoted\"\\part", "plain"))
+    assert(sortedRows(SnapshotTable.read(spark, table)
+      .withColumnRenamed("k", "o_orderkey")) ===
+      sortedRows(df.withColumnRenamed("k", "o_orderkey")))
+  }
+}
