@@ -332,7 +332,27 @@ object SnapshotTable extends QueryPack {
   // snapshot commits (same batch as q_upsert_merge; its oracle replays
   // the merge, and time travel replays the PRE-merge table)
 
-  private def scenario(s: SparkSession, dir: String): String = {
+  // one scenario per (session, corpus): both driver queries read the same
+  // committed table — the create+merge would otherwise run twice per
+  // verify/bench pass for no information (PatientPipeline's memo shape).
+  // The table is never mutated after the merge commits, so sharing is safe.
+  @volatile private var scenarioMemo: Option[((SparkSession, String), String)] = None
+
+  private def scenario(s: SparkSession, dir: String): String =
+    scenarioMemo match {
+      case Some((k, w)) if k == ((s, dir)) => w
+      case _ => synchronized {
+        scenarioMemo match {
+          case Some((k, w)) if k == ((s, dir)) => w
+          case _ =>
+            val w = buildScenario(s, dir)
+            scenarioMemo = Some(((s, dir), w))
+            w
+        }
+      }
+    }
+
+  private def buildScenario(s: SparkSession, dir: String): String = {
     val work = java.nio.file.Files
       .createTempDirectory("graft_snapshot_run").resolve("t").toString
     val orders = Tables.orders(s, dir)
