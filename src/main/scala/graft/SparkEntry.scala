@@ -44,6 +44,7 @@ object SparkEntry {
     graft.sources.Upsert,
     graft.sources.SnapshotTable,
     graft.streaming.IncrDedupStream,
+    graft.streaming.SnapshotSink,
     graft.operators.PrefixJoin)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

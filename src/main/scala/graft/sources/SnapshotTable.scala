@@ -123,23 +123,43 @@ object SnapshotTable extends QueryPack {
     case other => sys.error(s"snapshot manifest: bad entry: $other")
   }
 
-  def readManifest(spark: SparkSession, table: String, version: Long): Seq[FileEntry] = {
+  def readManifest(spark: SparkSession, table: String, version: Long): Seq[FileEntry] =
+    readManifestFull(spark, table, version)._1
+
+  /** Manifest entries plus the cumulative committed-tag set. Tags live
+    * in a HEADER line (not in file names): [[compact]] rewrites files
+    * into fresh names, and an idempotence record that vanished with the
+    * old names would let a late-enough retry double-commit its batch.
+    */
+  def readManifestFull(spark: SparkSession, table: String,
+                       version: Long): (Seq[FileEntry], Set[String]) = {
     val f = fs(spark, table)
     val in = f.open(new Path(manifestDir(table), s"v$version.json"))
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(_.nonEmpty).map(parseEntry).toList
-    finally in.close()
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    lines match {
+      case h :: rest if h.startsWith("""{"tags":[""") =>
+        val body = h.stripPrefix("""{"tags":[""").stripSuffix("]}")
+        val tags = quotedRe.findAllMatchIn(body).map(m => unesc(m.group(1))).toSet
+        (rest.map(parseEntry), tags)
+      case _ => (lines.map(parseEntry), Set.empty)
+    }
   }
 
   private[sources] def writeManifest(spark: SparkSession, table: String,
                                      version: Long,
-                                     entries: Seq[FileEntry]): Unit = {
+                                     entries: Seq[FileEntry],
+                                     tags: Set[String] = Set.empty): Unit = {
     val f = fs(spark, table)
     val dir = manifestDir(table)
     f.mkdirs(dir)
     val tmp = new Path(dir, s"v$version.json.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
+    val header = tags.toSeq.sorted
+      .map(t => "\"" + esc(t) + "\"").mkString("""{"tags":[""", ",", "]}") + "\n"
     val out = f.create(tmp, false)
-    try out.write(entries.map(entryJson).mkString("", "\n", "\n")
+    try out.write((header + entries.map(entryJson).mkString("", "\n", "\n"))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val target = new Path(dir, s"v$version.json")
@@ -165,11 +185,23 @@ object SnapshotTable extends QueryPack {
     * scale. Partition values must be non-null.
     */
   private def writeDataFiles(spark: SparkSession, table: String, df: DataFrame,
-                             partCol: String): Seq[FileEntry] = {
+                             partCol: String,
+                             namePrefix: Option[String] = None): Seq[FileEntry] = {
     val f = fs(spark, table)
-    val commit = java.util.UUID.randomUUID.toString.take(8)
+    // the optional caller prefix TAGS the files (idempotence probes key
+    // on it); the uuid keeps retried attempts from colliding on names
+    val commit = namePrefix.map(_ + "_").getOrElse("") +
+      java.util.UUID.randomUUID.toString.take(8)
     val staging = new Path(table, s"_staging_$commit")
-    df.withColumn("__part", col(partCol)).write
+    // repartition by value first: without it every input task emits its
+    // own file per value it touches (compaction would fold N files into
+    // N), and with it AQE coalesces small inputs into few writer tasks
+    // while partitionBy still enforces per-value file separation. A hot
+    // value serializes into one writer task (maxRecordsPerFile bounds
+    // its FILES, not its wall clock) — the standard remedy, salting the
+    // repartition key, is the caller's choice at ingest shape.
+    df.withColumn("__part", col(partCol))
+      .repartition(col(partCol)).write
       .option("maxRecordsPerFile", 5000000L)
       .partitionBy("__part").parquet(staging.toString)
 
@@ -222,6 +254,20 @@ object SnapshotTable extends QueryPack {
     1L
   }
 
+  /** Create the table EMPTY at version 1 — the sink bootstrap: with an
+    * empty v1 in place, every producer batch (including the first) goes
+    * through [[commitAppend]]'s tagged idempotent path, so a retried
+    * first batch cannot double-commit the way an untagged `create`
+    * would. (An empty table has no schema yet; reads fail until the
+    * first append commits.)
+    */
+  def createEmpty(spark: SparkSession, table: String): Long = {
+    require(versions(spark, table).isEmpty,
+      s"snapshot table $table already exists")
+    writeManifest(spark, table, 1L, Seq.empty)
+    1L
+  }
+
   /** Read the current snapshot (resolved once, at call time — the plan
     * stays on those files even if commits land before an action runs).
     */
@@ -257,7 +303,7 @@ object SnapshotTable extends QueryPack {
   def commitMerge(spark: SparkSession, table: String, updates: DataFrame,
                   keyCol: String, partCol: String): (Long, Long, Long) = {
     val v = currentVersion(spark, table)
-    val manifest = readManifest(spark, table, v)
+    val (manifest, tags) = readManifestFull(spark, table, v)
     val batchParts = updates.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
 
@@ -286,8 +332,54 @@ object SnapshotTable extends QueryPack {
       .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
       .unionByName(updates.select(target.columns.map(col).toIndexedSeq: _*))
     val fresh = writeDataFiles(spark, table, merged, partCol)
-    writeManifest(spark, table, v + 1, carried ++ fresh)
+    writeManifest(spark, table, v + 1, carried ++ fresh, tags)
     (v + 1, nReplaced, nInserted)
+  }
+
+  /** Append `df` as a new snapshot version, all current files carried by
+    * reference. With a `tag`, the append is IDEMPOTENT on it: the tag
+    * joins the manifest header's cumulative committed-tag set, and a
+    * call whose tag is already recorded is a no-op returning None — the
+    * retry contract a streaming sink needs (a crashed attempt's files
+    * are referenced by no manifest: invisible to readers, vacuum food).
+    * The record survives [[compact]] renaming the data files, so even a
+    * retry delivered after maintenance ran stays a no-op. Returns the
+    * new version, or None for a duplicate.
+    */
+  def commitAppend(spark: SparkSession, table: String, df: DataFrame,
+                   partCol: String, tag: Option[String] = None): Option[Long] = {
+    val v = currentVersion(spark, table)
+    val (manifest, tags) = readManifestFull(spark, table, v)
+    if (tag.exists(tags.contains))
+      None
+    else {
+      val fresh = writeDataFiles(spark, table, df, partCol, tag)
+      writeManifest(spark, table, v + 1, manifest ++ fresh, tags ++ tag)
+      Some(v + 1)
+    }
+  }
+
+  /** Fold the current version's small files (rows < `smallThreshold`)
+    * into right-sized ones, publishing the SAME rows as a new version —
+    * the steady-state maintenance a micro-batch append sink needs (each
+    * batch adds a file per touched partition value; a day of 1-minute
+    * batches is ~1 440 tiny files per value). Large files carry over by
+    * reference. Returns (new version, files folded, files produced);
+    * current version unchanged when fewer than 2 files qualify.
+    */
+  def compact(spark: SparkSession, table: String, partCol: String,
+              smallThreshold: Long = 1000000L): (Long, Int, Int) = {
+    val v = currentVersion(spark, table)
+    val (manifest, tags) = readManifestFull(spark, table, v)
+    val small = manifest.filter(_.rows < smallThreshold)
+    if (small.size < 2) (v, 0, 0)
+    else {
+      val fresh = writeDataFiles(spark, table,
+        readFiles(spark, table, small), partCol)
+      // the tag record rides along — idempotence outlives the renames
+      writeManifest(spark, table, v + 1, manifest.diff(small) ++ fresh, tags)
+      (v + 1, small.size, fresh.size)
+    }
   }
 
   /** Remove data files referenced by NO retained manifest and manifests

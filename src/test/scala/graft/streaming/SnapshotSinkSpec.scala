@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.sources.SnapshotTable
+
+class SnapshotSinkSpec extends SparkSpec {
+
+  private def freshPath(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).resolve("t").toString
+
+  test("stream-committed table holds exactly the batch-read corpus") {
+    val table = freshPath("snapsink")
+    SnapshotSink.run(spark, sfDir, table)
+    val got = SnapshotTable.read(spark, table)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"))
+      .orderBy("event_type").collect().toSeq
+    val want = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"))
+      .orderBy("event_type").collect().toSeq
+    assert(got === want)
+    // commits are per-micro-batch: one empty bootstrap + >=1 append
+    assert(SnapshotTable.currentVersion(spark, table) >= 2L)
+  }
+
+  test("restarting from the same checkpoint re-commits nothing") {
+    val table = freshPath("snapsink_r")
+    val ckpt = StreamHousekeeping.freshCheckpointDir()
+    SnapshotSink.run(spark, sfDir, table, Some(ckpt))
+    val v = SnapshotTable.currentVersion(spark, table)
+    val n = SnapshotTable.read(spark, table).count()
+    SnapshotSink.run(spark, sfDir, table, Some(ckpt)) // replay, same state
+    assert(SnapshotTable.currentVersion(spark, table) === v)
+    assert(SnapshotTable.read(spark, table).count() === n)
+  }
+
+  test("a re-delivered tagged batch is a no-op, even after compaction " +
+    "renamed its files") {
+    val table = freshPath("snapsink_tag")
+    SnapshotTable.createEmpty(spark, table)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"))
+    val batch7 = ev.orderBy("event_id").limit(100)
+    val batch8 = ev.orderBy(col("event_id").desc).limit(100)
+    assert(SnapshotTable.commitAppend(spark, table, batch7, "event_type",
+      Some("b7")).nonEmpty)
+    assert(SnapshotTable.commitAppend(spark, table, batch8, "event_type",
+      Some("b8")).nonEmpty)
+    val n = SnapshotTable.read(spark, table).count()
+    // immediate retry: refused on the tag record
+    assert(SnapshotTable.commitAppend(spark, table, batch7, "event_type",
+      Some("b7")).isEmpty)
+    // maintenance renames every data file; the header record must survive
+    val (v2, folded, produced) = SnapshotTable.compact(spark, table,
+      "event_type", smallThreshold = Long.MaxValue)
+    assert(folded > produced && produced > 0)
+    assert(SnapshotTable.commitAppend(spark, table, batch7, "event_type",
+      Some("b7")).isEmpty)
+    assert(SnapshotTable.commitAppend(spark, table, batch8, "event_type",
+      Some("b8")).isEmpty)
+    assert(SnapshotTable.read(spark, table).count() === n)
+    // and an unseen tag still commits
+    assert(SnapshotTable.commitAppend(spark, table, batch7, "event_type",
+      Some("b9")).contains(v2 + 1))
+  }
+
+  test("compact folds small files without changing the data and keeps " +
+    "manifest skipping exact") {
+    val table = freshPath("snapsink_c")
+    SnapshotTable.createEmpty(spark, table)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("value"), col("event_type"))
+    // 4 tiny appends -> 4 files per touched partition value
+    (0 until 4).foreach { i =>
+      SnapshotTable.commitAppend(spark, table,
+        ev.filter(col("event_id") % 4 === i), "event_type", Some(s"b$i"))
+    }
+    val before = SnapshotTable.readManifest(spark, table,
+      SnapshotTable.currentVersion(spark, table))
+    val beforeRows = SnapshotTable.read(spark, table)
+      .orderBy("event_id").collect().toSeq
+    val (_, folded, produced) = SnapshotTable.compact(spark, table,
+      "event_type", smallThreshold = Long.MaxValue)
+    assert(folded === before.size)
+    assert(produced < folded)
+    assert(SnapshotTable.read(spark, table)
+      .orderBy("event_id").collect().toSeq === beforeRows)
+    val oneType = SnapshotTable.readWhere(spark, table, "event_type",
+      Seq("click"))
+    assert(oneType.inputFiles.length < produced ||
+      oneType.inputFiles.length === 1)
+    assert(oneType.count() ===
+      ev.filter(col("event_type") === "click").count())
+  }
+}
