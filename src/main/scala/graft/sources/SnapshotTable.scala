@@ -48,11 +48,20 @@ import graft.{QueryPack, Tables}
   */
 object SnapshotTable extends QueryPack {
 
+  /** Per-file min/max of one numeric column (stored as doubles — exact
+    * for bigint keys up to 2^53). The column NAME rides along so a read
+    * pruning on a different column can never skip on the wrong stats.
+    */
+  final case class ColStats(col: String, lo: Double, hi: Double)
+
   /** One manifest line. `parts` is the file's partition-value list
     * (`None` = unknown, never skipped — reserved for future multi-value
     * files; the current writer emits exactly one value per file).
+    * `stats` is the optional column min/max for range skipping (`None`
+    * = never range-skipped).
     */
-  final case class FileEntry(path: String, parts: Option[Seq[String]], rows: Long)
+  final case class FileEntry(path: String, parts: Option[Seq[String]],
+                             rows: Long, stats: Option[ColStats] = None)
 
   private def fs(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -108,18 +117,23 @@ object SnapshotTable extends QueryPack {
       case None     => "\"*\""
       case Some(ps) => ps.map(p => "\"" + esc(p) + "\"").mkString("[", ",", "]")
     }
-    s"""{"path":"${esc(e.path)}","parts":$parts,"rows":${e.rows}}"""
+    val stats = e.stats.fold("") { s =>
+      s""","stats":{"col":"${esc(s.col)}","lo":${s.lo},"hi":${s.hi}}"""
+    }
+    s"""{"path":"${esc(e.path)}","parts":$parts,"rows":${e.rows}$stats}"""
   }
 
   private val entryRe =
-    raw"""\{"path":"(.*)","parts":(\[.*\]|"\*"),"rows":(\d+)\}""".r
+    raw"""\{"path":"(.*)","parts":(\[.*\]|"\*"),"rows":(\d+)(,"stats":\{"col":"(.*)","lo":([-0-9.eE]+),"hi":([-0-9.eE]+)\})?\}""".r
   private val quotedRe = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
 
   private def parseEntry(line: String): FileEntry = line.trim match {
-    case entryRe(p, parts, rows) =>
+    case entryRe(p, parts, rows, statsGrp, sCol, sLo, sHi) =>
       val ps = if (parts == "\"*\"") None
         else Some(quotedRe.findAllMatchIn(parts).map(m => unesc(m.group(1))).toSeq)
-      FileEntry(unesc(p), ps, rows.toLong)
+      val stats = Option(statsGrp).map(_ =>
+        ColStats(unesc(sCol), sLo.toDouble, sHi.toDouble))
+      FileEntry(unesc(p), ps, rows.toLong, stats)
     case other => sys.error(s"snapshot manifest: bad entry: $other")
   }
 
@@ -186,32 +200,52 @@ object SnapshotTable extends QueryPack {
     */
   private def writeDataFiles(spark: SparkSession, table: String, df: DataFrame,
                              partCol: String,
-                             namePrefix: Option[String] = None): Seq[FileEntry] = {
+                             namePrefix: Option[String] = None,
+                             statsCol: Option[String] = None): Seq[FileEntry] = {
     val f = fs(spark, table)
     // the optional caller prefix TAGS the files (idempotence probes key
     // on it); the uuid keeps retried attempts from colliding on names
     val commit = namePrefix.map(_ + "_").getOrElse("") +
       java.util.UUID.randomUUID.toString.take(8)
     val staging = new Path(table, s"_staging_$commit")
-    // repartition by value first: without it every input task emits its
-    // own file per value it touches (compaction would fold N files into
-    // N), and with it AQE coalesces small inputs into few writer tasks
-    // while partitionBy still enforces per-value file separation. A hot
-    // value serializes into one writer task (maxRecordsPerFile bounds
-    // its FILES, not its wall clock) — the standard remedy, salting the
+    // repartition before the write: without it every input task emits
+    // its own file per value it touches (compaction would fold N files
+    // into N), and with it AQE coalesces small inputs into few writer
+    // tasks while partitionBy still enforces per-value file separation.
+    // With a stats column the repartition is BY RANGE of it — writer
+    // tasks then hold disjoint value ranges, so each (task × partition
+    // value) file carries a tight min/max and range skipping actually
+    // bites; without one, hash by partition value. A hot value
+    // serializes into one writer task (maxRecordsPerFile bounds its
+    // FILES, not its wall clock) — the standard remedy, salting the
     // repartition key, is the caller's choice at ingest shape.
-    df.withColumn("__part", col(partCol))
-      .repartition(col(partCol)).write
+    val clustered = statsCol match {
+      // explicit partition count: a bare repartitionByRange is an
+      // AQE-coalescible shuffle, and coalescing the range splits back
+      // together leaves every file spanning the whole keyspace — stats
+      // that can never skip. The explicit count (REPARTITION_BY_NUM) is
+      // exempt from coalescing; callers size shuffle.partitions to the
+      // corpus as everywhere else in the repo.
+      case Some(sc) => df.repartitionByRange(
+        df.sparkSession.sessionState.conf.numShufflePartitions, col(sc))
+      case None     => df.repartition(col(partCol))
+    }
+    clustered.withColumn("__part", col(partCol)).write
       .option("maxRecordsPerFile", 5000000L)
       .partitionBy("__part").parquet(staging.toString)
 
-    // per-file row counts: one count-only scan of the NEW files (never
-    // the table), keyed by (partition dir, file base)
+    // per-file row counts (+ stats-column min/max): one column-pruned
+    // scan of the NEW files (never the table), keyed by
+    // (partition dir, file base)
+    val statsAggs = count(lit(1)).as("rows") +: statsCol.toSeq.flatMap(sc =>
+      Seq(min(col(sc)).cast("double").as("lo"),
+        max(col(sc)).cast("double").as("hi")))
     val rows = spark.read.parquet(staging.toString)
-      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("rows"))
+      .groupBy(input_file_name().as("f")).agg(statsAggs.head, statsAggs.tail: _*)
       .collect().map { r =>
         val p = new Path(new java.net.URI(r.getString(0)).getPath)
-        (p.getParent.getName, p.getName) -> r.getLong(1)
+        val st = statsCol.map(sc => ColStats(sc, r.getDouble(2), r.getDouble(3)))
+        (p.getParent.getName, p.getName) -> (r.getLong(1), st)
       }.toMap
 
     f.mkdirs(dataDir(table))
@@ -229,8 +263,8 @@ object SnapshotTable extends QueryPack {
         val dest = new Path(dataDir(table), s"$commit-$i-${src.getName}")
         require(f.rename(src, dest),
           s"snapshot: could not place data file $dest")
-        FileEntry(s"data/$commit-$i-${src.getName}", Some(Seq(value)),
-          rows.getOrElse((dirName, src.getName), 0L))
+        val (n, st) = rows.getOrElse((dirName, src.getName), (0L, None))
+        FileEntry(s"data/$commit-$i-${src.getName}", Some(Seq(value)), n, st)
       }
     f.delete(staging, true)
     entries
@@ -244,12 +278,16 @@ object SnapshotTable extends QueryPack {
 
   // ---- public surface
 
-  /** Create the table with `df` as version 1. */
+  /** Create the table with `df` as version 1. With `statsCol`, writes
+    * are range-clustered on that column and every file records its
+    * min/max for [[readRange]] skipping.
+    */
   def create(spark: SparkSession, table: String, df: DataFrame,
-             partCol: String): Long = {
+             partCol: String, statsCol: Option[String] = None): Long = {
     require(versions(spark, table).isEmpty,
       s"snapshot table $table already exists")
-    val entries = writeDataFiles(spark, table, df, partCol)
+    val entries = writeDataFiles(spark, table, df, partCol,
+      statsCol = statsCol)
     writeManifest(spark, table, 1L, entries)
     1L
   }
@@ -292,6 +330,23 @@ object SnapshotTable extends QueryPack {
     else readFiles(spark, table, hit).filter(col(partCol).isin(values: _*))
   }
 
+  /** Manifest-stats RANGE skipping: plan only files whose recorded
+    * [lo, hi] for `statsCol` intersects [lo, hi] (inclusive). A file
+    * without stats — or with stats of a DIFFERENT column — always
+    * qualifies, so pruning can only ever drop files proven disjoint.
+    * The residual row filter rides on top.
+    */
+  def readRange(spark: SparkSession, table: String, statsCol: String,
+                lo: Double, hi: Double): DataFrame = {
+    val hit = readManifest(spark, table, currentVersion(spark, table))
+      .filter(_.stats.forall(s =>
+        s.col != statsCol || (s.hi >= lo && s.lo <= hi)))
+    if (hit.isEmpty)
+      read(spark, table).filter(lit(false))
+    else readFiles(spark, table, hit)
+      .filter(col(statsCol) >= lo && col(statsCol) <= hi)
+  }
+
   /** Snapshot-isolated MERGE: rows of `updates` replace same-key rows,
     * only affected files are rewritten, the rest carry over by
     * reference. Affected = files intersecting the batch's partition
@@ -331,7 +386,8 @@ object SnapshotTable extends QueryPack {
     val merged = target
       .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
       .unionByName(updates.select(target.columns.map(col).toIndexedSeq: _*))
-    val fresh = writeDataFiles(spark, table, merged, partCol)
+    val fresh = writeDataFiles(spark, table, merged, partCol,
+      statsCol = tableStatsCol(manifest))
     writeManifest(spark, table, v + 1, carried ++ fresh, tags)
     (v + 1, nReplaced, nInserted)
   }
@@ -347,17 +403,26 @@ object SnapshotTable extends QueryPack {
     * new version, or None for a duplicate.
     */
   def commitAppend(spark: SparkSession, table: String, df: DataFrame,
-                   partCol: String, tag: Option[String] = None): Option[Long] = {
+                   partCol: String, tag: Option[String] = None,
+                   statsCol: Option[String] = None): Option[Long] = {
     val v = currentVersion(spark, table)
     val (manifest, tags) = readManifestFull(spark, table, v)
     if (tag.exists(tags.contains))
       None
     else {
-      val fresh = writeDataFiles(spark, table, df, partCol, tag)
+      val fresh = writeDataFiles(spark, table, df, partCol, tag,
+        statsCol.orElse(tableStatsCol(manifest)))
       writeManifest(spark, table, v + 1, manifest ++ fresh, tags ++ tag)
       Some(v + 1)
     }
   }
+
+  /** The stats column the table's existing files record (first defined
+    * entry) — lets maintenance and follow-on commits keep recording the
+    * same stats without the caller re-stating it.
+    */
+  private def tableStatsCol(manifest: Seq[FileEntry]): Option[String] =
+    manifest.flatMap(_.stats).headOption.map(_.col)
 
   /** Fold the current version's small files (rows < `smallThreshold`)
     * into right-sized ones, publishing the SAME rows as a new version —
@@ -375,7 +440,8 @@ object SnapshotTable extends QueryPack {
     if (small.size < 2) (v, 0, 0)
     else {
       val fresh = writeDataFiles(spark, table,
-        readFiles(spark, table, small), partCol)
+        readFiles(spark, table, small), partCol,
+        statsCol = tableStatsCol(manifest))
       // the tag record rides along — idempotence outlives the renames
       writeManifest(spark, table, v + 1, manifest.diff(small) ++ fresh, tags)
       (v + 1, small.size, fresh.size)
@@ -450,7 +516,7 @@ object SnapshotTable extends QueryPack {
     val orders = Tables.orders(s, dir)
       .select(Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
         "o_orderpriority").map(col): _*)
-    create(s, work, orders, "o_orderpriority")
+    create(s, work, orders, "o_orderpriority", statsCol = Some("o_orderkey"))
     val changed = Tables.orders(s, dir).filter(col("o_orderkey") % 97 === 0)
       .select(col("o_orderkey"), col("o_custkey"),
         (col("o_totalprice") + 1000.0).as("o_totalprice"),
@@ -488,9 +554,18 @@ object SnapshotTable extends QueryPack {
   def timeTravelQuery(s: SparkSession, dir: String): DataFrame =
     rollup(readVersion(s, scenario(s, dir), 1L))
 
+  /** Rollup of a key range read through manifest min/max skipping on
+    * the post-merge table — correct only if the pruned plan loses no
+    * qualifying row (stats recorded at create must survive the merge
+    * rewrite).
+    */
+  def rangeSkipQuery(s: SparkSession, dir: String): DataFrame =
+    rollup(readRange(s, scenario(s, dir), "o_orderkey", 1000d, 3000d))
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_snapshot_merge" -> (snapshotMergeQuery _),
-    "q_time_travel" -> (timeTravelQuery _))
+    "q_time_travel" -> (timeTravelQuery _),
+    "q_snapshot_skip" -> (rangeSkipQuery _))
 
   override def oracleSql: Map[String, String] = Map(
     "q_snapshot_merge" ->
@@ -519,5 +594,28 @@ object SnapshotTable extends QueryPack {
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  CAST(max(o_orderkey) AS BIGINT) AS max_key
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_snapshot_skip" ->
+      """WITH changed AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |), fresh AS (
+        |  SELECT (SELECT max(o_orderkey) FROM orders) + i AS o_orderkey,
+        |    CAST(1 AS BIGINT) AS o_custkey, 123.45 AS o_totalprice,
+        |    '1999-01-01' AS o_orderdate, '1-URGENT' AS o_orderpriority
+        |  FROM (SELECT unnest(generate_series(1, 5)) AS i)
+        |), upd AS (
+        |  SELECT * FROM changed UNION ALL SELECT * FROM fresh
+        |), merged AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM upd
+        |)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM merged WHERE o_orderkey BETWEEN 1000 AND 3000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 }

@@ -173,6 +173,42 @@ class SnapshotTableSpec extends SparkSpec {
       .exists(_.getPath.getName.contains(".tmp.")))
   }
 
+  test("range-clustered stats skip disjoint files and survive merge " +
+    "and compaction") {
+    val table = java.nio.file.Files.createTempDirectory("snapstats")
+      .resolve("t").toString
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+    SnapshotTable.create(spark, table, orders, "o_orderpriority",
+      statsCol = Some("o_orderkey"))
+    val m1 = SnapshotTable.readManifest(spark, table, 1L)
+    assert(m1.forall(_.stats.exists(_.col == "o_orderkey")))
+    // range clustering: at least one file is provably disjoint from a
+    // head-of-keyspace window
+    val lo = 1d
+    val hi = orders.agg(expr("percentile(o_orderkey, 0.2)")).head().getDouble(0)
+    val planned = SnapshotTable.readRange(spark, table, "o_orderkey", lo, hi)
+    assert(planned.inputFiles.length < m1.size)
+    val want = orders.filter(col("o_orderkey").between(lo, hi))
+      .orderBy("o_orderkey").collect().toSeq
+    assert(planned.orderBy("o_orderkey").collect().toSeq === want)
+    // stats keep being recorded through merge and compaction (no
+    // caller restatement), so skipping still works after both
+    SnapshotTable.commitMerge(spark, table, updatesBatch(),
+      "o_orderkey", "o_orderpriority")
+    SnapshotTable.compact(spark, table, "o_orderpriority",
+      smallThreshold = Long.MaxValue)
+    val mN = SnapshotTable.readManifest(spark, table,
+      SnapshotTable.currentVersion(spark, table))
+    assert(mN.forall(_.stats.exists(_.col == "o_orderkey")))
+    val planned2 = SnapshotTable.readRange(spark, table, "o_orderkey", lo, hi)
+    assert(planned2.inputFiles.length < mN.size)
+    // pruning on a DIFFERENT column must not skip anything
+    assert(SnapshotTable.readRange(spark, table, "o_custkey", 0d, 1d)
+      .inputFiles.length === mN.size)
+  }
+
   test("manifest entries round-trip values that need escaping") {
     val table = java.nio.file.Files.createTempDirectory("snapesc")
       .resolve("t").toString
