@@ -448,6 +448,44 @@ object SnapshotTable extends QueryPack {
     }
   }
 
+  /** Row-level DELETE: drop rows matching `predicate`, rewriting ONLY
+    * files that contain a match and carrying every other file by
+    * reference. Candidates come from one column-pruned scan tagging
+    * rows with their source file (the generic-predicate analogue of
+    * manifest pruning — a predicate on the stats column can pre-prune
+    * with [[readRange]] composition instead); the rewrite then reads
+    * just those files. Deletes are snapshot-isolated like every other
+    * commit: readers pinned to the old version keep seeing the rows
+    * until [[vacuum]]. Returns (new version, rows deleted) — current
+    * version unchanged when nothing matches.
+    */
+  def commitDelete(spark: SparkSession, table: String,
+                   predicate: org.apache.spark.sql.Column,
+                   partCol: String): (Long, Long) = {
+    val v = currentVersion(spark, table)
+    val (manifest, tags) = readManifestFull(spark, table, v)
+    val hitNames = readFiles(spark, table, manifest)
+      .withColumn("__f", input_file_name())
+      .filter(predicate)
+      .select(col("__f")).distinct()
+      .collect().map(r => new Path(new java.net.URI(r.getString(0)).getPath).getName)
+      .toSet
+    val affected = manifest.filter(e =>
+      hitNames.contains(new Path(e.path).getName))
+    if (affected.isEmpty) (v, 0L)
+    else {
+      val target = readFiles(spark, table, affected)
+      val nDeleted = target.filter(predicate).count()
+      val kept = target.filter(!predicate)
+      val fresh =
+        if (kept.isEmpty) Seq.empty
+        else writeDataFiles(spark, table, kept, partCol,
+          statsCol = tableStatsCol(manifest))
+      writeManifest(spark, table, v + 1, manifest.diff(affected) ++ fresh, tags)
+      (v + 1, nDeleted)
+    }
+  }
+
   /** Remove data files referenced by NO retained manifest and manifests
     * older than the newest `keepVersions`. Orphans from crashed commits
     * (files without a manifest, manifest tmps) go too. Returns files
@@ -562,10 +600,26 @@ object SnapshotTable extends QueryPack {
   def rangeSkipQuery(s: SparkSession, dir: String): DataFrame =
     rollup(readRange(s, scenario(s, dir), "o_orderkey", 1000d, 3000d))
 
+  /** Rollup after a row-level DELETE (keys ≡ 0 mod 101) — on its OWN
+    * table (not the shared memoized scenario: a delete commit would
+    * advance the version the other queries read).
+    */
+  def deleteQuery(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_snapshot_del").resolve("t").toString
+    create(s, work, Tables.orders(s, dir)
+      .select(Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+        "o_orderpriority").map(col): _*),
+      "o_orderpriority", statsCol = Some("o_orderkey"))
+    commitDelete(s, work, col("o_orderkey") % 101 === 0, "o_orderpriority")
+    rollup(read(s, work))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_snapshot_merge" -> (snapshotMergeQuery _),
     "q_time_travel" -> (timeTravelQuery _),
-    "q_snapshot_skip" -> (rangeSkipQuery _))
+    "q_snapshot_skip" -> (rangeSkipQuery _),
+    "q_snapshot_delete" -> (deleteQuery _))
 
   override def oracleSql: Map[String, String] = Map(
     "q_snapshot_merge" ->
@@ -617,5 +671,11 @@ object SnapshotTable extends QueryPack {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  CAST(max(o_orderkey) AS BIGINT) AS max_key
         |FROM merged WHERE o_orderkey BETWEEN 1000 AND 3000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_snapshot_delete" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders WHERE NOT (o_orderkey % 101 = 0)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 }

@@ -209,6 +209,37 @@ class SnapshotTableSpec extends SparkSpec {
       .inputFiles.length === mN.size)
   }
 
+  test("commitDelete drops exactly the matching rows, rewrites only " +
+    "files containing matches, and old versions keep the rows") {
+    val table = freshTable()
+    val m1 = SnapshotTable.readManifest(spark, table, 1L)
+    val allBefore = SnapshotTable.read(spark, table).count()
+    // matches live only in 1-URGENT — other files must carry over
+    val pred = col("o_orderpriority") === "1-URGENT" &&
+      col("o_orderkey") % 3 === 0
+    val nMatch = SnapshotTable.read(spark, table).filter(pred).count()
+    assert(nMatch > 0)
+
+    val (v2, nDeleted) = SnapshotTable.commitDelete(spark, table, pred,
+      "o_orderpriority")
+    assert(v2 === 2L)
+    assert(nDeleted === nMatch)
+    val after = SnapshotTable.read(spark, table)
+    assert(after.count() === allBefore - nMatch)
+    assert(after.filter(pred).count() === 0L)
+    // untouched files carried by reference
+    val m2 = SnapshotTable.readManifest(spark, table, 2L)
+    val carried = m1.filter(!_.parts.forall(_.contains("1-URGENT")))
+    assert(carried.nonEmpty)
+    assert(carried.forall(e => m2.exists(_.path == e.path)))
+    // snapshot isolation: v1 still has the rows
+    assert(SnapshotTable.readVersion(spark, table, 1L).filter(pred).count()
+      === nMatch)
+    // no-match delete is a no-op version-wise
+    assert(SnapshotTable.commitDelete(spark, table,
+      col("o_orderkey") === -1L, "o_orderpriority") === ((2L, 0L)))
+  }
+
   test("manifest entries round-trip values that need escaping") {
     val table = java.nio.file.Files.createTempDirectory("snapesc")
       .resolve("t").toString
