@@ -137,16 +137,25 @@ object SnapshotTable extends QueryPack {
     case other => sys.error(s"snapshot manifest: bad entry: $other")
   }
 
+  /** Version-level metadata riding the manifest's header line: the
+    * cumulative committed-tag ledger and the table's CURRENT schema as
+    * a DDL string. Tags live here (not in file names) because
+    * [[compact]] renames data files; the schema lives here because
+    * schema evolution must not rewrite old files — readers apply the
+    * recorded schema and parquet fills absent columns with null.
+    */
+  final case class Header(tags: Set[String] = Set.empty,
+                          schema: Option[String] = None)
+
   def readManifest(spark: SparkSession, table: String, version: Long): Seq[FileEntry] =
     readManifestFull(spark, table, version)._1
 
-  /** Manifest entries plus the cumulative committed-tag set. Tags live
-    * in a HEADER line (not in file names): [[compact]] rewrites files
-    * into fresh names, and an idempotence record that vanished with the
-    * old names would let a late-enough retry double-commit its batch.
-    */
+  private val headerRe =
+    raw"""\{"tags":\[(.*)\](,"schema":"(.*)")?\}""".r
+
+  /** Manifest entries plus the header (tag ledger + recorded schema). */
   def readManifestFull(spark: SparkSession, table: String,
-                       version: Long): (Seq[FileEntry], Set[String]) = {
+                       version: Long): (Seq[FileEntry], Header) = {
     val f = fs(spark, table)
     val in = f.open(new Path(manifestDir(table), s"v$version.json"))
     val lines =
@@ -154,24 +163,24 @@ object SnapshotTable extends QueryPack {
         .filter(_.nonEmpty).toList
       finally in.close()
     lines match {
-      case h :: rest if h.startsWith("""{"tags":[""") =>
-        val body = h.stripPrefix("""{"tags":[""").stripSuffix("]}")
-        val tags = quotedRe.findAllMatchIn(body).map(m => unesc(m.group(1))).toSet
-        (rest.map(parseEntry), tags)
-      case _ => (lines.map(parseEntry), Set.empty)
+      case headerRe(tagsBody, _, schemaGrp) :: rest =>
+        val tags = quotedRe.findAllMatchIn(tagsBody).map(m => unesc(m.group(1))).toSet
+        (rest.map(parseEntry), Header(tags, Option(schemaGrp).map(unesc)))
+      case _ => (lines.map(parseEntry), Header())
     }
   }
 
   private[sources] def writeManifest(spark: SparkSession, table: String,
                                      version: Long,
                                      entries: Seq[FileEntry],
-                                     tags: Set[String] = Set.empty): Unit = {
+                                     hdr: Header = Header()): Unit = {
     val f = fs(spark, table)
     val dir = manifestDir(table)
     f.mkdirs(dir)
     val tmp = new Path(dir, s"v$version.json.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
-    val header = tags.toSeq.sorted
-      .map(t => "\"" + esc(t) + "\"").mkString("""{"tags":[""", ",", "]}") + "\n"
+    val header = hdr.tags.toSeq.sorted
+      .map(t => "\"" + esc(t) + "\"").mkString("""{"tags":[""", ",", "]") +
+      hdr.schema.fold("")(s => s""","schema":"${esc(s)}"""") + "}\n"
     val out = f.create(tmp, false)
     try out.write((header + entries.map(entryJson).mkString("", "\n", "\n"))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -271,9 +280,12 @@ object SnapshotTable extends QueryPack {
   }
 
   private def readFiles(spark: SparkSession, table: String,
-                        entries: Seq[FileEntry]): DataFrame = {
+                        entries: Seq[FileEntry],
+                        schema: Option[String] = None): DataFrame = {
     require(entries.nonEmpty, "snapshot read: empty file set")
-    spark.read.parquet(entries.map(e => s"$table/${e.path}"): _*)
+    val reader = schema.fold(spark.read)(ddl =>
+      spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+    reader.parquet(entries.map(e => s"$table/${e.path}"): _*)
   }
 
   // ---- public surface
@@ -288,7 +300,8 @@ object SnapshotTable extends QueryPack {
       s"snapshot table $table already exists")
     val entries = writeDataFiles(spark, table, df, partCol,
       statsCol = statsCol)
-    writeManifest(spark, table, 1L, entries)
+    writeManifest(spark, table, 1L, entries,
+      Header(schema = Some(df.schema.toDDL)))
     1L
   }
 
@@ -313,8 +326,10 @@ object SnapshotTable extends QueryPack {
     readVersion(spark, table, currentVersion(spark, table))
 
   /** Time travel: read an older (still un-vacuumed) snapshot. */
-  def readVersion(spark: SparkSession, table: String, version: Long): DataFrame =
-    readFiles(spark, table, readManifest(spark, table, version))
+  def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
+    val (entries, hdr) = readManifestFull(spark, table, version)
+    readFiles(spark, table, entries, hdr.schema)
+  }
 
   /** Manifest-level file skipping: plan ONLY files whose recorded
     * partition values intersect `values` (a `*` entry always qualifies),
@@ -358,7 +373,7 @@ object SnapshotTable extends QueryPack {
   def commitMerge(spark: SparkSession, table: String, updates: DataFrame,
                   keyCol: String, partCol: String): (Long, Long, Long) = {
     val v = currentVersion(spark, table)
-    val (manifest, tags) = readManifestFull(spark, table, v)
+    val (manifest, hdr) = readManifestFull(spark, table, v)
     val batchParts = updates.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
 
@@ -367,7 +382,7 @@ object SnapshotTable extends QueryPack {
     val movers =
       if (miss0.isEmpty) Seq.empty
       else {
-        val stale = readFiles(spark, table, miss0)
+        val stale = readFiles(spark, table, miss0, hdr.schema)
           .select(col(keyCol), input_file_name().as("__f"))
           .join(updates.select(col(keyCol)), Seq(keyCol), "left_semi")
           .select(col("__f")).distinct()
@@ -379,7 +394,7 @@ object SnapshotTable extends QueryPack {
 
     val target =
       if (affected.isEmpty) updates.filter(lit(false))
-      else readFiles(spark, table, affected)
+      else readFiles(spark, table, affected, hdr.schema)
     val nReplaced = target.join(updates.select(col(keyCol)), Seq(keyCol),
       "left_semi").count()
     val nInserted = updates.count() - nReplaced
@@ -388,7 +403,7 @@ object SnapshotTable extends QueryPack {
       .unionByName(updates.select(target.columns.map(col).toIndexedSeq: _*))
     val fresh = writeDataFiles(spark, table, merged, partCol,
       statsCol = tableStatsCol(manifest))
-    writeManifest(spark, table, v + 1, carried ++ fresh, tags)
+    writeManifest(spark, table, v + 1, carried ++ fresh, hdr)
     (v + 1, nReplaced, nInserted)
   }
 
@@ -406,15 +421,38 @@ object SnapshotTable extends QueryPack {
                    partCol: String, tag: Option[String] = None,
                    statsCol: Option[String] = None): Option[Long] = {
     val v = currentVersion(spark, table)
-    val (manifest, tags) = readManifestFull(spark, table, v)
-    if (tag.exists(tags.contains))
+    val (manifest, hdr) = readManifestFull(spark, table, v)
+    if (tag.exists(hdr.tags.contains))
       None
     else {
+      val evolved = evolveSchema(hdr.schema, df)
       val fresh = writeDataFiles(spark, table, df, partCol, tag,
         statsCol.orElse(tableStatsCol(manifest)))
-      writeManifest(spark, table, v + 1, manifest ++ fresh, tags ++ tag)
+      writeManifest(spark, table, v + 1, manifest ++ fresh,
+        hdr.copy(tags = hdr.tags ++ tag, schema = Some(evolved)))
       Some(v + 1)
     }
+  }
+
+  /** ADD-only schema evolution: the table schema grows by the batch's
+    * novel columns; shared names must keep their type. Old files are
+    * never rewritten — reads apply the evolved schema and parquet
+    * yields null for columns a file predates. A batch may also OMIT
+    * existing columns (they read back null for its rows).
+    */
+  private def evolveSchema(current: Option[String],
+                           df: DataFrame): String = current match {
+    case None => df.schema.toDDL
+    case Some(ddl) =>
+      val cur = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      df.schema.foreach { f =>
+        cur.find(_.name == f.name).foreach { c =>
+          require(c.dataType == f.dataType,
+            s"schema evolution: column ${f.name} is ${f.dataType}, table has ${c.dataType}")
+        }
+      }
+      val added = df.schema.filterNot(f => cur.exists(_.name == f.name))
+      org.apache.spark.sql.types.StructType(cur ++ added).toDDL
   }
 
   /** The stats column the table's existing files record (first defined
@@ -435,15 +473,16 @@ object SnapshotTable extends QueryPack {
   def compact(spark: SparkSession, table: String, partCol: String,
               smallThreshold: Long = 1000000L): (Long, Int, Int) = {
     val v = currentVersion(spark, table)
-    val (manifest, tags) = readManifestFull(spark, table, v)
+    val (manifest, hdr) = readManifestFull(spark, table, v)
     val small = manifest.filter(_.rows < smallThreshold)
     if (small.size < 2) (v, 0, 0)
     else {
       val fresh = writeDataFiles(spark, table,
-        readFiles(spark, table, small), partCol,
+        readFiles(spark, table, small, hdr.schema), partCol,
         statsCol = tableStatsCol(manifest))
-      // the tag record rides along — idempotence outlives the renames
-      writeManifest(spark, table, v + 1, manifest.diff(small) ++ fresh, tags)
+      // the header (tag ledger + schema) rides along — idempotence and
+      // the evolved schema both outlive the renames
+      writeManifest(spark, table, v + 1, manifest.diff(small) ++ fresh, hdr)
       (v + 1, small.size, fresh.size)
     }
   }
@@ -463,8 +502,8 @@ object SnapshotTable extends QueryPack {
                    predicate: org.apache.spark.sql.Column,
                    partCol: String): (Long, Long) = {
     val v = currentVersion(spark, table)
-    val (manifest, tags) = readManifestFull(spark, table, v)
-    val hitNames = readFiles(spark, table, manifest)
+    val (manifest, hdr) = readManifestFull(spark, table, v)
+    val hitNames = readFiles(spark, table, manifest, hdr.schema)
       .withColumn("__f", input_file_name())
       .filter(predicate)
       .select(col("__f")).distinct()
@@ -474,14 +513,14 @@ object SnapshotTable extends QueryPack {
       hitNames.contains(new Path(e.path).getName))
     if (affected.isEmpty) (v, 0L)
     else {
-      val target = readFiles(spark, table, affected)
+      val target = readFiles(spark, table, affected, hdr.schema)
       val nDeleted = target.filter(predicate).count()
       val kept = target.filter(!predicate)
       val fresh =
         if (kept.isEmpty) Seq.empty
         else writeDataFiles(spark, table, kept, partCol,
           statsCol = tableStatsCol(manifest))
-      writeManifest(spark, table, v + 1, manifest.diff(affected) ++ fresh, tags)
+      writeManifest(spark, table, v + 1, manifest.diff(affected) ++ fresh, hdr)
       (v + 1, nDeleted)
     }
   }
@@ -615,11 +654,37 @@ object SnapshotTable extends QueryPack {
     rollup(read(s, work))
   }
 
+  /** Rollup across a schema-evolving append: v1 has four columns, the
+    * appended batch adds `o_bonus` — old files are NOT rewritten, the
+    * evolved read yields null bonus for pre-evolution rows, and the
+    * per-priority rollup must agree with the relational union replay.
+    */
+  def evolveQuery(s: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_snapshot_evo").resolve("t").toString
+    val base = Tables.orders(s, dir)
+      .select(Seq("o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderpriority").map(col): _*)
+    create(s, work, base, "o_orderpriority")
+    val extra = Tables.orders(s, dir).filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey") + 10000000L as "o_orderkey",
+        col("o_custkey"), col("o_totalprice"), col("o_orderpriority"),
+        (col("o_orderkey") * 2).as("o_bonus"))
+    commitAppend(s, work, extra, "o_orderpriority")
+    read(s, work)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_bonus")).as("n_bonus"),
+        sum(coalesce(col("o_bonus"), lit(0L))).as("bonus_sum"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_snapshot_merge" -> (snapshotMergeQuery _),
     "q_time_travel" -> (timeTravelQuery _),
     "q_snapshot_skip" -> (rangeSkipQuery _),
-    "q_snapshot_delete" -> (deleteQuery _))
+    "q_snapshot_delete" -> (deleteQuery _),
+    "q_snapshot_evolve" -> (evolveQuery _))
 
   override def oracleSql: Map[String, String] = Map(
     "q_snapshot_merge" ->
@@ -677,5 +742,20 @@ object SnapshotTable extends QueryPack {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  CAST(max(o_orderkey) AS BIGINT) AS max_key
         |FROM orders WHERE NOT (o_orderkey % 101 = 0)
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_snapshot_evolve" ->
+      """WITH ext AS (
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, o_orderpriority,
+        |    o_orderkey * 2 AS o_bonus
+        |  FROM orders WHERE o_orderkey % 50 = 0
+        |), unioned AS (
+        |  SELECT o_orderkey, o_orderpriority, CAST(NULL AS BIGINT) AS o_bonus
+        |  FROM orders
+        |  UNION ALL SELECT o_orderkey, o_orderpriority, o_bonus FROM ext
+        |)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(o_bonus) AS BIGINT) AS n_bonus,
+        |  CAST(sum(COALESCE(o_bonus, 0)) AS BIGINT) AS bonus_sum
+        |FROM unioned GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
 }

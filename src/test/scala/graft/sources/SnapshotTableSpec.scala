@@ -240,6 +240,42 @@ class SnapshotTableSpec extends SparkSpec {
       col("o_orderkey") === -1L, "o_orderpriority") === ((2L, 0L)))
   }
 
+  test("schema evolution: appends add columns without rewriting old " +
+    "files; pinned versions keep their schema; type conflicts refuse") {
+    val table = freshTable()
+    val m1Paths = SnapshotTable.readManifest(spark, table, 1L)
+      .map(_.path).toSet
+    val extra = Tables.orders(spark, sfDir).limit(10)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderpriority"),
+        lit(42L).as("o_bonus"))
+    SnapshotTable.commitAppend(spark, table, extra, "o_orderpriority")
+
+    val cur = SnapshotTable.read(spark, table)
+    assert(cur.columns.contains("o_bonus"))
+    // old rows read null bonus, new rows carry it — no file rewritten
+    assert(cur.filter(col("o_bonus").isNull).count() ===
+      cur.count() - 10)
+    assert(cur.filter(col("o_bonus") === 42L).count() === 10)
+    val m2 = SnapshotTable.readManifest(spark, table, 2L)
+    assert(m1Paths.subsetOf(m2.map(_.path).toSet))
+    // a reader pinned to v1 sees the PRE-evolution schema
+    assert(!SnapshotTable.readVersion(spark, table, 1L)
+      .columns.contains("o_bonus"))
+    // the evolved schema survives compaction
+    SnapshotTable.compact(spark, table, "o_orderpriority",
+      smallThreshold = Long.MaxValue)
+    assert(SnapshotTable.read(spark, table).columns.contains("o_bonus"))
+    assert(SnapshotTable.read(spark, table)
+      .filter(col("o_bonus") === 42L).count() === 10)
+    // shared names must keep their type
+    val bad = extra.withColumn("o_bonus", lit("nope"))
+    val err = intercept[IllegalArgumentException] {
+      SnapshotTable.commitAppend(spark, table, bad, "o_orderpriority")
+    }
+    assert(err.getMessage.contains("schema evolution"))
+  }
+
   test("manifest entries round-trip values that need escaping") {
     val table = java.nio.file.Files.createTempDirectory("snapesc")
       .resolve("t").toString
