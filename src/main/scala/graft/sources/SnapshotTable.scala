@@ -490,20 +490,29 @@ object SnapshotTable extends QueryPack {
   /** Row-level DELETE: drop rows matching `predicate`, rewriting ONLY
     * files that contain a match and carrying every other file by
     * reference. Candidates come from one column-pruned scan tagging
-    * rows with their source file (the generic-predicate analogue of
-    * manifest pruning — a predicate on the stats column can pre-prune
-    * with [[readRange]] composition instead); the rewrite then reads
-    * just those files. Deletes are snapshot-isolated like every other
-    * commit: readers pinned to the old version keep seeing the rows
-    * until [[vacuum]]. Returns (new version, rows deleted) — current
-    * version unchanged when nothing matches.
+    * rows with their source file; `rangeHint` lets the caller assert a
+    * stats-column bound implied by the predicate, manifest-pruning that
+    * scan too. Deletes are snapshot-isolated like every other commit:
+    * readers pinned to the old version keep seeing the rows until
+    * [[vacuum]]. Returns (new version, rows deleted) — current version
+    * unchanged when nothing matches.
     */
   def commitDelete(spark: SparkSession, table: String,
                    predicate: org.apache.spark.sql.Column,
-                   partCol: String): (Long, Long) = {
+                   partCol: String,
+                   rangeHint: Option[(String, Double, Double)] = None): (Long, Long) = {
     val v = currentVersion(spark, table)
     val (manifest, hdr) = readManifestFull(spark, table, v)
-    val hitNames = readFiles(spark, table, manifest, hdr.schema)
+    // rangeHint is the caller's ASSERTION that the predicate implies
+    // col ∈ [lo, hi]: the candidate scan then skips files whose stats
+    // are disjoint (a wrong hint silently misses rows — it narrows the
+    // scan, the predicate still decides row membership)
+    val scanSet = rangeHint.fold(manifest) { case (c, lo, hi) =>
+      manifest.filter(_.stats.forall(s =>
+        s.col != c || (s.hi >= lo && s.lo <= hi)))
+    }
+    if (scanSet.isEmpty) return (v, 0L)
+    val hitNames = readFiles(spark, table, scanSet, hdr.schema)
       .withColumn("__f", input_file_name())
       .filter(predicate)
       .select(col("__f")).distinct()
@@ -639,9 +648,12 @@ object SnapshotTable extends QueryPack {
   def rangeSkipQuery(s: SparkSession, dir: String): DataFrame =
     rollup(readRange(s, scenario(s, dir), "o_orderkey", 1000d, 3000d))
 
-  /** Rollup after a row-level DELETE (keys ≡ 0 mod 101) — on its OWN
-    * table (not the shared memoized scenario: a delete commit would
-    * advance the version the other queries read).
+  /** Rollup after a row-level DELETE (keys ≡ 0 mod 101 inside a key
+    * range) — on its OWN table (not the shared memoized scenario: a
+    * delete commit would advance the version the other queries read).
+    * The range-bounded predicate matches the range-clustered layout, so
+    * only the files holding the key window are rewritten — a scattered
+    * predicate would legitimately rewrite every file.
     */
   def deleteQuery(s: SparkSession, dir: String): DataFrame = {
     val work = java.nio.file.Files
@@ -650,7 +662,9 @@ object SnapshotTable extends QueryPack {
       .select(Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
         "o_orderpriority").map(col): _*),
       "o_orderpriority", statsCol = Some("o_orderkey"))
-    commitDelete(s, work, col("o_orderkey") % 101 === 0, "o_orderpriority")
+    commitDelete(s, work,
+      col("o_orderkey") % 101 === 0 && col("o_orderkey").between(1000, 5000),
+      "o_orderpriority", rangeHint = Some(("o_orderkey", 1000d, 5000d)))
     rollup(read(s, work))
   }
 
@@ -741,7 +755,8 @@ object SnapshotTable extends QueryPack {
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  CAST(max(o_orderkey) AS BIGINT) AS max_key
-        |FROM orders WHERE NOT (o_orderkey % 101 = 0)
+        |FROM orders
+        |WHERE NOT (o_orderkey % 101 = 0 AND o_orderkey BETWEEN 1000 AND 5000)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_snapshot_evolve" ->
       """WITH ext AS (
