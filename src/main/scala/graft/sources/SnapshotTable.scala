@@ -538,13 +538,29 @@ object SnapshotTable extends QueryPack {
     * older than the newest `keepVersions`. Orphans from crashed commits
     * (files without a manifest, manifest tmps) go too. Returns files
     * deleted.
+    *
+    * `minAgeMs` is the reader-protection window: a version stays
+    * retained until its SUCCESSOR's manifest is at least that old —
+    * a reader can have pinned v_n no later than v_{n+1}'s publish, so
+    * after that point plus the window, v_n's files can no longer be in
+    * any running scan (the Delta/Iceberg retention-period discipline;
+    * size it to the longest query you run). Default 0 keeps the
+    * explicit-maintenance behavior.
     */
-  def vacuum(spark: SparkSession, table: String, keepVersions: Int = 1): Long = {
+  def vacuum(spark: SparkSession, table: String, keepVersions: Int = 1,
+             minAgeMs: Long = 0L): Long = {
     require(keepVersions >= 1, "vacuum must keep at least the current version")
     val f = fs(spark, table)
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"vacuum: $table has no committed version")
-    val keep = vs.takeRight(keepVersions)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val protectedVs =
+      if (minAgeMs <= 0) Seq.empty
+      else vs.zip(vs.drop(1)).collect { case (v, next)
+        if f.getFileStatus(new Path(manifestDir(table), s"v$next.json"))
+          .getModificationTime > cutoff => v
+      }
+    val keep = (vs.takeRight(keepVersions) ++ protectedVs).distinct.sorted
     val live: Set[String] = keep.flatMap(readManifest(spark, table, _))
       .map(e => new Path(e.path).getName).toSet
     var deleted = 0L
@@ -570,6 +586,24 @@ object SnapshotTable extends QueryPack {
       }
     }
     deleted
+  }
+
+  /** Version history as a DataFrame: one row per retained manifest —
+    * (version, n_files, n_rows, n_tags, committed_at). The table's
+    * operational describe; at scale this reads K small manifests, never
+    * data.
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, table)
+    versions(spark, table).map { v =>
+      val (entries, hdr) = readManifestFull(spark, table, v)
+      val mtime = f.getFileStatus(new Path(manifestDir(table), s"v$v.json"))
+        .getModificationTime
+      (v, entries.size.toLong, entries.map(_.rows).sum,
+        hdr.tags.size.toLong,
+        new java.sql.Timestamp(mtime))
+    }.toDF("version", "n_files", "n_rows", "n_tags", "committed_at")
   }
 
   // ---- driver queries: the deterministic upsert scenario, run through

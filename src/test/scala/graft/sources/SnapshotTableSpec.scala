@@ -153,6 +153,25 @@ class SnapshotTableSpec extends SparkSpec {
     assert(onDisk === live)
   }
 
+  test("age-guarded vacuum retains a version until its successor " +
+    "outlives the reader-protection window; history describes versions") {
+    val table = freshTable()
+    SnapshotTable.commitMerge(spark, table, updatesBatch(),
+      "o_orderkey", "o_orderpriority")
+    // v2 was published milliseconds ago: a 1-hour window protects v1
+    val kept = SnapshotTable.vacuum(spark, table, keepVersions = 1,
+      minAgeMs = 3600000L)
+    assert(SnapshotTable.versions(spark, table) === Seq(1L, 2L))
+    assert(SnapshotTable.readVersion(spark, table, 1L).count() > 0)
+    val hist = SnapshotTable.history(spark, table)
+      .orderBy("version").collect()
+    assert(hist.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(hist.forall(_.getLong(2) > 0)) // n_rows
+    // window elapsed (0 ms): v1 goes
+    SnapshotTable.vacuum(spark, table, keepVersions = 1, minAgeMs = 0L)
+    assert(SnapshotTable.versions(spark, table) === Seq(2L))
+  }
+
   test("concurrent commit conflict is loud: publishing an already-taken " +
     "version fails and leaves the winner's manifest intact") {
     val table = freshTable()
