@@ -243,6 +243,19 @@ object SnapshotTable extends QueryPack {
       .option("maxRecordsPerFile", 5000000L)
       .partitionBy("__part").parquet(staging.toString)
 
+    // list BEFORE the stats scan: an empty input produced no partition
+    // dirs, and spark.read on a file-less staging dir cannot infer a
+    // schema — an empty batch (e.g. an empty streaming micro-batch) is
+    // a legitimate entries-empty commit, not an error
+    val staged = f.listStatus(staging).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__part="))
+      .flatMap { dirSt =>
+        f.listStatus(dirSt.getPath).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(st => (dirSt.getPath.getName, st.getPath))
+      }
+    if (staged.isEmpty) { f.delete(staging, true); return Seq.empty }
+
     // per-file row counts (+ stats-column min/max): one column-pruned
     // scan of the NEW files (never the table), keyed by
     // (partition dir, file base)
@@ -253,19 +266,16 @@ object SnapshotTable extends QueryPack {
       .groupBy(input_file_name().as("f")).agg(statsAggs.head, statsAggs.tail: _*)
       .collect().map { r =>
         val p = new Path(new java.net.URI(r.getString(0)).getPath)
-        val st = statsCol.map(sc => ColStats(sc, r.getDouble(2), r.getDouble(3)))
+        // an all-null stats column yields null min/max: record no stats
+        // for that file (it then never skips) instead of an NPE
+        val st = statsCol.flatMap(sc =>
+          if (r.isNullAt(2) || r.isNullAt(3)) None
+          else Some(ColStats(sc, r.getDouble(2), r.getDouble(3))))
         (p.getParent.getName, p.getName) -> (r.getLong(1), st)
       }.toMap
 
     f.mkdirs(dataDir(table))
-    val entries = f.listStatus(staging).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__part="))
-      .flatMap { dirSt =>
-        f.listStatus(dirSt.getPath).toSeq
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .map(st => (dirSt.getPath.getName, st.getPath))
-      }
-      .zipWithIndex
+    val entries = staged.zipWithIndex
       .map { case ((dirName, src), i) =>
         val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .unescapePathName(dirName.stripPrefix("__part="))
@@ -338,11 +348,16 @@ object SnapshotTable extends QueryPack {
   def readWhere(spark: SparkSession, table: String, partCol: String,
                 values: Seq[String]): DataFrame = {
     val wanted = values.toSet
-    val hit = readManifest(spark, table, currentVersion(spark, table))
-      .filter(_.parts.forall(_.exists(wanted.contains)))
+    // full manifest read for the HEADER too: a pruned read over mixed
+    // pre/post-evolution files must apply the recorded table schema, not
+    // whatever one surviving footer happens to infer
+    val (manifest, hdr) =
+      readManifestFull(spark, table, currentVersion(spark, table))
+    val hit = manifest.filter(_.parts.forall(_.exists(wanted.contains)))
     if (hit.isEmpty)
       read(spark, table).filter(lit(false)) // schema-preserving empty
-    else readFiles(spark, table, hit).filter(col(partCol).isin(values: _*))
+    else readFiles(spark, table, hit, hdr.schema)
+      .filter(col(partCol).isin(values: _*))
   }
 
   /** Manifest-stats RANGE skipping: plan only files whose recorded
@@ -353,12 +368,13 @@ object SnapshotTable extends QueryPack {
     */
   def readRange(spark: SparkSession, table: String, statsCol: String,
                 lo: Double, hi: Double): DataFrame = {
-    val hit = readManifest(spark, table, currentVersion(spark, table))
-      .filter(_.stats.forall(s =>
-        s.col != statsCol || (s.hi >= lo && s.lo <= hi)))
+    val (manifest, hdr) =
+      readManifestFull(spark, table, currentVersion(spark, table))
+    val hit = manifest.filter(_.stats.forall(s =>
+      s.col != statsCol || (s.hi >= lo && s.lo <= hi)))
     if (hit.isEmpty)
       read(spark, table).filter(lit(false))
-    else readFiles(spark, table, hit)
+    else readFiles(spark, table, hit, hdr.schema)
       .filter(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
@@ -395,16 +411,22 @@ object SnapshotTable extends QueryPack {
     val target =
       if (affected.isEmpty) updates.filter(lit(false))
       else readFiles(spark, table, affected, hdr.schema)
-    val nReplaced = target.join(updates.select(col(keyCol)), Seq(keyCol),
-      "left_semi").count()
-    val nInserted = updates.count() - nReplaced
     val merged = target
       .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
       .unionByName(updates.select(target.columns.map(col).toIndexedSeq: _*))
     val fresh = writeDataFiles(spark, table, merged, partCol,
       statsCol = tableStatsCol(manifest))
     writeManifest(spark, table, v + 1, carried ++ fresh, hdr)
-    (v + 1, nReplaced, nInserted)
+    // replaced/inserted by ARITHMETIC, not extra scans: the manifest
+    // already records affected-file row counts, writeDataFiles already
+    // counted the merged output, and only the (small) batch is counted
+    // here — zero additional passes over the table side.
+    //   freshRows = targetRows − nReplaced + updCount
+    val updCount = updates.count()
+    val targetRows = affected.map(_.rows).sum
+    val freshRows = fresh.map(_.rows).sum
+    val nReplaced = targetRows + updCount - freshRows
+    (v + 1, nReplaced, updCount - nReplaced)
   }
 
   /** Append `df` as a new snapshot version, all current files carried by
@@ -512,9 +534,14 @@ object SnapshotTable extends QueryPack {
         s.col != c || (s.hi >= lo && s.lo <= hi)))
     }
     if (scanSet.isEmpty) return (v, 0L)
+    // three-valued logic: a predicate that evaluates NULL marks a row
+    // NON-matching. Without the coalesce, filter(pred) and filter(!pred)
+    // BOTH drop the row — null rows in rewritten files would silently
+    // vanish while identical rows in untouched files survive.
+    val matches = coalesce(predicate, lit(false))
     val hitNames = readFiles(spark, table, scanSet, hdr.schema)
       .withColumn("__f", input_file_name())
-      .filter(predicate)
+      .filter(matches)
       .select(col("__f")).distinct()
       .collect().map(r => new Path(new java.net.URI(r.getString(0)).getPath).getName)
       .toSet
@@ -523,8 +550,8 @@ object SnapshotTable extends QueryPack {
     if (affected.isEmpty) (v, 0L)
     else {
       val target = readFiles(spark, table, affected, hdr.schema)
-      val nDeleted = target.filter(predicate).count()
-      val kept = target.filter(!predicate)
+      val nDeleted = target.filter(matches).count()
+      val kept = target.filter(!matches)
       val fresh =
         if (kept.isEmpty) Seq.empty
         else writeDataFiles(spark, table, kept, partCol,
@@ -563,10 +590,17 @@ object SnapshotTable extends QueryPack {
     val keep = (vs.takeRight(keepVersions) ++ protectedVs).distinct.sorted
     val live: Set[String] = keep.flatMap(readManifest(spark, table, _))
       .map(e => new Path(e.path).getName).toSet
+    // the age window also protects UNREFERENCED artifacts: a data file,
+    // manifest tmp, or staging dir younger than the window may belong to
+    // an IN-FLIGHT commit whose manifest is about to publish — deleting
+    // it would leave a committed manifest pointing at missing files
+    // (the Delta/Iceberg rule: retention applies to data-file age too)
+    def oldEnough(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      minAgeMs <= 0 || st.getModificationTime <= cutoff
     var deleted = 0L
     if (f.exists(dataDir(table)))
       f.listStatus(dataDir(table)).foreach { st =>
-        if (!live.contains(st.getPath.getName)) {
+        if (!live.contains(st.getPath.getName) && oldEnough(st)) {
           f.delete(st.getPath, false); deleted += 1
         }
       }
@@ -574,14 +608,15 @@ object SnapshotTable extends QueryPack {
       st.getPath.getName match {
         case vRe(n) if !keep.contains(n.toLong) =>
           f.delete(st.getPath, false); deleted += 1
-        case name if name.contains(".json.tmp.") =>
+        case name if name.contains(".json.tmp.") && oldEnough(st) =>
           f.delete(st.getPath, false); deleted += 1
         case _ => ()
       }
     }
-    // crashed writeDataFiles stagings are unreferenced by construction
+    // crashed writeDataFiles stagings are unreferenced by construction —
+    // but a YOUNG one may be a commit mid-write, so the window applies
     f.listStatus(new Path(table)).foreach { st =>
-      if (st.getPath.getName.startsWith("_staging_")) {
+      if (st.getPath.getName.startsWith("_staging_") && oldEnough(st)) {
         f.delete(st.getPath, true); deleted += 1
       }
     }
@@ -682,20 +717,55 @@ object SnapshotTable extends QueryPack {
   def rangeSkipQuery(s: SparkSession, dir: String): DataFrame =
     rollup(readRange(s, scenario(s, dir), "o_orderkey", 1000d, 3000d))
 
+  // the delete query's PRIVATE base table (it cannot share the merge
+  // scenario: a delete commit would advance the version the other
+  // queries read) — built once per (session, corpus) and CLONED per
+  // invocation, so repeated runs measure the delete (candidate scan +
+  // pruned rewrite), not a repeated table build
+  @volatile private var deleteBaseMemo: Option[((SparkSession, String), String)] = None
+
+  private def deleteBase(s: SparkSession, dir: String): String =
+    deleteBaseMemo match {
+      case Some((k, w)) if k == ((s, dir)) => w
+      case _ => synchronized {
+        deleteBaseMemo match {
+          case Some((k, w)) if k == ((s, dir)) => w
+          case _ =>
+            val work = java.nio.file.Files
+              .createTempDirectory("graft_snapshot_delbase").resolve("t").toString
+            create(s, work, Tables.orders(s, dir)
+              .select(Seq("o_orderkey", "o_custkey", "o_totalprice",
+                "o_orderdate", "o_orderpriority").map(col): _*),
+              "o_orderpriority", statsCol = Some("o_orderkey"))
+            deleteBaseMemo = Some(((s, dir), work))
+            work
+        }
+      }
+    }
+
+  /** Copy a committed table's files to a fresh location — immutable
+    * files, so a plain recursive copy IS a valid clone at any quiesced
+    * version (the sandbox stand-in for an object-store server-side
+    * copy; at scale you would time-travel-read the source instead).
+    */
+  private def cloneTable(s: SparkSession, src: String): String = {
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft_snapshot_del").resolve("t").toString
+    val f = fs(s, src)
+    require(org.apache.hadoop.fs.FileUtil.copy(f, new Path(src), f,
+      new Path(dst), false, s.sparkContext.hadoopConfiguration),
+      s"snapshot clone: could not copy $src")
+    dst
+  }
+
   /** Rollup after a row-level DELETE (keys ≡ 0 mod 101 inside a key
-    * range) — on its OWN table (not the shared memoized scenario: a
-    * delete commit would advance the version the other queries read).
+    * range) — on a per-run CLONE of the memoized base table.
     * The range-bounded predicate matches the range-clustered layout, so
     * only the files holding the key window are rewritten — a scattered
     * predicate would legitimately rewrite every file.
     */
   def deleteQuery(s: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files
-      .createTempDirectory("graft_snapshot_del").resolve("t").toString
-    create(s, work, Tables.orders(s, dir)
-      .select(Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
-        "o_orderpriority").map(col): _*),
-      "o_orderpriority", statsCol = Some("o_orderkey"))
+    val work = cloneTable(s, deleteBase(s, dir))
     commitDelete(s, work,
       col("o_orderkey") % 101 === 0 && col("o_orderkey").between(1000, 5000),
       "o_orderpriority", rangeHint = Some(("o_orderkey", 1000d, 5000d)))

@@ -295,6 +295,86 @@ class SnapshotTableSpec extends SparkSpec {
     assert(err.getMessage.contains("schema evolution"))
   }
 
+  test("commitDelete keeps rows where the predicate evaluates NULL " +
+    "(three-valued logic: NULL is non-matching, not droppable)") {
+    val table = java.nio.file.Files.createTempDirectory("snapnull")
+      .resolve("t").toString
+    import spark.implicits._
+    val df = Seq[(Long, Option[Double], String)](
+      (1L, Some(5.0), "a"), (2L, Some(50.0), "a"), (3L, None, "a"),
+      (4L, None, "b"), (5L, Some(7.0), "b")).toDF("k", "v", "p")
+    SnapshotTable.create(spark, table, df, "p")
+    // v > 10 is NULL for rows 3 and 4 — they must SURVIVE, in rewritten
+    // (partition a) and untouched (partition b) files alike
+    val (v2, nDeleted) = SnapshotTable.commitDelete(spark, table,
+      col("v") > 10.0, "p")
+    assert(v2 === 2L)
+    assert(nDeleted === 1L)
+    assert(SnapshotTable.read(spark, table).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("pruned reads apply the recorded schema across evolution: " +
+    "readWhere/readRange over pre-evolution files keep the added column") {
+    val table = freshTable()
+    val extra = Tables.orders(spark, sfDir).limit(5)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"),
+        lit("9-NEW").as("o_orderpriority"), lit(7L).as("o_bonus"))
+    SnapshotTable.commitAppend(spark, table, extra, "o_orderpriority")
+    // 1-URGENT files all predate the evolution — without the recorded
+    // schema the pruned read would silently drop o_bonus
+    val pruned = SnapshotTable.readWhere(spark, table, "o_orderpriority",
+      Seq("1-URGENT"))
+    assert(pruned.columns.contains("o_bonus"))
+    assert(pruned.filter(col("o_bonus").isNotNull).count() === 0L)
+    assert(pruned.count() > 0L)
+  }
+
+  test("vacuum's age window protects young unreferenced data files and " +
+    "staging dirs (in-flight commit survives a concurrent vacuum)") {
+    val table = freshTable()
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate an in-flight commit: a fresh data file no manifest
+    // references yet, plus a staging dir mid-write
+    val inflight = new Path(table, "data/inflight-0-part.parquet")
+    val out = fs.create(inflight, true); out.write("x".getBytes); out.close()
+    fs.mkdirs(new Path(table, "_staging_inflight"))
+    SnapshotTable.vacuum(spark, table, keepVersions = 1,
+      minAgeMs = 3600000L)
+    assert(fs.exists(inflight))
+    assert(fs.exists(new Path(table, "_staging_inflight")))
+    // window elapsed: both are orphan debris and go
+    SnapshotTable.vacuum(spark, table, keepVersions = 1, minAgeMs = 0L)
+    assert(!fs.exists(inflight))
+    assert(!fs.exists(new Path(table, "_staging_inflight")))
+  }
+
+  test("empty batches and all-null stats columns commit cleanly") {
+    val table = freshTable()
+    val v1Count = SnapshotTable.read(spark, table).count()
+    // an empty micro-batch is an entries-empty commit that still
+    // records its tag (the sink's retry contract), not an error
+    val empty = SnapshotTable.read(spark, table).filter(lit(false))
+    assert(SnapshotTable.commitAppend(spark, table, empty,
+      "o_orderpriority", tag = Some("b0")) === Some(2L))
+    assert(SnapshotTable.read(spark, table).count() === v1Count)
+    assert(SnapshotTable.commitAppend(spark, table, empty,
+      "o_orderpriority", tag = Some("b0")) === None) // replay no-op
+    // an all-null stats column records no stats (never skips), no NPE
+    val nullStats = java.nio.file.Files.createTempDirectory("snapnullst")
+      .resolve("t").toString
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "p")
+      .withColumn("s", lit(null).cast("bigint"))
+    SnapshotTable.create(spark, nullStats, df, "p", statsCol = Some("s"))
+    val m = SnapshotTable.readManifest(spark, nullStats, 1L)
+    assert(m.forall(_.stats.isEmpty))
+    assert(SnapshotTable.readRange(spark, nullStats, "s", 0d, 1d)
+      .inputFiles.length === m.size) // no stats → never skipped
+  }
+
   test("manifest entries round-trip values that need escaping") {
     val table = java.nio.file.Files.createTempDirectory("snapesc")
       .resolve("t").toString
