@@ -21,16 +21,24 @@ import graft.{QueryPack, Tables}
   * {{{
   *   table/data/<commit>-part-*.parquet   immutable; partition column
   *                                        stored IN the rows (no hive dirs)
-  *   table/_manifests/v<N>.json           immutable; one line per file:
-  *                                        {"path","parts":[...],"rows"}
+  *   table/_manifests/seg-<uuid>.json     immutable SEGMENT; one line per
+  *                                        file: {"path","parts",...,"stats"}
+  *   table/_manifests/v<N>.json           manifest LIST; header + one line
+  *                                        per segment: {"seg","files","rows"}
   * }}}
   *
   * Commit protocol (optimistic, Iceberg's HadoopTableOperations shape):
-  * write data files → write `v<N+1>.json.tmp.<uuid>` → RENAME to
-  * `v<N+1>.json`. The rename is the commit point: it fails if a
-  * concurrent writer published N+1 first (loud conflict, caller re-reads
-  * and retries); a crash before it leaves orphan files that no manifest
-  * references (cleaned by [[vacuum]], invisible to readers). Version
+  * write data files → write a segment for the fresh entries (and
+  * rewrite only segments that LOSE entries; untouched segments carry by
+  * NAME) → write `v<N+1>.json.tmp.<uuid>` → RENAME to `v<N+1>.json`.
+  * The rename is the commit point: it fails if a concurrent writer
+  * published N+1 first (loud conflict — [[commitWithRetry]] rebases and
+  * retries); a crash before it leaves orphan files/segments that no
+  * list references (cleaned by [[vacuum]], invisible to readers).
+  * Commit METADATA is therefore O(changed files + #segments), never
+  * O(table files) — a micro-batch append to a 100k-file table writes
+  * one small segment and a list of segment names, not a 10 MB file
+  * inventory ([[foldIfWide]] bounds the segment count). Version
   * discovery lists `_manifests` — small (one entry per commit), so no
   * hint file is needed; a real object-store deployment would add one as
   * a fast path.
@@ -49,19 +57,20 @@ import graft.{QueryPack, Tables}
 object SnapshotTable extends QueryPack {
 
   /** Per-file min/max of one numeric column (stored as doubles — exact
-    * for bigint keys up to 2^53). The column NAME rides along so a read
-    * pruning on a different column can never skip on the wrong stats.
+    * for bigint keys up to 2^53; timestamps record epoch seconds). The
+    * column NAME rides along so a read pruning on a different column
+    * can never skip on the wrong stats.
     */
   final case class ColStats(col: String, lo: Double, hi: Double)
 
-  /** One manifest line. `parts` is the file's partition-value list
+  /** One segment line. `parts` is the file's partition-value list
     * (`None` = unknown, never skipped — reserved for future multi-value
     * files; the current writer emits exactly one value per file).
-    * `stats` is the optional column min/max for range skipping (`None`
-    * = never range-skipped).
+    * `stats` holds PER-COLUMN min/max for range skipping — a file with
+    * no stats for a column is never skipped on it.
     */
   final case class FileEntry(path: String, parts: Option[Seq[String]],
-                             rows: Long, stats: Option[ColStats] = None)
+                             rows: Long, stats: Seq[ColStats] = Seq.empty)
 
   private def fs(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -117,82 +126,212 @@ object SnapshotTable extends QueryPack {
       case None     => "\"*\""
       case Some(ps) => ps.map(p => "\"" + esc(p) + "\"").mkString("[", ",", "]")
     }
-    val stats = e.stats.fold("") { s =>
-      s""","stats":{"col":"${esc(s.col)}","lo":${s.lo},"hi":${s.hi}}"""
-    }
+    val stats = if (e.stats.isEmpty) "" else
+      e.stats.map(s => s"""{"col":"${esc(s.col)}","lo":${s.lo},"hi":${s.hi}}""")
+        .mkString(""","stats":[""", ",", "]")
     s"""{"path":"${esc(e.path)}","parts":$parts,"rows":${e.rows}$stats}"""
   }
 
   private val entryRe =
-    raw"""\{"path":"(.*)","parts":(\[.*\]|"\*"),"rows":(\d+)(,"stats":\{"col":"(.*)","lo":([-0-9.eE]+),"hi":([-0-9.eE]+)\})?\}""".r
+    raw"""\{"path":"(.*)","parts":(\[.*\]|"\*"),"rows":(\d+)(,"stats":\[(.*)\])?\}""".r
+  private val statsItemRe =
+    raw"""\{"col":"((?:[^"\\]|\\.)*)","lo":([-0-9.eE]+),"hi":([-0-9.eE]+)\}""".r
   private val quotedRe = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
 
   private def parseEntry(line: String): FileEntry = line.trim match {
-    case entryRe(p, parts, rows, statsGrp, sCol, sLo, sHi) =>
+    case entryRe(p, parts, rows, _, statsBody) =>
       val ps = if (parts == "\"*\"") None
         else Some(quotedRe.findAllMatchIn(parts).map(m => unesc(m.group(1))).toSeq)
-      val stats = Option(statsGrp).map(_ =>
-        ColStats(unesc(sCol), sLo.toDouble, sHi.toDouble))
+      val stats = Option(statsBody).toSeq.flatMap(b =>
+        statsItemRe.findAllMatchIn(b).map(m =>
+          ColStats(unesc(m.group(1)), m.group(2).toDouble, m.group(3).toDouble)))
       FileEntry(unesc(p), ps, rows.toLong, stats)
     case other => sys.error(s"snapshot manifest: bad entry: $other")
   }
 
-  /** Version-level metadata riding the manifest's header line: the
-    * cumulative committed-tag ledger and the table's CURRENT schema as
-    * a DDL string. Tags live here (not in file names) because
-    * [[compact]] renames data files; the schema lives here because
+  /** Version-level metadata riding the manifest list's header line: the
+    * cumulative committed-tag ledger, the table's recorded stats
+    * columns, and its CURRENT schema as a DDL string. Tags live here
+    * (not in file names) because [[compact]] renames data files; the
+    * stats columns live here so an append never has to read the full
+    * file list to learn what to record; the schema lives here because
     * schema evolution must not rewrite old files — readers apply the
     * recorded schema and parquet fills absent columns with null.
     */
   final case class Header(tags: Set[String] = Set.empty,
-                          schema: Option[String] = None)
+                          schema: Option[String] = None,
+                          statsCols: Seq[String] = Seq.empty)
 
-  def readManifest(spark: SparkSession, table: String, version: Long): Seq[FileEntry] =
-    readManifestFull(spark, table, version)._1
+  // ---- manifest lists + segments (the O(changed)-commit construction)
+  //
+  // A version is a LIST file naming immutable SEGMENT files; segments
+  // hold the entries. A commit writes one fresh segment for its new
+  // files, rewrites only segments that LOSE entries, and publishes a
+  // list referencing carried segments by name — so commit metadata is
+  // O(changed files + #segments), never O(table files). This is the
+  // published Iceberg manifest-list layering; [[foldIfWide]] bounds
+  // #segments the way Iceberg's commit-time manifest merge does.
 
-  private val headerRe =
-    raw"""\{"tags":\[(.*)\](,"schema":"(.*)")?\}""".r
+  /** One manifest-list line. `files`/`rows` ride along so [[history]]
+    * and fold decisions read only the list, never the segments.
+    */
+  private[sources] final case class SegmentRef(path: String, files: Int,
+                                               rows: Long)
 
-  /** Manifest entries plus the header (tag ledger + recorded schema). */
-  def readManifestFull(spark: SparkSession, table: String,
-                       version: Long): (Seq[FileEntry], Header) = {
+  private def segJson(r: SegmentRef): String =
+    s"""{"seg":"${esc(r.path)}","files":${r.files},"rows":${r.rows}}"""
+  private val segRe =
+    raw"""\{"seg":"(.*)","files":(\d+),"rows":(\d+)\}""".r
+
+  /** Write an immutable segment holding `entries` — not part of any
+    * version until a list references it (a conflict-orphaned segment is
+    * vacuum food, invisible to readers).
+    */
+  private def writeSegment(spark: SparkSession, table: String,
+                           entries: Seq[FileEntry]): SegmentRef = {
     val f = fs(spark, table)
-    val in = f.open(new Path(manifestDir(table), s"v$version.json"))
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).toList
-      finally in.close()
-    lines match {
-      case headerRe(tagsBody, _, schemaGrp) :: rest =>
-        val tags = quotedRe.findAllMatchIn(tagsBody).map(m => unesc(m.group(1))).toSet
-        (rest.map(parseEntry), Header(tags, Option(schemaGrp).map(unesc)))
-      case _ => (lines.map(parseEntry), Header())
+    val dir = manifestDir(table)
+    f.mkdirs(dir)
+    val name = s"seg-${java.util.UUID.randomUUID.toString.take(12)}.json"
+    val out = f.create(new Path(dir, name), false)
+    try out.write(entries.map(entryJson).mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    SegmentRef(name, entries.size, entries.map(_.rows).sum)
+  }
+
+  private def readLines(f: FileSystem, p: Path): List[String] = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  private[sources] def readSegment(spark: SparkSession, table: String,
+                                   ref: SegmentRef): Seq[FileEntry] =
+    readLines(fs(spark, table), new Path(manifestDir(table), ref.path))
+      .map(parseEntry)
+
+  // header order is load-bearing for the parse: tags and statsCols are
+  // simple values (no unescaped brackets), so their non-greedy groups
+  // terminate correctly; the schema DDL is arbitrary and goes LAST
+  private val headerRe =
+    raw"""\{"tags":\[(.*?)\](?:,"statsCols":\[(.*?)\])?(?:,"schema":"(.*)")?\}""".r
+
+  /** The per-version manifest list: segment refs plus the header. */
+  private[sources] def readManifestList(spark: SparkSession, table: String,
+                                        version: Long): (Seq[SegmentRef], Header) = {
+    readLines(fs(spark, table),
+      new Path(manifestDir(table), s"v$version.json")) match {
+      case headerRe(tagsBody, statsBody, schemaGrp) :: rest =>
+        val tags = quotedRe.findAllMatchIn(tagsBody)
+          .map(m => unesc(m.group(1))).toSet
+        val statsCols = Option(statsBody).toSeq.flatMap(b =>
+          quotedRe.findAllMatchIn(b).map(m => unesc(m.group(1))))
+        val refs = rest.map(_.trim match {
+          case segRe(p, files, rows) =>
+            SegmentRef(unesc(p), files.toInt, rows.toLong)
+          case other => sys.error(s"snapshot manifest list: bad line: $other")
+        })
+        (refs, Header(tags, Option(schemaGrp).map(unesc), statsCols))
+      case Nil => (Seq.empty, Header())
+      case other :: _ =>
+        sys.error(s"snapshot manifest list: bad header: $other")
     }
   }
 
-  private[sources] def writeManifest(spark: SparkSession, table: String,
-                                     version: Long,
-                                     entries: Seq[FileEntry],
-                                     hdr: Header = Header()): Unit = {
+  /** Publish `version` referencing `refs` — THE commit point (tmp write
+    * + rename). The list is O(#segments) bytes regardless of table
+    * size; the rename fails iff a concurrent writer published this
+    * version first (loud conflict; callers retry via
+    * [[commitWithRetry]] or re-read and rebase themselves).
+    */
+  private def commitList(spark: SparkSession, table: String, version: Long,
+                         refs: Seq[SegmentRef], hdr: Header): Unit = {
     val f = fs(spark, table)
     val dir = manifestDir(table)
     f.mkdirs(dir)
     val tmp = new Path(dir, s"v$version.json.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
     val header = hdr.tags.toSeq.sorted
       .map(t => "\"" + esc(t) + "\"").mkString("""{"tags":[""", ",", "]") +
+      (if (hdr.statsCols.isEmpty) "" else hdr.statsCols
+        .map(c => "\"" + esc(c) + "\"").mkString(""","statsCols":[""", ",", "]")) +
       hdr.schema.fold("")(s => s""","schema":"${esc(s)}"""") + "}\n"
     val out = f.create(tmp, false)
-    try out.write((header + entries.map(entryJson).mkString("", "\n", "\n"))
+    try out.write((header + refs.map(segJson).mkString("", "\n", "\n"))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val target = new Path(dir, s"v$version.json")
-    // THE commit point: rename fails (or the target already exists) iff a
-    // concurrent writer published this version first — surface it loudly;
-    // the caller re-reads the new current version and retries its commit.
     if (f.exists(target) || !f.rename(tmp, target)) {
       f.delete(tmp, false)
       sys.error(s"snapshot commit conflict: v$version already published for $table")
     }
+  }
+
+  /** Commit-time segment merge: past the threshold, fold ALL segments
+    * into one — an O(table files) METADATA write amortized over
+    * `segmentFoldThreshold` commits, which keeps both the list and the
+    * per-read segment fan-in bounded (Iceberg's min-count-to-merge).
+    */
+  private val segmentFoldThreshold = 32
+  private def foldIfWide(spark: SparkSession, table: String,
+                         refs: Seq[SegmentRef]): Seq[SegmentRef] =
+    if (refs.size <= segmentFoldThreshold) refs
+    else Seq(writeSegment(spark, table,
+      refs.flatMap(readSegment(spark, table, _))))
+
+  def readManifest(spark: SparkSession, table: String, version: Long): Seq[FileEntry] =
+    readManifestFull(spark, table, version)._1
+
+  /** All of a version's file entries plus the header — the READ path
+    * (planning); commits go through [[readSegments]] to keep the
+    * entry→segment mapping for reference-carrying.
+    */
+  def readManifestFull(spark: SparkSession, table: String,
+                       version: Long): (Seq[FileEntry], Header) = {
+    val (refs, hdr) = readManifestList(spark, table, version)
+    (refs.flatMap(readSegment(spark, table, _)), hdr)
+  }
+
+  private def readSegments(spark: SparkSession, table: String,
+                           version: Long): (Seq[(SegmentRef, Seq[FileEntry])], Header) = {
+    val (refs, hdr) = readManifestList(spark, table, version)
+    (refs.map(r => r -> readSegment(spark, table, r)), hdr)
+  }
+
+  /** Publish `v + 1` = version `v` minus `removed` paths plus `fresh`
+    * entries, rewriting ONLY segments that lose entries; untouched
+    * segments carry by reference.
+    */
+  private def commitRewrite(spark: SparkSession, table: String, v: Long,
+                            segs: Seq[(SegmentRef, Seq[FileEntry])],
+                            removed: Set[String], fresh: Seq[FileEntry],
+                            hdr: Header): Unit = {
+    val kept = segs.flatMap { case (ref, entries) =>
+      if (!entries.exists(e => removed.contains(e.path))) Some(ref)
+      else {
+        val surviving = entries.filterNot(e => removed.contains(e.path))
+        if (surviving.isEmpty) None
+        else Some(writeSegment(spark, table, surviving))
+      }
+    }
+    val freshRefs =
+      if (fresh.isEmpty) Seq.empty else Seq(writeSegment(spark, table, fresh))
+    commitList(spark, table, v + 1,
+      foldIfWide(spark, table, kept ++ freshRefs), hdr)
+  }
+
+  /** Single-segment commit convenience (create/bootstrap, and the
+    * conflict-handling seam the racing-writer spec exercises).
+    */
+  private[sources] def writeManifest(spark: SparkSession, table: String,
+                                     version: Long,
+                                     entries: Seq[FileEntry],
+                                     hdr: Header = Header()): Unit = {
+    val refs =
+      if (entries.isEmpty) Seq.empty
+      else Seq(writeSegment(spark, table, entries))
+    commitList(spark, table, version, refs, hdr)
   }
 
   // ---- data-file production
@@ -210,8 +349,12 @@ object SnapshotTable extends QueryPack {
   private def writeDataFiles(spark: SparkSession, table: String, df: DataFrame,
                              partCol: String,
                              namePrefix: Option[String] = None,
-                             statsCol: Option[String] = None): Seq[FileEntry] = {
+                             statsCols: Seq[String] = Seq.empty): Seq[FileEntry] = {
     val f = fs(spark, table)
+    // a batch may legally OMIT a recorded stats column (ADD-only
+    // evolution allows absent columns) — its files then carry no stats
+    // for it and are never skipped on it
+    val effStats = statsCols.filter(df.columns.contains)
     // the optional caller prefix TAGS the files (idempotence probes key
     // on it); the uuid keeps retried attempts from colliding on names
     val commit = namePrefix.map(_ + "_").getOrElse("") +
@@ -221,14 +364,16 @@ object SnapshotTable extends QueryPack {
     // its own file per value it touches (compaction would fold N files
     // into N), and with it AQE coalesces small inputs into few writer
     // tasks while partitionBy still enforces per-value file separation.
-    // With a stats column the repartition is BY RANGE of it — writer
-    // tasks then hold disjoint value ranges, so each (task × partition
-    // value) file carries a tight min/max and range skipping actually
-    // bites; without one, hash by partition value. A hot value
+    // With stats columns the repartition is BY RANGE of the FIRST one
+    // (the cluster column) — writer tasks then hold disjoint value
+    // ranges, so each (task × partition value) file carries a tight
+    // min/max and range skipping actually bites; secondary stats
+    // columns prune only as well as they correlate with the cluster
+    // column. Without stats, hash by partition value. A hot value
     // serializes into one writer task (maxRecordsPerFile bounds its
     // FILES, not its wall clock) — the standard remedy, salting the
     // repartition key, is the caller's choice at ingest shape.
-    val clustered = statsCol match {
+    val clustered = effStats.headOption match {
       // explicit partition count: a bare repartitionByRange is an
       // AQE-coalescible shuffle, and coalescing the range splits back
       // together leaves every file spanning the whole keyspace — stats
@@ -256,21 +401,22 @@ object SnapshotTable extends QueryPack {
       }
     if (staged.isEmpty) { f.delete(staging, true); return Seq.empty }
 
-    // per-file row counts (+ stats-column min/max): one column-pruned
+    // per-file row counts (+ per-column min/max): one column-pruned
     // scan of the NEW files (never the table), keyed by
     // (partition dir, file base)
-    val statsAggs = count(lit(1)).as("rows") +: statsCol.toSeq.flatMap(sc =>
-      Seq(min(col(sc)).cast("double").as("lo"),
-        max(col(sc)).cast("double").as("hi")))
+    val statsAggs = count(lit(1)).as("rows") +: effStats.flatMap(sc =>
+      Seq(min(col(sc)).cast("double").as(s"lo_$sc"),
+        max(col(sc)).cast("double").as(s"hi_$sc")))
     val rows = spark.read.parquet(staging.toString)
       .groupBy(input_file_name().as("f")).agg(statsAggs.head, statsAggs.tail: _*)
       .collect().map { r =>
         val p = new Path(new java.net.URI(r.getString(0)).getPath)
         // an all-null stats column yields null min/max: record no stats
-        // for that file (it then never skips) instead of an NPE
-        val st = statsCol.flatMap(sc =>
-          if (r.isNullAt(2) || r.isNullAt(3)) None
-          else Some(ColStats(sc, r.getDouble(2), r.getDouble(3))))
+        // for that column in that file (it then never skips on it)
+        val st = effStats.zipWithIndex.flatMap { case (sc, i) =>
+          if (r.isNullAt(2 + 2 * i) || r.isNullAt(3 + 2 * i)) None
+          else Some(ColStats(sc, r.getDouble(2 + 2 * i), r.getDouble(3 + 2 * i)))
+        }
         (p.getParent.getName, p.getName) -> (r.getLong(1), st)
       }.toMap
 
@@ -282,7 +428,8 @@ object SnapshotTable extends QueryPack {
         val dest = new Path(dataDir(table), s"$commit-$i-${src.getName}")
         require(f.rename(src, dest),
           s"snapshot: could not place data file $dest")
-        val (n, st) = rows.getOrElse((dirName, src.getName), (0L, None))
+        val (n, st) = rows.getOrElse((dirName, src.getName),
+          (0L, Seq.empty[ColStats]))
         FileEntry(s"data/$commit-$i-${src.getName}", Some(Seq(value)), n, st)
       }
     f.delete(staging, true)
@@ -300,18 +447,21 @@ object SnapshotTable extends QueryPack {
 
   // ---- public surface
 
-  /** Create the table with `df` as version 1. With `statsCol`, writes
-    * are range-clustered on that column and every file records its
-    * min/max for [[readRange]] skipping.
+  /** Create the table with `df` as version 1. With `statsCols`, writes
+    * are range-clustered on the FIRST column and every file records
+    * min/max for EACH listed column — [[readRange]] then skips on any
+    * of them (secondary columns prune as well as they correlate with
+    * the cluster column). The columns are recorded in the header, so
+    * every later commit keeps collecting them without restating.
     */
   def create(spark: SparkSession, table: String, df: DataFrame,
-             partCol: String, statsCol: Option[String] = None): Long = {
+             partCol: String, statsCols: Seq[String] = Seq.empty): Long = {
     require(versions(spark, table).isEmpty,
       s"snapshot table $table already exists")
     val entries = writeDataFiles(spark, table, df, partCol,
-      statsCol = statsCol)
+      statsCols = statsCols)
     writeManifest(spark, table, 1L, entries,
-      Header(schema = Some(df.schema.toDDL)))
+      Header(schema = Some(df.schema.toDDL), statsCols = statsCols))
     1L
   }
 
@@ -370,8 +520,8 @@ object SnapshotTable extends QueryPack {
                 lo: Double, hi: Double): DataFrame = {
     val (manifest, hdr) =
       readManifestFull(spark, table, currentVersion(spark, table))
-    val hit = manifest.filter(_.stats.forall(s =>
-      s.col != statsCol || (s.hi >= lo && s.lo <= hi)))
+    val hit = manifest.filter(_.stats.find(_.col == statsCol).forall(s =>
+      s.hi >= lo && s.lo <= hi))
     if (hit.isEmpty)
       read(spark, table).filter(lit(false))
     else readFiles(spark, table, hit, hdr.schema)
@@ -389,7 +539,8 @@ object SnapshotTable extends QueryPack {
   def commitMerge(spark: SparkSession, table: String, updates: DataFrame,
                   keyCol: String, partCol: String): (Long, Long, Long) = {
     val v = currentVersion(spark, table)
-    val (manifest, hdr) = readManifestFull(spark, table, v)
+    val (segs, hdr) = readSegments(spark, table, v)
+    val manifest = segs.flatMap(_._2)
     val batchParts = updates.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
 
@@ -406,7 +557,6 @@ object SnapshotTable extends QueryPack {
         miss0.filter(e => stale.contains(new Path(e.path).getName))
       }
     val affected = hit0 ++ movers
-    val carried = manifest.diff(affected)
 
     val target =
       if (affected.isEmpty) updates.filter(lit(false))
@@ -415,8 +565,9 @@ object SnapshotTable extends QueryPack {
       .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
       .unionByName(updates.select(target.columns.map(col).toIndexedSeq: _*))
     val fresh = writeDataFiles(spark, table, merged, partCol,
-      statsCol = tableStatsCol(manifest))
-    writeManifest(spark, table, v + 1, carried ++ fresh, hdr)
+      statsCols = hdr.statsCols)
+    commitRewrite(spark, table, v, segs, affected.map(_.path).toSet,
+      fresh, hdr)
     // replaced/inserted by ARITHMETIC, not extra scans: the manifest
     // already records affected-file row counts, writeDataFiles already
     // counted the merged output, and only the (small) batch is counted
@@ -441,48 +592,65 @@ object SnapshotTable extends QueryPack {
     */
   def commitAppend(spark: SparkSession, table: String, df: DataFrame,
                    partCol: String, tag: Option[String] = None,
-                   statsCol: Option[String] = None): Option[Long] = {
+                   statsCols: Seq[String] = Seq.empty): Option[Long] = {
     val v = currentVersion(spark, table)
-    val (manifest, hdr) = readManifestFull(spark, table, v)
+    // the append path reads ONLY the manifest list (header + segment
+    // refs) — never the file entries: per micro-batch metadata I/O is
+    // O(#segments), independent of table file count
+    val (refs, hdr) = readManifestList(spark, table, v)
     if (tag.exists(hdr.tags.contains))
       None
     else {
       val evolved = evolveSchema(hdr.schema, df)
-      val fresh = writeDataFiles(spark, table, df, partCol, tag,
-        statsCol.orElse(tableStatsCol(manifest)))
-      writeManifest(spark, table, v + 1, manifest ++ fresh,
-        hdr.copy(tags = hdr.tags ++ tag, schema = Some(evolved)))
+      val effStats = if (statsCols.nonEmpty) statsCols else hdr.statsCols
+      val fresh = writeDataFiles(spark, table, df, partCol, tag, effStats)
+      val freshRefs =
+        if (fresh.isEmpty) Seq.empty else Seq(writeSegment(spark, table, fresh))
+      commitList(spark, table, v + 1,
+        foldIfWide(spark, table, refs ++ freshRefs),
+        hdr.copy(tags = hdr.tags ++ tag, schema = Some(evolved),
+          statsCols = effStats))
       Some(v + 1)
     }
   }
 
-  /** ADD-only schema evolution: the table schema grows by the batch's
-    * novel columns; shared names must keep their type. Old files are
-    * never rewritten — reads apply the evolved schema and parquet
-    * yields null for columns a file predates. A batch may also OMIT
-    * existing columns (they read back null for its rows).
+  /** ADD-and-WIDEN schema evolution: the table schema grows by the
+    * batch's novel columns, and a shared name may WIDEN (int→long,
+    * float→double — the lossless promotions Spark 4's parquet reader
+    * upcasts natively); any other type change is a loud failure. Old
+    * files are never rewritten — reads apply the evolved schema, the
+    * parquet reader widens narrower physical types, and yields null
+    * for columns a file predates. A batch may also OMIT existing
+    * columns (they read back null for its rows).
     */
   private def evolveSchema(current: Option[String],
                            df: DataFrame): String = current match {
     case None => df.schema.toDDL
     case Some(ddl) =>
-      val cur = org.apache.spark.sql.types.StructType.fromDDL(ddl)
-      df.schema.foreach { f =>
-        cur.find(_.name == f.name).foreach { c =>
-          require(c.dataType == f.dataType,
-            s"schema evolution: column ${f.name} is ${f.dataType}, table has ${c.dataType}")
+      import org.apache.spark.sql.types._
+      val cur = StructType.fromDDL(ddl)
+      // the widened type covers BOTH sides: table int + batch long
+      // widens the table; table long + batch int keeps long (the new
+      // int32 files upcast on read like the old ones)
+      def widened(a: DataType, b: DataType): Option[DataType] = (a, b) match {
+        case _ if a == b                                        => Some(a)
+        case (IntegerType, LongType) | (LongType, IntegerType)  => Some(LongType)
+        case (FloatType, DoubleType) | (DoubleType, FloatType)  => Some(DoubleType)
+        case _                                                  => None
+      }
+      val updated = cur.fields.map { c =>
+        df.schema.find(_.name == c.name) match {
+          case None => c
+          case Some(f) => widened(c.dataType, f.dataType) match {
+            case Some(t) => c.copy(dataType = t)
+            case None => throw new IllegalArgumentException(
+              s"schema evolution: column ${f.name} is ${f.dataType}, table has ${c.dataType}")
+          }
         }
       }
       val added = df.schema.filterNot(f => cur.exists(_.name == f.name))
-      org.apache.spark.sql.types.StructType(cur ++ added).toDDL
+      StructType(updated ++ added).toDDL
   }
-
-  /** The stats column the table's existing files record (first defined
-    * entry) — lets maintenance and follow-on commits keep recording the
-    * same stats without the caller re-stating it.
-    */
-  private def tableStatsCol(manifest: Seq[FileEntry]): Option[String] =
-    manifest.flatMap(_.stats).headOption.map(_.col)
 
   /** Fold the current version's small files (rows < `smallThreshold`)
     * into right-sized ones, publishing the SAME rows as a new version —
@@ -495,16 +663,17 @@ object SnapshotTable extends QueryPack {
   def compact(spark: SparkSession, table: String, partCol: String,
               smallThreshold: Long = 1000000L): (Long, Int, Int) = {
     val v = currentVersion(spark, table)
-    val (manifest, hdr) = readManifestFull(spark, table, v)
-    val small = manifest.filter(_.rows < smallThreshold)
+    val (segs, hdr) = readSegments(spark, table, v)
+    val small = segs.flatMap(_._2).filter(_.rows < smallThreshold)
     if (small.size < 2) (v, 0, 0)
     else {
       val fresh = writeDataFiles(spark, table,
         readFiles(spark, table, small, hdr.schema), partCol,
-        statsCol = tableStatsCol(manifest))
+        statsCols = hdr.statsCols)
       // the header (tag ledger + schema) rides along — idempotence and
       // the evolved schema both outlive the renames
-      writeManifest(spark, table, v + 1, manifest.diff(small) ++ fresh, hdr)
+      commitRewrite(spark, table, v, segs, small.map(_.path).toSet,
+        fresh, hdr)
       (v + 1, small.size, fresh.size)
     }
   }
@@ -524,14 +693,15 @@ object SnapshotTable extends QueryPack {
                    partCol: String,
                    rangeHint: Option[(String, Double, Double)] = None): (Long, Long) = {
     val v = currentVersion(spark, table)
-    val (manifest, hdr) = readManifestFull(spark, table, v)
+    val (segs, hdr) = readSegments(spark, table, v)
+    val manifest = segs.flatMap(_._2)
     // rangeHint is the caller's ASSERTION that the predicate implies
     // col ∈ [lo, hi]: the candidate scan then skips files whose stats
     // are disjoint (a wrong hint silently misses rows — it narrows the
     // scan, the predicate still decides row membership)
     val scanSet = rangeHint.fold(manifest) { case (c, lo, hi) =>
-      manifest.filter(_.stats.forall(s =>
-        s.col != c || (s.hi >= lo && s.lo <= hi)))
+      manifest.filter(_.stats.find(_.col == c).forall(s =>
+        s.hi >= lo && s.lo <= hi))
     }
     if (scanSet.isEmpty) return (v, 0L)
     // three-valued logic: a predicate that evaluates NULL marks a row
@@ -555,10 +725,37 @@ object SnapshotTable extends QueryPack {
       val fresh =
         if (kept.isEmpty) Seq.empty
         else writeDataFiles(spark, table, kept, partCol,
-          statsCol = tableStatsCol(manifest))
-      writeManifest(spark, table, v + 1, manifest.diff(affected) ++ fresh, hdr)
+          statsCols = hdr.statsCols)
+      commitRewrite(spark, table, v, segs, affected.map(_.path).toSet,
+        fresh, hdr)
       (v + 1, nDeleted)
     }
+  }
+
+  /** Run `commit` with bounded optimistic-concurrency retries: on a
+    * version-conflict failure the closure is re-invoked — every commit
+    * operation re-resolves the current version at entry, so re-running
+    * IS the rebase (append re-carries the new current segment list;
+    * merge/delete re-evaluate their row semantics against the new
+    * snapshot — last-writer-wins, which is what optimistic table
+    * commits give; a caller needing stricter merge semantics should
+    * compare snapshots itself and fail). A losing attempt's data files
+    * and segments are referenced by no list — invisible to readers,
+    * vacuum food. Non-conflict failures propagate immediately.
+    */
+  def commitWithRetry[T](maxAttempts: Int = 5)(commit: => T): T = {
+    var attempt = 1
+    while (true) {
+      try return commit
+      catch {
+        case e: RuntimeException
+          if e.getMessage != null &&
+            e.getMessage.contains("snapshot commit conflict") &&
+            attempt < maxAttempts =>
+          attempt += 1
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Remove data files referenced by NO retained manifest and manifests
@@ -588,6 +785,8 @@ object SnapshotTable extends QueryPack {
           .getModificationTime > cutoff => v
       }
     val keep = (vs.takeRight(keepVersions) ++ protectedVs).distinct.sorted
+    val liveSegs: Set[String] =
+      keep.flatMap(readManifestList(spark, table, _)._1).map(_.path).toSet
     val live: Set[String] = keep.flatMap(readManifest(spark, table, _))
       .map(e => new Path(e.path).getName).toSet
     // the age window also protects UNREFERENCED artifacts: a data file,
@@ -609,6 +808,12 @@ object SnapshotTable extends QueryPack {
         case vRe(n) if !keep.contains(n.toLong) =>
           f.delete(st.getPath, false); deleted += 1
         case name if name.contains(".json.tmp.") && oldEnough(st) =>
+          f.delete(st.getPath, false); deleted += 1
+        // segments referenced by no retained list: fold/rewrite
+        // leftovers and conflict orphans (a YOUNG one may belong to an
+        // in-flight commit whose list is about to publish)
+        case name if name.startsWith("seg-") && !liveSegs.contains(name) &&
+          oldEnough(st) =>
           f.delete(st.getPath, false); deleted += 1
         case _ => ()
       }
@@ -632,10 +837,12 @@ object SnapshotTable extends QueryPack {
     import spark.implicits._
     val f = fs(spark, table)
     versions(spark, table).map { v =>
-      val (entries, hdr) = readManifestFull(spark, table, v)
+      // file/row counts come from the LIST's per-segment summaries —
+      // describing K versions reads K small lists, never the segments
+      val (refs, hdr) = readManifestList(spark, table, v)
       val mtime = f.getFileStatus(new Path(manifestDir(table), s"v$v.json"))
         .getModificationTime
-      (v, entries.size.toLong, entries.map(_.rows).sum,
+      (v, refs.map(_.files.toLong).sum, refs.map(_.rows).sum,
         hdr.tags.size.toLong,
         new java.sql.Timestamp(mtime))
     }.toDF("version", "n_files", "n_rows", "n_tags", "committed_at")
@@ -671,7 +878,7 @@ object SnapshotTable extends QueryPack {
     val orders = Tables.orders(s, dir)
       .select(Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
         "o_orderpriority").map(col): _*)
-    create(s, work, orders, "o_orderpriority", statsCol = Some("o_orderkey"))
+    create(s, work, orders, "o_orderpriority", statsCols = Seq("o_orderkey"))
     val changed = Tables.orders(s, dir).filter(col("o_orderkey") % 97 === 0)
       .select(col("o_orderkey"), col("o_custkey"),
         (col("o_totalprice") + 1000.0).as("o_totalprice"),
@@ -717,6 +924,46 @@ object SnapshotTable extends QueryPack {
   def rangeSkipQuery(s: SparkSession, dir: String): DataFrame =
     rollup(readRange(s, scenario(s, dir), "o_orderkey", 1000d, 3000d))
 
+  // second memoized scenario: the events corpus range-clustered on ts
+  // with per-file (ts, event_id) stats — the two columns correlate
+  // (ids are assigned in arrival order), so a predicate on the
+  // NON-cluster column still skips files. Read-only after create.
+  @volatile private var eventsMemo: Option[((SparkSession, String), String)] = None
+
+  private def eventsScenario(s: SparkSession, dir: String): String =
+    eventsMemo match {
+      case Some((k, w)) if k == ((s, dir)) => w
+      case _ => synchronized {
+        eventsMemo match {
+          case Some((k, w)) if k == ((s, dir)) => w
+          case _ =>
+            val work = java.nio.file.Files
+              .createTempDirectory("graft_snapshot_ev").resolve("t").toString
+            create(s, work, Tables.events(s, dir)
+              .select(Seq("event_id", "ts", "user_id", "event_type",
+                "value").map(col): _*),
+              "event_type", statsCols = Seq("ts", "event_id"))
+            eventsMemo = Some(((s, dir), work))
+            work
+        }
+      }
+    }
+
+  /** Per-type rollup of an event_id window read through SECONDARY-
+    * column skipping: the table is clustered on ts, the predicate is on
+    * event_id, and pruning still drops the files whose recorded
+    * event_id range is disjoint — the multi-column-stats payoff (a
+    * time-clustered 100 TB event table answers id-window queries
+    * without a full scan).
+    */
+  def rangeSkip2Query(s: SparkSession, dir: String): DataFrame =
+    readRange(s, eventsScenario(s, dir), "event_id", 100d, 299d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+
   // the delete query's PRIVATE base table (it cannot share the merge
   // scenario: a delete commit would advance the version the other
   // queries read) — built once per (session, corpus) and CLONED per
@@ -736,7 +983,7 @@ object SnapshotTable extends QueryPack {
             create(s, work, Tables.orders(s, dir)
               .select(Seq("o_orderkey", "o_custkey", "o_totalprice",
                 "o_orderdate", "o_orderpriority").map(col): _*),
-              "o_orderpriority", statsCol = Some("o_orderkey"))
+              "o_orderpriority", statsCols = Seq("o_orderkey"))
             deleteBaseMemo = Some(((s, dir), work))
             work
         }
@@ -772,17 +1019,20 @@ object SnapshotTable extends QueryPack {
     rollup(read(s, work))
   }
 
-  /** Rollup across a schema-evolving append: v1 has four columns, the
-    * appended batch adds `o_bonus` — old files are NOT rewritten, the
-    * evolved read yields null bonus for pre-evolution rows, and the
-    * per-priority rollup must agree with the relational union replay.
+  /** Rollup across a schema-evolving append: v1 stores `o_custkey` as
+    * INT and has no `o_bonus`; the appended batch brings a BIGINT
+    * `o_custkey` (widening the table column to long — old int32 files
+    * upcast on read, never rewritten) and adds `o_bonus` (null for
+    * pre-evolution rows). The per-priority rollup must agree with the
+    * relational union replay — exact integer sums prove the upcast
+    * loses nothing.
     */
   def evolveQuery(s: SparkSession, dir: String): DataFrame = {
     val work = java.nio.file.Files
       .createTempDirectory("graft_snapshot_evo").resolve("t").toString
     val base = Tables.orders(s, dir)
-      .select(Seq("o_orderkey", "o_custkey", "o_totalprice",
-        "o_orderpriority").map(col): _*)
+      .select(col("o_orderkey"), col("o_custkey").cast("int").as("o_custkey"),
+        col("o_totalprice"), col("o_orderpriority"))
     create(s, work, base, "o_orderpriority")
     val extra = Tables.orders(s, dir).filter(col("o_orderkey") % 50 === 0)
       .select(col("o_orderkey") + 10000000L as "o_orderkey",
@@ -793,7 +1043,8 @@ object SnapshotTable extends QueryPack {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_rows"),
         count(col("o_bonus")).as("n_bonus"),
-        sum(coalesce(col("o_bonus"), lit(0L))).as("bonus_sum"))
+        sum(coalesce(col("o_bonus"), lit(0L))).as("bonus_sum"),
+        sum(col("o_custkey")).as("cust_sum"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -801,6 +1052,7 @@ object SnapshotTable extends QueryPack {
     "q_snapshot_merge" -> (snapshotMergeQuery _),
     "q_time_travel" -> (timeTravelQuery _),
     "q_snapshot_skip" -> (rangeSkipQuery _),
+    "q_snapshot_skip2" -> (rangeSkip2Query _),
     "q_snapshot_delete" -> (deleteQuery _),
     "q_snapshot_evolve" -> (evolveQuery _))
 
@@ -855,6 +1107,12 @@ object SnapshotTable extends QueryPack {
         |  CAST(max(o_orderkey) AS BIGINT) AS max_key
         |FROM merged WHERE o_orderkey BETWEEN 1000 AND 3000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_snapshot_skip2" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  CAST(max(event_id) AS BIGINT) AS max_id
+        |FROM events WHERE event_id BETWEEN 100 AND 299
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_snapshot_delete" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
@@ -864,17 +1122,20 @@ object SnapshotTable extends QueryPack {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_snapshot_evolve" ->
       """WITH ext AS (
-        |  SELECT o_orderkey + 10000000 AS o_orderkey, o_orderpriority,
-        |    o_orderkey * 2 AS o_bonus
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+        |    o_orderpriority, o_orderkey * 2 AS o_bonus
         |  FROM orders WHERE o_orderkey % 50 = 0
         |), unioned AS (
-        |  SELECT o_orderkey, o_orderpriority, CAST(NULL AS BIGINT) AS o_bonus
+        |  SELECT o_orderkey, o_custkey, o_orderpriority,
+        |    CAST(NULL AS BIGINT) AS o_bonus
         |  FROM orders
-        |  UNION ALL SELECT o_orderkey, o_orderpriority, o_bonus FROM ext
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderpriority, o_bonus FROM ext
         |)
         |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(o_bonus) AS BIGINT) AS n_bonus,
-        |  CAST(sum(COALESCE(o_bonus, 0)) AS BIGINT) AS bonus_sum
+        |  CAST(sum(COALESCE(o_bonus, 0)) AS BIGINT) AS bonus_sum,
+        |  CAST(sum(o_custkey) AS BIGINT) AS cust_sum
         |FROM unioned GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin)
 }

@@ -34,7 +34,7 @@ object PlanAudit8 {
       graft.sources.SnapshotTable.create(spark, t,
         Tables.orders(spark, dir).select(Seq("o_orderkey", "o_custkey",
           "o_totalprice", "o_orderpriority").map(col): _*),
-        "o_orderpriority", statsCol = Some("o_orderkey"))
+        "o_orderpriority", statsCols = Seq("o_orderkey"))
       t
     }
     val all = graft.sources.SnapshotTable.read(spark, work).inputFiles.length

@@ -200,7 +200,7 @@ class SnapshotTableSpec extends SparkSpec {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_orderpriority"))
     SnapshotTable.create(spark, table, orders, "o_orderpriority",
-      statsCol = Some("o_orderkey"))
+      statsCols = Seq("o_orderkey"))
     val m1 = SnapshotTable.readManifest(spark, table, 1L)
     assert(m1.forall(_.stats.exists(_.col == "o_orderkey")))
     // range clustering: at least one file is provably disjoint from a
@@ -368,11 +368,167 @@ class SnapshotTableSpec extends SparkSpec {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "p")
       .withColumn("s", lit(null).cast("bigint"))
-    SnapshotTable.create(spark, nullStats, df, "p", statsCol = Some("s"))
+    SnapshotTable.create(spark, nullStats, df, "p", statsCols = Seq("s"))
     val m = SnapshotTable.readManifest(spark, nullStats, 1L)
     assert(m.forall(_.stats.isEmpty))
     assert(SnapshotTable.readRange(spark, nullStats, "s", 0d, 1d)
       .inputFiles.length === m.size) // no stats → never skipped
+  }
+
+  test("commit metadata is O(changed files): a one-file append to a " +
+    "many-file table writes a small segment + list, not the inventory") {
+    val table = java.nio.file.Files.createTempDirectory("snapmeta")
+      .resolve("t").toString
+    import spark.implicits._
+    // ~40 partition values → ≥40 data files at create, more per append
+    val wide = spark.range(0, 4000)
+      .select(col("id").as("k"), (col("id") % 40).cast("string").as("p"))
+    SnapshotTable.create(spark, table, wide, "p")
+    (1 to 3).foreach { i =>
+      SnapshotTable.commitAppend(spark, table,
+        spark.range(4000L * i, 4000L * i + 2000)
+          .select(col("id").as("k"), (col("id") % 40).cast("string").as("p")),
+        "p")
+    }
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val nDataFiles = SnapshotTable.readManifest(spark, table,
+      SnapshotTable.currentVersion(spark, table)).size
+    assert(nDataFiles >= 100) // the table is genuinely many-file
+    val manifestsBefore = fs.listStatus(new Path(table, "_manifests"))
+      .map(_.getPath.getName).toSet
+    val inventoryBytes = fs.listStatus(new Path(table, "_manifests"))
+      .filter(_.getPath.getName.startsWith("seg-")).map(_.getLen).sum
+
+    SnapshotTable.commitAppend(spark, table,
+      Seq((999999L, "0")).toDF("k", "p"), "p")
+
+    val fresh = fs.listStatus(new Path(table, "_manifests"))
+      .filter(st => !manifestsBefore.contains(st.getPath.getName))
+    // exactly one new segment (the appended file) + one new list
+    assert(fresh.count(_.getPath.getName.startsWith("seg-")) === 1)
+    assert(fresh.count(_.getPath.getName.startsWith("v")) === 1)
+    val commitBytes = fresh.map(_.getLen).sum
+    assert(commitBytes < 2048,
+      s"append commit wrote $commitBytes B of metadata")
+    assert(commitBytes * 5 < inventoryBytes,
+      s"commit metadata ($commitBytes B) should be far below the " +
+        s"full inventory ($inventoryBytes B)")
+    assert(SnapshotTable.read(spark, table).count() === 10001L)
+  }
+
+  test("segment fold bounds the manifest list across many commits") {
+    val table = java.nio.file.Files.createTempDirectory("snapfold")
+      .resolve("t").toString
+    import spark.implicits._
+    SnapshotTable.createEmpty(spark, table)
+    (0 until 40).foreach { i =>
+      SnapshotTable.commitAppend(spark, table,
+        Seq((i.toLong, "x"), (i + 1000L, "y")).toDF("k", "p"),
+        "p", tag = Some(s"b$i"))
+    }
+    val (refs, hdr) = SnapshotTable.readManifestList(spark, table,
+      SnapshotTable.currentVersion(spark, table))
+    assert(refs.size <= 33, s"list holds ${refs.size} segments")
+    assert(hdr.tags.size === 40) // the ledger survives folding
+    assert(SnapshotTable.read(spark, table).count() === 80L)
+    // folded-away segments are vacuum food, and the table still reads
+    SnapshotTable.vacuum(spark, table, keepVersions = 1)
+    assert(SnapshotTable.read(spark, table).count() === 80L)
+  }
+
+  test("secondary stats column skips files when it correlates with the " +
+    "cluster column") {
+    val table = java.nio.file.Files.createTempDirectory("snap2col")
+      .resolve("t").toString
+    import spark.implicits._
+    val df = spark.range(0, 20000).select(col("id").as("k"),
+      (col("id") + 5).as("k2"), (col("id") % 4).cast("string").as("p"))
+    SnapshotTable.create(spark, table, df, "p",
+      statsCols = Seq("k", "k2"))
+    val m = SnapshotTable.readManifest(spark, table, 1L)
+    assert(m.forall(e => e.stats.exists(_.col == "k") &&
+      e.stats.exists(_.col == "k2")))
+    val planned = SnapshotTable.readRange(spark, table, "k2", 100d, 299d)
+    assert(planned.inputFiles.length < m.size,
+      s"no skip: planned ${planned.inputFiles.length} of ${m.size}")
+    assert(planned.select("k2").collect().map(_.getLong(0)).sorted.toSeq
+      === (100L to 299L))
+  }
+
+  test("commitWithRetry rebases a lost race and publishes the next " +
+    "version; two racing writers both land") {
+    val table = freshTable()
+    val (entries1, hdr1) = SnapshotTable.readManifestFull(spark, table, 1L)
+    var attempts = 0
+    SnapshotTable.commitWithRetry() {
+      attempts += 1
+      val v = SnapshotTable.currentVersion(spark, table)
+      if (attempts == 1) // the competitor wins the race for v+1
+        SnapshotTable.writeManifest(spark, table, v + 1, entries1, hdr1)
+      SnapshotTable.writeManifest(spark, table, v + 1, entries1, hdr1)
+    }
+    assert(attempts === 2)
+    assert(SnapshotTable.currentVersion(spark, table) === 3L)
+    // exhausted attempts propagate the conflict
+    intercept[RuntimeException] {
+      SnapshotTable.commitWithRetry(maxAttempts = 2) {
+        SnapshotTable.writeManifest(spark, table, 1L, entries1, hdr1)
+      }
+    }
+    // two genuinely concurrent appends: both must land, serially
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val fs2 = (0 until 2).map { i =>
+      Future {
+        SnapshotTable.commitWithRetry() {
+          SnapshotTable.commitAppend(spark, table,
+            Seq((5000000L + i, 1L, 1.0, s"w$i"))
+              .toDF("o_orderkey", "o_custkey", "o_totalprice",
+                "o_orderpriority"),
+            "o_orderpriority")
+        }
+      }
+    }
+    fs2.foreach(Await.result(_, 120.seconds))
+    assert(SnapshotTable.currentVersion(spark, table) === 5L)
+    assert(SnapshotTable.read(spark, table)
+      .filter(col("o_orderkey") >= 5000000L).count() === 2L)
+  }
+
+  test("type-widening evolution: int→long and float→double on shared " +
+    "names, old int32/float files upcast on read; other changes refuse") {
+    val table = java.nio.file.Files.createTempDirectory("snapwide")
+      .resolve("t").toString
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val base = Seq((1, 1.5f, "a"), (2, 2.5f, "b")).toDF("i", "f", "p")
+    SnapshotTable.create(spark, table, base, "p")
+    // the widening append: i arrives as BIGINT, f as DOUBLE
+    SnapshotTable.commitAppend(spark, table,
+      Seq((3L, 3.5d, "a")).toDF("i", "f", "p"), "p")
+    val cur = SnapshotTable.read(spark, table)
+    assert(cur.schema("i").dataType === LongType)
+    assert(cur.schema("f").dataType === DoubleType)
+    assert(cur.select("i").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L, 3L))
+    assert(cur.select("f").collect().map(_.getDouble(0)).sorted.toSeq
+      === Seq(1.5d, 2.5d, 3.5d)) // float16-exact values survive upcast
+    // a NARROW batch after widening: stays long, int32 files upcast too
+    SnapshotTable.commitAppend(spark, table,
+      Seq((4, 4.5f, "b")).toDF("i", "f", "p"), "p")
+    assert(SnapshotTable.read(spark, table).schema("i").dataType === LongType)
+    assert(SnapshotTable.read(spark, table)
+      .select("i").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L, 3L, 4L))
+    // long→string is not a widening
+    val err = intercept[IllegalArgumentException] {
+      SnapshotTable.commitAppend(spark, table,
+        Seq(("x", 1.0d, "a")).toDF("i", "f", "p"), "p")
+    }
+    assert(err.getMessage.contains("schema evolution"))
   }
 
   test("manifest entries round-trip values that need escaping") {
