@@ -183,10 +183,11 @@ object AnnSearch extends QueryPack {
   def lshQuery(s: SparkSession, dir: String): DataFrame = {
     val (path, planes) = ensureLshIndex(s, dir)
     val q = queryVector(s, dir)
-    // openAnnIndex (not a bare read): heals a crashed delete swap so the
-    // first READER repairs the index, not just the next mutation
-    graft.sources.TableIO.openAnnIndex(s, path, "lsh_bucket")
-      .filter(col("lsh_bucket").isin(probeBuckets(q, planes): _*))
+    // bucket-pruned snapshot open: the probe set prunes at the MANIFEST
+    // (only matching buckets' files are planned), with the residual
+    // bucket filter on top
+    graft.sources.TableIO
+      .openAnnIndexBuckets(s, path, "lsh_bucket", probeBuckets(q, planes))
       .withColumn("sim",
         round(cosineSimilarity(col("embedding"), typedlit(q.toSeq)), 6))
       .orderBy(col("sim").desc, col("vec_id"))
@@ -240,8 +241,12 @@ object AnnSearch extends QueryPack {
     */
   def ivfQuery(s: SparkSession, dir: String): DataFrame = {
     val (path, centroids) = ensureIvfIndex(s, dir)
-    ivfSearch(graft.sources.TableIO.openAnnIndex(s, path, "ivf_list"), centroids,
-      "embedding", "vec_id", queryVector(s, dir), nprobe = 4)
+    val q = queryVector(s, dir)
+    // manifest-prune to the nprobe lists; ivfSearch's own list filter
+    // is then a residual over already-pruned files
+    ivfSearch(graft.sources.TableIO.openAnnIndexBuckets(s, path, "ivf_list",
+      nearestLists(q, centroids, 4)), centroids,
+      "embedding", "vec_id", q, nprobe = 4)
   }
 
   /** Incremental LSH index maintenance: hash ONLY the new vectors with
@@ -276,7 +281,7 @@ object AnnSearch extends QueryPack {
     val distinctN = batchIds.count()
     require(distinctN == batchN,
       s"append batch contains ${batchN - distinctN} duplicate $idCol values within itself")
-    val clashes = s.read.parquet(path).select(col(idCol))
+    val clashes = graft.sources.SnapshotTable.read(s, path).select(col(idCol))
       .join(batchIds, Seq(idCol), "left_semi")
       .limit(5).collect().map(_.get(0))
     require(clashes.isEmpty,
@@ -331,8 +336,8 @@ object AnnSearch extends QueryPack {
     val probes = probeRows.toDF("query_id", "lsh_bucket", "q_emb")
     val allBuckets = probeRows.map(_._2).distinct
 
-    val candidates = s.read.parquet(path)
-      .filter(col("lsh_bucket").isin(allBuckets: _*)) // ONE pruned scan
+    val candidates = graft.sources.TableIO
+      .openAnnIndexBuckets(s, path, "lsh_bucket", allBuckets) // ONE pruned scan
       .join(broadcast(probes), Seq("lsh_bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim",
@@ -371,8 +376,8 @@ object AnnSearch extends QueryPack {
     val probes = probeRows.toDF("query_id", "ivf_list", "q_emb")
     val allLists = probeRows.map(_._2).distinct
 
-    s.read.parquet(path)
-      .filter(col("ivf_list").isin(allLists: _*)) // ONE pruned scan
+    graft.sources.TableIO
+      .openAnnIndexBuckets(s, path, "ivf_list", allLists) // ONE pruned scan
       .join(broadcast(probes), Seq("ivf_list"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim",
@@ -406,7 +411,7 @@ object AnnSearch extends QueryPack {
     val (lshPath, planes) = ensureLshIndex(s, dir)
     val (ivfPath, centroids) = ensureIvfIndex(s, dir)
     val q = queryVector(s, dir)
-    val scoredAll = s.read.parquet(lshPath)
+    val scoredAll = graft.sources.SnapshotTable.read(s, lshPath)
       .withColumn("sim",
         round(cosineSimilarity(col("embedding"), typedlit(q.toSeq)), 6))
     val brute10 = scoredAll.orderBy(col("sim").desc, col("vec_id")).limit(10)
@@ -414,7 +419,7 @@ object AnnSearch extends QueryPack {
     val cand = scoredAll.filter(col("lsh_bucket").isin(probeBuckets(q, planes): _*))
     val lsh10 = cand.orderBy(col("sim").desc, col("vec_id")).limit(10)
       .select(col("vec_id").as("lsh_vec"))
-    val ivf10 = ivfSearch(s.read.parquet(ivfPath), centroids,
+    val ivf10 = ivfSearch(graft.sources.SnapshotTable.read(s, ivfPath), centroids,
       "embedding", "vec_id", q, topK = 10, nprobe = 4)
       .select(col("vec_id").as("ivf_vec"))
 
@@ -448,7 +453,7 @@ object AnnSearch extends QueryPack {
     */
   def ivfNearDupQuery(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
     val (path, _) = ensureIvfIndex(s, dir)
-    val idx = s.read.parquet(path)
+    val idx = graft.sources.SnapshotTable.read(s, path)
       .select(col("ivf_list").cast("long").as("ivf_list"),
         col("vec_id"), col("embedding"))
     val a = idx.select(col("ivf_list"), col("vec_id").as("a_id"),

@@ -197,7 +197,8 @@ object ProductQuant extends QueryPack {
       val (ivfPath, centroids) = AnnSearch.ensureIvfIndex(s, dir)
       val (pqPath, books) = ensurePqIndex(s, dir)
       val path = indexPath(dir) + "_ivf"
-      s.read.parquet(ivfPath).select(col("vec_id"), col("ivf_list"))
+      graft.sources.SnapshotTable.read(s, ivfPath)
+        .select(col("vec_id"), col("ivf_list"))
         .join(s.read.parquet(pqPath), "vec_id")
         .write.mode("overwrite").partitionBy("ivf_list").parquet(path)
       (path, centroids, books)

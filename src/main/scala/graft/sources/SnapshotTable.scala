@@ -732,6 +732,45 @@ object SnapshotTable extends QueryPack {
     }
   }
 
+  /** Row-level DELETE BY KEY SET: drop rows whose `keyCol` appears in
+    * `keys`, rewriting only the files that contain a hit and carrying
+    * every other file by reference — the deletion-list maintenance op
+    * (GDPR / takedown) as ONE atomic commit. Unlike [[commitDelete]]'s
+    * predicate form, membership comes from a DataFrame (semi/anti
+    * joins, broadcast for typical lists — a deletion list can be
+    * millions of keys; no literal explosion). Keys absent from the
+    * table are simply not hits. Returns (new version, rows deleted);
+    * current version unchanged when nothing matches.
+    */
+  def commitDeleteKeys(spark: SparkSession, table: String, keys: DataFrame,
+                       keyCol: String, partCol: String): (Long, Long) = {
+    val v = currentVersion(spark, table)
+    val (segs, hdr) = readSegments(spark, table, v)
+    val manifest = segs.flatMap(_._2)
+    val keyset = keys.select(col(keyCol)).distinct()
+    // one column-pruned scan (key column only) tags hit files
+    val hitNames = readFiles(spark, table, manifest, hdr.schema)
+      .select(col(keyCol), input_file_name().as("__f"))
+      .join(keyset, Seq(keyCol), "left_semi")
+      .select(col("__f")).distinct()
+      .collect().map(r => new Path(new java.net.URI(r.getString(0)).getPath).getName)
+      .toSet
+    val affected = manifest.filter(e =>
+      hitNames.contains(new Path(e.path).getName))
+    if (affected.isEmpty) (v, 0L)
+    else {
+      val target = readFiles(spark, table, affected, hdr.schema)
+      val kept = target.join(keyset, Seq(keyCol), "left_anti")
+      val fresh = writeDataFiles(spark, table, kept, partCol,
+        statsCols = hdr.statsCols)
+      commitRewrite(spark, table, v, segs, affected.map(_.path).toSet,
+        fresh, hdr)
+      // deleted = affected rows − surviving rows: both already counted
+      // (manifest + fresh entries), no extra pass
+      (v + 1, affected.map(_.rows).sum - fresh.map(_.rows).sum)
+    }
+  }
+
   /** Run `commit` with bounded optimistic-concurrency retries: on a
     * version-conflict failure the closure is re-invoked — every commit
     * operation re-resolves the current version at entry, so re-running

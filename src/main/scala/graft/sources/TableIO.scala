@@ -30,167 +30,94 @@ object TableIO {
   def readIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Write an ANN-ready index: shard + bucket partitioning (bucket =
-    * lsh_bucket or ivf_list column added by [[graft.operators.AnnSearch]]).
+  /** Write an ANN-ready index as a SNAPSHOT TABLE with the bucket
+    * (lsh_bucket / ivf_list column added by
+    * [[graft.operators.AnnSearch]]) as its partition column. Every
+    * maintenance op below — append, compact, delete — is ONE atomic
+    * manifest commit: a reader planned mid-maintenance is pinned to a
+    * consistent version and can never see bucket A new and bucket B old
+    * (the torn-read hazard the previous per-bucket two-rename swap
+    * carried); old versions stay readable for recall-regression hunts
+    * until [[SnapshotTable.vacuum]]. Overwrite semantics: an existing
+    * index at `path` is replaced by a fresh table.
     */
-  def writeAnnIndex(indexed: DataFrame, path: String, bucketCol: String): Unit =
-    indexed.write.mode(SaveMode.Overwrite)
-      .partitionBy(bucketCol)
-      .parquet(path)
-
-  /** INCREMENTAL index maintenance: hash/assign only the NEW vectors and
-    * append their files into the existing bucket partition directories —
-    * the at-rest answer to the reference's per-update full index rebuild
-    * (similarity_search.py:284-286, the one part of the reference a
-    * scale design must NOT mirror). Dynamic partition append touches
-    * only the partitions the new batch lands in; existing files are
-    * never rewritten, and serve-path partition pruning is unchanged.
-    * (Periodic compaction of small appended files is an offline
-    * housekeeping job, orthogonal to correctness.)
-    */
-  def appendAnnIndex(indexed: DataFrame, path: String, bucketCol: String): Unit =
-    indexed.write.mode(SaveMode.Append)
-      .partitionBy(bucketCol)
-      .parquet(path)
-
-  /** Offline compaction for an append-maintained index: every append
-    * lands new small files in the bucket directories it touches; after
-    * many appends a serve-path scan pays per-file open cost. Compaction
-    * rewrites the index hash-partitioned ON the bucket column — each
-    * bucket collapses into a single task and therefore a single file —
-    * then swaps directories via two renames (atomic on HDFS-like
-    * filesystems; on an object store without atomic rename, point
-    * serving at versioned index paths instead and flip the pointer).
-    * Run it like any housekeeping job: off the serve path, per index,
-    * when file counts grow.
-    */
-  def compactAnnIndex(spark: SparkSession, path: String, bucketCol: String): Unit = {
+  def writeAnnIndex(indexed: DataFrame, path: String, bucketCol: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val tmp = path.stripSuffix("/") + "__compacting"
-    val old = path.stripSuffix("/") + "__precompact"
-    // heal any crashed delete swap FIRST: compacting an index with a
-    // parked __del_old_ bucket would bake the hole into the rewrite
-    recoverDeleteLeftovers(
-      new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration),
-      path, bucketCol)
-    spark.read.parquet(path)
-      .repartition(org.apache.spark.sql.functions.col(bucketCol))
-      .write.mode(SaveMode.Overwrite).partitionBy(bucketCol).parquet(tmp)
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(old), true)
-    require(fs.rename(new Path(path), new Path(old)), s"compact: could not stage $path aside")
-    require(fs.rename(new Path(tmp), new Path(path)), s"compact: could not move $tmp into place")
-    fs.delete(new Path(old), true)
+    val spark = indexed.sparkSession
+    if (SnapshotTable.versions(spark, path).nonEmpty) {
+      val fs = new Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(path), true)
+    }
+    SnapshotTable.create(spark, path, indexed, bucketCol)
   }
 
-  /** TARGETED deletion from an append-maintained index (the GDPR /
-    * takedown maintenance op next to [[appendAnnIndex]] and
-    * [[compactAnnIndex]]): only the bucket partitions that actually
-    * CONTAIN requested ids are rewritten (anti-join within each), via
-    * per-partition dir swap; untouched buckets keep their files
-    * byte-for-byte. Ids absent from the index are counted, not errors —
-    * a deletion list routinely outlives the rows it names. Returns
-    * (deleted, requested) counts so callers can log reconciliation.
-    *
-    * CONCURRENCY CONTRACT: the per-bucket swap (rename dir aside, rename
-    * rewrite into place) is NOT atomic — between the two renames the live
-    * bucket directory is absent, so a concurrent reader fails or silently
-    * misses that bucket. Run deletions with exclusive access to the index,
-    * like [[compactAnnIndex]] (serve from versioned paths and flip a
-    * pointer if readers can't be paused). A crash between the renames is
-    * recovered on the NEXT call: [[recoverDeleteLeftovers]] restores any
-    * bucket parked in `__del_old_` whose live dir is missing and clears
-    * stale staging dirs before new work starts.
-    *
-    * Each rewritten bucket keeps its original file count (rewrite is
-    * repartitioned to the bucket's pre-delete parquet file count, floor 1)
-    * — a delete never collapses a many-file bucket into one file/one task
-    * the way an unconditional coalesce(1) would at scale.
+  /** INCREMENTAL index maintenance: hash/assign only the NEW vectors and
+    * commit them as an append version — the at-rest answer to the
+    * reference's per-update full index rebuild
+    * (similarity_search.py:284-286, the one part of the reference a
+    * scale design must NOT mirror). The commit writes one file per
+    * bucket the batch lands in; existing files are never rewritten, and
+    * serve-path manifest skipping is unchanged. (Periodic
+    * [[compactAnnIndex]] folds the per-batch small files.)
+    */
+  def appendAnnIndex(indexed: DataFrame, path: String, bucketCol: String): Unit = {
+    SnapshotTable.commitAppend(indexed.sparkSession, path, indexed, bucketCol)
+    ()
+  }
+
+  /** Offline compaction for an append-maintained index: every append
+    * lands a small file per touched bucket; after many appends a
+    * serve-path scan pays per-file open cost. Compaction is
+    * [[SnapshotTable.compact]] — small files fold into right-sized
+    * per-bucket files and publish as a NEW version in one atomic
+    * commit, so concurrent readers keep serving the version they
+    * planned (no pause, no pointer flip — the snapshot layer IS the
+    * versioned-path pattern the old swap code told object-store users
+    * to build).
+    */
+  def compactAnnIndex(spark: SparkSession, path: String, bucketCol: String): Unit = {
+    SnapshotTable.compact(spark, path, bucketCol)
+    ()
+  }
+
+  /** TARGETED deletion from the index (the GDPR / takedown maintenance
+    * op next to [[appendAnnIndex]] and [[compactAnnIndex]]):
+    * [[SnapshotTable.commitDeleteKeys]] rewrites only the files that
+    * actually CONTAIN requested ids (anti-join), carries every other
+    * file by reference, and publishes atomically — concurrent readers
+    * serve their pinned version throughout; the deleted rows remain in
+    * older versions until vacuum (audit trail included). Ids absent
+    * from the index are counted, not errors — a deletion list routinely
+    * outlives the rows it names. Returns (deleted, requested) counts so
+    * callers can log reconciliation.
     */
   def deleteFromAnnIndex(spark: SparkSession, path: String, bucketCol: String,
                          ids: DataFrame, idCol: String = "vec_id"): (Long, Long) = {
-    import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.functions.col
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverDeleteLeftovers(fs, path, bucketCol)
-    val requested = ids.select(col(idCol)).distinct().cache()
+    val requested = ids.select(col(idCol)).distinct()
     val nRequested = requested.count()
-    val index = spark.read.parquet(path)
-    val hit = index.join(requested, Seq(idCol), "left_semi")
-      .groupBy(col(bucketCol))
-      .agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("n"))
-      .collect().map(r => r.get(0) -> r.getLong(1))
-    var deleted = 0L
-    for ((bucket, n) <- hit) {
-      val dir = s"${path.stripSuffix("/")}/$bucketCol=$bucket"
-      // staging dirs are SIBLINGS of the index root, not of the partition
-      // dir — a `bucket=3__deleting` inside the root would confuse
-      // partition discovery for any concurrent reader
-      val tmp = s"${path.stripSuffix("/")}__del_tmp_$bucket"
-      val old = s"${path.stripSuffix("/")}__del_old_$bucket"
-      // preserve the bucket's file count across the rewrite (see scaladoc)
-      val nFiles = fs.listStatus(new Path(dir))
-        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      spark.read.parquet(dir)
-        .join(requested, Seq(idCol), "left_anti")
-        .repartition(math.max(1, nFiles))
-        .write.mode(SaveMode.Overwrite).parquet(tmp)
-      fs.delete(new Path(old), true)
-      require(fs.rename(new Path(dir), new Path(old)), s"delete: could not stage $dir aside")
-      require(fs.rename(new Path(tmp), new Path(dir)), s"delete: could not move $tmp into place")
-      fs.delete(new Path(old), true)
-      deleted += n
-    }
-    requested.unpersist()
-    (deleted, nRequested)
+    val (_, nDeleted) = SnapshotTable.commitDeleteKeys(
+      spark, path, requested, idCol, bucketCol)
+    (nDeleted, nRequested)
   }
 
-  /** READ-path index open that heals a crashed [[deleteFromAnnIndex]]
-    * swap first: without this, a crash between the two renames leaves a
-    * bucket parked in `__del_old_` that plain `spark.read.parquet`
-    * silently misses until the NEXT mutation runs recovery. The check is
-    * one `listStatus` of the parent dir (no-op when clean), so serve
-    * paths can afford it on every open; recovery itself only engages on
-    * leftovers. Mutating callers keep their exclusive-access contract;
-    * healing is idempotent, so a reader racing the recovery of another
-    * reader at worst re-lists.
+  /** Serve-path index open: the current snapshot (consistent by
+    * construction — a crashed maintenance op published nothing, so
+    * there is no \"healing\" for readers to do anymore).
     */
-  def openAnnIndex(spark: SparkSession, path: String, bucketCol: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
-    recoverDeleteLeftovers(
-      new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration),
-      path, bucketCol)
-    spark.read.parquet(path)
-  }
+  def openAnnIndex(spark: SparkSession, path: String, bucketCol: String): DataFrame =
+    SnapshotTable.read(spark, path)
 
-  /** Crash recovery for [[deleteFromAnnIndex]]'s two-rename swap: a
-    * `__del_old_<bucket>` sibling whose live `bucketCol=<bucket>` dir is
-    * missing marks a crash BETWEEN the renames — rename it back (the old
-    * data is intact; the delete simply didn't happen). One whose live dir
-    * exists is post-swap cleanup debris — remove it. Stale `__del_tmp_`
-    * staging dirs are always safe to remove (tmp is only renamed into
-    * place after old is parked, so a surviving tmp was never live).
+  /** Bucket-pruned index open: plans ONLY the files whose manifest
+    * entry matches a probed bucket — the serve-path scan reads h+1
+    * (multiprobe) or nprobe buckets' files out of the whole index,
+    * driver-side, without listing or opening the rest.
     */
-  private[graft] def recoverDeleteLeftovers(fs: org.apache.hadoop.fs.FileSystem,
-                                            path: String, bucketCol: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(path.stripSuffix("/"))
-    val parent = root.getParent
-    if (parent == null || !fs.exists(parent)) return
-    val oldPrefix = root.getName + "__del_old_"
-    val tmpPrefix = root.getName + "__del_tmp_"
-    fs.listStatus(parent).map(_.getPath).foreach { p =>
-      val name = p.getName
-      if (name.startsWith(tmpPrefix)) fs.delete(p, true)
-      else if (name.startsWith(oldPrefix)) {
-        val bucket = name.stripPrefix(oldPrefix)
-        val live = new Path(root, s"$bucketCol=$bucket")
-        if (!fs.exists(live)) require(fs.rename(p, live), s"recover: could not restore $p to $live")
-        else fs.delete(p, true)
-      }
-    }
-  }
+  def openAnnIndexBuckets(spark: SparkSession, path: String, bucketCol: String,
+                          buckets: Seq[Any]): DataFrame =
+    SnapshotTable.readWhere(spark, path, bucketCol,
+      buckets.map(String.valueOf))
 
   /** Persist an IVF coarse quantizer next to its list-partitioned index
     * (sibling dir — writing inside the index root would break partition

@@ -21,12 +21,11 @@ import graft.{QueryPack, Tables}
   *     contribute zero IO);
   *  2. anti-join out keys the batch replaces, union the batch's rows for
   *     that partition;
-  *  3. write to a staging sibling, then swap atomically in the
-  *     [[TableIO.deleteFromAnnIndex]] two-rename discipline: park live
-  *     dir as `__ups_old_<part>`, rename staging in, delete the parked
-  *     copy.
+  *  3. write to a staging sibling, then swap atomically via a
+  *     two-rename discipline: park live dir as `__ups_old_<part>`,
+  *     rename staging in, delete the parked copy.
   *
-  * Crash recovery mirrors [[TableIO.recoverDeleteLeftovers]]: a parked
+  * Crash recovery: a parked
   * `__ups_old_` whose live dir is missing marks a crash between the
   * renames — renamed back, the upsert of that partition simply didn't
   * happen (the batch is re-appliable: upsert is idempotent per batch).
@@ -107,8 +106,9 @@ object Upsert extends QueryPack {
     (parts.size.toLong, nReplaced, nInserted)
   }
 
-  /** Read-path open that heals a crashed swap first (one listStatus when
-    * clean — the [[TableIO.openAnnIndex]] discipline).
+  /** Read-path open that heals a crashed swap first (one listStatus
+    * when clean). [[SnapshotTable]] is the alternative that needs no
+    * healing at all — commits publish atomically or not at all.
     */
   def openMergedTable(spark: SparkSession, dir: String, partCol: String): DataFrame = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)

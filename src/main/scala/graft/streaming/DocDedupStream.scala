@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -34,46 +33,31 @@ import graft.operators.MinHashDedup
 object DocDedupStream {
 
   /** The streaming file source wants a DIRECTORY; the corpus ships single
-    * parquet files — stage a symlink dir (never touches the corpus).
+    * parquet files — stage a copy dir (never touches the corpus).
     *
     * If the table path is itself a DIRECTORY of part files, each part is
-    * symlinked with strictly increasing mtimes in lexicographic part-name
+    * staged with strictly increasing mtimes in lexicographic part-name
     * order, so the file source's mtime ordering (and
     * `maxFilesPerTrigger=1` in [[nearDupDedupStreaming]]) replays parts
     * in name order — the order a sorted write produced them in.
     *
-    * The staging path is FIXED per corpus (md5 of the source path — the
-    * ensureLshIndex pattern) and reused across runs: a long-lived session
-    * holds at most one staging dir per corpus instead of one per run. If
-    * the source's part set changed since staging (e.g. an appended part),
-    * the dir is wiped and re-staged.
+    * The staging path is FIXED per corpus and fingerprint-guarded
+    * ([[StreamHousekeeping.stageWithOrderedMtimes]]): a long-lived
+    * session holds one staging dir per corpus, reused while the source
+    * bytes are unchanged and re-staged when they are not.
     */
   private[streaming] def stagedDir(dir: String, file: String): String = {
-    val src = java.nio.file.Paths.get(s"$dir/$file")
-    val tmp = StreamHousekeeping.fixedStagingDir("graft_docs_src_", src.toString)
-    val parts: Seq[java.nio.file.Path] =
-      if (Files.isDirectory(src))
-        Files.list(src).toArray.map(_.asInstanceOf[java.nio.file.Path])
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .sortBy(_.getFileName.toString).toSeq
+    val spark = org.apache.spark.sql.SparkSession.active
+    val src = new org.apache.hadoop.fs.Path(s"$dir/$file")
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts =
+      if (fs.getFileStatus(src).isDirectory)
+        fs.listStatus(src).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          .sortBy(_.getName)
       else Seq(src)
-    val wanted = parts.map(_.getFileName.toString)
-    val current =
-      if (Files.isDirectory(tmp))
-        Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
-          .map(_.getFileName.toString).toSeq.sorted
-      else Seq.empty
-    if (current != wanted) {
-      current.foreach(n => Files.delete(tmp.resolve(n)))
-      Files.createDirectories(tmp)
-      parts.zipWithIndex.foreach { case (p, i) =>
-        val link = tmp.resolve(p.getFileName.toString)
-        Files.createSymbolicLink(link, p)
-        Files.setLastModifiedTime(link,
-          java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 1000L))
-      }
-    }
-    tmp.toString
+    StreamHousekeeping.stageWithOrderedMtimes(spark, "graft_docs_src_",
+      src.toString, parts)
   }
 
   /** Core transform (works on a streaming OR batch docs frame bearing an

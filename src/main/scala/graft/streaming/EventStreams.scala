@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -21,20 +20,17 @@ import graft.Tables
 object EventStreams {
 
   /** The streaming file source wants a DIRECTORY; the corpus ships single
-    * parquet files — stage a symlink dir (never touches the corpus). The
-    * path is FIXED per corpus ([[StreamHousekeeping.fixedStagingDir]]), so
-    * repeated runs — and checkpointed queries restarted in a later
-    * process, which pin their basePath in the checkpoint — all see the
-    * same dir without accumulating one per run.
+    * parquet files — stage a copy dir (never touches the corpus). The
+    * path is FIXED per corpus and fingerprint-guarded
+    * ([[StreamHousekeeping.stageWithOrderedMtimes]]), so repeated runs —
+    * and checkpointed queries restarted in a later process, which pin
+    * their basePath in the checkpoint — all see the same dir, re-staged
+    * only when the source bytes change.
     */
   private def stagedDir(dir: String): String = {
-    val tmp = StreamHousekeeping.fixedStagingDir("graft_events_src_", dir)
-    val link = tmp.resolve("events.parquet")
-    if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-      Files.createDirectories(tmp)
-      Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$dir/events.parquet"))
-    }
-    tmp.toString
+    val spark = org.apache.spark.sql.SparkSession.active
+    StreamHousekeeping.stageWithOrderedMtimes(spark, "graft_events_src_",
+      dir, Seq(new org.apache.hadoop.fs.Path(s"$dir/events.parquet")))
   }
 
   /** Tumbling 1-hour counts with a 30-minute watermark, streamed to a

@@ -42,10 +42,53 @@ private[streaming] object StreamHousekeeping {
 
   /** Fixed, creation-idempotent staging dir for `key` under the system
     * tmp dir. The caller owns the contents contract (what to stage, when
-    * stale) — see [[DocDedupStream.stagedDir]] for the re-stage check.
+    * stale) — see [[stageWithOrderedMtimes]] for the standard one.
     */
   def fixedStagingDir(prefix: String, key: String): Path =
     Paths.get(System.getProperty("java.io.tmpdir"), s"$prefix${md5Hex(key)}")
+
+  /** Stage `srcFiles` into the fixed staging dir for `key` as COPIES
+    * with strictly increasing mtimes in the given order, Hadoop
+    * FileSystem API end to end — the discipline every durable path in
+    * the repo follows (the previous symlink shortcut exists only on a
+    * local filesystem). A `_fingerprint` sidecar records each source's
+    * (name, length, mtime): staging is reused only while the sources
+    * are bit-identical, so a regenerated corpus re-stages instead of
+    * silently serving stale bytes (Spark's file source ignores the
+    * underscore-prefixed sidecar). Returns the staging dir.
+    */
+  def stageWithOrderedMtimes(spark: SparkSession, prefix: String, key: String,
+                             srcFiles: Seq[org.apache.hadoop.fs.Path]): String = {
+    import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new HPath(fixedStagingDir(prefix, key).toString)
+    val fs = dst.getFileSystem(conf)
+    val fpFile = new HPath(dst, "_fingerprint")
+    val wanted = srcFiles.map { p =>
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      s"${p.getName}:${st.getLen}:${st.getModificationTime}"
+    }.mkString("\n")
+    val current =
+      if (!fs.exists(fpFile)) None
+      else {
+        val in = fs.open(fpFile)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      }
+    if (!current.contains(wanted)) {
+      fs.delete(dst, true)
+      fs.mkdirs(dst)
+      srcFiles.zipWithIndex.foreach { case (src, i) =>
+        val out = new HPath(dst, src.getName)
+        FileUtil.copy(src.getFileSystem(conf), src, fs, out, false, conf)
+        fs.setTimes(out, 1000000L + i * 1000L, -1)
+      }
+      val os = fs.create(fpFile, true)
+      try os.write(wanted.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+    }
+    dst.toString
+  }
 
   private val lastSink = new java.util.concurrent.ConcurrentHashMap[String, String]()
 

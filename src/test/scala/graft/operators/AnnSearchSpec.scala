@@ -67,13 +67,14 @@ class AnnSearchSpec extends SparkSpec {
     assert(second.count() == 10)
     assert(AnnSearch.lshBuildCount.get() <= before + 1,
       "index must be built at most once across repeated queries")
-    // the probe-set filter must reach the scan as a PARTITION filter —
-    // h+1 multiprobe directories read, not the corpus
+    // the probe set prunes at the MANIFEST — only the multiprobe
+    // buckets' files are planned, not the corpus
+    val (path, _) = AnnSearch.ensureLshIndex(spark, sfDir)
+    val total = graft.sources.SnapshotTable.readManifest(spark, path,
+      graft.sources.SnapshotTable.currentVersion(spark, path)).size
+    assert(second.inputFiles.length < total,
+      s"pruned scan expected: planned ${second.inputFiles.length} of $total files")
     val plan = second.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: ["),
-      s"expected PartitionFilters in scan:\n$plan")
-    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
-    assert(pf.contains("lsh_bucket"), s"partition filter must be on lsh_bucket: $pf")
     // buckets were hashed once at BUILD: the serve plan evaluates no UDF
     assert(!plan.contains("UDF"), s"serve plan must not evaluate the bucket UDF:\n$plan")
     // serve rows must equal the inline (build-free) search on the same corpus
@@ -89,9 +90,13 @@ class AnnSearchSpec extends SparkSpec {
     val rows = batch.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(rows.map(_._1).distinct.sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
-    // plan: ONE partition-pruned index scan + broadcast probe table
+    // plan: ONE manifest-pruned index scan + broadcast probe table
+    val (lshPath, _) = AnnSearch.ensureLshIndex(spark, sfDir)
+    val totalFiles = graft.sources.SnapshotTable.readManifest(spark, lshPath,
+      graft.sources.SnapshotTable.currentVersion(spark, lshPath)).size
+    assert(batch.inputFiles.length < totalFiles,
+      s"pruned scan expected: planned ${batch.inputFiles.length} of $totalFiles files")
     val plan = batch.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: ["), s"pruned scan expected:\n$plan")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       "probe table must broadcast")
     // AQE prints Final + Initial plans; count scans in the final one only
@@ -127,7 +132,7 @@ class AnnSearchSpec extends SparkSpec {
 
     AnnSearch.appendToLshIndex(spark, path, late)
 
-    val appended = spark.read.parquet(path)
+    val appended = graft.sources.SnapshotTable.read(spark, path)
       .select("vec_id", "lsh_bucket").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSet
     val rebuilt = AnnSearch.withLshBucket(all, "embedding", planes)
@@ -136,7 +141,7 @@ class AnnSearchSpec extends SparkSpec {
     assert(appended == rebuilt, "append must equal full rebuild")
 
     // serve from the appended index == inline search on the full corpus
-    val served = spark.read.parquet(path)
+    val served = graft.sources.SnapshotTable.read(spark, path)
       .filter(col("lsh_bucket").isin(AnnSearch.probeBuckets(queryVec, planes): _*))
       .withColumn("sim", org.apache.spark.sql.functions.round(
         graft.functions.VectorFunctions.cosineSimilarity(
@@ -154,10 +159,10 @@ class AnnSearchSpec extends SparkSpec {
     graft.sources.TableIO.writeAnnIndex(ivfAssigned, ivfPath, "ivf_list")
     graft.sources.TableIO.writeIvfCentroids(spark, ivfPath, centroids)
     AnnSearch.appendToIvfIndex(spark, ivfPath, late)
-    val total = spark.read.parquet(ivfPath).count()
+    val total = graft.sources.SnapshotTable.read(spark, ivfPath).count()
     assert(total == all.count(), "every vector lands in exactly one list")
     // appended rows sit in their nearest list
-    val lateAssign = spark.read.parquet(ivfPath)
+    val lateAssign = graft.sources.SnapshotTable.read(spark, ivfPath)
       .join(late.select(col("vec_id")), "vec_id")
       .select("vec_id", "ivf_list").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toMap
@@ -174,11 +179,13 @@ class AnnSearchSpec extends SparkSpec {
     val rows = batch.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(rows.map(_._1).distinct.sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
-    // plan: ONE partition-pruned index scan + broadcast probe table
+    // plan: ONE manifest-pruned index scan + broadcast probe table
+    val (ivfPath, _) = AnnSearch.ensureIvfIndex(spark, sfDir)
+    val totalFiles = graft.sources.SnapshotTable.readManifest(spark, ivfPath,
+      graft.sources.SnapshotTable.currentVersion(spark, ivfPath)).size
+    assert(batch.inputFiles.length < totalFiles,
+      s"pruned scan expected: planned ${batch.inputFiles.length} of $totalFiles files")
     val plan = batch.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: ["), s"pruned scan expected:\n$plan")
-    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
-    assert(pf.contains("ivf_list"), s"partition filter must be on ivf_list: $pf")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       "probe table must broadcast")
     val finalPlan = plan.split("== Initial Plan ==").head
@@ -191,7 +198,8 @@ class AnnSearchSpec extends SparkSpec {
       val qv = Tables.embeddings(spark, sfDir).filter(s"vec_id = $qid")
         .select("embedding").head().getSeq[Float](0).toArray
       val expected = AnnSearch.ivfSearch(
-          spark.read.parquet(path).filter(s"vec_id <> $qid"), centroids,
+          graft.sources.SnapshotTable.read(spark, path)
+            .filter(s"vec_id <> $qid"), centroids,
           "embedding", "vec_id", qv, topK = 3, nprobe = 4)
         .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
       assert(got.sortBy(t => (-t._3, t._2)).map(t => (t._2, t._3)).toSeq == expected,
@@ -211,7 +219,7 @@ class AnnSearchSpec extends SparkSpec {
     graft.sources.TableIO.writeLshPlanes(spark, path, planes, 42L)
 
     AnnSearch.appendToLshIndex(spark, path, late)
-    val n1 = spark.read.parquet(path).count()
+    val n1 = graft.sources.SnapshotTable.read(spark, path).count()
     assert(n1 == all.count())
 
     // re-appending the same batch must fail loudly, not silently duplicate
@@ -219,7 +227,8 @@ class AnnSearchSpec extends SparkSpec {
       AnnSearch.appendToLshIndex(spark, path, late)
     }
     assert(ex.getMessage.contains("duplicate"), ex.getMessage)
-    assert(spark.read.parquet(path).count() == n1, "failed append must not write")
+    assert(graft.sources.SnapshotTable.read(spark, path).count() == n1,
+      "failed append must not write")
 
     // a batch with internal duplicates is rejected before touching the index
     val freshPath = java.nio.file.Files.createTempDirectory("ann_dup").toString + "/lsh2"
@@ -244,16 +253,14 @@ class AnnSearchSpec extends SparkSpec {
     Seq(2, 3, 0).foreach { m =>
       AnnSearch.appendToLshIndex(spark, path, all.filter(col("vec_id") % 4 === m))
     }
-    val before = spark.read.parquet(path)
+    val before = graft.sources.SnapshotTable.read(spark, path)
       .select("vec_id", "lsh_bucket").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSet
 
-    def filesPerBucket: Map[String, Int] = {
-      val root = new java.io.File(path)
-      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("lsh_bucket="))
-        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
-        .toMap
-    }
+    def filesPerBucket: Map[String, Int] =
+      graft.sources.SnapshotTable.readManifest(spark, path,
+        graft.sources.SnapshotTable.currentVersion(spark, path))
+        .groupBy(_.parts.get.head).view.mapValues(_.size).toMap
     assert(filesPerBucket.values.exists(_ > 1),
       "appends should have produced multiple files in at least one bucket")
 
@@ -261,11 +268,11 @@ class AnnSearchSpec extends SparkSpec {
 
     assert(filesPerBucket.values.forall(_ == 1),
       s"every bucket must collapse to one file after compact: $filesPerBucket")
-    val after = spark.read.parquet(path)
+    val after = graft.sources.SnapshotTable.read(spark, path)
       .select("vec_id", "lsh_bucket").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(after == before, "compaction must not change index contents")
-    // the planes sidecar survives the directory swap untouched
+    // the planes sidecar survives the maintenance commit untouched
     val back = graft.sources.TableIO.readLshPlanes(spark, path)
     planes.zip(back).foreach { case (a, b) => assert(a.sameElements(b)) }
   }
@@ -328,12 +335,12 @@ class AnnSearchSpec extends SparkSpec {
     assert(second.count() == 10)
     assert(AnnSearch.ivfBuildCount.get() <= before + 1,
       "index must be built at most once across repeated queries")
-    // the nprobe filter must reach the scan as a PARTITION filter —
-    // nprobe directories read, not the corpus
-    val plan = second.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: ["),
-      s"expected PartitionFilters in scan:\n$plan")
-    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
-    assert(pf.contains("ivf_list"), s"partition filter must be on ivf_list: $pf")
+    // the nprobe list set prunes at the MANIFEST — nprobe lists' files
+    // planned, not the corpus
+    val (path, _) = AnnSearch.ensureIvfIndex(spark, sfDir)
+    val total = graft.sources.SnapshotTable.readManifest(spark, path,
+      graft.sources.SnapshotTable.currentVersion(spark, path)).size
+    assert(second.inputFiles.length < total,
+      s"pruned scan expected: planned ${second.inputFiles.length} of $total files")
   }
 }

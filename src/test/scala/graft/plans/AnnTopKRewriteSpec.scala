@@ -53,7 +53,7 @@ class AnnTopKRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     dir
   }
 
-  private def corpus: DataFrame = spark.read.parquet(indexDir)
+  private def corpus: DataFrame = graft.sources.SnapshotTable.read(spark, indexDir)
 
   private def queryVec: Array[Float] =
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -77,10 +77,12 @@ class AnnTopKRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       val approx = topK(corpus)
       val plan = approx.queryExecution.optimizedPlan.toString
       assert(plan.contains("lsh_bucket#") && plan.contains(" IN "), plan)
-      // the injected IN-filter must reach the scan as PARTITION pruning
+      // the injected IN-filter must reach the parquet scan as a PUSHED
+      // filter (the snapshot index stores the bucket in row data; each
+      // file holds one bucket, so footer min=max skips whole files)
       val physical = approx.queryExecution.executedPlan.toString
-      assert(physical.contains("PartitionFilters") &&
-        physical.contains("lsh_bucket"), physical)
+      assert(physical.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("lsh_bucket")), physical)
 
       val approxIds = approx.collect().map(_.getLong(0)).toSet
       spark.conf.set("spark.graft.ann.rewrite", "false")

@@ -30,22 +30,25 @@ class TableIOSpec extends SparkSpec {
       emb.filter(col("hospital") === 1).count())
   }
 
-  test("ANN index: LSH bucket partitioning makes probes partition-pruned scans") {
-    val dir = Files.createTempDirectory("graft_ann").toString
+  test("ANN index on snapshot tables: probes plan only matching " +
+    "buckets' files (manifest skipping)") {
+    val dir = Files.createTempDirectory("graft_ann").toString + "/idx"
     val planes = AnnSearch.hyperplanes(4, 64)
     val emb = AnnSearch.withLshBucket(
       Tables.embeddings(spark, sfDir), "embedding", planes)
     TableIO.writeAnnIndex(emb, dir, "lsh_bucket")
 
-    val back = TableIO.readIndex(spark, dir)
+    val back = TableIO.openAnnIndex(spark, dir, "lsh_bucket")
+    assert(back.count() == emb.count())
     val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
       .head().getSeq[Float](1).toArray
     val probes = AnnSearch.probeBuckets(q, planes)
-    val probed = back.filter(col("lsh_bucket").isin(probes: _*))
-    val plan = probed.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters:"), plan)
-    assert(plan.contains("lsh_bucket"), plan)
-    // probing must touch fewer rows than the corpus
+    val probed = TableIO.openAnnIndexBuckets(spark, dir, "lsh_bucket", probes)
+    // manifest-level file skipping: a strict subset of the index planned
+    assert(probed.inputFiles.length < back.inputFiles.length,
+      s"planned ${probed.inputFiles.length} of ${back.inputFiles.length}")
+    assert(probed.count() ==
+      emb.filter(col("lsh_bucket").isin(probes: _*)).count())
     assert(probed.count() < back.count())
   }
 }

@@ -55,7 +55,7 @@ class AnnIngestStreamSpec extends SparkSpec {
     AnnSearch.appendToIvfIndex(spark, batched, lateB)
 
     def listing(p: String): Set[(Long, Int)] =
-      spark.read.parquet(p).select("vec_id", "ivf_list").collect()
+      graft.sources.SnapshotTable.read(spark, p).select("vec_id", "ivf_list").collect()
         .map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(listing(streamed) == listing(batched),
       "streamed appends must equal the batch append path")
@@ -64,13 +64,13 @@ class AnnIngestStreamSpec extends SparkSpec {
       "every corpus vector indexed exactly once")
 
     // replay with a fresh checkpoint trips the duplicate-id guard
-    val n1 = spark.read.parquet(streamed).count()
+    val n1 = graft.sources.SnapshotTable.read(spark, streamed).count()
     val ex = intercept[StreamingQueryException] {
       AnnIngestStream.ingestIvf(spark, src.toString, streamed, corpus.schema,
         Files.createTempDirectory("ivf_ingest_ck2").toString)
     }
     assert(ex.getCause.getMessage.contains("duplicate"), ex.getCause.getMessage)
-    assert(spark.read.parquet(streamed).count() == n1, "failed replay must not write")
+    assert(graft.sources.SnapshotTable.read(spark, streamed).count() == n1, "failed replay must not write")
   }
 
   test("streaming LSH ingest: two micro-batches reproduce the full-rebuild " +
@@ -104,7 +104,7 @@ class AnnIngestStreamSpec extends SparkSpec {
     AnnIngestStream.ingestLsh(spark, src.toString, path, corpus.schema,
       Files.createTempDirectory("ann_ingest_ck").toString)
 
-    val got = spark.read.parquet(path)
+    val got = graft.sources.SnapshotTable.read(spark, path)
       .select("vec_id", "lsh_bucket").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSet
     val rebuilt = AnnSearch.withLshBucket(corpus, "embedding", planes)
@@ -114,12 +114,12 @@ class AnnIngestStreamSpec extends SparkSpec {
 
     // a REPLAY of the same files (fresh checkpoint simulates losing the
     // source progress log) must trip the duplicate-id guard, not corrupt
-    val n1 = spark.read.parquet(path).count()
+    val n1 = graft.sources.SnapshotTable.read(spark, path).count()
     val ex = intercept[StreamingQueryException] {
       AnnIngestStream.ingestLsh(spark, src.toString, path, corpus.schema,
         Files.createTempDirectory("ann_ingest_ck2").toString)
     }
     assert(ex.getCause.getMessage.contains("duplicate"), ex.getCause.getMessage)
-    assert(spark.read.parquet(path).count() == n1, "failed replay must not write")
+    assert(graft.sources.SnapshotTable.read(spark, path).count() == n1, "failed replay must not write")
   }
 }
