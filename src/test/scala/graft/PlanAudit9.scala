@@ -1,0 +1,77 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Round-9 plan audit: (a) secondary-column manifest skipping for the
+  * new q_snapshot_skip2, (b) ANN serve-path file pruning now that the
+  * index lives on snapshot tables, (c) commit-metadata bytes on a
+  * many-file table — the O(changed files) evidence. Cite in SCALE.md.
+  */
+object PlanAudit9 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+
+    for (name <- Seq("q_snapshot_skip2", "q_snapshot_delete", "q_ann_lsh",
+        "q_ann_ivf", "q_ann_batch", "q_ann_batch_ivf")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      val ex = "Exchange".r.findAllIn(plan).length
+      val bc = "BroadcastExchange".r.findAllIn(plan).length
+      val cart = "Cartesian".r.findAllIn(plan).length
+      println(f"PLAN $name%-18s exchanges=${ex - bc}%2d broadcasts=$bc%2d " +
+        f"cartesian=$cart files=${df.inputFiles.length}")
+    }
+
+    // (a) secondary-column skipping: files planned vs table total
+    val st = graft.sources.SnapshotTable
+    val ev = java.nio.file.Files.createTempDirectory("audit9ev")
+      .resolve("t").toString
+    st.create(spark, ev, Tables.events(spark, dir)
+      .select(Seq("event_id", "ts", "event_type", "value").map(col): _*),
+      "event_type", statsCols = Seq("ts", "event_id"))
+    val evAll = st.read(spark, ev).inputFiles.length
+    val evPruned = st.readRange(spark, ev, "event_id", 100d, 299d)
+      .inputFiles.length
+    println(s"SKIP2 files: all=$evAll event_id(100..299)=$evPruned " +
+      "(pruned on the NON-cluster column via ts-correlation)")
+
+    // (b) ANN index pruning: probed buckets' files vs index total
+    val (lshPath, planes) = graft.operators.AnnSearch.ensureLshIndex(spark, dir)
+    val lshAll = st.read(spark, lshPath).inputFiles.length
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val lshPruned = graft.sources.TableIO.openAnnIndexBuckets(spark, lshPath,
+      "lsh_bucket", graft.operators.AnnSearch.probeBuckets(q, planes))
+      .inputFiles.length
+    println(s"ANN files: lsh all=$lshAll probed=$lshPruned")
+
+    // (c) commit metadata bytes: many-file table, 1-file append
+    import spark.implicits._
+    val fsDir = java.nio.file.Files.createTempDirectory("audit9meta")
+      .resolve("t").toString
+    st.create(spark, fsDir, spark.range(0, 4000)
+      .select(col("id").as("k"), (col("id") % 40).cast("string").as("p")), "p")
+    (1 to 3).foreach(i => st.commitAppend(spark, fsDir,
+      spark.range(4000L * i, 4000L * i + 2000)
+        .select(col("id").as("k"), (col("id") % 40).cast("string").as("p")), "p"))
+    val fs = new org.apache.hadoop.fs.Path(fsDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val mdir = new org.apache.hadoop.fs.Path(fsDir, "_manifests")
+    val before = fs.listStatus(mdir).map(_.getPath.getName).toSet
+    val inventoryBytes = fs.listStatus(mdir)
+      .filter(_.getPath.getName.startsWith("seg-")).map(_.getLen).sum
+    val nFiles = st.readManifest(spark, fsDir,
+      st.currentVersion(spark, fsDir)).size
+    st.commitAppend(spark, fsDir, Seq((999999L, "0")).toDF("k", "p"), "p")
+    val commitBytes = fs.listStatus(mdir)
+      .filter(s => !before.contains(s.getPath.getName)).map(_.getLen).sum
+    println(s"META table_files=$nFiles inventory_bytes=$inventoryBytes " +
+      s"one_file_append_commit_bytes=$commitBytes")
+    spark.stop()
+  }
+}
