@@ -67,10 +67,25 @@ object SnapshotTable extends QueryPack {
     * (`None` = unknown, never skipped — reserved for future multi-value
     * files; the current writer emits exactly one value per file).
     * `stats` holds PER-COLUMN min/max for range skipping — a file with
-    * no stats for a column is never skipped on it.
+    * no stats for a column is never skipped on it. `seq` is the version
+    * the file was committed at (0 = the create commit): equality
+    * deletes apply only to files with a SMALLER seq, so a later append
+    * legitimately re-inserts a lazily-deleted key.
     */
   final case class FileEntry(path: String, parts: Option[Seq[String]],
-                             rows: Long, stats: Seq[ColStats] = Seq.empty)
+                             rows: Long, stats: Seq[ColStats] = Seq.empty,
+                             seq: Long = 0L)
+
+  /** One equality-delete line in the manifest list (the Iceberg v2
+    * merge-on-read construction): `path` is a small parquet of `col`
+    * key values whose rows are masked at READ time from data files
+    * committed before `seq`. Recording one costs O(keys) — the delete
+    * write path for CDC/GDPR streams at 100 TB, where an eager
+    * candidate-scan + rewrite per batch would dwarf the ingest;
+    * [[applyDeletes]] materializes them off the write path.
+    */
+  final case class DeleteFile(path: String, col: String, rows: Long,
+                              seq: Long)
 
   private def fs(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -129,23 +144,25 @@ object SnapshotTable extends QueryPack {
     val stats = if (e.stats.isEmpty) "" else
       e.stats.map(s => s"""{"col":"${esc(s.col)}","lo":${s.lo},"hi":${s.hi}}""")
         .mkString(""","stats":[""", ",", "]")
-    s"""{"path":"${esc(e.path)}","parts":$parts,"rows":${e.rows}$stats}"""
+    val seq = if (e.seq == 0L) "" else s""","seq":${e.seq}"""
+    s"""{"path":"${esc(e.path)}","parts":$parts,"rows":${e.rows}$stats$seq}"""
   }
 
   private val entryRe =
-    raw"""\{"path":"(.*)","parts":(\[.*\]|"\*"),"rows":(\d+)(,"stats":\[(.*)\])?\}""".r
+    raw"""\{"path":"(.*)","parts":(\[.*\]|"\*"),"rows":(\d+)(,"stats":\[(.*)\])?(,"seq":(\d+))?\}""".r
   private val statsItemRe =
     raw"""\{"col":"((?:[^"\\]|\\.)*)","lo":([-0-9.eE]+),"hi":([-0-9.eE]+)\}""".r
   private val quotedRe = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
 
   private def parseEntry(line: String): FileEntry = line.trim match {
-    case entryRe(p, parts, rows, _, statsBody) =>
+    case entryRe(p, parts, rows, _, statsBody, _, seqGrp) =>
       val ps = if (parts == "\"*\"") None
         else Some(quotedRe.findAllMatchIn(parts).map(m => unesc(m.group(1))).toSeq)
       val stats = Option(statsBody).toSeq.flatMap(b =>
         statsItemRe.findAllMatchIn(b).map(m =>
           ColStats(unesc(m.group(1)), m.group(2).toDouble, m.group(3).toDouble)))
-      FileEntry(unesc(p), ps, rows.toLong, stats)
+      FileEntry(unesc(p), ps, rows.toLong, stats,
+        Option(seqGrp).map(_.toLong).getOrElse(0L))
     case other => sys.error(s"snapshot manifest: bad entry: $other")
   }
 
@@ -183,6 +200,11 @@ object SnapshotTable extends QueryPack {
   private val segRe =
     raw"""\{"seg":"(.*)","files":(\d+),"rows":(\d+)\}""".r
 
+  private def delJson(d: DeleteFile): String =
+    s"""{"del":"${esc(d.path)}","col":"${esc(d.col)}","rows":${d.rows},"seq":${d.seq}}"""
+  private val delRe =
+    raw"""\{"del":"(.*)","col":"(.*)","rows":(\d+),"seq":(\d+)\}""".r
+
   /** Write an immutable segment holding `entries` — not part of any
     * version until a list references it (a conflict-orphaned segment is
     * vacuum food, invisible to readers).
@@ -218,9 +240,11 @@ object SnapshotTable extends QueryPack {
   private val headerRe =
     raw"""\{"tags":\[(.*?)\](?:,"statsCols":\[(.*?)\])?(?:,"schema":"(.*)")?\}""".r
 
-  /** The per-version manifest list: segment refs plus the header. */
-  private[sources] def readManifestList(spark: SparkSession, table: String,
-                                        version: Long): (Seq[SegmentRef], Header) = {
+  /** The per-version manifest list: segment refs, equality-delete refs,
+    * and the header.
+    */
+  private[sources] def readListRaw(spark: SparkSession, table: String,
+                                   version: Long): (Seq[SegmentRef], Seq[DeleteFile], Header) = {
     readLines(fs(spark, table),
       new Path(manifestDir(table), s"v$version.json")) match {
       case headerRe(tagsBody, statsBody, schemaGrp) :: rest =>
@@ -228,16 +252,28 @@ object SnapshotTable extends QueryPack {
           .map(m => unesc(m.group(1))).toSet
         val statsCols = Option(statsBody).toSeq.flatMap(b =>
           quotedRe.findAllMatchIn(b).map(m => unesc(m.group(1))))
-        val refs = rest.map(_.trim match {
+        val (segLines, rest2) = rest.partition(_.trim.startsWith("{\"seg\""))
+        val refs = segLines.map(_.trim match {
           case segRe(p, files, rows) =>
             SegmentRef(unesc(p), files.toInt, rows.toLong)
           case other => sys.error(s"snapshot manifest list: bad line: $other")
         })
-        (refs, Header(tags, Option(schemaGrp).map(unesc), statsCols))
-      case Nil => (Seq.empty, Header())
+        val deletes = rest2.map(_.trim match {
+          case delRe(p, c, rows, seq) =>
+            DeleteFile(unesc(p), unesc(c), rows.toLong, seq.toLong)
+          case other => sys.error(s"snapshot manifest list: bad line: $other")
+        })
+        (refs, deletes, Header(tags, Option(schemaGrp).map(unesc), statsCols))
+      case Nil => (Seq.empty, Seq.empty, Header())
       case other :: _ =>
         sys.error(s"snapshot manifest list: bad header: $other")
     }
+  }
+
+  private[sources] def readManifestList(spark: SparkSession, table: String,
+                                        version: Long): (Seq[SegmentRef], Header) = {
+    val (refs, _, hdr) = readListRaw(spark, table, version)
+    (refs, hdr)
   }
 
   /** Publish `version` referencing `refs` — THE commit point (tmp write
@@ -247,7 +283,8 @@ object SnapshotTable extends QueryPack {
     * [[commitWithRetry]] or re-read and rebase themselves).
     */
   private def commitList(spark: SparkSession, table: String, version: Long,
-                         refs: Seq[SegmentRef], hdr: Header): Unit = {
+                         refs: Seq[SegmentRef], deletes: Seq[DeleteFile],
+                         hdr: Header): Unit = {
     val f = fs(spark, table)
     val dir = manifestDir(table)
     f.mkdirs(dir)
@@ -257,8 +294,10 @@ object SnapshotTable extends QueryPack {
       (if (hdr.statsCols.isEmpty) "" else hdr.statsCols
         .map(c => "\"" + esc(c) + "\"").mkString(""","statsCols":[""", ",", "]")) +
       hdr.schema.fold("")(s => s""","schema":"${esc(s)}"""") + "}\n"
+    val body = (refs.map(segJson) ++ deletes.map(delJson))
+      .mkString("", "\n", "\n")
     val out = f.create(tmp, false)
-    try out.write((header + refs.map(segJson).mkString("", "\n", "\n"))
+    try out.write((header + body)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val target = new Path(dir, s"v$version.json")
@@ -284,29 +323,38 @@ object SnapshotTable extends QueryPack {
     readManifestFull(spark, table, version)._1
 
   /** All of a version's file entries plus the header — the READ path
-    * (planning); commits go through [[readSegments]] to keep the
+    * (planning); commits go through [[readMeta]] to keep the
     * entry→segment mapping for reference-carrying.
     */
   def readManifestFull(spark: SparkSession, table: String,
                        version: Long): (Seq[FileEntry], Header) = {
-    val (refs, hdr) = readManifestList(spark, table, version)
+    val (refs, _, hdr) = readListRaw(spark, table, version)
     (refs.flatMap(readSegment(spark, table, _)), hdr)
   }
 
-  private def readSegments(spark: SparkSession, table: String,
-                           version: Long): (Seq[(SegmentRef, Seq[FileEntry])], Header) = {
-    val (refs, hdr) = readManifestList(spark, table, version)
-    (refs.map(r => r -> readSegment(spark, table, r)), hdr)
+  /** A version's full metadata: segments WITH their entries, pending
+    * equality deletes, and the header.
+    */
+  private[sources] final case class TableMeta(
+      segs: Seq[(SegmentRef, Seq[FileEntry])],
+      deletes: Seq[DeleteFile], hdr: Header) {
+    def entries: Seq[FileEntry] = segs.flatMap(_._2)
+  }
+
+  private def readMeta(spark: SparkSession, table: String,
+                       version: Long): TableMeta = {
+    val (refs, deletes, hdr) = readListRaw(spark, table, version)
+    TableMeta(refs.map(r => r -> readSegment(spark, table, r)), deletes, hdr)
   }
 
   /** Publish `v + 1` = version `v` minus `removed` paths plus `fresh`
-    * entries, rewriting ONLY segments that lose entries; untouched
-    * segments carry by reference.
+    * entries (stamped with their commit seq), rewriting ONLY segments
+    * that lose entries; untouched segments carry by reference.
     */
   private def commitRewrite(spark: SparkSession, table: String, v: Long,
                             segs: Seq[(SegmentRef, Seq[FileEntry])],
                             removed: Set[String], fresh: Seq[FileEntry],
-                            hdr: Header): Unit = {
+                            deletes: Seq[DeleteFile], hdr: Header): Unit = {
     val kept = segs.flatMap { case (ref, entries) =>
       if (!entries.exists(e => removed.contains(e.path))) Some(ref)
       else {
@@ -316,9 +364,10 @@ object SnapshotTable extends QueryPack {
       }
     }
     val freshRefs =
-      if (fresh.isEmpty) Seq.empty else Seq(writeSegment(spark, table, fresh))
+      if (fresh.isEmpty) Seq.empty
+      else Seq(writeSegment(spark, table, fresh.map(_.copy(seq = v + 1))))
     commitList(spark, table, v + 1,
-      foldIfWide(spark, table, kept ++ freshRefs), hdr)
+      foldIfWide(spark, table, kept ++ freshRefs), deletes, hdr)
   }
 
   /** Single-segment commit convenience (create/bootstrap, and the
@@ -331,7 +380,7 @@ object SnapshotTable extends QueryPack {
     val refs =
       if (entries.isEmpty) Seq.empty
       else Seq(writeSegment(spark, table, entries))
-    commitList(spark, table, version, refs, hdr)
+    commitList(spark, table, version, refs, Seq.empty, hdr)
   }
 
   // ---- data-file production
@@ -445,6 +494,26 @@ object SnapshotTable extends QueryPack {
     reader.parquet(entries.map(e => s"$table/${e.path}"): _*)
   }
 
+  /** Plan `entries` with pending equality deletes applied: data files
+    * group by the SET of deletes that apply to them (delete.seq >
+    * entry.seq — a file appended after a delete is never masked by it),
+    * each group anti-joins its delete keys (AQE broadcasts the usual
+    * small sets), and the groups union. With no deletes this is a bare
+    * scan — the plan existing specs and callers see is unchanged.
+    */
+  private def readWithDeletes(spark: SparkSession, table: String,
+                              entries: Seq[FileEntry],
+                              deletes: Seq[DeleteFile],
+                              schema: Option[String]): DataFrame =
+    if (deletes.isEmpty) readFiles(spark, table, entries, schema)
+    else entries.groupBy(e => deletes.filter(_.seq > e.seq))
+      .map { case (dels, es) =>
+        dels.foldLeft(readFiles(spark, table, es, schema)) { (df, d) =>
+          df.join(spark.read.parquet(s"$table/${d.path}"),
+            Seq(d.col), "left_anti")
+        }
+      }.reduce(_.unionByName(_))
+
   // ---- public surface
 
   /** Create the table with `df` as version 1. With `statsCols`, writes
@@ -487,8 +556,8 @@ object SnapshotTable extends QueryPack {
 
   /** Time travel: read an older (still un-vacuumed) snapshot. */
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
-    val (entries, hdr) = readManifestFull(spark, table, version)
-    readFiles(spark, table, entries, hdr.schema)
+    val meta = readMeta(spark, table, version)
+    readWithDeletes(spark, table, meta.entries, meta.deletes, meta.hdr.schema)
   }
 
   /** Manifest-level file skipping: plan ONLY files whose recorded
@@ -498,15 +567,14 @@ object SnapshotTable extends QueryPack {
   def readWhere(spark: SparkSession, table: String, partCol: String,
                 values: Seq[String]): DataFrame = {
     val wanted = values.toSet
-    // full manifest read for the HEADER too: a pruned read over mixed
+    // full meta read for the HEADER too: a pruned read over mixed
     // pre/post-evolution files must apply the recorded table schema, not
     // whatever one surviving footer happens to infer
-    val (manifest, hdr) =
-      readManifestFull(spark, table, currentVersion(spark, table))
-    val hit = manifest.filter(_.parts.forall(_.exists(wanted.contains)))
+    val meta = readMeta(spark, table, currentVersion(spark, table))
+    val hit = meta.entries.filter(_.parts.forall(_.exists(wanted.contains)))
     if (hit.isEmpty)
       read(spark, table).filter(lit(false)) // schema-preserving empty
-    else readFiles(spark, table, hit, hdr.schema)
+    else readWithDeletes(spark, table, hit, meta.deletes, meta.hdr.schema)
       .filter(col(partCol).isin(values: _*))
   }
 
@@ -518,13 +586,12 @@ object SnapshotTable extends QueryPack {
     */
   def readRange(spark: SparkSession, table: String, statsCol: String,
                 lo: Double, hi: Double): DataFrame = {
-    val (manifest, hdr) =
-      readManifestFull(spark, table, currentVersion(spark, table))
-    val hit = manifest.filter(_.stats.find(_.col == statsCol).forall(s =>
+    val meta = readMeta(spark, table, currentVersion(spark, table))
+    val hit = meta.entries.filter(_.stats.find(_.col == statsCol).forall(s =>
       s.hi >= lo && s.lo <= hi))
     if (hit.isEmpty)
       read(spark, table).filter(lit(false))
-    else readFiles(spark, table, hit, hdr.schema)
+    else readWithDeletes(spark, table, hit, meta.deletes, meta.hdr.schema)
       .filter(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
@@ -539,8 +606,10 @@ object SnapshotTable extends QueryPack {
   def commitMerge(spark: SparkSession, table: String, updates: DataFrame,
                   keyCol: String, partCol: String): (Long, Long, Long) = {
     val v = currentVersion(spark, table)
-    val (segs, hdr) = readSegments(spark, table, v)
-    val manifest = segs.flatMap(_._2)
+    val meta = readMeta(spark, table, v)
+    requireNoPendingDeletes(table, meta, "commitMerge")
+    val (segs, hdr) = (meta.segs, meta.hdr)
+    val manifest = meta.entries
     val batchParts = updates.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
 
@@ -567,7 +636,7 @@ object SnapshotTable extends QueryPack {
     val fresh = writeDataFiles(spark, table, merged, partCol,
       statsCols = hdr.statsCols)
     commitRewrite(spark, table, v, segs, affected.map(_.path).toSet,
-      fresh, hdr)
+      fresh, Seq.empty, hdr)
     // replaced/inserted by ARITHMETIC, not extra scans: the manifest
     // already records affected-file row counts, writeDataFiles already
     // counted the merged output, and only the (small) batch is counted
@@ -596,8 +665,10 @@ object SnapshotTable extends QueryPack {
     val v = currentVersion(spark, table)
     // the append path reads ONLY the manifest list (header + segment
     // refs) — never the file entries: per micro-batch metadata I/O is
-    // O(#segments), independent of table file count
-    val (refs, hdr) = readManifestList(spark, table, v)
+    // O(#segments), independent of table file count. Pending equality
+    // deletes carry through untouched: the fresh files' seq exceeds
+    // every delete's, so the append is never masked.
+    val (refs, deletes, hdr) = readListRaw(spark, table, v)
     if (tag.exists(hdr.tags.contains))
       None
     else {
@@ -605,9 +676,10 @@ object SnapshotTable extends QueryPack {
       val effStats = if (statsCols.nonEmpty) statsCols else hdr.statsCols
       val fresh = writeDataFiles(spark, table, df, partCol, tag, effStats)
       val freshRefs =
-        if (fresh.isEmpty) Seq.empty else Seq(writeSegment(spark, table, fresh))
+        if (fresh.isEmpty) Seq.empty
+        else Seq(writeSegment(spark, table, fresh.map(_.copy(seq = v + 1))))
       commitList(spark, table, v + 1,
-        foldIfWide(spark, table, refs ++ freshRefs),
+        foldIfWide(spark, table, refs ++ freshRefs), deletes,
         hdr.copy(tags = hdr.tags ++ tag, schema = Some(evolved),
           statsCols = effStats))
       Some(v + 1)
@@ -663,8 +735,10 @@ object SnapshotTable extends QueryPack {
   def compact(spark: SparkSession, table: String, partCol: String,
               smallThreshold: Long = 1000000L): (Long, Int, Int) = {
     val v = currentVersion(spark, table)
-    val (segs, hdr) = readSegments(spark, table, v)
-    val small = segs.flatMap(_._2).filter(_.rows < smallThreshold)
+    val meta = readMeta(spark, table, v)
+    requireNoPendingDeletes(table, meta, "compact")
+    val (segs, hdr) = (meta.segs, meta.hdr)
+    val small = meta.entries.filter(_.rows < smallThreshold)
     if (small.size < 2) (v, 0, 0)
     else {
       val fresh = writeDataFiles(spark, table,
@@ -673,7 +747,7 @@ object SnapshotTable extends QueryPack {
       // the header (tag ledger + schema) rides along — idempotence and
       // the evolved schema both outlive the renames
       commitRewrite(spark, table, v, segs, small.map(_.path).toSet,
-        fresh, hdr)
+        fresh, Seq.empty, hdr)
       (v + 1, small.size, fresh.size)
     }
   }
@@ -693,8 +767,10 @@ object SnapshotTable extends QueryPack {
                    partCol: String,
                    rangeHint: Option[(String, Double, Double)] = None): (Long, Long) = {
     val v = currentVersion(spark, table)
-    val (segs, hdr) = readSegments(spark, table, v)
-    val manifest = segs.flatMap(_._2)
+    val meta = readMeta(spark, table, v)
+    requireNoPendingDeletes(table, meta, "commitDelete")
+    val (segs, hdr) = (meta.segs, meta.hdr)
+    val manifest = meta.entries
     // rangeHint is the caller's ASSERTION that the predicate implies
     // col ∈ [lo, hi]: the candidate scan then skips files whose stats
     // are disjoint (a wrong hint silently misses rows — it narrows the
@@ -727,7 +803,7 @@ object SnapshotTable extends QueryPack {
         else writeDataFiles(spark, table, kept, partCol,
           statsCols = hdr.statsCols)
       commitRewrite(spark, table, v, segs, affected.map(_.path).toSet,
-        fresh, hdr)
+        fresh, Seq.empty, hdr)
       (v + 1, nDeleted)
     }
   }
@@ -745,8 +821,10 @@ object SnapshotTable extends QueryPack {
   def commitDeleteKeys(spark: SparkSession, table: String, keys: DataFrame,
                        keyCol: String, partCol: String): (Long, Long) = {
     val v = currentVersion(spark, table)
-    val (segs, hdr) = readSegments(spark, table, v)
-    val manifest = segs.flatMap(_._2)
+    val meta = readMeta(spark, table, v)
+    requireNoPendingDeletes(table, meta, "commitDeleteKeys")
+    val (segs, hdr) = (meta.segs, meta.hdr)
+    val manifest = meta.entries
     val keyset = keys.select(col(keyCol)).distinct()
     // one column-pruned scan (key column only) tags hit files
     val hitNames = readFiles(spark, table, manifest, hdr.schema)
@@ -764,11 +842,97 @@ object SnapshotTable extends QueryPack {
       val fresh = writeDataFiles(spark, table, kept, partCol,
         statsCols = hdr.statsCols)
       commitRewrite(spark, table, v, segs, affected.map(_.path).toSet,
-        fresh, hdr)
+        fresh, Seq.empty, hdr)
       // deleted = affected rows − surviving rows: both already counted
       // (manifest + fresh entries), no extra pass
       (v + 1, affected.map(_.rows).sum - fresh.map(_.rows).sum)
     }
+  }
+
+  // the eager rewrite ops read data files RAW (no delete masking), so
+  // running one with deletes pending would resurrect masked rows into
+  // fresh files whose seq outranks the delete — refuse loudly instead
+  private def requireNoPendingDeletes(table: String, meta: TableMeta,
+                                      op: String): Unit =
+    require(meta.deletes.isEmpty,
+      s"$op: $table has ${meta.deletes.size} pending equality delete(s); " +
+        "run applyDeletes first")
+
+  private def deletesDir(table: String) = new Path(table, "deletes")
+
+  /** EQUALITY-DELETE commit (merge-on-read): record `keys` as a small
+    * parquet delete file masked into reads of data files committed
+    * BEFORE it (sequence scoping — a later append legitimately
+    * re-inserts a key). The commit writes O(|keys|) bytes and rewrites
+    * NOTHING — the delete write path for CDC/takedown streams at
+    * 100 TB, where [[commitDeleteKeys]]' candidate scan + rewrite per
+    * batch would dwarf the ingest. Readers pay one (typically
+    * broadcast) anti-join per delete file until [[applyDeletes]]
+    * materializes them. Returns (new version, distinct keys recorded).
+    */
+  def commitDeleteLazy(spark: SparkSession, table: String, keys: DataFrame,
+                       keyCol: String): (Long, Long) = {
+    val v = currentVersion(spark, table)
+    val (refs, dels, hdr) = readListRaw(spark, table, v)
+    val name = s"deletes/del-${java.util.UUID.randomUUID.toString.take(12)}.parquet"
+    val distinct = keys.select(col(keyCol)).distinct()
+    distinct.coalesce(1).write.parquet(s"$table/$name")
+    val n = spark.read.parquet(s"$table/$name").count()
+    // the delete file exists before the list referencing it publishes —
+    // a conflict orphans it (vacuum food), never a dangling reference
+    commitList(spark, table, v + 1, refs,
+      dels :+ DeleteFile(name, keyCol, n, v + 1), hdr)
+    (v + 1, n)
+  }
+
+  /** Materialize pending equality deletes: rewrite ONLY the data files
+    * that contain a masked row (grouped by which deletes apply to them
+    * under the seq rule), carry the rest by reference, and publish ONE
+    * version with no delete files — the compaction half of
+    * merge-on-read. Returns (new version, rows removed); current
+    * version unchanged when no deletes are pending.
+    */
+  def applyDeletes(spark: SparkSession, table: String,
+                   partCol: String): (Long, Long) = {
+    val v = currentVersion(spark, table)
+    val meta = readMeta(spark, table, v)
+    if (meta.deletes.isEmpty) return (v, 0L)
+    val hdr = meta.hdr
+    var removed = Set.empty[String]
+    var freshAll = Seq.empty[FileEntry]
+    // one candidate scan + one rewrite per distinct applicable-delete
+    // set (usually a single group; mixed-era tables get one per era)
+    meta.entries.groupBy(e => meta.deletes.filter(_.seq > e.seq))
+      .foreach { case (dels, entries) =>
+        if (dels.nonEmpty) {
+          val tagged = readFiles(spark, table, entries, hdr.schema)
+            .withColumn("__f", input_file_name())
+          val hitNames = dels.map(d =>
+            tagged.join(spark.read.parquet(s"$table/${d.path}"),
+              Seq(d.col), "left_semi").select(col("__f")))
+            .reduce(_.union(_)).distinct()
+            .collect()
+            .map(r => new Path(new java.net.URI(r.getString(0)).getPath).getName)
+            .toSet
+          val affected = entries.filter(e =>
+            hitNames.contains(new Path(e.path).getName))
+          if (affected.nonEmpty) {
+            val kept = dels.foldLeft(
+              readFiles(spark, table, affected, hdr.schema)) { (df, d) =>
+              df.join(spark.read.parquet(s"$table/${d.path}"),
+                Seq(d.col), "left_anti")
+            }
+            removed ++= affected.map(_.path)
+            freshAll ++= writeDataFiles(spark, table, kept, partCol,
+              statsCols = hdr.statsCols)
+          }
+        }
+      }
+    val before = meta.entries.filter(e => removed.contains(e.path))
+      .map(_.rows).sum
+    commitRewrite(spark, table, v, meta.segs, removed, freshAll,
+      Seq.empty, hdr)
+    (v + 1, before - freshAll.map(_.rows).sum)
   }
 
   /** Run `commit` with bounded optimistic-concurrency retries: on a
@@ -826,6 +990,9 @@ object SnapshotTable extends QueryPack {
     val keep = (vs.takeRight(keepVersions) ++ protectedVs).distinct.sorted
     val liveSegs: Set[String] =
       keep.flatMap(readManifestList(spark, table, _)._1).map(_.path).toSet
+    val liveDels: Set[String] =
+      keep.flatMap(readListRaw(spark, table, _)._2)
+        .map(d => new Path(d.path).getName).toSet
     val live: Set[String] = keep.flatMap(readManifest(spark, table, _))
       .map(e => new Path(e.path).getName).toSet
     // the age window also protects UNREFERENCED artifacts: a data file,
@@ -857,6 +1024,14 @@ object SnapshotTable extends QueryPack {
         case _ => ()
       }
     }
+    // delete files referenced by no retained list: applyDeletes
+    // leftovers and conflict orphans (same age window as data files)
+    if (f.exists(deletesDir(table)))
+      f.listStatus(deletesDir(table)).foreach { st =>
+        if (!liveDels.contains(st.getPath.getName) && oldEnough(st)) {
+          f.delete(st.getPath, true); deleted += 1
+        }
+      }
     // crashed writeDataFiles stagings are unreferenced by construction —
     // but a YOUNG one may be a commit mid-write, so the window applies
     f.listStatus(new Path(table)).foreach { st =>
@@ -1058,6 +1233,22 @@ object SnapshotTable extends QueryPack {
     rollup(read(s, work))
   }
 
+  /** The SAME deletion as [[deleteQuery]], done MERGE-ON-READ: the keys
+    * are recorded as an equality-delete file (an O(keys) commit — zero
+    * data files rewritten), and the rollup reads through the anti-join
+    * mask. Must hash-match the eager `q_snapshot_delete` oracle
+    * exactly — the two delete paths are interchangeable for readers.
+    */
+  def lazyDeleteQuery(s: SparkSession, dir: String): DataFrame = {
+    val work = cloneTable(s, deleteBase(s, dir))
+    val keys = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 101 === 0 &&
+        col("o_orderkey").between(1000, 5000))
+      .select(col("o_orderkey"))
+    commitDeleteLazy(s, work, keys, "o_orderkey")
+    rollup(read(s, work))
+  }
+
   /** Rollup across a schema-evolving append: v1 stores `o_custkey` as
     * INT and has no `o_bonus`; the appended batch brings a BIGINT
     * `o_custkey` (widening the table column to long — old int32 files
@@ -1093,6 +1284,7 @@ object SnapshotTable extends QueryPack {
     "q_snapshot_skip" -> (rangeSkipQuery _),
     "q_snapshot_skip2" -> (rangeSkip2Query _),
     "q_snapshot_delete" -> (deleteQuery _),
+    "q_snapshot_lazy_del" -> (lazyDeleteQuery _),
     "q_snapshot_evolve" -> (evolveQuery _))
 
   override def oracleSql: Map[String, String] = Map(
@@ -1153,6 +1345,13 @@ object SnapshotTable extends QueryPack {
         |FROM events WHERE event_id BETWEEN 100 AND 299
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_snapshot_delete" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders
+        |WHERE NOT (o_orderkey % 101 = 0 AND o_orderkey BETWEEN 1000 AND 5000)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_snapshot_lazy_del" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  CAST(max(o_orderkey) AS BIGINT) AS max_key

@@ -62,7 +62,10 @@ object TableIO {
     * [[compactAnnIndex]] folds the per-batch small files.)
     */
   def appendAnnIndex(indexed: DataFrame, path: String, bucketCol: String): Unit = {
-    SnapshotTable.commitAppend(indexed.sparkSession, path, indexed, bucketCol)
+    // ingest must survive racing a maintenance commit — rebase + retry
+    SnapshotTable.commitWithRetry() {
+      SnapshotTable.commitAppend(indexed.sparkSession, path, indexed, bucketCol)
+    }
     ()
   }
 

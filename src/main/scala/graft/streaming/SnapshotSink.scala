@@ -44,8 +44,13 @@ object SnapshotSink extends QueryPack {
       SnapshotTable.createEmpty(spark, table) // every batch rides the tagged path
     val q = source.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        SnapshotTable.commitAppend(batch.sparkSession, table, batch,
-          "event_type", tag = Some(s"b$batchId"))
+        // retry on version conflicts: a maintenance commit (compact,
+        // vacuum-era delete) racing the sink must not fail the stream —
+        // the rebase re-reads the ledger, so a replayed tag still no-ops
+        SnapshotTable.commitWithRetry() {
+          SnapshotTable.commitAppend(batch.sparkSession, table, batch,
+            "event_type", tag = Some(s"b$batchId"))
+        }
         ()
       }
       .option("checkpointLocation",

@@ -531,6 +531,82 @@ class SnapshotTableSpec extends SparkSpec {
     assert(err.getMessage.contains("schema evolution"))
   }
 
+  test("equality deletes (merge-on-read): O(keys) commit rewrites no " +
+    "data file, reads mask exactly, applyDeletes materializes") {
+    import spark.implicits._
+    val table = freshTable()
+    val m1 = SnapshotTable.readManifest(spark, table, 1L)
+    val pred = col("o_orderpriority") === "1-URGENT" &&
+      col("o_orderkey") % 3 === 0
+    val keys = SnapshotTable.read(spark, table).filter(pred)
+      .select(col("o_orderkey"))
+    val nMatch = keys.count()
+    assert(nMatch > 0)
+    val allBefore = SnapshotTable.read(spark, table).count()
+
+    val (v2, nKeys) = SnapshotTable.commitDeleteLazy(spark, table, keys,
+      "o_orderkey")
+    assert(v2 === 2L && nKeys === nMatch)
+    // NO data file rewritten: v2's entries are v1's, byte for byte
+    val m2 = SnapshotTable.readManifest(spark, table, 2L)
+    assert(m2.map(_.path).toSet === m1.map(_.path).toSet)
+    // reads mask the keys; v1 time travel still has them
+    assert(SnapshotTable.read(spark, table).count() === allBefore - nMatch)
+    assert(SnapshotTable.read(spark, table).filter(pred).count() === 0L)
+    assert(SnapshotTable.readVersion(spark, table, 1L).count() === allBefore)
+    // pruned reads mask too
+    assert(SnapshotTable.readWhere(spark, table, "o_orderpriority",
+      Seq("1-URGENT")).filter(pred).count() === 0L)
+
+    // seq scoping: an append AFTER the delete re-inserts a masked key
+    val resurrect = SnapshotTable.read(spark, table)
+      .filter(col("o_orderkey") % 97 === 0).limit(0) // schema template
+    val oneKey = SnapshotTable.readVersion(spark, table, 1L).filter(pred)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority")).limit(1)
+    SnapshotTable.commitAppend(spark, table, oneKey, "o_orderpriority")
+    assert(SnapshotTable.read(spark, table).filter(pred).count() === 1L,
+      "a post-delete append must not be masked by the older delete")
+    assert(resurrect.count() === 0L)
+
+    // eager ops refuse while deletes are pending
+    val err = intercept[IllegalArgumentException] {
+      SnapshotTable.compact(spark, table, "o_orderpriority")
+    }
+    assert(err.getMessage.contains("pending equality delete"))
+
+    // materialize: same rows, no delete files, masked rows physically gone
+    val wantRows = SnapshotTable.read(spark, table)
+      .orderBy("o_orderkey", "o_orderpriority").collect().toSeq
+    val (v4, nRemoved) = SnapshotTable.applyDeletes(spark, table,
+      "o_orderpriority")
+    assert(v4 === 4L)
+    assert(nRemoved === nMatch) // the re-inserted row's file post-dates the delete
+    assert(SnapshotTable.read(spark, table)
+      .orderBy("o_orderkey", "o_orderpriority").collect().toSeq === wantRows)
+    // compact now allowed; vacuum reclaims the dropped delete file
+    SnapshotTable.compact(spark, table, "o_orderpriority",
+      smallThreshold = Long.MaxValue)
+    SnapshotTable.vacuum(spark, table, keepVersions = 1)
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val delDir = new Path(table, "deletes")
+    assert(!fs.exists(delDir) || fs.listStatus(delDir).isEmpty,
+      "vacuum must reclaim materialized delete files")
+  }
+
+  test("lazy and eager deletes are interchangeable for readers") {
+    val eager = freshTable()
+    val lazy_ = freshTable()
+    val pred = col("o_orderkey") % 7 === 0
+    val keys = SnapshotTable.read(spark, eager).filter(pred)
+      .select(col("o_orderkey"))
+    SnapshotTable.commitDelete(spark, eager, pred, "o_orderpriority")
+    SnapshotTable.commitDeleteLazy(spark, lazy_, keys, "o_orderkey")
+    assert(sortedRows(SnapshotTable.read(spark, eager)) ===
+      sortedRows(SnapshotTable.read(spark, lazy_)))
+  }
+
   test("manifest entries round-trip values that need escaping") {
     val table = java.nio.file.Files.createTempDirectory("snapesc")
       .resolve("t").toString
