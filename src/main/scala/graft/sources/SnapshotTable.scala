@@ -433,6 +433,9 @@ object SnapshotTable extends QueryPack {
         df.sparkSession.sessionState.conf.numShufflePartitions, col(sc))
       case None     => df.repartition(col(partCol))
     }
+    // stamp field ids from the column metadata into the parquet files
+    // (Spark's default, asserted explicitly — rename/drop depend on it)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     clustered.withColumn("__part", col(partCol)).write
       .option("maxRecordsPerFile", 5000000L)
       .partitionBy("__part").parquet(staging.toString)
@@ -485,12 +488,66 @@ object SnapshotTable extends QueryPack {
     entries
   }
 
+  // ---- field-id schema plumbing (rename/drop evolution)
+  //
+  // Every data file is written with parquet FIELD IDS riding the schema
+  // metadata; the header records the schema WITH those ids. Reads match
+  // columns by id, so a RENAME is a header-only commit (old files keep
+  // the old physical name, the id finds them) and a DROP followed by a
+  // re-ADD of the same name gets a FRESH id — old values can never
+  // resurrect. This is the published Iceberg/parquet field-id contract.
+
+  private val FieldIdKey = "parquet.field.id"
+
+  private def schemaToString(s: org.apache.spark.sql.types.StructType): String =
+    s.json
+  private def schemaFromString(s: String): org.apache.spark.sql.types.StructType =
+    if (s.trim.startsWith("{"))
+      org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    else org.apache.spark.sql.types.StructType.fromDDL(s)
+
+  /** Assign fresh field ids (max existing + 1 onward) to fields that
+    * lack one; existing ids are never changed.
+    */
+  private def assignFieldIds(
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+    var next = schema.fields.iterator.map(f =>
+      if (f.metadata.contains(FieldIdKey)) f.metadata.getLong(FieldIdKey)
+      else 0L).foldLeft(0L)(math.max)
+    StructType(schema.fields.map { f =>
+      if (f.metadata.contains(FieldIdKey)) f
+      else {
+        next += 1
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong(FieldIdKey, next).build())
+      }
+    })
+  }
+
+  /** Re-alias `df`'s columns with the metadata (field ids) the table
+    * schema records for them, so the parquet writer stamps the ids.
+    */
+  private def applySchemaMeta(df: DataFrame,
+                              st: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      val m = st.find(_.name == f.name).map(_.metadata).getOrElse(f.metadata)
+      col(f.name).as(f.name, m)
+    }.toIndexedSeq: _*)
+
   private def readFiles(spark: SparkSession, table: String,
                         entries: Seq[FileEntry],
                         schema: Option[String] = None): DataFrame = {
     require(entries.nonEmpty, "snapshot read: empty file set")
-    val reader = schema.fold(spark.read)(ddl =>
-      spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+    val reader = schema.fold(spark.read) { str =>
+      val st = schemaFromString(str)
+      // id-matching only engages for requested schemas that carry ids —
+      // setting the conf never affects plain-parquet reads elsewhere
+      if (st.exists(_.metadata.contains(FieldIdKey)))
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      spark.read.schema(st)
+    }
     reader.parquet(entries.map(e => s"$table/${e.path}"): _*)
   }
 
@@ -527,10 +584,11 @@ object SnapshotTable extends QueryPack {
              partCol: String, statsCols: Seq[String] = Seq.empty): Long = {
     require(versions(spark, table).isEmpty,
       s"snapshot table $table already exists")
-    val entries = writeDataFiles(spark, table, df, partCol,
-      statsCols = statsCols)
+    val st = assignFieldIds(df.schema)
+    val entries = writeDataFiles(spark, table, applySchemaMeta(df, st),
+      partCol, statsCols = statsCols)
     writeManifest(spark, table, 1L, entries,
-      Header(schema = Some(df.schema.toDDL), statsCols = statsCols))
+      Header(schema = Some(schemaToString(st)), statsCols = statsCols))
     1L
   }
 
@@ -672,15 +730,16 @@ object SnapshotTable extends QueryPack {
     if (tag.exists(hdr.tags.contains))
       None
     else {
-      val evolved = evolveSchema(hdr.schema, df)
+      val evolved = assignFieldIds(evolveSchema(hdr.schema, df))
       val effStats = if (statsCols.nonEmpty) statsCols else hdr.statsCols
-      val fresh = writeDataFiles(spark, table, df, partCol, tag, effStats)
+      val fresh = writeDataFiles(spark, table, applySchemaMeta(df, evolved),
+        partCol, tag, effStats)
       val freshRefs =
         if (fresh.isEmpty) Seq.empty
         else Seq(writeSegment(spark, table, fresh.map(_.copy(seq = v + 1))))
       commitList(spark, table, v + 1,
         foldIfWide(spark, table, refs ++ freshRefs), deletes,
-        hdr.copy(tags = hdr.tags ++ tag, schema = Some(evolved),
+        hdr.copy(tags = hdr.tags ++ tag, schema = Some(schemaToString(evolved)),
           statsCols = effStats))
       Some(v + 1)
     }
@@ -696,32 +755,83 @@ object SnapshotTable extends QueryPack {
     * columns (they read back null for its rows).
     */
   private def evolveSchema(current: Option[String],
-                           df: DataFrame): String = current match {
-    case None => df.schema.toDDL
-    case Some(ddl) =>
-      import org.apache.spark.sql.types._
-      val cur = StructType.fromDDL(ddl)
-      // the widened type covers BOTH sides: table int + batch long
-      // widens the table; table long + batch int keeps long (the new
-      // int32 files upcast on read like the old ones)
-      def widened(a: DataType, b: DataType): Option[DataType] = (a, b) match {
-        case _ if a == b                                        => Some(a)
-        case (IntegerType, LongType) | (LongType, IntegerType)  => Some(LongType)
-        case (FloatType, DoubleType) | (DoubleType, FloatType)  => Some(DoubleType)
-        case _                                                  => None
-      }
-      val updated = cur.fields.map { c =>
-        df.schema.find(_.name == c.name) match {
-          case None => c
-          case Some(f) => widened(c.dataType, f.dataType) match {
-            case Some(t) => c.copy(dataType = t)
-            case None => throw new IllegalArgumentException(
-              s"schema evolution: column ${f.name} is ${f.dataType}, table has ${c.dataType}")
+                           df: DataFrame): org.apache.spark.sql.types.StructType =
+    current match {
+      case None => df.schema
+      case Some(str) =>
+        import org.apache.spark.sql.types._
+        val cur = schemaFromString(str)
+        // the widened type covers BOTH sides: table int + batch long
+        // widens the table; table long + batch int keeps long (the new
+        // int32 files upcast on read like the old ones)
+        def widened(a: DataType, b: DataType): Option[DataType] = (a, b) match {
+          case _ if a == b                                        => Some(a)
+          case (IntegerType, LongType) | (LongType, IntegerType)  => Some(LongType)
+          case (FloatType, DoubleType) | (DoubleType, FloatType)  => Some(DoubleType)
+          case _                                                  => None
+        }
+        val updated = cur.fields.map { c =>
+          df.schema.find(_.name == c.name) match {
+            case None => c
+            case Some(f) => widened(c.dataType, f.dataType) match {
+              case Some(t) => c.copy(dataType = t)
+              case None => throw new IllegalArgumentException(
+                s"schema evolution: column ${f.name} is ${f.dataType}, table has ${c.dataType}")
+            }
           }
         }
-      }
-      val added = df.schema.filterNot(f => cur.exists(_.name == f.name))
-      StructType(updated ++ added).toDDL
+        val added = df.schema.filterNot(f => cur.exists(_.name == f.name))
+        StructType(updated ++ added)
+    }
+
+  /** RENAME a column — a header-only commit (nothing rewritten): old
+    * files keep the old physical name and the read path matches them by
+    * FIELD ID, which renames exist for. The stats-column list follows
+    * the rename; per-file stats recorded under the old name simply stop
+    * skipping (safe — a file with no stats for a column never skips).
+    * A batch appended later under the STALE name is treated as an
+    * added column, the standard field-id semantics — writers must use
+    * current names.
+    */
+  def renameColumn(spark: SparkSession, table: String,
+                   from: String, to: String): Long = {
+    val v = currentVersion(spark, table)
+    val (refs, dels, hdr) = readListRaw(spark, table, v)
+    val st = schemaFromString(hdr.schema.getOrElse(
+      sys.error(s"renameColumn: $table has no schema yet")))
+    require(st.fieldNames.contains(from), s"renameColumn: no column $from")
+    require(!st.fieldNames.contains(to), s"renameColumn: $to already exists")
+    require(st.forall(_.metadata.contains(FieldIdKey)),
+      s"renameColumn: $table predates field-id schemas")
+    val renamed = org.apache.spark.sql.types.StructType(
+      st.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    commitList(spark, table, v + 1, refs, dels,
+      hdr.copy(schema = Some(schemaToString(renamed)),
+        statsCols = hdr.statsCols.map(c => if (c == from) to else c)))
+    v + 1
+  }
+
+  /** DROP a column — a header-only commit: old files keep the bytes
+    * (reclaimed as files are rewritten by later maintenance), reads
+    * stop projecting them, and a later re-ADD of the same name gets a
+    * FRESH field id — the old values can never resurrect into it (the
+    * reason drops need field ids at all).
+    */
+  def dropColumn(spark: SparkSession, table: String, name: String): Long = {
+    val v = currentVersion(spark, table)
+    val (refs, dels, hdr) = readListRaw(spark, table, v)
+    val st = schemaFromString(hdr.schema.getOrElse(
+      sys.error(s"dropColumn: $table has no schema yet")))
+    require(st.fieldNames.contains(name), s"dropColumn: no column $name")
+    require(st.fields.length > 1, "dropColumn: cannot drop the last column")
+    require(st.forall(_.metadata.contains(FieldIdKey)),
+      s"dropColumn: $table predates field-id schemas")
+    val dropped = org.apache.spark.sql.types.StructType(
+      st.fields.filterNot(_.name == name))
+    commitList(spark, table, v + 1, refs, dels,
+      hdr.copy(schema = Some(schemaToString(dropped)),
+        statsCols = hdr.statsCols.filterNot(_ == name)))
+    v + 1
   }
 
   /** Fold the current version's small files (rows < `smallThreshold`)
@@ -1233,6 +1343,25 @@ object SnapshotTable extends QueryPack {
     rollup(read(s, work))
   }
 
+  /** Rollup through a RENAME + DROP (field-id evolution, header-only
+    * commits): `o_totalprice` becomes `price`, `o_orderdate` is
+    * dropped, and the rollup on the renamed column must equal the plain
+    * relational rollup — old files are matched by field id, nothing is
+    * rewritten.
+    */
+  def renameQuery(s: SparkSession, dir: String): DataFrame = {
+    val work = cloneTable(s, deleteBase(s, dir))
+    renameColumn(s, work, "o_totalprice", "price")
+    dropColumn(s, work, "o_orderdate")
+    read(s, work)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price").cast("decimal(18,2)")).cast("double")
+          .as("total_price"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** The SAME deletion as [[deleteQuery]], done MERGE-ON-READ: the keys
     * are recorded as an equality-delete file (an O(keys) commit — zero
     * data files rewritten), and the rollup reads through the anti-join
@@ -1285,6 +1414,7 @@ object SnapshotTable extends QueryPack {
     "q_snapshot_skip2" -> (rangeSkip2Query _),
     "q_snapshot_delete" -> (deleteQuery _),
     "q_snapshot_lazy_del" -> (lazyDeleteQuery _),
+    "q_snapshot_rename" -> (renameQuery _),
     "q_snapshot_evolve" -> (evolveQuery _))
 
   override def oracleSql: Map[String, String] = Map(
@@ -1358,6 +1488,11 @@ object SnapshotTable extends QueryPack {
         |FROM orders
         |WHERE NOT (o_orderkey % 101 = 0 AND o_orderkey BETWEEN 1000 AND 5000)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_snapshot_rename" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_snapshot_evolve" ->
       """WITH ext AS (
         |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,

@@ -607,6 +607,50 @@ class SnapshotTableSpec extends SparkSpec {
       sortedRows(SnapshotTable.read(spark, lazy_)))
   }
 
+  test("field-id evolution: rename is header-only and reads old files " +
+    "by id; drop + re-add cannot resurrect old values") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("snapfid")
+      .resolve("t").toString
+    val df = Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("k", "v", "p")
+    SnapshotTable.create(spark, table, df, "p")
+    val m1 = SnapshotTable.readManifest(spark, table, 1L)
+
+    // RENAME: header-only (no file rewritten), values flow through
+    SnapshotTable.renameColumn(spark, table, "v", "amount")
+    assert(SnapshotTable.readManifest(spark, table, 2L).map(_.path)
+      === m1.map(_.path))
+    val renamed = SnapshotTable.read(spark, table)
+    assert(renamed.columns.toSeq === Seq("k", "amount", "p"))
+    assert(renamed.select("amount").collect().map(_.getDouble(0)).sorted.toSeq
+      === Seq(10.0, 20.0))
+    // time travel keeps the old name
+    assert(SnapshotTable.readVersion(spark, table, 1L)
+      .columns.contains("v"))
+    // appends under the new name extend the renamed column
+    SnapshotTable.commitAppend(spark, table,
+      Seq((3L, 30.0, "a")).toDF("k", "amount", "p"), "p")
+    assert(SnapshotTable.read(spark, table).select("amount")
+      .collect().map(_.getDouble(0)).sorted.toSeq === Seq(10.0, 20.0, 30.0))
+    // rename conflicts refuse
+    assert(intercept[IllegalArgumentException] {
+      SnapshotTable.renameColumn(spark, table, "amount", "k")
+    }.getMessage.contains("already exists"))
+
+    // DROP then re-ADD the same name: fresh field id, no resurrection
+    SnapshotTable.dropColumn(spark, table, "amount")
+    assert(!SnapshotTable.read(spark, table).columns.contains("amount"))
+    SnapshotTable.commitAppend(spark, table,
+      Seq((4L, 99.0, "b")).toDF("k", "amount", "p"), "p")
+    val readded = SnapshotTable.read(spark, table)
+      .select("k", "amount").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(readded(4L) === Some(99.0))
+    assert(Seq(1L, 2L, 3L).forall(readded(_).isEmpty),
+      s"old rows must NOT resurrect their dropped values: $readded")
+  }
+
   test("manifest entries round-trip values that need escaping") {
     val table = java.nio.file.Files.createTempDirectory("snapesc")
       .resolve("t").toString
