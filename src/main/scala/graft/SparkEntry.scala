@@ -45,6 +45,7 @@ object SparkEntry {
     graft.sources.SnapshotTable,
     graft.streaming.IncrDedupStream,
     graft.streaming.SnapshotSink,
+    graft.streaming.SnapshotSource,
     graft.operators.PrefixJoin)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,197 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, PartitionDirectory}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.SnapshotTable.{ColStats, FileEntry}
+
+/** `[EXT]` Catalyst-integrated planning for snapshot tables — a
+  * [[FileIndex]] that serves ONE pinned manifest's file entries to
+  * Spark's `HadoopFsRelation` scan machinery, the published
+  * Delta-Lake construction (`TahoeFileIndex`: the log, not the file
+  * system, is the source of truth for listing). What it buys over the
+  * explicit-path `spark.read.parquet(files…)` read:
+  *
+  *   - '''Catalyst-driven data skipping.''' `FileSourceScanExec` hands
+  *     its pushed-down data filters to [[listFiles]]; every filter is
+  *     tested against the manifest's per-file min/max stats and
+  *     partition values, and files PROVEN disjoint are never planned.
+  *     A plain `df.filter($"ts" > x)` now skips files — no bespoke
+  *     `readRange` call required — and the skipping composes with
+  *     whatever residual predicate Catalyst keeps, parquet row-group
+  *     pushdown, column pruning, and whole-stage codegen, because the
+  *     scan IS the standard parquet scan.
+  *   - '''RPC-free planning.''' File sizes ride the manifest
+  *     ([[SnapshotTable.FileEntry.bytes]]), so split planning needs no
+  *     per-file `getFileStatus` — at 100 TB / 100k files the driver
+  *     plans from one manifest read instead of 100k namenode/object
+  *     store calls. (Entries from pre-`bytes` manifests are statted
+  *     once, lazily, per index.)
+  *
+  * Pruning is CONSERVATIVE three-valued logic: `mayMatch` returns
+  * false only when the stats prove no row of the file can satisfy the
+  * filter; any shape it does not understand (casts, UDFs, IsNull —
+  * stats record no null counts) keeps the file. Wrong answers are
+  * impossible; unsupported shapes just read more.
+  */
+final class SnapshotFileIndex(
+    @transient private val spark: SparkSession,
+    table: String,
+    entries: Seq[FileEntry],
+    partCol: Option[String]) extends FileIndex {
+
+  private val tableRoot = new Path(table)
+
+  // resolve (entry, status) once; synthetic FileStatus from manifest
+  // bytes (mtime 0 — only the optional _metadata column would see it)
+  @transient private lazy val statuses: Seq[(FileEntry, FileStatus)] = {
+    lazy val f = tableRoot.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    entries.map { e =>
+      val p = new Path(tableRoot, e.path)
+      val st =
+        if (e.bytes > 0L) new FileStatus(e.bytes, false, 1, 134217728L, 0L, p)
+        else f.getFileStatus(p)
+      (e, st)
+    }
+  }
+
+  override def rootPaths: Seq[Path] = Seq(tableRoot)
+
+  // partition values live IN the rows (no hive dirs), so the relation
+  // has no partition schema; all pruning arrives as DATA filters
+  override def partitionSchema: StructType = new StructType()
+
+  override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
+
+  override def inputFiles: Array[String] =
+    statuses.map(_._2.getPath.toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept = statuses.filter { case (e, _) =>
+      dataFilters.forall(mayMatch(_, e))
+    }
+    Seq(PartitionDirectory(InternalRow.empty,
+      kept.map(s => FileStatusWithMetadata(s._2))))
+  }
+
+  // ---- conservative per-file predicate evaluation
+
+  private def stats(e: FileEntry, name: String): Option[ColStats] =
+    e.stats.find(_.col == name)
+
+  /** Literal → the double domain the stats writer used
+    * (`cast("double")`: numerics natively, timestamps as epoch
+    * seconds). Shapes the writer cannot have recorded stats for
+    * return None and never prune.
+    */
+  private def litDouble(l: Literal): Option[Double] =
+    if (l.value == null) None
+    else l.dataType match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType =>
+        Some(l.value.asInstanceOf[java.lang.Number].doubleValue())
+      case _: DecimalType => Some(l.value.asInstanceOf[Decimal].toDouble)
+      case TimestampType | TimestampNTZType =>
+        Some(l.value.asInstanceOf[java.lang.Long].toDouble / 1e6)
+      case _ => None
+    }
+
+  /** Literal → the partition-value STRING the writer rendered into the
+    * `__part=` directory name (strings verbatim; integral types via
+    * toString). Other types: None, never prune.
+    */
+  private def litPart(l: Literal): Option[String] = (l.value, l.dataType) match {
+    case (null, _)                   => None
+    case (v: UTF8String, StringType) => Some(v.toString)
+    case (v: java.lang.Integer, _)   => Some(v.toString)
+    case (v: java.lang.Long, _)      => Some(v.toString)
+    case (v: java.lang.Short, _)     => Some(v.toString)
+    case (v: java.lang.Byte, _)      => Some(v.toString)
+    case _                           => None
+  }
+
+  private def isPart(name: String): Boolean = partCol.contains(name)
+
+  /** May a row of `e` satisfy `x OP v`? False only on stats/partition
+    * proof of disjointness.
+    */
+  private def cmpMay(e: FileEntry, name: String, v: Literal,
+                     op: String): Boolean = {
+    val statOk = (stats(e, name), litDouble(v)) match {
+      case (Some(s), Some(d)) => op match {
+        case "="  => s.lo <= d && d <= s.hi
+        case ">"  => s.hi > d
+        case ">=" => s.hi >= d
+        case "<"  => s.lo < d
+        case "<=" => s.lo <= d
+        case _    => true
+      }
+      case _ => true
+    }
+    // equality on the partition column additionally checks the file's
+    // recorded partition values (exact, works for string columns where
+    // min/max stats are never recorded)
+    val partOk =
+      if (op != "=" || !isPart(name)) true
+      else (e.parts, litPart(v)) match {
+        case (Some(ps), Some(s)) => ps.contains(s)
+        case _                   => true
+      }
+    statOk && partOk
+  }
+
+  private def mayMatch(p: Expression, e: FileEntry): Boolean = p match {
+    case And(l, r) => mayMatch(l, e) && mayMatch(r, e)
+    case Or(l, r)  => mayMatch(l, e) || mayMatch(r, e)
+
+    case EqualTo(a: AttributeReference, v: Literal) => cmpMay(e, a.name, v, "=")
+    case EqualTo(v: Literal, a: AttributeReference) => cmpMay(e, a.name, v, "=")
+    case EqualNullSafe(a: AttributeReference, v: Literal) => cmpMay(e, a.name, v, "=")
+    case EqualNullSafe(v: Literal, a: AttributeReference) => cmpMay(e, a.name, v, "=")
+
+    case GreaterThan(a: AttributeReference, v: Literal)        => cmpMay(e, a.name, v, ">")
+    case GreaterThan(v: Literal, a: AttributeReference)        => cmpMay(e, a.name, v, "<")
+    case GreaterThanOrEqual(a: AttributeReference, v: Literal) => cmpMay(e, a.name, v, ">=")
+    case GreaterThanOrEqual(v: Literal, a: AttributeReference) => cmpMay(e, a.name, v, "<=")
+    case LessThan(a: AttributeReference, v: Literal)           => cmpMay(e, a.name, v, "<")
+    case LessThan(v: Literal, a: AttributeReference)           => cmpMay(e, a.name, v, ">")
+    case LessThanOrEqual(a: AttributeReference, v: Literal)    => cmpMay(e, a.name, v, "<=")
+    case LessThanOrEqual(v: Literal, a: AttributeReference)    => cmpMay(e, a.name, v, ">=")
+
+    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists(v => cmpMay(e, a.name, v.asInstanceOf[Literal], "="))
+    case InSet(a: AttributeReference, hset) =>
+      hset.exists(v => cmpMay(e, a.name,
+        Literal.create(v, a.dataType), "="))
+
+    // stats record no null counts — IsNull can never prune; IsNotNull
+    // could only prune an all-null file, which records no stats either
+    case _: IsNull | _: IsNotNull => true
+
+    case Not(inner) => inner match {
+      // single-valued files (the writer's invariant) make negated
+      // partition equality exact: every row has the recorded value
+      case EqualTo(a: AttributeReference, v: Literal)
+          if isPart(a.name) =>
+        (e.parts, litPart(v)) match {
+          case (Some(Seq(only)), Some(s)) => only != s
+          case _                          => true
+        }
+      case _ => true
+    }
+
+    case _ => true
+  }
+
+  override def toString: String =
+    s"SnapshotFileIndex($table, ${entries.size} files)"
+}

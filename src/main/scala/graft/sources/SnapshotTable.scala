@@ -74,7 +74,7 @@ object SnapshotTable extends QueryPack {
     */
   final case class FileEntry(path: String, parts: Option[Seq[String]],
                              rows: Long, stats: Seq[ColStats] = Seq.empty,
-                             seq: Long = 0L)
+                             seq: Long = 0L, bytes: Long = 0L)
 
   /** One equality-delete line in the manifest list (the Iceberg v2
     * merge-on-read construction): `path` is a small parquet of `col`
@@ -145,24 +145,30 @@ object SnapshotTable extends QueryPack {
       e.stats.map(s => s"""{"col":"${esc(s.col)}","lo":${s.lo},"hi":${s.hi}}""")
         .mkString(""","stats":[""", ",", "]")
     val seq = if (e.seq == 0L) "" else s""","seq":${e.seq}"""
-    s"""{"path":"${esc(e.path)}","parts":$parts,"rows":${e.rows}$stats$seq}"""
+    // bytes ride the entry so PLANNING (split sizing, relation
+    // sizeInBytes) never stats files — at 100 TB / 100k files that is
+    // 100k RPCs per query saved; 0 = unknown (legacy entry), statted
+    // lazily on first plan
+    val bytes = if (e.bytes == 0L) "" else s""","bytes":${e.bytes}"""
+    s"""{"path":"${esc(e.path)}","parts":$parts,"rows":${e.rows}$bytes$stats$seq}"""
   }
 
   private val entryRe =
-    raw"""\{"path":"(.*)","parts":(\[.*\]|"\*"),"rows":(\d+)(,"stats":\[(.*)\])?(,"seq":(\d+))?\}""".r
+    raw"""\{"path":"(.*)","parts":(\[.*\]|"\*"),"rows":(\d+)(,"bytes":(\d+))?(,"stats":\[(.*)\])?(,"seq":(\d+))?\}""".r
   private val statsItemRe =
     raw"""\{"col":"((?:[^"\\]|\\.)*)","lo":([-0-9.eE]+),"hi":([-0-9.eE]+)\}""".r
   private val quotedRe = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
 
   private def parseEntry(line: String): FileEntry = line.trim match {
-    case entryRe(p, parts, rows, _, statsBody, _, seqGrp) =>
+    case entryRe(p, parts, rows, _, bytesGrp, _, statsBody, _, seqGrp) =>
       val ps = if (parts == "\"*\"") None
         else Some(quotedRe.findAllMatchIn(parts).map(m => unesc(m.group(1))).toSeq)
       val stats = Option(statsBody).toSeq.flatMap(b =>
         statsItemRe.findAllMatchIn(b).map(m =>
           ColStats(unesc(m.group(1)), m.group(2).toDouble, m.group(3).toDouble)))
       FileEntry(unesc(p), ps, rows.toLong, stats,
-        Option(seqGrp).map(_.toLong).getOrElse(0L))
+        Option(seqGrp).map(_.toLong).getOrElse(0L),
+        Option(bytesGrp).map(_.toLong).getOrElse(0L))
     case other => sys.error(s"snapshot manifest: bad entry: $other")
   }
 
@@ -177,7 +183,8 @@ object SnapshotTable extends QueryPack {
     */
   final case class Header(tags: Set[String] = Set.empty,
                           schema: Option[String] = None,
-                          statsCols: Seq[String] = Seq.empty)
+                          statsCols: Seq[String] = Seq.empty,
+                          partCol: Option[String] = None)
 
   // ---- manifest lists + segments (the O(changed)-commit construction)
   //
@@ -238,7 +245,7 @@ object SnapshotTable extends QueryPack {
   // simple values (no unescaped brackets), so their non-greedy groups
   // terminate correctly; the schema DDL is arbitrary and goes LAST
   private val headerRe =
-    raw"""\{"tags":\[(.*?)\](?:,"statsCols":\[(.*?)\])?(?:,"schema":"(.*)")?\}""".r
+    raw"""\{"tags":\[(.*?)\](?:,"statsCols":\[(.*?)\])?(?:,"partCol":"((?:[^"\\]|\\.)*)")?(?:,"schema":"(.*)")?\}""".r
 
   /** The per-version manifest list: segment refs, equality-delete refs,
     * and the header.
@@ -247,7 +254,7 @@ object SnapshotTable extends QueryPack {
                                    version: Long): (Seq[SegmentRef], Seq[DeleteFile], Header) = {
     readLines(fs(spark, table),
       new Path(manifestDir(table), s"v$version.json")) match {
-      case headerRe(tagsBody, statsBody, schemaGrp) :: rest =>
+      case headerRe(tagsBody, statsBody, partColGrp, schemaGrp) :: rest =>
         val tags = quotedRe.findAllMatchIn(tagsBody)
           .map(m => unesc(m.group(1))).toSet
         val statsCols = Option(statsBody).toSeq.flatMap(b =>
@@ -263,7 +270,8 @@ object SnapshotTable extends QueryPack {
             DeleteFile(unesc(p), unesc(c), rows.toLong, seq.toLong)
           case other => sys.error(s"snapshot manifest list: bad line: $other")
         })
-        (refs, deletes, Header(tags, Option(schemaGrp).map(unesc), statsCols))
+        (refs, deletes, Header(tags, Option(schemaGrp).map(unesc), statsCols,
+          Option(partColGrp).map(unesc)))
       case Nil => (Seq.empty, Seq.empty, Header())
       case other :: _ =>
         sys.error(s"snapshot manifest list: bad header: $other")
@@ -293,6 +301,7 @@ object SnapshotTable extends QueryPack {
       .map(t => "\"" + esc(t) + "\"").mkString("""{"tags":[""", ",", "]") +
       (if (hdr.statsCols.isEmpty) "" else hdr.statsCols
         .map(c => "\"" + esc(c) + "\"").mkString(""","statsCols":[""", ",", "]")) +
+      hdr.partCol.fold("")(c => s""","partCol":"${esc(c)}"""") +
       hdr.schema.fold("")(s => s""","schema":"${esc(s)}"""") + "}\n"
     val body = (refs.map(segJson) ++ deletes.map(delJson))
       .mkString("", "\n", "\n")
@@ -449,7 +458,7 @@ object SnapshotTable extends QueryPack {
       .flatMap { dirSt =>
         f.listStatus(dirSt.getPath).toSeq
           .filter(_.getPath.getName.endsWith(".parquet"))
-          .map(st => (dirSt.getPath.getName, st.getPath))
+          .map(st => (dirSt.getPath.getName, st.getPath, st.getLen))
       }
     if (staged.isEmpty) { f.delete(staging, true); return Seq.empty }
 
@@ -474,7 +483,7 @@ object SnapshotTable extends QueryPack {
 
     f.mkdirs(dataDir(table))
     val entries = staged.zipWithIndex
-      .map { case ((dirName, src), i) =>
+      .map { case ((dirName, src, len), i) =>
         val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .unescapePathName(dirName.stripPrefix("__part="))
         val dest = new Path(dataDir(table), s"$commit-$i-${src.getName}")
@@ -482,7 +491,8 @@ object SnapshotTable extends QueryPack {
           s"snapshot: could not place data file $dest")
         val (n, st) = rows.getOrElse((dirName, src.getName),
           (0L, Seq.empty[ColStats]))
-        FileEntry(s"data/$commit-$i-${src.getName}", Some(Seq(value)), n, st)
+        FileEntry(s"data/$commit-$i-${src.getName}", Some(Seq(value)), n, st,
+          bytes = len)
       }
     f.delete(staging, true)
     entries
@@ -551,6 +561,68 @@ object SnapshotTable extends QueryPack {
     reader.parquet(entries.map(e => s"$table/${e.path}"): _*)
   }
 
+  /** The relation-backed read: `entries` served to the standard
+    * parquet scan through a [[SnapshotFileIndex]], so Catalyst's
+    * pushed-down data filters drive manifest stat/partition-value file
+    * skipping on ANY later `.filter` — see the index's scaladoc.
+    * Pre-schema tables (writeManifest-direct fixtures) fall back to
+    * the explicit-path reader, which infers from footers.
+    */
+  private[sources] def indexedRelation(spark: SparkSession, table: String,
+                                       entries: Seq[FileEntry], schemaStr: String,
+                                       partCol: Option[String]): org.apache.spark.sql.sources.BaseRelation = {
+    // nullable-izing is load-bearing (DataFrameReader's asNullable
+    // does the same): files predating an added column must yield
+    // NULL for it, and the vectorized reader only null-fills
+    // nullable fields
+    val st = org.apache.spark.sql.types.StructType(
+      schemaFromString(schemaStr).fields.map(_.copy(nullable = true)))
+    if (st.exists(_.metadata.contains(FieldIdKey)))
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      new SnapshotFileIndex(spark, table, entries, partCol),
+      new org.apache.spark.sql.types.StructType(), st, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      Map.empty)(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+  }
+
+  private def indexedRead(spark: SparkSession, table: String,
+                          entries: Seq[FileEntry], hdr: Header): DataFrame =
+    hdr.schema match {
+      case None => readFiles(spark, table, entries, None)
+      case Some(str) =>
+        require(entries.nonEmpty, "snapshot read: empty file set")
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          .baseRelationToDataFrame(
+            indexedRelation(spark, table, entries, str, hdr.partCol))
+    }
+
+  /** STREAMING-flagged relation read of an explicit entry subset under
+    * a version's header — the hook [[graft.streaming.SnapshotSource]]
+    * uses to plan exactly the files a micro-batch's version window
+    * added (a V1 Source's getBatch frame must carry isStreaming=true;
+    * an empty entry set plans an empty scan, for data-less commits).
+    */
+  private[graft] def readEntriesStreaming(spark: SparkSession, table: String,
+                                          entries: Seq[FileEntry],
+                                          hdr: Header): DataFrame =
+    org.apache.spark.sql.GraftStreamingBridge.streamingFrame(spark,
+      indexedRelation(spark, table, entries, hdr.schema.getOrElse(
+        sys.error(s"snapshot table $table has no recorded schema")),
+        hdr.partCol))
+
+  /** The recorded (current-version) table schema, nullable-ized the way
+    * every read path serves it. Loud failure for pre-schema tables.
+    */
+  private[graft] def recordedSchema(spark: SparkSession,
+                                    table: String): org.apache.spark.sql.types.StructType = {
+    val hdr = readManifestList(spark, table, currentVersion(spark, table))._2
+    val st = schemaFromString(hdr.schema.getOrElse(sys.error(
+      s"snapshot table $table has no recorded schema yet (empty bootstrap? " +
+        "start the stream after the first append commits)")))
+    org.apache.spark.sql.types.StructType(st.fields.map(_.copy(nullable = true)))
+  }
+
   /** Plan `entries` with pending equality deletes applied: data files
     * group by the SET of deletes that apply to them (delete.seq >
     * entry.seq — a file appended after a delete is never masked by it),
@@ -561,11 +633,11 @@ object SnapshotTable extends QueryPack {
   private def readWithDeletes(spark: SparkSession, table: String,
                               entries: Seq[FileEntry],
                               deletes: Seq[DeleteFile],
-                              schema: Option[String]): DataFrame =
-    if (deletes.isEmpty) readFiles(spark, table, entries, schema)
+                              hdr: Header): DataFrame =
+    if (deletes.isEmpty) indexedRead(spark, table, entries, hdr)
     else entries.groupBy(e => deletes.filter(_.seq > e.seq))
       .map { case (dels, es) =>
-        dels.foldLeft(readFiles(spark, table, es, schema)) { (df, d) =>
+        dels.foldLeft(indexedRead(spark, table, es, hdr)) { (df, d) =>
           df.join(spark.read.parquet(s"$table/${d.path}"),
             Seq(d.col), "left_anti")
         }
@@ -588,7 +660,8 @@ object SnapshotTable extends QueryPack {
     val entries = writeDataFiles(spark, table, applySchemaMeta(df, st),
       partCol, statsCols = statsCols)
     writeManifest(spark, table, 1L, entries,
-      Header(schema = Some(schemaToString(st)), statsCols = statsCols))
+      Header(schema = Some(schemaToString(st)), statsCols = statsCols,
+        partCol = Some(partCol)))
     1L
   }
 
@@ -615,7 +688,7 @@ object SnapshotTable extends QueryPack {
   /** Time travel: read an older (still un-vacuumed) snapshot. */
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
     val meta = readMeta(spark, table, version)
-    readWithDeletes(spark, table, meta.entries, meta.deletes, meta.hdr.schema)
+    readWithDeletes(spark, table, meta.entries, meta.deletes, meta.hdr)
   }
 
   /** Manifest-level file skipping: plan ONLY files whose recorded
@@ -632,7 +705,7 @@ object SnapshotTable extends QueryPack {
     val hit = meta.entries.filter(_.parts.forall(_.exists(wanted.contains)))
     if (hit.isEmpty)
       read(spark, table).filter(lit(false)) // schema-preserving empty
-    else readWithDeletes(spark, table, hit, meta.deletes, meta.hdr.schema)
+    else readWithDeletes(spark, table, hit, meta.deletes, meta.hdr)
       .filter(col(partCol).isin(values: _*))
   }
 
@@ -649,7 +722,7 @@ object SnapshotTable extends QueryPack {
       s.hi >= lo && s.lo <= hi))
     if (hit.isEmpty)
       read(spark, table).filter(lit(false))
-    else readWithDeletes(spark, table, hit, meta.deletes, meta.hdr.schema)
+    else readWithDeletes(spark, table, hit, meta.deletes, meta.hdr)
       .filter(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
@@ -740,7 +813,7 @@ object SnapshotTable extends QueryPack {
       commitList(spark, table, v + 1,
         foldIfWide(spark, table, refs ++ freshRefs), deletes,
         hdr.copy(tags = hdr.tags ++ tag, schema = Some(schemaToString(evolved)),
-          statsCols = effStats))
+          statsCols = effStats, partCol = hdr.partCol.orElse(Some(partCol))))
       Some(v + 1)
     }
   }
@@ -807,7 +880,8 @@ object SnapshotTable extends QueryPack {
       st.fields.map(f => if (f.name == from) f.copy(name = to) else f))
     commitList(spark, table, v + 1, refs, dels,
       hdr.copy(schema = Some(schemaToString(renamed)),
-        statsCols = hdr.statsCols.map(c => if (c == from) to else c)))
+        statsCols = hdr.statsCols.map(c => if (c == from) to else c),
+        partCol = hdr.partCol.map(c => if (c == from) to else c)))
     v + 1
   }
 
@@ -1172,6 +1246,103 @@ object SnapshotTable extends QueryPack {
     }.toDF("version", "n_files", "n_rows", "n_tags", "committed_at")
   }
 
+  // ---- change-data-feed reads
+
+  /** Row-level changes committed in `(fromV, toV]` — each row tagged
+    * `_change_type` (`insert` | `delete`; an update is its delete +
+    * insert pair) and `_commit_version`. Derived entirely from the
+    * MANIFEST DIFF per commit step — no change files are written on
+    * the commit path (the merge-on-read analogue of Delta's CDF
+    * without `delta.enableChangeDataFeed` materialization):
+    *
+    *   - append commit (files added, none removed): the added files'
+    *     rows are inserts — O(new data), one scan of the fresh files.
+    *   - rewrite commit (merge / eager delete / applyDeletes /
+    *     compact): diff the REPLACED files against their REPLACEMENTS
+    *     (both bounded by the commit's touched files, never the
+    *     table): old∖new are deletes, new∖old inserts. Unchanged
+    *     carried rows cancel exactly; a pure compaction diffs empty —
+    *     physical reorganization is not a logical change.
+    *   - equality-delete commit: the delete keys semi-join the
+    *     PRE-commit snapshot (candidate files pruned by the keys'
+    *     min/max against manifest stats) — those rows are deletes.
+    *
+    * All steps are read under the FINAL version's schema (field-id
+    * matching keeps renames consistent; widened types upcast; columns
+    * dropped by `toV` are absent from the feed). Pending equality
+    * deletes at each boundary are masked with their usual seq scoping,
+    * so a row deletes exactly once, at the version that logically
+    * removed it.
+    */
+  def readChangesBetween(spark: SparkSession, table: String,
+                         fromV: Long, toV: Long): DataFrame = {
+    val vs = versions(spark, table)
+    require(fromV < toV, s"readChangesBetween: need fromV < toV, got $fromV, $toV")
+    require(vs.contains(fromV) && vs.contains(toV),
+      s"readChangesBetween: versions $fromV..$toV not all retained (have ${vs.mkString(",")})")
+    require((fromV to toV).forall(vs.contains),
+      s"readChangesBetween: a version in $fromV..$toV was vacuumed")
+    val metas = (fromV to toV).map(v => v -> readMeta(spark, table, v)).toMap
+    val finalHdr = metas(toV).hdr
+    val outCols = schemaFromString(finalHdr.schema.getOrElse(
+      sys.error(s"readChangesBetween: $table has no schema"))).fieldNames.toSeq
+
+    def tag(df: DataFrame, t: String, v: Long): DataFrame =
+      df.select(outCols.map(col): _*)
+        .withColumn("_change_type", lit(t))
+        .withColumn("_commit_version", lit(v))
+
+    val parts = (fromV until toV).flatMap { v =>
+      val pre = metas(v); val post = metas(v + 1)
+      val prePaths = pre.entries.map(_.path).toSet
+      val postPaths = post.entries.map(_.path).toSet
+      // rewrites never reuse paths (files are immutable), so a path
+      // present in the pre manifest is carried-over, not new
+      val added = post.entries.filterNot(e => prePaths.contains(e.path))
+      val removed = pre.entries.filterNot(e => postPaths.contains(e.path))
+      val newDeletes = post.deletes
+        .filterNot(d => pre.deletes.exists(_.path == d.path))
+
+      val fileChanges: Seq[DataFrame] =
+        if (removed.isEmpty && added.nonEmpty)
+          Seq(tag(indexedRead(spark, table, added, finalHdr), "insert", v + 1))
+        else if (removed.nonEmpty) {
+          val oldRows = readWithDeletes(spark, table, removed, pre.deletes,
+            finalHdr).select(outCols.map(col): _*)
+          val newRows =
+            (if (added.isEmpty) oldRows.filter(lit(false))
+             else indexedRead(spark, table, added, finalHdr))
+              .select(outCols.map(col): _*)
+          Seq(tag(newRows.exceptAll(oldRows), "insert", v + 1),
+            tag(oldRows.exceptAll(newRows), "delete", v + 1))
+        } else Seq.empty
+
+      val lazyDeletes: Seq[DataFrame] = newDeletes.map { d =>
+        val keys = spark.read.parquet(s"$table/${d.path}")
+        // prune candidate files driver-side with the keys' min/max vs
+        // manifest stats — one tiny agg job instead of a full scan
+        val mm = keys.agg(min(col(d.col)).cast("double"),
+          max(col(d.col)).cast("double")).head()
+        val candidates =
+          if (mm.isNullAt(0)) Seq.empty
+          else pre.entries.filter(e => e.seq < d.seq &&
+            e.stats.find(_.col == d.col).forall(s =>
+              s.hi >= mm.getDouble(0) && s.lo <= mm.getDouble(1)))
+        if (candidates.isEmpty) None
+        else Some(tag(
+          readWithDeletes(spark, table, candidates, pre.deletes, finalHdr)
+            .join(keys, Seq(d.col), "left_semi"), "delete", v + 1))
+      }.flatten
+
+      fileChanges ++ lazyDeletes
+    }
+
+    if (parts.isEmpty)
+      tag(readVersion(spark, table, toV).filter(lit(false)), "insert", toV)
+        .filter(lit(false))
+    else parts.reduce(_.unionByName(_))
+  }
+
   // ---- driver queries: the deterministic upsert scenario, run through
   // snapshot commits (same batch as q_upsert_merge; its oracle replays
   // the merge, and time travel replays the PRE-merge table)
@@ -1407,11 +1578,73 @@ object SnapshotTable extends QueryPack {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** The SAME id-window rollup as `q_snapshot_skip2`, but pruned by
+    * CATALYST: a plain `.filter` on the relation-backed read — no
+    * bespoke readRange call — whose pushed-down data filters reach
+    * [[SnapshotFileIndex.listFiles]] and skip stat-disjoint files
+    * (plus negated partition equality dropping the `error` files).
+    * Matching `q_snapshot_skip2`'s shape proves the two pruning paths
+    * agree; SnapshotFileIndexSpec pins that files are actually
+    * skipped.
+    */
+  def pushdownQuery(s: SparkSession, dir: String): DataFrame =
+    read(s, eventsScenario(s, dir))
+      .filter(col("event_id").between(100, 299) &&
+        col("event_type") =!= "error")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+
+  /** Change-data-feed rollup: clone the base table, then append (v2),
+    * merge (v3), equality-delete (v4), and aggregate
+    * [[readChangesBetween]](1, 4) per (change type, commit version).
+    * The oracle replays the same three commits relationally — the diff
+    * must surface exactly the appended rows as v2 inserts, each merge
+    * update as a v3 delete+insert pair (carried rows cancel), and the
+    * masked keys as v4 deletes.
+    */
+  def changesQuery(s: SparkSession, dir: String): DataFrame = {
+    val work = cloneTable(s, deleteBase(s, dir))
+    val orders = Tables.orders(s, dir)
+    val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    val fresh = s.range(1, 6).select(
+      (col("id") + maxKey).as("o_orderkey"),
+      lit(1L).as("o_custkey"),
+      lit(123.45).as("o_totalprice"),
+      // match the corpus' physical timestamp type — commitAppend's
+      // schema evolution refuses TZ/NTZ mismatches by design
+      to_timestamp(lit("1999-01-01"))
+        .cast(orders.schema("o_orderdate").dataType).as("o_orderdate"),
+      lit("1-URGENT").as("o_orderpriority"))
+    commitAppend(s, work, fresh, "o_orderpriority")
+    val changed = Tables.orders(s, dir).filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    commitMerge(s, work, changed, "o_orderkey", "o_orderpriority")
+    val keys = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 101 === 0 &&
+        col("o_orderkey").between(1000, 5000))
+      .select(col("o_orderkey"))
+    commitDeleteLazy(s, work, keys, "o_orderkey")
+    readChangesBetween(s, work, 1L, 4L)
+      .groupBy(col("_change_type"), col("_commit_version"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("_commit_version"), col("_change_type"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_snapshot_merge" -> (snapshotMergeQuery _),
     "q_time_travel" -> (timeTravelQuery _),
     "q_snapshot_skip" -> (rangeSkipQuery _),
     "q_snapshot_skip2" -> (rangeSkip2Query _),
+    "q_snapshot_pushdown" -> (pushdownQuery _),
+    "q_snapshot_changes" -> (changesQuery _),
     "q_snapshot_delete" -> (deleteQuery _),
     "q_snapshot_lazy_del" -> (lazyDeleteQuery _),
     "q_snapshot_rename" -> (renameQuery _),
@@ -1510,5 +1743,35 @@ object SnapshotTable extends QueryPack {
         |  CAST(sum(COALESCE(o_bonus, 0)) AS BIGINT) AS bonus_sum,
         |  CAST(sum(o_custkey) AS BIGINT) AS cust_sum
         |FROM unioned GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin)
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_snapshot_pushdown" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  CAST(max(event_id) AS BIGINT) AS max_id
+        |FROM events
+        |WHERE event_id BETWEEN 100 AND 299 AND event_type <> 'error'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_snapshot_changes" ->
+      """WITH fresh AS (
+        |  SELECT (SELECT max(o_orderkey) FROM orders) + i AS o_orderkey,
+        |    123.45 AS o_totalprice
+        |  FROM (SELECT unnest(generate_series(1, 5)) AS i)
+        |), changes AS (
+        |  SELECT 'insert' AS t, 2 AS v, o_orderkey, o_totalprice FROM fresh
+        |  UNION ALL
+        |  SELECT 'delete', 3, o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT 'insert', 3, o_orderkey, o_totalprice + 1000.0
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT 'delete', 4, o_orderkey, o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 101 = 0 AND o_orderkey BETWEEN 1000 AND 5000
+        |)
+        |SELECT t AS _change_type, CAST(v AS BIGINT) AS _commit_version,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM changes GROUP BY t, v ORDER BY _commit_version, _change_type""".stripMargin)
 }

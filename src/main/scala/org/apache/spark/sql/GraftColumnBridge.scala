@@ -11,3 +11,17 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 }
+
+/** Bridge to the `private[sql]` streaming-frame constructor: a V1
+  * streaming Source's `getBatch` must return a DataFrame whose logical
+  * plan carries `isStreaming = true` (MicroBatchExecution asserts it),
+  * and the only way to mint one over a BaseRelation is
+  * `LogicalRelation(relation, isStreaming = true)` + `Dataset.ofRows` —
+  * exactly how Delta's source does it (`DeltaLog.createDataFrame`).
+  */
+object GraftStreamingBridge {
+  def streamingFrame(spark: SparkSession,
+                     relation: sources.BaseRelation): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession],
+      execution.datasources.LogicalRelation(relation, isStreaming = true))
+}

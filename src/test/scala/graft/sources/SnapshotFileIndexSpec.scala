@@ -1,0 +1,155 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Catalyst-driven file skipping through [[SnapshotFileIndex]]: a
+  * PLAIN `.filter` on a snapshot read must prune manifest files via
+  * the pushed-down data filters — no bespoke readRange/readWhere call
+  * — and pruning must stay conservative (unknown shapes scan
+  * everything, results always match an unpruned read).
+  */
+class SnapshotFileIndexSpec extends SparkSpec {
+
+  /** Files the executed plan actually scanned (post listFiles pruning),
+    * summed over every parquet scan, AQE-aware.
+    */
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case other => other.collect {
+        case s: FileSourceScanExec => Seq(s)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      }.flatten
+    }
+    scans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+  }
+
+  private def sorted(df: DataFrame): Seq[String] =
+    df.orderBy("o_orderkey").collect().map(_.toString).toSeq
+
+  private lazy val table: String = {
+    val t = java.nio.file.Files.createTempDirectory("snapidx")
+      .resolve("t").toString
+    SnapshotTable.create(spark, t,
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority")),
+      "o_orderpriority", statsCols = Seq("o_orderkey", "o_custkey"))
+    t
+  }
+
+  private lazy val total: Int =
+    SnapshotTable.readManifest(spark, table, 1L).size
+
+  test("plain range filter on the cluster column prunes files and matches " +
+    "the unpruned result") {
+    val maxKey = Tables.orders(spark, sfDir)
+      .agg(max("o_orderkey")).head().getLong(0)
+    val (lo, hi) = (maxKey / 4, maxKey / 2)
+    val pruned = SnapshotTable.read(spark, table)
+      .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+    val n = scannedFiles(pruned)
+    assert(n < total, s"no skip: scanned $n of $total")
+    assert(sorted(pruned) === sorted(
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)))
+  }
+
+  test("plain equality filter on the partition column prunes via recorded " +
+    "partition values") {
+    val pruned = SnapshotTable.read(spark, table)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val n = scannedFiles(pruned)
+    assert(n < total, s"no skip: scanned $n of $total")
+    assert(sorted(pruned) === sorted(
+      SnapshotTable.readWhere(spark, table, "o_orderpriority",
+        Seq("1-URGENT"))))
+  }
+
+  test("IN-list and OR compose; secondary stats column prunes independently") {
+    val inPruned = SnapshotTable.read(spark, table)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    assert(scannedFiles(inPruned) < total)
+
+    // OR of two disjoint key ranges keeps files matching EITHER side
+    val orPruned = SnapshotTable.read(spark, table)
+      .filter(col("o_orderkey") < 50 || col("o_orderkey") === 51)
+    assert(scannedFiles(orPruned) < total)
+    assert(orPruned.count() ===
+      SnapshotTable.read(spark, table).collect()
+        .count(r => { val k = r.getLong(0); k < 50 || k == 51 }))
+
+    // o_custkey stats ride every file; whether they prune here depends
+    // on correlation, but they must never change the result
+    val sec = SnapshotTable.read(spark, table).filter(col("o_custkey") <= 10)
+    assert(sorted(sec) === sorted(
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .filter(col("o_custkey") <= 10)))
+  }
+
+  test("conservative fallback: filters on a stats-less column, IsNull, and " +
+    "negations scan everything they cannot prove disjoint — and stay correct") {
+    // o_totalprice has no recorded stats → no skipping, full scan
+    val noStats = SnapshotTable.read(spark, table)
+      .filter(col("o_totalprice") > 1e12)
+    assert(scannedFiles(noStats) === total.toLong)
+    assert(noStats.count() === 0L)
+
+    // IsNull can never prune (stats record no null counts)
+    assert(scannedFiles(SnapshotTable.read(spark, table)
+      .filter(col("o_custkey").isNull)) === total.toLong)
+
+    // negated partition equality IS exact on single-valued files
+    val negated = SnapshotTable.read(spark, table)
+      .filter(!(col("o_orderpriority") === "1-URGENT"))
+    assert(scannedFiles(negated) < total)
+    assert(negated.count() ===
+      SnapshotTable.read(spark, table).count() -
+        SnapshotTable.read(spark, table)
+          .filter(col("o_orderpriority") === "1-URGENT").count())
+  }
+
+  test("planning is RPC-free: every manifest entry records bytes, and the " +
+    "index sizeInBytes sums them") {
+    val entries = SnapshotTable.readManifest(spark, table, 1L)
+    assert(entries.forall(_.bytes > 0L), "entry without recorded bytes")
+    val fs = new org.apache.hadoop.fs.Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    entries.foreach { e =>
+      assert(e.bytes === fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(table, e.path)).getLen)
+    }
+  }
+
+  test("filters still prune after a merge commit mixes file generations") {
+    val t = java.nio.file.Files.createTempDirectory("snapidx2")
+      .resolve("t").toString
+    SnapshotTable.create(spark, t,
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority")),
+      "o_orderpriority", statsCols = Seq("o_orderkey"))
+    val updates = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"),
+        col("o_orderpriority"))
+    SnapshotTable.commitMerge(spark, t, updates, "o_orderkey",
+      "o_orderpriority")
+    val m2 = SnapshotTable.readManifest(spark, t, 2L)
+    val pruned = SnapshotTable.read(spark, t).filter(col("o_orderkey") < 100)
+    assert(scannedFiles(pruned) < m2.size)
+    assert(pruned.count() ===
+      Tables.orders(spark, sfDir).filter(col("o_orderkey") < 100).count())
+  }
+}
