@@ -196,16 +196,20 @@ object SnapshotTable extends QueryPack {
   // published Iceberg manifest-list layering; [[foldIfWide]] bounds
   // #segments the way Iceberg's commit-time manifest merge does.
 
-  /** One manifest-list line. `files`/`rows` ride along so [[history]]
-    * and fold decisions read only the list, never the segments.
+  /** One manifest-list line. `files`/`rows`/`bytes` ride along so
+    * [[history]], fold decisions, and the streaming source's byte
+    * admission read only the list, never the segments (bytes 0 =
+    * pre-recording segment; consumers treat it as unknown).
     */
   private[sources] final case class SegmentRef(path: String, files: Int,
-                                               rows: Long)
+                                               rows: Long, bytes: Long = 0L)
 
-  private def segJson(r: SegmentRef): String =
-    s"""{"seg":"${esc(r.path)}","files":${r.files},"rows":${r.rows}}"""
+  private def segJson(r: SegmentRef): String = {
+    val bytes = if (r.bytes == 0L) "" else s""","bytes":${r.bytes}"""
+    s"""{"seg":"${esc(r.path)}","files":${r.files},"rows":${r.rows}$bytes}"""
+  }
   private val segRe =
-    raw"""\{"seg":"(.*)","files":(\d+),"rows":(\d+)\}""".r
+    raw"""\{"seg":"(.*)","files":(\d+),"rows":(\d+)(?:,"bytes":(\d+))?\}""".r
 
   private def delJson(d: DeleteFile): String =
     s"""{"del":"${esc(d.path)}","col":"${esc(d.col)}","rows":${d.rows},"seq":${d.seq}}"""
@@ -226,7 +230,8 @@ object SnapshotTable extends QueryPack {
     try out.write(entries.map(entryJson).mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    SegmentRef(name, entries.size, entries.map(_.rows).sum)
+    SegmentRef(name, entries.size, entries.map(_.rows).sum,
+      entries.map(_.bytes).sum)
   }
 
   private def readLines(f: FileSystem, p: Path): List[String] = {
@@ -261,8 +266,9 @@ object SnapshotTable extends QueryPack {
           quotedRe.findAllMatchIn(b).map(m => unesc(m.group(1))))
         val (segLines, rest2) = rest.partition(_.trim.startsWith("{\"seg\""))
         val refs = segLines.map(_.trim match {
-          case segRe(p, files, rows) =>
-            SegmentRef(unesc(p), files.toInt, rows.toLong)
+          case segRe(p, files, rows, bytesGrp) =>
+            SegmentRef(unesc(p), files.toInt, rows.toLong,
+              Option(bytesGrp).map(_.toLong).getOrElse(0L))
           case other => sys.error(s"snapshot manifest list: bad line: $other")
         })
         val deletes = rest2.map(_.trim match {
@@ -407,7 +413,8 @@ object SnapshotTable extends QueryPack {
   private def writeDataFiles(spark: SparkSession, table: String, df: DataFrame,
                              partCol: String,
                              namePrefix: Option[String] = None,
-                             statsCols: Seq[String] = Seq.empty): Seq[FileEntry] = {
+                             statsCols: Seq[String] = Seq.empty,
+                             clusterExpr: Option[org.apache.spark.sql.Column] = None): Seq[FileEntry] = {
     val f = fs(spark, table)
     // a batch may legally OMIT a recorded stats column (ADD-only
     // evolution allows absent columns) — its files then carry no stats
@@ -431,16 +438,22 @@ object SnapshotTable extends QueryPack {
     // serializes into one writer task (maxRecordsPerFile bounds its
     // FILES, not its wall clock) — the standard remedy, salting the
     // repartition key, is the caller's choice at ingest shape.
-    val clustered = effStats.headOption match {
+    val clustered = (clusterExpr, effStats.headOption) match {
+      // an explicit cluster expression (the Z-order path) range-splits
+      // on it AND sorts within tasks, so every file covers a compact
+      // curve segment — tight min/max boxes over every interleaved dim
+      case (Some(z), _) => df.repartitionByRange(
+        df.sparkSession.sessionState.conf.numShufflePartitions, z)
+        .sortWithinPartitions(z)
       // explicit partition count: a bare repartitionByRange is an
       // AQE-coalescible shuffle, and coalescing the range splits back
       // together leaves every file spanning the whole keyspace — stats
       // that can never skip. The explicit count (REPARTITION_BY_NUM) is
       // exempt from coalescing; callers size shuffle.partitions to the
       // corpus as everywhere else in the repo.
-      case Some(sc) => df.repartitionByRange(
+      case (None, Some(sc)) => df.repartitionByRange(
         df.sparkSession.sessionState.conf.numShufflePartitions, col(sc))
-      case None     => df.repartition(col(partCol))
+      case (None, None)     => df.repartition(col(partCol))
     }
     // stamp field ids from the column metadata into the parquet files
     // (Spark's default, asserted explicitly — rename/drop depend on it)
@@ -610,6 +623,22 @@ object SnapshotTable extends QueryPack {
       indexedRelation(spark, table, entries, hdr.schema.getOrElse(
         sys.error(s"snapshot table $table has no recorded schema")),
         hdr.partCol))
+
+  /** Data bytes version `v` added, from the manifest LISTS alone (the
+    * refs new in `v`'s list vs its predecessor's) — the streaming
+    * source's byte-admission probe: two small list reads, no segment
+    * I/O. A commit that also FOLDED segments over-counts (the folded
+    * segment looks fresh) — admission then conservatively under-admits,
+    * never over.
+    */
+  private[graft] def freshBytesAt(spark: SparkSession, table: String,
+                                  v: Long): Long = {
+    val cur = readManifestList(spark, table, v)._1
+    val prev =
+      if (v <= 1L) Set.empty[String]
+      else readManifestList(spark, table, v - 1)._1.map(_.path).toSet
+    cur.filterNot(r => prev.contains(r.path)).map(_.bytes).sum
+  }
 
   /** The recorded (current-version) table schema, nullable-ized the way
     * every read path serves it. Loud failure for pre-schema tables.
@@ -934,6 +963,52 @@ object SnapshotTable extends QueryPack {
         fresh, Seq.empty, hdr)
       (v + 1, small.size, fresh.size)
     }
+  }
+
+  /** Z-ORDER maintenance (the OPTIMIZE ZORDER BY analogue): rewrite the
+    * table ordered by the Morton interleave of TWO numeric/timestamp
+    * columns, so every file covers a compact curve segment — a tight
+    * min/max box over BOTH dimensions at once. 1-D range clustering
+    * prunes a second column only as far as it correlates with the
+    * first; after z-clustering, predicates on EITHER column (or both)
+    * skip files through the same per-file stats, with no correlation
+    * required — the standard lakehouse answer for two independent query
+    * dimensions (time + user, time + key, …).
+    *
+    * Each dimension is scaled to a 16-bit bucket over its observed
+    * [min, max] (one agg pass), interleaved with
+    * [[graft.operators.ZOrder.zValue]], and the rewrite range-splits +
+    * sorts on the code. Both columns join the header's stats list, so
+    * later appends keep recording them. A full-table rewrite — run it
+    * at the cadence you would run compaction; readers pinned to older
+    * versions are unaffected (it is one atomic commit like any other).
+    * Returns the new version.
+    */
+  def clusterZOrder(spark: SparkSession, table: String, partCol: String,
+                    dimA: String, dimB: String): Long = {
+    val v = currentVersion(spark, table)
+    val meta = readMeta(spark, table, v)
+    requireNoPendingDeletes(table, meta, "clusterZOrder")
+    val hdr = meta.hdr
+    val df = indexedRead(spark, table, meta.entries, hdr)
+    val b = df.agg(
+      min(col(dimA)).cast("double"), max(col(dimA)).cast("double"),
+      min(col(dimB)).cast("double"), max(col(dimB)).cast("double")).head()
+    require(!b.isNullAt(0) && !b.isNullAt(2),
+      s"clusterZOrder: $dimA/$dimB have no non-null values")
+    def bucket(c: String, lo: Double, hi: Double) =
+      ((col(c).cast("double") - lit(lo)) /
+        lit(math.max(hi - lo, 1e-12)) * lit(65535.0)).cast("long")
+    val z = graft.operators.ZOrder.zValue(
+      bucket(dimA, b.getDouble(0), b.getDouble(1)),
+      bucket(dimB, b.getDouble(2), b.getDouble(3)))
+    val statsCols = (hdr.statsCols ++ Seq(dimA, dimB)).distinct
+    val fresh = writeDataFiles(spark, table, df, partCol,
+      statsCols = statsCols, clusterExpr = Some(z))
+    commitRewrite(spark, table, v, meta.segs,
+      meta.entries.map(_.path).toSet, fresh, Seq.empty,
+      hdr.copy(statsCols = statsCols))
+    v + 1
   }
 
   /** Row-level DELETE: drop rows matching `predicate`, rewriting ONLY
@@ -1459,6 +1534,51 @@ object SnapshotTable extends QueryPack {
         max(col("event_id")).as("max_id"))
       .orderBy(col("event_type"))
 
+  // z-order scenario: the events corpus rewritten by clusterZOrder on
+  // (ts, user_id) — two INDEPENDENT dimensions (user ids are uniform
+  // across time), so 1-D ts clustering could never prune a user_id
+  // predicate. Read-only after the cluster commit → memoized.
+  @volatile private var zorderMemo: Option[((SparkSession, String), String)] = None
+
+  private def zorderScenario(s: SparkSession, dir: String): String =
+    zorderMemo match {
+      case Some((k, w)) if k == ((s, dir)) => w
+      case _ => synchronized {
+        zorderMemo match {
+          case Some((k, w)) if k == ((s, dir)) => w
+          case _ =>
+            val work = java.nio.file.Files
+              .createTempDirectory("graft_snapshot_zo").resolve("t").toString
+            create(s, work, Tables.events(s, dir)
+              .select(Seq("event_id", "ts", "user_id", "event_type",
+                "value").map(col): _*),
+              "event_type", statsCols = Seq("ts"))
+            clusterZOrder(s, work, "event_type", "ts", "user_id")
+            zorderMemo = Some(((s, dir), work))
+            work
+        }
+      }
+    }
+
+  /** Per-type rollup of a (time window × user band) read on the
+    * z-clustered table — BOTH predicates reach
+    * [[SnapshotFileIndex.listFiles]] as plain pushed filters and BOTH
+    * prune files, which no 1-D layout could do for the uncorrelated
+    * user dimension. Correct only if the z-rewrite lost no row and the
+    * 2-D pruning drops only proven-disjoint files.
+    */
+  def zorderQuery(s: SparkSession, dir: String): DataFrame =
+    read(s, zorderScenario(s, dir))
+      .filter(col("ts").between(
+        lit("2024-01-08 00:00:00").cast("timestamp"),
+        lit("2024-01-16 00:00:00").cast("timestamp")) &&
+        col("user_id") <= 4)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+
   // the delete query's PRIVATE base table (it cannot share the merge
   // scenario: a delete commit would advance the version the other
   // queries read) — built once per (session, corpus) and CLONED per
@@ -1597,15 +1717,44 @@ object SnapshotTable extends QueryPack {
         max(col("event_id")).as("max_id"))
       .orderBy(col("event_type"))
 
-  /** Change-data-feed rollup: clone the base table, then append (v2),
-    * merge (v3), equality-delete (v4), and aggregate
+  // the CDC scenario commits once (append, merge, lazy delete) and is
+  // READ-ONLY afterwards — readChangesBetween never advances versions —
+  // so it memoizes like the merge/events scenarios and repeated bench
+  // runs measure the change-feed read, not a repeated table build
+  @volatile private var changesMemo: Option[((SparkSession, String), String)] = None
+
+  private def changesScenario(s: SparkSession, dir: String): String =
+    changesMemo match {
+      case Some((k, w)) if k == ((s, dir)) => w
+      case _ => synchronized {
+        changesMemo match {
+          case Some((k, w)) if k == ((s, dir)) => w
+          case _ =>
+            val w = buildChangesScenario(s, dir)
+            changesMemo = Some(((s, dir), w))
+            w
+        }
+      }
+    }
+
+  /** Change-data-feed rollup: on a clone of the base table, append
+    * (v2), merge (v3), equality-delete (v4), and aggregate
     * [[readChangesBetween]](1, 4) per (change type, commit version).
     * The oracle replays the same three commits relationally — the diff
     * must surface exactly the appended rows as v2 inserts, each merge
     * update as a v3 delete+insert pair (carried rows cancel), and the
     * masked keys as v4 deletes.
     */
-  def changesQuery(s: SparkSession, dir: String): DataFrame = {
+  def changesQuery(s: SparkSession, dir: String): DataFrame =
+    readChangesBetween(s, changesScenario(s, dir), 1L, 4L)
+      .groupBy(col("_change_type"), col("_commit_version"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("_commit_version"), col("_change_type"))
+
+  private def buildChangesScenario(s: SparkSession, dir: String): String = {
     val work = cloneTable(s, deleteBase(s, dir))
     val orders = Tables.orders(s, dir)
     val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
@@ -1629,13 +1778,7 @@ object SnapshotTable extends QueryPack {
         col("o_orderkey").between(1000, 5000))
       .select(col("o_orderkey"))
     commitDeleteLazy(s, work, keys, "o_orderkey")
-    readChangesBetween(s, work, 1L, 4L)
-      .groupBy(col("_change_type"), col("_commit_version"))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
-          .as("total_price"),
-        max(col("o_orderkey")).as("max_key"))
-      .orderBy(col("_commit_version"), col("_change_type"))
+    work
   }
 
   override def queries: Map[String, QueryPack.Q] = Map(
@@ -1644,6 +1787,7 @@ object SnapshotTable extends QueryPack {
     "q_snapshot_skip" -> (rangeSkipQuery _),
     "q_snapshot_skip2" -> (rangeSkip2Query _),
     "q_snapshot_pushdown" -> (pushdownQuery _),
+    "q_snapshot_zorder" -> (zorderQuery _),
     "q_snapshot_changes" -> (changesQuery _),
     "q_snapshot_delete" -> (deleteQuery _),
     "q_snapshot_lazy_del" -> (lazyDeleteQuery _),
@@ -1750,6 +1894,14 @@ object SnapshotTable extends QueryPack {
         |  CAST(max(event_id) AS BIGINT) AS max_id
         |FROM events
         |WHERE event_id BETWEEN 100 AND 299 AND event_type <> 'error'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_snapshot_zorder" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  CAST(max(event_id) AS BIGINT) AS max_id
+        |FROM events
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+        |  AND TIMESTAMP '2024-01-16 00:00:00' AND user_id <= 4
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_snapshot_changes" ->
       """WITH fresh AS (

@@ -131,6 +131,56 @@ class SnapshotFileIndexSpec extends SparkSpec {
     }
   }
 
+  test("clusterZOrder makes BOTH interleaved dimensions prunable — " +
+    "including one a 1-D layout could never skip on — and loses no row") {
+    val t = java.nio.file.Files.createTempDirectory("snapzo")
+      .resolve("t").toString
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    SnapshotTable.create(spark, t, ev, "event_type",
+      statsCols = Seq("ts"))
+    val before = SnapshotTable.read(spark, t)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // pre-cluster: user_id has no stats → a user predicate scans all
+    val preTotal = SnapshotTable.readManifest(spark, t, 1L).size
+    assert(scannedFiles(SnapshotTable.read(spark, t)
+      .filter(col("user_id") <= 2)) === preTotal.toLong)
+
+    SnapshotTable.clusterZOrder(spark, t, "event_type", "ts", "user_id")
+    val total = SnapshotTable.readManifest(spark, t, 2L).size
+
+    // rewrite is lossless
+    assert(SnapshotTable.read(spark, t)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === before)
+
+    // both dims now prune, independently and together
+    val byUser = SnapshotTable.read(spark, t).filter(col("user_id") <= 2)
+    val nUser = scannedFiles(byUser)
+    assert(nUser < total, s"no user_id skip: $nUser of $total")
+    assert(byUser.count() ===
+      ev.filter(col("user_id") <= 2).count())
+
+    val tsLo = lit("2024-01-05 00:00:00").cast("timestamp")
+    val tsHi = lit("2024-01-10 00:00:00").cast("timestamp")
+    // note: scannedFiles is once-per-Dataset — a second action resets
+    // the plan's metrics and the driver-side numFiles never re-posts
+    val nTs = scannedFiles(SnapshotTable.read(spark, t)
+      .filter(col("ts").between(tsLo, tsHi)))
+    assert(nTs < total)
+
+    val byBoth = SnapshotTable.read(spark, t)
+      .filter(col("ts").between(tsLo, tsHi) && col("user_id") <= 2)
+    val nBoth = scannedFiles(byBoth)
+    assert(nBoth <= math.min(nTs, nUser))
+    assert(byBoth.count() ===
+      ev.filter(col("ts").between(tsLo, tsHi) && col("user_id") <= 2)
+        .count())
+  }
+
   test("filters still prune after a merge commit mixes file generations") {
     val t = java.nio.file.Files.createTempDirectory("snapidx2")
       .resolve("t").toString

@@ -161,6 +161,44 @@ class SnapshotSourceSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("maxBytesPerTrigger admits whole versions within the byte budget, " +
+    "at least one per batch") {
+    val t = freshTable("snapsrc_bytes")
+    appendBatch(t, 7000000L) // v2
+    appendBatch(t, 7100000L) // v3
+    val dir = java.nio.file.Files.createTempDirectory("snapsrc_bytes_out")
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    def drain(budget: Long, cp: String, out: String): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("startingVersion", "0")
+        .option("maxBytesPerTrigger", budget.toString)
+        .load(t).writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batches.incrementAndGet()
+          batch.write.mode("append").parquet(out); ()
+        }
+        .option("checkpointLocation", cp)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination()
+    }
+
+    // a 1-byte budget still progresses: one version per batch → 3
+    drain(1L, s"$dir/cp1", s"$dir/out1")
+    assert(batches.get() === 3)
+    // a huge budget drains everything in one batch
+    batches.set(0)
+    drain(Long.MaxValue, s"$dir/cp2", s"$dir/out2")
+    assert(batches.get() === 1)
+    // both paths emit identical row sets
+    assert(spark.read.parquet(s"$dir/out1").exceptAll(
+      spark.read.parquet(s"$dir/out2")).count() === 0L)
+    assert(spark.read.parquet(s"$dir/out2").exceptAll(
+      spark.read.parquet(s"$dir/out1")).count() === 0L)
+  }
+
   test("table-to-table streaming ETL: source table → snapshot sink lands " +
     "every appended row exactly once") {
     val src = freshTable("snapsrc_t2t")
