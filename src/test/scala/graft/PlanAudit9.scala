@@ -17,7 +17,9 @@ object PlanAudit9 {
     val dir = "/root/testdata/sf0.001"
 
     for (name <- Seq("q_snapshot_skip2", "q_snapshot_delete", "q_ann_lsh",
-        "q_ann_ivf", "q_ann_batch", "q_ann_batch_ivf")) {
+        "q_ann_ivf", "q_ann_batch", "q_ann_batch_ivf",
+        "q_snapshot_pushdown", "q_snapshot_zorder", "q_snapshot_changes",
+        "q_snapshot_tail")) {
       val df = SparkEntry.queries(name)(spark, dir)
       val plan = df.queryExecution.executedPlan.toString
       val ex = "Exchange".r.findAllIn(plan).length
@@ -39,6 +41,44 @@ object PlanAudit9 {
       .inputFiles.length
     println(s"SKIP2 files: all=$evAll event_id(100..299)=$evPruned " +
       "(pruned on the NON-cluster column via ts-correlation)")
+
+    // (a2) Catalyst-pushdown skipping: files the EXECUTED plan scanned
+    // (post listFiles pruning) for a plain .filter on the relation read
+    def scanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case other => other.collect {
+          case sc: FileSourceScanExec => Seq(sc)
+          case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        }.flatten
+      }
+      scans(df.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+    }
+    val pd = st.read(spark, ev)
+      .filter(col("event_id").between(100, 299) &&
+        col("event_type") =!= "error")
+    println(s"PUSHDOWN files: all=${st.read(spark, ev).inputFiles.length} " +
+      s"plain_filter_scanned=${scanned(pd)}")
+
+    // (a3) Z-order: pruning on the dim a 1-D layout cannot skip
+    val zo = java.nio.file.Files.createTempDirectory("audit9zo")
+      .resolve("t").toString
+    st.create(spark, zo, Tables.events(spark, dir)
+      .select(Seq("event_id", "ts", "user_id", "event_type", "value").map(col): _*),
+      "event_type", statsCols = Seq("ts"))
+    val preUser = scanned(st.read(spark, zo).filter(col("user_id") <= 2))
+    st.clusterZOrder(spark, zo, "event_type", "ts", "user_id")
+    val zoAll = st.read(spark, zo).inputFiles.length
+    val postUser = scanned(st.read(spark, zo).filter(col("user_id") <= 2))
+    val postBoth = scanned(st.read(spark, zo).filter(col("user_id") <= 2 &&
+      col("ts") < org.apache.spark.sql.functions.lit("2024-01-10 00:00:00")
+        .cast("timestamp")))
+    println(s"ZORDER files: pre_user_pred=$preUser (of all) " +
+      s"post all=$zoAll user_pred=$postUser user+ts_pred=$postBoth")
 
     // (b) ANN index pruning: probed buckets' files vs index total
     val (lshPath, planes) = graft.operators.AnnSearch.ensureLshIndex(spark, dir)
