@@ -21,6 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     // opt-in ANN top-k rewrite (spark.graft.ann.rewrite=true)
     e.injectOptimizerRule(_ => graft.plans.AnnTopKRewrite)
+    // snapshot-table SQL surface: snapshot_table(path[, version]) and
+    // snapshot_changes(path, from, to) table-valued functions
+    graft.sources.SnapshotSql.tvfs.foreach { case (name, info, builder) =>
+      e.injectTableFunction((new FunctionIdentifier(name), info, builder))
+    }
     e.injectFunction((
       new FunctionIdentifier("topk_by"),
       new ExpressionInfo(

@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.apache.spark.sql.{GraftRegistryBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `[EXT]` SQL surface for snapshot tables — TABLE-VALUED FUNCTIONS, so
+  * a SQL-only user reaches the whole lakehouse layer without the Scala
+  * API (the published `delta.`/Iceberg SQL-extension shape, done with
+  * Spark's native TVF registry instead of a parser extension):
+  *
+  * {{{
+  * SELECT * FROM snapshot_table('/path/to/t')             -- current
+  * SELECT * FROM snapshot_table('/path/to/t', 3)          -- time travel
+  * SELECT * FROM snapshot_changes('/path/to/t', 1, 4)     -- CDC feed
+  * }}}
+  *
+  * The TVF resolves to the SAME relation the Scala API plans
+  * ([[SnapshotFileIndex]]-backed), so WHERE predicates on a
+  * `snapshot_table` scan push down into manifest file skipping like
+  * any other filter. Registered per session via [[register]], or for
+  * every session through `spark.sql.extensions=graft.GraftExtensions`
+  * (both paths share [[tvfs]]).
+  *
+  * Arguments must be literals — these functions pin a table/version at
+  * ANALYSIS time (exactly the snapshot-isolation contract: the plan
+  * stays on those files however long the query runs).
+  */
+object SnapshotSql {
+
+  private def strArg(fn: String, exprs: Seq[Expression], i: Int): String =
+    exprs(i) match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a string literal, got $other")
+    }
+
+  private def longArg(fn: String, exprs: Seq[Expression], i: Int): Long =
+    exprs(i) match {
+      case Literal(v: java.lang.Integer, IntegerType) => v.toLong
+      case Literal(v: java.lang.Long, LongType)       => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an integer literal, got $other")
+    }
+
+  /** (name, info, builder) triples — shared by [[register]] and
+    * [[graft.GraftExtensions]].
+    */
+  def tvfs: Seq[(String, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
+    ("snapshot_table",
+      new ExpressionInfo(getClass.getName, null, "snapshot_table",
+        "_FUNC_(path[, version]) - read a snapshot table at its current " +
+          "(or a pinned) version; predicates push down into manifest " +
+          "file skipping",
+        "_FUNC_(string[, bigint])"),
+      (exprs: Seq[Expression]) => {
+        val spark = SparkSession.active
+        val path = strArg("snapshot_table", exprs, 0)
+        val df = exprs.length match {
+          case 1 => SnapshotTable.read(spark, path)
+          case 2 => SnapshotTable.readVersion(spark, path,
+            longArg("snapshot_table", exprs, 1))
+          case n => throw new IllegalArgumentException(
+            s"snapshot_table: expected 1 or 2 arguments, got $n")
+        }
+        df.queryExecution.logical
+      }),
+    ("snapshot_changes",
+      new ExpressionInfo(getClass.getName, null, "snapshot_changes",
+        "_FUNC_(path, from_version, to_version) - row-level change feed " +
+          "committed in (from, to]: data columns plus _change_type " +
+          "(insert|delete) and _commit_version",
+        "_FUNC_(string, bigint, bigint)"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"snapshot_changes: expected 3 arguments, got ${exprs.length}")
+        val spark = SparkSession.active
+        SnapshotTable.readChangesBetween(spark,
+          strArg("snapshot_changes", exprs, 0),
+          longArg("snapshot_changes", exprs, 1),
+          longArg("snapshot_changes", exprs, 2))
+          .queryExecution.logical
+      }))
+
+  /** Imperative per-session registration (idempotent — re-registering
+    * replaces the previous builder).
+    */
+  def register(spark: SparkSession): Unit =
+    tvfs.foreach { case (name, info, builder) =>
+      GraftRegistryBridge.registerTableFunction(spark, name, info, builder)
+    }
+}

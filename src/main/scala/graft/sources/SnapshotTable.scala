@@ -624,6 +624,44 @@ object SnapshotTable extends QueryPack {
         sys.error(s"snapshot table $table has no recorded schema")),
         hdr.partCol))
 
+  /** The streaming source's window probe: entries versions
+    * `(fromV, toV]` ADDED, the `toV` header, plus what an insert-only
+    * consumer cannot represent — removed data-file paths and fresh
+    * equality-delete files. The append-only steady state takes the
+    * FAST PATH: every `fromV` segment carried by NAME in `toV`'s list
+    * means only fresh segments hold new entries, so the probe reads two
+    * manifest lists + the fresh segments — O(changed), never O(table).
+    * A list with dropped segment refs (a rewrite commit OR a pure
+    * commit-time fold) falls back to the full entry diff to tell the
+    * two apart — the fold is metadata-only reorganization and yields an
+    * empty removed set.
+    */
+  private[graft] def appendWindow(spark: SparkSession, table: String,
+                                  fromV: Long, toV: Long): (Seq[FileEntry], Header, Seq[String], Seq[DeleteFile]) = {
+    val (postRefs, postDels, postHdr) = readListRaw(spark, table, toV)
+    val (preRefs, preDels) =
+      if (fromV <= 0) (Seq.empty[SegmentRef], Seq.empty[DeleteFile])
+      else { val (r, d, _) = readListRaw(spark, table, fromV); (r, d) }
+    val newDeletes = postDels.filterNot(d => preDels.exists(_.path == d.path))
+    val postRefSet = postRefs.map(_.path).toSet
+    if (preRefs.forall(r => postRefSet.contains(r.path))) {
+      val preRefSet = preRefs.map(_.path).toSet
+      val fresh = postRefs.filterNot(r => preRefSet.contains(r.path))
+      (fresh.flatMap(readSegment(spark, table, _)), postHdr, Seq.empty,
+        newDeletes)
+    } else {
+      val post = postRefs.flatMap(readSegment(spark, table, _))
+      val pre =
+        if (fromV <= 0) Seq.empty[FileEntry]
+        else readManifestFull(spark, table, fromV)._1
+      val prePaths = pre.map(_.path).toSet
+      val postPaths = post.map(_.path).toSet
+      (post.filterNot(e => prePaths.contains(e.path)), postHdr,
+        pre.filterNot(e => postPaths.contains(e.path)).map(_.path),
+        newDeletes)
+    }
+  }
+
   /** Data bytes version `v` added, from the manifest LISTS alone (the
     * refs new in `v`'s list vs its predecessor's) — the streaming
     * source's byte-admission probe: two small list reads, no segment
@@ -1781,7 +1819,25 @@ object SnapshotTable extends QueryPack {
     work
   }
 
+  /** The `q_snapshot_skip` rollup, expressed entirely in SQL through
+    * the [[SnapshotSql]] `snapshot_table` TVF — the plain WHERE range
+    * must reach [[SnapshotFileIndex]] as pushed data filters and hash-
+    * match the Scala readRange path exactly (same oracle).
+    */
+  def sqlQuery(s: SparkSession, dir: String): DataFrame = {
+    SnapshotSql.register(s)
+    val t = scenario(s, dir)
+    s.sql(
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+         |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+         |FROM snapshot_table('$t')
+         |WHERE o_orderkey BETWEEN 1000 AND 3000
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
+    "q_snapshot_sql" -> (sqlQuery _),
     "q_snapshot_merge" -> (snapshotMergeQuery _),
     "q_time_travel" -> (timeTravelQuery _),
     "q_snapshot_skip" -> (rangeSkipQuery _),
@@ -1795,6 +1851,29 @@ object SnapshotTable extends QueryPack {
     "q_snapshot_evolve" -> (evolveQuery _))
 
   override def oracleSql: Map[String, String] = Map(
+    "q_snapshot_sql" ->
+      """WITH changed AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |), fresh AS (
+        |  SELECT (SELECT max(o_orderkey) FROM orders) + i AS o_orderkey,
+        |    CAST(1 AS BIGINT) AS o_custkey, 123.45 AS o_totalprice,
+        |    '1999-01-01' AS o_orderdate, '1-URGENT' AS o_orderpriority
+        |  FROM (SELECT unnest(generate_series(1, 5)) AS i)
+        |), upd AS (
+        |  SELECT * FROM changed UNION ALL SELECT * FROM fresh
+        |), merged AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM upd
+        |)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM merged WHERE o_orderkey BETWEEN 1000 AND 3000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_snapshot_merge" ->
       """WITH changed AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,

@@ -137,21 +137,17 @@ final class SnapshotSource(sqlContext: SQLContext, table: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = ver(end)
     val fromV = start.map(ver).getOrElse(startVersion)
-    val (postEntries, postHdr) =
-      SnapshotTable.readManifestFull(spark, table, endV)
-    val preEntries =
-      if (fromV <= 0) Seq.empty
-      else SnapshotTable.readManifestFull(spark, table, fromV)._1
-    val prePaths = preEntries.map(_.path).toSet
-    val postPaths = postEntries.map(_.path).toSet
-    val removed = preEntries.filterNot(e => postPaths.contains(e.path))
-    if (removed.nonEmpty && !ignoreChanges)
+    // O(changed) in the append-only steady state: two manifest lists +
+    // the window's fresh segments (appendWindow's fast path); only a
+    // rewrite or segment fold in the window reads full manifests
+    val (added, postHdr, removed, newDeletes) =
+      SnapshotTable.appendWindow(spark, table, fromV, endV)
+    if ((removed.nonEmpty || newDeletes.nonEmpty) && !ignoreChanges)
       sys.error(s"snapshot source: versions ($fromV, $endV] of $table " +
-        s"rewrote ${removed.size} file(s) (merge/delete/compaction). " +
-        "An insert-only stream cannot represent that; set " +
-        "ignoreChanges=true to skip removals, or consume " +
-        "readChangesBetween as a batch.")
-    val added = postEntries.filterNot(e => prePaths.contains(e.path))
+        s"rewrote ${removed.size} file(s) and committed " +
+        s"${newDeletes.size} equality delete(s). An insert-only stream " +
+        "cannot represent removals; set ignoreChanges=true to skip " +
+        "them, or consume readChangesBetween as a batch.")
     highWater = math.max(highWater, endV)
     SnapshotTable.readEntriesStreaming(spark, table, added, postHdr)
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)

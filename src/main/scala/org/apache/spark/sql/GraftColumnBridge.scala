@@ -25,3 +25,17 @@ object GraftStreamingBridge {
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession],
       execution.datasources.LogicalRelation(relation, isStreaming = true))
 }
+
+/** Bridge to the `private[sql]` session-state registries — imperative
+  * (per-session) registration of table-valued functions, for sessions
+  * built without `spark.sql.extensions` (the extensions path registers
+  * the same builders via `injectTableFunction`).
+  */
+object GraftRegistryBridge {
+  def registerTableFunction(
+      spark: SparkSession, name: String,
+      info: catalyst.expressions.ExpressionInfo,
+      builder: Seq[catalyst.expressions.Expression] => catalyst.plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.tableFunctionRegistry
+      .registerFunction(catalyst.FunctionIdentifier(name), info, builder)
+}

@@ -161,6 +161,42 @@ class SnapshotSourceSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("an equality-delete commit in the window fails the insert-only " +
+    "stream like a rewrite does") {
+    val t = freshTable("snapsrc_eqdel")
+    SnapshotTable.commitDeleteLazy(spark, t,
+      Tables.orders(spark, sfDir).limit(1).select("o_orderkey"),
+      "o_orderkey") // v2: logical removal, no files rewritten
+    val dir = java.nio.file.Files.createTempDirectory("snapsrc_eqdel_out")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(t, s"$dir/cp", s"$dir/out", Map("startingVersion" -> "1"))
+    }
+    assert(err.getMessage.contains("equality delete") ||
+      Option(err.getCause).exists(_.getMessage.contains("equality delete")))
+  }
+
+  test("a segment fold inside the window does not masquerade as a rewrite " +
+    "— the slow path diffs entries and keeps the stream exactly-once") {
+    val t = freshTable("snapsrc_fold")
+    import spark.implicits._
+    // enough appends to cross the fold threshold (32 segments)
+    val n = 35
+    (1 to n).foreach { i =>
+      SnapshotTable.commitAppend(spark, t,
+        Seq((9000000L + i, 1L, 1.0, "1-URGENT"))
+          .toDF("o_orderkey", "o_custkey", "o_totalprice",
+            "o_orderpriority"),
+        "o_orderpriority")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("snapsrc_fold_out")
+    drain(t, s"$dir/cp", s"$dir/out", Map("startingVersion" -> "0"))
+    val baseN = SnapshotTable.readVersion(spark, t, 1L).count()
+    val all = spark.read.parquet(s"$dir/out")
+    assert(all.count() === baseN + n)
+    assert(all.groupBy("o_orderkey").count().filter(col("count") > 1)
+      .count() === 0L)
+  }
+
   test("maxBytesPerTrigger admits whole versions within the byte budget, " +
     "at least one per batch") {
     val t = freshTable("snapsrc_bytes")
