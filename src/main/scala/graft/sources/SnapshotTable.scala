@@ -1643,16 +1643,34 @@ object SnapshotTable extends QueryPack {
       }
     }
 
-  /** Copy a committed table's files to a fresh location — immutable
-    * files, so a plain recursive copy IS a valid clone at any quiesced
-    * version (the sandbox stand-in for an object-store server-side
-    * copy; at scale you would time-travel-read the source instead).
+  /** Clone a committed table to a fresh location — immutable files
+    * make ANY faithful copy a valid clone at a quiesced version (the
+    * sandbox stand-in for an object-store server-side copy; at scale
+    * you would time-travel-read the source instead). On a local
+    * filesystem the clone is HARD LINKS — O(files) metadata, zero data
+    * bytes moved, and mutation-safe both ways: data files and
+    * manifests are never modified in place, and a vacuum on either
+    * side unlinks only its own directory entry.
     */
   private def cloneTable(s: SparkSession, src: String): String = {
     val dst = java.nio.file.Files
       .createTempDirectory("graft_snapshot_del").resolve("t").toString
     val f = fs(s, src)
-    require(org.apache.hadoop.fs.FileUtil.copy(f, new Path(src), f,
+    if (f.getScheme == "file") {
+      val base = java.nio.file.Paths.get(src)
+      val out = java.nio.file.Paths.get(dst)
+      val it = java.nio.file.Files.walk(base).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val target = out.resolve(base.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(target)
+        else {
+          java.nio.file.Files.createDirectories(target.getParent)
+          java.nio.file.Files.createLink(target, p)
+        }
+      }
+    } else require(org.apache.hadoop.fs.FileUtil.copy(f, new Path(src), f,
       new Path(dst), false, s.sparkContext.hadoopConfiguration),
       s"snapshot clone: could not copy $src")
     dst
