@@ -119,7 +119,11 @@ final class SnapshotFileIndex(
     case _                           => None
   }
 
-  private def isPart(name: String): Boolean = partCol.contains(name)
+  // per-entry: under partition evolution a file's recorded values may
+  // belong to an older layout's column — only its own stamp (or the
+  // table default for pre-stamp manifests) may prune on it
+  private def isPart(e: FileEntry, name: String): Boolean =
+    e.effPartCol(partCol).contains(name)
 
   /** May a row of `e` satisfy `x OP v`? False only on stats/partition
     * proof of disjointness.
@@ -141,7 +145,7 @@ final class SnapshotFileIndex(
     // recorded partition values (exact, works for string columns where
     // min/max stats are never recorded)
     val partOk =
-      if (op != "=" || !isPart(name)) true
+      if (op != "=" || !isPart(e, name)) true
       else (e.parts, litPart(v)) match {
         case (Some(ps), Some(s)) => ps.contains(s)
         case _                   => true
@@ -181,7 +185,7 @@ final class SnapshotFileIndex(
       // single-valued files (the writer's invariant) make negated
       // partition equality exact: every row has the recorded value
       case EqualTo(a: AttributeReference, v: Literal)
-          if isPart(a.name) =>
+          if isPart(e, a.name) =>
         (e.parts, litPart(v)) match {
           case (Some(Seq(only)), Some(s)) => only != s
           case _                          => true

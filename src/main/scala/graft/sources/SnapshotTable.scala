@@ -74,7 +74,15 @@ object SnapshotTable extends QueryPack {
     */
   final case class FileEntry(path: String, parts: Option[Seq[String]],
                              rows: Long, stats: Seq[ColStats] = Seq.empty,
-                             seq: Long = 0L, bytes: Long = 0L)
+                             seq: Long = 0L, bytes: Long = 0L,
+                             partBy: Option[String] = None) {
+    /** The column this file's `parts` values belong to — its own stamp,
+      * or (pre-partition-evolution manifests) the table default. Parts
+      * pruning on any OTHER column must never skip this file.
+      */
+    def effPartCol(default: Option[String]): Option[String] =
+      partBy.orElse(default)
+  }
 
   /** One equality-delete line in the manifest list (the Iceberg v2
     * merge-on-read construction): `path` is a small parquet of `col`
@@ -150,17 +158,18 @@ object SnapshotTable extends QueryPack {
     // 100k RPCs per query saved; 0 = unknown (legacy entry), statted
     // lazily on first plan
     val bytes = if (e.bytes == 0L) "" else s""","bytes":${e.bytes}"""
-    s"""{"path":"${esc(e.path)}","parts":$parts,"rows":${e.rows}$bytes$stats$seq}"""
+    val pcol = e.partBy.fold("")(c => s""","pcol":"${esc(c)}"""")
+    s"""{"path":"${esc(e.path)}","parts":$parts,"rows":${e.rows}$bytes$pcol$stats$seq}"""
   }
 
   private val entryRe =
-    raw"""\{"path":"(.*)","parts":(\[.*\]|"\*"),"rows":(\d+)(,"bytes":(\d+))?(,"stats":\[(.*)\])?(,"seq":(\d+))?\}""".r
+    raw"""\{"path":"(.*)","parts":(\[.*\]|"\*"),"rows":(\d+)(,"bytes":(\d+))?(,"pcol":"((?:[^"\\]|\\.)*)")?(,"stats":\[(.*)\])?(,"seq":(\d+))?\}""".r
   private val statsItemRe =
     raw"""\{"col":"((?:[^"\\]|\\.)*)","lo":([-0-9.eE]+),"hi":([-0-9.eE]+)\}""".r
   private val quotedRe = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
 
   private def parseEntry(line: String): FileEntry = line.trim match {
-    case entryRe(p, parts, rows, _, bytesGrp, _, statsBody, _, seqGrp) =>
+    case entryRe(p, parts, rows, _, bytesGrp, _, pcolGrp, _, statsBody, _, seqGrp) =>
       val ps = if (parts == "\"*\"") None
         else Some(quotedRe.findAllMatchIn(parts).map(m => unesc(m.group(1))).toSeq)
       val stats = Option(statsBody).toSeq.flatMap(b =>
@@ -168,7 +177,8 @@ object SnapshotTable extends QueryPack {
           ColStats(unesc(m.group(1)), m.group(2).toDouble, m.group(3).toDouble)))
       FileEntry(unesc(p), ps, rows.toLong, stats,
         Option(seqGrp).map(_.toLong).getOrElse(0L),
-        Option(bytesGrp).map(_.toLong).getOrElse(0L))
+        Option(bytesGrp).map(_.toLong).getOrElse(0L),
+        Option(pcolGrp).map(unesc))
     case other => sys.error(s"snapshot manifest: bad entry: $other")
   }
 
@@ -505,7 +515,7 @@ object SnapshotTable extends QueryPack {
         val (n, st) = rows.getOrElse((dirName, src.getName),
           (0L, Seq.empty[ColStats]))
         FileEntry(s"data/$commit-$i-${src.getName}", Some(Seq(value)), n, st,
-          bytes = len)
+          bytes = len, partBy = Some(partCol))
       }
     f.delete(staging, true)
     entries
@@ -759,8 +769,11 @@ object SnapshotTable extends QueryPack {
   }
 
   /** Manifest-level file skipping: plan ONLY files whose recorded
-    * partition values intersect `values` (a `*` entry always qualifies),
-    * with the residual row filter on top.
+    * partition values intersect `values` (a `*` entry always
+    * qualifies), with the residual row filter on top. Under PARTITION
+    * EVOLUTION a file's values may belong to a DIFFERENT column (its
+    * `partBy` stamp) — such files never skip on `partCol`, so the
+    * pruning stays exact across layout generations.
     */
   def readWhere(spark: SparkSession, table: String, partCol: String,
                 values: Seq[String]): DataFrame = {
@@ -769,7 +782,9 @@ object SnapshotTable extends QueryPack {
     // pre/post-evolution files must apply the recorded table schema, not
     // whatever one surviving footer happens to infer
     val meta = readMeta(spark, table, currentVersion(spark, table))
-    val hit = meta.entries.filter(_.parts.forall(_.exists(wanted.contains)))
+    val hit = meta.entries.filter(e =>
+      !e.effPartCol(meta.hdr.partCol).contains(partCol) ||
+        e.parts.forall(_.exists(wanted.contains)))
     if (hit.isEmpty)
       read(spark, table).filter(lit(false)) // schema-preserving empty
     else readWithDeletes(spark, table, hit, meta.deletes, meta.hdr)
@@ -811,8 +826,11 @@ object SnapshotTable extends QueryPack {
     val batchParts = updates.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
 
-    val (hit0, miss0) = manifest.partition(
-      _.parts.forall(_.exists(batchParts.contains)))
+    // files partitioned by ANOTHER column (partition evolution) fall to
+    // the mover path — their values aren't comparable to the batch's
+    val (hit0, miss0) = manifest.partition(e =>
+      e.effPartCol(hdr.partCol).contains(partCol) &&
+        e.parts.forall(_.exists(batchParts.contains)))
     val movers =
       if (miss0.isEmpty) Seq.empty
       else {
@@ -1617,6 +1635,50 @@ object SnapshotTable extends QueryPack {
         max(col("event_id")).as("max_id"))
       .orderBy(col("event_type"))
 
+  // partition-evolution scenario: generation 1 partitioned by priority,
+  // generation 2 by customer — read-only after the append, memoized
+  @volatile private var partEvoMemo: Option[((SparkSession, String), String)] = None
+
+  private def partEvoScenario(s: SparkSession, dir: String): String =
+    partEvoMemo match {
+      case Some((k, w)) if k == ((s, dir)) => w
+      case _ => synchronized {
+        partEvoMemo match {
+          case Some((k, w)) if k == ((s, dir)) => w
+          case _ =>
+            val work = java.nio.file.Files
+              .createTempDirectory("graft_snapshot_pe").resolve("t").toString
+            create(s, work, Tables.orders(s, dir)
+              .select(col("o_orderkey"), col("o_custkey"),
+                col("o_totalprice"), col("o_orderpriority")),
+              "o_orderpriority")
+            commitAppend(s, work, Tables.orders(s, dir)
+              .filter(col("o_custkey") <= 5)
+              .select((col("o_orderkey") + 7000000L).as("o_orderkey"),
+                col("o_custkey"), col("o_totalprice"),
+                col("o_orderpriority")),
+              "o_custkey")
+            partEvoMemo = Some(((s, dir), work))
+            work
+        }
+      }
+    }
+
+  /** Rollup of a priority-pruned read over a PARTITION-EVOLVED table
+    * (generation 1 laid out by priority, generation 2 by customer) —
+    * correct only if pruning on the old column never drops new-layout
+    * files, whose recorded values belong to a different column.
+    */
+  def partEvoQuery(s: SparkSession, dir: String): DataFrame =
+    readWhere(s, partEvoScenario(s, dir), "o_orderpriority",
+      Seq("1-URGENT", "3-MEDIUM"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderpriority"))
+
   // the delete query's PRIVATE base table (it cannot share the merge
   // scenario: a delete commit would advance the version the other
   // queries read) — built once per (session, corpus) and CLONED per
@@ -1862,6 +1924,7 @@ object SnapshotTable extends QueryPack {
     "q_snapshot_skip2" -> (rangeSkip2Query _),
     "q_snapshot_pushdown" -> (pushdownQuery _),
     "q_snapshot_zorder" -> (zorderQuery _),
+    "q_snapshot_partevo" -> (partEvoQuery _),
     "q_snapshot_changes" -> (changesQuery _),
     "q_snapshot_delete" -> (deleteQuery _),
     "q_snapshot_lazy_del" -> (lazyDeleteQuery _),
@@ -1992,6 +2055,21 @@ object SnapshotTable extends QueryPack {
         |FROM events
         |WHERE event_id BETWEEN 100 AND 299 AND event_type <> 'error'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_snapshot_partevo" ->
+      """WITH ext AS (
+        |  SELECT o_orderkey + 7000000 AS o_orderkey, o_custkey,
+        |    o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_custkey <= 5
+        |), unioned AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |  FROM orders
+        |  UNION ALL SELECT * FROM ext
+        |)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM unioned WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_snapshot_zorder" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,

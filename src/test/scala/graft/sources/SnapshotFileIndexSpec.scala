@@ -181,6 +181,48 @@ class SnapshotFileIndexSpec extends SparkSpec {
         .count())
   }
 
+  test("partition evolution: appends under a NEW partition column stay " +
+    "exact — values of one layout never prune predicates on another") {
+    val t = java.nio.file.Files.createTempDirectory("snapevo")
+      .resolve("t").toString
+    SnapshotTable.create(spark, t,
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority")),
+      "o_orderpriority")
+    // second generation arrives partitioned by CUSTOMER, not priority
+    val batch = Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") <= 5)
+      .select((col("o_orderkey") + 7000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+    SnapshotTable.commitAppend(spark, t, batch, "o_custkey")
+    val m2 = SnapshotTable.readManifest(spark, t, 2L)
+    assert(m2.exists(_.partBy.contains("o_custkey")) &&
+      m2.exists(_.partBy.contains("o_orderpriority")))
+
+    // a priority predicate must NOT skip the custkey-partitioned files
+    // (their recorded values are customer keys, not priorities)
+    val wantUrgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT").count() +
+      batch.filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("o_orderpriority") === "1-URGENT").count() === wantUrgent)
+    assert(SnapshotTable.readWhere(spark, t, "o_orderpriority",
+      Seq("1-URGENT")).count() === wantUrgent)
+
+    // and a custkey predicate prunes generation-2 files by THEIR values
+    // while scanning generation 1 conservatively — still exact
+    val wantCust = Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") === 3).count() +
+      batch.filter(col("o_custkey") === 3).count()
+    val byCust = SnapshotTable.read(spark, t)
+      .filter(col("o_custkey") === 3)
+    val scanned = scannedFiles(byCust)
+    assert(byCust.count() === wantCust)
+    assert(scanned < m2.size, s"gen-2 custkey files not pruned: " +
+      s"$scanned of ${m2.size}")
+  }
+
   test("filters still prune after a merge commit mixes file generations") {
     val t = java.nio.file.Files.createTempDirectory("snapidx2")
       .resolve("t").toString
