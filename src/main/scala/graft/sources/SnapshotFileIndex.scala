@@ -125,6 +125,21 @@ final class SnapshotFileIndex(
   private def isPart(e: FileEntry, name: String): Boolean =
     e.effPartCol(partCol).contains(name)
 
+  /** Bloom probe for equality: positions come from the SAME XxHash64
+    * expression the writer aggregated with, evaluated driver-side on
+    * the pushed literal — a "no" is exact (only proven-absent files
+    * skip); files without a bloom for the column never skip on it.
+    */
+  private def bloomMay(e: FileEntry, name: String, v: Literal): Boolean =
+    e.blooms.find(_.col == name).forall { b =>
+      v.value == null || b.mightContain((0 until b.kHashes).map { i =>
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(v, Literal(i)), 42L).eval(InternalRow.empty)
+          .asInstanceOf[Long]
+        (((h % b.mBits) + b.mBits) % b.mBits).toInt
+      })
+    }
+
   /** May a row of `e` satisfy `x OP v`? False only on stats/partition
     * proof of disjointness.
     */
@@ -150,7 +165,7 @@ final class SnapshotFileIndex(
         case (Some(ps), Some(s)) => ps.contains(s)
         case _                   => true
       }
-    statOk && partOk
+    statOk && partOk && (op != "=" || bloomMay(e, name, v))
   }
 
   private def mayMatch(p: Expression, e: FileEntry): Boolean = p match {

@@ -63,6 +63,23 @@ object SnapshotTable extends QueryPack {
     */
   final case class ColStats(col: String, lo: Double, hi: Double)
 
+  /** Per-file BLOOM FILTER over one column's values — equality/IN
+    * skipping for columns min/max can't help with (high-cardinality
+    * ids scattered across a layout clustered on something else; the
+    * Iceberg-Puffin / Delta-bloom construction, inlined into the
+    * manifest because at `mBits` = 8192 it is ~1 KB per file·column).
+    * Bit positions are `xxhash64(value, i) mod mBits` for hash round
+    * `i < kHashes` — the SAME Catalyst expression the writer aggregated
+    * with, evaluated driver-side at planning, so writer and prober can
+    * never disagree. Membership "no" is exact → skipping drops only
+    * proven-absent files; "yes" (incl. false positives) scans.
+    */
+  final case class ColBloom(col: String, mBits: Int, kHashes: Int,
+                            bits: Array[Long]) {
+    def mightContain(positions: Seq[Int]): Boolean =
+      positions.forall(p => (bits(p >> 6) & (1L << (p & 63))) != 0L)
+  }
+
   /** One segment line. `parts` is the file's partition-value list
     * (`None` = unknown, never skipped — reserved for future multi-value
     * files; the current writer emits exactly one value per file).
@@ -75,7 +92,8 @@ object SnapshotTable extends QueryPack {
   final case class FileEntry(path: String, parts: Option[Seq[String]],
                              rows: Long, stats: Seq[ColStats] = Seq.empty,
                              seq: Long = 0L, bytes: Long = 0L,
-                             partBy: Option[String] = None) {
+                             partBy: Option[String] = None,
+                             blooms: Seq[ColBloom] = Seq.empty) {
     /** The column this file's `parts` values belong to — its own stamp,
       * or (pre-partition-evolution manifests) the table default. Parts
       * pruning on any OTHER column must never skip this file.
@@ -159,26 +177,48 @@ object SnapshotTable extends QueryPack {
     // lazily on first plan
     val bytes = if (e.bytes == 0L) "" else s""","bytes":${e.bytes}"""
     val pcol = e.partBy.fold("")(c => s""","pcol":"${esc(c)}"""")
-    s"""{"path":"${esc(e.path)}","parts":$parts,"rows":${e.rows}$bytes$pcol$stats$seq}"""
+    val blooms = if (e.blooms.isEmpty) "" else
+      e.blooms.map(b => s"""{"col":"${esc(b.col)}","m":${b.mBits},""" +
+        s""""k":${b.kHashes},"bits":"${bloomToB64(b.bits)}"}""")
+        .mkString(""","blooms":[""", ",", "]")
+    s"""{"path":"${esc(e.path)}","parts":$parts,"rows":${e.rows}$bytes$pcol$blooms$stats$seq}"""
+  }
+
+  private def bloomToB64(bits: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+    bits.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  private def bloomFromB64(s: String): Array[Long] = {
+    val raw = java.util.Base64.getDecoder.decode(s)
+    val bb = java.nio.ByteBuffer.wrap(raw)
+    Array.fill(raw.length / 8)(bb.getLong)
   }
 
   private val entryRe =
-    raw"""\{"path":"(.*)","parts":(\[.*\]|"\*"),"rows":(\d+)(,"bytes":(\d+))?(,"pcol":"((?:[^"\\]|\\.)*)")?(,"stats":\[(.*)\])?(,"seq":(\d+))?\}""".r
+    raw"""\{"path":"(.*)","parts":(\[.*\]|"\*"),"rows":(\d+)(,"bytes":(\d+))?(,"pcol":"((?:[^"\\]|\\.)*)")?(,"blooms":\[(.*?)\])?(,"stats":\[(.*)\])?(,"seq":(\d+))?\}""".r
+  private val bloomItemRe =
+    raw"""\{"col":"((?:[^"\\]|\\.)*)","m":(\d+),"k":(\d+),"bits":"([A-Za-z0-9+/=]*)"\}""".r
   private val statsItemRe =
     raw"""\{"col":"((?:[^"\\]|\\.)*)","lo":([-0-9.eE]+),"hi":([-0-9.eE]+)\}""".r
   private val quotedRe = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
 
   private def parseEntry(line: String): FileEntry = line.trim match {
-    case entryRe(p, parts, rows, _, bytesGrp, _, pcolGrp, _, statsBody, _, seqGrp) =>
+    case entryRe(p, parts, rows, _, bytesGrp, _, pcolGrp, _, bloomsBody, _, statsBody, _, seqGrp) =>
       val ps = if (parts == "\"*\"") None
         else Some(quotedRe.findAllMatchIn(parts).map(m => unesc(m.group(1))).toSeq)
       val stats = Option(statsBody).toSeq.flatMap(b =>
         statsItemRe.findAllMatchIn(b).map(m =>
           ColStats(unesc(m.group(1)), m.group(2).toDouble, m.group(3).toDouble)))
+      val blooms = Option(bloomsBody).toSeq.flatMap(b =>
+        bloomItemRe.findAllMatchIn(b).map(m =>
+          ColBloom(unesc(m.group(1)), m.group(2).toInt, m.group(3).toInt,
+            bloomFromB64(m.group(4)))))
       FileEntry(unesc(p), ps, rows.toLong, stats,
         Option(seqGrp).map(_.toLong).getOrElse(0L),
         Option(bytesGrp).map(_.toLong).getOrElse(0L),
-        Option(pcolGrp).map(unesc))
+        Option(pcolGrp).map(unesc), blooms)
     case other => sys.error(s"snapshot manifest: bad entry: $other")
   }
 
@@ -194,7 +234,8 @@ object SnapshotTable extends QueryPack {
   final case class Header(tags: Set[String] = Set.empty,
                           schema: Option[String] = None,
                           statsCols: Seq[String] = Seq.empty,
-                          partCol: Option[String] = None)
+                          partCol: Option[String] = None,
+                          bloomCols: Seq[String] = Seq.empty)
 
   // ---- manifest lists + segments (the O(changed)-commit construction)
   //
@@ -260,7 +301,7 @@ object SnapshotTable extends QueryPack {
   // simple values (no unescaped brackets), so their non-greedy groups
   // terminate correctly; the schema DDL is arbitrary and goes LAST
   private val headerRe =
-    raw"""\{"tags":\[(.*?)\](?:,"statsCols":\[(.*?)\])?(?:,"partCol":"((?:[^"\\]|\\.)*)")?(?:,"schema":"(.*)")?\}""".r
+    raw"""\{"tags":\[(.*?)\](?:,"statsCols":\[(.*?)\])?(?:,"bloomCols":\[(.*?)\])?(?:,"partCol":"((?:[^"\\]|\\.)*)")?(?:,"schema":"(.*)")?\}""".r
 
   /** The per-version manifest list: segment refs, equality-delete refs,
     * and the header.
@@ -269,10 +310,12 @@ object SnapshotTable extends QueryPack {
                                    version: Long): (Seq[SegmentRef], Seq[DeleteFile], Header) = {
     readLines(fs(spark, table),
       new Path(manifestDir(table), s"v$version.json")) match {
-      case headerRe(tagsBody, statsBody, partColGrp, schemaGrp) :: rest =>
+      case headerRe(tagsBody, statsBody, bloomBody, partColGrp, schemaGrp) :: rest =>
         val tags = quotedRe.findAllMatchIn(tagsBody)
           .map(m => unesc(m.group(1))).toSet
         val statsCols = Option(statsBody).toSeq.flatMap(b =>
+          quotedRe.findAllMatchIn(b).map(m => unesc(m.group(1))))
+        val bloomCols = Option(bloomBody).toSeq.flatMap(b =>
           quotedRe.findAllMatchIn(b).map(m => unesc(m.group(1))))
         val (segLines, rest2) = rest.partition(_.trim.startsWith("{\"seg\""))
         val refs = segLines.map(_.trim match {
@@ -287,7 +330,7 @@ object SnapshotTable extends QueryPack {
           case other => sys.error(s"snapshot manifest list: bad line: $other")
         })
         (refs, deletes, Header(tags, Option(schemaGrp).map(unesc), statsCols,
-          Option(partColGrp).map(unesc)))
+          Option(partColGrp).map(unesc), bloomCols))
       case Nil => (Seq.empty, Seq.empty, Header())
       case other :: _ =>
         sys.error(s"snapshot manifest list: bad header: $other")
@@ -317,6 +360,8 @@ object SnapshotTable extends QueryPack {
       .map(t => "\"" + esc(t) + "\"").mkString("""{"tags":[""", ",", "]") +
       (if (hdr.statsCols.isEmpty) "" else hdr.statsCols
         .map(c => "\"" + esc(c) + "\"").mkString(""","statsCols":[""", ",", "]")) +
+      (if (hdr.bloomCols.isEmpty) "" else hdr.bloomCols
+        .map(c => "\"" + esc(c) + "\"").mkString(""","bloomCols":[""", ",", "]")) +
       hdr.partCol.fold("")(c => s""","partCol":"${esc(c)}"""") +
       hdr.schema.fold("")(s => s""","schema":"${esc(s)}"""") + "}\n"
     val body = (refs.map(segJson) ++ deletes.map(delJson))
@@ -420,11 +465,18 @@ object SnapshotTable extends QueryPack {
     * `maxRecordsPerFile` splits a hot value into right-sized files at
     * scale. Partition values must be non-null.
     */
+  // bloom geometry: 8192 bits (1 KB) × 6 hash rounds ≈ 2% false
+  // positives at ~1k distinct values/file, saturating gracefully —
+  // a saturated bloom stops skipping, never lies
+  private val bloomBits = 8192
+  private val bloomHashes = 6
+
   private def writeDataFiles(spark: SparkSession, table: String, df: DataFrame,
                              partCol: String,
                              namePrefix: Option[String] = None,
                              statsCols: Seq[String] = Seq.empty,
-                             clusterExpr: Option[org.apache.spark.sql.Column] = None): Seq[FileEntry] = {
+                             clusterExpr: Option[org.apache.spark.sql.Column] = None,
+                             bloomCols: Seq[String] = Seq.empty): Seq[FileEntry] = {
     val f = fs(spark, table)
     // a batch may legally OMIT a recorded stats column (ADD-only
     // evolution allows absent columns) — its files then carry no stats
@@ -504,6 +556,39 @@ object SnapshotTable extends QueryPack {
         (p.getParent.getName, p.getName) -> (r.getLong(1), st)
       }.toMap
 
+    // per-file bloom bitmaps: ONE pass over the fresh files emitting
+    // (col, xxhash64(value, round) mod m) pairs, collect_set per
+    // (file, col) — bounded by m bits, so never larger than the bitmap
+    // it becomes. Executors and the planning-time prober evaluate the
+    // SAME XxHash64 expression, so membership answers agree exactly.
+    val effBlooms = bloomCols.filter(df.columns.contains)
+    val bloomMap: Map[(String, String), Seq[ColBloom]] =
+      if (effBlooms.isEmpty) Map.empty
+      else {
+        val probes = effBlooms.flatMap(bc => (0 until bloomHashes).map(i =>
+          struct(lit(bc).as("c"),
+            pmod(xxhash64(col(bc), lit(i)), lit(bloomBits.toLong))
+              .cast("int").as("p"),
+            col(bc).isNull.as("n"))))
+        spark.read.parquet(staging.toString)
+          .select(input_file_name().as("f"),
+            explode(array(probes: _*)).as("cp"))
+          .where(!col("cp.n"))
+          .groupBy(col("f"), col("cp.c").as("c"))
+          .agg(collect_set(col("cp.p")).as("ps"))
+          .collect().groupBy { r =>
+            val p = new Path(new java.net.URI(r.getString(0)).getPath)
+            (p.getParent.getName, p.getName)
+          }.map { case (k, rs) =>
+            k -> rs.toSeq.map { r =>
+              val bits = new Array[Long](bloomBits / 64)
+              r.getSeq[Int](2).foreach(p =>
+                bits(p >> 6) |= (1L << (p & 63)))
+              ColBloom(r.getString(1), bloomBits, bloomHashes, bits)
+            }
+          }
+      }
+
     f.mkdirs(dataDir(table))
     val entries = staged.zipWithIndex
       .map { case ((dirName, src, len), i) =>
@@ -515,7 +600,8 @@ object SnapshotTable extends QueryPack {
         val (n, st) = rows.getOrElse((dirName, src.getName),
           (0L, Seq.empty[ColStats]))
         FileEntry(s"data/$commit-$i-${src.getName}", Some(Seq(value)), n, st,
-          bytes = len, partBy = Some(partCol))
+          bytes = len, partBy = Some(partCol),
+          blooms = bloomMap.getOrElse((dirName, src.getName), Seq.empty))
       }
     f.delete(staging, true)
     entries
@@ -672,6 +758,27 @@ object SnapshotTable extends QueryPack {
     }
   }
 
+  /** The bare relation for the `format("graft-snapshot")` batch read
+    * path. A BaseRelation cannot compose the equality-delete anti-join,
+    * so tables with PENDING deletes refuse loudly rather than
+    * resurrect masked rows — use the Scala read API / the TVF (which
+    * plan the mask), or materialize with [[applyDeletes]] first.
+    */
+  private[graft] def batchRelation(spark: SparkSession, table: String,
+                                   version: Option[Long]): org.apache.spark.sql.sources.BaseRelation = {
+    val v = version.getOrElse(currentVersion(spark, table))
+    val meta = readMeta(spark, table, v)
+    require(meta.deletes.isEmpty,
+      s"graft-snapshot: $table@v$v has ${meta.deletes.size} pending " +
+        "equality delete(s), which a bare relation cannot mask — read " +
+        "via SnapshotTable.read/the snapshot_table TVF, or run " +
+        "applyDeletes first")
+    indexedRelation(spark, table, meta.entries,
+      meta.hdr.schema.getOrElse(
+        sys.error(s"snapshot table $table has no recorded schema")),
+      meta.hdr.partCol)
+  }
+
   /** Data bytes version `v` added, from the manifest LISTS alone (the
     * refs new in `v`'s list vs its predecessor's) — the streaming
     * source's byte-admission probe: two small list reads, no segment
@@ -730,15 +837,16 @@ object SnapshotTable extends QueryPack {
     * every later commit keeps collecting them without restating.
     */
   def create(spark: SparkSession, table: String, df: DataFrame,
-             partCol: String, statsCols: Seq[String] = Seq.empty): Long = {
+             partCol: String, statsCols: Seq[String] = Seq.empty,
+             bloomCols: Seq[String] = Seq.empty): Long = {
     require(versions(spark, table).isEmpty,
       s"snapshot table $table already exists")
     val st = assignFieldIds(df.schema)
     val entries = writeDataFiles(spark, table, applySchemaMeta(df, st),
-      partCol, statsCols = statsCols)
+      partCol, statsCols = statsCols, bloomCols = bloomCols)
     writeManifest(spark, table, 1L, entries,
       Header(schema = Some(schemaToString(st)), statsCols = statsCols,
-        partCol = Some(partCol)))
+        partCol = Some(partCol), bloomCols = bloomCols))
     1L
   }
 
@@ -850,7 +958,7 @@ object SnapshotTable extends QueryPack {
       .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
       .unionByName(updates.select(target.columns.map(col).toIndexedSeq: _*))
     val fresh = writeDataFiles(spark, table, merged, partCol,
-      statsCols = hdr.statsCols)
+      statsCols = hdr.statsCols, bloomCols = hdr.bloomCols)
     commitRewrite(spark, table, v, segs, affected.map(_.path).toSet,
       fresh, Seq.empty, hdr)
     // replaced/inserted by ARITHMETIC, not extra scans: the manifest
@@ -891,7 +999,7 @@ object SnapshotTable extends QueryPack {
       val evolved = assignFieldIds(evolveSchema(hdr.schema, df))
       val effStats = if (statsCols.nonEmpty) statsCols else hdr.statsCols
       val fresh = writeDataFiles(spark, table, applySchemaMeta(df, evolved),
-        partCol, tag, effStats)
+        partCol, tag, effStats, bloomCols = hdr.bloomCols)
       val freshRefs =
         if (fresh.isEmpty) Seq.empty
         else Seq(writeSegment(spark, table, fresh.map(_.copy(seq = v + 1))))
@@ -901,6 +1009,32 @@ object SnapshotTable extends QueryPack {
           statsCols = effStats, partCol = hdr.partCol.orElse(Some(partCol))))
       Some(v + 1)
     }
+  }
+
+  /** OVERWRITE as one atomic version: every current file is replaced by
+    * `df`'s, pending equality deletes clear (all masked data is being
+    * replaced anyway), the tag ledger survives (idempotence outlives an
+    * overwrite), and the schema evolves by the usual ADD-and-WIDEN
+    * rules so field ids stay stable for shared names. Readers pinned to
+    * the old version keep it until vacuum — this is `SaveMode.Overwrite`
+    * with snapshot isolation instead of the classic
+    * delete-then-write window where concurrent readers see nothing.
+    */
+  def commitOverwrite(spark: SparkSession, table: String, df: DataFrame,
+                      partCol: String,
+                      statsCols: Seq[String] = Seq.empty): Long = {
+    val v = currentVersion(spark, table)
+    val meta = readMeta(spark, table, v)
+    val hdr = meta.hdr
+    val evolved = assignFieldIds(evolveSchema(hdr.schema, df))
+    val effStats = if (statsCols.nonEmpty) statsCols else hdr.statsCols
+    val fresh = writeDataFiles(spark, table, applySchemaMeta(df, evolved),
+      partCol, statsCols = effStats, bloomCols = hdr.bloomCols)
+    commitRewrite(spark, table, v, meta.segs,
+      meta.entries.map(_.path).toSet, fresh, Seq.empty,
+      hdr.copy(schema = Some(schemaToString(evolved)), statsCols = effStats,
+        partCol = Some(partCol)))
+    v + 1
   }
 
   /** ADD-and-WIDEN schema evolution: the table schema grows by the
@@ -1012,7 +1146,7 @@ object SnapshotTable extends QueryPack {
     else {
       val fresh = writeDataFiles(spark, table,
         readFiles(spark, table, small, hdr.schema), partCol,
-        statsCols = hdr.statsCols)
+        statsCols = hdr.statsCols, bloomCols = hdr.bloomCols)
       // the header (tag ledger + schema) rides along — idempotence and
       // the evolved schema both outlive the renames
       commitRewrite(spark, table, v, segs, small.map(_.path).toSet,
@@ -1060,7 +1194,8 @@ object SnapshotTable extends QueryPack {
       bucket(dimB, b.getDouble(2), b.getDouble(3)))
     val statsCols = (hdr.statsCols ++ Seq(dimA, dimB)).distinct
     val fresh = writeDataFiles(spark, table, df, partCol,
-      statsCols = statsCols, clusterExpr = Some(z))
+      statsCols = statsCols, clusterExpr = Some(z),
+      bloomCols = hdr.bloomCols)
     commitRewrite(spark, table, v, meta.segs,
       meta.entries.map(_.path).toSet, fresh, Seq.empty,
       hdr.copy(statsCols = statsCols))
@@ -1116,7 +1251,7 @@ object SnapshotTable extends QueryPack {
       val fresh =
         if (kept.isEmpty) Seq.empty
         else writeDataFiles(spark, table, kept, partCol,
-          statsCols = hdr.statsCols)
+          statsCols = hdr.statsCols, bloomCols = hdr.bloomCols)
       commitRewrite(spark, table, v, segs, affected.map(_.path).toSet,
         fresh, Seq.empty, hdr)
       (v + 1, nDeleted)
@@ -1155,7 +1290,7 @@ object SnapshotTable extends QueryPack {
       val target = readFiles(spark, table, affected, hdr.schema)
       val kept = target.join(keyset, Seq(keyCol), "left_anti")
       val fresh = writeDataFiles(spark, table, kept, partCol,
-        statsCols = hdr.statsCols)
+        statsCols = hdr.statsCols, bloomCols = hdr.bloomCols)
       commitRewrite(spark, table, v, segs, affected.map(_.path).toSet,
         fresh, Seq.empty, hdr)
       // deleted = affected rows − surviving rows: both already counted
@@ -1239,7 +1374,7 @@ object SnapshotTable extends QueryPack {
             }
             removed ++= affected.map(_.path)
             freshAll ++= writeDataFiles(spark, table, kept, partCol,
-              statsCols = hdr.statsCols)
+              statsCols = hdr.statsCols, bloomCols = hdr.bloomCols)
           }
         }
       }
@@ -1635,6 +1770,45 @@ object SnapshotTable extends QueryPack {
         max(col("event_id")).as("max_id"))
       .orderBy(col("event_type"))
 
+  // bloom scenario: orders keyed by bloom on o_orderkey, NO min/max
+  // stats — equality skipping must come from the filters alone.
+  // Read-only after create → memoized.
+  @volatile private var bloomMemo: Option[((SparkSession, String), String)] = None
+
+  private def bloomScenario(s: SparkSession, dir: String): String =
+    bloomMemo match {
+      case Some((k, w)) if k == ((s, dir)) => w
+      case _ => synchronized {
+        bloomMemo match {
+          case Some((k, w)) if k == ((s, dir)) => w
+          case _ =>
+            val work = java.nio.file.Files
+              .createTempDirectory("graft_snapshot_bl").resolve("t").toString
+            create(s, work, Tables.orders(s, dir)
+              .select(col("o_orderkey"), col("o_custkey"),
+                col("o_totalprice"), col("o_orderpriority")),
+              "o_orderpriority", bloomCols = Seq("o_orderkey"))
+            bloomMemo = Some(((s, dir), work))
+            work
+        }
+      }
+    }
+
+  /** Point-lookup rollup through per-file BLOOM skipping: the probed
+    * keys live in a layout clustered by nothing relevant, so min/max
+    * could never skip — only the blooms can, and a false "absent"
+    * would lose a row and fail the oracle hash.
+    */
+  def bloomQuery(s: SparkSession, dir: String): DataFrame =
+    read(s, bloomScenario(s, dir))
+      .filter(col("o_orderkey").isin(1L, 7L, 32L, 33L, 34L))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderpriority"))
+
   // partition-evolution scenario: generation 1 partitioned by priority,
   // generation 2 by customer — read-only after the append, memoized
   @volatile private var partEvoMemo: Option[((SparkSession, String), String)] = None
@@ -1925,6 +2099,7 @@ object SnapshotTable extends QueryPack {
     "q_snapshot_pushdown" -> (pushdownQuery _),
     "q_snapshot_zorder" -> (zorderQuery _),
     "q_snapshot_partevo" -> (partEvoQuery _),
+    "q_snapshot_bloom" -> (bloomQuery _),
     "q_snapshot_changes" -> (changesQuery _),
     "q_snapshot_delete" -> (deleteQuery _),
     "q_snapshot_lazy_del" -> (lazyDeleteQuery _),
@@ -2055,6 +2230,12 @@ object SnapshotTable extends QueryPack {
         |FROM events
         |WHERE event_id BETWEEN 100 AND 299 AND event_type <> 'error'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_snapshot_bloom" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders WHERE o_orderkey IN (1, 7, 32, 33, 34)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_snapshot_partevo" ->
       """WITH ext AS (
         |  SELECT o_orderkey + 7000000 AS o_orderkey, o_custkey,

@@ -3,7 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.sources.SnapshotTable
@@ -251,18 +252,33 @@ object SnapshotSource extends graft.QueryPack {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }
 
-/** `spark.readStream.format("graft-snapshot").load(tablePath)` — V1
-  * source registration (the sink side stays `foreachBatch` +
-  * [[SnapshotSink]], the idiomatic modern shape).
+/** The `graft-snapshot` FORMAT — one registered name for the whole
+  * surface:
+  *
+  * {{{
+  * spark.read.format("graft-snapshot")[.option("version", 3)].load(t)
+  * df.write.format("graft-snapshot").option("partCol", "p")
+  *   [.option("statsCols", "a,b")].mode(...).save(t)
+  * spark.readStream.format("graft-snapshot").load(t)
+  * }}}
+  *
+  * Batch writes map SaveMode onto table commits: ErrorIfExists/Ignore →
+  * [[SnapshotTable.create]], Append → [[SnapshotTable.commitAppend]]
+  * (bootstrapping an empty table), Overwrite →
+  * [[SnapshotTable.commitOverwrite]] (one atomic version — readers
+  * pinned to the old one are unaffected, unlike the classic
+  * delete-then-write). The sink side of STREAMS stays `foreachBatch` +
+  * [[SnapshotSink]], the idiomatic modern shape.
   */
 final class SnapshotSourceProvider extends StreamSourceProvider
+    with RelationProvider with CreatableRelationProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-snapshot"
 
   private def tablePath(params: Map[String, String]): String =
     params.getOrElse("path",
-      sys.error("graft-snapshot source: .load(<table path>) is required"))
+      sys.error("graft-snapshot: .load/.save(<table path>) is required"))
 
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType], providerName: String,
@@ -275,4 +291,37 @@ final class SnapshotSourceProvider extends StreamSourceProvider
                             parameters: Map[String, String]): Source =
     new SnapshotSource(sqlContext, tablePath(parameters), parameters,
       metadataPath)
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation =
+    SnapshotTable.batchRelation(sqlContext.sparkSession,
+      tablePath(parameters), parameters.get("version").map(_.toLong))
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val table = tablePath(parameters)
+    val partCol = parameters.getOrElse("partCol",
+      sys.error("graft-snapshot write: option(\"partCol\", <column>) is required"))
+    val statsCols = parameters.get("statsCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val exists = SnapshotTable.versions(spark, table).nonEmpty
+    mode match {
+      case SaveMode.ErrorIfExists =>
+        SnapshotTable.create(spark, table, data, partCol, statsCols)
+      case SaveMode.Ignore =>
+        if (!exists) SnapshotTable.create(spark, table, data, partCol, statsCols)
+      case SaveMode.Append =>
+        if (!exists) SnapshotTable.createEmpty(spark, table)
+        SnapshotTable.commitAppend(spark, table, data, partCol,
+          statsCols = statsCols)
+      case SaveMode.Overwrite =>
+        if (!exists) SnapshotTable.create(spark, table, data, partCol, statsCols)
+        else SnapshotTable.commitOverwrite(spark, table, data, partCol,
+          statsCols)
+    }
+    SnapshotTable.batchRelation(spark, table, None)
+  }
 }

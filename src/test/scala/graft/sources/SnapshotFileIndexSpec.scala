@@ -181,6 +181,52 @@ class SnapshotFileIndexSpec extends SparkSpec {
         .count())
   }
 
+  test("per-file bloom filters skip equality lookups on an unclustered " +
+    "column — exactly, including after compaction") {
+    val t = java.nio.file.Files.createTempDirectory("snapbloom")
+      .resolve("t").toString
+    SnapshotTable.create(spark, t,
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority")),
+      "o_orderpriority", bloomCols = Seq("o_orderkey"))
+    val total = SnapshotTable.readManifest(spark, t, 1L).size
+    assert(total > 1, "need several files for skipping to show")
+    val keys = Tables.orders(spark, sfDir).select("o_orderkey")
+      .orderBy("o_orderkey").limit(3).collect().map(_.getLong(0))
+
+    // point lookup: bloom prunes where min/max (none recorded) cannot
+    val hit = SnapshotTable.read(spark, t)
+      .filter(col("o_orderkey") === keys(0))
+    assert(scannedFiles(hit) < total)
+    assert(hit.count() === 1L)
+
+    // IN-list keeps files containing ANY of the keys
+    val in = SnapshotTable.read(spark, t)
+      .filter(col("o_orderkey").isin(keys.map(Long.box).toIndexedSeq: _*))
+    assert(scannedFiles(in) < total)
+    assert(in.count() === 3L)
+
+    // a key proven absent everywhere scans nothing at all
+    val miss = SnapshotTable.read(spark, t)
+      .filter(col("o_orderkey") === (keys.max + 999983L))
+    assert(scannedFiles(miss) === 0L)
+    assert(miss.count() === 0L)
+
+    // no bloom for o_custkey → conservative full scan
+    assert(scannedFiles(SnapshotTable.read(spark, t)
+      .filter(col("o_custkey") === 1L)) === total.toLong)
+
+    // compaction rewrites files and RE-DERIVES blooms from the header
+    SnapshotTable.compact(spark, t, "o_orderpriority")
+    val total2 = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t)).size
+    val hit2 = SnapshotTable.read(spark, t)
+      .filter(col("o_orderkey") === keys(1))
+    assert(scannedFiles(hit2) < total2)
+    assert(hit2.count() === 1L)
+  }
+
   test("partition evolution: appends under a NEW partition column stay " +
     "exact — values of one layout never prune predicates on another") {
     val t = java.nio.file.Files.createTempDirectory("snapevo")
