@@ -80,6 +80,39 @@ object PlanAudit9 {
     println(s"ZORDER files: pre_user_pred=$preUser (of all) " +
       s"post all=$zoAll user_pred=$postUser user+ts_pred=$postBoth")
 
+    // (a4) bloom skipping: point lookups on an UNclustered key
+    val bl = java.nio.file.Files.createTempDirectory("audit9bl")
+      .resolve("t").toString
+    st.create(spark, bl, Tables.orders(spark, dir)
+      .select(Seq("o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderpriority").map(col): _*),
+      "o_orderpriority", bloomCols = Seq("o_orderkey"))
+    val blAll = st.read(spark, bl).inputFiles.length
+    val blHit = scanned(st.read(spark, bl).filter(col("o_orderkey") === 7L))
+    val blIn = scanned(st.read(spark, bl)
+      .filter(col("o_orderkey").isin(1L, 7L, 32L, 33L, 34L)))
+    val blMiss = scanned(st.read(spark, bl)
+      .filter(col("o_orderkey") === 999999983L))
+    println(s"BLOOM files: all=$blAll point=$blHit in5=$blIn absent=$blMiss")
+
+    // (a5) partition evolution: exactness across mixed layouts
+    val pe = java.nio.file.Files.createTempDirectory("audit9pe")
+      .resolve("t").toString
+    st.create(spark, pe, Tables.orders(spark, dir)
+      .select(Seq("o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderpriority").map(col): _*), "o_orderpriority")
+    st.commitAppend(spark, pe, Tables.orders(spark, dir)
+      .filter(col("o_custkey") <= 5)
+      .select((col("o_orderkey") + 7000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderpriority")),
+      "o_custkey")
+    val peAll = st.read(spark, pe).inputFiles.length
+    val pePrio = scanned(st.read(spark, pe)
+      .filter(col("o_orderpriority") === "1-URGENT"))
+    val peCust = scanned(st.read(spark, pe).filter(col("o_custkey") === 3L))
+    println(s"PARTEVO files: all=$peAll prio_pred=$pePrio cust_pred=$peCust " +
+      "(each generation prunes only by its own layout)")
+
     // (b) ANN index pruning: probed buckets' files vs index total
     val (lshPath, planes) = graft.operators.AnnSearch.ensureLshIndex(spark, dir)
     val lshAll = st.read(spark, lshPath).inputFiles.length
