@@ -43,6 +43,7 @@ object SparkEntry {
     graft.operators.TrainingManifest,
     graft.sources.Upsert,
     graft.sources.SnapshotTable,
+    graft.sources.IncrementalView,
     graft.streaming.IncrDedupStream,
     graft.streaming.SnapshotSink,
     graft.streaming.SnapshotSource,

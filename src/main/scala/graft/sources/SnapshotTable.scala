@@ -838,15 +838,17 @@ object SnapshotTable extends QueryPack {
     */
   def create(spark: SparkSession, table: String, df: DataFrame,
              partCol: String, statsCols: Seq[String] = Seq.empty,
-             bloomCols: Seq[String] = Seq.empty): Long = {
+             bloomCols: Seq[String] = Seq.empty,
+             tags: Set[String] = Set.empty): Long = {
     require(versions(spark, table).isEmpty,
       s"snapshot table $table already exists")
     val st = assignFieldIds(df.schema)
     val entries = writeDataFiles(spark, table, applySchemaMeta(df, st),
       partCol, statsCols = statsCols, bloomCols = bloomCols)
     writeManifest(spark, table, 1L, entries,
-      Header(schema = Some(schemaToString(st)), statsCols = statsCols,
-        partCol = Some(partCol), bloomCols = bloomCols))
+      Header(tags = tags, schema = Some(schemaToString(st)),
+        statsCols = statsCols, partCol = Some(partCol),
+        bloomCols = bloomCols))
     1L
   }
 
@@ -925,10 +927,15 @@ object SnapshotTable extends QueryPack {
     * extra). Returns (new version, rows replaced, rows inserted).
     */
   def commitMerge(spark: SparkSession, table: String, updates: DataFrame,
-                  keyCol: String, partCol: String): (Long, Long, Long) = {
+                  keyCol: String, partCol: String,
+                  tag: Option[String] = None): (Long, Long, Long) = {
     val v = currentVersion(spark, table)
     val meta = readMeta(spark, table, v)
     requireNoPendingDeletes(table, meta, "commitMerge")
+    // same idempotence ledger as commitAppend: a retried merge whose
+    // tag already committed is a no-op — the contract an incremental
+    // view refresh (or any merge-shaped consumer) needs under retry
+    if (tag.exists(meta.hdr.tags.contains)) return (v, 0L, 0L)
     val (segs, hdr) = (meta.segs, meta.hdr)
     val manifest = meta.entries
     val batchParts = updates.select(col(partCol).cast("string")).distinct()
@@ -957,10 +964,16 @@ object SnapshotTable extends QueryPack {
     val merged = target
       .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
       .unionByName(updates.select(target.columns.map(col).toIndexedSeq: _*))
-    val fresh = writeDataFiles(spark, table, merged, partCol,
+    // re-stamp field ids: unionByName takes the LEFT side's column
+    // metadata, and when `affected` is empty the left side derives from
+    // the raw batch — without the stamp the fresh file would carry no
+    // ids and id-matched reads would null its columns
+    val stamped = hdr.schema.fold(merged)(s =>
+      applySchemaMeta(merged, schemaFromString(s)))
+    val fresh = writeDataFiles(spark, table, stamped, partCol,
       statsCols = hdr.statsCols, bloomCols = hdr.bloomCols)
     commitRewrite(spark, table, v, segs, affected.map(_.path).toSet,
-      fresh, Seq.empty, hdr)
+      fresh, Seq.empty, hdr.copy(tags = hdr.tags ++ tag))
     // replaced/inserted by ARITHMETIC, not extra scans: the manifest
     // already records affected-file row counts, writeDataFiles already
     // counted the merged output, and only the (small) batch is counted
@@ -2015,7 +2028,7 @@ object SnapshotTable extends QueryPack {
   // runs measure the change-feed read, not a repeated table build
   @volatile private var changesMemo: Option[((SparkSession, String), String)] = None
 
-  private def changesScenario(s: SparkSession, dir: String): String =
+  private[sources] def changesScenario(s: SparkSession, dir: String): String =
     changesMemo match {
       case Some((k, w)) if k == ((s, dir)) => w
       case _ => synchronized {
