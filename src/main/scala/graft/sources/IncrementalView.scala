@@ -99,6 +99,74 @@ object IncrementalView extends QueryPack {
     (SnapshotTable.currentVersion(spark, view), math.max(applied, cur))
   }
 
+  // ---- non-invertible aggregates (min/max) — TOUCHED-GROUP RECOMPUTE
+  //
+  // min/max cannot be maintained from signed deltas (a delete of the
+  // group minimum needs the runner-up, which the feed doesn't carry).
+  // The published incremental-view answer (Materialize / DBSP call it
+  // partial recomputation) is: the feed identifies WHICH groups
+  // changed; those groups — and only those — are re-aggregated from
+  // the current source snapshot and merged into the view. Cost is
+  // O(touched groups' source rows + touched view files), never
+  // O(source): the group probe is a broadcast semi-join, and when the
+  // source is clustered by the group key, manifest stats prune the
+  // recompute scan to the groups' files.
+
+  private def fullAggregateOf(src: DataFrame, keyCol: String,
+                              valueCol: String): DataFrame =
+    src.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast(totalType).as("total"),
+        min(col(valueCol).cast("decimal(18,2)")).as("vmin"),
+        max(col(valueCol).cast("decimal(18,2)")).as("vmax"))
+
+  /** Materialize the min/max-bearing view at source version
+    * `atVersion` (default current).
+    */
+  def createFull(spark: SparkSession, view: String, src: String,
+                 keyCol: String, valueCol: String,
+                 atVersion: Option[Long] = None): Long = {
+    val v = atVersion.getOrElse(SnapshotTable.currentVersion(spark, src))
+    SnapshotTable.create(spark, view,
+      fullAggregateOf(SnapshotTable.readVersion(spark, src, v),
+        keyCol, valueCol),
+      partCol = keyCol, tags = Set(s"mv@$v"))
+  }
+
+  /** Advance the min/max view to the source's current version:
+    * touched groups come from the change feed, their new aggregate
+    * rows from re-aggregating ONLY those groups; vanished groups ride
+    * the merge with n=0 and are purged. Because recomputed rows are
+    * ABSOLUTE state (not deltas), a crashed-and-retried refresh is
+    * idempotent even beyond the tag ledger.
+    */
+  def refreshFull(spark: SparkSession, view: String, src: String,
+                  keyCol: String, valueCol: String): (Long, Long) = {
+    val applied = appliedVersion(spark, view)
+    val cur = SnapshotTable.currentVersion(spark, src)
+    if (cur > applied) {
+      val touched = SnapshotTable.readChangesBetween(spark, src, applied, cur)
+        .select(col(keyCol)).distinct()
+      val recomputed = fullAggregateOf(
+        SnapshotTable.read(spark, src)
+          .join(broadcast(touched), Seq(keyCol), "left_semi"),
+        keyCol, valueCol)
+      // groups every one of whose rows vanished produce no recomputed
+      // row — they merge as n=0 ghosts, purged by the delete below
+      val vanished = touched
+        .join(recomputed.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .select(col(keyCol), lit(0L).as("n"),
+          lit(null).cast(totalType).as("total"),
+          lit(null).cast("decimal(18,2)").as("vmin"),
+          lit(null).cast("decimal(18,2)").as("vmax"))
+      SnapshotTable.commitMerge(spark, view,
+        recomputed.unionByName(vanished), keyCol, keyCol,
+        tag = Some(s"mv@$cur"))
+    }
+    SnapshotTable.commitDelete(spark, view, col("n") === 0L, keyCol)
+    (SnapshotTable.currentVersion(spark, view), math.max(applied, cur))
+  }
+
   /** Driver query: materialize per-priority (count, total) at source
     * version 1 of the CDC scenario, then refresh through its append,
     * merge, and equality-delete commits — the view must equal the
@@ -118,8 +186,27 @@ object IncrementalView extends QueryPack {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Driver query: the min/max view through the same CDC scenario —
+    * correct only if touched-group recompute re-derives minima that
+    * DELETES raised (the case signed deltas cannot express).
+    */
+  def mviewMinMaxQuery(s: SparkSession, dir: String): DataFrame = {
+    val src = SnapshotTable.changesScenario(s, dir)
+    val view = java.nio.file.Files
+      .createTempDirectory("graft_snapshot_mv2").resolve("t").toString
+    createFull(s, view, src, "o_orderpriority", "o_totalprice",
+      atVersion = Some(1L))
+    refreshFull(s, view, src, "o_orderpriority", "o_totalprice")
+    SnapshotTable.read(s, view)
+      .select(col("o_orderpriority"), col("n"),
+        col("vmin").cast("double").as("min_price"),
+        col("vmax").cast("double").as("max_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
-    "q_snapshot_mview" -> (mviewQuery _))
+    "q_snapshot_mview" -> (mviewQuery _),
+    "q_snapshot_mview2" -> (mviewMinMaxQuery _))
 
   override def oracleSql: Map[String, String] = Map(
     "q_snapshot_mview" ->
@@ -142,6 +229,30 @@ object IncrementalView extends QueryPack {
         |)
         |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM merged
+        |WHERE NOT (o_orderkey % 101 = 0 AND o_orderkey BETWEEN 1000 AND 5000)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_snapshot_mview2" ->
+      """WITH changed AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |), fresh AS (
+        |  SELECT (SELECT max(o_orderkey) FROM orders) + i AS o_orderkey,
+        |    CAST(1 AS BIGINT) AS o_custkey, 123.45 AS o_totalprice,
+        |    '1999-01-01' AS o_orderdate, '1-URGENT' AS o_orderpriority
+        |  FROM (SELECT unnest(generate_series(1, 5)) AS i)
+        |), upd AS (
+        |  SELECT * FROM changed UNION ALL SELECT * FROM fresh
+        |), merged AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM upd
+        |)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
         |FROM merged
         |WHERE NOT (o_orderkey % 101 = 0 AND o_orderkey BETWEEN 1000 AND 5000)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)

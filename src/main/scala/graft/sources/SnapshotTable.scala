@@ -231,11 +231,20 @@ object SnapshotTable extends QueryPack {
     * schema evolution must not rewrite old files — readers apply the
     * recorded schema and parquet fills absent columns with null.
     */
+  /** `checks` are table-level CHECK constraints — SQL boolean
+    * expressions over column names, enforced on every commit's FRESH
+    * rows (SQL-standard three-valued semantics: a row violates only
+    * when the expression is FALSE; NULL/unknown passes, as in Delta's
+    * CHECK). They are expression STRINGS over current column names: a
+    * rename/drop that orphans a referenced name fails loudly at the
+    * next enforcement, never silently.
+    */
   final case class Header(tags: Set[String] = Set.empty,
                           schema: Option[String] = None,
                           statsCols: Seq[String] = Seq.empty,
                           partCol: Option[String] = None,
-                          bloomCols: Seq[String] = Seq.empty)
+                          bloomCols: Seq[String] = Seq.empty,
+                          checks: Seq[String] = Seq.empty)
 
   // ---- manifest lists + segments (the O(changed)-commit construction)
   //
@@ -301,7 +310,7 @@ object SnapshotTable extends QueryPack {
   // simple values (no unescaped brackets), so their non-greedy groups
   // terminate correctly; the schema DDL is arbitrary and goes LAST
   private val headerRe =
-    raw"""\{"tags":\[(.*?)\](?:,"statsCols":\[(.*?)\])?(?:,"bloomCols":\[(.*?)\])?(?:,"partCol":"((?:[^"\\]|\\.)*)")?(?:,"schema":"(.*)")?\}""".r
+    raw"""\{"tags":\[(.*?)\](?:,"statsCols":\[(.*?)\])?(?:,"bloomCols":\[(.*?)\])?(?:,"checks":\[(.*?)\])?(?:,"partCol":"((?:[^"\\]|\\.)*)")?(?:,"schema":"(.*)")?\}""".r
 
   /** The per-version manifest list: segment refs, equality-delete refs,
     * and the header.
@@ -310,12 +319,14 @@ object SnapshotTable extends QueryPack {
                                    version: Long): (Seq[SegmentRef], Seq[DeleteFile], Header) = {
     readLines(fs(spark, table),
       new Path(manifestDir(table), s"v$version.json")) match {
-      case headerRe(tagsBody, statsBody, bloomBody, partColGrp, schemaGrp) :: rest =>
+      case headerRe(tagsBody, statsBody, bloomBody, checksBody, partColGrp, schemaGrp) :: rest =>
         val tags = quotedRe.findAllMatchIn(tagsBody)
           .map(m => unesc(m.group(1))).toSet
         val statsCols = Option(statsBody).toSeq.flatMap(b =>
           quotedRe.findAllMatchIn(b).map(m => unesc(m.group(1))))
         val bloomCols = Option(bloomBody).toSeq.flatMap(b =>
+          quotedRe.findAllMatchIn(b).map(m => unesc(m.group(1))))
+        val checks = Option(checksBody).toSeq.flatMap(b =>
           quotedRe.findAllMatchIn(b).map(m => unesc(m.group(1))))
         val (segLines, rest2) = rest.partition(_.trim.startsWith("{\"seg\""))
         val refs = segLines.map(_.trim match {
@@ -330,7 +341,7 @@ object SnapshotTable extends QueryPack {
           case other => sys.error(s"snapshot manifest list: bad line: $other")
         })
         (refs, deletes, Header(tags, Option(schemaGrp).map(unesc), statsCols,
-          Option(partColGrp).map(unesc), bloomCols))
+          Option(partColGrp).map(unesc), bloomCols, checks))
       case Nil => (Seq.empty, Seq.empty, Header())
       case other :: _ =>
         sys.error(s"snapshot manifest list: bad header: $other")
@@ -362,6 +373,8 @@ object SnapshotTable extends QueryPack {
         .map(c => "\"" + esc(c) + "\"").mkString(""","statsCols":[""", ",", "]")) +
       (if (hdr.bloomCols.isEmpty) "" else hdr.bloomCols
         .map(c => "\"" + esc(c) + "\"").mkString(""","bloomCols":[""", ",", "]")) +
+      (if (hdr.checks.isEmpty) "" else hdr.checks
+        .map(c => "\"" + esc(c) + "\"").mkString(""","checks":[""", ",", "]")) +
       hdr.partCol.fold("")(c => s""","partCol":"${esc(c)}"""") +
       hdr.schema.fold("")(s => s""","schema":"${esc(s)}"""") + "}\n"
     val body = (refs.map(segJson) ++ deletes.map(delJson))
@@ -836,6 +849,50 @@ object SnapshotTable extends QueryPack {
     * the cluster column). The columns are recorded in the header, so
     * every later commit keeps collecting them without restating.
     */
+  /** Enforce `checks` on `df` — ONE aggregate job over the batch (the
+    * commit paths pass only their FRESH rows, so enforcement is
+    * O(changed), never O(table)). A row violates a check only when the
+    * expression is FALSE; NULL passes (SQL-standard CHECK semantics,
+    * as in Delta). All violated checks are reported together.
+    */
+  private def enforceChecks(df: DataFrame, checks: Seq[String],
+                            op: String): Unit =
+    if (checks.nonEmpty) {
+      val counters = checks.zipWithIndex.map { case (c, i) =>
+        coalesce(sum(when(not(coalesce(expr(c), lit(true))), 1L)
+          .otherwise(0L)), lit(0L)).as(s"c$i")
+      }
+      val row = df.select(counters: _*).head()
+      val violated = checks.zipWithIndex
+        .map { case (c, i) => c -> row.getLong(i) }
+        .filter(_._2 > 0)
+      require(violated.isEmpty,
+        s"snapshot $op: CHECK constraint violation: " +
+          violated.map { case (c, n) => s"`$c` ($n rows)" }.mkString("; "))
+    }
+
+  /** Install `checks` as the table's CHECK constraints (replacing the
+    * current set; empty = drop all). Newly-introduced checks are first
+    * validated against the EXISTING data in one scan — the published
+    * Delta `ADD CONSTRAINT` contract — then a header-only commit
+    * records them; afterwards every append/merge/overwrite enforces
+    * them on its fresh rows.
+    */
+  def setChecks(spark: SparkSession, table: String,
+                checks: Seq[String]): Long = {
+    require(checks.forall(c => !c.contains("]") && !c.contains("[")),
+      "snapshot setChecks: square brackets in a check expression are " +
+        "not representable in the manifest header")
+    val v = currentVersion(spark, table)
+    val (refs, deletes, hdr) = readListRaw(spark, table, v)
+    val novel = checks.filterNot(hdr.checks.contains)
+    if (novel.nonEmpty && refs.nonEmpty)
+      enforceChecks(read(spark, table), novel, "setChecks")
+    commitList(spark, table, v + 1, refs, deletes,
+      hdr.copy(checks = checks))
+    v + 1
+  }
+
   def create(spark: SparkSession, table: String, df: DataFrame,
              partCol: String, statsCols: Seq[String] = Seq.empty,
              bloomCols: Seq[String] = Seq.empty,
@@ -937,6 +994,9 @@ object SnapshotTable extends QueryPack {
     // view refresh (or any merge-shaped consumer) needs under retry
     if (tag.exists(meta.hdr.tags.contains)) return (v, 0L, 0L)
     val (segs, hdr) = (meta.segs, meta.hdr)
+    // constraints gate only the BATCH — carried and re-written target
+    // rows already passed when they were committed
+    enforceChecks(updates, hdr.checks, "commitMerge")
     val manifest = meta.entries
     val batchParts = updates.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
@@ -1009,6 +1069,7 @@ object SnapshotTable extends QueryPack {
     if (tag.exists(hdr.tags.contains))
       None
     else {
+      enforceChecks(df, hdr.checks, "commitAppend")
       val evolved = assignFieldIds(evolveSchema(hdr.schema, df))
       val effStats = if (statsCols.nonEmpty) statsCols else hdr.statsCols
       val fresh = writeDataFiles(spark, table, applySchemaMeta(df, evolved),
@@ -1039,6 +1100,7 @@ object SnapshotTable extends QueryPack {
     val v = currentVersion(spark, table)
     val meta = readMeta(spark, table, v)
     val hdr = meta.hdr
+    enforceChecks(df, hdr.checks, "commitOverwrite")
     val evolved = assignFieldIds(evolveSchema(hdr.schema, df))
     val effStats = if (statsCols.nonEmpty) statsCols else hdr.statsCols
     val fresh = writeDataFiles(spark, table, applySchemaMeta(df, evolved),
@@ -1525,6 +1587,63 @@ object SnapshotTable extends QueryPack {
     }.toDF("version", "n_files", "n_rows", "n_tags", "committed_at")
   }
 
+  /** Per-file metadata of `version` (default current) as a DataFrame —
+    * the files INSPECTION table (Iceberg's `table$files` /
+    * `DESCRIBE DETAIL` surface): one row per data file with its
+    * partition stamp, row/byte counts, commit seq, and which columns
+    * carry min/max stats and blooms. Built from the manifest alone —
+    * zero data-file opens, O(table files) driver rows (the same bound
+    * planning already pays). The operational answer to "is this table
+    * small-file-ridden / is the clustering holding / which partition
+    * is skewed" WITHOUT scanning 100 TB.
+    */
+  def filesTable(spark: SparkSession, table: String,
+                 version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val v = version.getOrElse(currentVersion(spark, table))
+    val (entries, hdr) = readManifestFull(spark, table, v)
+    entries.map { e =>
+      (e.path, e.effPartCol(hdr.partCol), e.parts.map(_.mkString("/")),
+        e.rows, e.bytes, e.seq, e.stats.map(_.col), e.blooms.map(_.col))
+    }.toDF("path", "part_col", "partition", "n_rows", "n_bytes", "seq",
+      "stats_cols", "bloom_cols")
+  }
+
+  /** RESTORE `table` to the logical state of `version` — published
+    * Delta-RESTORE semantics: history moves FORWARD (a new version is
+    * committed; pinned readers and the retained chain are untouched)
+    * and the restored state is a plain O(#segments) list commit
+    * carrying `version`'s segments, pending deletes, and schema BY
+    * REFERENCE — no data is copied or rewritten. The idempotence tag
+    * ledger is the UNION of the restored and current headers: a sink
+    * micro-batch applied after `version` stays recorded, so a replay
+    * after restore no-ops instead of double-applying (as in Delta,
+    * where setTransaction history survives RESTORE). Fails loudly —
+    * before publishing anything — if vacuum already removed a data or
+    * delete file the target references.
+    */
+  def restoreTo(spark: SparkSession, table: String, version: Long): Long = {
+    val cur = currentVersion(spark, table)
+    val vs = versions(spark, table)
+    require(vs.contains(version),
+      s"snapshot restore: version $version not retained for $table (have ${vs.mkString(",")})")
+    if (version == cur) cur
+    else {
+      val (refs, deletes, hdr) = readListRaw(spark, table, version)
+      val f = fs(spark, table)
+      val missing =
+        (refs.flatMap(readSegment(spark, table, _)).map(_.path) ++
+          deletes.map(_.path))
+          .filterNot(p => f.exists(new Path(table, p)))
+      require(missing.isEmpty,
+        s"snapshot restore: v$version references vacuumed files: ${missing.take(3).mkString(", ")}")
+      val curTags = readListRaw(spark, table, cur)._3.tags
+      commitList(spark, table, cur + 1, refs, deletes,
+        hdr.copy(tags = hdr.tags ++ curTags))
+      cur + 1
+    }
+  }
+
   // ---- change-data-feed reads
 
   /** Row-level changes committed in `(fromV, toV]` — each row tagged
@@ -1939,6 +2058,66 @@ object SnapshotTable extends QueryPack {
     rollup(read(s, work))
   }
 
+  /** Rollup after a row-level DELETE is UNDONE by [[restoreTo]] — the
+    * restored table must equal the pre-delete snapshot exactly (same
+    * oracle as the plain-orders rollup), which only holds if restore
+    * carries v1's complete file set, schema, and no stray deletes.
+    */
+  def restoreQuery(s: SparkSession, dir: String): DataFrame = {
+    val work = cloneTable(s, deleteBase(s, dir))
+    commitDelete(s, work,
+      col("o_orderkey") % 101 === 0 && col("o_orderkey").between(1000, 5000),
+      "o_orderpriority", rangeHint = Some(("o_orderkey", 1000d, 5000d)))
+    restoreTo(s, work, 1L)
+    rollup(read(s, work))
+  }
+
+  /** Per-partition row accounting from the files INSPECTION table of
+    * the post-merge snapshot — manifest metadata alone (zero data-file
+    * reads) must reproduce the true per-partition row counts, which
+    * only holds if every commit path recorded exact per-file rows.
+    */
+  def filesQuery(s: SparkSession, dir: String): DataFrame =
+    filesTable(s, scenario(s, dir))
+      .groupBy(col("partition").as("o_orderpriority"))
+      .agg(sum(col("n_rows")).as("n_rows"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Rollup after CHECK constraints are installed, a CLEAN batch
+    * commits, and a VIOLATING batch is rejected — the final state must
+    * contain exactly base + clean batch (the oracle), which holds only
+    * if enforcement passed the good rows and the refused commit
+    * published nothing (atomicity of the failed append).
+    */
+  def constraintsQuery(s: SparkSession, dir: String): DataFrame = {
+    val work = cloneTable(s, deleteBase(s, dir))
+    setChecks(s, work,
+      Seq("o_totalprice >= 0", "o_orderkey IS NOT NULL"))
+    val maxKey = Tables.orders(s, dir).agg(max(col("o_orderkey")))
+      .head().getLong(0)
+    val tableSchema = read(s, work).schema
+    val clean = s.range(1, 6).select(
+      (col("id") + maxKey).as("o_orderkey"),
+      lit(1L).as("o_custkey"),
+      lit(123.45).as("o_totalprice"),
+      to_timestamp(lit("1999-01-01")).as("o_orderdate"),
+      lit("1-URGENT").as("o_orderpriority"))
+      // align to the table's physical types (o_orderdate may be NTZ
+      // depending on the testdata's parquet form) — append evolves
+      // schema strictly, it never coerces
+      .select(tableSchema.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+    commitAppend(s, work, clean, "o_orderpriority")
+    val dirty = clean
+      .withColumn("o_totalprice", lit(-5.0))
+      .withColumn("o_orderkey", col("o_orderkey") + 100)
+    val refused =
+      try { commitAppend(s, work, dirty, "o_orderpriority"); false }
+      catch { case e: IllegalArgumentException
+        if e.getMessage.contains("CHECK") => true }
+    require(refused, "violating batch must be refused")
+    rollup(read(s, work))
+  }
+
   /** Rollup through a RENAME + DROP (field-id evolution, header-only
     * commits): `o_totalprice` becomes `price`, `o_orderdate` is
     * dropped, and the rollup on the renamed column must equal the plain
@@ -2115,6 +2294,9 @@ object SnapshotTable extends QueryPack {
     "q_snapshot_bloom" -> (bloomQuery _),
     "q_snapshot_changes" -> (changesQuery _),
     "q_snapshot_delete" -> (deleteQuery _),
+    "q_snapshot_restore" -> (restoreQuery _),
+    "q_snapshot_files" -> (filesQuery _),
+    "q_snapshot_constraints" -> (constraintsQuery _),
     "q_snapshot_lazy_del" -> (lazyDeleteQuery _),
     "q_snapshot_rename" -> (renameQuery _),
     "q_snapshot_evolve" -> (evolveQuery _))
@@ -2206,6 +2388,42 @@ object SnapshotTable extends QueryPack {
         |FROM orders
         |WHERE NOT (o_orderkey % 101 = 0 AND o_orderkey BETWEEN 1000 AND 5000)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_snapshot_restore" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_snapshot_files" ->
+      """WITH changed AS (
+        |  SELECT o_orderkey, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |), fresh AS (
+        |  SELECT (SELECT max(o_orderkey) FROM orders) + i AS o_orderkey,
+        |    '1-URGENT' AS o_orderpriority
+        |  FROM (SELECT unnest(generate_series(1, 5)) AS i)
+        |), upd AS (
+        |  SELECT * FROM changed UNION ALL SELECT * FROM fresh
+        |), merged AS (
+        |  SELECT o_orderkey, o_orderpriority
+        |  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority FROM upd
+        |)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_snapshot_constraints" ->
+      """WITH fresh AS (
+        |  SELECT (SELECT max(o_orderkey) FROM orders) + i AS o_orderkey,
+        |    123.45 AS o_totalprice, '1-URGENT' AS o_orderpriority
+        |  FROM (SELECT unnest(generate_series(1, 5)) AS i)
+        |), unioned AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |  UNION ALL SELECT * FROM fresh
+        |)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM unioned GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_snapshot_lazy_del" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,

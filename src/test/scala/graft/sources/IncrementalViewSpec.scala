@@ -123,4 +123,84 @@ class IncrementalViewSpec extends SparkSpec {
       .head()
     assert(b.getLong(b.fieldIndex("n")) === 1L)
   }
+
+  private def recomputeFull(src: String): Seq[String] =
+    SnapshotTable.read(spark, src)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(28,2)").as("total"),
+        min(col("o_totalprice").cast("decimal(18,2)")).as("vmin"),
+        max(col("o_totalprice").cast("decimal(18,2)")).as("vmax"))
+      .orderBy("o_orderpriority").collect().map(_.toString).toSeq
+
+  test("min/max view: touched-group recompute tracks deletes that raise " +
+    "a minimum, group vanish/return, and stepwise equals recompute") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mv4")
+    val (src, view) = (s"$dir/src", s"$dir/view")
+    SnapshotTable.create(spark, src, orders4, "o_orderpriority",
+      statsCols = Seq("o_orderkey"))
+    IncrementalView.createFull(spark, view, src, "o_orderpriority",
+      "o_totalprice")
+    assert(viewRows(view) === recomputeFull(src))
+
+    // delete the global minimum rows of each group — the new minima
+    // exist only in the SOURCE, so a delta-only maintenance would be
+    // wrong here
+    val minKeys = SnapshotTable.read(spark, src)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))))
+      .filter(col("rk") <= 3).select("o_orderkey")
+    SnapshotTable.commitDelete(spark, src,
+      col("o_orderkey").isin(
+        minKeys.collect().map(_.getLong(0)).toIndexedSeq: _*),
+      "o_orderpriority")
+    IncrementalView.refreshFull(spark, view, src, "o_orderpriority",
+      "o_totalprice")
+    assert(viewRows(view) === recomputeFull(src))
+
+    // append + merge, then one refresh over both commits
+    SnapshotTable.commitAppend(spark, src, orders4.limit(7)
+      .select((col("o_orderkey") + 9300000L).as("o_orderkey"),
+        col("o_custkey"), lit(0.01).as("o_totalprice"),
+        col("o_orderpriority")), "o_orderpriority")
+    SnapshotTable.commitMerge(spark, src,
+      orders4.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          col("o_orderpriority")),
+      "o_orderkey", "o_orderpriority")
+    IncrementalView.refreshFull(spark, view, src, "o_orderpriority",
+      "o_totalprice")
+    assert(viewRows(view) === recomputeFull(src))
+
+    // retry is a no-op
+    val rows = viewRows(view)
+    IncrementalView.refreshFull(spark, view, src, "o_orderpriority",
+      "o_totalprice")
+    assert(viewRows(view) === rows)
+
+    // vanish + return on a tiny table
+    val (src2, view2) = (s"$dir/src2", s"$dir/view2")
+    val base = Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF(
+      "o_orderkey", "o_totalprice", "o_orderpriority")
+    SnapshotTable.create(spark, src2, base, "o_orderpriority")
+    IncrementalView.createFull(spark, view2, src2, "o_orderpriority",
+      "o_totalprice")
+    SnapshotTable.commitDelete(spark, src2,
+      col("o_orderkey") === 2L, "o_orderpriority")
+    IncrementalView.refreshFull(spark, view2, src2, "o_orderpriority",
+      "o_totalprice")
+    assert(SnapshotTable.read(spark, view2).select("o_orderpriority")
+      .collect().map(_.getString(0)).toSeq === Seq("a"))
+    SnapshotTable.commitAppend(spark, src2,
+      Seq((3L, 5.0, "b")).toDF("o_orderkey", "o_totalprice",
+        "o_orderpriority"), "o_orderpriority")
+    IncrementalView.refreshFull(spark, view2, src2, "o_orderpriority",
+      "o_totalprice")
+    assert(viewRows(view2) === recomputeFull(src2))
+  }
 }

@@ -664,4 +664,110 @@ class SnapshotTableSpec extends SparkSpec {
       .withColumnRenamed("k", "o_orderkey")) ===
       sortedRows(df.withColumnRenamed("k", "o_orderkey")))
   }
+
+  test("restore moves history forward to an exact old state; tags union; " +
+    "vacuumed targets are refused before publishing") {
+    val table = freshTable()
+    val v1Rows = sortedRows(SnapshotTable.read(spark, table))
+
+    // mutate twice: a merge (tagged, like a sink batch) then a delete
+    SnapshotTable.commitMerge(spark, table, updatesBatch(),
+      "o_orderkey", "o_orderpriority", tag = Some("batch-7"))
+    SnapshotTable.commitDelete(spark, table,
+      col("o_orderkey") % 11 === 0, "o_orderpriority")
+    assert(sortedRows(SnapshotTable.read(spark, table)) !== v1Rows)
+
+    val restored = SnapshotTable.restoreTo(spark, table, 1L)
+    assert(restored === 4L, "restore is a FORWARD commit, not a rewind")
+    assert(sortedRows(SnapshotTable.read(spark, table)) === v1Rows)
+    // pinned pre-restore version still readable
+    assert(SnapshotTable.readVersion(spark, table, 3L).count() <
+      v1Rows.size)
+    // the tag ledger carries the merge's tag through the restore: a
+    // replayed tagged commit must no-op, never double-apply
+    val (_, hdr4) = SnapshotTable.readManifestList(spark, table, restored)
+    assert(hdr4.tags.contains("batch-7"))
+
+    // restoring to the current version is a no-op
+    assert(SnapshotTable.restoreTo(spark, table, 4L) === 4L)
+
+    // drop old manifests + their unreferenced files, then try to
+    // restore past the vacuum horizon
+    SnapshotTable.restoreTo(spark, table, 3L) // v5 = the deleted state
+    SnapshotTable.vacuum(spark, table, keepVersions = 1, minAgeMs = 0L)
+    val err = intercept[Exception] {
+      SnapshotTable.restoreTo(spark, table, 1L)
+    }
+    assert(err.getMessage.contains("not retained") ||
+      err.getMessage.contains("vacuumed"))
+  }
+
+  test("filesTable reproduces per-partition rows and stat/bloom columns " +
+    "from the manifest alone") {
+    val table = freshTable()
+    SnapshotTable.commitMerge(spark, table, updatesBatch(),
+      "o_orderkey", "o_orderpriority")
+    val files = SnapshotTable.filesTable(spark, table)
+    val byPart = files.groupBy("partition")
+      .agg(org.apache.spark.sql.functions.sum("n_rows").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = SnapshotTable.read(spark, table)
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byPart === truth)
+    assert(files.count() ===
+      SnapshotTable.readManifest(spark, table,
+        SnapshotTable.currentVersion(spark, table)).size)
+    // every file is stamped with the table's partition column
+    assert(files.select("part_col").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("o_orderpriority"))
+  }
+
+  test("CHECK constraints: enforced on append/merge/overwrite fresh rows, " +
+    "NULL passes, ADD validates existing data, the set survives " +
+    "maintenance commits") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("snapck")
+      .resolve("t").toString
+    SnapshotTable.create(spark, table,
+      Seq((1L, Some(10.0), "a"), (2L, None, "a"), (3L, Some(30.0), "b"))
+        .toDF("k", "price", "p"), "p")
+
+    // ADD CONSTRAINT validates existing rows: price has a NULL (passes)
+    // but a check the data violates must be refused
+    val bad = intercept[IllegalArgumentException] {
+      SnapshotTable.setChecks(spark, table, Seq("price > 20"))
+    }
+    assert(bad.getMessage.contains("CHECK"))
+    SnapshotTable.setChecks(spark, table, Seq("price >= 0", "k IS NOT NULL"))
+
+    // append: clean passes (incl. a NULL price row), violating refused
+    assert(SnapshotTable.commitAppend(spark, table,
+      Seq((4L, Option.empty[Double], "b")).toDF("k", "price", "p"),
+      "p").nonEmpty)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitAppend(spark, table,
+        Seq((5L, Some(-1.0), "b")).toDF("k", "price", "p"), "p")
+    }
+    // merge: violating batch refused, nothing published
+    val vBefore = SnapshotTable.currentVersion(spark, table)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitMerge(spark, table,
+        Seq((1L, Some(-9.0), "a")).toDF("k", "price", "p"), "k", "p")
+    }
+    assert(SnapshotTable.currentVersion(spark, table) === vBefore)
+    // overwrite: enforced too
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitOverwrite(spark, table,
+        Seq((1L, Some(-2.0), "a")).toDF("k", "price", "p"), "p")
+    }
+
+    // the constraint set survives compaction and restore
+    SnapshotTable.compact(spark, table, "p")
+    SnapshotTable.restoreTo(spark, table, vBefore)
+    val hdr = SnapshotTable.readManifestList(spark, table,
+      SnapshotTable.currentVersion(spark, table))._2
+    assert(hdr.checks === Seq("price >= 0", "k IS NOT NULL"))
+    assert(SnapshotTable.read(spark, table).count() === 4L)
+  }
 }
