@@ -316,9 +316,12 @@ object SnapshotTable extends QueryPack {
     * and the header.
     */
   private[sources] def readListRaw(spark: SparkSession, table: String,
-                                   version: Long): (Seq[SegmentRef], Seq[DeleteFile], Header) = {
-    readLines(fs(spark, table),
-      new Path(manifestDir(table), s"v$version.json")) match {
+                                   version: Long): (Seq[SegmentRef], Seq[DeleteFile], Header) =
+    readListAt(fs(spark, table), new Path(manifestDir(table), s"v$version.json"))
+
+  private def readListAt(f: FileSystem,
+                         path: Path): (Seq[SegmentRef], Seq[DeleteFile], Header) = {
+    readLines(f, path) match {
       case headerRe(tagsBody, statsBody, bloomBody, checksBody, partColGrp, schemaGrp) :: rest =>
         val tags = quotedRe.findAllMatchIn(tagsBody)
           .map(m => unesc(m.group(1))).toSet
@@ -362,11 +365,16 @@ object SnapshotTable extends QueryPack {
     */
   private def commitList(spark: SparkSession, table: String, version: Long,
                          refs: Seq[SegmentRef], deletes: Seq[DeleteFile],
-                         hdr: Header): Unit = {
-    val f = fs(spark, table)
-    val dir = manifestDir(table)
+                         hdr: Header): Unit =
+    writeListAt(fs(spark, table), manifestDir(table), s"v$version.json",
+      refs, deletes, hdr,
+      s"snapshot commit conflict: v$version already published for $table")
+
+  private def writeListAt(f: FileSystem, dir: Path, targetName: String,
+                          refs: Seq[SegmentRef], deletes: Seq[DeleteFile],
+                          hdr: Header, conflictMsg: String): Unit = {
     f.mkdirs(dir)
-    val tmp = new Path(dir, s"v$version.json.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
+    val tmp = new Path(dir, s"$targetName.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
     val header = hdr.tags.toSeq.sorted
       .map(t => "\"" + esc(t) + "\"").mkString("""{"tags":[""", ",", "]") +
       (if (hdr.statsCols.isEmpty) "" else hdr.statsCols
@@ -383,10 +391,10 @@ object SnapshotTable extends QueryPack {
     try out.write((header + body)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val target = new Path(dir, s"v$version.json")
+    val target = new Path(dir, targetName)
     if (f.exists(target) || !f.rename(tmp, target)) {
       f.delete(tmp, false)
-      sys.error(s"snapshot commit conflict: v$version already published for $table")
+      sys.error(conflictMsg)
     }
   }
 
@@ -1070,7 +1078,7 @@ object SnapshotTable extends QueryPack {
       None
     else {
       enforceChecks(df, hdr.checks, "commitAppend")
-      val evolved = assignFieldIds(evolveSchema(hdr.schema, df))
+      val evolved = assignFieldIds(evolveSchema(hdr.schema, df.schema))
       val effStats = if (statsCols.nonEmpty) statsCols else hdr.statsCols
       val fresh = writeDataFiles(spark, table, applySchemaMeta(df, evolved),
         partCol, tag, effStats, bloomCols = hdr.bloomCols)
@@ -1101,7 +1109,7 @@ object SnapshotTable extends QueryPack {
     val meta = readMeta(spark, table, v)
     val hdr = meta.hdr
     enforceChecks(df, hdr.checks, "commitOverwrite")
-    val evolved = assignFieldIds(evolveSchema(hdr.schema, df))
+    val evolved = assignFieldIds(evolveSchema(hdr.schema, df.schema))
     val effStats = if (statsCols.nonEmpty) statsCols else hdr.statsCols
     val fresh = writeDataFiles(spark, table, applySchemaMeta(df, evolved),
       partCol, statsCols = effStats, bloomCols = hdr.bloomCols)
@@ -1122,9 +1130,9 @@ object SnapshotTable extends QueryPack {
     * columns (they read back null for its rows).
     */
   private def evolveSchema(current: Option[String],
-                           df: DataFrame): org.apache.spark.sql.types.StructType =
+                           incoming: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
     current match {
-      case None => df.schema
+      case None => incoming
       case Some(str) =>
         import org.apache.spark.sql.types._
         val cur = schemaFromString(str)
@@ -1138,7 +1146,7 @@ object SnapshotTable extends QueryPack {
           case _                                                  => None
         }
         val updated = cur.fields.map { c =>
-          df.schema.find(_.name == c.name) match {
+          incoming.find(_.name == c.name) match {
             case None => c
             case Some(f) => widened(c.dataType, f.dataType) match {
               case Some(t) => c.copy(dataType = t)
@@ -1147,7 +1155,7 @@ object SnapshotTable extends QueryPack {
             }
           }
         }
-        val added = df.schema.filterNot(f => cur.exists(_.name == f.name))
+        val added = incoming.filterNot(f => cur.exists(_.name == f.name))
         StructType(updated ++ added)
     }
 
@@ -1513,13 +1521,21 @@ object SnapshotTable extends QueryPack {
           .getModificationTime > cutoff => v
       }
     val keep = (vs.takeRight(keepVersions) ++ protectedVs).distinct.sorted
+    // un-published WAP stages are live too: their segments and data
+    // files are referenced by no version yet, but a later publish will
+    // reference them — vacuum must not eat a stage awaiting audit
+    val staged = stagedIds(spark, table)
+      .map(id => readListAt(f, wapPath(table, id))._1)
     val liveSegs: Set[String] =
-      keep.flatMap(readManifestList(spark, table, _)._1).map(_.path).toSet
+      (keep.flatMap(readManifestList(spark, table, _)._1) ++
+        staged.flatten).map(_.path).toSet
     val liveDels: Set[String] =
       keep.flatMap(readListRaw(spark, table, _)._2)
         .map(d => new Path(d.path).getName).toSet
-    val live: Set[String] = keep.flatMap(readManifest(spark, table, _))
-      .map(e => new Path(e.path).getName).toSet
+    val live: Set[String] =
+      (keep.flatMap(readManifest(spark, table, _)) ++
+        staged.flatten.flatMap(readSegment(spark, table, _)))
+        .map(e => new Path(e.path).getName).toSet
     // the age window also protects UNREFERENCED artifacts: a data file,
     // manifest tmp, or staging dir younger than the window may belong to
     // an IN-FLIGHT commit whose manifest is about to publish — deleting
@@ -1642,6 +1658,156 @@ object SnapshotTable extends QueryPack {
         hdr.copy(tags = hdr.tags ++ curTags))
       cur + 1
     }
+  }
+
+  // ---- write-audit-publish (staged commits)
+  //
+  // The published Iceberg WAP construction: a writer STAGES an append
+  // (data files + a staged manifest invisible to every reader), an
+  // AUDIT job queries the staged state, and only then does PUBLISH
+  // turn it into a real table version — atomically, rebased onto
+  // whatever head the table reached in the meantime (appends rebase
+  // cleanly by construction). An audit failure discards the stage;
+  // readers never saw a byte of it. At 100 TB this is how quality
+  // gates run on ingest without a quarantine COPY of the data: the
+  // staged files are already in place, publish is a metadata commit.
+
+  private val wapBaseRe = raw"wapbase@(\d+)".r
+
+  private def wapPath(table: String, stageId: String): Path = {
+    require(stageId.nonEmpty && stageId.matches("[A-Za-z0-9._-]+"),
+      s"snapshot stage id must be [A-Za-z0-9._-]+, got '$stageId'")
+    new Path(manifestDir(table), s"wap-$stageId.json")
+  }
+
+  /** Stage `df` as an un-published append under `stageId`. The staged
+    * manifest records the base version, the schema the batch evolves
+    * the table to (ADD-and-WIDEN, validated now), and the CHECK set it
+    * was validated against. No reader — including the streaming
+    * source and the change feed — can observe staged files.
+    */
+  def stageAppend(spark: SparkSession, table: String, df: DataFrame,
+                  partCol: String, stageId: String): Unit = {
+    val f = fs(spark, table)
+    val p = wapPath(table, stageId)
+    require(!f.exists(p), s"snapshot stage '$stageId' already exists for $table")
+    val v = currentVersion(spark, table)
+    val (_, _, hdr) = readListRaw(spark, table, v)
+    enforceChecks(df, hdr.checks, "stageAppend")
+    val evolved = assignFieldIds(evolveSchema(hdr.schema, df.schema))
+    val fresh = writeDataFiles(spark, table, applySchemaMeta(df, evolved),
+      partCol, statsCols = hdr.statsCols, bloomCols = hdr.bloomCols)
+    val refs =
+      if (fresh.isEmpty) Seq.empty
+      else Seq(writeSegment(spark, table, fresh))
+    writeListAt(f, manifestDir(table), s"wap-$stageId.json", refs, Seq.empty,
+      hdr.copy(tags = Set(s"wapbase@$v"),
+        schema = Some(schemaToString(evolved))),
+      s"snapshot stage '$stageId' already exists for $table")
+  }
+
+  private def readWapList(spark: SparkSession, table: String,
+                          stageId: String): (Seq[SegmentRef], Header, Long) = {
+    val p = wapPath(table, stageId)
+    require(fs(spark, table).exists(p),
+      s"snapshot stage '$stageId' does not exist for $table")
+    val (refs, _, hdr) = readListAt(fs(spark, table), p)
+    val base = hdr.tags.collectFirst { case wapBaseRe(n) => n.toLong }
+      .getOrElse(sys.error(s"snapshot stage '$stageId': no base version recorded"))
+    (refs, hdr, base)
+  }
+
+  /** The AUDIT view: the CURRENT head's rows plus the staged batch,
+    * read under the staged (possibly evolved) schema — exactly what
+    * the table WILL look like if the stage publishes now (publish
+    * rebases onto the head, so auditing against the stage's original
+    * base would check a state that can no longer occur).
+    */
+  def readStaged(spark: SparkSession, table: String,
+                 stageId: String): DataFrame = {
+    val (refs, wapHdr, _) = readWapList(spark, table, stageId)
+    val headMeta = readMeta(spark, table, currentVersion(spark, table))
+    // audit under the MERGED schema — the head may have evolved since
+    // staging, and so may the stage: the audit sees both sides' columns
+    val merged = wapHdr.schema.fold(headMeta.hdr.schema)(s =>
+      Some(schemaToString(assignFieldIds(
+        evolveSchema(headMeta.hdr.schema, schemaFromString(s))))))
+    val entries = headMeta.entries ++ refs.flatMap(readSegment(spark, table, _))
+    readWithDeletes(spark, table, entries, headMeta.deletes,
+      headMeta.hdr.copy(schema = merged))
+  }
+
+  /** PUBLISH the stage as the next table version — one metadata commit
+    * rebased onto the CURRENT head (the staged entries are appends, so
+    * the rebase is always clean; the schema re-evolves against the
+    * head's, which may itself have moved). `stageId` joins the tag
+    * ledger, so a crashed-and-retried publish is a no-op, and the
+    * staged manifest is removed after the commit lands. If the CHECK
+    * set changed since staging, the staged rows are re-validated
+    * against the new checks before anything publishes.
+    */
+  def publishStaged(spark: SparkSession, table: String,
+                    stageId: String): Long = commitWithRetry() {
+    val f = fs(spark, table)
+    val v = currentVersion(spark, table)
+    val meta = readMeta(spark, table, v)
+    val hdr = meta.hdr
+    if (hdr.tags.contains(s"wap:$stageId")) {
+      f.delete(wapPath(table, stageId), false) // crashed-retry leftover
+      v
+    } else {
+      val (refs, wapHdr, _) = readWapList(spark, table, stageId)
+      val novel = hdr.checks.filterNot(wapHdr.checks.contains)
+      val entries = refs.flatMap(readSegment(spark, table, _))
+      if (novel.nonEmpty && entries.nonEmpty)
+        enforceChecks(readFiles(spark, table, entries, wapHdr.schema),
+          novel, "publishStaged")
+      val merged = wapHdr.schema.fold(hdr.schema) { s =>
+        val m = assignFieldIds(evolveSchema(hdr.schema, schemaFromString(s)))
+        // staged files are WRITTEN with their stage-time field ids — a
+        // concurrent evolution that claimed the same id for a different
+        // column cannot be remapped after the fact, only refused
+        val ids = m.fields.filter(_.metadata.contains(FieldIdKey))
+          .map(_.metadata.getLong(FieldIdKey))
+        require(ids.distinct.length == ids.length,
+          s"snapshot publish '$stageId': field-id collision with a " +
+            "concurrent schema evolution — re-stage against the current head")
+        Some(schemaToString(m))
+      }
+      val freshRefs =
+        if (entries.isEmpty) Seq.empty
+        else Seq(writeSegment(spark, table, entries.map(_.copy(seq = v + 1))))
+      commitList(spark, table, v + 1,
+        foldIfWide(spark, table, meta.segs.map(_._1) ++ freshRefs),
+        meta.deletes,
+        hdr.copy(tags = hdr.tags + s"wap:$stageId", schema = merged))
+      f.delete(wapPath(table, stageId), false)
+      v + 1
+    }
+  }
+
+  /** Discard a stage: its manifest, segment, and data files — readers
+    * never saw any of it, so this is pure garbage collection.
+    */
+  def discardStaged(spark: SparkSession, table: String,
+                    stageId: String): Unit = {
+    val f = fs(spark, table)
+    val (refs, _, _) = readWapList(spark, table, stageId)
+    refs.flatMap(readSegment(spark, table, _)).foreach(e =>
+      f.delete(new Path(table, e.path), false))
+    refs.foreach(r => f.delete(new Path(manifestDir(table), r.path), false))
+    f.delete(wapPath(table, stageId), false)
+  }
+
+  /** Stage ids currently awaiting audit/publish. */
+  def stagedIds(spark: SparkSession, table: String): Seq[String] = {
+    val f = fs(spark, table)
+    val dir = manifestDir(table)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith("wap-") && n.endsWith(".json") =>
+        n.stripPrefix("wap-").stripSuffix(".json")
+    }.sorted
   }
 
   // ---- change-data-feed reads
@@ -2118,6 +2284,42 @@ object SnapshotTable extends QueryPack {
     rollup(read(s, work))
   }
 
+  /** Rollup through the WRITE-AUDIT-PUBLISH flow: a good batch is
+    * staged, audited against the staged view, and published; a bad
+    * batch is staged, FAILS its audit, and is discarded. The final
+    * state must be exactly base + good batch — which holds only if
+    * staging is invisible until publish and a discarded stage leaves
+    * no trace.
+    */
+  def wapQuery(s: SparkSession, dir: String): DataFrame = {
+    val work = cloneTable(s, deleteBase(s, dir))
+    val tableSchema = read(s, work).schema
+    val maxKey = Tables.orders(s, dir).agg(max(col("o_orderkey")))
+      .head().getLong(0)
+    def batch(offset: Long, price: Double) = s.range(1, 6).select(
+      (col("id") + maxKey + offset).as("o_orderkey"),
+      lit(1L).as("o_custkey"),
+      lit(price).as("o_totalprice"),
+      to_timestamp(lit("1999-01-01")).as("o_orderdate"),
+      lit("1-URGENT").as("o_orderpriority"))
+      .select(tableSchema.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+
+    val preCount = read(s, work).count()
+    stageAppend(s, work, batch(0L, 123.45), "o_orderpriority", "good")
+    stageAppend(s, work, batch(100L, -5.0), "o_orderpriority", "bad")
+    require(read(s, work).count() == preCount,
+      "staged batches must be invisible to readers")
+    // audit: price must be non-negative over the staged view
+    def negPrices(stage: String): Long =
+      readStaged(s, work, stage).filter(col("o_totalprice") < 0).count()
+    require(negPrices("good") == 0L, "good stage must pass its audit")
+    require(negPrices("bad") > 0L, "bad stage must fail its audit")
+    publishStaged(s, work, "good")
+    discardStaged(s, work, "bad")
+    require(stagedIds(s, work).isEmpty, "no stage may remain")
+    rollup(read(s, work))
+  }
+
   /** Rollup through a RENAME + DROP (field-id evolution, header-only
     * commits): `o_totalprice` becomes `price`, `o_orderdate` is
     * dropped, and the rollup on the renamed column must equal the plain
@@ -2297,6 +2499,7 @@ object SnapshotTable extends QueryPack {
     "q_snapshot_restore" -> (restoreQuery _),
     "q_snapshot_files" -> (filesQuery _),
     "q_snapshot_constraints" -> (constraintsQuery _),
+    "q_snapshot_wap" -> (wapQuery _),
     "q_snapshot_lazy_del" -> (lazyDeleteQuery _),
     "q_snapshot_rename" -> (renameQuery _),
     "q_snapshot_evolve" -> (evolveQuery _))
@@ -2411,6 +2614,19 @@ object SnapshotTable extends QueryPack {
         |)
         |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows
         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_snapshot_wap" ->
+      """WITH fresh AS (
+        |  SELECT (SELECT max(o_orderkey) FROM orders) + i AS o_orderkey,
+        |    123.45 AS o_totalprice, '1-URGENT' AS o_orderpriority
+        |  FROM (SELECT unnest(generate_series(1, 5)) AS i)
+        |), unioned AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |  UNION ALL SELECT * FROM fresh
+        |)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM unioned GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_snapshot_constraints" ->
       """WITH fresh AS (
         |  SELECT (SELECT max(o_orderkey) FROM orders) + i AS o_orderkey,

@@ -770,4 +770,64 @@ class SnapshotTableSpec extends SparkSpec {
     assert(hdr.checks === Seq("price >= 0", "k IS NOT NULL"))
     assert(SnapshotTable.read(spark, table).count() === 4L)
   }
+
+  test("write-audit-publish: stages are invisible, publish rebases onto " +
+    "a moved head, vacuum spares staged files, and a replayed publish " +
+    "no-ops") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("snapwap")
+      .resolve("t").toString
+    SnapshotTable.create(spark, table,
+      Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("k", "v", "p"), "p")
+
+    SnapshotTable.stageAppend(spark, table,
+      Seq((3L, 30.0, "a")).toDF("k", "v", "p"), "p", "s1")
+    assert(SnapshotTable.read(spark, table).count() === 2L,
+      "staged rows must be invisible")
+    assert(SnapshotTable.stagedIds(spark, table) === Seq("s1"))
+    assert(SnapshotTable.readStaged(spark, table, "s1").count() === 3L)
+
+    // the head moves while the stage awaits audit
+    SnapshotTable.commitAppend(spark, table,
+      Seq((4L, 40.0, "b")).toDF("k", "v", "p"), "p")
+
+    // vacuum between stage and publish must not eat staged artifacts;
+    // the audit view tracks the MOVED head (base 2 + concurrent 1 +
+    // staged 1), since that is what publish will produce
+    SnapshotTable.vacuum(spark, table, keepVersions = 1, minAgeMs = 0L)
+    assert(SnapshotTable.readStaged(spark, table, "s1")
+      .count() === 4L, "vacuum must spare un-published stages")
+
+    val v = SnapshotTable.publishStaged(spark, table, "s1")
+    assert(SnapshotTable.read(spark, table).count() === 4L,
+      "publish must land on the MOVED head: base+concurrent+staged")
+    assert(SnapshotTable.stagedIds(spark, table).isEmpty)
+
+    // replayed publish after the wap file is gone: the tag ledger
+    // no-ops BEFORE looking for the stage, so the retry is harmless
+    assert(SnapshotTable.publishStaged(spark, table, "s1") === v)
+    assert(SnapshotTable.read(spark, table).count() === 4L)
+    // simulate crash-before-cleanup: re-stage under the same id, then
+    // the tagged publish sees the ledger and no-ops (cleaning up)
+    SnapshotTable.stageAppend(spark, table,
+      Seq((9L, 90.0, "a")).toDF("k", "v", "p"), "p", "s1")
+    assert(SnapshotTable.publishStaged(spark, table, "s1") === v,
+      "a stage id already in the tag ledger must no-op")
+    assert(SnapshotTable.read(spark, table).count() === 4L)
+
+    // staged schema evolution (ADD) arrives at publish
+    SnapshotTable.stageAppend(spark, table,
+      Seq((5L, 50.0, "a", "x")).toDF("k", "v", "p", "note"), "p", "s2")
+    SnapshotTable.publishStaged(spark, table, "s2")
+    val read = SnapshotTable.read(spark, table)
+    assert(read.columns.contains("note"))
+    assert(read.filter(col("note").isNotNull).count() === 1L)
+
+    // discard leaves nothing: files, segments, manifest all gone
+    SnapshotTable.stageAppend(spark, table,
+      Seq((6L, -1.0, "b")).toDF("k", "v", "p"), "p", "s3")
+    SnapshotTable.discardStaged(spark, table, "s3")
+    assert(SnapshotTable.stagedIds(spark, table).isEmpty)
+    assert(SnapshotTable.read(spark, table).count() === 5L)
+  }
 }
