@@ -2186,7 +2186,7 @@ object SnapshotTable extends QueryPack {
     * manifests are never modified in place, and a vacuum on either
     * side unlinks only its own directory entry.
     */
-  private def cloneTable(s: SparkSession, src: String): String = {
+  private[sources] def cloneTable(s: SparkSession, src: String): String = {
     val dst = java.nio.file.Files
       .createTempDirectory("graft_snapshot_del").resolve("t").toString
     val f = fs(s, src)

@@ -203,4 +203,40 @@ class IncrementalViewSpec extends SparkSpec {
       "o_totalprice")
     assert(viewRows(view2) === recomputeFull(src2))
   }
+
+  test("hash-bucketed min/max view: high-cardinality key, bounded file " +
+    "count, refresh equals recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("mv5")
+    val (src, view) = (s"$dir/src", s"$dir/view")
+    SnapshotTable.create(spark, src, orders4, "o_orderpriority")
+    IncrementalView.createFull(spark, view, src, "o_custkey",
+      "o_totalprice", buckets = 8)
+    // the layout is 8 buckets, not one file per customer
+    assert(SnapshotTable.readManifest(spark, view, 1L)
+      .flatMap(_.parts).flatten.distinct.size <= 8)
+
+    SnapshotTable.commitMerge(spark, src,
+      orders4.filter(col("o_orderkey") % 53 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") - 500.0).as("o_totalprice"),
+          col("o_orderpriority")),
+      "o_orderkey", "o_orderpriority")
+    SnapshotTable.commitDelete(spark, src,
+      col("o_orderkey") % 31 === 0, "o_orderpriority")
+    IncrementalView.refreshFull(spark, view, src, "o_custkey",
+      "o_totalprice", buckets = 8)
+
+    val got = SnapshotTable.read(spark, view)
+      .select("o_custkey", "n", "total", "vmin", "vmax")
+      .orderBy("o_custkey").collect().map(_.toString).toSeq
+    val want = SnapshotTable.read(spark, src)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(28,2)").as("total"),
+        min(col("o_totalprice").cast("decimal(18,2)")).as("vmin"),
+        max(col("o_totalprice").cast("decimal(18,2)")).as("vmax"))
+      .orderBy("o_custkey").collect().map(_.toString).toSeq
+    assert(got === want)
+  }
 }
