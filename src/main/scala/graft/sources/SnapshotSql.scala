@@ -15,6 +15,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT * FROM snapshot_table('/path/to/t')             -- current
   * SELECT * FROM snapshot_table('/path/to/t', 3)          -- time travel
   * SELECT * FROM snapshot_changes('/path/to/t', 1, 4)     -- CDC feed
+  * SELECT * FROM snapshot_history('/path/to/t')           -- describe
+  * SELECT * FROM snapshot_files('/path/to/t')             -- files meta
   * }}}
   *
   * The TVF resolves to the SAME relation the Scala API plans
@@ -82,6 +84,35 @@ object SnapshotSql {
           longArg("snapshot_changes", exprs, 1),
           longArg("snapshot_changes", exprs, 2))
           .queryExecution.logical
+      }),
+    ("snapshot_history",
+      new ExpressionInfo(getClass.getName, null, "snapshot_history",
+        "_FUNC_(path) - one row per retained version: (version, n_files, " +
+          "n_rows, n_tags, committed_at); reads only manifest lists",
+        "_FUNC_(string)"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"snapshot_history: expected 1 argument, got ${exprs.length}")
+        SnapshotTable.history(SparkSession.active,
+          strArg("snapshot_history", exprs, 0)).queryExecution.logical
+      }),
+    ("snapshot_files",
+      new ExpressionInfo(getClass.getName, null, "snapshot_files",
+        "_FUNC_(path[, version]) - the files inspection table: one row " +
+          "per data file with partition stamp, row/byte counts, commit " +
+          "seq, and stat/bloom columns; zero data-file reads",
+        "_FUNC_(string[, bigint])"),
+      (exprs: Seq[Expression]) => {
+        val spark = SparkSession.active
+        val path = strArg("snapshot_files", exprs, 0)
+        val df = exprs.length match {
+          case 1 => SnapshotTable.filesTable(spark, path)
+          case 2 => SnapshotTable.filesTable(spark, path,
+            Some(longArg("snapshot_files", exprs, 1)))
+          case n => throw new IllegalArgumentException(
+            s"snapshot_files: expected 1 or 2 arguments, got $n")
+        }
+        df.queryExecution.logical
       }))
 
   /** Imperative per-session registration (idempotent — re-registering

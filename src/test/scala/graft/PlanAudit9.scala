@@ -145,6 +145,33 @@ object PlanAudit9 {
       .filter(s => !before.contains(s.getPath.getName)).map(_.getLen).sum
     println(s"META table_files=$nFiles inventory_bytes=$inventoryBytes " +
       s"one_file_append_commit_bytes=$commitBytes")
+
+    // (d) round-9 additions: span dedup shuffle shape; WAP publish and
+    // RESTORE as O(changed)/O(segments) metadata commits on the same
+    // many-file table
+    for (name <- Seq("q_span_dedup", "q_snapshot_files", "q_snapshot_wap",
+        "q_snapshot_restore", "q_snapshot_constraints",
+        "q_snapshot_mview2")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      val ex = "Exchange".r.findAllIn(plan).length
+      val bc = "BroadcastExchange".r.findAllIn(plan).length
+      val cart = "Cartesian".r.findAllIn(plan).length
+      println(f"PLAN $name%-22s exchanges=${ex - bc}%2d broadcasts=$bc%2d " +
+        f"cartesian=$cart")
+    }
+    val preWap = fs.listStatus(mdir).map(_.getPath.getName).toSet
+    st.stageAppend(spark, fsDir, Seq((1000000L, "0")).toDF("k", "p"),
+      "p", "audit")
+    st.publishStaged(spark, fsDir, "audit")
+    val wapBytes = fs.listStatus(mdir)
+      .filter(s => !preWap.contains(s.getPath.getName)).map(_.getLen).sum
+    val preRestore = fs.listStatus(mdir).map(_.getPath.getName).toSet
+    st.restoreTo(spark, fsDir, st.currentVersion(spark, fsDir) - 1)
+    val restoreBytes = fs.listStatus(mdir)
+      .filter(s => !preRestore.contains(s.getPath.getName)).map(_.getLen).sum
+    println(s"WAP stage+publish_bytes=$wapBytes restore_commit_bytes=" +
+      s"$restoreBytes (table_files=$nFiles)")
     spark.stop()
   }
 }

@@ -92,4 +92,28 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("3 arguments") ||
       e2.getMessage.contains("snapshot_changes"))
   }
+
+  test("snapshot_history and snapshot_files expose the metadata surface " +
+    "through SQL") {
+    val t = table
+    val hist = spark.sql(
+      s"SELECT version, n_rows FROM snapshot_history('$t') ORDER BY version")
+      .collect()
+    assert(hist.map(_.getLong(0)).toSeq ===
+      SnapshotTable.versions(spark, t))
+    // per-partition row accounting from files metadata matches the data
+    val metaRows = spark.sql(
+      s"""SELECT partition, sum(n_rows) AS n FROM snapshot_files('$t')
+         |GROUP BY partition ORDER BY partition""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val dataRows = SnapshotTable.read(spark, t)
+      .groupBy("o_orderpriority").count().orderBy("o_orderpriority")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(metaRows === dataRows)
+    // pinned-version form
+    val vOld = SnapshotTable.versions(spark, t).head
+    assert(spark.sql(s"SELECT sum(n_rows) FROM snapshot_files('$t', $vOld)")
+      .head().getLong(0) ===
+      SnapshotTable.readVersion(spark, t, vOld).count())
+  }
 }
