@@ -1603,6 +1603,39 @@ object SnapshotTable extends QueryPack {
     }.toDF("version", "n_files", "n_rows", "n_tags", "committed_at")
   }
 
+  /** Table-level statistics from the manifest LIST alone — (rows,
+    * bytes, files) without opening a single data or segment file: the
+    * metastore-free ANALYZE. `bytes` is 0 when any segment predates
+    * byte recording (consumers must treat that as unknown, never as
+    * small).
+    */
+  def tableStats(spark: SparkSession, table: String,
+                 version: Option[Long] = None): (Long, Long, Long) = {
+    val v = version.getOrElse(currentVersion(spark, table))
+    val (refs, _) = readManifestList(spark, table, v)
+    val bytes =
+      if (refs.exists(_.bytes == 0L) && refs.exists(_.files > 0)) 0L
+      else refs.map(_.bytes).sum
+    (refs.map(_.rows).sum, bytes, refs.map(_.files.toLong).sum)
+  }
+
+  /** [[read]] with a SIZE-AWARE broadcast hint: when the manifest's
+    * recorded byte total is positive and under the session's
+    * `autoBroadcastJoinThreshold`, the relation is wrapped in
+    * `broadcast()` — so a join of a snapshot dim table against a huge
+    * fact side plans a broadcast join even though Spark cannot size a
+    * bare HadoopFsRelation built from a custom FileIndex without
+    * listing it. Unknown sizes (pre-recording segments) never hint.
+    */
+  def readHinted(spark: SparkSession, table: String): DataFrame = {
+    val df = read(spark, table)
+    val (_, bytes, _) = tableStats(spark, table)
+    val threshold =
+      org.apache.spark.sql.GraftConfBridge.autoBroadcastJoinThreshold(spark)
+    if (bytes > 0L && threshold > 0L && bytes <= threshold) broadcast(df)
+    else df
+  }
+
   /** Per-file metadata of `version` (default current) as a DataFrame —
     * the files INSPECTION table (Iceberg's `table$files` /
     * `DESCRIBE DETAIL` surface): one row per data file with its

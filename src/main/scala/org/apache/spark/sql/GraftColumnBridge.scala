@@ -31,6 +31,16 @@ object GraftStreamingBridge {
   * built without `spark.sql.extensions` (the extensions path registers
   * the same builders via `injectTableFunction`).
   */
+/** Bridge to the resolved `autoBroadcastJoinThreshold` (SQLConf parses
+  * the size-string forms — "10MB", "-1" — which a raw conf.get string
+  * would force callers to re-implement).
+  */
+object GraftConfBridge {
+  def autoBroadcastJoinThreshold(spark: SparkSession): Long =
+    spark.asInstanceOf[classic.SparkSession].sessionState.conf
+      .autoBroadcastJoinThreshold
+}
+
 object GraftRegistryBridge {
   def registerTableFunction(
       spark: SparkSession, name: String,

@@ -771,6 +771,38 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, table).count() === 4L)
   }
 
+  test("tableStats reads only the manifest list; readHinted broadcasts " +
+    "small tables and leaves big/unknown ones alone") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snapstats")
+    val dim = s"$dir/dim"
+    SnapshotTable.create(spark, dim,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "p"), "p")
+    val (rows, bytes, files) = SnapshotTable.tableStats(spark, dim)
+    assert(rows === 3L)
+    assert(files === 3L)
+    assert(bytes > 0L)
+
+    val fact = spark.range(0, 10000)
+      .select((col("id") % 3 + 1).as("k"), col("id").as("v"))
+    def joinPlan(dimDf: org.apache.spark.sql.DataFrame): String = {
+      val j = fact.join(dimDf, "k")
+      j.collect()
+      j.queryExecution.executedPlan.toString
+    }
+    assert(joinPlan(SnapshotTable.readHinted(spark, dim))
+      .contains("BroadcastHashJoin"),
+      "a manifest-sized small table must broadcast")
+    // threshold below the table size → no hint, normal planning
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      assert(!joinPlan(SnapshotTable.readHinted(spark, dim))
+        .contains("BroadcastHashJoin"),
+        "an over-threshold table must not be force-broadcast")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("write-audit-publish: stages are invisible, publish rebases onto " +
     "a moved head, vacuum spares staged files, and a replayed publish " +
     "no-ops") {

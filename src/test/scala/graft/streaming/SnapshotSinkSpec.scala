@@ -95,4 +95,27 @@ class SnapshotSinkSpec extends SparkSpec {
     assert(oneType.count() ===
       ev.filter(col("event_type") === "click").count())
   }
+
+  test("a CHECK constraint on the sink table fails a violating " +
+    "micro-batch loudly and publishes nothing") {
+    val table = freshPath("snapsinkck")
+    // gate the EMPTY table before any batch lands (setChecks on an
+    // empty table records without scanning); the corpus violates it,
+    // so the first micro-batch must fail the stream
+    SnapshotTable.createEmpty(spark, table)
+    SnapshotTable.setChecks(spark, table, Seq("event_id < 0"))
+    val vBefore = SnapshotTable.currentVersion(spark, table)
+    val err = intercept[Exception] {
+      SnapshotSink.run(spark, sfDir, table,
+        checkpoint = Some(freshPath("snapsinkck_cp")))
+    }
+    // the CHECK violation surfaces through the streaming retry loop
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(e => e +: causes(e.getCause))
+    assert(causes(err).exists(_.getMessage != null) &&
+      causes(err).exists(e => Option(e.getMessage).exists(_.contains("CHECK"))),
+      s"expected a CHECK violation, got: $err")
+    assert(SnapshotTable.currentVersion(spark, table) === vBefore,
+      "the refused batch must publish nothing")
+  }
 }
