@@ -48,7 +48,8 @@ object SparkEntry {
     graft.streaming.SnapshotSink,
     graft.streaming.SnapshotSource,
     graft.operators.PrefixJoin,
-    graft.operators.SpanDedup)
+    graft.operators.SpanDedup,
+    graft.sources.SnapshotCatalogPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline capability: scatter-gather top-k cosine

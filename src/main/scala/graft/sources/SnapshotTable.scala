@@ -140,14 +140,14 @@ object SnapshotTable extends QueryPack {
 
   // ---- manifest (de)serialization: flat JSON lines, repo-escaped
 
-  private def esc(s: String): String =
+  private[sources] def esc(s: String): String =
     s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c    => c.toString
     }
-  private def unesc(s: String): String = {
+  private[sources] def unesc(s: String): String = {
     val b = new StringBuilder; var i = 0
     while (i < s.length) {
       s(i) match {
@@ -2191,7 +2191,7 @@ object SnapshotTable extends QueryPack {
   // pruned rewrite), not a repeated table build
   @volatile private var deleteBaseMemo: Option[((SparkSession, String), String)] = None
 
-  private def deleteBase(s: SparkSession, dir: String): String =
+  private[sources] def deleteBase(s: SparkSession, dir: String): String =
     deleteBaseMemo match {
       case Some((k, w)) if k == ((s, dir)) => w
       case _ => synchronized {
