@@ -165,21 +165,31 @@ object IncrementalView extends QueryPack {
     if (cur > applied) {
       val touched = SnapshotTable.readChangesBetween(spark, src, applied, cur)
         .select(col(keyCol)).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // recomputed feeds BOTH union legs (its own rows and the
+      // vanished anti-join) — persist so the CDC read + group
+      // re-aggregation runs once, not once per leg
       val recomputed = withBucket(fullAggregateOf(
         SnapshotTable.read(spark, src)
           .join(broadcast(touched), Seq(keyCol), "left_semi"),
         keyCol, valueCol), keyCol, buckets)
-      // groups every one of whose rows vanished produce no recomputed
-      // row — they merge as n=0 ghosts, purged by the delete below
-      val vanished = withBucket(touched
-        .join(recomputed.select(col(keyCol)), Seq(keyCol), "left_anti")
-        .select(col(keyCol), lit(0L).as("n"),
-          lit(null).cast(totalType).as("total"),
-          lit(null).cast("decimal(18,2)").as("vmin"),
-          lit(null).cast("decimal(18,2)").as("vmax")), keyCol, buckets)
-      SnapshotTable.commitMerge(spark, view,
-        recomputed.unionByName(vanished), keyCol, part,
-        tag = Some(s"mv@$cur"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // groups every one of whose rows vanished produce no recomputed
+        // row — they merge as n=0 ghosts, purged by the delete below
+        val vanished = withBucket(touched
+          .join(recomputed.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .select(col(keyCol), lit(0L).as("n"),
+            lit(null).cast(totalType).as("total"),
+            lit(null).cast("decimal(18,2)").as("vmin"),
+            lit(null).cast("decimal(18,2)").as("vmax")), keyCol, buckets)
+        SnapshotTable.commitMerge(spark, view,
+          recomputed.unionByName(vanished), keyCol, part,
+          tag = Some(s"mv@$cur"))
+      } finally {
+        recomputed.unpersist(false)
+        touched.unpersist(false)
+      }
     }
     SnapshotTable.commitDelete(spark, view, col("n") === 0L, part)
     (SnapshotTable.currentVersion(spark, view), math.max(applied, cur))

@@ -85,6 +85,26 @@ object SnapshotSql {
           longArg("snapshot_changes", exprs, 2))
           .queryExecution.logical
       }),
+    ("catalog_table",
+      new ExpressionInfo(getClass.getName, null, "catalog_table",
+        "_FUNC_(root, name[, catalog_version]) - resolve a table " +
+          "through the versioned catalog and read its PINNED version; " +
+          "two catalog_table reads at the same catalog version are " +
+          "cross-table consistent",
+        "_FUNC_(string, string[, bigint])"),
+      (exprs: Seq[Expression]) => {
+        val spark = SparkSession.active
+        val root = strArg("catalog_table", exprs, 0)
+        val name = strArg("catalog_table", exprs, 1)
+        val df = exprs.length match {
+          case 2 => SnapshotCatalog.read(spark, root, name)
+          case 3 => SnapshotCatalog.read(spark, root, name,
+            Some(longArg("catalog_table", exprs, 2)))
+          case n => throw new IllegalArgumentException(
+            s"catalog_table: expected 2 or 3 arguments, got $n")
+        }
+        df.queryExecution.logical
+      }),
     ("snapshot_history",
       new ExpressionInfo(getClass.getName, null, "snapshot_history",
         "_FUNC_(path) - one row per retained version: (version, n_files, " +

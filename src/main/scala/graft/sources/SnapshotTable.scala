@@ -991,7 +991,7 @@ object SnapshotTable extends QueryPack {
     * the complement — file-granular, so a clean batch rewrites nothing
     * extra). Returns (new version, rows replaced, rows inserted).
     */
-  def commitMerge(spark: SparkSession, table: String, updates: DataFrame,
+  def commitMerge(spark: SparkSession, table: String, updates0: DataFrame,
                   keyCol: String, partCol: String,
                   tag: Option[String] = None): (Long, Long, Long) = {
     val v = currentVersion(spark, table)
@@ -1001,6 +1001,22 @@ object SnapshotTable extends QueryPack {
     // tag already committed is a no-op — the contract an incremental
     // view refresh (or any merge-shaped consumer) needs under retry
     if (tag.exists(meta.hdr.tags.contains)) return (v, 0L, 0L)
+    // MATERIALIZE the batch (Delta's merge-source rule): the merge
+    // evaluates it up to four times (checks, partition probe, mover
+    // detection, the write) — a lazily-expensive or nondeterministic
+    // source would otherwise multiply its cost or, worse, change
+    // between passes. Batches are O(changed rows); the cache spills.
+    val updates = updates0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try commitMergeMaterialized(spark, table, updates, keyCol, partCol,
+      tag, v, meta)
+    finally updates.unpersist(false)
+  }
+
+  private def commitMergeMaterialized(spark: SparkSession, table: String,
+                                      updates: DataFrame, keyCol: String,
+                                      partCol: String, tag: Option[String],
+                                      v: Long, meta: TableMeta): (Long, Long, Long) = {
     val (segs, hdr) = (meta.segs, meta.hdr)
     // constraints gate only the BATCH — carried and re-written target
     // rows already passed when they were committed

@@ -94,4 +94,20 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(SnapshotCatalog.entries(spark, root).contains("agg"),
       "rebasing must keep every pin the racer published")
   }
+
+  test("catalog_table TVF resolves pinned versions through SQL") {
+    val (data, _, root) = setup()
+    SnapshotSql.register(spark)
+    val catV = SnapshotCatalog.currentVersion(spark, root)
+    SnapshotCatalog.commit(spark, root) { _ =>
+      Map("data" -> SnapshotTable.commitAppend(spark, data,
+        Seq((3L, 30.0, "a")).toDF("k", "v", "g"), "g").get)
+    }
+    assert(spark.sql(
+      s"SELECT count(*) FROM catalog_table('$root', 'data')")
+      .head().getLong(0) === 3L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM catalog_table('$root', 'data', $catV)")
+      .head().getLong(0) === 2L)
+  }
 }
