@@ -835,6 +835,44 @@ object SnapshotTable extends QueryPack {
     * small sets), and the groups union. With no deletes this is a bare
     * scan — the plan existing specs and callers see is unchanged.
     */
+  /** Sentinel `col` marking a POSITIONAL delete file (deletion
+    * vector): its parquet holds (file basename, row position) pairs
+    * instead of key values.
+    */
+  private[sources] val PosCol = "__pos__"
+
+  // basename (not full path) keys the DV: data files carry UUID names
+  // that are never reused, and a hard-link CLONE of the table keeps
+  // masking correctly even though every absolute path changed
+  private def withFilePos(df: DataFrame): DataFrame =
+    df.withColumn("__file",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__pos", col("_metadata.row_index"))
+
+  /** Apply `dels` masks to `base` (rows read from files that all share
+    * the SAME applicable-delete set): equality deletes anti-join on
+    * their key column; positional deletes anti-join on (file basename,
+    * row position) from the parquet metadata columns. `keepMeta`
+    * retains the `__file`/`__pos` helpers for callers that need victim
+    * positions.
+    */
+  private def maskDeletes(spark: SparkSession, table: String,
+                          base: DataFrame, dels: Seq[DeleteFile],
+                          keepMeta: Boolean = false): DataFrame = {
+    val (posDels, eqDels) = dels.partition(_.col == PosCol)
+    val attached = posDels.nonEmpty || keepMeta
+    val start = if (attached) withFilePos(base) else base
+    val afterEq = eqDels.foldLeft(start) { (df, d) =>
+      df.join(spark.read.parquet(s"$table/${d.path}"), Seq(d.col), "left_anti")
+    }
+    val afterPos = posDels.foldLeft(afterEq) { (df, d) =>
+      df.join(spark.read.parquet(s"$table/${d.path}")
+        .select(col("file").as("__file"), col("pos").as("__pos")),
+        Seq("__file", "__pos"), "left_anti")
+    }
+    if (attached && !keepMeta) afterPos.drop("__file", "__pos") else afterPos
+  }
+
   private def readWithDeletes(spark: SparkSession, table: String,
                               entries: Seq[FileEntry],
                               deletes: Seq[DeleteFile],
@@ -842,10 +880,7 @@ object SnapshotTable extends QueryPack {
     if (deletes.isEmpty) indexedRead(spark, table, entries, hdr)
     else entries.groupBy(e => deletes.filter(_.seq > e.seq))
       .map { case (dels, es) =>
-        dels.foldLeft(indexedRead(spark, table, es, hdr)) { (df, d) =>
-          df.join(spark.read.parquet(s"$table/${d.path}"),
-            Seq(d.col), "left_anti")
-        }
+        maskDeletes(spark, table, indexedRead(spark, table, es, hdr), dels)
       }.reduce(_.unionByName(_))
 
   // ---- public surface
@@ -1434,6 +1469,55 @@ object SnapshotTable extends QueryPack {
     (v + 1, n)
   }
 
+  /** POSITIONAL delete (deletion vector, the Delta-DV / Iceberg
+    * position-delete construction): rows matching `predicate` are
+    * recorded as (file basename, row position) pairs in a small
+    * parquet, masked at read time — the commit scans only stat-pruned
+    * candidate files (via `rangeHint`) and REWRITES NOTHING, so a
+    * predicate delete on a 100 TB table costs one pruned scan plus
+    * O(matched rows) of metadata. Complements [[commitDeleteLazy]]
+    * (which needs the delete expressed as keys): a DV can delete by
+    * ANY predicate, applies only to rows that existed at commit time
+    * (positions are file-scoped — later appends are untouched by
+    * construction, no sequence subtleties), and the same
+    * [[applyDeletes]] materializes it off the read path. Returns
+    * (new version, rows masked); version unchanged when nothing
+    * matched.
+    */
+  def commitDeletePositional(spark: SparkSession, table: String,
+                             predicate: org.apache.spark.sql.Column,
+                             rangeHint: Option[(String, Double, Double)] = None): (Long, Long) = {
+    val v = currentVersion(spark, table)
+    val meta = readMeta(spark, table, v)
+    val candidates = meta.entries.filter(e => rangeHint.forall {
+      case (c, lo, hi) => e.stats.find(_.col == c).forall(s =>
+        s.hi >= lo && s.lo <= hi)
+    })
+    if (candidates.isEmpty) return (v, 0L)
+    // victims are selected from the MASKED view (a row an earlier
+    // delete already hides cannot be re-deleted), with per-era
+    // applicable-delete grouping like any read
+    val victims = candidates.groupBy(e => meta.deletes.filter(_.seq > e.seq))
+      .map { case (dels, es) =>
+        maskDeletes(spark, table,
+          readFiles(spark, table, es, meta.hdr.schema), dels,
+          keepMeta = true)
+          .filter(coalesce(predicate, lit(false)))
+          .select(col("__file").as("file"), col("__pos").as("pos"))
+      }.reduce(_.unionByName(_))
+    val name = s"deletes/dv-${java.util.UUID.randomUUID.toString.take(12)}.parquet"
+    victims.coalesce(1).write.parquet(s"$table/$name")
+    val n = spark.read.parquet(s"$table/$name").count()
+    if (n == 0L) {
+      fs(spark, table).delete(new Path(table, name), true)
+      (v, 0L)
+    } else {
+      commitList(spark, table, v + 1, meta.segs.map(_._1),
+        meta.deletes :+ DeleteFile(name, PosCol, n, v + 1), meta.hdr)
+      (v + 1, n)
+    }
+  }
+
   /** Materialize pending equality deletes: rewrite ONLY the data files
     * that contain a masked row (grouped by which deletes apply to them
     * under the seq rule), carry the rest by reference, and publish ONE
@@ -1454,23 +1538,32 @@ object SnapshotTable extends QueryPack {
     meta.entries.groupBy(e => meta.deletes.filter(_.seq > e.seq))
       .foreach { case (dels, entries) =>
         if (dels.nonEmpty) {
-          val tagged = readFiles(spark, table, entries, hdr.schema)
-            .withColumn("__f", input_file_name())
-          val hitNames = dels.map(d =>
-            tagged.join(spark.read.parquet(s"$table/${d.path}"),
-              Seq(d.col), "left_semi").select(col("__f")))
-            .reduce(_.union(_)).distinct()
-            .collect()
-            .map(r => new Path(new java.net.URI(r.getString(0)).getPath).getName)
-            .toSet
+          val (posDels, eqDels) = dels.partition(_.col == PosCol)
+          // positional deletes NAME their hit files; only equality
+          // deletes need the candidate scan
+          val posNames = posDels.flatMap(d =>
+            spark.read.parquet(s"$table/${d.path}")
+              .select(col("file")).distinct()
+              .collect().map(_.getString(0))).toSet
+          val eqNames =
+            if (eqDels.isEmpty) Set.empty[String]
+            else {
+              val tagged = readFiles(spark, table, entries, hdr.schema)
+                .withColumn("__f", input_file_name())
+              eqDels.map(d =>
+                tagged.join(spark.read.parquet(s"$table/${d.path}"),
+                  Seq(d.col), "left_semi").select(col("__f")))
+                .reduce(_.union(_)).distinct()
+                .collect()
+                .map(r => new Path(new java.net.URI(r.getString(0)).getPath).getName)
+                .toSet
+            }
+          val hitNames = posNames ++ eqNames
           val affected = entries.filter(e =>
             hitNames.contains(new Path(e.path).getName))
           if (affected.nonEmpty) {
-            val kept = dels.foldLeft(
-              readFiles(spark, table, affected, hdr.schema)) { (df, d) =>
-              df.join(spark.read.parquet(s"$table/${d.path}"),
-                Seq(d.col), "left_anti")
-            }
+            val kept = maskDeletes(spark, table,
+              readFiles(spark, table, affected, hdr.schema), dels)
             removed ++= affected.map(_.path)
             freshAll ++= writeDataFiles(spark, table, kept, partCol,
               statsCols = hdr.statsCols, bloomCols = hdr.bloomCols)
@@ -1932,19 +2025,38 @@ object SnapshotTable extends QueryPack {
 
       val lazyDeletes: Seq[DataFrame] = newDeletes.map { d =>
         val keys = spark.read.parquet(s"$table/${d.path}")
-        // prune candidate files driver-side with the keys' min/max vs
-        // manifest stats — one tiny agg job instead of a full scan
-        val mm = keys.agg(min(col(d.col)).cast("double"),
-          max(col(d.col)).cast("double")).head()
-        val candidates =
-          if (mm.isNullAt(0)) Seq.empty
-          else pre.entries.filter(e => e.seq < d.seq &&
-            e.stats.find(_.col == d.col).forall(s =>
-              s.hi >= mm.getDouble(0) && s.lo <= mm.getDouble(1)))
-        if (candidates.isEmpty) None
-        else Some(tag(
-          readWithDeletes(spark, table, candidates, pre.deletes, finalHdr)
-            .join(keys, Seq(d.col), "left_semi"), "delete", v + 1))
+        if (d.col == PosCol) {
+          // positional: the DV names its files — no stats needed
+          val names = keys.select(col("file")).distinct()
+            .collect().map(_.getString(0)).toSet
+          val candidates = pre.entries.filter(e =>
+            names.contains(new Path(e.path).getName))
+          if (candidates.isEmpty) None
+          else Some(tag(
+            candidates.groupBy(e => pre.deletes.filter(_.seq > e.seq))
+              .map { case (dels, es) =>
+                maskDeletes(spark, table,
+                  indexedRead(spark, table, es, finalHdr), dels,
+                  keepMeta = true)
+              }.reduce(_.unionByName(_))
+              .join(keys.select(col("file").as("__file"),
+                col("pos").as("__pos")), Seq("__file", "__pos"), "left_semi")
+              .drop("__file", "__pos"), "delete", v + 1))
+        } else {
+          // prune candidate files driver-side with the keys' min/max vs
+          // manifest stats — one tiny agg job instead of a full scan
+          val mm = keys.agg(min(col(d.col)).cast("double"),
+            max(col(d.col)).cast("double")).head()
+          val candidates =
+            if (mm.isNullAt(0)) Seq.empty
+            else pre.entries.filter(e => e.seq < d.seq &&
+              e.stats.find(_.col == d.col).forall(s =>
+                s.hi >= mm.getDouble(0) && s.lo <= mm.getDouble(1)))
+          if (candidates.isEmpty) None
+          else Some(tag(
+            readWithDeletes(spark, table, candidates, pre.deletes, finalHdr)
+              .join(keys, Seq(d.col), "left_semi"), "delete", v + 1))
+        }
       }.flatten
 
       fileChanges ++ lazyDeletes
@@ -2273,6 +2385,20 @@ object SnapshotTable extends QueryPack {
     rollup(read(s, work))
   }
 
+  /** The SAME deletion as [[deleteQuery]], done as a POSITIONAL
+    * deletion vector: the commit scans only the rangeHint-pruned
+    * files, writes (file, pos) pairs, rewrites nothing — and the
+    * rollup must still match the eager-delete oracle through the
+    * read-time mask.
+    */
+  def dvQuery(s: SparkSession, dir: String): DataFrame = {
+    val work = cloneTable(s, deleteBase(s, dir))
+    commitDeletePositional(s, work,
+      col("o_orderkey") % 101 === 0 && col("o_orderkey").between(1000, 5000),
+      rangeHint = Some(("o_orderkey", 1000d, 5000d)))
+    rollup(read(s, work))
+  }
+
   /** Rollup after a row-level DELETE is UNDONE by [[restoreTo]] — the
     * restored table must equal the pre-delete snapshot exactly (same
     * oracle as the plain-orders rollup), which only holds if restore
@@ -2545,6 +2671,7 @@ object SnapshotTable extends QueryPack {
     "q_snapshot_bloom" -> (bloomQuery _),
     "q_snapshot_changes" -> (changesQuery _),
     "q_snapshot_delete" -> (deleteQuery _),
+    "q_snapshot_dv" -> (dvQuery _),
     "q_snapshot_restore" -> (restoreQuery _),
     "q_snapshot_files" -> (filesQuery _),
     "q_snapshot_constraints" -> (constraintsQuery _),
@@ -2634,6 +2761,13 @@ object SnapshotTable extends QueryPack {
         |FROM events WHERE event_id BETWEEN 100 AND 299
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_snapshot_delete" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders
+        |WHERE NOT (o_orderkey % 101 = 0 AND o_orderkey BETWEEN 1000 AND 5000)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_snapshot_dv" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  CAST(max(o_orderkey) AS BIGINT) AS max_key

@@ -771,6 +771,60 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, table).count() === 4L)
   }
 
+  test("positional deletes (deletion vectors): predicate delete without " +
+    "rewrites, clone-safe masking, later appends untouched, applyDeletes " +
+    "materializes, CDC shows the deletions") {
+    import spark.implicits._
+    val table = freshTable()
+    val filesBefore = SnapshotTable.readManifest(spark, table, 1L)
+      .map(_.path).toSet
+    val pred = col("o_orderkey") % 13 === 0
+    val expectKeep = SnapshotTable.read(spark, table)
+      .filter(!pred).count()
+    val (v2, masked) = SnapshotTable.commitDeletePositional(
+      spark, table, pred, rangeHint = None)
+    assert(v2 === 2L)
+    assert(masked > 0L)
+    // merge-on-read: not a single data file rewritten
+    assert(SnapshotTable.readManifest(spark, table, 2L).map(_.path).toSet
+      === filesBefore)
+    assert(SnapshotTable.read(spark, table).count() === expectKeep)
+    assert(SnapshotTable.read(spark, table)
+      .filter(pred).count() === 0L)
+
+    // a later append's rows are untouched even when they match the
+    // predicate (positions are file-scoped — no seq subtleties)
+    SnapshotTable.commitAppend(spark, table,
+      Seq((13L * 1000003L, 1L, 1.0, "1-URGENT"))
+        .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
+      "o_orderpriority")
+    assert(SnapshotTable.read(spark, table).filter(pred).count() === 1L)
+
+    // DV selection sees the MASKED view: deleting the same predicate
+    // again matches only the fresh row
+    val (_, again) = SnapshotTable.commitDeletePositional(spark, table, pred)
+    assert(again === 1L)
+
+    // CDC: the DV commit's delete rows are exactly the masked rows
+    val feed = SnapshotTable.readChangesBetween(spark, table, 1L, 2L)
+    assert(feed.filter(col("_change_type") === "delete").count() === masked)
+    assert(feed.filter(col("_change_type") === "insert").count() === 0L)
+
+    // mutation paths refuse pending DVs; applyDeletes materializes them
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitMerge(spark, table, updatesBatch(),
+        "o_orderkey", "o_orderpriority")
+    }
+    val rowsBefore = sortedRows(SnapshotTable.read(spark, table))
+    val (_, nApplied) = SnapshotTable.applyDeletes(spark, table,
+      "o_orderpriority")
+    assert(nApplied === masked + 1L)
+    assert(sortedRows(SnapshotTable.read(spark, table)) === rowsBefore)
+    assert(SnapshotTable.readManifest(spark, table,
+      SnapshotTable.currentVersion(spark, table)).map(_.path).toSet
+      !== filesBefore)
+  }
+
   test("tableStats reads only the manifest list; readHinted broadcasts " +
     "small tables and leaves big/unknown ones alone") {
     import spark.implicits._
