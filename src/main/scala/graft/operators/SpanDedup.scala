@@ -80,10 +80,47 @@ object SpanDedup extends QueryPack {
   private def spanDedupQuery(s: SparkSession, dir: String): DataFrame =
     dedupSpans(Tables.documents(s, dir)).orderBy(col("doc_id"))
 
+  /** Rich-corpus twin: the planted near-dup groups share most tokens
+    * position-for-position, so a large fraction of spans (~60%) are
+    * genuine cross-document duplicates — the selectivity regime the
+    * flat corpus can't produce.
+    */
+  private def spanDedupRichQuery(s: SparkSession, dir: String): DataFrame =
+    dedupSpans(Tables.richDocumentsStaged(s, dir)).orderBy(col("doc_id"))
+
   override def queries: Map[String, QueryPack.Q] = Map(
-    "q_span_dedup" -> (spanDedupQuery _))
+    "q_span_dedup" -> (spanDedupQuery _),
+    "q_span_dedup_rich" -> (spanDedupRichQuery _))
 
   override def oracleSql: Map[String, String] = Map(
+    "q_span_dedup_rich" -> graft.Tables.richOracle(
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), chunks AS (
+        |  SELECT doc_id, i AS ci,
+        |    array_to_string(w[(i*10+1):(i*10+10)], ' ') AS span
+        |  FROM words,
+        |    LATERAL unnest(generate_series(0, (len(w)//10) - 1)) AS t(i)
+        |), ranked AS (
+        |  SELECT doc_id, ci, span,
+        |    row_number() OVER (PARTITION BY span ORDER BY doc_id, ci) AS rk
+        |  FROM chunks
+        |), kept AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(span, ' ' ORDER BY ci) AS body
+        |  FROM ranked WHERE rk = 1 GROUP BY doc_id
+        |), tails AS (
+        |  SELECT doc_id, CAST((len(w)//10) AS BIGINT) AS n_spans,
+        |    CASE WHEN len(w) % 10 = 0 THEN NULL
+        |      ELSE array_to_string(w[((len(w)//10)*10+1):len(w)], ' ')
+        |    END AS tail
+        |  FROM words
+        |)
+        |SELECT t.doc_id, t.n_spans,
+        |  COALESCE(k.n_kept, 0) AS n_kept,
+        |  md5(concat_ws(' ', nullif(COALESCE(k.body, ''), ''), t.tail)) AS content_hash
+        |FROM tails t LEFT JOIN kept k ON t.doc_id = k.doc_id
+        |ORDER BY t.doc_id""".stripMargin),
     "q_span_dedup" ->
       """WITH words AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

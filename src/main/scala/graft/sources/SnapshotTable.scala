@@ -1577,6 +1577,40 @@ object SnapshotTable extends QueryPack {
     (v + 1, before - freshAll.map(_.rows).sum)
   }
 
+  /** Threshold-driven AUTO-MAINTENANCE — the "optimize service" a
+    * micro-batch cadence makes mandatory, as one idempotent call a
+    * pipeline invokes every K batches (or a janitor on a timer):
+    *
+    *   1. pending delete files ≥ `maxDeleteFiles` → [[applyDeletes]]
+    *      (bounds the per-read anti-join fan-in);
+    *   2. small files (< `smallThreshold` rows) ≥ `maxSmallFiles` →
+    *      [[compact]] (bounds scan task count);
+    *   3. [[vacuum]] with `keepVersions`/`minAgeMs` (bounds metadata
+    *      and orphan growth — the age window keeps it safe to run
+    *      beside writers and un-published WAP stages).
+    *
+    * Below-threshold calls are no-ops, so the policy is safe to call
+    * unconditionally. Returns (version after, deletes applied,
+    * files folded, artifacts vacuumed).
+    */
+  def maintain(spark: SparkSession, table: String, partCol: String,
+               maxDeleteFiles: Int = 8, maxSmallFiles: Int = 64,
+               smallThreshold: Long = 1000000L, keepVersions: Int = 3,
+               minAgeMs: Long = 15 * 60 * 1000L): (Long, Long, Int, Long) = {
+    val meta = readMeta(spark, table, currentVersion(spark, table))
+    val applied =
+      if (meta.deletes.size >= maxDeleteFiles)
+        applyDeletes(spark, table, partCol)._2
+      else 0L
+    val folded =
+      if (readManifest(spark, table, currentVersion(spark, table))
+        .count(_.rows < smallThreshold) >= maxSmallFiles)
+        compact(spark, table, partCol, smallThreshold)._2
+      else 0
+    val removed = vacuum(spark, table, keepVersions, minAgeMs)
+    (currentVersion(spark, table), applied, folded, removed)
+  }
+
   /** Run `commit` with bounded optimistic-concurrency retries: on a
     * version-conflict failure the closure is re-invoked — every commit
     * operation re-resolves the current version at entry, so re-running

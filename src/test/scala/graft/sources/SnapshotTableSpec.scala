@@ -825,6 +825,42 @@ class SnapshotTableSpec extends SparkSpec {
       !== filesBefore)
   }
 
+  test("maintain applies its three policies only past their thresholds " +
+    "and is a safe no-op otherwise") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("snapmnt")
+      .resolve("t").toString
+    SnapshotTable.create(spark, table,
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "p"), "p")
+    (1 to 5).foreach(i => SnapshotTable.commitAppend(spark, table,
+      Seq((10L + i, "a")).toDF("k", "p"), "p"))
+    SnapshotTable.commitDeleteLazy(spark, table, Seq(2L).toDF("k"), "k")
+    val rows = sortedRows(SnapshotTable.read(spark, table)
+      .withColumnRenamed("k", "o_orderkey"))
+    val filesBefore = SnapshotTable.readManifest(spark, table,
+      SnapshotTable.currentVersion(spark, table)).size
+
+    // thresholds ABOVE current state: nothing happens but vacuum
+    val (_, a0, f0, _) = SnapshotTable.maintain(spark, table, "p",
+      maxDeleteFiles = 8, maxSmallFiles = 64, minAgeMs = 0L)
+    assert(a0 === 0L && f0 === 0)
+    assert(SnapshotTable.readManifest(spark, table,
+      SnapshotTable.currentVersion(spark, table)).size === filesBefore)
+
+    // thresholds AT current state: deletes materialize, files fold,
+    // old versions vacuum — and the data is unchanged
+    val (_, a1, f1, removed) = SnapshotTable.maintain(spark, table, "p",
+      maxDeleteFiles = 1, maxSmallFiles = 2, keepVersions = 1,
+      minAgeMs = 0L)
+    assert(a1 === 1L, "the lazy-deleted key must materialize")
+    assert(f1 > 0, "small files must fold")
+    assert(removed > 0L, "old versions must vacuum")
+    assert(sortedRows(SnapshotTable.read(spark, table)
+      .withColumnRenamed("k", "o_orderkey")) === rows)
+    assert(SnapshotTable.readManifest(spark, table,
+      SnapshotTable.currentVersion(spark, table)).size < filesBefore)
+  }
+
   test("tableStats reads only the manifest list; readHinted broadcasts " +
     "small tables and leaves big/unknown ones alone") {
     import spark.implicits._
