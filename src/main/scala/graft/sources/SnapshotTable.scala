@@ -1105,6 +1105,151 @@ object SnapshotTable extends QueryPack {
     (v + 1, nReplaced, updCount - nReplaced)
   }
 
+  /** Source-column accessor for [[commitMergeInto]] conditions and
+    * assignments: matched rows are evaluated over a frame holding the
+    * TARGET columns under their own names and the SOURCE columns
+    * prefixed — `src("o_totalprice")` is the source row's price.
+    */
+  def src(name: String): org.apache.spark.sql.Column = col("__src_" + name)
+
+  /** Conditional MERGE INTO (the full Delta/SQL-standard shape, of
+    * which [[commitMerge]] is the unconditional-upsert special case):
+    *
+    *   - `deleteWhen`: WHEN MATCHED AND cond THEN DELETE — evaluated
+    *     FIRST (fixed clause order, documented rather than positional);
+    *   - `updateWhen` + `updateSet`: WHEN MATCHED AND cond THEN UPDATE;
+    *     an empty `updateSet` replaces every column the source carries,
+    *     otherwise only the assigned columns change;
+    *   - `insertWhen`: WHEN NOT MATCHED AND cond THEN INSERT the source
+    *     row (columns the source lacks become null).
+    *
+    * `None` for a clause means the clause is ABSENT (pass
+    * `Some(lit(true))` for an unconditional clause); a condition
+    * evaluating NULL does not fire its clause (three-valued logic).
+    * Matched conditions and `updateSet` expressions see target columns
+    * by name and source columns through [[src]]; `insertWhen` sees the
+    * source row's columns by plain name. Multiple source rows sharing
+    * one key are refused (their clause results would be
+    * order-dependent — Delta's rule).
+    *
+    * Scale shape is [[commitMerge]]'s: affected files = the batch's
+    * partition values widened by detected cross-partition movers (so
+    * target rows matching a source key are ALL in the affected set —
+    * which also makes the not-matched test exact against the whole
+    * table while scanning only affected files); everything else carries
+    * by reference. The rewrite is snapshot-isolated and tag-idempotent.
+    * CHECK constraints are enforced on the commit's fresh rows (the
+    * rewritten files' output plus inserts — updated rows are new
+    * expressions, so source-only enforcement would under-check).
+    * Returns (new version, rows updated, rows deleted, rows inserted);
+    * version unchanged for a replayed tag.
+    */
+  def commitMergeInto(spark: SparkSession, table: String, source0: DataFrame,
+                      keyCol: String, partCol: String,
+                      updateWhen: Option[org.apache.spark.sql.Column] = None,
+                      updateSet: Seq[(String, org.apache.spark.sql.Column)] = Seq.empty,
+                      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+                      insertWhen: Option[org.apache.spark.sql.Column] = None,
+                      tag: Option[String] = None): (Long, Long, Long, Long) = {
+    val v = currentVersion(spark, table)
+    val meta = readMeta(spark, table, v)
+    requireNoPendingDeletes(table, meta, "commitMergeInto")
+    if (tag.exists(meta.hdr.tags.contains)) return (v, 0L, 0L, 0L)
+    // materialize the batch like commitMerge: it feeds the partition
+    // probe, mover detection, the join, and the insert anti-join
+    val source = source0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val hdr = meta.hdr
+      val dup = source.groupBy(col(keyCol)).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"commitMergeInto: multiple source rows share $keyCol=" +
+          s"${dup.head.get(0)} — matched-clause results would be order-dependent")
+      val manifest = meta.entries
+      val batchParts = source.select(col(partCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val (hit0, miss0) = manifest.partition(e =>
+        e.effPartCol(hdr.partCol).contains(partCol) &&
+          e.parts.forall(_.exists(batchParts.contains)))
+      val movers =
+        if (miss0.isEmpty) Seq.empty
+        else {
+          val stale = readFiles(spark, table, miss0, hdr.schema)
+            .select(col(keyCol), input_file_name().as("__f"))
+            .join(source.select(col(keyCol)), Seq(keyCol), "left_semi")
+            .select(col("__f")).distinct()
+            .collect().map(r => new Path(r.getString(0)).getName).toSet
+          miss0.filter(e => stale.contains(new Path(e.path).getName))
+        }
+      val affected = hit0 ++ movers
+
+      val target =
+        if (affected.isEmpty) hdr.schema match {
+          case Some(s) => spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            schemaFromString(s))
+          case None => source.filter(lit(false))
+        }
+        else readFiles(spark, table, affected, hdr.schema)
+      val tCols = target.columns.toSeq
+      val srcCols = source.columns.toSet
+
+      val sPref = source.select(source.columns.map(c =>
+        col(c).as("__src_" + c)).toIndexedSeq: _*)
+        .withColumn("__src_matched", lit(true))
+      val joined = target.join(sPref,
+        col(keyCol) === col("__src_" + keyCol), "left_outer")
+      val matched = coalesce(col("__src_matched"), lit(false))
+      val delExpr = deleteWhen.fold(lit(false))(c =>
+        matched && coalesce(c, lit(false)))
+      val updExpr = updateWhen.fold(lit(false))(c =>
+        matched && !delExpr && coalesce(c, lit(false)))
+
+      // empty updateSet = replace every column the source carries;
+      // explicit assignments change only their columns
+      val assigns: Map[String, org.apache.spark.sql.Column] =
+        if (updateSet.nonEmpty) updateSet.toMap
+        else tCols.filter(srcCols.contains).map(c => c -> src(c)).toMap
+      assigns.keys.foreach(c => require(tCols.contains(c),
+        s"commitMergeInto: updateSet assigns unknown column $c"))
+      val keptOrUpdated = joined.filter(!delExpr)
+        .select(tCols.map(c => assigns.get(c)
+          .fold(col(c))(nv => when(updExpr, nv).otherwise(col(c)).as(c))): _*)
+
+      // one small agg over the affected-file join for the clause counts
+      val cnts = joined.agg(
+        coalesce(sum(when(delExpr, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(updExpr, 1L).otherwise(0L)), lit(0L))).head()
+      val (nDeleted, nUpdated) = (cnts.getLong(0), cnts.getLong(1))
+
+      // not-matched = no key hit in the affected files, which hold ALL
+      // rows sharing a source key (mover detection guarantees it) — so
+      // this is a whole-table membership test at affected-file cost
+      val unmatched = source.join(target.select(col(keyCol)),
+        Seq(keyCol), "left_anti")
+      val inserts = insertWhen.fold(unmatched.filter(lit(false)))(c =>
+        unmatched.filter(coalesce(c, lit(false))))
+        .select(tCols.map(c =>
+          if (srcCols.contains(c)) col(c)
+          else lit(null).cast(target.schema(c).dataType).as(c)): _*)
+
+      val freshDf = keptOrUpdated.unionByName(inserts)
+      enforceChecks(freshDf, hdr.checks, "commitMergeInto")
+      val stamped = hdr.schema.fold(freshDf)(s =>
+        applySchemaMeta(freshDf, schemaFromString(s)))
+      val fresh = writeDataFiles(spark, table, stamped, partCol,
+        statsCols = hdr.statsCols, bloomCols = hdr.bloomCols)
+      commitRewrite(spark, table, v, meta.segs, affected.map(_.path).toSet,
+        fresh, Seq.empty, hdr.copy(tags = hdr.tags ++ tag))
+      // inserted by arithmetic (manifest row counts + fresh entries):
+      //   freshRows = targetRows − nDeleted + nInserted
+      val nInserted = fresh.map(_.rows).sum -
+        (affected.map(_.rows).sum - nDeleted)
+      (v + 1, nUpdated, nDeleted, nInserted)
+    } finally source.unpersist(false)
+  }
+
   /** Append `df` as a new snapshot version, all current files carried by
     * reference. With a `tag`, the append is IDEMPOTENT on it: the tag
     * joins the manifest header's cumulative committed-tag set, and a
@@ -1663,7 +1808,11 @@ object SnapshotTable extends QueryPack {
         if f.getFileStatus(new Path(manifestDir(table), s"v$next.json"))
           .getModificationTime > cutoff => v
       }
-    val keep = (vs.takeRight(keepVersions) ++ protectedVs).distinct.sorted
+    // named refs pin their versions unconditionally — a tagged snapshot
+    // outlives keepVersions until the ref is dropped (Iceberg tags)
+    val refVs = refs(spark, table).values.filter(vs.contains)
+    val keep = (vs.takeRight(keepVersions) ++ protectedVs ++ refVs)
+      .toSeq.distinct.sorted
     // un-published WAP stages are live too: their segments and data
     // files are referenced by no version yet, but a later publish will
     // reference them — vacuum must not eat a stage awaiting audit
@@ -1725,6 +1874,95 @@ object SnapshotTable extends QueryPack {
     }
     deleted
   }
+
+  // ---- named refs (the Iceberg tag construction): ref-<name>.json in
+  // _manifests pins a version by NAME — vacuum retains pinned versions
+  // regardless of keepVersions, so "the audited training snapshot"
+  // survives routine retention until the ref is dropped. Refs are
+  // metadata-only (a few bytes); the data they pin is shared with the
+  // live table by reference.
+
+  private val refRe = raw"ref-([A-Za-z0-9._-]+)\.json".r
+  private def refPath(table: String, name: String): Path = {
+    require(name.nonEmpty && name.matches("[A-Za-z0-9._-]+"),
+      s"snapshot ref name must be [A-Za-z0-9._-]+, got '$name'")
+    new Path(manifestDir(table), s"ref-$name.json")
+  }
+
+  /** Pin `version` (default: current) under `name`. Re-pointing an
+    * existing ref requires `overwrite = true`; the write is
+    * tmp+rename like every manifest publish (a racing setRef loses
+    * loudly).
+    */
+  def setRef(spark: SparkSession, table: String, name: String,
+             version: Option[Long] = None,
+             overwrite: Boolean = false): Long = {
+    val f = fs(spark, table)
+    val v = version.getOrElse(currentVersion(spark, table))
+    require(versions(spark, table).contains(v),
+      s"snapshot setRef: version $v not retained for $table")
+    val p = refPath(table, name)
+    if (f.exists(p)) {
+      require(overwrite, s"snapshot ref '$name' already exists for $table")
+      f.delete(p, false)
+    }
+    val tmp = new Path(manifestDir(table),
+      s"ref-$name.json.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
+    val out = f.create(tmp, false)
+    try out.write(s"""{"version":$v}""".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(f.rename(tmp, p), {
+      f.delete(tmp, false)
+      s"snapshot setRef: ref '$name' raced for $table"
+    })
+    v
+  }
+
+  /** All named refs of the table. */
+  def refs(spark: SparkSession, table: String): Map[String, Long] = {
+    val f = fs(spark, table)
+    val dir = manifestDir(table)
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).toSeq.flatMap(_.getPath.getName match {
+      case refRe(n) =>
+        val body = readLines(f, refPath(table, n)).mkString.trim
+        val vRefRe = raw"""\{"version":(\d+)\}""".r
+        body match {
+          case vRefRe(v) => Some(n -> v.toLong)
+          case _ => sys.error(s"snapshot ref '$n': bad body: $body")
+        }
+      case _ => None
+    }).toMap
+  }
+
+  /** Read the snapshot a ref pins — `readVersion` by name. */
+  def readRef(spark: SparkSession, table: String, name: String): DataFrame =
+    readVersion(spark, table, refs(spark, table).getOrElse(name,
+      sys.error(s"snapshot ref '$name' does not exist for $table")))
+
+  def dropRef(spark: SparkSession, table: String, name: String): Unit = {
+    val f = fs(spark, table)
+    require(f.delete(refPath(table, name), false),
+      s"snapshot ref '$name' does not exist for $table")
+  }
+
+  /** TIMESTAMP AS OF: the latest version whose manifest committed at or
+    * before `tsMillis` (manifest mtime is the commit instant — the
+    * rename that published it). Loud failure when the table has no
+    * commit that old or the candidate was vacuumed.
+    */
+  def versionAsOf(spark: SparkSession, table: String, tsMillis: Long): Long = {
+    val f = fs(spark, table)
+    val cands = versions(spark, table).filter(v =>
+      f.getFileStatus(new Path(manifestDir(table), s"v$v.json"))
+        .getModificationTime <= tsMillis)
+    cands.lastOption.getOrElse(sys.error(
+      s"snapshot asOf: no retained version of $table at or before $tsMillis"))
+  }
+
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
+    readVersion(spark, table, versionAsOf(spark, table, tsMillis))
 
   /** Version history as a DataFrame: one row per retained manifest —
     * (version, n_files, n_rows, n_tags, committed_at). The table's
@@ -2676,6 +2914,52 @@ object SnapshotTable extends QueryPack {
     work
   }
 
+  /** Rollup after a CONDITIONAL MERGE INTO on a clone of the base
+    * table: matched keys with a low (doubled) price are DELETED,
+    * remaining matched keys get only their price UPDATED, and
+    * brand-new keys INSERT — all three clause kinds in one commit, so
+    * the oracle hash pins clause order (delete before update), the
+    * partial-update projection, and the whole-table not-matched test.
+    */
+  def mergeIntoQuery(s: SparkSession, dir: String): DataFrame = {
+    val work = cloneTable(s, deleteBase(s, dir))
+    val orders = Tables.orders(s, dir)
+    val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    val tableSchema = read(s, work).schema
+    val changed = orders.filter(col("o_orderkey") % 131 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") * 2).as("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    val fresh = s.range(1, 6).select(
+      (col("id") + maxKey).as("o_orderkey"),
+      lit(1L).as("o_custkey"),
+      lit(123.45).as("o_totalprice"),
+      to_timestamp(lit("1999-01-01")).as("o_orderdate"),
+      lit("1-URGENT").as("o_orderpriority"))
+      .select(tableSchema.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+    val (_, nU, nD, nI) = commitMergeInto(s, work,
+      changed.unionByName(fresh), "o_orderkey", "o_orderpriority",
+      updateWhen = Some(lit(true)),
+      updateSet = Seq("o_totalprice" -> src("o_totalprice")),
+      deleteWhen = Some(src("o_totalprice") < 100000.0),
+      insertWhen = Some(col("o_totalprice") > 0))
+    require(nI == 5L, s"merge-into: expected 5 inserts, got $nI")
+    require(nU > 0L && nD > 0L,
+      s"merge-into: degenerate clause counts (upd=$nU del=$nD)")
+    rollup(read(s, work))
+  }
+
+  /** The pre-merge snapshot read through a NAMED REF — `setRef` pins
+    * version 1 as `premerge` on the shared scenario table (idempotent
+    * re-point; the table itself is never mutated) and the rollup must
+    * hash-match the plain-orders oracle exactly, like `q_time_travel`.
+    */
+  def refQuery(s: SparkSession, dir: String): DataFrame = {
+    val t = scenario(s, dir)
+    setRef(s, t, "premerge", Some(1L), overwrite = true)
+    rollup(readRef(s, t, "premerge"))
+  }
+
   /** The `q_snapshot_skip` rollup, expressed entirely in SQL through
     * the [[SnapshotSql]] `snapshot_table` TVF — the plain WHERE range
     * must reach [[SnapshotFileIndex]] as pushed data filters and hash-
@@ -2712,7 +2996,9 @@ object SnapshotTable extends QueryPack {
     "q_snapshot_wap" -> (wapQuery _),
     "q_snapshot_lazy_del" -> (lazyDeleteQuery _),
     "q_snapshot_rename" -> (renameQuery _),
-    "q_snapshot_evolve" -> (evolveQuery _))
+    "q_snapshot_evolve" -> (evolveQuery _),
+    "q_snapshot_merge_into" -> (mergeIntoQuery _),
+    "q_snapshot_ref" -> (refQuery _))
 
   override def oracleSql: Map[String, String] = Map(
     "q_snapshot_sql" ->
@@ -2923,6 +3209,36 @@ object SnapshotTable extends QueryPack {
         |WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
         |  AND TIMESTAMP '2024-01-16 00:00:00' AND user_id <= 4
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_snapshot_merge_into" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 131 = 0
+        |  UNION ALL
+        |  SELECT (SELECT max(o_orderkey) FROM orders) + i AS o_orderkey,
+        |    123.45 AS o_totalprice
+        |  FROM (SELECT unnest(generate_series(1, 5)) AS i)
+        |), merged AS (
+        |  SELECT t.o_orderkey,
+        |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+        |         ELSE t.o_totalprice END AS o_totalprice,
+        |    t.o_orderpriority
+        |  FROM orders t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+        |  WHERE NOT (s.o_orderkey IS NOT NULL AND s.o_totalprice < 100000.0)
+        |  UNION ALL
+        |  SELECT s.o_orderkey, s.o_totalprice, '1-URGENT' AS o_orderpriority
+        |  FROM src s
+        |  WHERE s.o_orderkey > (SELECT max(o_orderkey) FROM orders)
+        |    AND s.o_totalprice > 0
+        |)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_snapshot_ref" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_snapshot_changes" ->
       """WITH fresh AS (
         |  SELECT (SELECT max(o_orderkey) FROM orders) + i AS o_orderkey,
