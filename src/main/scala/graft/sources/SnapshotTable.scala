@@ -239,12 +239,24 @@ object SnapshotTable extends QueryPack {
     * rename/drop that orphans a referenced name fails loudly at the
     * next enforcement, never silently.
     */
+  /** `bucketBy`/`buckets` record the table's BUCKET SPEC (Spark
+    * bucketing: bucket id = `pmod(murmur3hash(col), n)`, stamped into
+    * every data-file name) — the read path then serves the relation
+    * with a `BucketSpec`, so joins/aggregations on the bucket column
+    * elide their shuffle entirely. Set at create; every rewrite path
+    * re-buckets through the header, so the invariant "every data file
+    * carries a valid bucket id" holds for the table's lifetime.
+    */
   final case class Header(tags: Set[String] = Set.empty,
                           schema: Option[String] = None,
                           statsCols: Seq[String] = Seq.empty,
                           partCol: Option[String] = None,
                           bloomCols: Seq[String] = Seq.empty,
-                          checks: Seq[String] = Seq.empty)
+                          checks: Seq[String] = Seq.empty,
+                          bucketBy: Option[String] = None,
+                          buckets: Int = 0) {
+    def bucket: Option[(String, Int)] = bucketBy.map(_ -> buckets)
+  }
 
   // ---- manifest lists + segments (the O(changed)-commit construction)
   //
@@ -310,7 +322,7 @@ object SnapshotTable extends QueryPack {
   // simple values (no unescaped brackets), so their non-greedy groups
   // terminate correctly; the schema DDL is arbitrary and goes LAST
   private val headerRe =
-    raw"""\{"tags":\[(.*?)\](?:,"statsCols":\[(.*?)\])?(?:,"bloomCols":\[(.*?)\])?(?:,"checks":\[(.*?)\])?(?:,"partCol":"((?:[^"\\]|\\.)*)")?(?:,"schema":"(.*)")?\}""".r
+    raw"""\{"tags":\[(.*?)\](?:,"statsCols":\[(.*?)\])?(?:,"bloomCols":\[(.*?)\])?(?:,"checks":\[(.*?)\])?(?:,"bucketBy":"((?:[^"\\]|\\.)*)","buckets":(\d+))?(?:,"partCol":"((?:[^"\\]|\\.)*)")?(?:,"schema":"(.*)")?\}""".r
 
   /** The per-version manifest list: segment refs, equality-delete refs,
     * and the header.
@@ -322,7 +334,8 @@ object SnapshotTable extends QueryPack {
   private def readListAt(f: FileSystem,
                          path: Path): (Seq[SegmentRef], Seq[DeleteFile], Header) = {
     readLines(f, path) match {
-      case headerRe(tagsBody, statsBody, bloomBody, checksBody, partColGrp, schemaGrp) :: rest =>
+      case headerRe(tagsBody, statsBody, bloomBody, checksBody, bucketByGrp,
+                    bucketsGrp, partColGrp, schemaGrp) :: rest =>
         val tags = quotedRe.findAllMatchIn(tagsBody)
           .map(m => unesc(m.group(1))).toSet
         val statsCols = Option(statsBody).toSeq.flatMap(b =>
@@ -344,7 +357,9 @@ object SnapshotTable extends QueryPack {
           case other => sys.error(s"snapshot manifest list: bad line: $other")
         })
         (refs, deletes, Header(tags, Option(schemaGrp).map(unesc), statsCols,
-          Option(partColGrp).map(unesc), bloomCols, checks))
+          Option(partColGrp).map(unesc), bloomCols, checks,
+          Option(bucketByGrp).map(unesc),
+          Option(bucketsGrp).map(_.toInt).getOrElse(0)))
       case Nil => (Seq.empty, Seq.empty, Header())
       case other :: _ =>
         sys.error(s"snapshot manifest list: bad header: $other")
@@ -383,6 +398,8 @@ object SnapshotTable extends QueryPack {
         .map(c => "\"" + esc(c) + "\"").mkString(""","bloomCols":[""", ",", "]")) +
       (if (hdr.checks.isEmpty) "" else hdr.checks
         .map(c => "\"" + esc(c) + "\"").mkString(""","checks":[""", ",", "]")) +
+      hdr.bucketBy.fold("")(c =>
+        s""","bucketBy":"${esc(c)}","buckets":${hdr.buckets}""") +
       hdr.partCol.fold("")(c => s""","partCol":"${esc(c)}"""") +
       hdr.schema.fold("")(s => s""","schema":"${esc(s)}"""") + "}\n"
     val body = (refs.map(segJson) ++ deletes.map(delJson))
@@ -497,7 +514,8 @@ object SnapshotTable extends QueryPack {
                              namePrefix: Option[String] = None,
                              statsCols: Seq[String] = Seq.empty,
                              clusterExpr: Option[org.apache.spark.sql.Column] = None,
-                             bloomCols: Seq[String] = Seq.empty): Seq[FileEntry] = {
+                             bloomCols: Seq[String] = Seq.empty,
+                             bucket: Option[(String, Int)] = None): Seq[FileEntry] = {
     val f = fs(spark, table)
     // a batch may legally OMIT a recorded stats column (ADD-only
     // evolution allows absent columns) — its files then carry no stats
@@ -521,7 +539,19 @@ object SnapshotTable extends QueryPack {
     // serializes into one writer task (maxRecordsPerFile bounds its
     // FILES, not its wall clock) — the standard remedy, salting the
     // repartition key, is the caller's choice at ingest shape.
-    val clustered = (clusterExpr, effStats.headOption) match {
+    // BUCKETED writes override range clustering: each row's bucket id is
+    // Spark's own bucket expression — pmod(murmur3hash(col), n), the
+    // exact id HashPartitioning assigns — computed here and stamped into
+    // the file NAME below, so the bucketed scan's co-partitioning claim
+    // is true by construction. Rows shuffle by (partition value, bucket);
+    // per-file min/max stats are still recorded but files span the full
+    // value range (bucketing and range clustering are rival layouts).
+    val clustered = bucket match {
+      case Some((bc, n)) =>
+        val withB = df.withColumn("__bkt", pmod(hash(col(bc)), lit(n)))
+          .repartition(col(partCol), col("__bkt"))
+        effStats.headOption.fold(withB)(sc => withB.sortWithinPartitions(col(sc)))
+      case None => (clusterExpr, effStats.headOption) match {
       // an explicit cluster expression (the Z-order path) range-splits
       // on it AND sorts within tasks, so every file covers a compact
       // curve segment — tight min/max boxes over every interleaved dim
@@ -537,25 +567,40 @@ object SnapshotTable extends QueryPack {
       case (None, Some(sc)) => df.repartitionByRange(
         df.sparkSession.sessionState.conf.numShufflePartitions, col(sc))
       case (None, None)     => df.repartition(col(partCol))
+      }
     }
     // stamp field ids from the column metadata into the parquet files
     // (Spark's default, asserted explicitly — rename/drop depend on it)
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val partDirs = "__part" +: bucket.map(_ => "__bkt").toSeq
     clustered.withColumn("__part", col(partCol)).write
       .option("maxRecordsPerFile", 5000000L)
-      .partitionBy("__part").parquet(staging.toString)
+      .partitionBy(partDirs: _*).parquet(staging.toString)
 
     // list BEFORE the stats scan: an empty input produced no partition
     // dirs, and spark.read on a file-less staging dir cannot infer a
     // schema — an empty batch (e.g. an empty streaming micro-batch) is
     // a legitimate entries-empty commit, not an error
-    val staged = f.listStatus(staging).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__part="))
-      .flatMap { dirSt =>
-        f.listStatus(dirSt.getPath).toSeq
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .map(st => (dirSt.getPath.getName, st.getPath, st.getLen))
-      }
+    // (partition dir name, bucket id, file path, bytes); bucketed
+    // writes nest one more dir level (__part=V/__bkt=N/files)
+    val staged: Seq[(String, Option[Int], Path, Long)] =
+      f.listStatus(staging).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("__part="))
+        .flatMap { dirSt =>
+          if (bucket.isEmpty)
+            f.listStatus(dirSt.getPath).toSeq
+              .filter(_.getPath.getName.endsWith(".parquet"))
+              .map(st => (dirSt.getPath.getName, None, st.getPath, st.getLen))
+          else
+            f.listStatus(dirSt.getPath).toSeq
+              .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bkt="))
+              .flatMap { bSt =>
+                val b = bSt.getPath.getName.stripPrefix("__bkt=").toInt
+                f.listStatus(bSt.getPath).toSeq
+                  .filter(_.getPath.getName.endsWith(".parquet"))
+                  .map(st => (dirSt.getPath.getName, Some(b), st.getPath, st.getLen))
+              }
+        }
     if (staged.isEmpty) { f.delete(staging, true); return Seq.empty }
 
     // per-file row counts (+ per-column min/max): one column-pruned
@@ -567,14 +612,17 @@ object SnapshotTable extends QueryPack {
     val rows = spark.read.parquet(staging.toString)
       .groupBy(input_file_name().as("f")).agg(statsAggs.head, statsAggs.tail: _*)
       .collect().map { r =>
-        val p = new Path(new java.net.URI(r.getString(0)).getPath)
+        // keyed by the file's absolute path: with bucketed (two-level)
+        // staging dirs, (parent dir, name) alone could collide across
+        // partition values
+        val p = new java.net.URI(r.getString(0)).getPath
         // an all-null stats column yields null min/max: record no stats
         // for that column in that file (it then never skips on it)
         val st = effStats.zipWithIndex.flatMap { case (sc, i) =>
           if (r.isNullAt(2 + 2 * i) || r.isNullAt(3 + 2 * i)) None
           else Some(ColStats(sc, r.getDouble(2 + 2 * i), r.getDouble(3 + 2 * i)))
         }
-        (p.getParent.getName, p.getName) -> (r.getLong(1), st)
+        p -> (r.getLong(1), st)
       }.toMap
 
     // per-file bloom bitmaps: ONE pass over the fresh files emitting
@@ -583,7 +631,7 @@ object SnapshotTable extends QueryPack {
     // it becomes. Executors and the planning-time prober evaluate the
     // SAME XxHash64 expression, so membership answers agree exactly.
     val effBlooms = bloomCols.filter(df.columns.contains)
-    val bloomMap: Map[(String, String), Seq[ColBloom]] =
+    val bloomMap: Map[String, Seq[ColBloom]] =
       if (effBlooms.isEmpty) Map.empty
       else {
         val probes = effBlooms.flatMap(bc => (0 until bloomHashes).map(i =>
@@ -598,8 +646,7 @@ object SnapshotTable extends QueryPack {
           .groupBy(col("f"), col("cp.c").as("c"))
           .agg(collect_set(col("cp.p")).as("ps"))
           .collect().groupBy { r =>
-            val p = new Path(new java.net.URI(r.getString(0)).getPath)
-            (p.getParent.getName, p.getName)
+            new java.net.URI(r.getString(0)).getPath
           }.map { case (k, rs) =>
             k -> rs.toSeq.map { r =>
               val bits = new Array[Long](bloomBits / 64)
@@ -612,17 +659,24 @@ object SnapshotTable extends QueryPack {
 
     f.mkdirs(dataDir(table))
     val entries = staged.zipWithIndex
-      .map { case ((dirName, src, len), i) =>
+      .map { case ((dirName, bkt, src, len), i) =>
         val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .unescapePathName(dirName.stripPrefix("__part="))
-        val dest = new Path(dataDir(table), s"$commit-$i-${src.getName}")
+        // bucketed files carry their bucket id in the NAME, in the
+        // exact `_%05d` suffix form BucketingUtils parses — the
+        // bucketed scan derives co-partitioning from nothing else
+        val name = bkt match {
+          case Some(b) => f"$commit-$i-f_$b%05d.parquet"
+          case None    => s"$commit-$i-${src.getName}"
+        }
+        val dest = new Path(dataDir(table), name)
         require(f.rename(src, dest),
           s"snapshot: could not place data file $dest")
-        val (n, st) = rows.getOrElse((dirName, src.getName),
-          (0L, Seq.empty[ColStats]))
-        FileEntry(s"data/$commit-$i-${src.getName}", Some(Seq(value)), n, st,
+        val key = src.toUri.getPath
+        val (n, st) = rows.getOrElse(key, (0L, Seq.empty[ColStats]))
+        FileEntry(s"data/$name", Some(Seq(value)), n, st,
           bytes = len, partBy = Some(partCol),
-          blooms = bloomMap.getOrElse((dirName, src.getName), Seq.empty))
+          blooms = bloomMap.getOrElse(key, Seq.empty))
       }
     f.delete(staging, true)
     entries
@@ -700,7 +754,8 @@ object SnapshotTable extends QueryPack {
     */
   private[sources] def indexedRelation(spark: SparkSession, table: String,
                                        entries: Seq[FileEntry], schemaStr: String,
-                                       partCol: Option[String]): org.apache.spark.sql.sources.BaseRelation = {
+                                       partCol: Option[String],
+                                       bucket: Option[(String, Int)] = None): org.apache.spark.sql.sources.BaseRelation = {
     // nullable-izing is load-bearing (DataFrameReader's asNullable
     // does the same): files predating an added column must yield
     // NULL for it, and the vectorized reader only null-fills
@@ -709,9 +764,15 @@ object SnapshotTable extends QueryPack {
       schemaFromString(schemaStr).fields.map(_.copy(nullable = true)))
     if (st.exists(_.metadata.contains(FieldIdKey)))
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    // the BucketSpec makes the scan report HashPartitioning(col, n) —
+    // joins/aggs on the bucket column then plan WITHOUT an exchange;
+    // valid because every data file's rows hash to the bucket id in
+    // its name (the writer computes ids with the same expression)
     org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       new SnapshotFileIndex(spark, table, entries, partCol),
-      new org.apache.spark.sql.types.StructType(), st, None,
+      new org.apache.spark.sql.types.StructType(), st,
+      bucket.map { case (c, n) =>
+        org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(c), Nil) },
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
       Map.empty)(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
   }
@@ -724,7 +785,8 @@ object SnapshotTable extends QueryPack {
         require(entries.nonEmpty, "snapshot read: empty file set")
         spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
           .baseRelationToDataFrame(
-            indexedRelation(spark, table, entries, str, hdr.partCol))
+            indexedRelation(spark, table, entries, str, hdr.partCol,
+              hdr.bucket))
     }
 
   /** STREAMING-flagged relation read of an explicit entry subset under
@@ -797,7 +859,7 @@ object SnapshotTable extends QueryPack {
     indexedRelation(spark, table, meta.entries,
       meta.hdr.schema.getOrElse(
         sys.error(s"snapshot table $table has no recorded schema")),
-      meta.hdr.partCol)
+      meta.hdr.partCol, meta.hdr.bucket)
   }
 
   /** Data bytes version `v` added, from the manifest LISTS alone (the
@@ -936,19 +998,36 @@ object SnapshotTable extends QueryPack {
     v + 1
   }
 
+  /** With `bucketBy = Some((col, n))` the table is BUCKETED: every data
+    * file holds exactly one bucket of Spark's hash space for `col`
+    * (id = `pmod(murmur3hash(col), n)`, stamped in the file name), the
+    * spec rides the header so every rewrite path preserves it, and
+    * reads serve a `BucketSpec` — joins and aggregations on `col`
+    * against this table (or another table bucketed the same way) plan
+    * with NO shuffle on this side. Bucketing and range clustering are
+    * rival layouts: with both requested, files are bucketed and only
+    * sorted (not range-split) on the first stats column.
+    */
   def create(spark: SparkSession, table: String, df: DataFrame,
              partCol: String, statsCols: Seq[String] = Seq.empty,
              bloomCols: Seq[String] = Seq.empty,
-             tags: Set[String] = Set.empty): Long = {
+             tags: Set[String] = Set.empty,
+             bucketBy: Option[(String, Int)] = None): Long = {
     require(versions(spark, table).isEmpty,
       s"snapshot table $table already exists")
+    bucketBy.foreach { case (c, n) =>
+      require(df.columns.contains(c), s"bucketBy: no column $c")
+      require(n > 0 && n <= 100000, s"bucketBy: bucket count $n out of range")
+    }
     val st = assignFieldIds(df.schema)
     val entries = writeDataFiles(spark, table, applySchemaMeta(df, st),
-      partCol, statsCols = statsCols, bloomCols = bloomCols)
+      partCol, statsCols = statsCols, bloomCols = bloomCols,
+      bucket = bucketBy)
     writeManifest(spark, table, 1L, entries,
       Header(tags = tags, schema = Some(schemaToString(st)),
         statsCols = statsCols, partCol = Some(partCol),
-        bloomCols = bloomCols))
+        bloomCols = bloomCols, bucketBy = bucketBy.map(_._1),
+        buckets = bucketBy.fold(0)(_._2)))
     1L
   }
 
@@ -1090,7 +1169,7 @@ object SnapshotTable extends QueryPack {
     val stamped = hdr.schema.fold(merged)(s =>
       applySchemaMeta(merged, schemaFromString(s)))
     val fresh = writeDataFiles(spark, table, stamped, partCol,
-      statsCols = hdr.statsCols, bloomCols = hdr.bloomCols)
+      statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket)
     commitRewrite(spark, table, v, segs, affected.map(_.path).toSet,
       fresh, Seq.empty, hdr.copy(tags = hdr.tags ++ tag))
     // replaced/inserted by ARITHMETIC, not extra scans: the manifest
@@ -1239,7 +1318,7 @@ object SnapshotTable extends QueryPack {
       val stamped = hdr.schema.fold(freshDf)(s =>
         applySchemaMeta(freshDf, schemaFromString(s)))
       val fresh = writeDataFiles(spark, table, stamped, partCol,
-        statsCols = hdr.statsCols, bloomCols = hdr.bloomCols)
+        statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket)
       commitRewrite(spark, table, v, meta.segs, affected.map(_.path).toSet,
         fresh, Seq.empty, hdr.copy(tags = hdr.tags ++ tag))
       // inserted by arithmetic (manifest row counts + fresh entries):
@@ -1277,7 +1356,7 @@ object SnapshotTable extends QueryPack {
       val evolved = assignFieldIds(evolveSchema(hdr.schema, df.schema))
       val effStats = if (statsCols.nonEmpty) statsCols else hdr.statsCols
       val fresh = writeDataFiles(spark, table, applySchemaMeta(df, evolved),
-        partCol, tag, effStats, bloomCols = hdr.bloomCols)
+        partCol, tag, effStats, bloomCols = hdr.bloomCols, bucket = hdr.bucket)
       val freshRefs =
         if (fresh.isEmpty) Seq.empty
         else Seq(writeSegment(spark, table, fresh.map(_.copy(seq = v + 1))))
@@ -1308,7 +1387,7 @@ object SnapshotTable extends QueryPack {
     val evolved = assignFieldIds(evolveSchema(hdr.schema, df.schema))
     val effStats = if (statsCols.nonEmpty) statsCols else hdr.statsCols
     val fresh = writeDataFiles(spark, table, applySchemaMeta(df, evolved),
-      partCol, statsCols = effStats, bloomCols = hdr.bloomCols)
+      partCol, statsCols = effStats, bloomCols = hdr.bloomCols, bucket = hdr.bucket)
     commitRewrite(spark, table, v, meta.segs,
       meta.entries.map(_.path).toSet, fresh, Seq.empty,
       hdr.copy(schema = Some(schemaToString(evolved)), statsCols = effStats,
@@ -1379,7 +1458,9 @@ object SnapshotTable extends QueryPack {
     commitList(spark, table, v + 1, refs, dels,
       hdr.copy(schema = Some(schemaToString(renamed)),
         statsCols = hdr.statsCols.map(c => if (c == from) to else c),
-        partCol = hdr.partCol.map(c => if (c == from) to else c)))
+        partCol = hdr.partCol.map(c => if (c == from) to else c),
+        // bucket ids hash VALUES, not names — the spec just follows
+        bucketBy = hdr.bucketBy.map(c => if (c == from) to else c)))
     v + 1
   }
 
@@ -1396,6 +1477,8 @@ object SnapshotTable extends QueryPack {
       sys.error(s"dropColumn: $table has no schema yet")))
     require(st.fieldNames.contains(name), s"dropColumn: no column $name")
     require(st.fields.length > 1, "dropColumn: cannot drop the last column")
+    require(!hdr.bucketBy.contains(name),
+      s"dropColumn: $name is the table's bucket column")
     require(st.forall(_.metadata.contains(FieldIdKey)),
       s"dropColumn: $table predates field-id schemas")
     val dropped = org.apache.spark.sql.types.StructType(
@@ -1425,7 +1508,7 @@ object SnapshotTable extends QueryPack {
     else {
       val fresh = writeDataFiles(spark, table,
         readFiles(spark, table, small, hdr.schema), partCol,
-        statsCols = hdr.statsCols, bloomCols = hdr.bloomCols)
+        statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket)
       // the header (tag ledger + schema) rides along — idempotence and
       // the evolved schema both outlive the renames
       commitRewrite(spark, table, v, segs, small.map(_.path).toSet,
@@ -1459,6 +1542,11 @@ object SnapshotTable extends QueryPack {
     val meta = readMeta(spark, table, v)
     requireNoPendingDeletes(table, meta, "clusterZOrder")
     val hdr = meta.hdr
+    // rival layouts: a z-rewrite would break the files-hold-one-bucket
+    // invariant the bucketed scan's co-partitioning claim rests on
+    require(hdr.bucketBy.isEmpty,
+      s"clusterZOrder: $table is bucketed by ${hdr.bucketBy.get} — " +
+        "bucketing and z-order are mutually exclusive layouts")
     val df = indexedRead(spark, table, meta.entries, hdr)
     val b = df.agg(
       min(col(dimA)).cast("double"), max(col(dimA)).cast("double"),
@@ -1474,7 +1562,7 @@ object SnapshotTable extends QueryPack {
     val statsCols = (hdr.statsCols ++ Seq(dimA, dimB)).distinct
     val fresh = writeDataFiles(spark, table, df, partCol,
       statsCols = statsCols, clusterExpr = Some(z),
-      bloomCols = hdr.bloomCols)
+      bloomCols = hdr.bloomCols, bucket = hdr.bucket)
     commitRewrite(spark, table, v, meta.segs,
       meta.entries.map(_.path).toSet, fresh, Seq.empty,
       hdr.copy(statsCols = statsCols))
@@ -1530,7 +1618,7 @@ object SnapshotTable extends QueryPack {
       val fresh =
         if (kept.isEmpty) Seq.empty
         else writeDataFiles(spark, table, kept, partCol,
-          statsCols = hdr.statsCols, bloomCols = hdr.bloomCols)
+          statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket)
       commitRewrite(spark, table, v, segs, affected.map(_.path).toSet,
         fresh, Seq.empty, hdr)
       (v + 1, nDeleted)
@@ -1569,7 +1657,7 @@ object SnapshotTable extends QueryPack {
       val target = readFiles(spark, table, affected, hdr.schema)
       val kept = target.join(keyset, Seq(keyCol), "left_anti")
       val fresh = writeDataFiles(spark, table, kept, partCol,
-        statsCols = hdr.statsCols, bloomCols = hdr.bloomCols)
+        statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket)
       commitRewrite(spark, table, v, segs, affected.map(_.path).toSet,
         fresh, Seq.empty, hdr)
       // deleted = affected rows − surviving rows: both already counted
@@ -1711,7 +1799,7 @@ object SnapshotTable extends QueryPack {
               readFiles(spark, table, affected, hdr.schema), dels)
             removed ++= affected.map(_.path)
             freshAll ++= writeDataFiles(spark, table, kept, partCol,
-              statsCols = hdr.statsCols, bloomCols = hdr.bloomCols)
+              statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket)
           }
         }
       }
@@ -2110,7 +2198,7 @@ object SnapshotTable extends QueryPack {
     enforceChecks(df, hdr.checks, "stageAppend")
     val evolved = assignFieldIds(evolveSchema(hdr.schema, df.schema))
     val fresh = writeDataFiles(spark, table, applySchemaMeta(df, evolved),
-      partCol, statsCols = hdr.statsCols, bloomCols = hdr.bloomCols)
+      partCol, statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket)
     val refs =
       if (fresh.isEmpty) Seq.empty
       else Seq(writeSegment(spark, table, fresh))
@@ -2914,6 +3002,53 @@ object SnapshotTable extends QueryPack {
     work
   }
 
+  // bucketed-pair scenario: orders and customer, BOTH bucketed 16 ways
+  // on custkey — the fact⋈dim join then plans with zero shuffles (the
+  // SMJ reads co-partitioned buckets straight off the manifests).
+  // Read-only after create → memoized; repeated bench runs measure the
+  // shuffle-free join, not the table build.
+  @volatile private var bucketedMemo: Option[((SparkSession, String), (String, String))] = None
+
+  private def bucketedScenario(s: SparkSession, dir: String): (String, String) =
+    bucketedMemo match {
+      case Some((k, w)) if k == ((s, dir)) => w
+      case _ => synchronized {
+        bucketedMemo match {
+          case Some((k, w)) if k == ((s, dir)) => w
+          case _ =>
+            val base = java.nio.file.Files.createTempDirectory("graft_snapshot_bk")
+            val t1 = base.resolve("orders").toString
+            val t2 = base.resolve("customer").toString
+            create(s, t1, Tables.orders(s, dir)
+              .select(col("o_orderkey"), col("o_custkey"),
+                col("o_totalprice"), col("o_orderpriority")),
+              "o_orderpriority", bucketBy = Some(("o_custkey", 16)))
+            create(s, t2, Tables.customer(s, dir)
+              .select(col("c_custkey"), col("c_mktsegment")),
+              "c_mktsegment", bucketBy = Some(("c_custkey", 16)))
+            bucketedMemo = Some(((s, dir), (t1, t2)))
+            (t1, t2)
+        }
+      }
+    }
+
+  /** Per-segment revenue rollup of the BUCKETED orders⋈customer join —
+    * both tables bucketed 16 ways on custkey, so the join plans with
+    * no exchange on either side (SnapshotBucketedSpec pins the plan;
+    * this query pins the RESULT: a wrong bucket id in any file name
+    * would silently drop matches and break the oracle hash).
+    */
+  def bucketedQuery(s: SparkSession, dir: String): DataFrame = {
+    val (t1, t2) = bucketedScenario(s, dir)
+    read(s, t1).join(read(s, t2), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Rollup after a CONDITIONAL MERGE INTO on a clone of the base
     * table: matched keys with a low (doubled) price are DELETED,
     * remaining matched keys get only their price UPDATED, and
@@ -2998,7 +3133,8 @@ object SnapshotTable extends QueryPack {
     "q_snapshot_rename" -> (renameQuery _),
     "q_snapshot_evolve" -> (evolveQuery _),
     "q_snapshot_merge_into" -> (mergeIntoQuery _),
-    "q_snapshot_ref" -> (refQuery _))
+    "q_snapshot_ref" -> (refQuery _),
+    "q_snapshot_bucketed" -> (bucketedQuery _))
 
   override def oracleSql: Map[String, String] = Map(
     "q_snapshot_sql" ->
@@ -3239,6 +3375,12 @@ object SnapshotTable extends QueryPack {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  CAST(max(o_orderkey) AS BIGINT) AS max_key
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_snapshot_bucketed" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_snapshot_changes" ->
       """WITH fresh AS (
         |  SELECT (SELECT max(o_orderkey) FROM orders) + i AS o_orderkey,
