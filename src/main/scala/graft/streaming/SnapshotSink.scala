@@ -77,12 +77,91 @@ object SnapshotSink extends QueryPack {
       .orderBy(col("event_type"))
   }
 
+  /** STREAMING CDC-APPLY: each micro-batch MERGEs into the table by
+    * `user_id`, keeping the row with the highest `event_id` per key —
+    * monotone-sequence ("last writer by sequence, not by arrival")
+    * conflict resolution via [[SnapshotTable.commitMergeInto]]'s
+    * conditional update. The final state is the corpus-wide argmax per
+    * key REGARDLESS of how the source split into micro-batches: a
+    * replayed batch is first a tag no-op and, even re-applied, its rows
+    * lose the `src(event_id) > event_id` update condition against
+    * anything newer — exactly-once by ledger, idempotent by VALUE. The
+    * first batch bootstraps the table via a tagged create (same replay
+    * contract). A key's latest event may change event_type (= the
+    * partition column): whole-row replace + mover detection relocate
+    * the row atomically.
+    */
+  def runUpsert(spark: SparkSession, dir: String, table: String,
+                checkpoint: Option[String] = None): String = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val source = spark.readStream
+      .schema(Tables.load(spark, dir, "events").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(DocDedupStream.stagedDir(dir, "events.parquet"))
+      .transform(Tables.tsToTimestamp)
+
+    val q = source.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        // within-batch last-wins by sequence: commitMergeInto refuses
+        // duplicate source keys (clause results would be order-dependent)
+        val dedup = batch.withColumn("__rn",
+            row_number().over(Window.partitionBy(col("user_id"))
+              .orderBy(col("event_id").desc)))
+          .filter(col("__rn") === 1).drop("__rn")
+        SnapshotTable.commitWithRetry() {
+          if (SnapshotTable.versions(batch.sparkSession, table).isEmpty)
+            SnapshotTable.create(batch.sparkSession, table, dedup,
+              "event_type", tags = Set(s"b$batchId"))
+          else
+            SnapshotTable.commitMergeInto(batch.sparkSession, table, dedup,
+              "user_id", "event_type",
+              updateWhen = Some(SnapshotTable.src("event_id") > col("event_id")),
+              insertWhen = Some(lit(true)), tag = Some(s"b$batchId"))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        checkpoint.getOrElse(StreamHousekeeping.freshCheckpointDir()))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    table
+  }
+
+  /** Driver query: CDC-apply the events corpus, then read the table —
+    * one row per user, the corpus-wide max-event_id event. The oracle
+    * computes the same argmax directly; the hash matches only if every
+    * batch's merge kept exactly the newest row per key across batch
+    * boundaries, partition moves, and the bootstrap create.
+    */
+  def streamUpsertQuery(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_snapup").resolve("t").toString
+    runUpsert(s, dir, table)
+    SnapshotTable.read(s, table)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type"),
+        col("value").cast("double").as("value"))
+      .orderBy(col("user_id"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
-    "q_stream_snapshot_etl" -> (streamEtlQuery _))
+    "q_stream_snapshot_etl" -> (streamEtlQuery _),
+    "q_stream_snapshot_upsert" -> (streamUpsertQuery _))
 
   override def oracleSql: Map[String, String] = Map(
     "q_stream_snapshot_etl" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_snapshot_upsert" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id,
+        |  CAST(event_id AS BIGINT) AS event_id, event_type,
+        |  CAST(value AS DOUBLE) AS value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin)
 }

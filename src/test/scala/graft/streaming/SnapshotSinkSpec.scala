@@ -37,6 +37,43 @@ class SnapshotSinkSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, table).count() === n)
   }
 
+  test("CDC-apply sink converges to the per-key argmax, survives " +
+    "replay, and is idempotent by VALUE beyond the tag ledger") {
+    val table = freshPath("snapup")
+    val ckpt = StreamHousekeeping.freshCheckpointDir()
+    SnapshotSink.runUpsert(spark, sfDir, table, Some(ckpt))
+    def state() = SnapshotTable.read(spark, table)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .collect().map(_.toString).sorted.toSeq
+    val want = Tables.events(spark, sfDir)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("event_id").desc)))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(state() === want)
+
+    // checkpoint replay: nothing re-applies
+    val v = SnapshotTable.currentVersion(spark, table)
+    SnapshotSink.runUpsert(spark, sfDir, table, Some(ckpt))
+    assert(SnapshotTable.currentVersion(spark, table) === v)
+
+    // value idempotence: re-merge a STALE slice without any tag — the
+    // src(event_id) > event_id condition must reject every update
+    val stale = Tables.events(spark, sfDir)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("event_id").asc)))
+      .filter(col("__rn") === 1).drop("__rn") // the OLDEST row per user
+    val (_, nU, nD, nI) = SnapshotTable.commitMergeInto(spark, table,
+      stale, "user_id", "event_type",
+      updateWhen = Some(SnapshotTable.src("event_id") > col("event_id")),
+      insertWhen = Some(lit(true)))
+    assert((nU, nD, nI) === ((0L, 0L, 0L)))
+    assert(state() === want)
+  }
+
   test("a re-delivered tagged batch is a no-op, even after compaction " +
     "renamed its files") {
     val table = freshPath("snapsink_tag")
