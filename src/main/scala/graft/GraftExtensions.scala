@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     // opt-in ANN top-k rewrite (spark.graft.ann.rewrite=true)
     e.injectOptimizerRule(_ => graft.plans.AnnTopKRewrite)
+    // metadata-only count/min/max over snapshot relations (on by
+    // default; spark.graft.snapshot.metadataAgg=false disables)
+    e.injectOptimizerRule(_ => graft.plans.MetadataAggPushdown)
     // snapshot-table SQL surface: snapshot_table(path[, version]) and
     // snapshot_changes(path, from, to) table-valued functions
     graft.sources.SnapshotSql.tvfs.foreach { case (name, info, builder) =>

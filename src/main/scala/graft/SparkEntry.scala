@@ -49,6 +49,7 @@ object SparkEntry {
     graft.streaming.SnapshotSource,
     graft.operators.PrefixJoin,
     graft.operators.SpanDedup,
+    graft.operators.TimeSeries,
     graft.sources.SnapshotCatalogPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

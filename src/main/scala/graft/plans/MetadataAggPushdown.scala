@@ -1,0 +1,194 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types._
+
+import graft.sources.SnapshotFileIndex
+import graft.sources.SnapshotTable.FileEntry
+
+/** `[EXT]` Metadata-only aggregate answering for snapshot tables — the
+  * published Iceberg/Delta "metadata query" optimization: a whole-table
+  * `COUNT(*)` / `MIN(col)` / `MAX(col)` over a snapshot relation is
+  * answered from the MANIFEST (per-file row counts and min/max stats)
+  * and rewritten to a [[LocalRelation]], so the query plans ZERO data
+  * files. At 100 TB that turns "how many rows / what key range" — the
+  * single most common operational query against a big table — from a
+  * full scan into a driver-side fold over entries already in memory
+  * from planning.
+  *
+  * The rewrite fires only when it is PROVABLY exact:
+  *
+  *  - grouping is empty and the child is a bare snapshot relation
+  *    (optionally through a column-pruning Project) — any Filter, mask,
+  *    join, or grouping leaves the plan alone. Pending DELETES never
+  *    reach this shape: a masked read plans anti-joins on top of the
+  *    relation, so the pattern cannot match it.
+  *  - `count(1)` needs every entry's recorded row count (> 0 — the
+  *    writer never emits empty files; a zero count marks a fixture
+  *    entry whose rows were never measured, and disables the rewrite).
+  *  - `min/max(c)` needs EVERY entry to carry stats for `c`. A file
+  *    records no stats for a column exactly when the column was absent
+  *    or all-NULL in it — such a file contributes nothing to min/max
+  *    anyway, but with no recorded evidence we cannot tell that case
+  *    from "column never measured", so any stats-less entry disables
+  *    the rewrite for that column (never wrong, just not rewritten).
+  *  - stats are stored as doubles (`cast(col as double)` at write);
+  *    the rewrite only claims types whose values round-trip exactly:
+  *    byte/short/int/float/double always, long only while the recorded
+  *    bound's magnitude stays under 2^53 (beyond that the cast may have
+  *    rounded and the stat is an approximation — timestamps, recorded
+  *    as fractional epoch seconds, are excluded for the same reason).
+  *
+  * Install per session via [[MetadataAggPushdown.install]] (the
+  * `spark.experimental.extraOptimizations` hook) or globally through
+  * `spark.sql.extensions=graft.GraftExtensions`; disable with
+  * `spark.graft.snapshot.metadataAgg=false` (the spec uses the flag to
+  * prove rewritten ≡ scanned).
+  */
+object MetadataAggPushdown extends Rule[LogicalPlan] {
+
+  private val FlagKey = "spark.graft.snapshot.metadataAgg"
+
+  /** Idempotently append the rule to the session's experimental
+    * optimizer batch — the per-session install for sessions built
+    * without `spark.sql.extensions`.
+    */
+  def install(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (conf.getConfString(FlagKey, "true") != "true") plan
+    else plan.transformDown {
+      case agg: Aggregate if agg.groupingExpressions.isEmpty =>
+        bareSnapshotEntries(agg.child) match {
+          case Some(entries) =>
+            val computed = agg.aggregateExpressions.map(e => evalAgg(e, entries))
+            if (computed.forall(_.isDefined))
+              LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
+                Seq(InternalRow.fromSeq(computed.map(_.get))))
+            else agg
+          case None => agg
+        }
+
+      // GROUP BY the partition column: every file holds exactly one
+      // partition value (the writer's invariant), so the manifest's
+      // per-file (value, rows, stats) lines group into exact per-
+      // partition answers — the "rows per partition" operational
+      // profile costs zero data files
+      case agg: Aggregate if agg.groupingExpressions.size == 1 =>
+        (agg.groupingExpressions.head, bareSnapshotEntries(agg.child)) match {
+          case (g: AttributeReference, Some(entries))
+              if entries.nonEmpty && entries.forall(e =>
+                e.partBy.contains(g.name) &&
+                  e.parts.exists(_.size == 1) &&
+                  !e.parts.exists(_.exists(_ ==
+                    "__HIVE_DEFAULT_PARTITION__"))) &&
+                groupKeyVal(g, entries.head.parts.get.head).isDefined =>
+            val groups = entries.groupBy(_.parts.get.head).toSeq
+            val rows = groups.map { case (value, es) =>
+              val computed = agg.aggregateExpressions.map {
+                case a: AttributeReference if a.exprId == g.exprId =>
+                  groupKeyVal(g, value)
+                case Alias(a: AttributeReference, _) if a.exprId == g.exprId =>
+                  groupKeyVal(g, value)
+                case e => evalAgg(e, es)
+              }
+              if (computed.forall(_.isDefined))
+                Some(InternalRow.fromSeq(computed.map(_.get)))
+              else None
+            }
+            if (rows.forall(_.isDefined))
+              LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
+                rows.map(_.get))
+            else agg
+          case _ => agg
+        }
+    }
+
+  /** The grouping attribute's internal value from the partition-value
+    * string the writer recorded; None = type not provably round-trip.
+    */
+  private def groupKeyVal(g: AttributeReference, v: String): Option[Any] =
+    try g.dataType match {
+      case StringType  => Some(org.apache.spark.unsafe.types.UTF8String.fromString(v))
+      case IntegerType => Some(v.toInt)
+      case LongType    => Some(v.toLong)
+      case ShortType   => Some(v.toShort)
+      case ByteType    => Some(v.toByte)
+      case _           => None
+    } catch { case _: NumberFormatException => None }
+
+  /** The child IS a snapshot relation (possibly under a column-pruning
+    * Project of bare attributes) with no filtering in between.
+    */
+  private def bareSnapshotEntries(plan: LogicalPlan): Option[Seq[FileEntry]] =
+    plan match {
+      case Project(projs, inner) if projs.forall(_.isInstanceOf[AttributeReference]) =>
+        bareSnapshotEntries(inner)
+      // never claim a STREAMING frame: an aggregate in a streaming
+      // query has incremental-state semantics a LocalRelation subplan
+      // would silently break
+      case l: LogicalRelation if !l.isStreaming => l.relation match {
+        case fs: HadoopFsRelation => fs.location match {
+          case idx: SnapshotFileIndex => Some(idx.fileEntries)
+          case _                      => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** Largest long magnitude whose `cast(double)` is exact. */
+  private val ExactLong = 1L << 53
+
+  /** Evaluate one aggregate output column from the manifest; None =
+    * shape or evidence not supported, the whole rewrite is abandoned.
+    */
+  private def evalAgg(e: NamedExpression, entries: Seq[FileEntry]): Option[Any] =
+    e match {
+      case Alias(ae: AggregateExpression, _) => evalFn(ae, entries)
+      case ae: AggregateExpression           => evalFn(ae, entries)
+      case _                                 => None
+    }
+
+  private def evalFn(ae: AggregateExpression,
+                     entries: Seq[FileEntry]): Option[Any] =
+    if (ae.isDistinct || ae.filter.nonEmpty) None
+    else ae.aggregateFunction match {
+      case Count(Seq(Literal(v, _))) if v != null =>
+        if (entries.forall(_.rows > 0L)) Some(entries.map(_.rows).sum)
+        else None
+      case Min(a: AttributeReference) => statBound(a, entries, lo = true)
+      case Max(a: AttributeReference) => statBound(a, entries, lo = false)
+      case _ => None
+    }
+
+  private def statBound(a: AttributeReference, entries: Seq[FileEntry],
+                        lo: Boolean): Option[Any] = {
+    val bounds = entries.map(_.stats.find(_.col == a.name))
+    if (entries.isEmpty || bounds.exists(_.isEmpty)) None
+    else {
+      val ds = bounds.flatten.map(s => if (lo) s.lo else s.hi)
+      val d = if (lo) ds.min else ds.max
+      a.dataType match {
+        case DoubleType => Some(d)
+        case FloatType  => Some(d.toFloat)
+        case IntegerType if d == d.toInt.toDouble  => Some(d.toInt)
+        case ShortType if d == d.toShort.toDouble  => Some(d.toShort)
+        case ByteType if d == d.toByte.toDouble    => Some(d.toByte)
+        case LongType if math.abs(d) < ExactLong &&
+          d == d.toLong.toDouble                   => Some(d.toLong)
+        case _ => None
+      }
+    }
+  }
+}

@@ -45,6 +45,16 @@ final class SnapshotFileIndex(
     entries: Seq[FileEntry],
     partCol: Option[String]) extends FileIndex {
 
+  /** The pinned manifest entries this index serves — the hook
+    * [[graft.plans.MetadataAggPushdown]] uses to answer whole-table
+    * `count`/`min`/`max` from per-file row counts and stats without
+    * planning a single data file. Exactly the files a scan of this
+    * relation would read, so the rewrite is consistent by construction
+    * (a masked read — pending deletes — never exposes a bare relation,
+    * and a pruned read prunes these same entries).
+    */
+  private[graft] def fileEntries: Seq[FileEntry] = entries
+
   private val tableRoot = new Path(table)
 
   // resolve (entry, status) once; synthetic FileStatus from manifest

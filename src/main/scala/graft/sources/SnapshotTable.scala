@@ -3112,7 +3112,24 @@ object SnapshotTable extends QueryPack {
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** Whole-table `count(*)`/`min`/`max` over the post-merge snapshot,
+    * answered by [[graft.plans.MetadataAggPushdown]] from the manifest
+    * alone — the executed plan is a LocalTableScan, ZERO data files
+    * planned (MetadataAggSpec asserts this; at 100 TB the same query
+    * costs one in-memory fold instead of a full scan). The oracle
+    * replays the merge and aggregates the rows, so the hash check
+    * proves the manifest's row counts and stats ARE the data's.
+    */
+  def metaAggQuery(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.MetadataAggPushdown.install(s)
+    read(s, scenario(s, dir)).agg(
+      count(lit(1)).as("n_rows"),
+      min(col("o_orderkey")).as("min_key"),
+      max(col("o_orderkey")).as("max_key"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
+    "q_snapshot_meta_agg" -> (metaAggQuery _),
     "q_snapshot_sql" -> (sqlQuery _),
     "q_snapshot_merge" -> (snapshotMergeQuery _),
     "q_time_travel" -> (timeTravelQuery _),
@@ -3137,6 +3154,28 @@ object SnapshotTable extends QueryPack {
     "q_snapshot_bucketed" -> (bucketedQuery _))
 
   override def oracleSql: Map[String, String] = Map(
+    "q_snapshot_meta_agg" ->
+      """WITH changed AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |), fresh AS (
+        |  SELECT (SELECT max(o_orderkey) FROM orders) + i AS o_orderkey,
+        |    CAST(1 AS BIGINT) AS o_custkey, 123.45 AS o_totalprice,
+        |    '1999-01-01' AS o_orderdate, '1-URGENT' AS o_orderpriority
+        |  FROM (SELECT unnest(generate_series(1, 5)) AS i)
+        |), upd AS (
+        |  SELECT * FROM changed UNION ALL SELECT * FROM fresh
+        |), merged AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL
+        |  SELECT o_orderkey FROM upd
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM merged""".stripMargin,
     "q_snapshot_sql" ->
       """WITH changed AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,

@@ -1,0 +1,140 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.SnapshotTable
+
+/** Metadata-only aggregates must be (a) answered WITHOUT planning any
+  * data file when the evidence is complete, (b) bit-equal to the
+  * scanned computation, and (c) conservatively ABSENT — plan untouched
+  * — for every shape where the manifest cannot prove the answer
+  * (filters, stats-less columns, pending deletes, longs past 2^53,
+  * grouped aggregates).
+  */
+class MetadataAggSpec extends SparkSpec {
+
+  MetadataAggPushdown.install(spark)
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("metaagg").resolve("t").toString
+
+  private def rewritten(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.optimizedPlan
+    plan.collectFirst { case l: LogicalRelation => l }.isEmpty &&
+      plan.collectFirst { case l: LocalRelation => l }.nonEmpty
+  }
+
+  private def withRuleOff[T](body: => T): T = {
+    spark.conf.set("spark.graft.snapshot.metadataAgg", "false")
+    try body finally spark.conf.set("spark.graft.snapshot.metadataAgg", "true")
+  }
+
+  private def smallTable(): String = {
+    import spark.implicits._
+    val t = freshDir()
+    val df = Seq(
+      (1L, 10, "a", Some(1.5)), (2L, 20, "a", Some(2.5)),
+      (3L, 30, "b", Some(3.5)), (4L, 40, "b", Some(4.5)),
+      (5L, 50, "b", Option.empty[Double]))
+      .toDF("k", "v", "p", "x")
+    SnapshotTable.create(spark, t, df, "p", statsCols = Seq("k", "v"))
+    t
+  }
+
+  test("count/min/max over a bare snapshot read rewrite to a LocalRelation " +
+    "and match the scanned answer") {
+    val t = smallTable()
+    def agg() = SnapshotTable.read(spark, t).agg(
+      count(lit(1)).as("n"), min(col("k")).as("mnk"), max(col("k")).as("mxk"),
+      min(col("v")).as("mnv"), max(col("v")).as("mxv"))
+    assert(rewritten(agg()))
+    val meta = agg().head()
+    val scanned = withRuleOff { agg().head() }
+    assert(meta === scanned)
+    assert(meta.getLong(0) === 5L && meta.getLong(1) === 1L &&
+      meta.getLong(2) === 5L && meta.getInt(3) === 10 && meta.getInt(4) === 50)
+  }
+
+  test("rewrite survives an append and a merge (stats re-derived on " +
+    "every rewrite path)") {
+    import spark.implicits._
+    val t = smallTable()
+    SnapshotTable.commitAppend(spark, t,
+      Seq((9L, 90, "c", 9.5)).toDF("k", "v", "p", "x"), "p")
+    SnapshotTable.commitMerge(spark, t,
+      Seq((2L, 21, "a", 2.6)).toDF("k", "v", "p", "x"), "k", "p")
+    def agg() = SnapshotTable.read(spark, t).agg(
+      count(lit(1)).as("n"), max(col("v")).as("mx"))
+    assert(rewritten(agg()))
+    assert(agg().head() === withRuleOff { agg().head() })
+    assert(agg().head().getLong(0) === 6L && agg().head().getInt(1) === 90)
+  }
+
+  test("group-by-partition-column counts and min/max rewrite to exact " +
+    "per-partition manifest folds") {
+    val t = smallTable()
+    def agg() = SnapshotTable.read(spark, t).groupBy(col("p"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("mn"), max(col("v")).as("mx"))
+    assert(rewritten(agg()))
+    val got = agg().collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).sortBy(_._1)
+    assert(got === Array(("a", 2L, 1L, 20), ("b", 3L, 3L, 50)))
+    assert(got.toSeq === withRuleOff { agg().collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(_._1).toSeq })
+  }
+
+  test("no rewrite under a filter, a non-partition groupBy, or for a " +
+    "stats-less column — but a count-only aggregate still rewrites") {
+    val t = smallTable()
+    val base = SnapshotTable.read(spark, t)
+    assert(!rewritten(base.filter(col("k") > 2L).agg(count(lit(1)).as("n"))))
+    assert(!rewritten(base.groupBy(col("v")).agg(count(lit(1)).as("n"))))
+    // x never recorded stats; a single unsupported column abandons the
+    // whole rewrite rather than mixing metadata and scan answers
+    assert(!rewritten(base.agg(min(col("x")).as("mn"))))
+    assert(!rewritten(base.agg(count(lit(1)).as("n"), min(col("x")).as("mn"))))
+    assert(rewritten(base.agg(count(lit(1)).as("n"))))
+    // the untouched plans still answer correctly
+    assert(base.filter(col("k") > 2L).count() === 3L)
+    assert(base.agg(min(col("x"))).head().getDouble(0) === 1.5)
+  }
+
+  test("pending equality deletes mask the read — the shape never " +
+    "matches, the answer reflects the deletes") {
+    import spark.implicits._
+    val t = smallTable()
+    SnapshotTable.commitDeleteLazy(spark, t, Seq(1L, 3L).toDF("k"), "k")
+    val agg = SnapshotTable.read(spark, t).agg(count(lit(1)).as("n"))
+    assert(!rewritten(agg))
+    assert(agg.head().getLong(0) === 3L)
+  }
+
+  test("longs beyond 2^53 refuse the min/max rewrite (double stats " +
+    "may have rounded) while count still rewrites") {
+    import spark.implicits._
+    val t = freshDir()
+    val big = (1L << 60) + 1L
+    SnapshotTable.create(spark, t,
+      Seq((big, "a"), (big + 2L, "a")).toDF("k", "p"), "p",
+      statsCols = Seq("k"))
+    val base = SnapshotTable.read(spark, t)
+    assert(!rewritten(base.agg(max(col("k")).as("mx"))))
+    assert(base.agg(max(col("k"))).head().getLong(0) === big + 2L)
+    assert(rewritten(base.agg(count(lit(1)).as("n"))))
+    assert(base.agg(count(lit(1))).head().getLong(0) === 2L)
+  }
+
+  test("distinct and filtered aggregates are never claimed") {
+    val t = smallTable()
+    val base = SnapshotTable.read(spark, t)
+    assert(!rewritten(base.agg(countDistinct(col("p")).as("n"))))
+    assert(!rewritten(base.selectExpr(
+      "count(1) AS n", "max(k) FILTER (WHERE v > 15) AS mx")))
+    assert(base.agg(countDistinct(col("p"))).head().getLong(0) === 2L)
+  }
+}
