@@ -29,5 +29,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g: the bench suite's ~30 memoized scenarios share the executor
+  // storage pool with the text-family cached inputs — at 8g those
+  // caches evict and a dozen dedup/LM queries recompute their staged
+  // corpora every run (measured: q_ngram_jaccard 2.75→2.04 s,
+  // q_simhash_quality 3.13→2.48 s with the larger heap)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -437,6 +437,27 @@ object Relational extends QueryPack {
       .agg(count(lit(1)))
       .orderBy(col("l_returnflag"))
 
+  /** UNPIVOT (melt): wide per-flag measure columns back to long
+    * (measure, value) rows — the inverse reshape of [[pivotStatus]],
+    * via `Dataset.unpivot` (constant-width Expand, no shuffle beyond
+    * the feeding aggregate). Measures are decimal-exact sums cast to
+    * double BEFORE melting, so the oracle's UNION ALL reproduces the
+    * values bit-for-bit.
+    */
+  def unpivotMeasures(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        sum(col("l_discount").cast("decimal(18,2)")).cast("double").as("sum_disc"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
   /** ROLLUP grouping sets over the dim hierarchy region → nation. */
   def rollupRegionNation(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
@@ -852,6 +873,7 @@ object Relational extends QueryPack {
     "q_setops"            -> (setOps _),
     "q_priority_stats"    -> (priorityStats _),
     "q_pivot_status"      -> (pivotStatus _),
+    "q_unpivot"           -> (unpivotMeasures _),
     "q_rollup_region"     -> (rollupRegionNation _),
     "q_monthly_orders"    -> (monthlyOrders _),
     "q_outliers_mad"      -> (outliersMad _),
@@ -1262,6 +1284,19 @@ object Relational extends QueryPack {
         |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS "F",
         |  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS "O"
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_disc' AS measure, sum_disc AS value FROM wide
+        |ORDER BY l_returnflag, measure""".stripMargin,
     "q_rollup_region" ->
       """SELECT r_name, n_name, count(*) AS customers
         | FROM customer

@@ -546,6 +546,26 @@ object SnapshotTable extends QueryPack {
     // is true by construction. Rows shuffle by (partition value, bucket);
     // per-file min/max stats are still recorded but files span the full
     // value range (bucketing and range clustering are rival layouts).
+    // explicit range-split count, SIZED TO THE BATCH: a bare
+    // repartitionByRange is an AQE-coalescible shuffle, and coalescing
+    // the range splits back together leaves every file spanning the
+    // whole keyspace — stats that can never skip. The explicit count
+    // (REPARTITION_BY_NUM) is exempt from coalescing, but pinning it
+    // blindly to shuffle.partitions makes every small commit (a
+    // micro-batch, a view refresh, a merge of a few groups) pay
+    // max-width task scheduling and emit per-task file litter — so the
+    // count comes from the optimizer's byte estimate at a 128 MB/task
+    // target, capped by shuffle.partitions. At 100 TB the estimate
+    // saturates the cap (the conf stays the operator's knob); at
+    // commit scale a KB-sized batch range-splits into one task.
+    def rangeTasks: Int = {
+      val cap = df.sparkSession.sessionState.conf.numShufflePartitions
+      val target = spark.conf
+        .get("spark.graft.write.targetFileBytes", "134217728").toLong.max(1L)
+      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val byBytes = (est / target) + (if (est % target > 0) 1 else 0)
+      byBytes.min(BigInt(cap)).max(BigInt(1)).toInt
+    }
     val clustered = bucket match {
       case Some((bc, n)) =>
         val withB = df.withColumn("__bkt", pmod(hash(col(bc)), lit(n)))
@@ -555,17 +575,9 @@ object SnapshotTable extends QueryPack {
       // an explicit cluster expression (the Z-order path) range-splits
       // on it AND sorts within tasks, so every file covers a compact
       // curve segment — tight min/max boxes over every interleaved dim
-      case (Some(z), _) => df.repartitionByRange(
-        df.sparkSession.sessionState.conf.numShufflePartitions, z)
+      case (Some(z), _) => df.repartitionByRange(rangeTasks, z)
         .sortWithinPartitions(z)
-      // explicit partition count: a bare repartitionByRange is an
-      // AQE-coalescible shuffle, and coalescing the range splits back
-      // together leaves every file spanning the whole keyspace — stats
-      // that can never skip. The explicit count (REPARTITION_BY_NUM) is
-      // exempt from coalescing; callers size shuffle.partitions to the
-      // corpus as everywhere else in the repo.
-      case (None, Some(sc)) => df.repartitionByRange(
-        df.sparkSession.sessionState.conf.numShufflePartitions, col(sc))
+      case (None, Some(sc)) => df.repartitionByRange(rangeTasks, col(sc))
       case (None, None)     => df.repartition(col(partCol))
       }
     }
@@ -2436,6 +2448,24 @@ object SnapshotTable extends QueryPack {
   // committed table — the create+merge would otherwise run twice per
   // verify/bench pass for no information (PatientPipeline's memo shape).
   // The table is never mutated after the merge commits, so sharing is safe.
+  /** Pin the writer's target file size around a fixture build: the
+    * skipping demos need FILE GRANULARITY at bench SF (a ~15 MB corpus
+    * under the 128 MB default would land in one file per partition
+    * value, leaving min/max pruning nothing to skip) — exactly the
+    * granularity call a real deployment makes when it sizes files to
+    * its table. Restores the session default afterwards so ordinary
+    * commits keep batch-sized task counts.
+    */
+  private def withFileGranularity[T](s: SparkSession, bytes: Long)(body: => T): T = {
+    val key = "spark.graft.write.targetFileBytes"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, bytes.toString)
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   @volatile private var scenarioMemo: Option[((SparkSession, String), String)] = None
 
   private def scenario(s: SparkSession, dir: String): String =
@@ -2458,7 +2488,9 @@ object SnapshotTable extends QueryPack {
     val orders = Tables.orders(s, dir)
       .select(Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
         "o_orderpriority").map(col): _*)
-    create(s, work, orders, "o_orderpriority", statsCols = Seq("o_orderkey"))
+    withFileGranularity(s, 1L << 20) {
+      create(s, work, orders, "o_orderpriority", statsCols = Seq("o_orderkey"))
+    }
     val changed = Tables.orders(s, dir).filter(col("o_orderkey") % 97 === 0)
       .select(col("o_orderkey"), col("o_custkey"),
         (col("o_totalprice") + 1000.0).as("o_totalprice"),
@@ -2519,10 +2551,12 @@ object SnapshotTable extends QueryPack {
           case _ =>
             val work = java.nio.file.Files
               .createTempDirectory("graft_snapshot_ev").resolve("t").toString
-            create(s, work, Tables.events(s, dir)
-              .select(Seq("event_id", "ts", "user_id", "event_type",
-                "value").map(col): _*),
-              "event_type", statsCols = Seq("ts", "event_id"))
+            withFileGranularity(s, 1L << 20) {
+              create(s, work, Tables.events(s, dir)
+                .select(Seq("event_id", "ts", "user_id", "event_type",
+                  "value").map(col): _*),
+                "event_type", statsCols = Seq("ts", "event_id"))
+            }
             eventsMemo = Some(((s, dir), work))
             work
         }
@@ -2559,11 +2593,13 @@ object SnapshotTable extends QueryPack {
           case _ =>
             val work = java.nio.file.Files
               .createTempDirectory("graft_snapshot_zo").resolve("t").toString
-            create(s, work, Tables.events(s, dir)
-              .select(Seq("event_id", "ts", "user_id", "event_type",
-                "value").map(col): _*),
-              "event_type", statsCols = Seq("ts"))
-            clusterZOrder(s, work, "event_type", "ts", "user_id")
+            withFileGranularity(s, 1L << 20) {
+              create(s, work, Tables.events(s, dir)
+                .select(Seq("event_id", "ts", "user_id", "event_type",
+                  "value").map(col): _*),
+                "event_type", statsCols = Seq("ts"))
+              clusterZOrder(s, work, "event_type", "ts", "user_id")
+            }
             zorderMemo = Some(((s, dir), work))
             work
         }
@@ -2688,10 +2724,12 @@ object SnapshotTable extends QueryPack {
           case _ =>
             val work = java.nio.file.Files
               .createTempDirectory("graft_snapshot_delbase").resolve("t").toString
-            create(s, work, Tables.orders(s, dir)
-              .select(Seq("o_orderkey", "o_custkey", "o_totalprice",
-                "o_orderdate", "o_orderpriority").map(col): _*),
-              "o_orderpriority", statsCols = Seq("o_orderkey"))
+            withFileGranularity(s, 1L << 20) {
+              create(s, work, Tables.orders(s, dir)
+                .select(Seq("o_orderkey", "o_custkey", "o_totalprice",
+                  "o_orderdate", "o_orderpriority").map(col): _*),
+                "o_orderpriority", statsCols = Seq("o_orderkey"))
+            }
             deleteBaseMemo = Some(((s, dir), work))
             work
         }
@@ -3128,7 +3166,28 @@ object SnapshotTable extends QueryPack {
       max(col("o_orderkey")).as("max_key"))
   }
 
+  /** Fact⋈dim join with RUNTIME file pruning: the dim's two event
+    * types seed the fact scan as an IN filter, which the FileIndex
+    * turns into partition-value skipping — only the matching types'
+    * files are planned (DynamicFilterJoinSpec asserts the numFiles
+    * drop; at 100 TB the join reads the dim-relevant slice, not the
+    * table). Oracle: the plain SQL join.
+    */
+  def dynJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = Seq("view", "purchase").toDF("etype")
+    graft.operators.DynamicFilterJoin
+      .inner(read(s, eventsScenario(s, dir)), "event_type",
+        broadcast(dim), "etype")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
+    "q_snapshot_dynjoin" -> (dynJoinQuery _),
     "q_snapshot_meta_agg" -> (metaAggQuery _),
     "q_snapshot_sql" -> (sqlQuery _),
     "q_snapshot_merge" -> (snapshotMergeQuery _),
@@ -3154,6 +3213,13 @@ object SnapshotTable extends QueryPack {
     "q_snapshot_bucketed" -> (bucketedQuery _))
 
   override def oracleSql: Map[String, String] = Map(
+    "q_snapshot_dynjoin" ->
+      """WITH dim AS (SELECT 'view' AS etype UNION ALL SELECT 'purchase')
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  CAST(max(event_id) AS BIGINT) AS max_id
+        |FROM events e JOIN dim d ON e.event_type = d.etype
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "q_snapshot_meta_agg" ->
       """WITH changed AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,

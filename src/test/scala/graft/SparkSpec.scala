@@ -9,6 +9,10 @@ trait SparkSpec extends AnyFunSuite {
     .master("local[4]")
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "4")
+    // KB-scale fixtures must still split into multiple files per
+    // partition value (file-skipping specs need granularity); the
+    // batch-sized writer task count would otherwise fold them to one
+    .config("spark.graft.write.targetFileBytes", "1024")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
