@@ -3186,9 +3186,25 @@ object SnapshotTable extends QueryPack {
       .orderBy(col("event_type"))
   }
 
+  /** Per-PARTITION row counts and key bounds — the operational
+    * "describe my partitions" profile — answered as a manifest fold
+    * over the per-file (partition value, rows, stats) lines: the
+    * writer's one-value-per-file invariant makes the group-by exact
+    * with zero data files planned.
+    */
+  def metaPartsQuery(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.MetadataAggPushdown.install(s)
+    read(s, scenario(s, dir)).groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_snapshot_dynjoin" -> (dynJoinQuery _),
     "q_snapshot_meta_agg" -> (metaAggQuery _),
+    "q_snapshot_meta_parts" -> (metaPartsQuery _),
     "q_snapshot_sql" -> (sqlQuery _),
     "q_snapshot_merge" -> (snapshotMergeQuery _),
     "q_time_travel" -> (timeTravelQuery _),
@@ -3242,6 +3258,29 @@ object SnapshotTable extends QueryPack {
         |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
         |  CAST(max(o_orderkey) AS BIGINT) AS max_key
         |FROM merged""".stripMargin,
+    "q_snapshot_meta_parts" ->
+      """WITH changed AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |), fresh AS (
+        |  SELECT (SELECT max(o_orderkey) FROM orders) + i AS o_orderkey,
+        |    CAST(1 AS BIGINT) AS o_custkey, 123.45 AS o_totalprice,
+        |    '1999-01-01' AS o_orderdate, '1-URGENT' AS o_orderpriority
+        |  FROM (SELECT unnest(generate_series(1, 5)) AS i)
+        |), upd AS (
+        |  SELECT * FROM changed UNION ALL SELECT * FROM fresh
+        |), merged AS (
+        |  SELECT o_orderkey, o_orderpriority FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority FROM upd
+        |)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM merged GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_snapshot_sql" ->
       """WITH changed AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,

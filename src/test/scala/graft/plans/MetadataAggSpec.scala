@@ -129,6 +129,17 @@ class MetadataAggSpec extends SparkSpec {
     assert(base.agg(count(lit(1))).head().getLong(0) === 2L)
   }
 
+  test("SQL count/min/max through the snapshot_table TVF is metadata-only " +
+    "— the TVF resolves to the same FileIndex relation the rule matches") {
+    val t = smallTable()
+    graft.sources.SnapshotSql.register(spark)
+    val df = spark.sql(
+      s"SELECT count(*) AS n, min(k) AS mn, max(k) AS mx FROM snapshot_table('$t')")
+    assert(rewritten(df))
+    val r = df.head()
+    assert(r.getLong(0) === 5L && r.getLong(1) === 1L && r.getLong(2) === 5L)
+  }
+
   test("distinct and filtered aggregates are never claimed") {
     val t = smallTable()
     val base = SnapshotTable.read(spark, t)
