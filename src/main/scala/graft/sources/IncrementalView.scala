@@ -70,6 +70,25 @@ object IncrementalView extends QueryPack {
     * Idempotent: a retry of an already-applied refresh no-ops on the
     * tag ledger.
     */
+  /** Merge per-group (dn, dtotal) deltas into the view under `tag` —
+    * shared by the single-source and join refreshes.
+    */
+  private def mergeDeltas(spark: SparkSession, view: String,
+                          delta: DataFrame, keyCol: String,
+                          tag: String): Unit = {
+    val updated = delta
+      .join(SnapshotTable.read(spark, view)
+        .withColumnRenamed("n", "__n").withColumnRenamed("total", "__t"),
+        Seq(keyCol), "left_outer")
+      .select(col(keyCol),
+        (coalesce(col("__n"), lit(0L)) + col("dn")).as("n"),
+        (coalesce(col("__t"), lit(0).cast(totalType)) + col("dtotal"))
+          .cast(totalType).as("total"))
+    SnapshotTable.commitMerge(spark, view, updated, keyCol, keyCol,
+      tag = Some(tag))
+    ()
+  }
+
   def refresh(spark: SparkSession, view: String, src: String,
               keyCol: String, valueCol: String): (Long, Long) = {
     val applied = appliedVersion(spark, view)
@@ -82,21 +101,119 @@ object IncrementalView extends QueryPack {
           sum((col(valueCol).cast("decimal(18,2)") * sign)
             .cast(totalType)).cast(totalType).as("dtotal"))
         .filter(col("dn") =!= 0L || col("dtotal") =!= 0.0)
-      val updated = delta
-        .join(SnapshotTable.read(spark, view)
-          .withColumnRenamed("n", "__n").withColumnRenamed("total", "__t"),
-          Seq(keyCol), "left_outer")
-        .select(col(keyCol),
-          (coalesce(col("__n"), lit(0L)) + col("dn")).as("n"),
-          (coalesce(col("__t"), lit(0).cast(totalType)) + col("dtotal"))
-            .cast(totalType).as("total"))
-      SnapshotTable.commitMerge(spark, view, updated, keyCol, keyCol,
-        tag = Some(s"mv@$cur"))
+      mergeDeltas(spark, view, delta, keyCol, s"mv@$cur")
     }
     // purge vanished groups — runs even when the merge no-opped, so a
     // refresh that crashed between its two commits heals on retry
     SnapshotTable.commitDelete(spark, view, col("n") === 0L, keyCol)
     (SnapshotTable.currentVersion(spark, view), math.max(applied, cur))
+  }
+
+  // ---- JOIN views (delta-join maintenance over append-only sources)
+  //
+  // The view is `SELECT g, count(*), sum(value) FROM fact JOIN dim ON
+  // fact.fk = dim.dk GROUP BY g`. For APPEND-ONLY sources the join's
+  // delta is exactly
+  //
+  //     ΔF ⋈ D_cur   ∪   F_prev ⋈ ΔD
+  //
+  // — the classic delta-join rule (ΔF⋈ΔD lands in the first leg
+  // because D_cur already contains ΔD, and using F_PREV in the second
+  // leg is what keeps it from landing twice). Snapshot TIME TRAVEL
+  // supplies F_prev and D_cur exactly (readVersion) — no shadow
+  // bookkeeping tables, which is the part a hive-layout pipeline
+  // cannot do. Refresh cost is O(ΔF ⋈ dim + fact_prev ⋈ ΔD + touched
+  // view files): with a broadcast-sized dim both legs are broadcast
+  // joins over only the delta files (the streaming-ingest steady
+  // state), never a full fact⋈dim recompute.
+  //
+  // The applied (fact, dim) version PAIR rides the view's tag ledger
+  // (`mvj@<vF>:<vD>`) on the merge commit itself — a replayed refresh
+  // is a no-op. Feeds containing deletes/updates (any rewrite commit)
+  // are refused loudly: signed-delta join maintenance would need
+  // per-row join multiplicities, the published restriction.
+
+  private val JoinTagRe = raw"mvj@(\d+):(\d+)".r
+
+  private def joinAggregateOf(rows: DataFrame, groupKey: String,
+                              valueCol: String): DataFrame =
+    rows.groupBy(col(groupKey))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast(totalType).as("total"))
+
+  /** Materialize the join view at source versions (`atF`, `atD`)
+    * (default current), recording the applied pair.
+    */
+  def createJoin(spark: SparkSession, view: String,
+                 fact: String, dim: String,
+                 factKey: String, dimKey: String,
+                 groupKey: String, valueCol: String,
+                 atF: Option[Long] = None, atD: Option[Long] = None): Long = {
+    val vF = atF.getOrElse(SnapshotTable.currentVersion(spark, fact))
+    val vD = atD.getOrElse(SnapshotTable.currentVersion(spark, dim))
+    val f = SnapshotTable.readVersion(spark, fact, vF)
+    val d = SnapshotTable.readVersion(spark, dim, vD)
+    SnapshotTable.create(spark, view,
+      joinAggregateOf(f.join(d, f(factKey) === d(dimKey)), groupKey, valueCol),
+      partCol = groupKey, tags = Set(s"mvj@$vF:$vD"))
+  }
+
+  /** The (fact, dim) version pair the join view has applied. */
+  def appliedJoinVersions(spark: SparkSession, view: String): (Long, Long) =
+    SnapshotTable.readManifestList(spark, view,
+      SnapshotTable.currentVersion(spark, view))._2.tags
+      .collect { case JoinTagRe(f, d) => (f.toLong, d.toLong) }
+      .maxOption.getOrElse(sys.error(
+        s"join view $view records no applied version pair"))
+
+  /** The window's fresh rows — refusing any non-insert change: a
+    * rewrite in an append-only feed means the delta-join law no longer
+    * holds and the view must be rebuilt, not silently drifted.
+    */
+  private def insertsOnly(spark: SparkSession, src: String,
+                          from: Long, to: Long): DataFrame = {
+    val ch = SnapshotTable.readChangesBetween(spark, src, from, to)
+    val bad = ch.filter(col("_change_type") =!= "insert").count()
+    require(bad == 0L,
+      s"join view: source $src produced $bad non-insert changes in " +
+        s"($from,$to] — delta-join maintenance requires append-only " +
+        "feeds; rebuild the view (createJoin) after rewrites")
+    ch.drop("_change_type")
+  }
+
+  /** Advance the join view to both sources' current versions by the
+    * delta-join rule. Returns (view version, (vF, vD) applied).
+    * Idempotent via the pair tag.
+    */
+  def refreshJoin(spark: SparkSession, view: String,
+                  fact: String, dim: String,
+                  factKey: String, dimKey: String,
+                  groupKey: String, valueCol: String): (Long, (Long, Long)) = {
+    val (aF, aD) = appliedJoinVersions(spark, view)
+    val cF = SnapshotTable.currentVersion(spark, fact)
+    val cD = SnapshotTable.currentVersion(spark, dim)
+    if (cF > aF || cD > aD) {
+      val legs = Seq.newBuilder[DataFrame]
+      if (cF > aF) {
+        val dF = insertsOnly(spark, fact, aF, cF)
+        val dCur = SnapshotTable.readVersion(spark, dim, cD)
+        legs += dF.join(dCur, dF(factKey) === dCur(dimKey))
+          .select(col(groupKey), col(valueCol))
+      }
+      if (cD > aD) {
+        val dD = insertsOnly(spark, dim, aD, cD)
+        val fPrev = SnapshotTable.readVersion(spark, fact, aF)
+        legs += fPrev.join(dD, fPrev(factKey) === dD(dimKey))
+          .select(col(groupKey), col(valueCol))
+      }
+      val fresh = legs.result().reduce(_.unionByName(_))
+      val delta = fresh.groupBy(col(groupKey))
+        .agg(count(lit(1)).as("dn"),
+          sum(col(valueCol).cast("decimal(18,2)"))
+            .cast(totalType).as("dtotal"))
+      mergeDeltas(spark, view, delta, groupKey, s"mvj@$cF:$cD")
+    }
+    (SnapshotTable.currentVersion(spark, view), (cF, cD))
   }
 
   // ---- non-invertible aggregates (min/max) — TOUCHED-GROUP RECOMPUTE
@@ -266,11 +383,78 @@ object IncrementalView extends QueryPack {
       .orderBy(col("o_custkey"))
   }
 
+  // join-view scenario: an append-only fact/dim snapshot pair — v1
+  // holds most rows, v2 appends the rest — read-only after build,
+  // memoized like the other scenarios
+  @volatile private var joinSrcMemo: Option[((SparkSession, String), (String, String))] = None
+  @volatile private var mvjBaseMemo: Option[((SparkSession, String), String)] = None
+
+  private def joinScenario(s: SparkSession, dir: String): (String, String) =
+    joinSrcMemo match {
+      case Some((k, w)) if k == ((s, dir)) => w
+      case _ => synchronized {
+        joinSrcMemo match {
+          case Some((k, w)) if k == ((s, dir)) => w
+          case _ =>
+            val root = java.nio.file.Files.createTempDirectory("graft_mvj")
+            val fact = root.resolve("fact").toString
+            val dim = root.resolve("dim").toString
+            val orders = graft.Tables.orders(s, dir).select(
+              col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice"), col("o_orderpriority"))
+            SnapshotTable.create(s, fact,
+              orders.filter(col("o_orderkey") % 5 =!= 0), "o_orderpriority")
+            SnapshotTable.commitAppend(s, fact,
+              orders.filter(col("o_orderkey") % 5 === 0), "o_orderpriority")
+            val cust = graft.Tables.customer(s, dir)
+              .select(col("c_custkey"), col("c_mktsegment"))
+            SnapshotTable.create(s, dim,
+              cust.filter(col("c_custkey") % 7 =!= 0), "c_mktsegment")
+            SnapshotTable.commitAppend(s, dim,
+              cust.filter(col("c_custkey") % 7 === 0), "c_mktsegment")
+            val w = (fact, dim)
+            joinSrcMemo = Some(((s, dir), w))
+            w
+        }
+      }
+    }
+
+  /** Driver query: segment revenue maintained by DELTA-JOIN through
+    * one fact append and one dim append — correct only if ΔF joins the
+    * CURRENT dim, ΔD joins the PREVIOUS fact (double-count bug
+    * otherwise: rows whose two sides arrive in the same window), and
+    * the pair tag applies exactly once. Oracle: the plain join
+    * aggregate of the FINAL state.
+    */
+  def mviewJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    val (fact, dim) = joinScenario(s, dir)
+    val base = memoized(() => mvjBaseMemo, mvjBaseMemo = _, s, dir) {
+      val b = java.nio.file.Files
+        .createTempDirectory("graft_mvj_base").resolve("t").toString
+      createJoin(s, b, fact, dim, "o_custkey", "c_custkey",
+        "c_mktsegment", "o_totalprice", atF = Some(1L), atD = Some(1L))
+      b
+    }
+    val view = SnapshotTable.cloneTable(s, base)
+    refreshJoin(s, view, fact, dim, "o_custkey", "c_custkey",
+      "c_mktsegment", "o_totalprice")
+    SnapshotTable.read(s, view)
+      .select(col("c_mktsegment"), col("n"),
+        col("total").cast("double").as("total_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_snapshot_mview" -> (mviewQuery _),
-    "q_snapshot_mview2" -> (mviewMinMaxQuery _))
+    "q_snapshot_mview2" -> (mviewMinMaxQuery _),
+    "q_snapshot_mview_join" -> (mviewJoinQuery _))
 
   override def oracleSql: Map[String, String] = Map(
+    "q_snapshot_mview_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_snapshot_mview" ->
       """WITH changed AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
