@@ -166,24 +166,38 @@ object IncrementalView extends QueryPack {
       .maxOption.getOrElse(sys.error(
         s"join view $view records no applied version pair"))
 
-  /** The window's fresh rows — refusing any non-insert change: a
-    * rewrite in an append-only feed means the delta-join law no longer
-    * holds and the view must be rebuilt, not silently drifted.
+  /** The window's signed change rows: `__s` = +1 insert / −1 delete
+    * (an update is its delete+insert pair, which the bag algebra nets
+    * exactly). Second return: whether any non-insert was present —
+    * the fast append-only path needs to know.
     */
-  private def insertsOnly(spark: SparkSession, src: String,
-                          from: Long, to: Long): DataFrame = {
-    val ch = SnapshotTable.readChangesBetween(spark, src, from, to)
-    val bad = ch.filter(col("_change_type") =!= "insert").count()
-    require(bad == 0L,
-      s"join view: source $src produced $bad non-insert changes in " +
-        s"($from,$to] — delta-join maintenance requires append-only " +
-        "feeds; rebuild the view (createJoin) after rewrites")
-    ch.drop("_change_type")
+  private def signedChanges(spark: SparkSession, src: String,
+                            from: Long, to: Long): (DataFrame, Boolean) = {
+    val signed = SnapshotTable.readChangesBetween(spark, src, from, to)
+      .withColumn("__s", when(col("_change_type") === "insert", 1L)
+        .otherwise(-1L))
+      .drop("_change_type")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (signed, signed.filter(col("__s") =!= 1L).limit(1).count() > 0L)
   }
 
   /** Advance the join view to both sources' current versions by the
     * delta-join rule. Returns (view version, (vF, vD) applied).
     * Idempotent via the pair tag.
+    *
+    * Append-only windows use the two-leg form (ΔF⋈D_cur ∪ F_prev⋈ΔD —
+    * the ΔF⋈ΔD cross term lands in the first leg because D_cur already
+    * contains ΔD). Windows carrying deletes/updates fall back to the
+    * full BILINEAR rule over signed bags (the DBSP construction):
+    *
+    *     Δ(F⋈D) = ΔF⋈D_prev  ∪  F_prev⋈ΔD  ∪  ΔF⋈ΔD
+    *
+    * with each joined row weighted by the product of its sides' signs
+    * — an update nets its delete+insert pair, a dim re-keying MOVES a
+    * group's rows (−1 under the old group, +1 under the new), and a
+    * group whose count reaches zero is purged. All four relations come
+    * from the snapshot layer itself: the two deltas from the change
+    * feed, the two PREVIOUS states from time travel.
     */
   def refreshJoin(spark: SparkSession, view: String,
                   fact: String, dim: String,
@@ -193,26 +207,51 @@ object IncrementalView extends QueryPack {
     val cF = SnapshotTable.currentVersion(spark, fact)
     val cD = SnapshotTable.currentVersion(spark, dim)
     if (cF > aF || cD > aD) {
+      val (dF, delF) =
+        if (cF > aF) { val (d, x) = signedChanges(spark, fact, aF, cF); (Some(d), x) }
+        else (None, false)
+      val (dD, delD) =
+        if (cD > aD) { val (d, x) = signedChanges(spark, dim, aD, cD); (Some(d), x) }
+        else (None, false)
       val legs = Seq.newBuilder[DataFrame]
-      if (cF > aF) {
-        val dF = insertsOnly(spark, fact, aF, cF)
-        val dCur = SnapshotTable.readVersion(spark, dim, cD)
-        legs += dF.join(dCur, dF(factKey) === dCur(dimKey))
-          .select(col(groupKey), col(valueCol))
-      }
-      if (cD > aD) {
-        val dD = insertsOnly(spark, dim, aD, cD)
+      def leg(rows: DataFrame, sign: org.apache.spark.sql.Column): DataFrame =
+        rows.select(col(groupKey), col(valueCol), sign.as("__sign"))
+      if (delF || delD) {
+        // bilinear signed form: both static sides are the PREVIOUS
+        // snapshots, the cross term carries the sign product
         val fPrev = SnapshotTable.readVersion(spark, fact, aF)
-        legs += fPrev.join(dD, fPrev(factKey) === dD(dimKey))
-          .select(col(groupKey), col(valueCol))
+        val dPrev = SnapshotTable.readVersion(spark, dim, aD)
+        dF.foreach { f =>
+          legs += leg(f.join(dPrev, f(factKey) === dPrev(dimKey)), f("__s")) }
+        dD.foreach { d =>
+          legs += leg(fPrev.join(d, fPrev(factKey) === d(dimKey)), d("__s")) }
+        for (f <- dF; d <- dD) {
+          val fr = f.withColumnRenamed("__s", "__sf")
+          val dr = d.withColumnRenamed("__s", "__sd")
+          legs += leg(fr.join(dr, fr(factKey) === dr(dimKey)),
+            col("__sf") * col("__sd"))
+        }
+      } else {
+        // append-only fast path: no previous-dim read needed
+        dF.foreach { f =>
+          val dCur = SnapshotTable.readVersion(spark, dim, cD)
+          legs += leg(f.join(dCur, f(factKey) === dCur(dimKey)), lit(1L)) }
+        dD.foreach { d =>
+          val fPrev = SnapshotTable.readVersion(spark, fact, aF)
+          legs += leg(fPrev.join(d, fPrev(factKey) === d(dimKey)), lit(1L)) }
       }
       val fresh = legs.result().reduce(_.unionByName(_))
       val delta = fresh.groupBy(col(groupKey))
-        .agg(count(lit(1)).as("dn"),
-          sum(col(valueCol).cast("decimal(18,2)"))
-            .cast(totalType).as("dtotal"))
+        .agg(sum(col("__sign")).as("dn"),
+          sum((col(valueCol).cast("decimal(18,2)") * col("__sign"))
+            .cast(totalType)).cast(totalType).as("dtotal"))
+        .filter(col("dn") =!= 0L || col("dtotal") =!= 0.0)
       mergeDeltas(spark, view, delta, groupKey, s"mvj@$cF:$cD")
+      (dF ++ dD).foreach(_.unpersist(false))
     }
+    // purge groups netted to zero — runs even when the merge no-opped,
+    // so a refresh crashed between its two commits heals on retry
+    SnapshotTable.commitDelete(spark, view, col("n") === 0L, groupKey)
     (SnapshotTable.currentVersion(spark, view), (cF, cD))
   }
 

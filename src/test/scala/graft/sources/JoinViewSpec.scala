@@ -84,19 +84,46 @@ class JoinViewSpec extends SparkSpec {
     assert(SnapshotTable.currentVersion(spark, view) === before)
   }
 
-  test("a rewrite in either feed is refused loudly") {
+  test("full-CDC windows take the bilinear signed path: a fact price " +
+    "update nets, a dim re-keying MOVES the group's rows, a fact delete " +
+    "decrements, and a group netted to zero purges") {
     val (fact, dim, view) =
       (freshDir("jvf2"), freshDir("jvd2"), freshDir("jvv2"))
-    SnapshotTable.create(spark, fact, factDf((1L, 1L, 10.0)), "p")
-    SnapshotTable.create(spark, dim, dimDf((1L, "S1")), "seg")
+    SnapshotTable.create(spark, fact,
+      factDf((1L, 1L, 10.0), (2L, 1L, 15.0), (3L, 2L, 20.0)), "p")
+    SnapshotTable.create(spark, dim,
+      dimDf((1L, "S1"), (2L, "S2")), "seg")
     IncrementalView.createJoin(spark, view, fact, dim,
       "ck", "dk", "seg", "price")
-    SnapshotTable.commitMerge(spark, fact, factDf((1L, 1L, 99.0)), "ok", "p")
-    val e = intercept[IllegalArgumentException] {
-      doRefresh(view, fact, dim)
-    }
-    assert(e.getMessage.contains("append-only"))
-    // the view is untouched and can be rebuilt
-    assert(viewState(view) === Seq(("S1", 1L, 10.0)))
+    assert(viewState(view) === Seq(("S1", 2L, 25.0), ("S2", 1L, 20.0)))
+
+    // fact UPDATE (delete+insert pair in the feed): price 10 → 12
+    SnapshotTable.commitMerge(spark, fact, factDf((1L, 1L, 12.0)), "ok", "p")
+    doRefresh(view, fact, dim)
+    assert(viewState(view) === recompute(fact, dim))
+    assert(viewState(view) === Seq(("S1", 2L, 27.0), ("S2", 1L, 20.0)))
+
+    // dim RE-KEYING: customer 1 moves S1 → S2 — its two fact rows must
+    // move groups (−2 under S1 purges it, +2 under S2)
+    val moved = dimDf((1L, "S2"))
+    SnapshotTable.commitMerge(spark, dim, moved, "dk", "seg")
+    doRefresh(view, fact, dim)
+    assert(viewState(view) === recompute(fact, dim))
+    assert(viewState(view) === Seq(("S2", 3L, 47.0)))
+
+    // fact DELETE in the same window as a fact append
+    import spark.implicits._
+    SnapshotTable.commitDeleteKeys(spark, fact,
+      Seq(3L).toDF("ok"), "ok", "p")
+    SnapshotTable.commitAppend(spark, fact, factDf((4L, 2L, 40.0)), "p")
+    doRefresh(view, fact, dim)
+    assert(viewState(view) === recompute(fact, dim))
+    assert(viewState(view) === Seq(("S2", 3L, 67.0)))
+
+    // replay is still a no-op on the signed path
+    val before = SnapshotTable.currentVersion(spark, view)
+    doRefresh(view, fact, dim)
+    assert(SnapshotTable.currentVersion(spark, view) === before)
+    assert(viewState(view) === Seq(("S2", 3L, 67.0)))
   }
 }
