@@ -1529,6 +1529,38 @@ object SnapshotTable extends QueryPack {
     }
   }
 
+  /** PARTITION-SCOPED compaction (Iceberg's `rewrite_data_files` with
+    * a filter): fold small files only inside the named partition
+    * values, carrying every other file by reference. At 100 TB,
+    * maintenance runs where ingest runs — today's hot partitions
+    * accumulate micro-batch litter and get compacted on a tight
+    * cadence while the cold ones are never read, listed, or rewritten.
+    * Same atomicity/pinned-reader semantics as [[compact]]; returns
+    * (version, files folded, files produced).
+    */
+  def compactWhere(spark: SparkSession, table: String, partCol: String,
+                   values: Seq[String],
+                   smallThreshold: Long = 1000000L): (Long, Int, Int) = {
+    val v = currentVersion(spark, table)
+    val meta = readMeta(spark, table, v)
+    requireNoPendingDeletes(table, meta, "compactWhere")
+    val (segs, hdr) = (meta.segs, meta.hdr)
+    val vset = values.toSet
+    val small = meta.entries.filter(e =>
+      e.rows < smallThreshold &&
+        e.effPartCol(hdr.partCol).contains(partCol) &&
+        e.parts.exists(ps => ps.nonEmpty && ps.forall(vset.contains)))
+    if (small.size < 2) (v, 0, 0)
+    else {
+      val fresh = writeDataFiles(spark, table,
+        readFiles(spark, table, small, hdr.schema), partCol,
+        statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket)
+      commitRewrite(spark, table, v, segs, small.map(_.path).toSet,
+        fresh, Seq.empty, hdr)
+      (v + 1, small.size, fresh.size)
+    }
+  }
+
   /** Z-ORDER maintenance (the OPTIMIZE ZORDER BY analogue): rewrite the
     * table ordered by the Morton interleave of TWO numeric/timestamp
     * columns, so every file covers a compact curve segment — a tight
