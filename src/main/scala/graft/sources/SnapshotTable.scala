@@ -1873,17 +1873,25 @@ object SnapshotTable extends QueryPack {
   def maintain(spark: SparkSession, table: String, partCol: String,
                maxDeleteFiles: Int = 8, maxSmallFiles: Int = 64,
                smallThreshold: Long = 1000000L, keepVersions: Int = 3,
-               minAgeMs: Long = 15 * 60 * 1000L): (Long, Long, Int, Long) = {
+               minAgeMs: Long = 15 * 60 * 1000L,
+               hotValues: Seq[String] = Seq.empty): (Long, Long, Int, Long) = {
     val meta = readMeta(spark, table, currentVersion(spark, table))
     val applied =
       if (meta.deletes.size >= maxDeleteFiles)
         applyDeletes(spark, table, partCol)._2
       else 0L
+    // with hotValues (today's ingest partitions), the small-file count
+    // and the fold are SCOPED to them — the janitor never reads or
+    // rewrites cold partitions, so its cadence can match the ingest
+    def hot(e: FileEntry): Boolean =
+      hotValues.isEmpty || (e.effPartCol(meta.hdr.partCol).contains(partCol) &&
+        e.parts.exists(ps => ps.nonEmpty && ps.forall(hotValues.contains)))
     val folded =
       if (readManifest(spark, table, currentVersion(spark, table))
-        .count(_.rows < smallThreshold) >= maxSmallFiles)
-        compact(spark, table, partCol, smallThreshold)._2
-      else 0
+        .count(e => e.rows < smallThreshold && hot(e)) >= maxSmallFiles) {
+        if (hotValues.isEmpty) compact(spark, table, partCol, smallThreshold)._2
+        else compactWhere(spark, table, partCol, hotValues, smallThreshold)._2
+      } else 0
     val removed = vacuum(spark, table, keepVersions, minAgeMs)
     (currentVersion(spark, table), applied, folded, removed)
   }

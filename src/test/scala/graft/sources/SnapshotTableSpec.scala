@@ -861,6 +861,36 @@ class SnapshotTableSpec extends SparkSpec {
       SnapshotTable.currentVersion(spark, table)).size < filesBefore)
   }
 
+  test("maintain with hotValues scopes the small-file policy to the hot " +
+    "partitions: cold partitions are never counted, folded, or rewritten") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("snapmnth")
+      .resolve("t").toString
+    SnapshotTable.create(spark, table,
+      Seq((1L, "hot"), (2L, "cold")).toDF("k", "p"), "p")
+    (1 to 4).foreach(i => SnapshotTable.commitAppend(spark, table,
+      Seq((10L + i, "hot"), (20L + i, "cold")).toDF("k", "p"), "p"))
+    val before = SnapshotTable.readManifest(spark, table,
+      SnapshotTable.currentVersion(spark, table))
+    val coldBefore = before.filter(_.parts.exists(_.contains("cold")))
+      .map(_.path).toSet
+    assert(before.count(_.parts.exists(_.contains("hot"))) >= 5)
+
+    // cold litter alone must not trip the scoped threshold
+    val (_, _, f0, _) = SnapshotTable.maintain(spark, table, "p",
+      maxSmallFiles = 99, minAgeMs = 0L, hotValues = Seq("hot"))
+    assert(f0 === 0)
+    // at threshold: only hot folds; cold entries carried verbatim
+    val (_, _, f1, _) = SnapshotTable.maintain(spark, table, "p",
+      maxSmallFiles = 3, minAgeMs = 0L, hotValues = Seq("hot"))
+    assert(f1 >= 5)
+    val after = SnapshotTable.readManifest(spark, table,
+      SnapshotTable.currentVersion(spark, table))
+    assert(after.filter(_.parts.exists(_.contains("cold")))
+      .map(_.path).toSet === coldBefore)
+    assert(SnapshotTable.read(spark, table).count() === 10L)
+  }
+
   test("tableStats reads only the manifest list; readHinted broadcasts " +
     "small tables and leaves big/unknown ones alone") {
     import spark.implicits._
