@@ -61,6 +61,44 @@ object SnapshotSink extends QueryPack {
     table
   }
 
+  /** STREAMING JOIN-VIEW maintenance: tail the FACT table's commit log
+    * (the `graft-snapshot` source) and advance a fact⋈dim aggregate
+    * view per micro-batch via [[graft.sources.IncrementalView
+    * .refreshJoin]]. The stream is the SCHEDULER, the change feed is
+    * the source of truth: each batch callback refreshes the view from
+    * the versions the feed recorded (not from the batch frame), so
+    * exactly-once needs no sink-side ledger of its own — the view's
+    * (vF, vD) pair tag already makes a replayed or restarted refresh a
+    * no-op, and a refresh racing a view-maintenance commit rebases
+    * through [[SnapshotTable.commitWithRetry]]. This is the lakehouse
+    * trifecta composed end to end: commit log → delta-join IVM →
+    * snapshot view, every hop atomic and idempotent.
+    */
+  def runJoinView(spark: SparkSession, factTable: String, dimTable: String,
+                  view: String, factKey: String, dimKey: String,
+                  groupKey: String, valueCol: String,
+                  checkpoint: Option[String] = None): Unit = {
+    // start from version 0 so commits that landed BEFORE the stream's
+    // first run still fire a refresh (the refresh itself is version-
+    // aware, so re-seen windows are no-ops — tail-only would silently
+    // strand a view created behind the fact's head)
+    val source = spark.readStream.format("graft-snapshot")
+      .option("startingVersion", "0").load(factTable)
+    val q = source.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        SnapshotTable.commitWithRetry() {
+          graft.sources.IncrementalView.refreshJoin(batch.sparkSession,
+            view, factTable, dimTable, factKey, dimKey, groupKey, valueCol)
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        checkpoint.getOrElse(StreamHousekeeping.freshCheckpointDir()))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Driver query: stream-commit the corpus, then report per-type
     * counts and value sums FROM THE TABLE — identical to the same
     * rollup computed directly on `events` (the oracle), which only

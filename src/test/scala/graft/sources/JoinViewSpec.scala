@@ -126,4 +126,37 @@ class JoinViewSpec extends SparkSpec {
     assert(SnapshotTable.currentVersion(spark, view) === before)
     assert(viewState(view) === Seq(("S2", 3L, 67.0)))
   }
+
+  test("the streaming composition — fact commit log tailed as a stream, " +
+    "view refreshed per micro-batch — converges to the recompute, " +
+    "catches up after more commits, and replays as a no-op") {
+    val (fact, dim, view) =
+      (freshDir("jvf3"), freshDir("jvd3"), freshDir("jvv3"))
+    SnapshotTable.create(spark, fact, factDf((1L, 1L, 10.0)), "p")
+    SnapshotTable.create(spark, dim,
+      dimDf((1L, "S1"), (2L, "S2")), "seg")
+    IncrementalView.createJoin(spark, view, fact, dim,
+      "ck", "dk", "seg", "price")
+    SnapshotTable.commitAppend(spark, fact, factDf((2L, 2L, 20.0)), "p")
+    SnapshotTable.commitAppend(spark, fact, factDf((3L, 1L, 30.0)), "p")
+
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("jvckpt").toString
+    def drive(): Unit = graft.streaming.SnapshotSink.runJoinView(
+      spark, fact, dim, view, "ck", "dk", "seg", "price",
+      checkpoint = Some(checkpoint))
+    drive()
+    assert(viewState(view) === recompute(fact, dim))
+    assert(viewState(view) === Seq(("S1", 2L, 40.0), ("S2", 1L, 20.0)))
+
+    // more commits land; the same checkpointed stream catches up
+    SnapshotTable.commitAppend(spark, fact, factDf((4L, 2L, 40.0)), "p")
+    drive()
+    assert(viewState(view) === recompute(fact, dim))
+
+    // nothing new: the run is a version no-op end to end
+    val before = SnapshotTable.currentVersion(spark, view)
+    drive()
+    assert(SnapshotTable.currentVersion(spark, view) === before)
+  }
 }
