@@ -483,13 +483,43 @@ object IncrementalView extends QueryPack {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** STREAMING twin of [[mviewJoinQuery]]: the same clone-and-refresh,
+    * but the refresh is DRIVEN by tailing the fact table's commit log
+    * ([[graft.streaming.SnapshotSink.runJoinView]]) — one micro-batch
+    * per fact version window, the view's pair tag absorbing replays.
+    * Shares the batch twin's oracle: stream ≡ batch is the claim.
+    */
+  def mviewJoinStreamQuery(s: SparkSession, dir: String): DataFrame = {
+    val (fact, dim) = joinScenario(s, dir)
+    val base = memoized(() => mvjBaseMemo, mvjBaseMemo = _, s, dir) {
+      val b = java.nio.file.Files
+        .createTempDirectory("graft_mvj_base").resolve("t").toString
+      createJoin(s, b, fact, dim, "o_custkey", "c_custkey",
+        "c_mktsegment", "o_totalprice", atF = Some(1L), atD = Some(1L))
+      b
+    }
+    val view = SnapshotTable.cloneTable(s, base)
+    graft.streaming.SnapshotSink.runJoinView(s, fact, dim, view,
+      "o_custkey", "c_custkey", "c_mktsegment", "o_totalprice")
+    SnapshotTable.read(s, view)
+      .select(col("c_mktsegment"), col("n"),
+        col("total").cast("double").as("total_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_snapshot_mview" -> (mviewQuery _),
     "q_snapshot_mview2" -> (mviewMinMaxQuery _),
-    "q_snapshot_mview_join" -> (mviewJoinQuery _))
+    "q_snapshot_mview_join" -> (mviewJoinQuery _),
+    "q_stream_mview_join" -> (mviewJoinStreamQuery _))
 
   override def oracleSql: Map[String, String] = Map(
     "q_snapshot_mview_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_stream_mview_join" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
