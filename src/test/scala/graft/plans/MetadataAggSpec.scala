@@ -140,6 +140,17 @@ class MetadataAggSpec extends SparkSpec {
     assert(r.getLong(0) === 5L && r.getLong(1) === 1L && r.getLong(2) === 5L)
   }
 
+  test("a partition-pruned read keeps its residual filter, so the rule " +
+    "declines — and the scanned answer is still correct") {
+    val t = smallTable()
+    val pruned = graft.sources.SnapshotTable
+      .readWhere(spark, t, "p", Seq("a"))
+      .agg(count(lit(1)).as("n"), max(col("k")).as("mx"))
+    assert(!rewritten(pruned))
+    val r = pruned.head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+  }
+
   test("distinct and filtered aggregates are never claimed") {
     val t = smallTable()
     val base = SnapshotTable.read(spark, t)
