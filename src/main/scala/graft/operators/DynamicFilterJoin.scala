@@ -32,8 +32,13 @@ object DynamicFilterJoin {
     */
   def inner(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
             maxKeys: Int = 10000): DataFrame = {
-    val keys = dim.select(col(dimKey)).distinct()
-      .limit(maxKeys + 1).collect().map(_.get(0)).filter(_ != null)
+    // NULLs are excluded BEFORE the cap sample: a NULL landing inside a
+    // limit(maxKeys+1) sample would eat a slot, letting an over-cap dim
+    // masquerade as exactly-at-cap and seed the fact scan with an
+    // incomplete IN list (dropped inner-join rows). Filtering first
+    // keeps the over-cap check exact; NULL keys never join anyway.
+    val keys = dim.select(col(dimKey)).filter(col(dimKey).isNotNull)
+      .distinct().limit(maxKeys + 1).collect().map(_.get(0))
     val seeded =
       if (keys.nonEmpty && keys.length <= maxKeys)
         fact.filter(col(factKey).isin(keys.toIndexedSeq: _*))

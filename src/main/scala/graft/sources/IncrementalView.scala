@@ -129,9 +129,10 @@ object IncrementalView extends QueryPack {
   //
   // The applied (fact, dim) version PAIR rides the view's tag ledger
   // (`mvj@<vF>:<vD>`) on the merge commit itself — a replayed refresh
-  // is a no-op. Feeds containing deletes/updates (any rewrite commit)
-  // are refused loudly: signed-delta join maintenance would need
-  // per-row join multiplicities, the published restriction.
+  // is a no-op. Windows carrying deletes/updates take the full
+  // BILINEAR signed-delta rule (see [[refreshJoin]]) instead of the
+  // two-leg fast path — both forms come from the same snapshot layer
+  // (change feed for the deltas, time travel for the static sides).
 
   private val JoinTagRe = raw"mvj@(\d+):(\d+)".r
 
@@ -213,6 +214,7 @@ object IncrementalView extends QueryPack {
       val (dD, delD) =
         if (cD > aD) { val (d, x) = signedChanges(spark, dim, aD, cD); (Some(d), x) }
         else (None, false)
+      try {
       val legs = Seq.newBuilder[DataFrame]
       def leg(rows: DataFrame, sign: org.apache.spark.sql.Column): DataFrame =
         rows.select(col(groupKey), col(valueCol), sign.as("__sign"))
@@ -247,7 +249,11 @@ object IncrementalView extends QueryPack {
             .cast(totalType)).cast(totalType).as("dtotal"))
         .filter(col("dn") =!= 0L || col("dtotal") =!= 0.0)
       mergeDeltas(spark, view, delta, groupKey, s"mvj@$cF:$cD")
-      (dF ++ dD).foreach(_.unpersist(false))
+      } finally {
+        // a failed leg/merge must not leak the persisted change frames
+        // for the session's lifetime
+        (dF ++ dD).foreach(_.unpersist(false))
+      }
     }
     // purge groups netted to zero — runs even when the merge no-opped,
     // so a refresh crashed between its two commits heals on retry

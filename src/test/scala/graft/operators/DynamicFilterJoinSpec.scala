@@ -86,6 +86,23 @@ class DynamicFilterJoinSpec extends SparkSpec {
       rollup(fact.join(wide, fact("etype") === col("dtype"))))
   }
 
+  test("a NULL dim key cannot mask an over-cap dim into an incomplete " +
+    "IN seed (nulls are excluded before the cap sample)") {
+    import spark.implicits._
+    val fact = SnapshotTable.read(spark, table)
+    // 4 distinct non-null keys + a NULL, cap 3: over-cap must be
+    // detected (NULL must not eat a sample slot) → plain-join fallback
+    // with every matching row present
+    val tricky = (Seq("t0", "t1", "t2", "t3").map(Option(_)) :+
+      Option.empty[String]).toDF("dtype")
+    val joined = DynamicFilterJoin.inner(
+      SnapshotTable.read(spark, table), "etype", tricky, "dtype",
+      maxKeys = 3)
+    assert(rollup(joined) ===
+      rollup(fact.join(tricky, fact("etype") === col("dtype"))))
+    assert(joined.count() === 200L) // 4 of 8 types × 50 rows each
+  }
+
   test("an empty or all-null dim yields an empty inner join without " +
     "scanning the fact side pathologically") {
     import spark.implicits._

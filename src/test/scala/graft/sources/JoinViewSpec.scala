@@ -9,7 +9,8 @@ import graft.SparkSpec
   * step, count same-window fact+dim arrivals exactly once (ΔF joins
   * D_cur, ΔD joins F_PREV — the double-count trap), pick up orphaned
   * fact rows when their dim partner arrives later, no-op on replay,
-  * and refuse non-append feeds loudly.
+  * and maintain non-append feeds (deletes / updates / dim re-keyings)
+  * through the full bilinear signed-delta rule.
   */
 class JoinViewSpec extends SparkSpec {
 
