@@ -50,7 +50,8 @@ object SparkEntry {
     graft.operators.PrefixJoin,
     graft.operators.SpanDedup,
     graft.operators.TimeSeries,
-    graft.sources.SnapshotCatalogPack)
+    graft.sources.SnapshotCatalogPack,
+    graft.sources.SecondaryIndex)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline capability: scatter-gather top-k cosine

@@ -801,6 +801,42 @@ object SnapshotTable extends QueryPack {
               hdr.bucket))
     }
 
+  /** Restricted read of an explicit live-entry subset under `version`'s
+    * header, with the version's pending delete masks applied — the seam
+    * index-driven readers ([[SecondaryIndex]]) use to plan exactly the
+    * files a lookup proved relevant. An empty subset yields a
+    * schema-preserving empty frame.
+    */
+  private[sources] def readEntriesAt(spark: SparkSession, table: String,
+                                     entries: Seq[FileEntry],
+                                     version: Long): DataFrame = {
+    val (_, deletes, hdr) = readListRaw(spark, table, version)
+    if (entries.isEmpty) readVersion(spark, table, version).filter(lit(false))
+    else readWithDeletes(spark, table, entries, deletes, hdr)
+  }
+
+  /** Plain column-pruned parquet read of an explicit entry subset:
+    * only `cols` of the version's RECORDED schema, field-id matching
+    * enabled when the schema carries ids (renamed columns still
+    * resolve in pre-rename files), absent-in-file columns null-filled.
+    * No delete masks — the [[SecondaryIndex]] BUILD path, where masked
+    * rows' postings are harmless false positives, wants the raw files.
+    */
+  private[sources] def readEntryCols(spark: SparkSession, table: String,
+                                     entries: Seq[FileEntry], version: Long,
+                                     cols: Seq[String]): DataFrame = {
+    require(entries.nonEmpty, "readEntryCols: empty file set")
+    val (_, _, hdr) = readListRaw(spark, table, version)
+    val full = schemaFromString(hdr.schema.getOrElse(
+      sys.error(s"snapshot table $table has no recorded schema")))
+    val st = org.apache.spark.sql.types.StructType(cols.map(c =>
+      full.find(_.name == c).getOrElse(sys.error(
+        s"readEntryCols: no column $c in $table")).copy(nullable = true)))
+    if (st.exists(_.metadata.contains(FieldIdKey)))
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark.read.schema(st).parquet(entries.map(e => s"$table/${e.path}"): _*)
+  }
+
   /** STREAMING-flagged relation read of an explicit entry subset under
     * a version's header — the hook [[graft.streaming.SnapshotSource]]
     * uses to plan exactly the files a micro-batch's version window
@@ -2496,7 +2532,7 @@ object SnapshotTable extends QueryPack {
     * its table. Restores the session default afterwards so ordinary
     * commits keep batch-sized task counts.
     */
-  private def withFileGranularity[T](s: SparkSession, bytes: Long)(body: => T): T = {
+  private[sources] def withFileGranularity[T](s: SparkSession, bytes: Long)(body: => T): T = {
     val key = "spark.graft.write.targetFileBytes"
     val prev = s.conf.getOption(key)
     s.conf.set(key, bytes.toString)
