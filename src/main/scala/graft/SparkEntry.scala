@@ -51,7 +51,8 @@ object SparkEntry {
     graft.operators.SpanDedup,
     graft.operators.TimeSeries,
     graft.sources.SnapshotCatalogPack,
-    graft.sources.SecondaryIndex)
+    graft.sources.SecondaryIndex,
+    graft.sources.PipelinePack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline capability: scatter-gather top-k cosine
