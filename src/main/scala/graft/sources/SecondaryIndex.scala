@@ -219,6 +219,49 @@ object SecondaryIndex extends QueryPack {
     }
   }
 
+  /** INNER equi-join with the FACT side planned from the index — the
+    * scale path past [[graft.operators.DynamicFilterJoin]]'s IN-seed:
+    * there, the dim's distinct keys COLLECT to the driver (capped at
+    * ~10k); here the probe is a distributed semi-join of the dim's
+    * keys against the postings table, and only the resulting FILE list
+    * — bounded by the fact's file count, never its rows — reaches the
+    * driver. The probe scans two narrow index columns instead of the
+    * wide fact, which is the entire point: a 100 TB fact joined to a
+    * 1%-selective dim plans ~1% of its files after an index scan that
+    * costs a fraction of one fact column.
+    *
+    * Same degrade-don't-lie contract as [[read]]: a stale index or an
+    * over-cap file list falls back to the plain join on the same
+    * pinned snapshot. INNER only — pruned fact rows must be ones the
+    * join discards anyway.
+    */
+  def innerJoinPruned(spark: SparkSession, table: String, factKey: String,
+                      index: String, dim: DataFrame, dimKey: String,
+                      maxFiles: Int = 100000,
+                      autoRefresh: Boolean = true): DataFrame = {
+    if (autoRefresh) refresh(spark, table, factKey, index)
+    val v = SnapshotTable.currentVersion(spark, table)
+    def plain = {
+      val fact = SnapshotTable.readVersion(spark, table, v)
+      fact.join(dim, fact(factKey) === dim(dimKey))
+    }
+    if (appliedVersion(spark, index) < v) plain
+    else {
+      val files = SnapshotTable.read(spark, index)
+        .join(dim.select(col(dimKey).as("k")).filter(col("k").isNotNull)
+          .distinct(), Seq("k"), "left_semi")
+        .select(col("file")).distinct()
+        .limit(maxFiles + 1).collect().map(_.getString(0)).toSet
+      if (files.size > maxFiles) plain
+      else {
+        val (entries, _) = SnapshotTable.readManifestFull(spark, table, v)
+        val fact = SnapshotTable.readEntriesAt(spark, table,
+          entries.filter(e => files.contains(e.path)), v)
+        fact.join(dim, fact(factKey) === dim(dimKey))
+      }
+    }
+  }
+
   // ---- driver queries -------------------------------------------------
   //
   // Scenario (memoized per session·corpus): orders → a snapshot table
@@ -294,9 +337,30 @@ object SecondaryIndex extends QueryPack {
       Seq(101L, 999L, maxKey + 2L, maxKey + 4L), autoRefresh = false))
   }
 
+  /** Index-pruned fact⋈dim rollup where the dim (orders referenced by
+    * a max-quantity lineitem) is far past the IN-seed's collect cap at
+    * bench scale — the fact files come from the distributed postings
+    * probe. The appended synthetic keys sit in the fact but match no
+    * dim key, so the rollup must equal the oracle's plain-orders join.
+    */
+  def joinQuery(s: SparkSession, dir: String): DataFrame = {
+    val (work, idx) = scenario(s, dir)
+    val dim = Tables.lineitem(s, dir).filter(col("l_quantity") === 50.0)
+      .select(col("l_orderkey")).distinct()
+    val joined = innerJoinPruned(s, work, "o_orderkey", idx,
+      dim, "l_orderkey", autoRefresh = false)
+    joined.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_secidx_lookup" -> ((s, dir) => lookupQuery(s, dir)),
-    "q_secidx_fresh" -> ((s, dir) => freshQuery(s, dir)))
+    "q_secidx_fresh" -> ((s, dir) => freshQuery(s, dir)),
+    "q_secidx_join" -> ((s, dir) => joinQuery(s, dir)))
 
   override def oracleSql: Map[String, String] = Map(
     "q_secidx_lookup" ->
@@ -325,5 +389,14 @@ object SecondaryIndex extends QueryPack {
         |FROM unioned
         |WHERE o_orderkey IN (101, 999)
         |   OR o_orderkey - (SELECT max(o_orderkey) FROM orders) IN (2, 4)
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_secidx_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders
+        |JOIN (SELECT DISTINCT l_orderkey FROM lineitem
+        |      WHERE l_quantity = 50) d
+        |  ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 }

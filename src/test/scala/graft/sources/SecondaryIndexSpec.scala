@@ -131,6 +131,34 @@ class SecondaryIndexSpec extends SparkSpec {
     assert(files.nonEmpty && rebuilt.nonEmpty)
   }
 
+  test("the index-pruned inner join plans only posting files, matches " +
+    "the plain join, and survives dims past any IN-collect cap") {
+    import spark.implicits._
+    val t = buildTable()
+    val idx = t + "_idx"
+    SecondaryIndex.create(spark, t, "id", idx, buckets = 8)
+    // 30 distinct keys, none collected to the driver — the probe is the
+    // distributed postings semi-join (one residue class mod 8 keeps the
+    // postings to a strict file subset so the pruning is observable)
+    val dim = (8L to 240L by 8L).toDF("fk")
+    val fact = SnapshotTable.read(spark, t)
+    def roll(df: DataFrame): Seq[String] =
+      df.groupBy(col("grp")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+        .orderBy(col("grp")).collect().map(_.toString).toSeq
+    val pruned = SecondaryIndex.innerJoinPruned(spark, t, "id", idx, dim, "fk")
+    assert(roll(pruned) === roll(fact.join(dim, fact("id") === dim("fk"))))
+    val expected = SecondaryIndex.lookupFiles(spark, t, "id", idx,
+      (8L to 240L by 8L).toSeq).get.size.toLong
+    assert(expected < scannedFiles(SnapshotTable.read(spark, t)))
+    assert(scannedFiles(SecondaryIndex.innerJoinPruned(spark, t, "id", idx,
+      dim, "fk").select(col("id"), col("grp"), col("v")))
+      === expected) // the join's only file scan is the posting files
+    // over-cap file list falls back to the plain join, still exact
+    assert(roll(SecondaryIndex.innerJoinPruned(spark, t, "id", idx, dim,
+      "fk", maxFiles = 1)) ===
+      roll(fact.join(dim, fact("id") === dim("fk"))))
+  }
+
   test("a stale index (autoRefresh off) and an over-cap posting list " +
     "both degrade to the full filtered scan — never wrong") {
     import spark.implicits._
