@@ -267,12 +267,26 @@ object PipelinePack extends QueryPack {
   import org.apache.spark.sql.functions._
 
   @volatile private var memo: Option[((SparkSession, String), Pipeline)] = None
+  @volatile private var streamMemo: Option[((SparkSession, String), Pipeline)] = None
 
   private def scenario(s: SparkSession, dir: String): Pipeline =
-    memo match {
+    scenarioIn(s, dir, memo, memo = _, stream = false)
+
+  /** The SAME source, mutations, and DAG — but the refresh is driven by
+    * the continuous runner tailing the source's commit log instead of
+    * one explicit call. Both must converge to the identical view.
+    */
+  private def streamScenario(s: SparkSession, dir: String): Pipeline =
+    scenarioIn(s, dir, streamMemo, streamMemo = _, stream = true)
+
+  private def scenarioIn(s: SparkSession, dir: String,
+                         get: => Option[((SparkSession, String), Pipeline)],
+                         set: Option[((SparkSession, String), Pipeline)] => Unit,
+                         stream: Boolean): Pipeline =
+    get match {
       case Some((k, w)) if k == ((s, dir)) => w
       case _ => synchronized {
-        memo match {
+        get match {
           case Some((k, w)) if k == ((s, dir)) => w
           case _ =>
             val root = java.nio.file.Files
@@ -318,21 +332,29 @@ object PipelinePack extends QueryPack {
               col("o_orderkey") % 101 === 0 &&
                 col("o_orderkey").between(1000, 5000),
               "o_orderpriority")
-            pipe.refresh(s)
-            memo = Some(((s, dir), pipe))
+            if (stream) graft.streaming.SnapshotSink.runPipeline(s, pipe, src)
+            else pipe.refresh(s)
+            set(Some(((s, dir), pipe)))
             pipe
         }
       }
     }
 
-  def pipelineQuery(s: SparkSession, dir: String): DataFrame = {
-    val pipe = scenario(s, dir)
+  private def aggRollup(s: SparkSession, pipe: Pipeline): DataFrame =
     SnapshotTable.read(s, pipe.nodes.collectFirst {
       case a: Pipeline.Agg => a.out }.get)
       .select(col("o_orderpriority"), col("n"),
         col("total").cast("double").as("total"))
       .orderBy(col("o_orderpriority"))
-  }
+
+  def pipelineQuery(s: SparkSession, dir: String): DataFrame =
+    aggRollup(s, scenario(s, dir))
+
+  /** Stream twin: the commit-log-driven runner must converge the DAG to
+    * the same state the explicit refresh does.
+    */
+  def pipelineStreamQuery(s: SparkSession, dir: String): DataFrame =
+    aggRollup(s, streamScenario(s, dir))
 
   /** Lineage after the refresh — node kinds, wiring, and applied input
     * versions are fully deterministic for the scenario (src v4 after
@@ -346,11 +368,13 @@ object PipelinePack extends QueryPack {
 
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_pipeline" -> ((s, dir) => pipelineQuery(s, dir)),
+    "q_stream_pipeline" -> ((s, dir) => pipelineStreamQuery(s, dir)),
     "q_pipeline_lineage" -> ((s, dir) => lineageQuery(s, dir)))
 
-  override def oracleSql: Map[String, String] = Map(
-    "q_pipeline" ->
-      """WITH fresh AS (
+  // one SQL replay serves both the batch and stream twins — they must
+  // converge to the identical view
+  private val pipelineOracle =
+    """WITH fresh AS (
         |  SELECT (SELECT max(o_orderkey) FROM orders) + i AS o_orderkey,
         |    CAST(1 AS BIGINT) AS o_custkey, i * 20000.0 AS o_totalprice,
         |    '1-URGENT' AS o_orderpriority
@@ -374,7 +398,11 @@ object PipelinePack extends QueryPack {
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
         |    AS DECIMAL(28,2)) AS DOUBLE) AS total
         |FROM filtered GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin,
+        |ORDER BY o_orderpriority""".stripMargin
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_pipeline" -> pipelineOracle,
+    "q_stream_pipeline" -> pipelineOracle,
     "q_pipeline_lineage" ->
       """SELECT * FROM (VALUES
         |  ('big_orders', 'transform', 'orders_t', CAST(4 AS BIGINT)),

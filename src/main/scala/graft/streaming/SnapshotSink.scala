@@ -99,6 +99,34 @@ object SnapshotSink extends QueryPack {
     q.awaitTermination()
   }
 
+  /** CONTINUOUS PIPELINE: tail `sourceTable`'s commit log as a stream
+    * and refresh the whole DAG once per micro-batch — the
+    * Delta-Live-Tables shape on top of [[graft.sources.Pipeline]]. The
+    * stream is only the SCHEDULER: each node's refresh re-reads its
+    * applied frontier and consumes exactly the version window it has
+    * not seen, and every node commit is tag-idempotent, so replayed
+    * batches (and commits to inputs OTHER than the tailed source,
+    * picked up on the next tick) are handled by construction —
+    * exactly-once by ledger, not by checkpoint. Starts from version 0
+    * so commits predating the stream still fire.
+    */
+  def runPipeline(spark: SparkSession, pipe: graft.sources.Pipeline,
+                  sourceTable: String,
+                  checkpoint: Option[String] = None): Unit = {
+    val source = spark.readStream.format("graft-snapshot")
+      .option("startingVersion", "0").load(sourceTable)
+    val q = source.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        pipe.refresh(batch.sparkSession)
+        ()
+      }
+      .option("checkpointLocation",
+        checkpoint.getOrElse(StreamHousekeeping.freshCheckpointDir()))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Driver query: stream-commit the corpus, then report per-type
     * counts and value sums FROM THE TABLE — identical to the same
     * rollup computed directly on `events` (the oracle), which only
