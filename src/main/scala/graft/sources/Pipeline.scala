@@ -56,11 +56,17 @@ object Pipeline {
   final case class Source(name: String, out: String) extends Node
 
   /** Row-wise derived table. `key`: unique row identity `fn` preserves —
-    * enables incremental maintenance under updates/deletes.
+    * enables incremental maintenance under updates/deletes. `checks`:
+    * EXPECTATIONS on the output (SQL boolean expressions installed as
+    * the table's CHECK constraints at init — every later refresh
+    * enforces them on its fresh rows in one O(changed) aggregate and a
+    * violating window publishes NOTHING, the Delta-Live-Tables
+    * expectation gate).
     */
   final case class Transform(name: String, out: String, input: String,
                              partCol: String, fn: DataFrame => DataFrame,
-                             key: Option[String] = None) extends Node
+                             key: Option[String] = None,
+                             checks: Seq[String] = Seq.empty) extends Node
 
   /** count/sum view grouped by `keyCol` (IncrementalView shape). */
   final case class Agg(name: String, out: String, input: String,
@@ -129,6 +135,7 @@ final case class Pipeline(nodes: Seq[Pipeline.Node]) {
       SnapshotTable.create(spark, t.out,
         t.fn(SnapshotTable.readVersion(spark, tablePath(t.input), v)),
         t.partCol, tags = Set(s"ptx@$v"))
+      if (t.checks.nonEmpty) SnapshotTable.setChecks(spark, t.out, t.checks)
     case a: Agg =>
       IncrementalView.create(spark, a.out, tablePath(a.input),
         a.keyCol, a.valueCol)
@@ -228,6 +235,43 @@ final case class Pipeline(nodes: Seq[Pipeline.Node]) {
         tablePath(j.dim), j.factKey, j.dimKey, j.groupKey, j.valueCol)
       Refreshed(j.name, if (cF > aF || cD > aD) "delta" else "noop")
   }
+
+  /** A node's applied frontier against one of its inputs. */
+  private def appliedAgainst(spark: SparkSession, consumer: Node,
+                             inputName: String): Long = consumer match {
+    case t: Transform => transformApplied(spark, t)
+    case a: Agg       => IncrementalView.appliedVersion(spark, a.out)
+    case j: JoinAgg   =>
+      val (f, d) = IncrementalView.appliedJoinVersions(spark, j.out)
+      if (j.fact == inputName) f else d
+    case s: Source    => sys.error(s"source ${s.name} consumes nothing")
+  }
+
+  /** DAG-wide housekeeping: run [[SnapshotTable.maintain]] (apply
+    * pending deletes, fold small files, vacuum) on every node table —
+    * with vacuum's retention WIDENED so no input table drops a version
+    * a downstream node still has to read: each table keeps back to the
+    * MINIMUM applied frontier among its consumers (their next refresh
+    * reads the change window from there). Without this guard, a
+    * by-the-book retention on a busy source would strand every view
+    * behind it. Returns (node, versions kept) per table with a
+    * recorded partition column.
+    */
+  def maintain(spark: SparkSession, keepVersions: Int = 3,
+               minAgeMs: Long = 15 * 60 * 1000L): Seq[(String, Int)] =
+    order.flatMap { n =>
+      SnapshotTable.readManifestFull(spark, n.out,
+        SnapshotTable.currentVersion(spark, n.out))._2.partCol.map { pc =>
+        val cur = SnapshotTable.currentVersion(spark, n.out)
+        val minApplied = nodes.filter(m => inputsOf(m).contains(n.name))
+          .map(m => appliedAgainst(spark, m, n.name)).minOption
+        val keep = math.max(keepVersions,
+          minApplied.map(a => (cur - a + 1).toInt).getOrElse(keepVersions))
+        SnapshotTable.maintain(spark, n.out, pc,
+          keepVersions = keep, minAgeMs = minAgeMs)
+        n.name -> keep
+      }
+    }
 
   /** Queryable lineage: one row per node — kind, inputs, materialized
     * path, and the input version(s) the node has applied (sources show

@@ -146,6 +146,54 @@ class PipelineSpec extends SparkSpec {
     assert(actualAgg(r) === expectedAgg(r))
   }
 
+  test("expectations: a window violating a transform's checks publishes " +
+    "nothing and fails loudly") {
+    import spark.implicits._
+    val r = root(); seed(s"$r/src")
+    val p = Pipeline(Seq(
+      Source("src", s"$r/src"),
+      Transform("t", s"$r/t", "src", "grp", fn, key = Some("id"),
+        checks = Seq("v2 <= 2000.0")),
+      Agg("a", s"$r/a", "t", "grp", "v2")))
+    p.init(spark)
+    val vT = SnapshotTable.currentVersion(spark, s"$r/t")
+    // v=1500 → v2=3000 violates the expectation
+    SnapshotTable.commitAppend(spark, s"$r/src",
+      Seq((200L, "g1", 1500.0)).toDF("id", "grp", "v"), "grp")
+    val e = intercept[IllegalArgumentException] { p.refresh(spark) }
+    assert(e.getMessage.contains("CHECK"))
+    assert(SnapshotTable.currentVersion(spark, s"$r/t") === vT)
+    // a conforming window still flows
+    SnapshotTable.commitDelete(spark, s"$r/src", col("id") === 200L, "grp")
+    p.refresh(spark)
+    assert(actualAgg(r) === expectedAgg(r))
+  }
+
+  test("maintain widens vacuum retention to the slowest consumer's " +
+    "applied frontier — a later refresh still has its change window") {
+    import spark.implicits._
+    val r = root(); seed(s"$r/src")
+    val p = pipe(r)
+    p.init(spark) // consumers applied src@1
+    // four more source commits with NO refresh in between
+    (1 to 4).foreach { i =>
+      SnapshotTable.commitAppend(spark, s"$r/src",
+        Seq((500L + i, s"g${i % 3}", 400.0 + i)).toDF("id", "grp", "v"),
+        "grp")
+    }
+    // by-the-book retention would keep only v5 — the guard must keep
+    // back to v1 (the transform's applied frontier)
+    val kept = p.maintain(spark, keepVersions = 1, minAgeMs = 0L).toMap
+    assert(kept("src") === 5)
+    assert(SnapshotTable.versions(spark, s"$r/src").min === 1L)
+    p.refresh(spark)
+    assert(actualAgg(r) === expectedAgg(r))
+    // fully caught up: retention can now tighten
+    p.maintain(spark, keepVersions = 1, minAgeMs = 0L)
+    assert(SnapshotTable.versions(spark, s"$r/src").min ===
+      SnapshotTable.currentVersion(spark, s"$r/src"))
+  }
+
   test("chained transforms propagate deltas hop by hop in one refresh") {
     import spark.implicits._
     val r = root(); seed(s"$r/src")
