@@ -65,8 +65,8 @@ object CuratedCorpus extends QueryPack {
   }
 
   private def decisions(s: SparkSession, dir: String): DataFrame =
-    decisionsFor(Tables.documents(s, dir),
-      MinHashDedup.minhashPairsStaged(s, dir).select("a_id", "b_id"))
+    decisionsFromComp(Tables.documents(s, dir),
+      DedupClusters.componentsStaged(s, dir))
 
   /** The materialized curated corpus: every doc with its reason bitmap;
     * `reason_bits = 0` rows ARE the kept corpus (filter on `is_kept` to

@@ -100,6 +100,28 @@ object DedupClusters extends QueryPack {
     labels.select(col("node"), col("label").as("cluster_rep"))
   }
 
+  /** The (node, cluster_rep) table of the staged near-dup pair graph,
+    * itself STAGED once per corpus fingerprint: the label-propagation
+    * loop is the most expensive shared prelude in the curation family —
+    * curation verdicts, leakage splits, and the training manifest all
+    * consume the SAME clustering, and a 100 TB pipeline materializes it
+    * once per corpus snapshot rather than re-iterating per consumer
+    * (the staging key inherits [[MinHashDedup.minhashPairsStaged]]'s
+    * source fingerprint, so a regenerated corpus re-derives both).
+    * `q_dedup_clusters` still runs the live loop — it is the operator
+    * under test; this staging is for its CONSUMERS.
+    */
+  private[graft] def componentsStaged(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Ingest.ensureStaged(
+      graft.sources.Ingest.stagedPath(s, "graft_neardup_comp_",
+        Seq(s"$dir/documents.parquet"))) { tmp =>
+      connectedComponents(
+        MinHashDedup.minhashPairsStaged(s, dir).select("a_id", "b_id"))
+        .write.parquet(tmp)
+    }
+    s.read.parquet(path)
+  }
+
   /** Driver query: near-dup clusters over the verified MinHash pair set
     * (the q_minhash_neardup pairs), one row per clustered doc with its
     * representative (min doc_id — the doc a dedup pass KEEPS), the

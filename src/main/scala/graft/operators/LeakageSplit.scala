@@ -73,8 +73,7 @@ object LeakageSplit extends QueryPack {
     */
   def leakageSplitQuery(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val pairs = MinHashDedup.minhashPairsStaged(s, dir).select("a_id", "b_id")
-    splitAssignments(docs, pairs)
+    splitFromComp(docs, DedupClusters.componentsStaged(s, dir))
       .join(docs.select(col("doc_id"), size(split(col("text"), " "))
         .cast("long").as("n_toks")), Seq("doc_id"))
       .groupBy(col("split"))

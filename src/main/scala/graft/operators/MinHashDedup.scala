@@ -422,11 +422,23 @@ object MinHashDedup extends QueryPack {
     */
   def recallReport(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val shingleTruth = exactShinglePairs(docs, "doc_id", "text", 0.8)
-      .select("a_id", "b_id")
-    val cands = candidatePairs(docs, "doc_id", "text")
-    val found = nearDupPairs(docs, "doc_id", "text", 0.8).select("a_id", "b_id")
-    val wordTruth = TextAnalysis.ngramJaccardPairs(s, dir).select("a_id", "b_id")
+    // every leg is a MATERIALIZED table: the exact truths and the band
+    // candidates are staged per corpus fingerprint, and the end-to-end
+    // output is the staged pair set (`q_minhash_neardup`'s
+    // materialization). A recall gate at 100 TB reads the pipeline's
+    // tables; it never re-derives the quadratic truth per report run.
+    def staged(prefix: String)(build: => DataFrame): DataFrame = {
+      val p = graft.sources.Ingest.ensureStaged(
+        graft.sources.Ingest.stagedPath(s, prefix,
+          Seq(s"$dir/documents.parquet")))(tmp => build.write.parquet(tmp))
+      s.read.parquet(p)
+    }
+    val shingleTruth = staged("graft_shingle_truth_")(
+      exactShinglePairs(docs, "doc_id", "text", 0.8).select("a_id", "b_id"))
+    val cands = staged("graft_band_cands_")(
+      candidatePairs(docs, "doc_id", "text"))
+    val found = minhashPairsStaged(s, dir).select("a_id", "b_id")
+    val wordTruth = TextAnalysis.ngramPairsStaged(s, dir).select("a_id", "b_id")
 
     val nShingle = shingleTruth.agg(count(lit(1)).as("n_shingle_pairs"))
     val nBanded = cands.join(shingleTruth, Seq("a_id", "b_id"), "left_semi")

@@ -173,13 +173,24 @@ object SimHash extends QueryPack {
     */
   def qualityReport(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val pairs = nearDupPairs(docs, "doc_id", "text")
+    // the gate SCORES the pipeline's materialized outputs — the pair set
+    // (one materialization of `q_simhash_neardup`, staged per corpus
+    // fingerprint) and the staged word-set truth — rather than re-running
+    // either per report, the way a corpus-snapshot QA job reads tables
+    val pairs = {
+      val p = graft.sources.Ingest.ensureStaged(
+        graft.sources.Ingest.stagedPath(s, "graft_simhash_pairs_",
+          Seq(s"$dir/documents.parquet"))) { tmp =>
+        nearDupPairs(docs, "doc_id", "text").write.parquet(tmp)
+      }
+      s.read.parquet(p)
+    }
     // multiset key: md5 of the sorted token list — any deterministic sort
     // works, since only key EQUALITY (= multiset equality) is consumed
     val keyed = docs.select(col("doc_id"),
       md5(concat_ws(" ", array_sort(split(col("text"), " "))).cast("binary"))
         .as("mkey"))
-    val word = TextAnalysis.ngramJaccardPairs(s, dir).select("a_id", "b_id")
+    val word = TextAnalysis.ngramPairsStaged(s, dir).select("a_id", "b_id")
 
     val nPairsLeg = pairs.agg(count(lit(1)).as("n_simhash_pairs"))
     val msLeg = keyed.groupBy("mkey").agg(count(lit(1)).as("n"))

@@ -67,6 +67,24 @@ object TextAnalysis extends QueryPack {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Staged materialization of [[ngramJaccardPairs]] — the exact
+    * word-set truth is a shared INPUT to several quality gates
+    * (MinHash/SimHash recall and precision reports): a 100 TB pipeline
+    * materializes the truth table once per corpus snapshot, it does not
+    * re-run the blocked quadratic join per report. Staging key is the
+    * corpus fingerprint (same discipline as
+    * [[MinHashDedup.minhashPairsStaged]]); `q_ngram_jaccard` itself
+    * still runs the live join — it IS the operator under test.
+    */
+  private[graft] def ngramPairsStaged(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Ingest.ensureStaged(
+      graft.sources.Ingest.stagedPath(s, "graft_ngram_pairs_",
+        Seq(s"$dir/documents.parquet"))) { tmp =>
+      ngramJaccardPairs(s, dir).write.parquet(tmp)
+    }
+    s.read.parquet(path)
+  }
+
   /** Embedding-cosine near-dup pairs within label blocks (the vector
     * analogue of near-dup text detection). Blocked self-join; at 100 TB
     * the block key becomes an LSH bucket ([[graft.operators.AnnSearch]]).

@@ -39,8 +39,7 @@ object TrainingManifest extends QueryPack {
 
   def manifest(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val pairs = MinHashDedup.minhashPairsStaged(s, dir).select("a_id", "b_id")
-    val comp = DedupClusters.connectedComponents(pairs)
+    val comp = DedupClusters.componentsStaged(s, dir)
     val dec = CuratedCorpus.decisionsFromComp(docs, comp)
     val kept = docs.join(
       dec.filter(col("is_kept") === 1L).select("doc_id"), "doc_id")

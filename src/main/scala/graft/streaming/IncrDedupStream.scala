@@ -151,23 +151,36 @@ object IncrDedupStream extends QueryPack {
     */
   def streamIncrQuery(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val work = java.nio.file.Files.createTempDirectory("graft_incr_stream")
-    val hconf = s.sparkContext.hadoopConfiguration
-    val src = new Path(work.toString, "src")
-    val fs = src.getFileSystem(hconf)
-    fs.mkdirs(src)
-    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = new Path(work.toString, s"stage_$name")
-      df.coalesce(1).write.parquet(tmp.toString)
-      val part = fs.listStatus(tmp).map(_.getPath)
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new Path(src, s"$name.parquet")
-      require(fs.rename(part, dst), s"stage: could not move $part")
-      fs.setTimes(dst, mtime, -1)
+    // The SOURCE files are read-only and a pure function of the corpus —
+    // stage them once per corpus fingerprint (mtimes ride the atomic
+    // directory move, so file order is stable). Only the stream's STATE
+    // is per-run fresh: the run mutates it, and verify/bench reruns must
+    // stay idempotent.
+    val src = graft.sources.Ingest.ensureStaged(
+      graft.sources.Ingest.stagedPath(s, "graft_incr_stream_src_",
+        Seq(s"$dir/documents.parquet"))) { tmp =>
+      val hconf = s.sparkContext.hadoopConfiguration
+      val dst = new Path(tmp)
+      val fs = dst.getFileSystem(hconf)
+      fs.mkdirs(dst)
+      val scratch = java.nio.file.Files.createTempDirectory("graft_incr_stage")
+      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+        val t = new Path(scratch.toString, s"stage_$name")
+        df.coalesce(1).write.parquet(t.toString)
+        val part = fs.listStatus(t).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).head
+        val out = new Path(dst, s"$name.parquet")
+        require(fs.rename(part, out), s"stage: could not move $part")
+        fs.setTimes(out, mtime, -1)
+      }
+      stage(docs.filter(!IncrementalDedup.isBatch), "part-0001", 1000000L)
+      stage(docs.filter(IncrementalDedup.isBatch), "part-0002", 2000000L)
+      // completeness marker for ensureStaged (underscore-prefixed: the
+      // parquet file source ignores it as data)
+      fs.create(new Path(dst, "_SUCCESS")).close()
     }
-    stage(docs.filter(!IncrementalDedup.isBatch), "part-0001", 1000000L)
-    stage(docs.filter(IncrementalDedup.isBatch), "part-0002", 2000000L)
-    run(s, src.toString, docs.schema, s"$work/state")
+    val work = java.nio.file.Files.createTempDirectory("graft_incr_stream")
+    run(s, src, docs.schema, s"$work/state")
   }
 
   override def queries: Map[String, QueryPack.Q] = Map(
