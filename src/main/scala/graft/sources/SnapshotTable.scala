@@ -1099,6 +1099,18 @@ object SnapshotTable extends QueryPack {
   def read(spark: SparkSession, table: String): DataFrame =
     readVersion(spark, table, currentVersion(spark, table))
 
+  /** A version's live file-path set plus whether equality deletes are
+    * pending at it — the freshness evidence [[graft.plans.MviewRewrite]]
+    * checks before substituting a materialized view for a scan (a scan
+    * whose planned paths equal the summarized version's paths, with no
+    * pending masks on either side, provably reads the summarized state).
+    */
+  private[graft] def liveState(spark: SparkSession, table: String,
+                               version: Long): (Set[String], Boolean) = {
+    val m = readMeta(spark, table, version)
+    (m.entries.map(_.path).toSet, m.deletes.nonEmpty)
+  }
+
   /** Time travel: read an older (still un-vacuumed) snapshot. */
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
     val meta = readMeta(spark, table, version)
@@ -2821,7 +2833,7 @@ object SnapshotTable extends QueryPack {
     * manifests are never modified in place, and a vacuum on either
     * side unlinks only its own directory entry.
     */
-  private[sources] def cloneTable(s: SparkSession, src: String): String = {
+  private[graft] def cloneTable(s: SparkSession, src: String): String = {
     val dst = java.nio.file.Files
       .createTempDirectory("graft_snapshot_del").resolve("t").toString
     val f = fs(s, src)

@@ -156,15 +156,10 @@ object Upsert extends QueryPack {
       Tables.orders(s, dir).select(baseCols.map(col): _*)
         .write.partitionBy("o_orderpriority").parquet(tmp)
     }
-    // fresh working copy per run — upsert mutates it
-    val work = java.nio.file.Files.createTempDirectory("graft_upsert_run")
-      .resolve("t").toString
-    org.apache.hadoop.fs.FileUtil.copy(
-      new Path(basePath).getFileSystem(s.sparkContext.hadoopConfiguration),
-      new Path(basePath),
-      new Path(work).getFileSystem(s.sparkContext.hadoopConfiguration),
-      new Path(work), false,
-      s.sparkContext.hadoopConfiguration)
+    // fresh working copy per run — upsert mutates it (hardlink clone:
+    // the upsert rewrites whole partition dirs, never appends into an
+    // existing file, so linked bytes are safe to share with the base)
+    val work = SnapshotTable.cloneTable(s, basePath)
     val orders = Tables.orders(s, dir)
     val changed = orders.filter(col("o_orderkey") % 97 === 0)
       .select(col("o_orderkey"), col("o_custkey"),

@@ -101,13 +101,16 @@ object DocDedupStream {
 
     val name = s"neardup_${System.nanoTime()}"
     StreamHousekeeping.trackSink(spark, "neardup", dir, name)
-    val q = claims.writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory").queryName(name)
-      .option("checkpointLocation", StreamHousekeeping.freshCheckpointDir())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // 8 state stores — first-run sizing knob, see withStatePartitions
+    StreamHousekeeping.withStatePartitions(spark, 8) {
+      val q = claims.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory").queryName(name)
+        .option("checkpointLocation", StreamHousekeeping.freshCheckpointDir())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     spark.table(name)
       .groupBy(col("id").as("doc_id"))

@@ -90,13 +90,17 @@ object FunnelStream {
 
     val name = s"funnel_${System.nanoTime()}"
     StreamHousekeeping.trackSink(spark, "funnel", dir, name)
-    val q = detect(source).writeStream
-      .outputMode(OutputMode.Update())
-      .format("memory").queryName(name)
-      .option("checkpointLocation", StreamHousekeeping.freshCheckpointDir())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // 8 state stores: the corpus-sized keyspace never fills 32, and the
+    // store count is a first-run sizing knob (see withStatePartitions)
+    StreamHousekeeping.withStatePartitions(spark, 8) {
+      val q = detect(source).writeStream
+        .outputMode(OutputMode.Update())
+        .format("memory").queryName(name)
+        .option("checkpointLocation", StreamHousekeeping.freshCheckpointDir())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     // update mode re-emits a user's progress each batch; min() keeps the
     // final (tightest) values — both fields only ever decrease or fill in

@@ -35,6 +35,24 @@ private[streaming] object StreamHousekeeping {
   def freshCheckpointDir(): String =
     Files.createTempDirectory(ckRoot, "run").toString
 
+  /** Run `body` (a whole stream run: start → awaitTermination) with the
+    * session's shuffle-partition count — which for a stateful stream is
+    * also its STATE-STORE instance count, fixed at first planning —
+    * set to `n`, restoring the session default afterwards. The store
+    * count is a deployment knob sized to keyspace and executor count
+    * (Spark pins it per checkpoint lifetime precisely because it is a
+    * sizing decision): the fixture streams size it to the corpus the
+    * same way [[graft.sources.SnapshotTable]] writers size files via
+    * `spark.graft.write.targetFileBytes`; a 100 TB deployment raises
+    * the same conf before the FIRST run against a fresh checkpoint.
+    */
+  def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
