@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // metadata-only count/min/max over snapshot relations (on by
     // default; spark.graft.snapshot.metadataAgg=false disables)
     e.injectOptimizerRule(_ => graft.plans.MetadataAggPushdown)
+    // transparent materialized-view rewrite for registered summaries
+    // (on by default; spark.graft.mview.rewrite=false disables)
+    e.injectOptimizerRule(_ => graft.plans.MviewRewrite)
     // snapshot-table SQL surface: snapshot_table(path[, version]) and
     // snapshot_changes(path, from, to) table-valued functions
     graft.sources.SnapshotSql.tvfs.foreach { case (name, info, builder) =>

@@ -52,7 +52,8 @@ object SparkEntry {
     graft.operators.TimeSeries,
     graft.sources.SnapshotCatalogPack,
     graft.sources.SecondaryIndex,
-    graft.sources.PipelinePack)
+    graft.sources.PipelinePack,
+    graft.sources.MaterializedView)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline capability: scatter-gather top-k cosine

@@ -55,6 +55,12 @@ final class SnapshotFileIndex(
     */
   private[graft] def fileEntries: Seq[FileEntry] = entries
 
+  /** The table root this index serves — the hook rewrite rules
+    * ([[graft.plans.MviewRewrite]]) use to recognise "a scan of
+    * snapshot table X" in a logical plan.
+    */
+  private[graft] def tablePath: String = table
+
   private val tableRoot = new Path(table)
 
   // resolve (entry, status) once; synthetic FileStatus from manifest

@@ -3101,8 +3101,13 @@ object SnapshotTable extends QueryPack {
         max(col("o_orderkey")).as("max_key"))
       .orderBy(col("_commit_version"), col("_change_type"))
 
-  private def buildChangesScenario(s: SparkSession, dir: String): String = {
-    val work = cloneTable(s, deleteBase(s, dir))
+  /** The append (5 fresh rows) + merge (+1000.0 on every `%97` key)
+    * commit pair the CDC/mview fixtures share — applied to `work`, a
+    * clone of [[deleteBase]]. Oracles replay it relationally (see the
+    * `q_snapshot_mview*` / `q_mview_*` SQL).
+    */
+  private[sources] def appendMergeInto(s: SparkSession, dir: String,
+                                       work: String): Unit = {
     val orders = Tables.orders(s, dir)
     val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
     val fresh = s.range(1, 6).select(
@@ -3120,6 +3125,11 @@ object SnapshotTable extends QueryPack {
         (col("o_totalprice") + 1000.0).as("o_totalprice"),
         col("o_orderdate"), col("o_orderpriority"))
     commitMerge(s, work, changed, "o_orderkey", "o_orderpriority")
+  }
+
+  private def buildChangesScenario(s: SparkSession, dir: String): String = {
+    val work = cloneTable(s, deleteBase(s, dir))
+    appendMergeInto(s, dir, work)
     val keys = Tables.orders(s, dir)
       .filter(col("o_orderkey") % 101 === 0 &&
         col("o_orderkey").between(1000, 5000))
