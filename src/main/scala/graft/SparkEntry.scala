@@ -53,7 +53,8 @@ object SparkEntry {
     graft.sources.SnapshotCatalogPack,
     graft.sources.SecondaryIndex,
     graft.sources.PipelinePack,
-    graft.sources.MaterializedView)
+    graft.sources.MaterializedView,
+    graft.operators.Scd2)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline capability: scatter-gather top-k cosine
