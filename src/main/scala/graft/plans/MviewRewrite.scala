@@ -5,6 +5,7 @@ import scala.util.control.NonFatal
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -63,10 +64,11 @@ object MviewRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (conf.getConfString(FlagKey, "true") != "true" ||
-        !MaterializedView.anyRegistered) plan
+        !(MaterializedView.anyRegistered ||
+          MaterializedView.anyJoinRegistered)) plan
     else plan.transformDown {
       case agg: Aggregate =>
-        try tryRewrite(agg).getOrElse(agg)
+        try tryRewrite(agg).orElse(tryRewriteJoin(agg)).getOrElse(agg)
         catch { case NonFatal(_) => agg }
     }
 
@@ -122,8 +124,155 @@ object MviewRewrite extends Rule[LogicalPlan] {
   private def fresh(spark: SparkSession, d: MvDef,
                     idx: SnapshotFileIndex): Boolean = {
     val applied = IncrementalView.appliedVersion(spark, d.view)
-    val (paths, masked) = SnapshotTable.liveState(spark, d.src, applied)
+    scanIsVersion(spark, d.src, applied, idx)
+  }
+
+  private def scanIsVersion(spark: SparkSession, table: String, v: Long,
+                            idx: SnapshotFileIndex): Boolean = {
+    val (paths, masked) = SnapshotTable.liveState(spark, table, v)
     !masked && idx.fileEntries.map(_.path).toSet == paths
+  }
+
+  // ------------------------------------------------------------------
+  // fact ⋈ dim aggregate → registered join view
+  // ------------------------------------------------------------------
+
+  private def tryRewriteJoin(agg: Aggregate): Option[LogicalPlan] = {
+    // strip Projects/Filters above the join, then on each side
+    def toJoin(p: LogicalPlan, conds: Seq[Expression])
+        : Option[(Seq[Expression], Join)] = p match {
+      case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        toJoin(c, conds)
+      case f: Filter if f.condition.deterministic =>
+        toJoin(f.child, conds :+ f.condition)
+      case j: Join => Some((conds, j))
+      case _ => None
+    }
+    val (topConds, join) = toJoin(agg.child, Nil).getOrElse(return None)
+    if (join.joinType != Inner) return None
+    val (lConds, lIdx, lRel) = unwrap(join.left, Nil).getOrElse(return None)
+    val (rConds, rIdx, rRel) = unwrap(join.right, Nil).getOrElse(return None)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    val conds = (topConds ++ lConds ++ rConds).flatMap(conjuncts)
+    val spark = SparkSession.active
+    val resolver = conf.resolver
+
+    // registered (fact, dim) in either plan order
+    val cands: Seq[(graft.sources.MaterializedView.JoinMvDef,
+        SnapshotFileIndex, LogicalRelation, SnapshotFileIndex, LogicalRelation)] =
+      MaterializedView.defsForJoin(lIdx.tablePath, rIdx.tablePath)
+        .map(d => (d, lIdx, lRel, rIdx, rRel)) ++
+      MaterializedView.defsForJoin(rIdx.tablePath, lIdx.tablePath)
+        .map(d => (d, rIdx, rRel, lIdx, lRel))
+
+    cands.view.flatMap { case (d, fIdx, fRel, dIdx, dRel) =>
+      for {
+        fk <- fRel.output.find(a => resolver(a.name, d.factKey))
+        dk <- dRel.output.find(a => resolver(a.name, d.dimKey))
+        // the join condition is exactly the registered equi-key pair
+        ok = join.condition.exists {
+          case EqualTo(a: AttributeReference, b: AttributeReference) =>
+            Set(a.exprId, b.exprId) == Set(fk.exprId, dk.exprId)
+          case _ => false
+        }
+        if ok
+        // the group key lives on either side; filters may touch it only
+        // (isnotnull on a join key is implied by the inner equi-join the
+        // view summarizes — the optimizer infers those, ignore them)
+        gAttr <- (dRel.output ++ fRel.output)
+          .find(a => resolver(a.name, d.groupKey))
+        userConds = conds.filterNot {
+          case IsNotNull(a: AttributeReference) =>
+            a.exprId == fk.exprId || a.exprId == dk.exprId
+          case _ => false
+        }
+        if userConds.forall(_.references.subsetOf(AttributeSet(gAttr)))
+        if (agg.groupingExpressions match {
+          case Seq(a: AttributeReference) => a.exprId == gAttr.exprId
+          case Nil => true
+          case _ => false
+        })
+        vAttr <- fRel.output.find(a => resolver(a.name, d.valueCol))
+        vv = IncrementalView.appliedJoinVersions(spark, d.view)
+        (vF, vD) = vv
+        if scanIsVersion(spark, d.fact, vF, fIdx) &&
+          scanIsVersion(spark, d.dim, vD, dIdx)
+        rewritten <- buildJoin(spark, agg, d, gAttr, vAttr, userConds)
+      } yield rewritten
+    }.headOption
+  }
+
+  /** Substitute the join view for the matched fact⋈dim aggregate:
+    * `count(*) → sum(n)`, `sum(cast(v as decimal(18,2))) → sum(total)`
+    * (cast back to the original result type), grouping and key filters
+    * remapped onto the view's group column.
+    */
+  private def buildJoin(spark: SparkSession, agg: Aggregate,
+                        d: graft.sources.MaterializedView.JoinMvDef,
+                        gAttr: AttributeReference, vAttr: AttributeReference,
+                        conds: Seq[Expression]): Option[LogicalPlan] = {
+    val mvPlan = SnapshotTable.read(spark, d.view).queryExecution.analyzed
+    def mv(name: String): AttributeReference =
+      mvPlan.output.collectFirst {
+        case a: AttributeReference if a.name == name => a
+      }.getOrElse(sys.error(s"join view ${d.view}: no column $name"))
+    val (mvG, mvN, mvTotal) = (mv(d.groupKey), mv("n"), mv("total"))
+
+    def isValue(e: Expression): Boolean = e match {
+      case c: Cast => c.child match {
+        case a: AttributeReference =>
+          c.dataType == DecimalType(18, 2) && a.exprId == vAttr.exprId
+        case _ => false
+      }
+      case _ => false
+    }
+
+    def sumOf(a: AttributeReference): Expression =
+      AggregateExpression(Sum(a), Complete, isDistinct = false)
+
+    def rewriteAgg(ae: AggregateExpression): Option[Expression] =
+      if (ae.isDistinct || ae.filter.nonEmpty) None
+      else ae.aggregateFunction match {
+        case Count(Seq(Literal(v, _))) if v != null => Some(sumOf(mvN))
+        case Sum(e, _) if isValue(e) =>
+          val s = sumOf(mvTotal)
+          Some(if (s.dataType == ae.dataType) s else Cast(s, ae.dataType))
+        case _ => None
+      }
+
+    def rewriteExpr(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => rewriteAgg(ae)
+      case a: AttributeReference if a.exprId == gAttr.exprId => Some(mvG)
+      case _: AttributeReference => None
+      case other =>
+        val kids = other.children.map(rewriteExpr)
+        if (kids.forall(_.isDefined)) Some(other.withNewChildren(kids.map(_.get)))
+        else None
+    }
+
+    def rewriteNamed(ne: NamedExpression): Option[NamedExpression] = ne match {
+      case a: AttributeReference if a.exprId == gAttr.exprId =>
+        Some(Alias(mvG, a.name)(exprId = a.exprId))
+      case al @ Alias(child, name) =>
+        rewriteExpr(child).map(c => Alias(c, name)(exprId = al.exprId))
+      case _ => None
+    }
+
+    val outs = agg.aggregateExpressions.map(rewriteNamed)
+    if (outs.exists(_.isEmpty)) return None
+    if (outs.map(_.get).zip(agg.aggregateExpressions)
+          .exists { case (n, o) => n.dataType != o.dataType }) return None
+
+    val keyPred = conds.map(_.transform {
+      case a: AttributeReference if a.exprId == gAttr.exprId => mvG
+    })
+    val pred = (keyPred :+ GreaterThan(mvN, Literal(0L))).reduce(And)
+    val grouping: Seq[Expression] =
+      if (agg.groupingExpressions.isEmpty) Nil else Seq(mvG)
+    Some(Aggregate(grouping, outs.map(_.get), Filter(pred, mvPlan)))
   }
 
   private def build(spark: SparkSession, agg: Aggregate, d: MvDef,

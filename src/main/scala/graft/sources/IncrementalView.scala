@@ -513,10 +513,44 @@ object IncrementalView extends QueryPack {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Driver query: the join view consumed TRANSPARENTLY — the user
+    * writes the plain `fact ⋈ dim GROUP BY segment` aggregate over the
+    * source scans and [[graft.plans.MviewRewrite]] substitutes the
+    * refreshed view (count → Σn, decimal sum → Σtotal) after proving
+    * both scans match the applied (vF, vD) pair. Values pinned by the
+    * same final-state oracle as the explicit-read twin.
+    */
+  def mviewJoinRewriteQuery(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.MviewRewrite.install(s)
+    val (fact, dim) = joinScenario(s, dir)
+    val base = memoized(() => mvjBaseMemo, mvjBaseMemo = _, s, dir) {
+      val b = java.nio.file.Files
+        .createTempDirectory("graft_mvj_base").resolve("t").toString
+      createJoin(s, b, fact, dim, "o_custkey", "c_custkey",
+        "c_mktsegment", "o_totalprice", atF = Some(1L), atD = Some(1L))
+      b
+    }
+    val view = SnapshotTable.cloneTable(s, base)
+    refreshJoin(s, view, fact, dim, "o_custkey", "c_custkey",
+      "c_mktsegment", "o_totalprice")
+    MaterializedView.registerJoin(MaterializedView.JoinMvDef(
+      view, fact, dim, "o_custkey", "c_custkey",
+      "c_mktsegment", "o_totalprice"))
+    val f = SnapshotTable.read(s, fact)
+    val d = SnapshotTable.read(s, dim)
+    f.join(d, f("o_custkey") === d("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("total_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_snapshot_mview" -> (mviewQuery _),
     "q_snapshot_mview2" -> (mviewMinMaxQuery _),
     "q_snapshot_mview_join" -> (mviewJoinQuery _),
+    "q_mview_join_rw" -> (mviewJoinRewriteQuery _),
     "q_stream_mview_join" -> (mviewJoinStreamQuery _))
 
   override def oracleSql: Map[String, String] = Map(
@@ -526,6 +560,11 @@ object IncrementalView extends QueryPack {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_stream_mview_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_mview_join_rw" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -78,6 +78,32 @@ object MaterializedView extends QueryPack {
 
   private[graft] def anyRegistered: Boolean = !registry.isEmpty
 
+  /** A registered fact⋈dim join summary ([[IncrementalView.createJoin]]
+    * shape: `groupKey, n = count(*), total = sum(cast(valueCol as
+    * decimal(18,2)))`, maintained by delta-join/bilinear refresh). The
+    * rewrite answers `fact ⋈ dim GROUP BY groupKey` aggregates from it
+    * when both scans match the applied `(vF, vD)` pair exactly.
+    */
+  final case class JoinMvDef(view: String, fact: String, dim: String,
+                             factKey: String, dimKey: String,
+                             groupKey: String, valueCol: String)
+
+  private val joinRegistry =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[JoinMvDef]]()
+
+  /** Register a join-view definition (replace semantics as [[register]]). */
+  def registerJoin(d: JoinMvDef): Unit =
+    joinRegistry.compute((norm(d.fact), norm(d.dim)), (_, old) =>
+      Option(old).getOrElse(Seq.empty).filterNot(e =>
+        e.view == d.view || (e.factKey == d.factKey && e.dimKey == d.dimKey &&
+          e.groupKey == d.groupKey && e.valueCol == d.valueCol)) :+ d)
+
+  private[graft] def defsForJoin(factPath: String,
+                                 dimPath: String): Seq[JoinMvDef] =
+    joinRegistry.getOrDefault((norm(factPath), norm(dimPath)), Seq.empty)
+
+  private[graft] def anyJoinRegistered: Boolean = !joinRegistry.isEmpty
+
   private def valueExpr(d: MvDef): Column =
     d.castTo.fold(col(d.valueCol))(t => col(d.valueCol).cast(t))
 

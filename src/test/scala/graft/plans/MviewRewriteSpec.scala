@@ -118,6 +118,82 @@ class MviewRewriteSpec extends SparkSpec {
       "a time-traveled scan reads a different file set — no rewrite")
   }
 
+  private lazy val joinInit: (String, String, String) = {
+    MviewRewrite.install(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_mvr_join")
+    val fact = root.resolve("fact").toString
+    val dim = root.resolve("dim").toString
+    SnapshotTable.create(spark, fact,
+      spark.range(0, 500).select(col("id").as("fk"),
+        (col("id") % 40).as("cust"),
+        (col("id") * 7 % 1000).cast("double").as("amount"),
+        (col("id") % 3).as("p")), partCol = "p")
+    SnapshotTable.create(spark, dim,
+      spark.range(0, 40).select(col("id").as("ck"),
+        concat(lit("seg"), (col("id") % 5).cast("string")).as("seg"),
+        lit(0L).as("p")), partCol = "p")
+    val view = root.resolve("view").toString
+    graft.sources.IncrementalView.createJoin(spark, view, fact, dim,
+      "cust", "ck", "seg", "amount")
+    MaterializedView.registerJoin(MaterializedView.JoinMvDef(
+      view, fact, dim, "cust", "ck", "seg", "amount"))
+    (fact, dim, view)
+  }
+
+  private def joinAgg(fact: String, dim: String): DataFrame = {
+    val f = SnapshotTable.read(spark, fact)
+    val d = SnapshotTable.read(spark, dim)
+    f.join(d, f("cust") === d("ck"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("amount").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy(col("seg"))
+  }
+
+  test("join aggregate is answered from the join view, values unchanged") {
+    val (fact, dim, view) = joinInit
+    val q = joinAgg(fact, dim)
+    assert(scanned(q) == Set(view),
+      "rewritten plan must scan ONLY the join view — neither source")
+    assert(q.collect().toSeq == withFlag(on = false) {
+      val p = joinAgg(fact, dim)
+      assert(scanned(p) == Set(fact, dim))
+      p.collect().toSeq
+    })
+  }
+
+  test("join rewrite: group filter transfers, fact filter refuses, stale pair refuses until refreshJoin") {
+    val (fact, dim, view) = joinInit
+    val f = SnapshotTable.read(spark, fact)
+    val d = SnapshotTable.read(spark, dim)
+    val filtered = f.join(d, f("cust") === d("ck"))
+      .filter(col("seg") === "seg2")
+      .groupBy(col("seg")).agg(count(lit(1)).as("n")).orderBy(col("seg"))
+    assert(scanned(filtered) == Set(view))
+    assert(filtered.collect().toSeq ==
+      withFlag(on = false)(filtered.collect().toSeq))
+
+    val factFiltered = f.filter(col("amount") > 100)
+      .join(d, f("cust") === d("ck"))
+      .groupBy(col("seg")).agg(count(lit(1)).as("n"))
+    assert(scanned(factFiltered) == Set(fact, dim),
+      "a fact-side predicate cannot be answered from the view")
+
+    SnapshotTable.commitAppend(spark, fact,
+      spark.range(500, 520).select(col("id").as("fk"),
+        (col("id") % 40).as("cust"),
+        lit(50.0).as("amount"), (col("id") % 3).as("p")), "p")
+    val stale = joinAgg(fact, dim)
+    assert(scanned(stale) == Set(fact, dim),
+      "a fact commit the view has not applied must refuse")
+    graft.sources.IncrementalView.refreshJoin(spark, view, fact, dim,
+      "cust", "ck", "seg", "amount")
+    val freshQ = joinAgg(fact, dim)
+    assert(scanned(freshQ) == Set(view), "refreshJoin restores the rewrite")
+    assert(freshQ.collect().toSeq ==
+      withFlag(on = false)(freshQ.collect().toSeq))
+  }
+
   test("refresh purges vanished groups and the rewrite stays exact") {
     val (srcBase, _) = init
     // isolated copy: deletes on the shared fixture would break others
