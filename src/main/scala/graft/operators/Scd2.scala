@@ -59,14 +59,19 @@ object Scd2 extends QueryPack {
         col(tieCol) :+ col("valid_to") :+ col("is_current") :+
         col("sk") :+ col("__bucket")): _*)
 
-  /** Materialize the dimension as a hash-bucketed snapshot table. */
+  /** Materialize the dimension as a hash-bucketed snapshot table.
+    * `tags` seeds the ledger — stamp `scd2@<logVersion>` when the
+    * changes came from a change-log snapshot table so
+    * [[refreshFromLog]] knows its applied frontier.
+    */
   def createDim(spark: SparkSession, dim: String, changes: DataFrame,
                 keyCol: String, tsCol: String, attrCols: Seq[String],
-                tieCol: String, buckets: Int = 64): Long =
+                tieCol: String, buckets: Int = 64,
+                tags: Set[String] = Set.empty): Long =
     SnapshotTable.create(spark, dim,
       withKeys(buildDim(changes, keyCol, tsCol, attrCols, tieCol),
         keyCol, attrCols, tieCol, buckets),
-      partCol = "__bucket")
+      partCol = "__bucket", tags = tags)
 
   /** Incrementally merge a batch of change records into the dimension:
     * touched keys' timelines (existing versions re-read AS change
@@ -90,6 +95,45 @@ object Scd2 extends QueryPack {
         keyCol, tsCol, attrCols, tieCol),
       keyCol, attrCols, tieCol, buckets)
     SnapshotTable.commitMerge(spark, dim, rebuilt, "sk", "__bucket", tag)
+  }
+
+  // ------------------------------------------------------------------
+  // change-log-driven maintenance: the change history lives in a
+  // snapshot table; the dimension advances by consuming its commit
+  // windows, the applied log version riding the dim's tag ledger
+  // ------------------------------------------------------------------
+
+  private val LogTagRe = raw"scd2@(\d+)".r
+
+  /** The change-log version the dimension has applied. LOUD when the
+    * dim records no `scd2@` tag (it was not built from a log).
+    */
+  def appliedLogVersion(spark: SparkSession, dim: String): Long =
+    SnapshotTable.currentTags(spark, dim)
+      .collect { case LogTagRe(n) => n.toLong }
+      .maxOption.getOrElse(sys.error(
+        s"SCD2 dim $dim records no applied change-log version"))
+
+  /** Advance the dimension to the change log's current version: the
+    * unseen window's rows (append-only by contract — a change log never
+    * rewrites) arrive as one [[applyChanges]] batch tagged
+    * `scd2@<version>`, so a replayed or restarted refresh is a ledger
+    * no-op and racing maintenance rebases via commitWithRetry at the
+    * caller. O(window + touched timelines), never O(log) or O(dim).
+    */
+  def refreshFromLog(spark: SparkSession, dim: String, log: String,
+                     keyCol: String, tsCol: String, attrCols: Seq[String],
+                     tieCol: String, buckets: Int = 64): Long = {
+    val applied = appliedLogVersion(spark, dim)
+    val cur = SnapshotTable.currentVersion(spark, log)
+    if (cur > applied) {
+      val batch = SnapshotTable.readAppendWindow(spark, log, applied, cur)
+        .select((col(keyCol) +: col(tsCol) +: attrCols.map(col) :+
+          col(tieCol)): _*)
+      applyChanges(spark, dim, batch, keyCol, tsCol, attrCols, tieCol,
+        buckets, tag = Some(s"scd2@$cur"))
+    }
+    cur
   }
 
   /** Join each fact row to the dimension version valid at `factTs`
@@ -134,7 +178,7 @@ object Scd2 extends QueryPack {
     fmtDim(buildDim(ordersChanges(s, dir), "o_custkey", "o_orderdate",
       Attrs, "o_orderkey"))
 
-  // base dim over the pre-1998-06 history — built once per corpus
+  // base dim over the pre-1998-07 history — built once per corpus
   // (read-only; each run clones it and applies the tail batch)
   @volatile private var dimBaseMemo: Option[((SparkSession, String), String)] = None
 
@@ -148,7 +192,7 @@ object Scd2 extends QueryPack {
             val dim = java.nio.file.Files
               .createTempDirectory("graft_scd2_base").resolve("t").toString
             createDim(s, dim,
-              ordersChanges(s, dir).filter(col("o_orderdate") < lit("1998-06-01")),
+              ordersChanges(s, dir).filter(col("o_orderdate") < lit("1998-07-01")),
               "o_custkey", "o_orderdate", Attrs, "o_orderkey", buckets = 16)
             dimBaseMemo = Some(((s, dir), dim))
             dim
@@ -156,7 +200,7 @@ object Scd2 extends QueryPack {
       }
     }
 
-  /** Driver query: incremental maintenance — the mid-1998 order tail
+  /** Driver query: incremental maintenance — the July-1998+ order tail
     * arrives as a batch against the historical dimension; the merged
     * result must be indistinguishable from a global rebuild over the
     * full history (the oracle), which only holds if interval closing,
@@ -165,7 +209,57 @@ object Scd2 extends QueryPack {
   def applyQuery(s: SparkSession, dir: String): DataFrame = {
     val work = SnapshotTable.cloneTable(s, dimBase(s, dir))
     applyChanges(s, work,
-      ordersChanges(s, dir).filter(col("o_orderdate") >= lit("1998-06-01")),
+      ordersChanges(s, dir).filter(col("o_orderdate") >= lit("1998-07-01")),
+      "o_custkey", "o_orderdate", Attrs, "o_orderkey", buckets = 16)
+    fmtDim(SnapshotTable.read(s, work))
+  }
+
+  // change-log fixture for the streaming twin: the pre-July history is
+  // log v1 and the dim base applied it (scd2@1); the July+ tail is the
+  // log's v2 append. Both read-only after build — each run clones the
+  // dim and lets the stream drive it to the log head.
+  @volatile private var logMemo: Option[((SparkSession, String), (String, String))] = None
+
+  private def logScenario(s: SparkSession, dir: String): (String, String) =
+    logMemo match {
+      case Some((k, w)) if k == ((s, dir)) => w
+      case _ => synchronized {
+        logMemo match {
+          case Some((k, w)) if k == ((s, dir)) => w
+          case _ =>
+            val root = java.nio.file.Files.createTempDirectory("graft_scd2_log")
+            val log = root.resolve("log").toString
+            val changes = ordersChanges(s, dir)
+            SnapshotTable.create(s, log,
+              changes.filter(col("o_orderdate") < lit("1998-07-01")),
+              "o_orderpriority")
+            SnapshotTable.commitAppend(s, log,
+              changes.filter(col("o_orderdate") >= lit("1998-07-01")),
+              "o_orderpriority")
+            val dim = root.resolve("dim").toString
+            createDim(s, dim,
+              SnapshotTable.readVersion(s, log, 1L)
+                .select(col("o_custkey"), col("o_orderdate"),
+                  col("o_orderpriority"), col("o_orderkey")),
+              "o_custkey", "o_orderdate", Attrs, "o_orderkey",
+              buckets = 16, tags = Set("scd2@1"))
+            val w = (log, dim)
+            logMemo = Some(((s, dir), w))
+            w
+        }
+      }
+    }
+
+  /** Driver query: STREAMING maintenance — the change log's commit log
+    * is tailed as a stream and [[refreshFromLog]] advances a clone of
+    * the historical dimension per micro-batch
+    * ([[graft.streaming.SnapshotSink.runScd2]]). Shares the incremental
+    * twin's oracle: stream ≡ batch apply ≡ global rebuild.
+    */
+  def streamQuery(s: SparkSession, dir: String): DataFrame = {
+    val (log, dim) = logScenario(s, dir)
+    val work = SnapshotTable.cloneTable(s, dim)
+    graft.streaming.SnapshotSink.runScd2(s, log, work,
       "o_custkey", "o_orderdate", Attrs, "o_orderkey", buckets = 16)
     fmtDim(SnapshotTable.read(s, work))
   }
@@ -193,6 +287,7 @@ object Scd2 extends QueryPack {
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_scd2_build" -> (buildQuery _),
     "q_scd2_apply" -> (applyQuery _),
+    "q_stream_scd2" -> (streamQuery _),
     "q_scd2_pit" -> (pitQuery _))
 
   private val ScdCte =
@@ -218,6 +313,7 @@ object Scd2 extends QueryPack {
   override def oracleSql: Map[String, String] = Map(
     "q_scd2_build" -> s"$ScdCte\n$DimSelect",
     "q_scd2_apply" -> s"$ScdCte\n$DimSelect",
+    "q_stream_scd2" -> s"$ScdCte\n$DimSelect",
     "q_scd2_pit" ->
       s"""$ScdCte
         |SELECT s.o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,

@@ -46,6 +46,17 @@ import graft.sources.{IncrementalView, MaterializedView, SnapshotFileIndex, Snap
   * between its merge and ghost purge) and keeps key predicates, which
   * push down to the view's manifest stats as usual.
   *
+  * The JOIN form ([[tryRewriteJoin]]) extends the proof to `fact ⋈ dim
+  * GROUP BY group-key` aggregates over a registered delta-maintained
+  * join view ([[graft.sources.IncrementalView.createJoin]]): BOTH scans
+  * must match the view's applied `(vF, vD)` version pair exactly, the
+  * join must be the registered inner equi-key pair, filters may touch
+  * the group key only (optimizer-inferred `isnotnull(joinKey)`
+  * conjuncts are ignored — they are implied by the inner equi-join the
+  * view summarizes), and `count(*) → Σn` / `sum(cast(v as dec(18,2)))
+  * → Σtotal` with output types proven equal. The 100 TB win compounds:
+  * the join itself disappears, not just the aggregate.
+  *
   * Install per session via [[install]] or globally through
   * `spark.sql.extensions=graft.GraftExtensions`; disable with
   * `spark.graft.mview.rewrite=false` (the spec proves rewritten ≡

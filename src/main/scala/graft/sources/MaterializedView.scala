@@ -158,9 +158,11 @@ object MaterializedView extends QueryPack {
     val applied = IncrementalView.appliedVersion(spark, d.view)
     val cur = SnapshotTable.currentVersion(spark, d.src)
     if (cur > applied) {
+      // file-level touched-key probe (over-approximate, never wrong:
+      // recompute is absolute state) — two narrow scans instead of the
+      // change feed's exceptAll pair reconstruction
       val touched = SnapshotTable
-        .readChangesBetween(spark, d.src, applied, cur)
-        .select(col(d.keyCol)).distinct()
+        .changedKeysBetween(spark, d.src, applied, cur, d.keyCol)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val recomputed = withBucket(summaryOf(
         SnapshotTable.read(spark, d.src)

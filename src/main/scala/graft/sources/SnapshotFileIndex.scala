@@ -212,6 +212,23 @@ final class SnapshotFileIndex(
     // could only prune an all-null file, which records no stats either
     case _: IsNull | _: IsNotNull => true
 
+    // transform-aware skipping: f(col) OP lit where f is a chain of
+    // known NON-DECREASING steps (year, date_trunc, ordered casts,
+    // floor/ceil, ± literal) — then f([lo,hi]) = [f(lo),f(hi)] bounds
+    // the file and the comparison happens in f's OUTPUT domain
+    case EqualTo(Mono(f, a), v: Literal) => monoMay(e, f, a, v, "=")
+    case EqualTo(v: Literal, Mono(f, a)) => monoMay(e, f, a, v, "=")
+    case GreaterThan(Mono(f, a), v: Literal)        => monoMay(e, f, a, v, ">")
+    case GreaterThan(v: Literal, Mono(f, a))        => monoMay(e, f, a, v, "<")
+    case GreaterThanOrEqual(Mono(f, a), v: Literal) => monoMay(e, f, a, v, ">=")
+    case GreaterThanOrEqual(v: Literal, Mono(f, a)) => monoMay(e, f, a, v, "<=")
+    case LessThan(Mono(f, a), v: Literal)           => monoMay(e, f, a, v, "<")
+    case LessThan(v: Literal, Mono(f, a))           => monoMay(e, f, a, v, ">")
+    case LessThanOrEqual(Mono(f, a), v: Literal)    => monoMay(e, f, a, v, "<=")
+    case LessThanOrEqual(v: Literal, Mono(f, a))    => monoMay(e, f, a, v, ">=")
+    case In(Mono(f, a), vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists(v => monoMay(e, f, a, v.asInstanceOf[Literal], "="))
+
     case Not(inner) => inner match {
       // single-valued files (the writer's invariant) make negated
       // partition equality exact: every row has the recorded value
@@ -229,4 +246,134 @@ final class SnapshotFileIndex(
 
   override def toString: String =
     s"SnapshotFileIndex($table, ${entries.size} files)"
+
+  // ---- monotone-transform skipping -----------------------------------
+  //
+  // The Iceberg "transform-aware predicates" idea: for a NON-DECREASING
+  // f, the image of the file's [lo, hi] under f is [f(lo), f(hi)], so
+  // `f(col) OP literal` prunes by evaluating f driver-side at the two
+  // stat endpoints — `year(ts) = 1995` or `cast(ts as date) >= d` skips
+  // files without the user rewriting the predicate onto the raw column.
+  // Conservativeness: endpoints are reconstructed from the stats'
+  // double encoding EXACTLY for integrals under 2^53 and WIDENED by
+  // 1 ms for timestamps (absorbing the micros→double→micros round
+  // trip); any eval that fails, overflows to null, or lands outside
+  // the whitelist keeps the file.
+
+  /** The base column under a chain of known non-decreasing unary steps
+    * (a bare column is not a "transform" — it takes the exact path).
+    */
+  private object Mono {
+    def unapply(e: Expression): Option[(Expression, AttributeReference)] =
+      e match {
+        case _: AttributeReference => None
+        case MonoBase(a) => Some((e, a))
+        case _ => None
+      }
+  }
+
+  private def orderedType(dt: DataType): Boolean = dt match {
+    case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  private object MonoBase {
+    def unapply(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference => Some(a)
+      case Year(MonoBase(a)) => Some(a)
+      // date_trunc / trunc: any truncation is non-decreasing (unit must
+      // be literal so f is a function of the column alone)
+      case TruncTimestamp(Literal(_, _), MonoBase(a), _) => Some(a)
+      case TruncDate(MonoBase(a), Literal(_, _)) => Some(a)
+      case c @ Cast(MonoBase(a), _, _, _)
+          if orderedType(c.child.dataType) && orderedType(c.dataType) =>
+        Some(a)
+      case Floor(MonoBase(a)) => Some(a)
+      case Ceil(MonoBase(a)) => Some(a)
+      case Add(MonoBase(a), _: Literal, _) => Some(a)
+      case Add(_: Literal, MonoBase(a), _) => Some(a)
+      case Subtract(MonoBase(a), _: Literal, _) => Some(a)
+      case _ => None
+    }
+  }
+
+  /** A typed literal carrying the stat endpoint back in the COLUMN's
+    * domain — exact for integrals (refusing doubles past 2^53, where
+    * the stats encoding is lossy), ±1 ms widened for timestamps, None
+    * (never prune) for types the stats writer cannot round-trip.
+    */
+  private def statLiteral(a: AttributeReference, d: Double,
+                          down: Boolean): Option[Literal] = a.dataType match {
+    case TimestampType | TimestampNTZType =>
+      val eps = 1000L
+      val micros = math.rint(d * 1e6).toLong + (if (down) -eps else eps)
+      Some(Literal(micros, a.dataType))
+    case ByteType | ShortType | IntegerType | LongType =>
+      if (math.abs(d) > 9007199254740992d) None
+      else {
+        val v = math.rint(d).toLong
+        val boxed: Any = a.dataType match {
+          case ByteType    => v.toByte
+          case ShortType   => v.toShort
+          case IntegerType => v.toInt
+          case LongType    => v
+        }
+        Some(Literal.create(boxed, a.dataType))
+      }
+    case DoubleType => Some(Literal(d, DoubleType))
+    case FloatType  => Some(Literal(d.toFloat, FloatType))
+    case _ => None
+  }
+
+  /** Value of an ORDERED type → the shared comparison domain (the same
+    * double encoding the stats writer uses; dates as epoch days).
+    */
+  private def orderedDouble(value: Any, dt: DataType): Option[Double] =
+    if (value == null) None
+    else dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType =>
+        Some(value.asInstanceOf[java.lang.Number].doubleValue())
+      case _: DecimalType => Some(value.asInstanceOf[Decimal].toDouble)
+      case TimestampType | TimestampNTZType =>
+        Some(value.asInstanceOf[java.lang.Long].toDouble / 1e6)
+      case DateType => Some(value.asInstanceOf[java.lang.Integer].toDouble)
+      case _ => None
+    }
+
+  /** f evaluated at one reconstructed endpoint, in the output domain.
+    * Any failure (overflow null, ANSI throw, unsupported output type)
+    * → None → the caller keeps the file.
+    */
+  private def evalAt(f: Expression, a: AttributeReference,
+                     end: Literal): Option[Double] =
+    try {
+      val sub = f.transform {
+        case x: AttributeReference if x.exprId == a.exprId => end
+      }
+      orderedDouble(sub.eval(InternalRow.empty), f.dataType)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** May a row of `e` satisfy `f(col) OP v`? False only when the
+    * transformed stat interval provably misses the literal.
+    */
+  private def monoMay(e: FileEntry, f: Expression, a: AttributeReference,
+                      v: Literal, op: String): Boolean = {
+    val verdict = for {
+      s   <- stats(e, a.name)
+      d   <- orderedDouble(v.value, v.dataType)
+      lo  <- statLiteral(a, s.lo, down = true)
+      hi  <- statLiteral(a, s.hi, down = false)
+      flo <- evalAt(f, a, lo)
+      fhi <- evalAt(f, a, hi)
+    } yield op match {
+      case "="  => flo <= d && d <= fhi
+      case ">"  => fhi > d
+      case ">=" => fhi >= d
+      case "<"  => flo < d
+      case "<=" => flo <= d
+      case _    => true
+    }
+    verdict.getOrElse(true)
+  }
 }

@@ -617,25 +617,41 @@ object SnapshotTable extends QueryPack {
 
     // per-file row counts (+ per-column min/max): one column-pruned
     // scan of the NEW files (never the table), keyed by
-    // (partition dir, file base)
-    val statsAggs = count(lit(1)).as("rows") +: effStats.flatMap(sc =>
-      Seq(min(col(sc)).cast("double").as(s"lo_$sc"),
-        max(col(sc)).cast("double").as(s"hi_$sc")))
-    val rows = spark.read.parquet(staging.toString)
-      .groupBy(input_file_name().as("f")).agg(statsAggs.head, statsAggs.tail: _*)
-      .collect().map { r =>
-        // keyed by the file's absolute path: with bucketed (two-level)
-        // staging dirs, (parent dir, name) alone could collide across
-        // partition values
-        val p = new java.net.URI(r.getString(0)).getPath
-        // an all-null stats column yields null min/max: record no stats
-        // for that column in that file (it then never skips on it)
-        val st = effStats.zipWithIndex.flatMap { case (sc, i) =>
-          if (r.isNullAt(2 + 2 * i) || r.isNullAt(3 + 2 * i)) None
-          else Some(ColStats(sc, r.getDouble(2 + 2 * i), r.getDouble(3 + 2 * i)))
-        }
-        p -> (r.getLong(1), st)
-      }.toMap
+    // (partition dir, file base). With NO stats columns the counts come
+    // from the parquet FOOTERS driver-side instead — row counts are
+    // already in every footer, so a stats-less commit (streaming sinks,
+    // catalog transactions, pipeline nodes) skips the whole Spark job;
+    // at 100 TB this is the O(fresh files) metadata pass a commit
+    // already pays, not a data scan.
+    val rows: Map[String, (Long, Seq[ColStats])] =
+      if (effStats.isEmpty)
+        staged.map { case (_, _, p, _) =>
+          val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              p, spark.sparkContext.hadoopConfiguration))
+          val n = try fr.getRecordCount finally fr.close()
+          p.toUri.getPath -> ((n, Seq.empty[ColStats]))
+        }.toMap
+      else {
+        val statsAggs = count(lit(1)).as("rows") +: effStats.flatMap(sc =>
+          Seq(min(col(sc)).cast("double").as(s"lo_$sc"),
+            max(col(sc)).cast("double").as(s"hi_$sc")))
+        spark.read.parquet(staging.toString)
+          .groupBy(input_file_name().as("f")).agg(statsAggs.head, statsAggs.tail: _*)
+          .collect().map { r =>
+            // keyed by the file's absolute path: with bucketed (two-level)
+            // staging dirs, (parent dir, name) alone could collide across
+            // partition values
+            val p = new java.net.URI(r.getString(0)).getPath
+            // an all-null stats column yields null min/max: record no stats
+            // for that column in that file (it then never skips on it)
+            val st = effStats.zipWithIndex.flatMap { case (sc, i) =>
+              if (r.isNullAt(2 + 2 * i) || r.isNullAt(3 + 2 * i)) None
+              else Some(ColStats(sc, r.getDouble(2 + 2 * i), r.getDouble(3 + 2 * i)))
+            }
+            p -> (r.getLong(1), st)
+          }.toMap
+      }
 
     // per-file bloom bitmaps: ONE pass over the fresh files emitting
     // (col, xxhash64(value, round) mod m) pairs, collect_set per
@@ -1196,8 +1212,12 @@ object SnapshotTable extends QueryPack {
     // rows already passed when they were committed
     enforceChecks(updates, hdr.checks, "commitMerge")
     val manifest = meta.entries
-    val batchParts = updates.select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSet
+    // one job serves both the partition probe and the replaced/inserted
+    // arithmetic below (updCount) — the batch is already materialized
+    val partCounts = updates.groupBy(col(partCol).cast("string").as("__p"))
+      .count().collect()
+    val batchParts = partCounts.map(_.getString(0)).toSet
+    val updCount = partCounts.map(_.getLong(1)).sum
 
     // files partitioned by ANOTHER column (partition evolution) fall to
     // the mover path — their values aren't comparable to the batch's
@@ -1234,10 +1254,9 @@ object SnapshotTable extends QueryPack {
       fresh, Seq.empty, hdr.copy(tags = hdr.tags ++ tag))
     // replaced/inserted by ARITHMETIC, not extra scans: the manifest
     // already records affected-file row counts, writeDataFiles already
-    // counted the merged output, and only the (small) batch is counted
-    // here — zero additional passes over the table side.
+    // counted the merged output, and updCount rode the partition-probe
+    // job above — zero additional passes over either side.
     //   freshRows = targetRows − nReplaced + updCount
-    val updCount = updates.count()
     val targetRows = affected.map(_.rows).sum
     val freshRows = fresh.map(_.rows).sum
     val nReplaced = targetRows + updCount - freshRows
@@ -2528,6 +2547,80 @@ object SnapshotTable extends QueryPack {
     else parts.reduce(_.unionByName(_))
   }
 
+  /** The tag ledger of the table's CURRENT version — the public probe
+    * operators outside this package use to read their applied-frontier
+    * tags (`mv@v`, `scd2@v`, micro-batch ids) without manifest access.
+    */
+  def currentTags(spark: SparkSession, table: String): Set[String] =
+    readManifestList(spark, table, currentVersion(spark, table))._2.tags
+
+  /** Rows APPENDED in versions `(fromV, toV]` of an append-only window
+    * — the batch view of what the `graft-snapshot` stream would
+    * deliver. LOUD if any step in the window rewrote or deleted files
+    * (a change LOG must be append-only; consume
+    * [[readChangesBetween]] for general windows). O(window) in the
+    * steady state: two manifest lists + the window's fresh segments.
+    */
+  def readAppendWindow(spark: SparkSession, table: String,
+                       fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"readAppendWindow: need fromV <= toV, got $fromV, $toV")
+    val (added, postHdr, removed, newDeletes) =
+      appendWindow(spark, table, fromV, toV)
+    require(removed.isEmpty && newDeletes.isEmpty,
+      s"readAppendWindow: $table versions ($fromV, $toV] rewrote " +
+        s"${removed.size} file(s) / added ${newDeletes.size} delete " +
+        "file(s) — the window is not append-only")
+    if (added.isEmpty) readVersion(spark, table, toV).filter(lit(false))
+    else indexedRead(spark, table, added, postHdr)
+  }
+
+  /** DISTINCT `keyCol` values of every row ADDED or REMOVED between the
+    * two versions — the cheap OVER-approximation an absolute-state IVM
+    * refresh needs for its touched-group probe. Where
+    * [[readChangesBetween]] reconstructs exact change pairs (two
+    * `exceptAll` set-diffs per rewrite step), this unions ONE
+    * column-pruned scan of the fresh files with one of the replaced
+    * files: a key in a rewritten file whose rows did not change is
+    * reported anyway, which merely re-aggregates an unchanged group —
+    * never a wrong result, and at 100 TB the probe reads two narrow
+    * file sets instead of diffing them row-by-row. Steps that add
+    * equality/positional delete files keep their candidate files'
+    * keys the same way (the masked rows are a subset). Returns one
+    * column named `keyCol`.
+    */
+  def changedKeysBetween(spark: SparkSession, table: String,
+                         fromV: Long, toV: Long,
+                         keyCol: String): DataFrame = {
+    val vs = versions(spark, table)
+    require(fromV < toV, s"changedKeysBetween: need fromV < toV, got $fromV, $toV")
+    require((fromV to toV).forall(vs.contains),
+      s"changedKeysBetween: a version in $fromV..$toV was vacuumed")
+    val metas = (fromV to toV).map(v => v -> readMeta(spark, table, v)).toMap
+    val finalHdr = metas(toV).hdr
+    val parts = (fromV until toV).flatMap { v =>
+      val pre = metas(v); val post = metas(v + 1)
+      val prePaths = pre.entries.map(_.path).toSet
+      val postPaths = post.entries.map(_.path).toSet
+      val added = post.entries.filterNot(e => prePaths.contains(e.path))
+      val removed = pre.entries.filterNot(e => postPaths.contains(e.path))
+      // new equality/positional delete files mask rows of still-live
+      // candidate files: every candidate's keys are touched candidates
+      val newDeletes = post.deletes
+        .filterNot(d => pre.deletes.exists(_.path == d.path))
+      val maskCandidates =
+        if (newDeletes.isEmpty) Seq.empty
+        else pre.entries.filter(e => newDeletes.exists(_.seq > e.seq))
+      (added ++ removed ++ maskCandidates).distinct match {
+        case Seq() => None
+        case files => Some(
+          indexedRead(spark, table, files, finalHdr).select(col(keyCol)))
+      }
+    }
+    if (parts.isEmpty)
+      readVersion(spark, table, toV).select(col(keyCol)).filter(lit(false))
+    else parts.reduce(_.unionByName(_)).distinct()
+  }
+
   // ---- driver queries: the deterministic upsert scenario, run through
   // snapshot commits (same batch as q_upsert_merge; its oracle replays
   // the merge, and time travel replays the PRE-merge table)
@@ -3064,6 +3157,26 @@ object SnapshotTable extends QueryPack {
         max(col("event_id")).as("max_id"))
       .orderBy(col("event_type"))
 
+  /** One day's rollup filtered by `date_trunc('day', ts)` — the
+    * predicate the user actually writes — pruned by MONOTONE-TRANSFORM
+    * skipping: [[SnapshotFileIndex]] evaluates the truncation at each
+    * file's ts min/max and plans only the files whose transformed
+    * interval covers the probed day (the Iceberg transform-predicate
+    * idea; at 100 TB a day query over a time-clustered event corpus
+    * reads one day's files, not one month's, with NO predicate
+    * rewriting onto the raw column). SnapshotFileIndexSpec pins the
+    * actual file skipping; this oracle pins exactness.
+    */
+  def exprSkipQuery(s: SparkSession, dir: String): DataFrame =
+    read(s, eventsScenario(s, dir))
+      .filter(date_trunc("day", col("ts")) ===
+        lit("2024-01-15 00:00:00").cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+
   // the CDC scenario commits once (append, merge, lazy delete) and is
   // READ-ONLY afterwards — readChangesBetween never advances versions —
   // so it memoizes like the merge/events scenarios and repeated bench
@@ -3309,6 +3422,7 @@ object SnapshotTable extends QueryPack {
     "q_snapshot_skip" -> (rangeSkipQuery _),
     "q_snapshot_skip2" -> (rangeSkip2Query _),
     "q_snapshot_pushdown" -> (pushdownQuery _),
+    "q_snapshot_skip_expr" -> (exprSkipQuery _),
     "q_snapshot_zorder" -> (zorderQuery _),
     "q_snapshot_partevo" -> (partEvoQuery _),
     "q_snapshot_bloom" -> (bloomQuery _),
@@ -3457,6 +3571,13 @@ object SnapshotTable extends QueryPack {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
         |  CAST(max(event_id) AS BIGINT) AS max_id
         |FROM events WHERE event_id BETWEEN 100 AND 299
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_snapshot_skip_expr" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  CAST(max(event_id) AS BIGINT) AS max_id
+        |FROM events
+        |WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-15 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_snapshot_delete" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,

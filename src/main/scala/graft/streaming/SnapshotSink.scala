@@ -99,6 +99,39 @@ object SnapshotSink extends QueryPack {
     q.awaitTermination()
   }
 
+  /** STREAMING SCD2 maintenance: tail the change-LOG table's commit log
+    * and, per micro-batch, advance the type-2 dimension to the log head
+    * via [[graft.operators.Scd2.refreshFromLog]] — the same
+    * stream-as-scheduler shape as [[runJoinView]]: the refresh consumes
+    * exactly its unseen log window (applied tag → head) and its
+    * `scd2@<version>` tag makes replays and restarts ledger no-ops, so
+    * late-arriving change batches keep landing exactly once while the
+    * dim stays queryable (snapshot-isolated readers) throughout.
+    */
+  def runScd2(spark: SparkSession, log: String, dim: String,
+              keyCol: String, tsCol: String, attrCols: Seq[String],
+              tieCol: String, buckets: Int = 64,
+              checkpoint: Option[String] = None): Unit = {
+    val source = spark.readStream.format("graft-snapshot")
+      .option("startingVersion", "0")
+      // one micro-batch per log commit: the refresh cadence matches the
+      // change cadence (replayed pre-applied windows are ledger no-ops)
+      .option("maxVersionsPerTrigger", "1").load(log)
+    val q = source.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        SnapshotTable.commitWithRetry() {
+          graft.operators.Scd2.refreshFromLog(batch.sparkSession, dim, log,
+            keyCol, tsCol, attrCols, tieCol, buckets)
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        checkpoint.getOrElse(StreamHousekeeping.freshCheckpointDir()))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** CONTINUOUS PIPELINE: tail `sourceTable`'s commit log as a stream
     * and refresh the whole DAG once per micro-batch — the
     * Delta-Live-Tables shape on top of [[graft.sources.Pipeline]]. The

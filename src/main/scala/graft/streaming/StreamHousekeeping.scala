@@ -20,7 +20,17 @@ import org.apache.spark.sql.SparkSession
 private[streaming] object StreamHousekeeping {
 
   private lazy val ckRoot: Path = {
-    val root = Files.createTempDirectory("graft_stream_ck")
+    // checkpoints are scratch state scoped to this process (the
+    // shutdown hook removes them): prefer the ram-backed tmpfs when the
+    // host has one — a micro-batch commits its offset/state files
+    // synchronously, so checkpoint fsync latency is pure overhead at
+    // local scale (a production deployment points this at durable
+    // storage by passing an explicit checkpointLocation instead)
+    val base = Paths.get("/dev/shm")
+    val root =
+      if (Files.isDirectory(base) && Files.isWritable(base))
+        Files.createTempDirectory(base, "graft_stream_ck")
+      else Files.createTempDirectory("graft_stream_ck")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(p: Path): Unit = {
         if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))

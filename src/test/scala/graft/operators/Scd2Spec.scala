@@ -75,6 +75,40 @@ class Scd2Spec extends SparkSpec {
     assert(SnapshotTable.read(spark, dimPath).count() == 2L)
   }
 
+  test("refreshFromLog: stream-driven maintenance ≡ global rebuild; " +
+    "restart with a fresh checkpoint advances nothing") {
+    val root = java.nio.file.Files.createTempDirectory("graft_scd2_stream")
+    val log = root.resolve("log").toString
+    val dim = root.resolve("dim").toString
+    val hist = changes(
+      (1L, "2020-01-01", "a", 10L),
+      (2L, "2020-02-01", "x", 5L))
+    val tail1 = changes((1L, "2020-06-01", "b", 20L))
+    val tail2 = changes(
+      (2L, "2020-01-15", "w", 6L),  // late
+      (3L, "2020-04-01", "m", 7L))  // new key
+    Scd2.createDim(spark, dim, hist, "k", "d", Seq("attr"), "tie",
+      buckets = 2, tags = Set("scd2@1"))
+    SnapshotTable.create(spark, log, hist.withColumn("p", lit(0L)), "p")
+    SnapshotTable.commitAppend(spark, log, tail1.withColumn("p", lit(0L)), "p")
+    SnapshotTable.commitAppend(spark, log, tail2.withColumn("p", lit(0L)), "p")
+
+    graft.streaming.SnapshotSink.runScd2(spark, log, dim,
+      "k", "d", Seq("attr"), "tie", buckets = 2)
+    val global = Scd2.buildDim(
+      hist.unionByName(tail1).unionByName(tail2), "k", "d", Seq("attr"), "tie")
+    assert(dimRows(SnapshotTable.read(spark, dim)) == dimRows(global))
+    assert(Scd2.appliedLogVersion(spark, dim) == 3L)
+
+    // full restart from version 0 with a FRESH checkpoint: every window
+    // replays, every refresh is a ledger no-op, the dim is untouched
+    val v = SnapshotTable.currentVersion(spark, dim)
+    graft.streaming.SnapshotSink.runScd2(spark, log, dim,
+      "k", "d", Seq("attr"), "tie", buckets = 2)
+    assert(SnapshotTable.currentVersion(spark, dim) == v)
+    assert(dimRows(SnapshotTable.read(spark, dim)) == dimRows(global))
+  }
+
   test("pointInTime: boundary instants join the starting version; pre-history facts drop") {
     val dim = Scd2.buildDim(changes(
       (1L, "2020-01-01", "a", 1L),

@@ -269,6 +269,52 @@ class SnapshotFileIndexSpec extends SparkSpec {
       s"$scanned of ${m2.size}")
   }
 
+  test("monotone-transform predicates prune via stats evaluated at the " +
+    "endpoints — and every pruned result matches the unpruned read") {
+    val t = java.nio.file.Files.createTempDirectory("snapmono")
+      .resolve("t").toString
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    // first stats column = cluster column: day-granularity predicates
+    // then have files to skip (fine granularity forces several ts RANGE
+    // splits per partition value at spec scale — a single range split
+    // would leave every file spanning the whole month)
+    SnapshotTable.withFileGranularity(spark, 1L << 12) {
+      SnapshotTable.create(spark, t, ev, "event_type",
+        statsCols = Seq("ts", "event_id"))
+    }
+    val total = SnapshotTable.readManifest(spark, t, 1L).size
+    assert(total > 10, s"need several ts ranges, got $total files")
+
+    def check(pred: org.apache.spark.sql.Column, expectSkip: Boolean): Unit = {
+      val q = SnapshotTable.read(spark, t).filter(pred)
+      val n = scannedFiles(q)
+      if (expectSkip) assert(n < total, s"no skip for $pred: $n of $total")
+      val want = ev.filter(pred).count()
+      assert(SnapshotTable.read(spark, t).filter(pred).count() === want,
+        s"wrong result under pruning for $pred")
+    }
+
+    // cast(ts as date): equality, range — both prune
+    check(col("ts").cast("date") === lit("2024-01-15"), expectSkip = true)
+    check(col("ts").cast("date") >= lit("2024-01-25"), expectSkip = true)
+    // date_trunc chains over the cast
+    check(date_trunc("day", col("ts")) ===
+      lit("2024-01-10 00:00:00").cast("timestamp"), expectSkip = true)
+    // year(): all data is 2024 — a 2023 probe scans NOTHING
+    val none = SnapshotTable.read(spark, t)
+      .filter(year(col("ts")) === 2023)
+    assert(scannedFiles(none) === 0L)
+    assert(none.count() === 0L)
+    // arithmetic chain on the integral stats column (exact under 2^53)
+    check(col("event_id") + 1000L <= 1100L, expectSkip = true)
+    // non-monotone shapes refuse: month() cycles — full scan, correct
+    val m = SnapshotTable.read(spark, t)
+      .filter(month(col("ts")) === 1)
+    assert(scannedFiles(m) === total.toLong)
+    assert(m.count() === ev.count())
+  }
+
   test("filters still prune after a merge commit mixes file generations") {
     val t = java.nio.file.Files.createTempDirectory("snapidx2")
       .resolve("t").toString
