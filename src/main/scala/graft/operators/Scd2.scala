@@ -229,12 +229,15 @@ object Scd2 extends QueryPack {
           case _ =>
             val root = java.nio.file.Files.createTempDirectory("graft_scd2_log")
             val log = root.resolve("log").toString
+            // split point is fixture-only (the oracle replays the GLOBAL
+            // build): a late cutoff keeps the streamed window an honest
+            // late-tail batch without re-measuring the batch twin's bulk
             val changes = ordersChanges(s, dir)
             SnapshotTable.create(s, log,
-              changes.filter(col("o_orderdate") < lit("1998-07-01")),
+              changes.filter(col("o_orderdate") < lit("1998-07-20")),
               "o_orderpriority")
             SnapshotTable.commitAppend(s, log,
-              changes.filter(col("o_orderdate") >= lit("1998-07-01")),
+              changes.filter(col("o_orderdate") >= lit("1998-07-20")),
               "o_orderpriority")
             val dim = root.resolve("dim").toString
             createDim(s, dim,
