@@ -271,13 +271,31 @@ object SecondaryIndex extends QueryPack {
   // and the index refreshes incrementally. Both queries are read-only
   // against the finished state.
 
+  // base state (table@v1 + index applied=1, both read-only) and the
+  // finished batch scenario (append landed, index refreshed) — the
+  // streaming twin clones the BASE and lets the stream do the rest
+  @volatile private var baseMemo: Option[((SparkSession, String), (String, String))] = None
   @volatile private var memo: Option[((SparkSession, String), (String, String))] = None
 
-  private def scenario(s: SparkSession, dir: String): (String, String) =
-    memo match {
+  private def freshBatch(s: SparkSession, dir: String,
+                         work: String): DataFrame = {
+    val maxKey = Tables.orders(s, dir)
+      .agg(max(col("o_orderkey"))).head().getLong(0)
+    val tableSchema = SnapshotTable.read(s, work).schema
+    s.range(1, 6).select(
+      (col("id") + maxKey).as("o_orderkey"),
+      lit(1L).as("o_custkey"),
+      lit(123.45).as("o_totalprice"),
+      lit("1-URGENT").as("o_orderpriority"))
+      .select(tableSchema.map(f =>
+        col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+  }
+
+  private def baseScenario(s: SparkSession, dir: String): (String, String) =
+    baseMemo match {
       case Some((k, w)) if k == ((s, dir)) => w
       case _ => synchronized {
-        memo match {
+        baseMemo match {
           case Some((k, w)) if k == ((s, dir)) => w
           case _ =>
             val work = java.nio.file.Files
@@ -290,17 +308,24 @@ object SecondaryIndex extends QueryPack {
                 "o_orderpriority")
             }
             create(s, work, "o_orderkey", idx, buckets = 16)
-            val maxKey = Tables.orders(s, dir)
-              .agg(max(col("o_orderkey"))).head().getLong(0)
-            val tableSchema = SnapshotTable.read(s, work).schema
-            val fresh = s.range(1, 6).select(
-              (col("id") + maxKey).as("o_orderkey"),
-              lit(1L).as("o_custkey"),
-              lit(123.45).as("o_totalprice"),
-              lit("1-URGENT").as("o_orderpriority"))
-              .select(tableSchema.map(f =>
-                col(f.name).cast(f.dataType)).toIndexedSeq: _*)
-            SnapshotTable.commitAppend(s, work, fresh, "o_orderpriority")
+            baseMemo = Some(((s, dir), (work, idx)))
+            (work, idx)
+        }
+      }
+    }
+
+  private def scenario(s: SparkSession, dir: String): (String, String) =
+    memo match {
+      case Some((k, w)) if k == ((s, dir)) => w
+      case _ => synchronized {
+        memo match {
+          case Some((k, w)) if k == ((s, dir)) => w
+          case _ =>
+            val (workBase, idxBase) = baseScenario(s, dir)
+            val work = SnapshotTable.cloneTable(s, workBase)
+            val idx = SnapshotTable.cloneTable(s, idxBase)
+            SnapshotTable.commitAppend(s, work, freshBatch(s, dir, work),
+              "o_orderpriority")
             refresh(s, work, "o_orderkey", idx)
             memo = Some(((s, dir), (work, idx)))
             (work, idx)
@@ -337,6 +362,25 @@ object SecondaryIndex extends QueryPack {
       Seq(101L, 999L, maxKey + 2L, maxKey + 4L), autoRefresh = false))
   }
 
+  /** STREAMING twin of [[freshQuery]]: the append lands on a clone of
+    * the BASE state and [[graft.streaming.SnapshotSink.runSecIdx]]
+    * drives the index refresh by tailing the table's commit log — the
+    * same mixed old+fresh lookup must then be index-served. Shares the
+    * batch twin's oracle: stream-maintained ≡ batch-refreshed.
+    */
+  def streamQuery(s: SparkSession, dir: String): DataFrame = {
+    val (workBase, idxBase) = baseScenario(s, dir)
+    val work = SnapshotTable.cloneTable(s, workBase)
+    val idx = SnapshotTable.cloneTable(s, idxBase)
+    SnapshotTable.commitAppend(s, work, freshBatch(s, dir, work),
+      "o_orderpriority")
+    graft.streaming.SnapshotSink.runSecIdx(s, work, "o_orderkey", idx)
+    val maxKey = Tables.orders(s, dir)
+      .agg(max(col("o_orderkey"))).head().getLong(0)
+    shape(read(s, work, "o_orderkey", idx,
+      Seq(101L, 999L, maxKey + 2L, maxKey + 4L), autoRefresh = false))
+  }
+
   /** Index-pruned fact⋈dim rollup where the dim (orders referenced by
     * a max-quantity lineitem) is far past the IN-seed's collect cap at
     * bench scale — the fact files come from the distributed postings
@@ -360,7 +404,8 @@ object SecondaryIndex extends QueryPack {
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_secidx_lookup" -> ((s, dir) => lookupQuery(s, dir)),
     "q_secidx_fresh" -> ((s, dir) => freshQuery(s, dir)),
-    "q_secidx_join" -> ((s, dir) => joinQuery(s, dir)))
+    "q_secidx_join" -> ((s, dir) => joinQuery(s, dir)),
+    "q_stream_secidx" -> ((s, dir) => streamQuery(s, dir)))
 
   override def oracleSql: Map[String, String] = Map(
     "q_secidx_lookup" ->
@@ -372,6 +417,25 @@ object SecondaryIndex extends QueryPack {
         |WHERE o_orderkey IN (7, 13, 101, 388, 555, 999, 999999999)
         |ORDER BY o_orderkey""".stripMargin,
     "q_secidx_fresh" ->
+      """WITH fresh AS (
+        |  SELECT (SELECT max(o_orderkey) FROM orders) + i AS o_orderkey,
+        |    CAST(1 AS BIGINT) AS o_custkey, 123.45 AS o_totalprice,
+        |    '1-URGENT' AS o_orderpriority
+        |  FROM (SELECT unnest(generate_series(1, 5)) AS i)
+        |), unioned AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |  FROM orders
+        |  UNION ALL SELECT * FROM fresh
+        |)
+        |SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  CAST(o_custkey AS BIGINT) AS o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+        |  o_orderpriority
+        |FROM unioned
+        |WHERE o_orderkey IN (101, 999)
+        |   OR o_orderkey - (SELECT max(o_orderkey) FROM orders) IN (2, 4)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_stream_secidx" ->
       """WITH fresh AS (
         |  SELECT (SELECT max(o_orderkey) FROM orders) + i AS o_orderkey,
         |    CAST(1 AS BIGINT) AS o_custkey, 123.45 AS o_totalprice,

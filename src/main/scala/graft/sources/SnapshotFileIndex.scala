@@ -162,6 +162,10 @@ final class SnapshotFileIndex(
   private def cmpMay(e: FileEntry, name: String, v: Literal,
                      op: String): Boolean = {
     val statOk = (stats(e, name), litDouble(v)) match {
+      // a NaN endpoint (float/double column containing NaN — Spark's
+      // min/max order NaN greatest) makes every comparison false, which
+      // would wrongly PRUNE; treat such stats as absent instead
+      case (Some(s), _) if s.lo.isNaN || s.hi.isNaN => true
       case (Some(s), Some(d)) => op match {
         case "="  => s.lo <= d && d <= s.hi
         case ">"  => s.hi > d
@@ -361,6 +365,7 @@ final class SnapshotFileIndex(
                       v: Literal, op: String): Boolean = {
     val verdict = for {
       s   <- stats(e, a.name)
+      if !s.lo.isNaN && !s.hi.isNaN // NaN endpoints: treat as no stats
       d   <- orderedDouble(v.value, v.dataType)
       lo  <- statLiteral(a, s.lo, down = true)
       hi  <- statLiteral(a, s.hi, down = false)

@@ -632,6 +632,49 @@ object SnapshotTable extends QueryPack {
           val n = try fr.getRecordCount finally fr.close()
           p.toUri.getPath -> ((n, Seq.empty[ColStats]))
         }.toMap
+      else if (effStats.forall(sc => df.schema.find(_.name == sc)
+          .map(_.dataType).exists {
+            case org.apache.spark.sql.types.ByteType |
+                 org.apache.spark.sql.types.ShortType |
+                 org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.LongType => true
+            case _ => false
+          }))
+        // INTEGRAL stats columns come from the footers too: parquet's
+        // int32/int64 row-group min/max are exact and `.toDouble` is
+        // the same encoding the agg path's cast("double") records, so
+        // the commit's stats pass is pure metadata (floats would drag
+        // NaN-ordering questions in, timestamps the INT96-no-stats
+        // question — both keep the Spark-job path)
+        staged.map { case (_, _, p, _) =>
+          val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              p, spark.sparkContext.hadoopConfiguration))
+          try {
+            val blocks = fr.getFooter.getBlocks
+            import scala.jdk.CollectionConverters._
+            val st = effStats.flatMap { sc =>
+              val chunks = blocks.asScala.flatMap(_.getColumns.asScala
+                .filter(_.getPath.toDotString == sc))
+              val ranges = chunks.flatMap { c =>
+                val s = c.getStatistics
+                if (s == null || s.isEmpty || !s.hasNonNullValue) None
+                else s match {
+                  case i: org.apache.parquet.column.statistics.IntStatistics =>
+                    Some((i.getMin.toDouble, i.getMax.toDouble))
+                  case l: org.apache.parquet.column.statistics.LongStatistics =>
+                    Some((l.getMin.toDouble, l.getMax.toDouble))
+                  case _ => None
+                }
+              }
+              // every chunk must carry usable stats, and the column must
+              // appear at all (an all-null or absent column records none)
+              if (ranges.isEmpty || ranges.size != chunks.size) None
+              else Some(ColStats(sc, ranges.map(_._1).min, ranges.map(_._2).max))
+            }
+            p.toUri.getPath -> ((fr.getRecordCount, st))
+          } finally fr.close()
+        }.toMap
       else {
         val statsAggs = count(lit(1)).as("rows") +: effStats.flatMap(sc =>
           Seq(min(col(sc)).cast("double").as(s"lo_$sc"),

@@ -132,6 +132,33 @@ object SnapshotSink extends QueryPack {
     q.awaitTermination()
   }
 
+  /** STREAMING SECONDARY-INDEX maintenance: tail the indexed table's
+    * commit log and advance the key→file postings per micro-batch via
+    * [[graft.sources.SecondaryIndex.refresh]] — an O(window fresh
+    * files) postings append whose `six@<version>` tag absorbs replays,
+    * so point lookups stay index-served as the table streams (a stale
+    * index degrades to the pinned-snapshot scan, never a wrong answer,
+    * but at micro-batch cadence this keeps the fast path hot).
+    */
+  def runSecIdx(spark: SparkSession, table: String, keyCol: String,
+                index: String, checkpoint: Option[String] = None): Unit = {
+    val source = spark.readStream.format("graft-snapshot")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1").load(table)
+    val q = source.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // refresh wraps its own commitAppend in commitWithRetry
+        graft.sources.SecondaryIndex.refresh(batch.sparkSession, table,
+          keyCol, index)
+        ()
+      }
+      .option("checkpointLocation",
+        checkpoint.getOrElse(StreamHousekeeping.freshCheckpointDir()))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** CONTINUOUS PIPELINE: tail `sourceTable`'s commit log as a stream
     * and refresh the whole DAG once per micro-batch — the
     * Delta-Live-Tables shape on top of [[graft.sources.Pipeline]]. The

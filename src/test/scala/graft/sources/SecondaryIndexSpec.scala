@@ -94,6 +94,33 @@ class SecondaryIndexSpec extends SparkSpec {
       rows(plainLookup(t, keys)))
   }
 
+  test("stream-driven maintenance (runSecIdx) converges the index to the " +
+    "table head across several commits; a fresh-checkpoint restart adds nothing") {
+    import spark.implicits._
+    val t = buildTable()
+    val idx = t + "_idx"
+    SecondaryIndex.create(spark, t, "id", idx, buckets = 8)
+    SnapshotTable.commitAppend(spark, t,
+      Seq((2001L, "g1", 1.0)).toDF("id", "grp", "v"), "grp")
+    SnapshotTable.commitAppend(spark, t,
+      Seq((2002L, "g2", 2.0), (2003L, "g3", 3.0)).toDF("id", "grp", "v"), "grp")
+
+    graft.streaming.SnapshotSink.runSecIdx(spark, t, "id", idx)
+    assert(SecondaryIndex.appliedVersion(spark, idx) ===
+      SnapshotTable.currentVersion(spark, t))
+    val keys = Seq(5L, 2001L, 2002L, 2003L)
+    assert(rows(SecondaryIndex.read(spark, t, "id", idx, keys,
+      autoRefresh = false)) === rows(plainLookup(t, keys)))
+
+    // restart from version 0 on a fresh checkpoint: replayed windows
+    // are version no-ops, the postings table does not grow
+    val n = SnapshotTable.read(spark, idx).count()
+    val v = SnapshotTable.currentVersion(spark, idx)
+    graft.streaming.SnapshotSink.runSecIdx(spark, t, "id", idx)
+    assert(SnapshotTable.read(spark, idx).count() === n)
+    assert(SnapshotTable.currentVersion(spark, idx) === v)
+  }
+
   test("a lazily-deleted key stays masked through the restricted read " +
     "(version advances, postings unchanged, tag-only refresh)") {
     import spark.implicits._
