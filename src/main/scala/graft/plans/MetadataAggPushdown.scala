@@ -24,11 +24,13 @@ import graft.sources.SnapshotTable.FileEntry
   *
   * The rewrite fires only when it is PROVABLY exact:
   *
-  *  - grouping is empty and the child is a bare snapshot relation
-  *    (optionally through a column-pruning Project) — any Filter, mask,
-  *    join, or grouping leaves the plan alone. Pending DELETES never
-  *    reach this shape: a masked read plans anti-joins on top of the
-  *    relation, so the pattern cannot match it.
+  *  - grouping is empty (or exactly the partition column) and the child
+  *    is a bare snapshot relation (optionally through a column-pruning
+  *    Project and PARTITION-ONLY equality/IN Filters, answered exactly
+  *    from the writer's one-value-per-file invariant) — any other
+  *    filter, mask, join, or grouping leaves the plan alone. Pending
+  *    DELETES never reach this shape: a masked read plans anti-joins on
+  *    top of the relation, so the pattern cannot match it.
   *  - `count(1)` needs every entry's recorded row count (> 0 — the
   *    writer never emits empty files; a zero count marks a fixture
   *    entry whose rows were never measured, and disables the rewrite).
@@ -128,12 +130,18 @@ object MetadataAggPushdown extends Rule[LogicalPlan] {
     } catch { case _: NumberFormatException => None }
 
   /** The child IS a snapshot relation (possibly under a column-pruning
-    * Project of bare attributes) with no filtering in between.
+    * Project of bare attributes), with any Filters in between
+    * constraining ONLY the partition column by equality / IN — those
+    * restrict the manifest entries exactly (the writer's one-value-per-
+    * file invariant), so `count(*) WHERE part = x` is still a manifest
+    * fold. Any other filter shape refuses.
     */
   private def bareSnapshotEntries(plan: LogicalPlan): Option[Seq[FileEntry]] =
     plan match {
       case Project(projs, inner) if projs.forall(_.isInstanceOf[AttributeReference]) =>
         bareSnapshotEntries(inner)
+      case f: Filter =>
+        bareSnapshotEntries(f.child).flatMap(restrict(f.condition, _))
       // never claim a STREAMING frame: an aggregate in a streaming
       // query has incremental-state semantics a LocalRelation subplan
       // would silently break
@@ -146,6 +154,57 @@ object MetadataAggPushdown extends Rule[LogicalPlan] {
       }
       case _ => None
     }
+
+  /** Entries surviving a partition-only predicate, or None when the
+    * predicate (or the layout) cannot be answered from partition values
+    * alone. Requires EVERY entry partitioned by the filtered column
+    * with exactly one recorded non-default value — a partition-evolved
+    * layout (files stamped with another column) could hold matching
+    * rows the values cannot prove either way.
+    */
+  private def restrict(cond: Expression,
+                       entries: Seq[FileEntry]): Option[Seq[FileEntry]] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other     => Seq(other)
+    }
+    def partLit(l: Literal): Option[String] = (l.value, l.dataType) match {
+      case (null, _) => None
+      case (v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        Some(v.toString)
+      case (v: java.lang.Integer, _) => Some(v.toString)
+      case (v: java.lang.Long, _)    => Some(v.toString)
+      case (v: java.lang.Short, _)   => Some(v.toString)
+      case (v: java.lang.Byte, _)    => Some(v.toString)
+      case _ => None
+    }
+    def singleValued(name: String): Boolean =
+      entries.forall(e => e.partBy.contains(name) &&
+        e.parts.exists(_.size == 1) &&
+        !e.parts.exists(_.exists(_ == "__HIVE_DEFAULT_PARTITION__")))
+    conjuncts(cond).foldLeft(Option(entries)) { (acc, c) =>
+      acc.flatMap { es =>
+        c match {
+          // recorded partition values are never null (null landed in the
+          // default dir, which singleValued refuses) — no-op restriction
+          case IsNotNull(a: AttributeReference) if singleValued(a.name) =>
+            Some(es)
+          case EqualTo(a: AttributeReference, v: Literal)
+              if singleValued(a.name) =>
+            partLit(v).map(s => es.filter(_.parts.get.head == s))
+          case EqualTo(v: Literal, a: AttributeReference)
+              if singleValued(a.name) =>
+            partLit(v).map(s => es.filter(_.parts.get.head == s))
+          case In(a: AttributeReference, vs)
+              if singleValued(a.name) && vs.forall(_.isInstanceOf[Literal]) =>
+            val strs = vs.map(v => partLit(v.asInstanceOf[Literal]))
+            if (strs.exists(_.isEmpty)) None
+            else Some(es.filter(e => strs.flatten.contains(e.parts.get.head)))
+          case _ => None
+        }
+      }
+    }
+  }
 
   /** Largest long magnitude whose `cast(double)` is exact. */
   private val ExactLong = 1L << 53

@@ -3420,6 +3420,23 @@ object SnapshotTable extends QueryPack {
       max(col("o_orderkey")).as("max_key"))
   }
 
+  /** The PARTITION-FILTERED metadata fold: `count/min/max WHERE
+    * priority IN (...)` answered from the manifest's per-file
+    * (partition value, rows, stats) lines alone — the writer's
+    * one-value-per-file invariant makes the filter an exact entry
+    * restriction, so the operational "how big is this slice" query
+    * plans zero data files (MetadataAggSpec pins the LocalRelation).
+    */
+  def metaSelQuery(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.MetadataAggPushdown.install(s)
+    read(s, scenario(s, dir))
+      .filter(col("o_orderpriority").isin("1-URGENT", "3-MEDIUM"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
   /** Fact⋈dim join with RUNTIME file pruning: the dim's two event
     * types seed the fact scan as an IN filter, which the FileIndex
     * turns into partition-value skipping — only the matching types'
@@ -3458,6 +3475,7 @@ object SnapshotTable extends QueryPack {
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_snapshot_dynjoin" -> (dynJoinQuery _),
     "q_snapshot_meta_agg" -> (metaAggQuery _),
+    "q_snapshot_meta_sel" -> (metaSelQuery _),
     "q_snapshot_meta_parts" -> (metaPartsQuery _),
     "q_snapshot_sql" -> (sqlQuery _),
     "q_snapshot_merge" -> (snapshotMergeQuery _),
@@ -3513,6 +3531,29 @@ object SnapshotTable extends QueryPack {
         |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
         |  CAST(max(o_orderkey) AS BIGINT) AS max_key
         |FROM merged""".stripMargin,
+    "q_snapshot_meta_sel" ->
+      """WITH changed AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |), fresh AS (
+        |  SELECT (SELECT max(o_orderkey) FROM orders) + i AS o_orderkey,
+        |    CAST(1 AS BIGINT) AS o_custkey, 123.45 AS o_totalprice,
+        |    '1999-01-01' AS o_orderdate, '1-URGENT' AS o_orderpriority
+        |  FROM (SELECT unnest(generate_series(1, 5)) AS i)
+        |), upd AS (
+        |  SELECT * FROM changed UNION ALL SELECT * FROM fresh
+        |), merged AS (
+        |  SELECT o_orderkey, o_orderpriority FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority FROM upd
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM merged
+        |WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')""".stripMargin,
     "q_snapshot_meta_parts" ->
       """WITH changed AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,

@@ -104,6 +104,42 @@ class MetadataAggSpec extends SparkSpec {
     assert(base.agg(min(col("x"))).head().getDouble(0) === 1.5)
   }
 
+  test("partition-only equality/IN filters restrict the fold exactly; " +
+    "value filters and missing-value probes refuse") {
+    val t = smallTable()
+    def base = SnapshotTable.read(spark, t)
+
+    val eq = base.filter(col("p") === "b").agg(
+      count(lit(1)).as("n"), min(col("k")).as("mn"), max(col("k")).as("mx"))
+    assert(rewritten(eq))
+    assert(eq.head() === withRuleOff { base.filter(col("p") === "b").agg(
+      count(lit(1)).as("n"), min(col("k")).as("mn"), max(col("k")).as("mx"))
+      .head() })
+
+    val in = base.filter(col("p").isin("a", "zzz"))
+      .agg(count(lit(1)).as("n"))
+    assert(rewritten(in))
+    assert(in.head().getLong(0) === 2L)
+
+    // filtered + grouped by the partition column composes
+    val grouped = base.filter(col("p").isin("a", "b"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n"))
+    assert(rewritten(grouped))
+    assert(grouped.orderBy(col("p")).collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSeq === Seq(("a", 2L), ("b", 3L)))
+
+    // a probe matching NO partition refuses (empty min/max has no
+    // metadata answer) but stays correct through the ordinary plan
+    val none = base.filter(col("p") === "zzz")
+      .agg(count(lit(1)).as("n"), min(col("k")).as("mn"))
+    assert(!rewritten(none))
+    assert(none.head().getLong(0) === 0L)
+
+    // a value conjunct poisons the whole filter
+    assert(!rewritten(base.filter(col("p") === "b" && col("k") > 3L)
+      .agg(count(lit(1)).as("n"))))
+  }
+
   test("pending equality deletes mask the read — the shape never " +
     "matches, the answer reflects the deletes") {
     import spark.implicits._
@@ -140,15 +176,16 @@ class MetadataAggSpec extends SparkSpec {
     assert(r.getLong(0) === 5L && r.getLong(1) === 1L && r.getLong(2) === 5L)
   }
 
-  test("a partition-pruned read keeps its residual filter, so the rule " +
-    "declines — and the scanned answer is still correct") {
+  test("a partition-pruned read's residual filter is partition-only, so " +
+    "the rule now folds it — same answer as the scan") {
     val t = smallTable()
-    val pruned = graft.sources.SnapshotTable
+    def pruned = graft.sources.SnapshotTable
       .readWhere(spark, t, "p", Seq("a"))
       .agg(count(lit(1)).as("n"), max(col("k")).as("mx"))
-    assert(!rewritten(pruned))
+    assert(rewritten(pruned))
     val r = pruned.head()
     assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r === withRuleOff { pruned.head() })
   }
 
   test("distinct and filtered aggregates are never claimed") {
