@@ -509,13 +509,33 @@ object SnapshotTable extends QueryPack {
   private val bloomBits = 8192
   private val bloomHashes = 6
 
+  /** Driver-side parallel map for per-file metadata work (footer
+    * reads): each call is an independent ~10 ms I/O round trip, so a
+    * commit staging 100+ files pays seconds sequentially and one round
+    * trip wide. Exceptions propagate; the pool never outlives the call.
+    */
+  private def inParallel[A, B](xs: Seq[A], threads: Int = 16)(fn: A => B): Seq[B] =
+    if (xs.lengthCompare(2) < 0) xs.map(fn)
+    else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(threads, xs.size))
+      try {
+        val fs = xs.map(x => pool.submit(
+          new java.util.concurrent.Callable[B] { def call(): B = fn(x) }))
+        fs.map(_.get())
+      } catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      } finally pool.shutdown()
+    }
+
   private def writeDataFiles(spark: SparkSession, table: String, df: DataFrame,
                              partCol: String,
                              namePrefix: Option[String] = None,
                              statsCols: Seq[String] = Seq.empty,
                              clusterExpr: Option[org.apache.spark.sql.Column] = None,
                              bloomCols: Seq[String] = Seq.empty,
-                             bucket: Option[(String, Int)] = None): Seq[FileEntry] = {
+                             bucket: Option[(String, Int)] = None,
+                             sizeHint: Option[Long] = None): Seq[FileEntry] = {
     val f = fs(spark, table)
     // a batch may legally OMIT a recorded stats column (ADD-only
     // evolution allows absent columns) — its files then carry no stats
@@ -558,11 +578,17 @@ object SnapshotTable extends QueryPack {
     // target, capped by shuffle.partitions. At 100 TB the estimate
     // saturates the cap (the conf stays the operator's knob); at
     // commit scale a KB-sized batch range-splits into one task.
+    // rewrite paths pass the MANIFEST's byte total for the files being
+    // rewritten (sizeHint): the optimizer's sizeInBytes over a
+    // join/union rewrite plan multiplies estimates and saturates the
+    // cap, range-splitting an 11 MB merge into 32 tasks × values files
+    // of footer-litter; the manifest total is the measured truth
     def rangeTasks: Int = {
       val cap = df.sparkSession.sessionState.conf.numShufflePartitions
       val target = spark.conf
         .get("spark.graft.write.targetFileBytes", "134217728").toLong.max(1L)
-      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val est = sizeHint.filter(_ > 0L).map(BigInt(_))
+        .getOrElse(df.queryExecution.optimizedPlan.stats.sizeInBytes)
       val byBytes = (est / target) + (if (est % target > 0) 1 else 0)
       byBytes.min(BigInt(cap)).max(BigInt(1)).toInt
     }
@@ -625,7 +651,7 @@ object SnapshotTable extends QueryPack {
     // already pays, not a data scan.
     val rows: Map[String, (Long, Seq[ColStats])] =
       if (effStats.isEmpty)
-        staged.map { case (_, _, p, _) =>
+        inParallel(staged) { case (_, _, p, _) =>
           val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
               p, spark.sparkContext.hadoopConfiguration))
@@ -646,7 +672,7 @@ object SnapshotTable extends QueryPack {
         // the commit's stats pass is pure metadata (floats would drag
         // NaN-ordering questions in, timestamps the INT96-no-stats
         // question — both keep the Spark-job path)
-        staged.map { case (_, _, p, _) =>
+        inParallel(staged) { case (_, _, p, _) =>
           val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
               p, spark.sparkContext.hadoopConfiguration))
@@ -1292,7 +1318,8 @@ object SnapshotTable extends QueryPack {
     val stamped = hdr.schema.fold(merged)(s =>
       applySchemaMeta(merged, schemaFromString(s)))
     val fresh = writeDataFiles(spark, table, stamped, partCol,
-      statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket)
+      statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket,
+      sizeHint = Some(affected.map(_.bytes).sum))
     commitRewrite(spark, table, v, segs, affected.map(_.path).toSet,
       fresh, Seq.empty, hdr.copy(tags = hdr.tags ++ tag))
     // replaced/inserted by ARITHMETIC, not extra scans: the manifest
@@ -1440,7 +1467,8 @@ object SnapshotTable extends QueryPack {
       val stamped = hdr.schema.fold(freshDf)(s =>
         applySchemaMeta(freshDf, schemaFromString(s)))
       val fresh = writeDataFiles(spark, table, stamped, partCol,
-        statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket)
+        statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket,
+        sizeHint = Some(affected.map(_.bytes).sum))
       commitRewrite(spark, table, v, meta.segs, affected.map(_.path).toSet,
         fresh, Seq.empty, hdr.copy(tags = hdr.tags ++ tag))
       // inserted by arithmetic (manifest row counts + fresh entries):
@@ -1630,7 +1658,8 @@ object SnapshotTable extends QueryPack {
     else {
       val fresh = writeDataFiles(spark, table,
         readFiles(spark, table, small, hdr.schema), partCol,
-        statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket)
+        statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket,
+        sizeHint = Some(small.map(_.bytes).sum))
       // the header (tag ledger + schema) rides along — idempotence and
       // the evolved schema both outlive the renames
       commitRewrite(spark, table, v, segs, small.map(_.path).toSet,
@@ -1664,7 +1693,8 @@ object SnapshotTable extends QueryPack {
     else {
       val fresh = writeDataFiles(spark, table,
         readFiles(spark, table, small, hdr.schema), partCol,
-        statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket)
+        statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket,
+        sizeHint = Some(small.map(_.bytes).sum))
       commitRewrite(spark, table, v, segs, small.map(_.path).toSet,
         fresh, Seq.empty, hdr)
       (v + 1, small.size, fresh.size)
@@ -1716,7 +1746,8 @@ object SnapshotTable extends QueryPack {
     val statsCols = (hdr.statsCols ++ Seq(dimA, dimB)).distinct
     val fresh = writeDataFiles(spark, table, df, partCol,
       statsCols = statsCols, clusterExpr = Some(z),
-      bloomCols = hdr.bloomCols, bucket = hdr.bucket)
+      bloomCols = hdr.bloomCols, bucket = hdr.bucket,
+      sizeHint = Some(meta.entries.map(_.bytes).sum))
     commitRewrite(spark, table, v, meta.segs,
       meta.entries.map(_.path).toSet, fresh, Seq.empty,
       hdr.copy(statsCols = statsCols))
@@ -1772,7 +1803,8 @@ object SnapshotTable extends QueryPack {
       val fresh =
         if (kept.isEmpty) Seq.empty
         else writeDataFiles(spark, table, kept, partCol,
-          statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket)
+          statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket,
+          sizeHint = Some(affected.map(_.bytes).sum))
       commitRewrite(spark, table, v, segs, affected.map(_.path).toSet,
         fresh, Seq.empty, hdr)
       (v + 1, nDeleted)
@@ -1811,7 +1843,8 @@ object SnapshotTable extends QueryPack {
       val target = readFiles(spark, table, affected, hdr.schema)
       val kept = target.join(keyset, Seq(keyCol), "left_anti")
       val fresh = writeDataFiles(spark, table, kept, partCol,
-        statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket)
+        statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket,
+        sizeHint = Some(affected.map(_.bytes).sum))
       commitRewrite(spark, table, v, segs, affected.map(_.path).toSet,
         fresh, Seq.empty, hdr)
       // deleted = affected rows − surviving rows: both already counted
@@ -1953,7 +1986,9 @@ object SnapshotTable extends QueryPack {
               readFiles(spark, table, affected, hdr.schema), dels)
             removed ++= affected.map(_.path)
             freshAll ++= writeDataFiles(spark, table, kept, partCol,
-              statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket)
+              statsCols = hdr.statsCols, bloomCols = hdr.bloomCols,
+              bucket = hdr.bucket,
+              sizeHint = Some(affected.map(_.bytes).sum))
           }
         }
       }
