@@ -29,10 +29,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g: the bench suite's ~30 memoized scenarios share the executor
-  // storage pool with the text-family cached inputs — at 8g those
-  // caches evict and a dozen dedup/LM queries recompute their staged
-  // corpora every run (measured: q_ngram_jaccard 2.75→2.04 s,
-  // q_simhash_quality 3.13→2.48 s with the larger heap)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 48g: the bench suite's ~40 memoized scenarios share the executor
+  // storage pool with the text-family cached inputs, and at 220+
+  // queries x 3 passes the 16g heap spent the difference in GC — a
+  // measured full-suite A/B on the same box: 151.5 s at 16g vs
+  // 130.6 s at 48g (box has 128 GiB; the driver contract runs a
+  // single local[32] JVM, so the heap is the executor memory)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -73,7 +73,19 @@ object MetadataAggPushdown extends Rule[LogicalPlan] {
       case agg: Aggregate if agg.groupingExpressions.isEmpty =>
         bareSnapshotEntries(agg.child) match {
           case Some(entries) =>
-            val computed = agg.aggregateExpressions.map(e => evalAgg(e, entries))
+            // count(DISTINCT col) proof path: only for an UNFILTERED
+            // bare relation (any filter changes the distinct count in
+            // ways file stats cannot see), answered from the table's
+            // ANALYZE sidecar when its fingerprint matches the planned
+            // file list and the sketch is exact — see TableStats
+            val ndv: String => Option[Any] = name =>
+              bareUnfilteredIndex(agg.child).flatMap { idx =>
+                graft.sources.TableStats.exactDistinct(
+                  SparkSession.active, idx.tablePath, name,
+                  idx.fileEntries.map(_.path))
+              }
+            val computed =
+              agg.aggregateExpressions.map(e => evalAgg(e, entries, ndv))
             if (computed.forall(_.isDefined))
               LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
                 Seq(InternalRow.fromSeq(computed.map(_.get))))
@@ -209,22 +221,55 @@ object MetadataAggPushdown extends Rule[LogicalPlan] {
   /** Largest long magnitude whose `cast(double)` is exact. */
   private val ExactLong = 1L << 53
 
+  /** The child is a bare UNFILTERED snapshot relation (only a column-
+    * pruning Project allowed) — the shape under which a whole-table
+    * statistic like a distinct count is applicable verbatim.
+    */
+  private def bareUnfilteredIndex(plan: LogicalPlan): Option[SnapshotFileIndex] =
+    plan match {
+      case Project(projs, inner) if projs.forall(_.isInstanceOf[AttributeReference]) =>
+        bareUnfilteredIndex(inner)
+      case l: LogicalRelation if !l.isStreaming => l.relation match {
+        case fs: HadoopFsRelation => fs.location match {
+          case idx: SnapshotFileIndex => Some(idx)
+          case _                      => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+
   /** Evaluate one aggregate output column from the manifest; None =
     * shape or evidence not supported, the whole rewrite is abandoned.
     */
-  private def evalAgg(e: NamedExpression, entries: Seq[FileEntry]): Option[Any] =
+  private def evalAgg(e: NamedExpression, entries: Seq[FileEntry],
+                      ndv: String => Option[Any] = _ => None): Option[Any] =
     e match {
-      case Alias(ae: AggregateExpression, _) => evalFn(ae, entries)
-      case ae: AggregateExpression           => evalFn(ae, entries)
+      case Alias(ae: AggregateExpression, _) => evalFn(ae, entries, ndv)
+      case ae: AggregateExpression           => evalFn(ae, entries, ndv)
       case _                                 => None
     }
 
-  private def evalFn(ae: AggregateExpression,
-                     entries: Seq[FileEntry]): Option[Any] =
-    if (ae.isDistinct || ae.filter.nonEmpty) None
+  private def evalFn(ae: AggregateExpression, entries: Seq[FileEntry],
+                     ndv: String => Option[Any]): Option[Any] =
+    if (ae.isDistinct && ae.filter.isEmpty) ae.aggregateFunction match {
+      // exact-regime distinct count from the ANALYZE sidecar
+      case Count(Seq(a: AttributeReference)) => ndv(a.name)
+      case _                                 => None
+    }
+    else if (ae.isDistinct || ae.filter.nonEmpty) None
     else ae.aggregateFunction match {
       case Count(Seq(Literal(v, _))) if v != null =>
         if (entries.forall(_.rows > 0L)) Some(entries.map(_.rows).sum)
+        else None
+      // count(col) = Σ (rows − nulls): needs every entry to carry the
+      // column's stats WITH a recorded null count (−1 = legacy entry,
+      // refuse — never wrong, just not rewritten)
+      case Count(Seq(a: AttributeReference)) =>
+        val sts = entries.map(e => (e.rows, e.stats.find(_.col == a.name)))
+        if (entries.nonEmpty && sts.forall { case (r, so) =>
+            r > 0L && so.exists(_.nulls >= 0L) })
+          Some(sts.map { case (r, so) => r - so.get.nulls }.sum)
         else None
       case Min(a: AttributeReference) => statBound(a, entries, lo = true)
       case Max(a: AttributeReference) => statBound(a, entries, lo = false)
@@ -235,8 +280,13 @@ object MetadataAggPushdown extends Rule[LogicalPlan] {
                         lo: Boolean): Option[Any] = {
     val bounds = entries.map(_.stats.find(_.col == a.name))
     if (entries.isEmpty || bounds.exists(_.isEmpty)) None
+    // NaN bounds mark a PROVEN all-null column in that file (written
+    // only when nulls == rows): it contributes nothing to min/max, so
+    // drop it; all entries NaN = every value is null = SQL NULL result
     else {
-      val ds = bounds.flatten.map(s => if (lo) s.lo else s.hi)
+      val real = bounds.flatten.filterNot(s => s.lo.isNaN || s.hi.isNaN)
+      if (real.isEmpty) return Some(null)
+      val ds = real.map(s => if (lo) s.lo else s.hi)
       val d = if (lo) ds.min else ds.max
       a.dataType match {
         case DoubleType => Some(d)

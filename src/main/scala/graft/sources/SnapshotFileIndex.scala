@@ -162,6 +162,11 @@ final class SnapshotFileIndex(
   private def cmpMay(e: FileEntry, name: String, v: Literal,
                      op: String): Boolean = {
     val statOk = (stats(e, name), litDouble(v)) match {
+      // a PROVEN all-null column (null count == rows, recorded with NaN
+      // bounds) satisfies no comparison — every predicate on it is
+      // UNKNOWN and the filter drops the row, so the file skips exactly
+      case (Some(s), _)
+          if s.nulls >= 0L && e.rows > 0L && s.nulls == e.rows => false
       // a NaN endpoint (float/double column containing NaN — Spark's
       // min/max order NaN greatest) makes every comparison false, which
       // would wrongly PRUNE; treat such stats as absent instead
@@ -212,8 +217,19 @@ final class SnapshotFileIndex(
       hset.exists(v => cmpMay(e, a.name,
         Literal.create(v, a.dataType), "="))
 
-    // stats record no null counts — IsNull can never prune; IsNotNull
-    // could only prune an all-null file, which records no stats either
+    // null-count skipping: stats entries record the file's exact null
+    // count for each stats column (−1 = legacy entry, never skipped) —
+    // IS NOT NULL drops proven all-null files, IS NULL drops proven
+    // null-free files
+    case IsNotNull(a: AttributeReference) => stats(e, a.name) match {
+      case Some(s) if s.nulls >= 0L && e.rows > 0L && s.nulls == e.rows =>
+        false
+      case _ => true
+    }
+    case IsNull(a: AttributeReference) => stats(e, a.name) match {
+      case Some(s) if s.nulls == 0L && e.rows > 0L => false
+      case _                                       => true
+    }
     case _: IsNull | _: IsNotNull => true
 
     // transform-aware skipping: f(col) OP lit where f is a chain of

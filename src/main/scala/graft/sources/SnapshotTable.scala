@@ -59,9 +59,15 @@ object SnapshotTable extends QueryPack {
   /** Per-file min/max of one numeric column (stored as doubles — exact
     * for bigint keys up to 2^53; timestamps record epoch seconds). The
     * column NAME rides along so a read pruning on a different column
-    * can never skip on the wrong stats.
+    * can never skip on the wrong stats. `nulls` is the file's NULL
+    * count for the column (−1 = not recorded — legacy entries): with it
+    * `count(col)` becomes a manifest fold and `IS [NOT] NULL`
+    * predicates skip all-null / no-null files. An ALL-NULL column
+    * records NaN bounds (range skipping and min/max folding both
+    * refuse NaN; the null count is still exact).
     */
-  final case class ColStats(col: String, lo: Double, hi: Double)
+  final case class ColStats(col: String, lo: Double, hi: Double,
+                            nulls: Long = -1L)
 
   /** Per-file BLOOM FILTER over one column's values — equality/IN
     * skipping for columns min/max can't help with (high-cardinality
@@ -168,8 +174,10 @@ object SnapshotTable extends QueryPack {
       case Some(ps) => ps.map(p => "\"" + esc(p) + "\"").mkString("[", ",", "]")
     }
     val stats = if (e.stats.isEmpty) "" else
-      e.stats.map(s => s"""{"col":"${esc(s.col)}","lo":${s.lo},"hi":${s.hi}}""")
-        .mkString(""","stats":[""", ",", "]")
+      e.stats.map { s =>
+        val nu = if (s.nulls < 0L) "" else s""","nu":${s.nulls}"""
+        s"""{"col":"${esc(s.col)}","lo":${s.lo},"hi":${s.hi}$nu}"""
+      }.mkString(""","stats":[""", ",", "]")
     val seq = if (e.seq == 0L) "" else s""","seq":${e.seq}"""
     // bytes ride the entry so PLANNING (split sizing, relation
     // sizeInBytes) never stats files — at 100 TB / 100k files that is
@@ -201,7 +209,7 @@ object SnapshotTable extends QueryPack {
   private val bloomItemRe =
     raw"""\{"col":"((?:[^"\\]|\\.)*)","m":(\d+),"k":(\d+),"bits":"([A-Za-z0-9+/=]*)"\}""".r
   private val statsItemRe =
-    raw"""\{"col":"((?:[^"\\]|\\.)*)","lo":([-0-9.eE]+),"hi":([-0-9.eE]+)\}""".r
+    raw"""\{"col":"((?:[^"\\]|\\.)*)","lo":([-0-9.eENaN]+),"hi":([-0-9.eENaN]+)(?:,"nu":(\d+))?\}""".r
   private val quotedRe = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
 
   private def parseEntry(line: String): FileEntry = line.trim match {
@@ -210,7 +218,8 @@ object SnapshotTable extends QueryPack {
         else Some(quotedRe.findAllMatchIn(parts).map(m => unesc(m.group(1))).toSeq)
       val stats = Option(statsBody).toSeq.flatMap(b =>
         statsItemRe.findAllMatchIn(b).map(m =>
-          ColStats(unesc(m.group(1)), m.group(2).toDouble, m.group(3).toDouble)))
+          ColStats(unesc(m.group(1)), m.group(2).toDouble, m.group(3).toDouble,
+            Option(m.group(4)).map(_.toLong).getOrElse(-1L))))
       val blooms = Option(bloomsBody).toSeq.flatMap(b =>
         bloomItemRe.findAllMatchIn(b).map(m =>
           ColBloom(unesc(m.group(1)), m.group(2).toInt, m.group(3).toInt,
@@ -682,6 +691,13 @@ object SnapshotTable extends QueryPack {
             val st = effStats.flatMap { sc =>
               val chunks = blocks.asScala.flatMap(_.getColumns.asScala
                 .filter(_.getPath.toDotString == sc))
+              // null counts: exact when EVERY chunk records one
+              val nuls = chunks.map(c => Option(c.getStatistics)
+                .filter(_.isNumNullsSet).map(_.getNumNulls))
+              val nulls =
+                if (chunks.nonEmpty && nuls.forall(_.isDefined))
+                  nuls.flatten.sum
+                else -1L
               val ranges = chunks.flatMap { c =>
                 val s = c.getStatistics
                 if (s == null || s.isEmpty || !s.hasNonNullValue) None
@@ -694,9 +710,15 @@ object SnapshotTable extends QueryPack {
                 }
               }
               // every chunk must carry usable stats, and the column must
-              // appear at all (an all-null or absent column records none)
-              if (ranges.isEmpty || ranges.size != chunks.size) None
-              else Some(ColStats(sc, ranges.map(_._1).min, ranges.map(_._2).max))
+              // appear at all (an all-null or absent column records no
+              // BOUNDS — but a proven all-null column still records its
+              // exact null count under NaN bounds)
+              if (ranges.nonEmpty && ranges.size == chunks.size)
+                Some(ColStats(sc, ranges.map(_._1).min, ranges.map(_._2).max,
+                  nulls))
+              else if (chunks.nonEmpty && nulls == fr.getRecordCount)
+                Some(ColStats(sc, Double.NaN, Double.NaN, nulls))
+              else None
             }
             p.toUri.getPath -> ((fr.getRecordCount, st))
           } finally fr.close()
@@ -704,7 +726,8 @@ object SnapshotTable extends QueryPack {
       else {
         val statsAggs = count(lit(1)).as("rows") +: effStats.flatMap(sc =>
           Seq(min(col(sc)).cast("double").as(s"lo_$sc"),
-            max(col(sc)).cast("double").as(s"hi_$sc")))
+            max(col(sc)).cast("double").as(s"hi_$sc"),
+            sum(when(col(sc).isNull, 1L).otherwise(0L)).as(s"nu_$sc")))
         spark.read.parquet(staging.toString)
           .groupBy(input_file_name().as("f")).agg(statsAggs.head, statsAggs.tail: _*)
           .collect().map { r =>
@@ -712,11 +735,18 @@ object SnapshotTable extends QueryPack {
             // staging dirs, (parent dir, name) alone could collide across
             // partition values
             val p = new java.net.URI(r.getString(0)).getPath
-            // an all-null stats column yields null min/max: record no stats
-            // for that column in that file (it then never skips on it)
+            // an all-null stats column yields null min/max: record NaN
+            // bounds (range skipping refuses NaN) with the exact null
+            // count, so count(col) folding and IS NULL skipping survive
             val st = effStats.zipWithIndex.flatMap { case (sc, i) =>
-              if (r.isNullAt(2 + 2 * i) || r.isNullAt(3 + 2 * i)) None
-              else Some(ColStats(sc, r.getDouble(2 + 2 * i), r.getDouble(3 + 2 * i)))
+              val nulls =
+                if (r.isNullAt(4 + 3 * i)) -1L else r.getLong(4 + 3 * i)
+              if (r.isNullAt(2 + 3 * i) || r.isNullAt(3 + 3 * i)) {
+                if (nulls >= 0L && nulls == r.getLong(1))
+                  Some(ColStats(sc, Double.NaN, Double.NaN, nulls))
+                else None
+              } else Some(ColStats(sc, r.getDouble(2 + 3 * i),
+                r.getDouble(3 + 3 * i), nulls))
             }
             p -> (r.getLong(1), st)
           }.toMap
@@ -827,7 +857,7 @@ object SnapshotTable extends QueryPack {
       col(f.name).as(f.name, m)
     }.toIndexedSeq: _*)
 
-  private def readFiles(spark: SparkSession, table: String,
+  private[sources] def readFiles(spark: SparkSession, table: String,
                         entries: Seq[FileEntry],
                         schema: Option[String] = None): DataFrame = {
     require(entries.nonEmpty, "snapshot read: empty file set")
@@ -3507,7 +3537,73 @@ object SnapshotTable extends QueryPack {
       .orderBy(col("o_orderpriority"))
   }
 
+  // nullable-column scenario for the null-count stats path: a sparse
+  // reference column (integral, so the commit's stats pass is pure
+  // parquet-footer metadata — null counts included) over the standard
+  // priority partitioning
+  @volatile private var nullScenarioMemo: Option[((SparkSession, String), String)] = None
+
+  private def nullScenario(s: SparkSession, dir: String): String =
+    nullScenarioMemo match {
+      case Some((k, w)) if k == ((s, dir)) => w
+      case _ => synchronized {
+        nullScenarioMemo match {
+          case Some((k, w)) if k == ((s, dir)) => w
+          case _ =>
+            val work = java.nio.file.Files
+              .createTempDirectory("graft_snapshot_nulls").resolve("t").toString
+            val orders = Tables.orders(s, dir).select(
+              col("o_orderkey"),
+              when(col("o_orderkey") % 3 === 0, col("o_custkey"))
+                .as("o_ship_ref"),
+              (col("o_custkey") % 701).as("o_ref_bucket"),
+              col("o_orderpriority"))
+            withFileGranularity(s, 1L << 20) {
+              create(s, work, orders, "o_orderpriority",
+                statsCols = Seq("o_orderkey", "o_ship_ref"))
+            }
+            // ANALYZE once at build: ≤701 distinct buckets at k=1024
+            // keeps the sketch in its exact regime (TableStatsSpec
+            // covers saturation + staleness)
+            TableStats.analyze(s, work, Seq("o_ref_bucket"), k = 1024)
+            nullScenarioMemo = Some(((s, dir), work))
+            work
+        }
+      }
+    }
+
+  /** Driver query: per-partition `count(*)` AND `count(col)` over a
+    * NULLABLE column — both answered from the manifest's per-file row
+    * and null counts (the spec pins the LocalRelation plan; the oracle
+    * pins the values against a raw recompute).
+    */
+  def metaNullsQuery(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.MetadataAggPushdown.install(s)
+    read(s, nullScenario(s, dir)).groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_ship_ref")).as("n_ref"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Driver query: whole-table `count(*)` + `count(DISTINCT bucket)` +
+    * key bounds, ALL folded from metadata — rows and min/max from the
+    * manifest, the distinct count from the fingerprint-verified ANALYZE
+    * sidecar in its exact regime ([[TableStats]]).
+    */
+  def metaNdvQuery(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.MetadataAggPushdown.install(s)
+    read(s, nullScenario(s, dir)).agg(
+      count(lit(1)).as("n_rows"),
+      count_distinct(col("o_ref_bucket")).as("n_buckets"),
+      min(col("o_orderkey")).as("min_key"),
+      max(col("o_orderkey")).as("max_key"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
+    "q_snapshot_ndv" -> (metaNdvQuery _),
+    "q_snapshot_meta_nulls" -> (metaNullsQuery _),
     "q_snapshot_dynjoin" -> (dynJoinQuery _),
     "q_snapshot_meta_agg" -> (metaAggQuery _),
     "q_snapshot_meta_sel" -> (metaSelQuery _),
@@ -3544,6 +3640,20 @@ object SnapshotTable extends QueryPack {
         |  CAST(max(event_id) AS BIGINT) AS max_id
         |FROM events e JOIN dim d ON e.event_type = d.etype
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "q_snapshot_ndv" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT o_custkey % 701) AS BIGINT) AS n_buckets,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders""".stripMargin,
+    "q_snapshot_meta_nulls" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(CASE WHEN o_orderkey % 3 = 0 THEN o_custkey END)
+        |    AS BIGINT) AS n_ref,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_snapshot_meta_agg" ->
       """WITH changed AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,

@@ -1,0 +1,254 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** `[EXT]` Table-level column statistics for snapshot tables: mergeable
+  * KMV ("k minimum values") distinct sketches kept in a `_stats/`
+  * sidecar next to the manifests — the published Iceberg-Puffin /
+  * theta-sketch construction with an EXACT regime.
+  *
+  * A KMV sketch over a column keeps the `k` smallest `xxhash64` values
+  * (unsigned order) of the column's distinct non-null values. While the
+  * sketch never overflowed (`sat = false`) it IS the complete distinct
+  * hash set, so the distinct count is exact (64-bit collisions aside —
+  * odds ~n²/2⁶⁵); once saturated it degrades to the standard KMV
+  * estimator `(k−1)/h₍k₎` with relative error ≈ 1/√(k−2). Sketches
+  * MERGE (union, re-truncate to k) — so maintenance is incremental:
+  *
+  *  - [[analyze]] computes sketches for the CURRENT version with one
+  *    distinct-shuffle + top-k per column (TakeOrderedAndProject — the
+  *    k+1 smallest hashes cross the wire, never the value set);
+  *  - [[refresh]] advances them at DELTA cost when every commit since
+  *    the analyzed version only ADDED files (append/merge-insert
+  *    windows): sketch the fresh files, merge. Removed files or
+  *    equality-delete changes force a recompute — a sketch cannot
+  *    subtract.
+  *
+  * The sidecar records the analyzed version plus a FINGERPRINT of the
+  * data-file and delete lists, so a consumer can prove the sketches
+  * describe exactly the relation it is reading:
+  * [[graft.plans.MetadataAggPushdown]] folds `count(DISTINCT col)`
+  * to a metadata answer only when the fingerprint matches the planned
+  * file set and the sketch is in its exact regime — never an estimate
+  * in disguise. Estimates are served explicitly via [[estimateDistinct]].
+  *
+  * At 100 TB: ANALYZE is one pass (rare); per-commit maintenance
+  * touches only fresh files; the sidecar is O(k · columns) bytes; and
+  * NDV is the statistic that decides broadcast-vs-shuffle joins, so
+  * keeping it fresh from metadata — not a scan — is the difference
+  * between a planner that knows and one that guesses.
+  */
+object TableStats {
+
+  /** One column's sketch. `minima` is sorted in UNSIGNED hash order;
+    * `sat = false` means it is the COMPLETE distinct hash set.
+    */
+  final case class NdvSketch(col: String, k: Int, sat: Boolean,
+                             minima: Array[Long]) {
+    /** Exact distinct count, when provable. */
+    def exact: Option[Long] = if (!sat) Some(minima.length.toLong) else None
+
+    /** KMV estimate (exact value in the exact regime). */
+    def estimate: Double =
+      if (!sat) minima.length.toDouble
+      else (k - 1).toDouble / unsignedFraction(minima.last)
+  }
+
+  /** Sidecar payload: sketches valid for the table state identified by
+    * (`version`, `filesFp`, `delFp`).
+    */
+  final case class StatsFile(version: Long, filesFp: String, delFp: String,
+                             sketches: Seq[NdvSketch])
+
+  private def unsignedFraction(h: Long): Double =
+    (java.lang.Double.parseDouble(java.lang.Long.toUnsignedString(h)) + 1.0) /
+      1.8446744073709552e19 // 2^64
+
+  private def unsignedSort(xs: Array[Long]): Array[Long] =
+    xs.map(_ ^ Long.MinValue).sorted.map(_ ^ Long.MinValue)
+
+  /** Compute one column's sketch with a distributed distinct + top-k:
+    * the plan is partial-dedup → shuffle on the hash → global dedup →
+    * TakeOrdered(k+1) — only k+1 longs reach the driver.
+    */
+  def sketchOf(df: DataFrame, column: String, k: Int): NdvSketch = {
+    val hs = df.select(xxhash64(col(column)).as("h"))
+      .where(col(column).isNotNull)
+      .distinct()
+      .orderBy(col("h").bitwiseXOR(lit(Long.MinValue)))
+      .limit(k + 1)
+      .collect().map(_.getLong(0))
+    val sat = hs.length > k
+    NdvSketch(column, k, sat, unsignedSort(if (sat) hs.take(k) else hs))
+  }
+
+  /** KMV union-merge: valid for any two sketches of the same (col, k);
+    * exact iff both inputs were exact and the union still fits.
+    */
+  def merge(a: NdvSketch, b: NdvSketch): NdvSketch = {
+    require(a.col == b.col && a.k == b.k,
+      s"ndv merge: mismatched sketches (${a.col}/${a.k} vs ${b.col}/${b.k})")
+    val u = unsignedSort((a.minima ++ b.minima).distinct)
+    if (!a.sat && !b.sat && u.length <= a.k) NdvSketch(a.col, a.k, sat = false, u)
+    else NdvSketch(a.col, a.k, sat = true, u.take(a.k))
+  }
+
+  // ---- sidecar I/O ----------------------------------------------------
+
+  private def statsPath(table: String) = new Path(table, "_stats/ndv.json")
+
+  private def fs(spark: SparkSession, table: String) =
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def sha1(parts: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    parts.sorted.foreach(p => md.update((p + "\n").getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def b64(xs: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(xs.length * 8)
+    xs.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  private def fromB64(s: String): Array[Long] = {
+    val raw = java.util.Base64.getDecoder.decode(s)
+    val bb = java.nio.ByteBuffer.wrap(raw)
+    Array.fill(raw.length / 8)(bb.getLong)
+  }
+
+  private def fingerprints(spark: SparkSession, table: String,
+                           version: Long): (String, String) = {
+    val entries = SnapshotTable.readManifest(spark, table, version)
+    val (_, deletes, _) = SnapshotTable.readListRaw(spark, table, version)
+    (sha1(entries.map(_.path)), sha1(deletes.map(_.path)))
+  }
+
+  private val sketchRe =
+    raw"""\{"col":"([^"]*)","k":(\d+),"sat":(true|false),"min":"([A-Za-z0-9+/=]*)"\}""".r
+  private val fileRe =
+    raw"""\{"version":(\d+),"filesFp":"([0-9a-f]*)","delFp":"([0-9a-f]*)","sketches":\[(.*)\]\}""".r
+
+  private def writeStats(spark: SparkSession, table: String,
+                         st: StatsFile): Unit = {
+    val f = fs(spark, table)
+    val p = statsPath(table)
+    f.mkdirs(p.getParent)
+    val body = st.sketches.map(s =>
+      s"""{"col":"${s.col}","k":${s.k},"sat":${s.sat},"min":"${b64(s.minima)}"}""")
+      .mkString(",")
+    val json =
+      s"""{"version":${st.version},"filesFp":"${st.filesFp}","delFp":"${st.delFp}","sketches":[$body]}"""
+    val tmp = new Path(p.getParent, s".ndv-${java.util.UUID.randomUUID}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    // replace-by-rename: a torn replace leaves either the old intact
+    // file or none — a missing/garbled sidecar just reads as "no stats"
+    if (f.exists(p)) f.delete(p, false)
+    require(f.rename(tmp, p), s"table stats: could not publish $p")
+  }
+
+  /** The recorded sidecar, if present and parseable. */
+  def readStats(spark: SparkSession, table: String): Option[StatsFile] = {
+    val f = fs(spark, table)
+    val p = statsPath(table)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val body = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+        bos.toString("UTF-8")
+      } finally in.close()
+      body.trim match {
+        case fileRe(v, ffp, dfp, sk) =>
+          val sketches = sketchRe.findAllMatchIn(sk).map(m =>
+            NdvSketch(m.group(1), m.group(2).toInt, m.group(3).toBoolean,
+              fromB64(m.group(4)))).toSeq
+          Some(StatsFile(v.toLong, ffp, dfp, sketches))
+        case _ => None
+      }
+    }
+  }
+
+  /** Compute + publish sketches for the table's CURRENT version (the
+    * masked read — pending equality deletes are applied, so the
+    * sketches describe visible rows). Returns what was written.
+    */
+  def analyze(spark: SparkSession, table: String, cols: Seq[String],
+              k: Int = 1024): StatsFile = {
+    val v = SnapshotTable.currentVersion(spark, table)
+    val df = SnapshotTable.readVersion(spark, table, v)
+    val sketches = cols.map(c => sketchOf(df, c, k))
+    val (ffp, dfp) = fingerprints(spark, table, v)
+    val st = StatsFile(v, ffp, dfp, sketches)
+    writeStats(spark, table, st)
+    st
+  }
+
+  /** Advance the sidecar to the current version. DELTA path when every
+    * commit since the analyzed version only ADDED data files and left
+    * the delete list untouched: sketch the fresh files only, merge.
+    * Anything else (removed/rewritten files, new equality deletes — a
+    * sketch cannot subtract) falls back to a full [[analyze]].
+    * Returns the published stats and whether the delta path was taken.
+    */
+  def refresh(spark: SparkSession, table: String): (StatsFile, Boolean) = {
+    val prev = readStats(spark, table).getOrElse(
+      sys.error(s"table stats: $table has no recorded sidecar — run analyze"))
+    val cur = SnapshotTable.currentVersion(spark, table)
+    if (cur == prev.version) (prev, true)
+    else {
+      val oldEntries = SnapshotTable.readManifest(spark, table, prev.version)
+      val newEntries = SnapshotTable.readManifest(spark, table, cur)
+      val (_, oldDel, _) = SnapshotTable.readListRaw(spark, table, prev.version)
+      val (_, newDel, hdr) = SnapshotTable.readListRaw(spark, table, cur)
+      val oldPaths = oldEntries.map(_.path).toSet
+      val removed = oldPaths -- newEntries.map(_.path).toSet
+      val appendOnly = removed.isEmpty &&
+        oldDel.map(_.path).sorted == newDel.map(_.path).sorted &&
+        fingerprints(spark, table, prev.version)._1 == prev.filesFp
+      if (appendOnly) {
+        val freshEntries = newEntries.filterNot(e => oldPaths.contains(e.path))
+        val freshDf =
+          if (freshEntries.isEmpty) null
+          else SnapshotTable.readFiles(spark, table, freshEntries, hdr.schema)
+        val merged = prev.sketches.map { s =>
+          if (freshEntries.isEmpty) s
+          else merge(s, sketchOf(freshDf, s.col, s.k))
+        }
+        val (ffp, dfp) = fingerprints(spark, table, cur)
+        val st = StatsFile(cur, ffp, dfp, merged)
+        writeStats(spark, table, st)
+        (st, true)
+      } else
+        (analyze(spark, table, prev.sketches.map(_.col),
+          prev.sketches.headOption.map(_.k).getOrElse(1024)), false)
+    }
+  }
+
+  /** Exact distinct count of `column` for a reader planning exactly
+    * `plannedPaths` — the PROOF interface the optimizer rule uses:
+    * fires only when the sidecar's fingerprint matches the planned file
+    * list, the analyzed state had no pending deletes, and the sketch
+    * never saturated. None otherwise — never an estimate.
+    */
+  def exactDistinct(spark: SparkSession, table: String, column: String,
+                    plannedPaths: Seq[String]): Option[Long] =
+    readStats(spark, table).flatMap { st =>
+      if (st.filesFp != sha1(plannedPaths)) None
+      else if (st.delFp != sha1(Seq.empty)) None
+      else st.sketches.find(_.col == column).flatMap(_.exact)
+    }
+
+  /** The (possibly estimated) distinct count with its exactness flag —
+    * the operational interface: `(value, exact)`.
+    */
+  def estimateDistinct(spark: SparkSession, table: String,
+                       column: String): Option[(Double, Boolean)] =
+    readStats(spark, table).flatMap(_.sketches.find(_.col == column))
+      .map(s => (s.estimate, !s.sat))
+}

@@ -105,9 +105,17 @@ class SnapshotFileIndexSpec extends SparkSpec {
     assert(scannedFiles(noStats) === total.toLong)
     assert(noStats.count() === 0L)
 
-    // IsNull can never prune (stats record no null counts)
-    assert(scannedFiles(SnapshotTable.read(spark, table)
-      .filter(col("o_custkey").isNull)) === total.toLong)
+    // IsNull on a column WITHOUT recorded stats can never prune...
+    val isNullNoStats = SnapshotTable.read(spark, table)
+      .filter(col("o_totalprice").isNull)
+    assert(scannedFiles(isNullNoStats) === total.toLong)
+    assert(isNullNoStats.count() === 0L)
+    // ...but on a stats column the recorded null counts make it EXACT:
+    // every file proves null-free, so the scan plans zero files
+    val isNullStats = SnapshotTable.read(spark, table)
+      .filter(col("o_custkey").isNull)
+    assert(scannedFiles(isNullStats) === 0L)
+    assert(isNullStats.count() === 0L)
 
     // negated partition equality IS exact on single-valued files
     val negated = SnapshotTable.read(spark, table)

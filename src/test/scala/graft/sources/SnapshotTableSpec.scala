@@ -362,7 +362,9 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, table).count() === v1Count)
     assert(SnapshotTable.commitAppend(spark, table, empty,
       "o_orderpriority", tag = Some("b0")) === None) // replay no-op
-    // an all-null stats column records no stats (never skips), no NPE
+    // an all-null stats column records NaN bounds + its exact null
+    // count: min/max evidence absent, but the all-null proof lets a
+    // range read skip the file entirely (no value can be in range)
     val nullStats = java.nio.file.Files.createTempDirectory("snapnullst")
       .resolve("t").toString
     import spark.implicits._
@@ -370,9 +372,10 @@ class SnapshotTableSpec extends SparkSpec {
       .withColumn("s", lit(null).cast("bigint"))
     SnapshotTable.create(spark, nullStats, df, "p", statsCols = Seq("s"))
     val m = SnapshotTable.readManifest(spark, nullStats, 1L)
-    assert(m.forall(_.stats.isEmpty))
-    assert(SnapshotTable.readRange(spark, nullStats, "s", 0d, 1d)
-      .inputFiles.length === m.size) // no stats → never skipped
+    assert(m.forall(e => e.stats.exists(s =>
+      s.col == "s" && s.lo.isNaN && s.hi.isNaN && s.nulls == e.rows)))
+    val ranged = SnapshotTable.readRange(spark, nullStats, "s", 0d, 1d)
+    assert(ranged.count() === 0L) // proven-empty: zero files planned
   }
 
   test("commit metadata is O(changed files): a one-file append to a " +

@@ -1,0 +1,134 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.plans.MetadataAggPushdown
+
+/** KMV distinct sketches: exact while unsaturated, bounded-error when
+  * saturated, mergeable, delta-maintainable on append-only windows, and
+  * surfaced to the optimizer ONLY under a fingerprint-verified proof —
+  * a stale or saturated sketch must never answer `count(distinct)`.
+  */
+class TableStatsSpec extends SparkSpec {
+
+  MetadataAggPushdown.install(spark)
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("tstats").resolve("t").toString
+
+  private def rewritten(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.optimizedPlan
+    plan.collectFirst { case l: LogicalRelation => l }.isEmpty &&
+      plan.collectFirst { case l: LocalRelation => l }.nonEmpty
+  }
+
+  test("exact regime: sketch of a small column IS its distinct count; " +
+    "merge of disjoint halves equals the sketch of the union") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => i % 97).toDF("v")
+    val s = TableStats.sketchOf(df, "v", k = 256)
+    assert(!s.sat && s.exact.contains(97L) && s.estimate === 97.0)
+    val a = TableStats.sketchOf((1 to 250).map(i => i % 97).toDF("v"), "v", 256)
+    val b = TableStats.sketchOf((251 to 500).map(i => i % 97).toDF("v"), "v", 256)
+    val m = TableStats.merge(a, b)
+    assert(m.exact === s.exact && m.minima.toSeq === s.minima.toSeq)
+  }
+
+  test("saturated regime: 20k distinct at k=256 estimates within 15%") {
+    import spark.implicits._
+    val df = (1L to 20000L).toDF("v")
+    val s = TableStats.sketchOf(df, "v", k = 256)
+    assert(s.sat && s.exact.isEmpty)
+    val rel = math.abs(s.estimate - 20000.0) / 20000.0
+    assert(rel < 0.15, s"estimate ${s.estimate} off by $rel")
+    // nulls are not distinct values
+    val withNulls = (1L to 100L).map(Option(_)).toDF("v")
+      .union(Seq(Option.empty[Long], Option.empty[Long]).toDF("v"))
+    assert(TableStats.sketchOf(withNulls, "v", 256).exact.contains(100L))
+  }
+
+  private def table(): String = {
+    import spark.implicits._
+    val t = freshDir()
+    val df = (1 to 300).map(i => (i.toLong, (i % 41).toLong,
+      if (i % 2 == 0) "even" else "odd")).toDF("k", "grp", "p")
+    SnapshotTable.create(spark, t, df, "p", statsCols = Seq("k"))
+    t
+  }
+
+  test("analyze + optimizer proof: count(DISTINCT col) folds to a " +
+    "LocalRelation and equals the scan; a filtered query refuses") {
+    val t = table()
+    TableStats.analyze(spark, t, Seq("grp", "k"), k = 256)
+    def q() = SnapshotTable.read(spark, t)
+      .agg(countDistinct(col("grp")).as("n_grp"))
+    assert(rewritten(q()))
+    assert(q().head().getLong(0) === 41L)
+    spark.conf.set("spark.graft.snapshot.metadataAgg", "false")
+    try assert(q().head().getLong(0) === 41L)
+    finally spark.conf.set("spark.graft.snapshot.metadataAgg", "true")
+    // any filter (even a partition filter) invalidates the whole-table
+    // statistic — plan untouched
+    val f = SnapshotTable.read(spark, t).filter(col("p") === "even")
+      .agg(countDistinct(col("grp")).as("n"))
+    assert(!rewritten(f))
+    assert(f.head().getLong(0) === 41L)
+  }
+
+  test("append advances via the DELTA path (fresh files only) and the " +
+    "merged sketch matches a full recompute") {
+    import spark.implicits._
+    val t = table()
+    TableStats.analyze(spark, t, Seq("grp"), k = 256)
+    SnapshotTable.commitAppend(spark, t,
+      (301 to 350).map(i => (i.toLong, (i % 53).toLong, "even"))
+        .toDF("k", "grp", "p"), "p")
+    // stale stats must refuse the rewrite (fingerprint mismatch)
+    def q() = SnapshotTable.read(spark, t)
+      .agg(countDistinct(col("grp")).as("n"))
+    assert(!rewritten(q()))
+    val (st, delta) = TableStats.refresh(spark, t)
+    assert(delta, "append-only window should take the delta path")
+    val full = TableStats.analyze(spark, t, Seq("grp"), k = 256)
+    assert(st.sketches.head.minima.toSeq === full.sketches.head.minima.toSeq)
+    TableStats.refresh(spark, t) // idempotent at head
+    assert(rewritten(q()))
+    assert(q().head().getLong(0) === 53L)
+  }
+
+  test("a rewriting commit (delete) forces recompute; the stale sketch " +
+    "never serves") {
+    import spark.implicits._
+    val t = table()
+    TableStats.analyze(spark, t, Seq("grp"), k = 256)
+    SnapshotTable.commitDelete(spark, t, col("k") <= 150, "p")
+    def q() = SnapshotTable.read(spark, t)
+      .agg(countDistinct(col("k")).as("n"))
+    assert(!rewritten(SnapshotTable.read(spark, t)
+      .agg(countDistinct(col("grp")).as("n"))))
+    val (st, delta) = TableStats.refresh(spark, t)
+    assert(!delta, "a delete cannot ride the delta path")
+    assert(st.sketches.head.exact.contains(41L)) // grp values all survive
+    assert(rewritten(SnapshotTable.read(spark, t)
+      .agg(countDistinct(col("grp")).as("n"))))
+    assert(q().head().getLong(0) === 150L)
+  }
+
+  test("a saturated sketch refuses the exact rewrite but serves a " +
+    "flagged estimate") {
+    import spark.implicits._
+    val t = freshDir()
+    val df = (1 to 20000).map(i => (i.toLong, "a")).toDF("k", "p")
+    SnapshotTable.create(spark, t, df, "p")
+    TableStats.analyze(spark, t, Seq("k"), k = 256)
+    val q = SnapshotTable.read(spark, t).agg(countDistinct(col("k")).as("n"))
+    assert(!rewritten(q))
+    assert(q.head().getLong(0) === 20000L)
+    val Some((est, exactFlag)) = TableStats.estimateDistinct(spark, t, "k")
+    assert(!exactFlag && math.abs(est - 20000.0) / 20000.0 < 0.15)
+  }
+}
