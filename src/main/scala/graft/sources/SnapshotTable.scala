@@ -1694,6 +1694,9 @@ object SnapshotTable extends QueryPack {
       // the evolved schema both outlive the renames
       commitRewrite(spark, table, v, segs, small.map(_.path).toSet,
         fresh, Seq.empty, hdr)
+      // compaction preserves the visible row set: ANALYZE sketches stay
+      // valid verbatim, only their file fingerprint moves
+      TableStats.rebind(spark, table, v, v + 1)
       (v + 1, small.size, fresh.size)
     }
   }
@@ -1727,6 +1730,7 @@ object SnapshotTable extends QueryPack {
         sizeHint = Some(small.map(_.bytes).sum))
       commitRewrite(spark, table, v, segs, small.map(_.path).toSet,
         fresh, Seq.empty, hdr)
+      TableStats.rebind(spark, table, v, v + 1) // row-set-preserving
       (v + 1, small.size, fresh.size)
     }
   }
@@ -1781,6 +1785,7 @@ object SnapshotTable extends QueryPack {
     commitRewrite(spark, table, v, meta.segs,
       meta.entries.map(_.path).toSet, fresh, Seq.empty,
       hdr.copy(statsCols = statsCols))
+    TableStats.rebind(spark, table, v, v + 1) // row-set-preserving
     v + 1
   }
 
@@ -3587,6 +3592,65 @@ object SnapshotTable extends QueryPack {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Per-version PHYSICAL table profile, folded from manifests only —
+    * zero data files planned for any version. One row per version:
+    * file/row/byte totals, pending-delete file count, and (when every
+    * entry of that version carries complete stats for `statsCol`) the
+    * column's bounds and null total; unprovable cells are SQL NULL,
+    * never a guess. This is the drift-monitoring primitive for a
+    * training-data pipeline: "did yesterday's ingest halve row counts,
+    * spike nulls, or shift the key range" answered at metadata cost —
+    * at 100 TB the alternative is a scan per version per question.
+    * Reports the PHYSICAL row set (pending equality deletes are
+    * counted as `n_delete_files`, not subtracted) — the audit view of
+    * what is durably on disk.
+    */
+  def statsHistory(spark: SparkSession, table: String,
+                   statsCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = versions(spark, table).sorted.map { v =>
+      val m = readMeta(spark, table, v)
+      val es = m.entries
+      val sts = statsCol.map(c => es.map(_.stats.find(_.col == c)))
+      def complete = sts.exists(xs => xs.nonEmpty && xs.forall(_.isDefined))
+      def real = sts.get.flatten.filterNot(s => s.lo.isNaN || s.hi.isNaN)
+      val (lo, hi) =
+        if (complete && real.nonEmpty)
+          (Some(real.map(_.lo).min), Some(real.map(_.hi).max))
+        else (None, None)
+      val nulls =
+        if (complete && sts.get.flatten.forall(_.nulls >= 0L))
+          Some(sts.get.flatten.map(_.nulls).sum)
+        else None
+      Row(v, es.size.toLong, es.map(_.rows).sum, es.map(_.bytes).sum,
+        m.deletes.size.toLong, lo.orNull, hi.orNull, nulls.orNull)
+    }
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("n_delete_files", LongType, nullable = false),
+      StructField("min_val", DoubleType, nullable = true),
+      StructField("max_val", DoubleType, nullable = true),
+      StructField("n_nulls", LongType, nullable = true)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+  }
+
+  /** Driver query: the version-history profile of the shared merge
+    * scenario — row counts and key bounds PER VERSION, every cell a
+    * manifest fold (the oracle replays both states relationally).
+    */
+  def historyQuery(s: SparkSession, dir: String): DataFrame =
+    statsHistory(s, scenario(s, dir), Some("o_orderkey"))
+      .select(col("version"), col("n_rows"),
+        col("min_val").cast("long").as("min_key"),
+        col("max_val").cast("long").as("max_key"))
+      .orderBy(col("version"))
+
   /** Driver query: whole-table `count(*)` + `count(DISTINCT bucket)` +
     * key bounds, ALL folded from metadata — rows and min/max from the
     * manifest, the distinct count from the fingerprint-verified ANALYZE
@@ -3602,6 +3666,7 @@ object SnapshotTable extends QueryPack {
   }
 
   override def queries: Map[String, QueryPack.Q] = Map(
+    "q_snapshot_history" -> (historyQuery _),
     "q_snapshot_ndv" -> (metaNdvQuery _),
     "q_snapshot_meta_nulls" -> (metaNullsQuery _),
     "q_snapshot_dynjoin" -> (dynJoinQuery _),
@@ -3640,6 +3705,34 @@ object SnapshotTable extends QueryPack {
         |  CAST(max(event_id) AS BIGINT) AS max_id
         |FROM events e JOIN dim d ON e.event_type = d.etype
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "q_snapshot_history" ->
+      """WITH changed AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |), fresh AS (
+        |  SELECT (SELECT max(o_orderkey) FROM orders) + i AS o_orderkey,
+        |    CAST(1 AS BIGINT) AS o_custkey, 123.45 AS o_totalprice,
+        |    '1999-01-01' AS o_orderdate, '1-URGENT' AS o_orderpriority
+        |  FROM (SELECT unnest(generate_series(1, 5)) AS i)
+        |), upd AS (
+        |  SELECT * FROM changed UNION ALL SELECT * FROM fresh
+        |), merged AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL
+        |  SELECT o_orderkey FROM upd
+        |)
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key FROM orders
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS version,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key FROM merged
+        |ORDER BY version""".stripMargin,
     "q_snapshot_ndv" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT o_custkey % 701) AS BIGINT) AS n_buckets,

@@ -230,6 +230,27 @@ object TableStats {
     }
   }
 
+  /** Re-bind the sidecar across a ROW-SET-PRESERVING maintenance commit
+    * (compaction, Z-order clustering): the files changed but the
+    * visible rows did not, so the sketches stay valid verbatim — only
+    * the fingerprint moves. Fires only when the sidecar provably
+    * described `fromVersion` (version + fingerprint match); binds to
+    * `toVersion` specifically, never "current" — a commit racing in
+    * after the maintenance publish must not inherit the claim. Returns
+    * whether a re-bind happened; callers fall back to nothing (the
+    * stale sidecar simply refuses to serve, as always).
+    */
+  def rebind(spark: SparkSession, table: String,
+             fromVersion: Long, toVersion: Long): Boolean =
+    readStats(spark, table) match {
+      case Some(st) if st.version == fromVersion &&
+          fingerprints(spark, table, fromVersion) == ((st.filesFp, st.delFp)) =>
+        val (ffp, dfp) = fingerprints(spark, table, toVersion)
+        writeStats(spark, table, StatsFile(toVersion, ffp, dfp, st.sketches))
+        true
+      case _ => false
+    }
+
   /** Exact distinct count of `column` for a reader planning exactly
     * `plannedPaths` — the PROOF interface the optimizer rule uses:
     * fires only when the sidecar's fingerprint matches the planned file

@@ -378,6 +378,77 @@ class SnapshotTableSpec extends SparkSpec {
     assert(ranged.count() === 0L) // proven-empty: zero files planned
   }
 
+  test("a rewrite's file count is sized from MANIFEST bytes, not the " +
+    "optimizer's join-inflated estimate: merging a small table stages " +
+    "one file per partition value") {
+    // production-shaped write settings for this test only: the harness
+    // pins 1 KB granularity + 4 shuffle partitions, under which hint
+    // and estimate both hit the task cap and cannot be told apart
+    val gKey = "spark.graft.write.targetFileBytes"
+    val gOld = spark.conf.getOption(gKey)
+    val sOld = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(gKey, (128L << 20).toString)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val t = java.nio.file.Files.createTempDirectory("snaprwsize")
+        .resolve("t").toString
+      import spark.implicits._
+      val base = spark.range(0, 2000).select(
+        col("id").as("k"), (col("id") % 5).cast("string").as("p"),
+        (col("id") * 2).as("v"))
+      SnapshotTable.create(spark, t, base, "p", statsCols = Seq("k"))
+      // a merge touching every partition: before the sizeHint fix the
+      // rewrite plan's join-inflated estimate saturated the range-split
+      // cap and staged shuffle.partitions × 5 footer-litter files
+      val updates = spark.range(0, 2000, 7).select(
+        col("id").as("k"), (col("id") % 5).cast("string").as("p"),
+        lit(-1L).as("v"))
+      SnapshotTable.commitMerge(spark, t, updates, "k", "p")
+      val fresh = SnapshotTable.readManifest(spark, t, 2L)
+        .filter(_.seq == 2L)
+      assert(fresh.nonEmpty)
+      assert(fresh.size <= 5,
+        s"KB-scale merge rewrite staged ${fresh.size} files — " +
+          "range-split sizing regressed to the plan estimate")
+      assert(SnapshotTable.read(spark, t).filter(col("v") === -1L).count()
+        === spark.range(0, 2000, 7).count())
+    } finally {
+      gOld.fold(spark.conf.unset(gKey))(v => spark.conf.set(gKey, v))
+      spark.conf.set("spark.sql.shuffle.partitions", sOld)
+    }
+  }
+
+  test("statsHistory profiles every version from manifests: physical " +
+    "rows/files/bytes, pending-delete counts, provable bounds + nulls, " +
+    "SQL NULL where evidence is incomplete") {
+    val t = java.nio.file.Files.createTempDirectory("snaphist")
+      .resolve("t").toString
+    import spark.implicits._
+    val base = Seq((1L, Some(10.0), "a"), (2L, Some(20.0), "a"),
+      (3L, Option.empty[Double], "b")).toDF("k", "x", "p")
+    SnapshotTable.create(spark, t, base, "p", statsCols = Seq("k", "x"))
+    SnapshotTable.commitAppend(spark, t,
+      Seq((9L, Some(90.0), "b")).toDF("k", "x", "p"), "p")
+    SnapshotTable.commitDeleteLazy(spark, t,
+      Seq(1L).toDF("k"), "k")
+    val h = SnapshotTable.statsHistory(spark, t, Some("k"))
+      .orderBy(col("version")).collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(h.map(_.getLong(2)).toSeq === Seq(3L, 4L, 4L)) // physical rows
+    assert(h.map(_.getLong(4)).toSeq === Seq(0L, 0L, 1L)) // delete files
+    assert(h(1).getDouble(5) === 1.0 && h(1).getDouble(6) === 9.0)
+    assert(h.forall(_.getLong(7) === 0L)) // k never null
+    // x: per-version bounds + null totals through the same fold
+    val hx = SnapshotTable.statsHistory(spark, t, Some("x"))
+      .orderBy(col("version")).collect()
+    assert(hx(0).getDouble(5) === 10.0 && hx(0).getDouble(6) === 20.0)
+    assert(hx(0).getLong(7) === 1L && hx(1).getLong(7) === 1L)
+    // a column with no recorded stats: bounds and nulls are SQL NULL
+    val hp = SnapshotTable.statsHistory(spark, t, Some("p"))
+      .orderBy(col("version")).collect()
+    assert(hp.forall(r => r.isNullAt(5) && r.isNullAt(7)))
+  }
+
   test("commit metadata is O(changed files): a one-file append to a " +
     "many-file table writes a small segment + list, not the inventory") {
     val table = java.nio.file.Files.createTempDirectory("snapmeta")

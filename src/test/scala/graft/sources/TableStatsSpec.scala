@@ -118,6 +118,31 @@ class TableStatsSpec extends SparkSpec {
     assert(q().head().getLong(0) === 150L)
   }
 
+  test("compaction RE-BINDS the sidecar (row set unchanged): the " +
+    "distinct fold keeps serving with no recompute") {
+    import spark.implicits._
+    val t = freshDir()
+    // many small appends → compactable litter
+    SnapshotTable.create(spark, t,
+      Seq((1L, 1L, "a")).toDF("k", "grp", "p"), "p")
+    (2 to 8).foreach(i => SnapshotTable.commitAppend(spark, t,
+      Seq((i.toLong, (i % 3).toLong, "a")).toDF("k", "grp", "p"), "p"))
+    TableStats.analyze(spark, t, Seq("grp"), k = 64)
+    def q() = SnapshotTable.read(spark, t)
+      .agg(countDistinct(col("grp")).as("n"))
+    assert(rewritten(q()))
+    val (_, nIn, nOut) = SnapshotTable.compact(spark, t, "p")
+    assert(nIn > nOut && nOut > 0)
+    // no refresh, no analyze — the sidecar moved with the commit
+    assert(rewritten(q()))
+    assert(q().head().getLong(0) === 3L) // grp ∈ {0,1,2} ∪ {1}
+    // but a ROW-CHANGING commit after the rebind goes stale as usual
+    SnapshotTable.commitAppend(spark, t,
+      Seq((99L, 99L, "a")).toDF("k", "grp", "p"), "p")
+    assert(!rewritten(q()))
+    assert(q().head().getLong(0) === 4L)
+  }
+
   test("a saturated sketch refuses the exact rewrite but serves a " +
     "flagged estimate") {
     import spark.implicits._
