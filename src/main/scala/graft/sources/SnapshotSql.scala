@@ -133,6 +133,26 @@ object SnapshotSql {
             s"snapshot_files: expected 1 or 2 arguments, got $n")
         }
         df.queryExecution.logical
+      }),
+    ("snapshot_stats",
+      new ExpressionInfo(getClass.getName, null, "snapshot_stats",
+        "_FUNC_(path[, col]) - per-version physical profile from " +
+          "manifests only: (version, n_files, n_rows, n_bytes, " +
+          "n_delete_files, min_val, max_val, n_nulls); with a column " +
+          "argument the bounds/null cells fill where provable, SQL " +
+          "NULL otherwise; zero data-file reads",
+        "_FUNC_(string[, string])"),
+      (exprs: Seq[Expression]) => {
+        val spark = SparkSession.active
+        val path = strArg("snapshot_stats", exprs, 0)
+        val df = exprs.length match {
+          case 1 => SnapshotTable.statsHistory(spark, path)
+          case 2 => SnapshotTable.statsHistory(spark, path,
+            Some(strArg("snapshot_stats", exprs, 1)))
+          case n => throw new IllegalArgumentException(
+            s"snapshot_stats: expected 1 or 2 arguments, got $n")
+        }
+        df.queryExecution.logical
       }))
 
   /** Imperative per-session registration (idempotent — re-registering

@@ -612,7 +612,12 @@ object SnapshotTable extends QueryPack {
       // curve segment — tight min/max boxes over every interleaved dim
       case (Some(z), _) => df.repartitionByRange(rangeTasks, z)
         .sortWithinPartitions(z)
+      // sort WITHIN the range split too: each 128 MB file then holds
+      // its stats column in order, so parquet ROW-GROUP min/max are
+      // near-disjoint and the reader's row-group pruning becomes a
+      // second skipping tier under the manifest's file-level one
       case (None, Some(sc)) => df.repartitionByRange(rangeTasks, col(sc))
+        .sortWithinPartitions(col(sc))
       case (None, None)     => df.repartition(col(partCol))
       }
     }

@@ -115,5 +115,17 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT sum(n_rows) FROM snapshot_files('$t', $vOld)")
       .head().getLong(0) ===
       SnapshotTable.readVersion(spark, t, vOld).count())
+    // the per-version stats profile through SQL: every cell a manifest
+    // fold, row counts matching the time-travel reads exactly
+    val prof = spark.sql(
+      s"""SELECT version, n_rows, min_val, max_val
+         |FROM snapshot_stats('$t', 'o_orderkey')
+         |ORDER BY version""".stripMargin).collect()
+    assert(prof.map(_.getLong(0)).toSeq === SnapshotTable.versions(spark, t))
+    prof.foreach { r =>
+      assert(r.getLong(1) ===
+        SnapshotTable.readVersion(spark, t, r.getLong(0)).count())
+      assert(!r.isNullAt(2) && !r.isNullAt(3))
+    }
   }
 }

@@ -418,6 +418,50 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("stats-clustered writes sort WITHIN files: parquet row-group " +
+    "bounds on the stats column are disjoint, enabling row-group " +
+    "pruning under the manifest's file-level skipping") {
+    val t = java.nio.file.Files.createTempDirectory("snaprg")
+      .resolve("t").toString
+    import spark.implicits._
+    // small parquet blocks force several row groups per file
+    val hc = spark.sparkContext.hadoopConfiguration
+    val old = hc.get("parquet.block.size")
+    hc.set("parquet.block.size", (64 * 1024).toString)
+    try {
+      val gKey = "spark.graft.write.targetFileBytes"
+      val gOld = spark.conf.getOption(gKey)
+      spark.conf.set(gKey, (128L << 20).toString)
+      try {
+        val df = spark.range(0, 200000).select(
+          col("id").as("k"), lit("a").as("p"),
+          concat(lit("padpadpadpadpadpad-"), col("id")).as("s"))
+        SnapshotTable.create(spark, t, df, "p", statsCols = Seq("k"))
+      } finally gOld.fold(spark.conf.unset(gKey))(v => spark.conf.set(gKey, v))
+      val entry = SnapshotTable.readManifest(spark, t, 1L).head
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$t/${entry.path}"), hc))
+      try {
+        import scala.jdk.CollectionConverters._
+        val bounds = fr.getFooter.getBlocks.asScala.toSeq.map { b =>
+          val c = b.getColumns.asScala.find(_.getPath.toDotString == "k").get
+          val st = c.getStatistics
+            .asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+          (st.getMin, st.getMax)
+        }
+        assert(bounds.size >= 3, s"expected several row groups, got ${bounds.size}")
+        // sorted-within-file ⇒ successive row-group ranges never overlap
+        bounds.sliding(2).foreach { case Seq((_, hi1), (lo2, _)) =>
+          assert(hi1 < lo2, s"overlapping row-group bounds: $bounds")
+        }
+      } finally fr.close()
+    } finally {
+      if (old == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", old)
+    }
+  }
+
   test("statsHistory profiles every version from manifests: physical " +
     "rows/files/bytes, pending-delete counts, provable bounds + nulls, " +
     "SQL NULL where evidence is incomplete") {
