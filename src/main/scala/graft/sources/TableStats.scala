@@ -142,6 +142,17 @@ object TableStats {
       .mkString(",")
     val json =
       s"""{"version":${st.version},"filesFp":"${st.filesFp}","delFp":"${st.delFp}","sketches":[$body]}"""
+    // best-effort sweep of tmp files a crashed writer left behind —
+    // age-guarded (1 h) so a RACING writer's in-flight tmp is never
+    // deleted from under it; a crashed attempt's file is referenced by
+    // nothing and would otherwise accumulate forever
+    val cutoff = System.currentTimeMillis() - 3600 * 1000L
+    f.listStatus(p.getParent).foreach { st =>
+      if (st.getPath.getName.startsWith(".ndv-") &&
+        st.getPath.getName.endsWith(".tmp") &&
+        st.getModificationTime < cutoff)
+        f.delete(st.getPath, false)
+    }
     val tmp = new Path(p.getParent, s".ndv-${java.util.UUID.randomUUID}.tmp")
     val out = f.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
