@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // transparent materialized-view rewrite for registered summaries
     // (on by default; spark.graft.mview.rewrite=false disables)
     e.injectOptimizerRule(_ => graft.plans.MviewRewrite)
+    // manifest-sized broadcast hints for filtered snapshot join sides
+    // (on by default; spark.graft.snapshot.statsBroadcast=false)
+    e.injectOptimizerRule(_ => graft.plans.StatsBroadcast)
     // snapshot-table SQL surface: snapshot_table(path[, version]) and
     // snapshot_changes(path, from, to) table-valued functions
     graft.sources.SnapshotSql.tvfs.foreach { case (name, info, builder) =>

@@ -1,0 +1,112 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+import graft.sources.SnapshotFileIndex
+
+/** `[EXT]` Stats-driven broadcast planning for snapshot tables — the
+  * missing half of `autoBroadcastJoinThreshold` for manifest-planned
+  * relations (cf. Iceberg's stats-based CBO / Delta's data-skipping
+  * sizing; reference vectordb_similarity_search has no planner — this
+  * is the Spark-first treatment of its "small dimension" joins).
+  *
+  * Spark sizes a join side from LOGICAL-plan statistics, and without
+  * CBO a `Filter` propagates its child's size UNCHANGED — so
+  * `fact JOIN (snapshot WHERE part = x)` sees the dim at FULL-table
+  * bytes and plans a shuffle join even when the filter prunes the dim
+  * to a few MB of files. At 100 TB that is the difference between a
+  * map-side broadcast join and shuffling the fact table: the single
+  * most expensive wrong plan a big join can make.
+  *
+  * This rule re-sizes such a side with the SAME machinery the scan
+  * itself will use: it pushes the side's filter conjuncts through
+  * [[SnapshotFileIndex.listFiles]] (partition-value, min/max-stat,
+  * null-count, bloom, and monotone-transform skipping — all
+  * driver-side manifest folds, zero data files opened) and sums the
+  * byte lengths of the files that survive. When that measured upper
+  * bound fits under the session's `autoBroadcastJoinThreshold`, the
+  * join side gets a BROADCAST hint — exactly the decision Spark itself
+  * would have made had its estimate been this sharp. It never does
+  * more than that:
+  *
+  *  - the criterion is Spark's own (`bytes <= threshold`), applied to
+  *    a PROVEN upper bound (files the conservative `mayMatch` cannot
+  *    exclude; the broadcast build contains only the filtered rows of
+  *    those files, so it is never larger than the measured total);
+  *  - an existing strategy hint on the side wins unconditionally (a
+  *    user's NO_BROADCAST_HASH / SHUFFLE_MERGE is never overridden);
+  *  - threshold <= 0 (auto-broadcast disabled) disables the rule;
+  *  - only a bare snapshot relation under Filter/Project chains is
+  *    sized — joins, masked (pending-delete) reads, aggregates, or
+  *    streaming frames never match, and a non-snapshot FileIndex is
+  *    left to Spark's own sizing;
+  *  - hint legality stays Spark's problem: `JoinSelection` already
+  *    ignores a broadcast hint on a side it cannot build against the
+  *    join type, so the rewrite can never produce an invalid plan.
+  *
+  * Install per session via [[StatsBroadcast.install]] or globally via
+  * `spark.sql.extensions=graft.GraftExtensions`; disable with
+  * `spark.graft.snapshot.statsBroadcast=false`.
+  */
+object StatsBroadcast extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val FlagKey = "spark.graft.snapshot.statsBroadcast"
+
+  /** Idempotently append the rule to the session's experimental
+    * optimizer batch (runs after hint resolution, so the decision
+    * lands directly in `Join.hint` the way `EliminateResolvedHint`
+    * would have put it).
+    */
+  def install(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val threshold = conf.autoBroadcastJoinThreshold
+    if (threshold <= 0 || conf.getConfString(FlagKey, "true") != "true") plan
+    else plan.transformUp {
+      case j: Join =>
+        def hinted(side: LogicalPlan, h: Option[HintInfo]): Option[HintInfo] =
+          if (h.exists(_.strategy.isDefined)) h
+          else prunedBytes(side) match {
+            case Some(b) if b <= threshold =>
+              Some(h.getOrElse(HintInfo()).copy(strategy = Some(BROADCAST)))
+            case _ => h
+          }
+        val lh = hinted(j.left, j.hint.leftHint)
+        val rh = hinted(j.right, j.hint.rightHint)
+        if (lh == j.hint.leftHint && rh == j.hint.rightHint) j
+        else j.copy(hint = JoinHint(lh, rh))
+    }
+  }
+
+  /** Byte total of the files a scan of `side` can actually read: walks
+    * the side's Filter/Project chain down to a bare (non-streaming,
+    * unmasked) snapshot relation and replays the collected conjuncts
+    * through the index's conservative per-file pruning. None = not a
+    * provable shape; leave the side to Spark's own sizing.
+    */
+  private def prunedBytes(side: LogicalPlan): Option[Long] = {
+    def walk(p: LogicalPlan, conj: Seq[Expression]): Option[Long] = p match {
+      case Filter(cond, child) =>
+        walk(child, conj ++ splitConjunctivePredicates(cond))
+      case Project(_, child) => walk(child, conj)
+      case l: LogicalRelation if !l.isStreaming => l.relation match {
+        case fs: HadoopFsRelation => fs.location match {
+          case idx: SnapshotFileIndex =>
+            Some(idx.listFiles(Nil, conj).flatMap(_.files).map(_.getLen).sum)
+          case _ => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+    walk(side, Nil)
+  }
+}

@@ -2820,6 +2820,32 @@ object SnapshotTable extends QueryPack {
   def snapshotMergeQuery(s: SparkSession, dir: String): DataFrame =
     rollup(read(s, scenario(s, dir)))
 
+  /** Lineitem revenue against ONE priority slice of the post-merge
+    * snapshot, joined through [[graft.plans.StatsBroadcast]]: the dim
+    * side's size is re-measured from the manifest's partition-pruned
+    * file bytes (Spark's own estimate for a filtered custom-FileIndex
+    * relation is the FULL table size), so the static plan broadcasts
+    * the slice instead of shuffling the fact — at 100 TB the single
+    * biggest plan decision a fact⋈dim join makes, settled before any
+    * stage runs rather than by AQE after both map stages shuffled.
+    */
+  def statsBroadcastQuery(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.StatsBroadcast.install(s)
+    val dim = read(s, scenario(s, dir))
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Tables.lineitem(s, dir)
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"),
+        max(col("l_orderkey")).as("max_key"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** The SAME table, version 1, read AFTER the merge committed — time
     * travel must reproduce the pre-merge table exactly (oracle: plain
     * rollup of `orders`).
@@ -3680,6 +3706,7 @@ object SnapshotTable extends QueryPack {
     "q_snapshot_meta_parts" -> (metaPartsQuery _),
     "q_snapshot_sql" -> (sqlQuery _),
     "q_snapshot_merge" -> (snapshotMergeQuery _),
+    "q_stats_broadcast" -> (statsBroadcastQuery _),
     "q_time_travel" -> (timeTravelQuery _),
     "q_snapshot_skip" -> (rangeSkipQuery _),
     "q_snapshot_skip2" -> (rangeSkip2Query _),
@@ -3865,6 +3892,32 @@ object SnapshotTable extends QueryPack {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  CAST(max(o_orderkey) AS BIGINT) AS max_key
         |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_stats_broadcast" ->
+      """WITH changed AS (
+        |  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+        |    o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |), fresh AS (
+        |  SELECT (SELECT max(o_orderkey) FROM orders) + i AS o_orderkey,
+        |    123.45 AS o_totalprice, '1-URGENT' AS o_orderpriority
+        |  FROM (SELECT unnest(generate_series(1, 5)) AS i)
+        |), upd AS (
+        |  SELECT * FROM changed UNION ALL SELECT * FROM fresh
+        |), merged AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM upd
+        |), dim AS (
+        |  SELECT o_orderkey, o_totalprice FROM merged
+        |  WHERE o_orderpriority = '1-URGENT'
+        |)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(max(l_orderkey) AS BIGINT) AS max_key
+        |FROM lineitem JOIN dim ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_time_travel" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,

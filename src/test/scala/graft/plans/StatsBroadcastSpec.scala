@@ -1,0 +1,131 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.SnapshotTable
+
+/** The stats-broadcast rule must (a) turn a shuffle join into a STATIC
+  * broadcast join when the snapshot side's manifest-pruned bytes fit
+  * under `autoBroadcastJoinThreshold` (the static plan matters: AQE's
+  * runtime conversion still pays both map stages' shuffle writes),
+  * (b) change nothing about the result rows, and (c) stay conservative:
+  * no hint when pruning cannot bring the side under the threshold,
+  * when auto-broadcast is disabled, or when the user pinned a strategy.
+  *
+  * Plan assertions read `queryExecution.sparkPlan` — the pre-AQE
+  * physical plan, i.e. the static planner's decision this rule exists
+  * to improve (AQE may later convert the flag-off run too; that is the
+  * runtime fallback, not the subject).
+  */
+class StatsBroadcastSpec extends SparkSpec {
+
+  StatsBroadcast.install(spark)
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("statsbc").resolve("t").toString
+
+  // ~5 partitions x ~2000 rows of incompressible-ish payload: full
+  // table well over the 64 KB test threshold, one partition well under
+  private def dimTable(): String = {
+    val t = freshDir()
+    val df = spark.range(0, 10000).select(
+      col("id").as("k"),
+      concat(lit("p"), (col("id") % 5).cast("string")).as("p"),
+      md5(col("id").cast("string")).as("pad"))
+    SnapshotTable.create(spark, t, df, "p", statsCols = Seq("k"))
+    t
+  }
+
+  // fact sized ABOVE the threshold so it is never the broadcast side
+  private lazy val factPath: String = {
+    val f = freshDir()
+    spark.range(0, 40000).select(
+      (col("id") % 10000).as("fk"),
+      md5(concat(lit("f"), col("id").cast("string"))).as("fpad"))
+      .write.parquet(f)
+    f
+  }
+
+  private def fact: DataFrame = spark.read.parquet(factPath)
+
+  private def bhj(df: DataFrame): Int =
+    df.queryExecution.sparkPlan.collect {
+      case b: BroadcastHashJoinExec => b }.size
+
+  private def smj(df: DataFrame): Int =
+    df.queryExecution.sparkPlan.collect {
+      case s: SortMergeJoinExec => s }.size
+
+  private def withThreshold[T](bytes: Long)(body: => T): T = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, bytes.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
+  private def withRuleOff[T](body: => T): T = {
+    spark.conf.set("spark.graft.snapshot.statsBroadcast", "false")
+    try body
+    finally spark.conf.set("spark.graft.snapshot.statsBroadcast", "true")
+  }
+
+  // keeps every dim column in the output so Spark's column-ratio
+  // sizing cannot shrink the flag-off side under the threshold
+  private def joined(dim: DataFrame): DataFrame =
+    fact.join(dim, col("fk") === col("k"))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n"), sum(length(col("pad"))).as("padlen"))
+      .orderBy(col("p"))
+
+  test("partition-filtered dim under the threshold plans a STATIC " +
+    "broadcast join; rule off plans a shuffle join; rows identical") {
+    val t = dimTable()
+    val full = SnapshotTable.tableStats(spark, t)._2
+    assert(full > 131072L, s"fixture too small: $full")
+    withThreshold(131072L) {
+      def dim() = SnapshotTable.read(spark, t).filter(col("p") === "p3")
+      val on = joined(dim())
+      assert(bhj(on) === 1 && smj(on) === 0)
+      // plan must be forced INSIDE the flag-off scope (planning is lazy)
+      val (offBhj, offSmj, offRows) = withRuleOff {
+        val d = joined(dim()); (bhj(d), smj(d), d.collect().toSeq)
+      }
+      assert(offBhj === 0 && offSmj === 1)
+      assert(on.collect().toSeq === offRows)
+    }
+  }
+
+  test("min/max-stat range filter on a non-partition column also sizes " +
+    "the side (same pruning machinery as the scan)") {
+    val t = dimTable()
+    withThreshold(131072L) {
+      // k is the stats column; files are key-ranged within partitions,
+      // so a narrow k slice prunes most files across every partition
+      def dim() = SnapshotTable.read(spark, t)
+        .filter(col("k") >= 9950L)
+      assert(bhj(joined(dim())) === 1)
+      assert(withRuleOff { bhj(joined(dim())) } === 0)
+    }
+  }
+
+  test("conservative: unfiltered big dim, disabled auto-broadcast, and " +
+    "a user strategy hint are all left alone") {
+    val t = dimTable()
+    withThreshold(131072L) {
+      // pruning cannot help an unfiltered read over the threshold
+      assert(bhj(joined(SnapshotTable.read(spark, t))) === 0)
+      // the user said merge: the measured size must not override it
+      val pinned = joined(
+        SnapshotTable.read(spark, t).filter(col("p") === "p3")
+          .hint("shuffle_merge"))
+      assert(bhj(pinned) === 0 && smj(pinned) === 1)
+    }
+    withThreshold(-1L) {
+      val dis = joined(SnapshotTable.read(spark, t).filter(col("p") === "p3"))
+      assert(bhj(dis) === 0)
+    }
+  }
+}
