@@ -219,6 +219,40 @@ object SecondaryIndex extends QueryPack {
     }
   }
 
+  /** Key-delete with the candidate scan INDEX-SERVED: the rewrite set
+    * comes from the postings (partition-pruned reads of the probed
+    * keys' hash buckets — O(postings)) instead of
+    * [[SnapshotTable.commitDeleteKeys]]' column-pruned scan of EVERY
+    * table file. At 100 TB that is the GDPR-delete shape: a handful of
+    * keys against a billion-row table rewrites the few files that hold
+    * them after an index probe that opens none of the table's data.
+    *
+    * Exactness: at `applied == current` the postings name every file
+    * that holds a key (masked-row false positives only widen the set),
+    * so the candidate list is a proven superset and the version-guarded
+    * fast path inside `commitDeleteKeys` may trust it. Same
+    * degrade-don't-lie contract as [[read]]: a still-stale index or an
+    * over-cap posting list falls back to the plain scan path of the
+    * same table — never a wrong delete.
+    */
+  def deleteKeys(spark: SparkSession, table: String, keyCol: String,
+                 index: String, keys: Seq[Any], partCol: String,
+                 maxFiles: Int = 4096,
+                 autoRefresh: Boolean = true): (Long, Long) = {
+    if (autoRefresh) refresh(spark, table, keyCol, index)
+    val v = SnapshotTable.currentVersion(spark, table)
+    val dt = SnapshotTable.read(spark, table).schema(keyCol).dataType
+    val keyDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(keys.map(Row(_)), 1),
+      StructType(Seq(StructField(keyCol, dt))))
+    val cands =
+      if (appliedVersion(spark, index) < v) None
+      else lookupFiles(spark, table, keyCol, index, keys, maxFiles)
+        .map(files => (v, files.toSet))
+    SnapshotTable.commitDeleteKeys(spark, table, keyDf, keyCol, partCol,
+      candidates = cands)
+  }
+
   /** INNER equi-join with the FACT side planned from the index — the
     * scale path past [[graft.operators.DynamicFilterJoin]]'s IN-seed:
     * there, the dim's distinct keys COLLECT to the driver (capped at
@@ -381,6 +415,30 @@ object SecondaryIndex extends QueryPack {
       Seq(101L, 999L, maxKey + 2L, maxKey + 4L), autoRefresh = false))
   }
 
+  /** Index-served key DELETE on a per-run CLONE of the scenario table
+    * (hardlink clones keep data-file names, so the SHARED index's
+    * postings stay valid for the clone), then the survivors' rollup —
+    * correct only if the posting-derived candidate set named every file
+    * holding a deleted key, scattered base keys and an appended fresh
+    * key alike, and the absent probe key changed nothing.
+    */
+  def deleteQuery(s: SparkSession, dir: String): DataFrame = {
+    val (work, idx) = scenario(s, dir)
+    val workClone = SnapshotTable.cloneTable(s, work)
+    val maxKey = Tables.orders(s, dir)
+      .agg(max(col("o_orderkey"))).head().getLong(0)
+    deleteKeys(s, workClone, "o_orderkey", idx,
+      Seq(7L, 101L, 999L, maxKey + 2L, 999999999L), "o_orderpriority",
+      autoRefresh = false)
+    SnapshotTable.read(s, workClone)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Index-pruned fact⋈dim rollup where the dim (orders referenced by
     * a max-quantity lineitem) is far past the IN-seed's collect cap at
     * bench scale — the fact files come from the distributed postings
@@ -405,6 +463,7 @@ object SecondaryIndex extends QueryPack {
     "q_secidx_lookup" -> ((s, dir) => lookupQuery(s, dir)),
     "q_secidx_fresh" -> ((s, dir) => freshQuery(s, dir)),
     "q_secidx_join" -> ((s, dir) => joinQuery(s, dir)),
+    "q_secidx_delete" -> ((s, dir) => deleteQuery(s, dir)),
     "q_stream_secidx" -> ((s, dir) => streamQuery(s, dir)))
 
   override def oracleSql: Map[String, String] = Map(
@@ -416,6 +475,25 @@ object SecondaryIndex extends QueryPack {
         |FROM orders
         |WHERE o_orderkey IN (7, 13, 101, 388, 555, 999, 999999999)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_secidx_delete" ->
+      """WITH fresh AS (
+        |  SELECT (SELECT max(o_orderkey) FROM orders) + i AS o_orderkey,
+        |    CAST(1 AS BIGINT) AS o_custkey, 123.45 AS o_totalprice,
+        |    '1-URGENT' AS o_orderpriority
+        |  FROM (SELECT unnest(generate_series(1, 5)) AS i)
+        |), unioned AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |  FROM orders
+        |  UNION ALL SELECT * FROM fresh
+        |)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM unioned
+        |WHERE o_orderkey NOT IN (7, 101, 999,
+        |  (SELECT max(o_orderkey) FROM orders) + 2, 999999999)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_secidx_fresh" ->
       """WITH fresh AS (
         |  SELECT (SELECT max(o_orderkey) FROM orders) + i AS o_orderkey,

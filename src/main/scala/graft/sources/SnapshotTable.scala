@@ -1861,23 +1861,37 @@ object SnapshotTable extends QueryPack {
     * table are simply not hits. Returns (new version, rows deleted);
     * current version unchanged when nothing matches.
     */
+  /** `candidates`: a PROVEN (version, file-path) superset of the files
+    * holding any key — e.g. a current secondary index's postings
+    * ([[SecondaryIndex.deleteKeys]]). When its version still matches
+    * the table, the column-pruned candidate SCAN is skipped entirely
+    * (O(postings) driver work instead of O(table) scan); rows in
+    * non-candidate files are TRUSTED absent, so an unproven set would
+    * silently under-delete. A version mismatch (racing commit between
+    * the probe and this call) falls back to the scan — never wrong.
+    */
   def commitDeleteKeys(spark: SparkSession, table: String, keys: DataFrame,
-                       keyCol: String, partCol: String): (Long, Long) = {
+                       keyCol: String, partCol: String,
+                       candidates: Option[(Long, Set[String])] = None): (Long, Long) = {
     val v = currentVersion(spark, table)
     val meta = readMeta(spark, table, v)
     requireNoPendingDeletes(table, meta, "commitDeleteKeys")
     val (segs, hdr) = (meta.segs, meta.hdr)
     val manifest = meta.entries
     val keyset = keys.select(col(keyCol)).distinct()
-    // one column-pruned scan (key column only) tags hit files
-    val hitNames = readFiles(spark, table, manifest, hdr.schema)
-      .select(col(keyCol), input_file_name().as("__f"))
-      .join(keyset, Seq(keyCol), "left_semi")
-      .select(col("__f")).distinct()
-      .collect().map(r => new Path(new java.net.URI(r.getString(0)).getPath).getName)
-      .toSet
-    val affected = manifest.filter(e =>
-      hitNames.contains(new Path(e.path).getName))
+    val affected = candidates match {
+      case Some((atV, paths)) if atV == v =>
+        manifest.filter(e => paths.contains(e.path))
+      case _ =>
+        // one column-pruned scan (key column only) tags hit files
+        val hitNames = readFiles(spark, table, manifest, hdr.schema)
+          .select(col(keyCol), input_file_name().as("__f"))
+          .join(keyset, Seq(keyCol), "left_semi")
+          .select(col("__f")).distinct()
+          .collect().map(r => new Path(new java.net.URI(r.getString(0)).getPath).getName)
+          .toSet
+        manifest.filter(e => hitNames.contains(new Path(e.path).getName))
+    }
     if (affected.isEmpty) (v, 0L)
     else {
       val target = readFiles(spark, table, affected, hdr.schema)

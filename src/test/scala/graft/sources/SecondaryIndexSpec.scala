@@ -205,4 +205,67 @@ class SecondaryIndexSpec extends SparkSpec {
     assert(rows(SecondaryIndex.read(spark, t, "id", idx, keys,
       maxFiles = 0)) === rows(plainLookup(t, keys)))
   }
+
+  test("index-served deleteKeys rewrites exactly the posting files, " +
+    "matches the plain scan delete, and an absent key changes nothing") {
+    import spark.implicits._
+    val t = buildTable()
+    val idx = t + "_idx"
+    SecondaryIndex.create(spark, t, "id", idx, buckets = 8)
+    val keys = Seq(5L, 77L, 310L, 123456L)
+    val expectedFiles = SecondaryIndex.lookupFiles(spark, t, "id", idx, keys)
+      .get.toSet
+    val before = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t)).map(_.path).toSet
+    val (v2, n) = SecondaryIndex.deleteKeys(spark, t, "id", idx, keys, "grp",
+      autoRefresh = false)
+    assert(n === 3L)
+    // postings name only files that HELD a key, so the rewrite set is
+    // exactly the candidate list — nothing else was touched
+    val after = SnapshotTable.readManifest(spark, t, v2).map(_.path).toSet
+    assert((before -- after) === expectedFiles)
+    // twin table through the plain scan path: end states identical
+    val t2 = buildTable()
+    SnapshotTable.commitDeleteKeys(spark, t2,
+      keys.toDF("id"), "id", "grp")
+    assert(rows(SnapshotTable.read(spark, t)) ===
+      rows(SnapshotTable.read(spark, t2)))
+    // absent key only: no rewrite, no version advance
+    val (v3, n3) = SecondaryIndex.deleteKeys(spark, t, "id", idx,
+      Seq(987654L), "grp", autoRefresh = false)
+    assert(n3 === 0L && v3 === v2)
+  }
+
+  test("deleteKeys degrades on a stale index (scan path finds keys in " +
+    "un-indexed fresh files); unproven candidate sets are trusted, which " +
+    "is why only the version guard admits them") {
+    import spark.implicits._
+    val t = buildTable()
+    val idx = t + "_idx"
+    SecondaryIndex.create(spark, t, "id", idx, buckets = 8)
+    SnapshotTable.commitAppend(spark, t,
+      Seq((3001L, "g3", 1.0)).toDF("id", "grp", "v"), "grp")
+    // stale index, autoRefresh off: the fresh-file key must STILL die
+    // (degrade to scan), not silently survive
+    val (_, n) = SecondaryIndex.deleteKeys(spark, t, "id", idx,
+      Seq(3001L), "grp", autoRefresh = false)
+    assert(n === 1L)
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("id") === 3001L).count() === 0L)
+    // a trusted-but-wrong candidate set under-deletes — the documented
+    // reason candidates must be PROVEN supersets...
+    val v = SnapshotTable.currentVersion(spark, t)
+    val (_, n2) = SnapshotTable.commitDeleteKeys(spark, t,
+      Seq(5L).toDF("id"), "id", "grp",
+      candidates = Some((v, Set.empty[String])))
+    assert(n2 === 0L && SnapshotTable.read(spark, t)
+      .filter(col("id") === 5L).count() === 1L)
+    // ...and a version-mismatched set is IGNORED: the scan path runs
+    // and the delete lands despite the bogus hint
+    val (_, n3) = SnapshotTable.commitDeleteKeys(spark, t,
+      Seq(5L).toDF("id"), "id", "grp",
+      candidates = Some((v - 1, Set.empty[String])))
+    assert(n3 === 1L && SnapshotTable.read(spark, t)
+      .filter(col("id") === 5L).count() === 0L)
+  }
 }
