@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.{QueryPack, Tables}
-import graft.sources.SnapshotTable
+import graft.sources.{SnapshotCatalog, SnapshotTable}
 
 /** `[EXT]` streaming sink committing each micro-batch as one atomic
   * snapshot-table version — the exactly-once parquet sink done with
@@ -273,12 +273,126 @@ object SnapshotSink extends QueryPack {
       .orderBy(col("user_id"))
   }
 
+  /** STREAMING MULTI-TABLE TRANSACTIONS: each micro-batch (a) appends
+    * its slice to the FACT table, (b) advances the per-type AGGREGATE
+    * table by the batch's DELTA (exact decimal arithmetic at a pinned
+    * column type, O(batch + touched groups) — never a recompute), and
+    * (c) publishes ONE [[graft.sources.SnapshotCatalog]] version
+    * re-pinning both — a catalog reader sees fact and aggregate move
+    * TOGETHER or not at all, at micro-batch cadence, even though the
+    * underlying versions land one rename at a time.
+    *
+    * Exactly-once end to end: both table commits carry the batch tag
+    * (`ctx<id>`), so a replay no-ops each; a crash BETWEEN the two
+    * commits replays into fact-no-op + agg-delta-applied-once (the tag
+    * rides the agg commit atomically, so the delta can never land
+    * twice); and the catalog publish is SKIPPED when the pins already
+    * match, so a full replay leaves the catalog history untouched.
+    * Single-writer contract: the stream owns both tables' data commits
+    * (row-preserving maintenance like compact may race — the rebase
+    * keeps pins current and rollups unchanged).
+    */
+  def runCatalogTxn(spark: SparkSession, sourceDir: String,
+                    schema: org.apache.spark.sql.types.StructType,
+                    root: String, factName: String = "fact",
+                    aggName: String = "agg", typeCol: String = "event_type",
+                    valueCol: String = "value",
+                    checkpoint: Option[String] = None): Unit = {
+    val pins0 = SnapshotCatalog.entries(spark, root)
+    val factPath = pins0(factName)._1
+    val aggPath = pins0(aggName)._1
+    val source = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(sourceDir)
+    val q = source.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val tag = s"ctx$batchId"
+        SnapshotTable.commitWithRetry() {
+          SnapshotTable.commitAppend(s, factPath, batch, typeCol,
+            tag = Some(tag))
+          // bounded by the type domain, not the batch (the collect is
+          // the partition-probe idiom every merge path already uses)
+          val touched = batch.select(col(typeCol)).distinct()
+            .collect().map(_.get(0).toString).toSeq
+          if (touched.nonEmpty) {
+            // pinned column types (long, decimal(28,6)) keep the agg
+            // schema FIXED across batches — decimal addition is exact
+            // and associative, so the running totals are independent
+            // of how the source split into micro-batches
+            val delta = batch.groupBy(col(typeCol))
+              .agg(count(lit(1)).cast("long").as("n"),
+                sum(col(valueCol).cast("decimal(18,6)"))
+                  .cast("decimal(28,6)").as("sum_value"))
+            val merged =
+              if (SnapshotTable.tableStats(s, aggPath)._1 == 0L) delta
+              else {
+                val existing = SnapshotTable
+                  .readWhere(s, aggPath, typeCol, touched)
+                  .select(col(typeCol), col("n").as("__n0"),
+                    col("sum_value").as("__s0"))
+                delta.join(existing, Seq(typeCol), "left_outer")
+                  .select(col(typeCol),
+                    (col("n") + coalesce(col("__n0"), lit(0L)))
+                      .cast("long").as("n"),
+                    (col("sum_value") + coalesce(col("__s0"),
+                      lit(java.math.BigDecimal.ZERO)
+                        .cast("decimal(28,6)")))
+                      .cast("decimal(28,6)").as("sum_value"))
+              }
+            SnapshotTable.commitMerge(s, aggPath, merged, typeCol, typeCol,
+              tag = Some(tag))
+          }
+          val vF = SnapshotTable.currentVersion(s, factPath)
+          val vA = SnapshotTable.currentVersion(s, aggPath)
+          val pins = SnapshotCatalog.entries(s, root)
+          if (pins(factName)._2 != vF || pins(aggName)._2 != vA)
+            SnapshotCatalog.commit(s, root)(_ =>
+              Map(factName -> vF, aggName -> vA))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        checkpoint.getOrElse(StreamHousekeeping.freshCheckpointDir()))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Driver query: stream the events corpus through the multi-table
+    * transaction sink, then read the AGGREGATE through the catalog —
+    * the hash matches the corpus rollup only if every batch's fact
+    * append, agg delta, and catalog re-pin each applied exactly once.
+    */
+  def streamCatalogTxnQuery(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ctxroot").toString
+    val fact = root + "/fact"
+    val agg = root + "/agg"
+    SnapshotTable.createEmpty(s, fact)
+    SnapshotTable.createEmpty(s, agg)
+    SnapshotCatalog.create(s, root)
+    SnapshotCatalog.register(s, root, "fact", fact)
+    SnapshotCatalog.register(s, root, "agg", agg)
+    runCatalogTxn(s, DocDedupStream.stagedDir(dir, "events.parquet"),
+      Tables.load(s, dir, "events").schema, root)
+    SnapshotCatalog.read(s, root, "agg")
+      .select(col("event_type"), col("n"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_stream_snapshot_etl" -> (streamEtlQuery _),
+    "q_stream_catalog_txn" -> (streamCatalogTxnQuery _),
     "q_stream_snapshot_upsert" -> (streamUpsertQuery _))
 
   override def oracleSql: Map[String, String] = Map(
     "q_stream_snapshot_etl" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_catalog_txn" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
