@@ -20,8 +20,9 @@ import graft.QueryPack
   *   - the applied source version rides the view's own tag ledger
   *     (`mv@<v>`), and the merge commit carries the SAME tag — a
   *     crashed-and-retried refresh is a no-op, never a double-apply;
-  *   - groups whose count reaches zero are purged with an eager
-  *     delete (itself idempotent), so the view never shows ghosts.
+  *   - groups whose count reaches zero are DELETED inside the same
+  *     merge commit (merge-into's delete clause), so the view never
+  *     shows ghosts at ANY version.
   *
   * Aggregates are the INVERTIBLE ones (count, sum — in exact decimal,
   * so repeated incremental refreshes equal a recompute bit-for-bit);
@@ -71,7 +72,11 @@ object IncrementalView extends QueryPack {
     * tag ledger.
     */
   /** Merge per-group (dn, dtotal) deltas into the view under `tag` —
-    * shared by the single-source and join refreshes.
+    * shared by the single-source and join refreshes. Groups netted to
+    * n = 0 are DELETED in the same commit (merge-into's delete clause),
+    * so ghost rows never exist at any view version and no separate
+    * purge pass runs; the common window (nothing netted to zero — one
+    * cheap probe on the cached update frame) takes the plain upsert.
     */
   private def mergeDeltas(spark: SparkSession, view: String,
                           delta: DataFrame, keyCol: String,
@@ -84,8 +89,20 @@ object IncrementalView extends QueryPack {
         (coalesce(col("__n"), lit(0L)) + col("dn")).as("n"),
         (coalesce(col("__t"), lit(0).cast(totalType)) + col("dtotal"))
           .cast(totalType).as("total"))
-    SnapshotTable.commitMerge(spark, view, updated, keyCol, keyCol,
-      tag = Some(tag))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (updated.filter(col("n") === 0L).isEmpty)
+        SnapshotTable.commitMerge(spark, view, updated, keyCol, keyCol,
+          tag = Some(tag))
+      else
+        // a zero-group with no view row (insert+delete inside one
+        // window) falls through the insert condition and is ignored
+        SnapshotTable.commitMergeInto(spark, view, updated, keyCol, keyCol,
+          updateWhen = Some(SnapshotTable.src("n") > 0L),
+          deleteWhen = Some(SnapshotTable.src("n") === 0L),
+          insertWhen = Some(col("n") > 0L),
+          tag = Some(tag))
+    } finally updated.unpersist(false)
     ()
   }
 
@@ -103,9 +120,6 @@ object IncrementalView extends QueryPack {
         .filter(col("dn") =!= 0L || col("dtotal") =!= 0.0)
       mergeDeltas(spark, view, delta, keyCol, s"mv@$cur")
     }
-    // purge vanished groups — runs even when the merge no-opped, so a
-    // refresh that crashed between its two commits heals on retry
-    SnapshotTable.commitDelete(spark, view, col("n") === 0L, keyCol)
     (SnapshotTable.currentVersion(spark, view), math.max(applied, cur))
   }
 
@@ -255,9 +269,6 @@ object IncrementalView extends QueryPack {
         (dF ++ dD).foreach(_.unpersist(false))
       }
     }
-    // purge groups netted to zero — runs even when the merge no-opped,
-    // so a refresh crashed between its two commits heals on retry
-    SnapshotTable.commitDelete(spark, view, col("n") === 0L, groupKey)
     (SnapshotTable.currentVersion(spark, view), (cF, cD))
   }
 
@@ -313,10 +324,11 @@ object IncrementalView extends QueryPack {
 
   /** Advance the min/max view to the source's current version:
     * touched groups come from the change feed, their new aggregate
-    * rows from re-aggregating ONLY those groups; vanished groups ride
-    * the merge with n=0 and are purged. Because recomputed rows are
-    * ABSOLUTE state (not deltas), a crashed-and-retried refresh is
-    * idempotent even beyond the tag ledger.
+    * rows from re-aggregating ONLY those groups; vanished groups are
+    * deleted by the same merge commit (n=0 markers through the delete
+    * clause). Because recomputed rows are ABSOLUTE state (not deltas),
+    * a crashed-and-retried refresh is idempotent even beyond the tag
+    * ledger.
     */
   def refreshFull(spark: SparkSession, view: String, src: String,
                   keyCol: String, valueCol: String,
@@ -340,22 +352,30 @@ object IncrementalView extends QueryPack {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // groups every one of whose rows vanished produce no recomputed
-        // row — they merge as n=0 ghosts, purged by the delete below
+        // row — n=0 markers drive merge-into's delete clause, retiring
+        // them atomically with the upserts (ghost rows never exist);
+        // the common no-vanish window takes the plain upsert
         val vanished = withBucket(touched
           .join(recomputed.select(col(keyCol)), Seq(keyCol), "left_anti")
           .select(col(keyCol), lit(0L).as("n"),
             lit(null).cast(totalType).as("total"),
             lit(null).cast("decimal(18,2)").as("vmin"),
             lit(null).cast("decimal(18,2)").as("vmax")), keyCol, buckets)
-        SnapshotTable.commitMerge(spark, view,
-          recomputed.unionByName(vanished), keyCol, part,
-          tag = Some(s"mv@$cur"))
+        if (vanished.isEmpty)
+          SnapshotTable.commitMerge(spark, view, recomputed, keyCol, part,
+            tag = Some(s"mv@$cur"))
+        else
+          SnapshotTable.commitMergeInto(spark, view,
+            recomputed.unionByName(vanished), keyCol, part,
+            updateWhen = Some(SnapshotTable.src("n") > 0L),
+            deleteWhen = Some(SnapshotTable.src("n") === 0L),
+            insertWhen = Some(col("n") > 0L),
+            tag = Some(s"mv@$cur"))
       } finally {
         recomputed.unpersist(false)
         touched.unpersist(false)
       }
     }
-    SnapshotTable.commitDelete(spark, view, col("n") === 0L, part)
     (SnapshotTable.currentVersion(spark, view), math.max(applied, cur))
   }
 

@@ -150,9 +150,12 @@ object MaterializedView extends QueryPack {
     * come from the change feed; their rows are re-aggregated from the
     * current snapshot as ABSOLUTE state (no incremental +/- on floats,
     * so no drift, and a crashed-and-retried refresh is idempotent
-    * beyond the tag ledger); groups whose rows all vanished merge as
-    * `mv_n = 0` ghosts and are purged. Cost: O(touched groups' source
-    * rows + touched view buckets), never O(source).
+    * beyond the tag ledger); groups whose rows all vanished are DELETED
+    * in the SAME merge commit (`mv_n = 0` markers drive the merge's
+    * delete clause), so ghost rows never exist at any version and the
+    * refresh is ONE commit — no separate purge pass over the view.
+    * Cost: O(touched groups' source rows + touched view buckets),
+    * never O(source).
     */
   def refresh(spark: SparkSession, d: MvDef): Long = {
     val applied = IncrementalView.appliedVersion(spark, d.view)
@@ -176,17 +179,28 @@ object MaterializedView extends QueryPack {
             lit(null).cast(st("mv_sum").dataType).as("mv_sum"),
             lit(null).cast(st("mv_min").dataType).as("mv_min"),
             lit(null).cast(st("mv_max").dataType).as("mv_max")), d)
-        SnapshotTable.commitMerge(spark, d.view,
-          recomputed.unionByName(vanished), d.keyCol, "__bucket",
-          tag = Some(s"mv@$cur"))
+        // recomputed and vanished key sets are disjoint by construction
+        // (left_anti), so the merge's one-row-per-key rule holds. The
+        // COMMON window (appends/updates only) takes the plain upsert;
+        // only a window that emptied whole groups pays merge-into's
+        // clause machinery, whose delete clause retires them atomically
+        // with the upserts — a vanished key with no view row falls
+        // through the insert condition and is ignored
+        if (vanished.isEmpty)
+          SnapshotTable.commitMerge(spark, d.view, recomputed,
+            d.keyCol, "__bucket", tag = Some(s"mv@$cur"))
+        else
+          SnapshotTable.commitMergeInto(spark, d.view,
+            recomputed.unionByName(vanished), d.keyCol, "__bucket",
+            updateWhen = Some(SnapshotTable.src("mv_n") > 0L),
+            deleteWhen = Some(SnapshotTable.src("mv_n") === 0L),
+            insertWhen = Some(col("mv_n") > 0L),
+            tag = Some(s"mv@$cur"))
       } finally {
         recomputed.unpersist(false)
         touched.unpersist(false)
       }
     }
-    // unconditional: a refresh that crashed between merge and purge
-    // left ghosts behind and will re-enter with cur == applied
-    SnapshotTable.commitDelete(spark, d.view, col("mv_n") === 0L, "__bucket")
     cur
   }
 
