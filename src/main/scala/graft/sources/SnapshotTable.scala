@@ -3701,6 +3701,66 @@ object SnapshotTable extends QueryPack {
     * manifest, the distinct count from the fingerprint-verified ANALYZE
     * sidecar in its exact regime ([[TableStats]]).
     */
+  // two event-type user corpora as snapshot tables + their ANALYZE
+  // sidecars — read-only after build, memoized; the overlap query then
+  // costs two sidecar reads and a driver-side hash-set fold
+  @volatile private var overlapMemo: Option[((SparkSession, String), (String, String))] = None
+
+  private def overlapScenario(s: SparkSession, dir: String): (String, String) =
+    overlapMemo match {
+      case Some((k, w)) if k == ((s, dir)) => w
+      case _ => synchronized {
+        overlapMemo match {
+          case Some((k, w)) if k == ((s, dir)) => w
+          case _ =>
+            val root = java.nio.file.Files
+              .createTempDirectory("graft_ndv_overlap").toString
+            val ev = Tables.load(s, dir, "events")
+              .select(col("user_id"), col("event_type"))
+            def side(name: String, etype: String): String = {
+              val t = s"$root/$name"
+              create(s, t, ev.filter(col("event_type") === etype),
+                "event_type")
+              TableStats.analyze(s, t, Seq("user_id"), k = 8192)
+              t
+            }
+            val w = (side("viewers", "view"), side("purchasers", "purchase"))
+            overlapMemo = Some(((s, dir), w))
+            w
+        }
+      }
+    }
+
+  /** Cross-table audience overlap from the ANALYZE sidecars — distinct
+    * viewers, purchasers, their union and intersection — all four
+    * numbers a METADATA fold ([[TableStats.overlap]]: two sidecar
+    * reads, zero data files) while the sketches are in their exact
+    * regime; a saturated sketch at larger scale degrades to the exact
+    * relational recompute, never an estimate in an oracle-compared
+    * result.
+    */
+  def ndvOverlapQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (va, vb) = overlapScenario(s, dir)
+    val sa = TableStats.readStats(s, va).get.sketches
+      .find(_.col == "user_id").get
+    val sb = TableStats.readStats(s, vb).get.sketches
+      .find(_.col == "user_id").get
+    val ov = TableStats.overlap(sa, sb)
+    (sa.exact, sb.exact) match {
+      case (Some(nA), Some(nB)) if ov.exact =>
+        Seq((nA, nB, ov.union.toLong, ov.intersect.toLong))
+          .toDF("n_view", "n_purchase", "n_union", "n_intersect")
+      case _ =>
+        val a = read(s, va).select(col("user_id")).distinct()
+        val b = read(s, vb).select(col("user_id")).distinct()
+        Seq((a.count(), b.count(),
+          a.unionByName(b).distinct().count(),
+          a.join(b, Seq("user_id"), "left_semi").count()))
+          .toDF("n_view", "n_purchase", "n_union", "n_intersect")
+    }
+  }
+
   def metaNdvQuery(s: SparkSession, dir: String): DataFrame = {
     graft.plans.MetadataAggPushdown.install(s)
     read(s, nullScenario(s, dir)).agg(
@@ -3713,6 +3773,7 @@ object SnapshotTable extends QueryPack {
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_snapshot_history" -> (historyQuery _),
     "q_snapshot_ndv" -> (metaNdvQuery _),
+    "q_ndv_overlap" -> (ndvOverlapQuery _),
     "q_snapshot_meta_nulls" -> (metaNullsQuery _),
     "q_snapshot_dynjoin" -> (dynJoinQuery _),
     "q_snapshot_meta_agg" -> (metaAggQuery _),
@@ -3785,6 +3846,19 @@ object SnapshotTable extends QueryPack {
         |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
         |  CAST(max(o_orderkey) AS BIGINT) AS max_key
         |FROM orders""".stripMargin,
+    "q_ndv_overlap" ->
+      """SELECT
+        |  CAST((SELECT count(DISTINCT user_id) FROM events
+        |        WHERE event_type = 'view') AS BIGINT) AS n_view,
+        |  CAST((SELECT count(DISTINCT user_id) FROM events
+        |        WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+        |  CAST((SELECT count(DISTINCT user_id) FROM events
+        |        WHERE event_type IN ('view', 'purchase')) AS BIGINT)
+        |    AS n_union,
+        |  CAST((SELECT count(DISTINCT user_id) FROM events
+        |        WHERE event_type = 'view' AND user_id IN
+        |          (SELECT user_id FROM events WHERE event_type = 'purchase'))
+        |    AS BIGINT) AS n_intersect""".stripMargin,
     "q_snapshot_meta_nulls" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(CASE WHEN o_orderkey % 3 = 0 THEN o_custkey END)

@@ -283,4 +283,44 @@ object TableStats {
                        column: String): Option[(Double, Boolean)] =
     readStats(spark, table).flatMap(_.sketches.find(_.col == column))
       .map(s => (s.estimate, !s.sat))
+
+  /** Cross-table distinct-set arithmetic on two sketches (the
+    * Iceberg-Puffin / theta-sketch "audience overlap" operation on the
+    * KMV construction): union and intersection distinct counts without
+    * reading either table.
+    *
+    * EXACT regime: an unsaturated sketch IS its column's complete
+    * distinct-hash set, so set arithmetic on the hash sets is exact —
+    * under the same 64-bit-collision-free assumption the exact NDV
+    * fold already makes. Any saturated input demotes to an ESTIMATE
+    * over the shared certainty region θ = min of the sketches'
+    * coverage: below θ each sketch is a complete sample of its set,
+    * so |A ∪ B| comes from the merged sketch's own estimator and
+    * |A ∩ B| ≈ |shared hashes ≤ θ| / θ. `exact` says which regime
+    * produced the numbers — an estimate is never served in disguise.
+    */
+  final case class NdvOverlap(union: Double, intersect: Double,
+                              exact: Boolean)
+
+  def overlap(a: NdvSketch, b: NdvSketch): NdvOverlap = {
+    require(a.k == b.k,
+      s"ndv overlap: mismatched sketch sizes (${a.k} vs ${b.k})")
+    val sa = a.minima.toSet
+    val sb = b.minima.toSet
+    if (!a.sat && !b.sat)
+      NdvOverlap((sa ++ sb).size.toDouble, (sa & sb).size.toDouble,
+        exact = true)
+    else {
+      def ule(x: Long, y: Long) =
+        (x ^ Long.MinValue) <= (y ^ Long.MinValue)
+      // coverage boundary: the largest retained minimum of each
+      // SATURATED side bounds where its sample is complete; an
+      // unsaturated side is complete everywhere
+      val bounds = Seq(a, b).filter(_.sat).map(_.minima.last)
+      val hStar = bounds.reduce((x, y) => if (ule(x, y)) x else y)
+      val theta = unsignedFraction(hStar)
+      val shared = (sa & sb).count(ule(_, hStar))
+      NdvOverlap(merge(a, b).estimate, shared / theta, exact = false)
+    }
+  }
 }

@@ -156,4 +156,43 @@ class TableStatsSpec extends SparkSpec {
     val Some((est, exactFlag)) = TableStats.estimateDistinct(spark, t, "k")
     assert(!exactFlag && math.abs(est - 20000.0) / 20000.0 < 0.15)
   }
+
+  test("overlap of two unsaturated sketches is EXACT set arithmetic: " +
+    "union and intersection counts match the true sets") {
+    import spark.implicits._
+    // A = 1..300, B = 201..500 → |A∪B| = 500, |A∩B| = 100
+    val a = TableStats.sketchOf((1 to 300).map(_.toLong).toDF("u"),
+      "u", k = 1024)
+    val b = TableStats.sketchOf((201 to 500).map(_.toLong).toDF("u"),
+      "u", k = 1024)
+    val ov = TableStats.overlap(a, b)
+    assert(ov.exact)
+    assert(ov.union === 500.0 && ov.intersect === 100.0)
+    // consistency with the union-merge estimator in the exact regime
+    assert(TableStats.merge(a, b).estimate === 500.0)
+  }
+
+  test("overlap with a saturated side serves FLAGGED estimates within " +
+    "KMV tolerance; mismatched sketch sizes refuse") {
+    import spark.implicits._
+    // |A| = |B| = 20000, shared 10000 → union 30000, intersect 10000
+    val a = TableStats.sketchOf((1 to 20000).map(_.toLong).toDF("u"),
+      "u", k = 256)
+    val b = TableStats.sketchOf((10001 to 30000).map(_.toLong).toDF("u"),
+      "u", k = 256)
+    val ov = TableStats.overlap(a, b)
+    assert(!ov.exact)
+    assert(math.abs(ov.union - 30000.0) / 30000.0 < 0.2)
+    // the shared-below-θ count is ~k/3 draws → looser tolerance
+    assert(math.abs(ov.intersect - 10000.0) / 10000.0 < 0.35)
+    // one saturated, one complete side still estimates sanely
+    val small = TableStats.sketchOf(
+      (15001 to 15100).map(_.toLong).toDF("u"), "u", k = 256)
+    val ov2 = TableStats.overlap(a, small)
+    assert(!ov2.exact && ov2.intersect >= 0.0 &&
+      math.abs(ov2.union - 20100.0) / 20100.0 < 0.2)
+    val kMismatch = TableStats.sketchOf((1 to 10).map(_.toLong).toDF("u"),
+      "u", k = 64)
+    assertThrows[IllegalArgumentException](TableStats.overlap(a, kMismatch))
+  }
 }
