@@ -3128,6 +3128,41 @@ object SnapshotTable extends QueryPack {
     * rollup must still match the eager-delete oracle through the
     * read-time mask.
     */
+  /** Exact LIVE row count of `version` as a pure manifest fold — zero
+    * data files planned: Σ per-file recorded rows − Σ positional-delete
+    * rows. Positional deletes are disjoint by construction (victims are
+    * selected on the MASKED view, so an already-masked row can never be
+    * re-deleted), which makes the subtraction exact. None — never a
+    * guess — when any pending delete is an EQUALITY delete (its
+    * recorded count is keys, not matched rows; the masked scan is the
+    * only exact answer) or when any live entry's rows were never
+    * measured. This is the metadata `count(*)` for merge-on-read
+    * states, which the bare-relation optimizer fold can never see (a
+    * masked read plans an anti-join, not a bare scan).
+    */
+  def liveRowCount(spark: SparkSession, table: String,
+                   version: Option[Long] = None): Option[Long] = {
+    val v = version.getOrElse(currentVersion(spark, table))
+    val meta = readMeta(spark, table, v)
+    val (pos, eq) = meta.deletes.partition(_.col == PosCol)
+    if (eq.nonEmpty || meta.entries.exists(_.rows <= 0L)) None
+    else Some(meta.entries.map(_.rows).sum - pos.map(_.rows).sum)
+  }
+
+  /** Live-row accounting over PENDING positional deletes: the manifest
+    * fold (rows − delete positions, zero data files) must equal the
+    * oracle's relational replay of the masked state.
+    */
+  def dvCountQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = cloneTable(s, deleteBase(s, dir))
+    commitDeletePositional(s, work,
+      col("o_orderkey") % 101 === 0 && col("o_orderkey").between(1000, 5000),
+      rangeHint = Some(("o_orderkey", 1000d, 5000d)))
+    val folded = liveRowCount(s, work).getOrElse(read(s, work).count())
+    Seq(folded).toDF("n_live")
+  }
+
   def dvQuery(s: SparkSession, dir: String): DataFrame = {
     val work = cloneTable(s, deleteBase(s, dir))
     commitDeletePositional(s, work,
@@ -3793,6 +3828,7 @@ object SnapshotTable extends QueryPack {
     "q_snapshot_changes" -> (changesQuery _),
     "q_snapshot_delete" -> (deleteQuery _),
     "q_snapshot_dv" -> (dvQuery _),
+    "q_snapshot_dv_count" -> (dvCountQuery _),
     "q_snapshot_restore" -> (restoreQuery _),
     "q_snapshot_files" -> (filesQuery _),
     "q_snapshot_constraints" -> (constraintsQuery _),
@@ -4054,6 +4090,10 @@ object SnapshotTable extends QueryPack {
         |FROM orders
         |WHERE NOT (o_orderkey % 101 = 0 AND o_orderkey BETWEEN 1000 AND 5000)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_snapshot_dv_count" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_live FROM orders
+        |WHERE NOT (o_orderkey % 101 = 0
+        |  AND o_orderkey BETWEEN 1000 AND 5000)""".stripMargin,
     "q_snapshot_dv" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,

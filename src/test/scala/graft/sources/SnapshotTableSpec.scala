@@ -943,6 +943,37 @@ class SnapshotTableSpec extends SparkSpec {
       !== filesBefore)
   }
 
+  test("liveRowCount: a manifest fold equals the masked count through " +
+    "stacked positional deletes and appends; equality deletes refuse") {
+    import spark.implicits._
+    val table = freshTable()
+    def masked() = SnapshotTable.read(spark, table).count()
+    assert(SnapshotTable.liveRowCount(spark, table) === Some(masked()))
+    SnapshotTable.commitDeletePositional(spark, table,
+      col("o_orderkey") % 13 === 0)
+    assert(SnapshotTable.liveRowCount(spark, table) === Some(masked()))
+    // a second DV commit stacks (disjoint positions by construction)
+    SnapshotTable.commitDeletePositional(spark, table,
+      col("o_orderkey") % 7 === 0)
+    assert(SnapshotTable.liveRowCount(spark, table) === Some(masked()))
+    // appends during merge-on-read keep the fold exact
+    SnapshotTable.commitAppend(spark, table,
+      Seq((999999L, 1L, 1.0, "1-URGENT"))
+        .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
+      "o_orderpriority")
+    assert(SnapshotTable.liveRowCount(spark, table) === Some(masked()))
+    // the fold answers PAST versions too (pinned manifests)
+    assert(SnapshotTable.liveRowCount(spark, table, Some(1L)) ===
+      Some(SnapshotTable.readVersion(spark, table, 1L).count()))
+    // a pending EQUALITY delete's matched count is unrecorded → None
+    SnapshotTable.commitDeleteLazy(spark, table,
+      Seq(1L).toDF("o_orderkey"), "o_orderkey")
+    assert(SnapshotTable.liveRowCount(spark, table) === None)
+    // materializing the deletes restores the fold
+    SnapshotTable.applyDeletes(spark, table, "o_orderpriority")
+    assert(SnapshotTable.liveRowCount(spark, table) === Some(masked()))
+  }
+
   test("maintain applies its three policies only past their thresholds " +
     "and is a safe no-op otherwise") {
     import spark.implicits._
