@@ -1851,6 +1851,74 @@ object SnapshotTable extends QueryPack {
     }
   }
 
+  /** RETENTION delete — expire every row with `double(tsCol) < cutoff`
+    * (the comparison happens in the per-file STATS' double domain, and
+    * the row predicate uses the same `cast(tsCol as double)` encoding,
+    * so the proof and the predicate can never disagree; for timestamps
+    * the double cast is micros-exact through 2^52 seconds). Files whose
+    * stats PROVE every row expired (`hi < cutoff`, zero recorded nulls,
+    * measured rows) are dropped BY REFERENCE — zero data I/O, the
+    * Iceberg drop-partition fast path generalized to stat ranges;
+    * files whose stats prove no row expired (`lo >= cutoff`, or a
+    * proven all-NULL column — NULL compares UNKNOWN, the row survives)
+    * carry by reference; only cutoff-STRADDLING files (or files with
+    * no usable stats) are read and rewritten. On a time-clustered
+    * table the daily retention pass is a manifest fold plus the
+    * rewrite of at most the boundary files — the 100 TB shape, where
+    * expiring a day must not cost a table scan.
+    */
+  def commitExpire(spark: SparkSession, table: String, tsCol: String,
+                   cutoff: Double, partCol: String): (Long, Long) = {
+    val v = currentVersion(spark, table)
+    val meta = readMeta(spark, table, v)
+    requireNoPendingDeletes(table, meta, "commitExpire")
+    val (segs, hdr) = (meta.segs, meta.hdr)
+    def st(e: FileEntry) = e.stats.find(_.col == tsCol)
+    val (dropped, rest) = meta.entries.partition(e => st(e).exists(s =>
+      !s.hi.isNaN && s.hi < cutoff && s.nulls == 0L && e.rows > 0L))
+    // carry: provably live (lo >= cutoff) or provably all-NULL (NaN
+    // bounds with exact null count — no row can match); everything
+    // else must be read
+    val candidates = rest.filterNot(e => st(e).exists(s =>
+      (!s.lo.isNaN && s.lo >= cutoff) ||
+        (s.lo.isNaN && s.nulls >= 0L && s.nulls == e.rows && e.rows > 0L)))
+    val matches = coalesce(col(tsCol).cast("double") < lit(cutoff),
+      lit(false))
+    val (fresh, rewrittenPaths, nRewriteDeleted) =
+      if (candidates.isEmpty) (Seq.empty[FileEntry], Set.empty[String], 0L)
+      else {
+        val target = readFiles(spark, table, candidates, hdr.schema)
+        // a stats-present candidate straddles by proof (its min row
+        // matches); stats-absent ones may hold no hit — tag hit files
+        val hitNames = target.withColumn("__f", input_file_name())
+          .filter(matches).select(col("__f")).distinct()
+          .collect()
+          .map(r => new Path(new java.net.URI(r.getString(0)).getPath).getName)
+          .toSet
+        val affected = candidates.filter(e =>
+          hitNames.contains(new Path(e.path).getName))
+        if (affected.isEmpty) (Seq.empty[FileEntry], Set.empty[String], 0L)
+        else {
+          val aff = readFiles(spark, table, affected, hdr.schema)
+          val nDel = aff.filter(matches).count()
+          val kept = aff.filter(!matches)
+          val written =
+            if (kept.isEmpty) Seq.empty[FileEntry]
+            else writeDataFiles(spark, table, kept, partCol,
+              statsCols = hdr.statsCols, bloomCols = hdr.bloomCols,
+              bucket = hdr.bucket,
+              sizeHint = Some(affected.map(_.bytes).sum))
+          (written, affected.map(_.path).toSet, nDel)
+        }
+      }
+    val removed = dropped.map(_.path).toSet ++ rewrittenPaths
+    if (removed.isEmpty) (v, 0L)
+    else {
+      commitRewrite(spark, table, v, segs, removed, fresh, Seq.empty, hdr)
+      (v + 1, dropped.map(_.rows).sum + nRewriteDeleted)
+    }
+  }
+
   /** Row-level DELETE BY KEY SET: drop rows whose `keyCol` appears in
     * `keys`, rewriting only the files that contain a hit and carrying
     * every other file by reference — the deletion-list maintenance op
@@ -2902,6 +2970,24 @@ object SnapshotTable extends QueryPack {
       }
     }
 
+  /** Per-type rollup AFTER a retention pass (expire `ts <
+    * 2024-01-20`) on a per-run CLONE of the ts-clustered events table:
+    * fully-expired files drop by reference, only the cutoff-straddling
+    * files rewrite (the spec pins the file accounting); the surviving
+    * rollup must equal the oracle's relational replay.
+    */
+  def expireQuery(s: SparkSession, dir: String): DataFrame = {
+    val work = cloneTable(s, eventsScenario(s, dir))
+    // 2024-01-20T00:00:00Z in the stats' fractional-epoch-seconds domain
+    commitExpire(s, work, "ts", 1.7057088e9, "event_type")
+    read(s, work).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("sum_value"),
+        min(col("event_id")).as("min_id"))
+      .orderBy(col("event_type"))
+  }
+
   /** Per-type rollup of an event_id window read through SECONDARY-
     * column skipping: the table is clustered on ts, the predicate is on
     * event_id, and pruning still drops the files whose recorded
@@ -3829,6 +3915,7 @@ object SnapshotTable extends QueryPack {
     "q_snapshot_delete" -> (deleteQuery _),
     "q_snapshot_dv" -> (dvQuery _),
     "q_snapshot_dv_count" -> (dvCountQuery _),
+    "q_snapshot_expire" -> (expireQuery _),
     "q_snapshot_restore" -> (restoreQuery _),
     "q_snapshot_files" -> (filesQuery _),
     "q_snapshot_constraints" -> (constraintsQuery _),
@@ -4094,6 +4181,12 @@ object SnapshotTable extends QueryPack {
       """SELECT CAST(count(*) AS BIGINT) AS n_live FROM orders
         |WHERE NOT (o_orderkey % 101 = 0
         |  AND o_orderkey BETWEEN 1000 AND 5000)""".stripMargin,
+    "q_snapshot_expire" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  CAST(min(event_id) AS BIGINT) AS min_id
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_snapshot_dv" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,

@@ -943,6 +943,55 @@ class SnapshotTableSpec extends SparkSpec {
       !== filesBefore)
   }
 
+  test("commitExpire: provably-expired files drop by REFERENCE, provably-" +
+    "live and all-NULL files carry verbatim, only straddlers rewrite, " +
+    "and the survivors equal the filter") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("expire")
+      .resolve("t").toString
+    // ts-clustered numeric column, several small files per partition
+    SnapshotTable.create(spark, t,
+      (1 to 400).map(i => (i.toLong, i.toDouble, s"g${i % 2}"))
+        .toDF("id", "ts", "p"),
+      "p", statsCols = Seq("ts"))
+    // an all-NULL ts file: NULL compares UNKNOWN, every row must survive
+    SnapshotTable.commitAppend(spark, t,
+      (1 to 5).map(i => (10000L + i, Option.empty[Double], "g0"))
+        .toDF("id", "ts", "p"), "p")
+    val v = SnapshotTable.currentVersion(spark, t)
+    val before = SnapshotTable.readManifest(spark, t, v)
+    def stat(e: SnapshotTable.FileEntry) = e.stats.find(_.col == "ts")
+    val cutoff = 200.5
+    val provablyDead = before.filter(e => stat(e).exists(s =>
+      !s.hi.isNaN && s.hi < cutoff)).map(_.path).toSet
+    val provablyLive = before.filter(e => stat(e).exists(s =>
+      !s.lo.isNaN && s.lo >= cutoff)).map(_.path).toSet
+    val allNull = before.filter(e => stat(e).exists(_.lo.isNaN))
+      .map(_.path).toSet
+    assert(provablyDead.nonEmpty && provablyLive.nonEmpty &&
+      allNull.nonEmpty)
+    val (v2, nDel) = SnapshotTable.commitExpire(spark, t, "ts", cutoff, "p")
+    assert(nDel === 200L)
+    val after = SnapshotTable.readManifest(spark, t, v2).map(_.path).toSet
+    // dead files vanished without a rewrite standing in for them 1:1;
+    // live and all-null files carry with IDENTICAL paths
+    assert((provablyDead & after).isEmpty)
+    assert((provablyLive ++ allNull).subsetOf(after))
+    // only straddlers were rewritten: fresh files ≤ straddler count
+    val straddlers = before.map(_.path).toSet --
+      provablyDead -- provablyLive -- allNull
+    assert((after -- before.map(_.path).toSet).size <= straddlers.size)
+    // survivors = the filter's rows (NULL ts rows alive)
+    assert(SnapshotTable.read(spark, t).count() === 205L)
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("ts").isNull).count() === 5L)
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("ts") < cutoff).count() === 0L)
+    // idempotent: a second pass at the same cutoff is a version no-op
+    assert(SnapshotTable.commitExpire(spark, t, "ts", cutoff, "p")
+      === ((v2, 0L)))
+  }
+
   test("liveRowCount: a manifest fold equals the masked count through " +
     "stacked positional deletes and appends; equality deletes refuse") {
     import spark.implicits._
