@@ -1688,7 +1688,17 @@ object SnapshotTable extends QueryPack {
     val meta = readMeta(spark, table, v)
     requireNoPendingDeletes(table, meta, "compact")
     val (segs, hdr) = (meta.segs, meta.hdr)
-    val small = meta.entries.filter(_.rows < smallThreshold)
+    val small0 = meta.entries.filter(_.rows < smallThreshold)
+    // fold only partitions where folding can REDUCE the file count —
+    // a partition already down to one small file is carried verbatim,
+    // so steady-state maintenance is a version NO-OP instead of a
+    // whole-table rewrite every janitor tick (bucketed layouts keep
+    // the whole set: files are per (partition, bucket) there and the
+    // writer re-buckets, so reduction is decided by the write itself)
+    val small =
+      if (hdr.bucket.isDefined) small0
+      else small0.groupBy(_.parts).filter(_._2.size >= 2)
+        .values.flatten.toSeq
     if (small.size < 2) (v, 0, 0)
     else {
       val fresh = writeDataFiles(spark, table,

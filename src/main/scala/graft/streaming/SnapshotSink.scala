@@ -30,9 +30,20 @@ object SnapshotSink extends QueryPack {
   /** Stream the events corpus (AvailableNow over the staged source)
     * into a snapshot table, one commit per micro-batch, partitioned by
     * event_type. Returns the table path.
+    *
+    * `maintainEvery = Some(k)` runs [[SnapshotTable.maintain]]'s
+    * threshold policies in-sink after every k-th batch — the janitor
+    * cadence a micro-batch sink makes mandatory (per-batch small files
+    * accumulate at stream timescales), co-scheduled with the writer so
+    * maintenance never races a foreign process. Replay-safe by
+    * construction: compaction preserves rows and the tag ledger, so a
+    * batch replayed after a fold is still a no-op.
     */
   def run(spark: SparkSession, dir: String, table: String,
-          checkpoint: Option[String] = None): String = {
+          checkpoint: Option[String] = None,
+          maintainEvery: Option[Int] = None,
+          smallThreshold: Long = 1000000L,
+          maxSmallFiles: Int = 64): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val source = spark.readStream
       .schema(Tables.load(spark, dir, "events").schema)
@@ -50,6 +61,14 @@ object SnapshotSink extends QueryPack {
         SnapshotTable.commitWithRetry() {
           SnapshotTable.commitAppend(batch.sparkSession, table, batch,
             "event_type", tag = Some(s"b$batchId"))
+        }
+        maintainEvery.foreach { k =>
+          if (k > 0 && batchId % k == k - 1)
+            SnapshotTable.commitWithRetry() {
+              SnapshotTable.maintain(batch.sparkSession, table,
+                "event_type", smallThreshold = smallThreshold,
+                maxSmallFiles = maxSmallFiles)
+            }
         }
         ()
       }

@@ -37,6 +37,44 @@ class SnapshotSinkSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, table).count() === n)
   }
 
+  test("in-sink maintenance (maintainEvery) folds per-batch small files " +
+    "while the stream runs, without changing data or breaking replay") {
+    // both tables start with identical small-file litter (six tiny
+    // tagged appends); only the maintained run's in-sink janitor may
+    // fold it
+    def seeded(): String = {
+      val t = freshPath("snapsink_m")
+      SnapshotTable.createEmpty(spark, t)
+      val slice = Tables.events(spark, sfDir).limit(50)
+      (1 to 6).foreach(i => SnapshotTable.commitAppend(spark, t, slice,
+        "event_type", tag = Some(s"litter$i")))
+      t
+    }
+    val plain = seeded()
+    SnapshotSink.run(spark, sfDir, plain)
+    val table = seeded()
+    val ckpt = StreamHousekeeping.freshCheckpointDir()
+    // the janitor fires after every batch with a 2-file trigger, so the
+    // litter folds DURING the stream, co-scheduled with the writer
+    SnapshotSink.run(spark, sfDir, table, Some(ckpt),
+      maintainEvery = Some(1), maxSmallFiles = 2)
+    def rows(t: String) = SnapshotTable.read(spark, t)
+      .orderBy(col("event_id"), col("ts")).collect().map(_.toString).toSeq
+    assert(rows(table) === rows(plain))
+    val maintained = SnapshotTable.readManifest(spark, table,
+      SnapshotTable.currentVersion(spark, table)).size
+    val unmaintained = SnapshotTable.readManifest(spark, plain,
+      SnapshotTable.currentVersion(spark, plain)).size
+    assert(maintained < unmaintained,
+      s"expected in-sink folds to reduce files ($maintained vs $unmaintained)")
+    // replay across the folds: tags survive compaction → still a no-op
+    val v = SnapshotTable.currentVersion(spark, table)
+    SnapshotSink.run(spark, sfDir, table, Some(ckpt),
+      maintainEvery = Some(1), maxSmallFiles = 2)
+    assert(SnapshotTable.currentVersion(spark, table) === v)
+    assert(rows(table) === rows(plain))
+  }
+
   test("CDC-apply sink converges to the per-key argmax, survives " +
     "replay, and is idempotent by VALUE beyond the tag ledger") {
     val table = freshPath("snapup")
