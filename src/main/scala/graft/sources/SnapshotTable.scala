@@ -1733,10 +1733,17 @@ object SnapshotTable extends QueryPack {
     requireNoPendingDeletes(table, meta, "compactWhere")
     val (segs, hdr) = (meta.segs, meta.hdr)
     val vset = values.toSet
-    val small = meta.entries.filter(e =>
+    val small0 = meta.entries.filter(e =>
       e.rows < smallThreshold &&
         e.effPartCol(hdr.partCol).contains(partCol) &&
         e.parts.exists(ps => ps.nonEmpty && ps.forall(vset.contains)))
+    // same no-churn rule as [[compact]]: a hot partition already folded
+    // to one small file is carried, so the janitor's tick after the
+    // fold is a version no-op (bucketed layouts keep the whole set)
+    val small =
+      if (hdr.bucket.isDefined) small0
+      else small0.groupBy(_.parts).filter(_._2.size >= 2)
+        .values.flatten.toSeq
     if (small.size < 2) (v, 0, 0)
     else {
       val fresh = writeDataFiles(spark, table,
