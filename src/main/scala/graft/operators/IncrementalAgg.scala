@@ -18,9 +18,10 @@ import graft.{QueryPack, Tables}
   * (pairwise, fan-in), or be re-partitioned freely; the driver query
   * proves `merge(partial(base), partial(delta)) == groupBy(full)`
   * against the DuckDB oracle, and the spec checks split-point
-  * independence and merge associativity. Non-mergeable aggregates
-  * (exact distinct, exact median) are deliberately NOT in the state
-  * schema — they need sketches (HLL, KLL) and their own error story.
+  * independence and merge associativity. DISTINCT joins the algebra
+  * through a per-group KMV sketch state (see [[partialDistinct]]) —
+  * exact until k, a FLAGGED estimate past it; exact median stays out
+  * (a quantile sketch's error story is rank-space, not count-space).
   */
 object IncrementalAgg extends QueryPack {
 
@@ -136,8 +137,111 @@ object IncrementalAgg extends QueryPack {
     finalizeMoments(mergeMoments(partialMoments(base), partialMoments(delta)))
   }
 
+  // ---- mergeable DISTINCT state (per-group KMV sketch) ----------------
+  //
+  // The header's deliberate omission, now closed with its error story
+  // explicit: count(DISTINCT) joins the fold algebra through the KMV
+  // construction [[graft.sources.TableStats]] already uses per table,
+  // here PER GROUP. State = the group's k smallest distinct value
+  // hashes (shifted into signed order) plus a saturation flag; an
+  // UNSATURATED state is the group's complete distinct-hash set, so the
+  // merge is set union and the count is EXACT (the same collision-free
+  // assumption every exact NDV fold makes); past k the flag flips and
+  // finalization serves the (k−1)/θ estimate FLAGGED — never an
+  // estimate in disguise. State is a pure function of the group's VALUE
+  // SET, so it is split-independent and the merge is associative and
+  // commutative by set algebra; per-group memory is bounded by k
+  // everywhere (a window row_number caps rows before any collect).
+
+  /** Per-group distinct state from one slice: (grp, minima[≤k], sat).
+    * Groups whose values are all NULL carry no state row (their
+    * distinct count is 0). Hashes are stored XOR-shifted so SIGNED
+    * order equals the hash's unsigned order.
+    */
+  private[operators] def partialDistinct(slice: DataFrame, grpCol: String,
+                                         valCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(grpCol)).orderBy(col("__u"))
+    slice.where(col(valCol).isNotNull)
+      .select(col(grpCol),
+        xxhash64(col(valCol)).bitwiseXOR(lit(Long.MinValue)).as("__u"))
+      .distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k + 1)
+      .groupBy(col(grpCol))
+      .agg(sort_array(collect_list(when(col("__rn") <= k, col("__u"))))
+          .as("minima"),
+        (max(col("__rn")) === k + 1).as("sat"))
+  }
+
+  /** Set-union merge: re-derive the k smallest over both states'
+    * minima; saturation is sticky (a saturated input's missing hashes
+    * could only ADD distinct values).
+    */
+  private[operators] def mergeDistinct(a: DataFrame, b: DataFrame,
+                                       grpCol: String, k: Int): DataFrame = {
+    val u = a.unionByName(b)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(grpCol)).orderBy(col("__u"))
+    val folded = u.select(col(grpCol), explode(col("minima")).as("__u"))
+      .distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k + 1)
+      .groupBy(col(grpCol))
+      .agg(sort_array(collect_list(when(col("__rn") <= k, col("__u"))))
+          .as("minima"),
+        (max(col("__rn")) === k + 1).as("__satK"))
+    val sats = u.groupBy(col(grpCol)).agg(max(col("sat")).as("__sat0"))
+    folded.join(sats, Seq(grpCol))
+      .select(col(grpCol), col("minima"),
+        (col("__sat0") || col("__satK")).as("sat"))
+  }
+
+  /** Read-time finalization: exact size in the exact regime; the KMV
+    * estimate (k−1)/θ — θ from the k-th smallest, un-shifted into the
+    * unsigned fraction — with the `estimated` flag otherwise.
+    */
+  private[operators] def finalizeDistinct(state: DataFrame, grpCol: String,
+                                          k: Int): DataFrame = {
+    val frac = (element_at(col("minima"), k).cast("double") +
+      9.223372036854776e18 + 1.0) / 1.8446744073709552e19
+    state.select(col(grpCol),
+      when(!col("sat"), size(col("minima")).cast("long"))
+        .otherwise(round(lit(k - 1) / frac).cast("long")).as("n_distinct"),
+      col("sat").as("estimated"))
+      .orderBy(col(grpCol))
+  }
+
+  /** Driver query: per-type distinct users maintained across an
+    * event_id-parity split of the events corpus and merged — in the
+    * exact regime (k well above the corpus cardinality) the folded
+    * state must reproduce `count(DISTINCT user_id)` bit-for-bit; were
+    * any group saturated at a larger scale, the query degrades to the
+    * direct distinct count rather than serving an estimate to the
+    * oracle.
+    */
+  def incrementalDistinct(s: SparkSession, dir: String): DataFrame = {
+    val k = 4096
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type"), col("user_id"), col("event_id"))
+    val a = partialDistinct(ev.filter(col("event_id") % 2 === 0),
+      "event_type", "user_id", k)
+    val b = partialDistinct(ev.filter(col("event_id") % 2 === 1),
+      "event_type", "user_id", k)
+    val st = mergeDistinct(a, b, "event_type", k)
+    if (st.filter(col("sat")).isEmpty)
+      finalizeDistinct(st, "event_type", k)
+        .select(col("event_type"), col("n_distinct").as("n_users"))
+        .orderBy(col("event_type"))
+    else
+      ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_incr_agg" -> (incrementalView _),
+    "q_incr_distinct" -> (incrementalDistinct _),
     "q_incr_moments" -> (incrementalMoments _))
 
   override def oracleSql: Map[String, String] = Map(
@@ -149,6 +253,10 @@ object IncrementalAgg extends QueryPack {
         |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
         |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_incr_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // power sums exact in decimal; the double derivation is spelled with
     // the same op sequence as finalizeMoments (sqrt, never pow)
     "q_incr_moments" ->

@@ -80,4 +80,48 @@ class IncrementalAggSpec extends SparkSpec {
       assert(math.abs(osk - sk) < 1e-6, s"$g skew: $osk vs $sk")
     }
   }
+
+  private def distState(df: DataFrame): Seq[(String, Seq[Long], Boolean)] =
+    df.select(col("grp"), col("minima"), col("sat")).orderBy(col("grp"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1), r.getBoolean(2)))
+      .toSeq
+
+  test("distinct state is split-independent, merge-associative, exact " +
+    "until k, and a flagged in-tolerance estimate past it") {
+    import spark.implicits._
+    // grp a: 40 distinct (< k=64, exact); grp b: 500 distinct (saturates)
+    val data = ((1 to 120).map(i => ("a", (i % 40).toLong)) ++
+      (1 to 1500).map(i => ("b", (i % 500).toLong * 7919L)))
+      .toDF("grp", "v")
+    val k = 64
+    def part(f: DataFrame => DataFrame) =
+      IncrementalAgg.partialDistinct(f(data), "grp", "v", k)
+    val oneShot = distState(part(identity))
+    // arbitrary ROW splits converge to the same state bit-for-bit
+    val m2 = IncrementalAgg.mergeDistinct(
+      part(_.filter(col("v") % 2 === 0)), part(_.filter(col("v") % 2 === 1)),
+      "grp", k)
+    assert(distState(m2) === oneShot)
+    // associativity across a three-way split
+    val abc = Seq(0, 1, 2).map(i => part(_.filter(col("v") % 3 === i)))
+    val lhs = IncrementalAgg.mergeDistinct(
+      IncrementalAgg.mergeDistinct(abc(0), abc(1), "grp", k), abc(2), "grp", k)
+    val rhs = IncrementalAgg.mergeDistinct(
+      abc(0), IncrementalAgg.mergeDistinct(abc(1), abc(2), "grp", k), "grp", k)
+    assert(distState(lhs) === distState(rhs))
+    assert(distState(lhs) === oneShot)
+    // finalize: exact where unsaturated, flagged estimate within KMV
+    // tolerance where saturated (k=64 → RSE ≈ 1/√62 ≈ 13%)
+    val fin = IncrementalAgg.finalizeDistinct(m2, "grp", k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val Some(a) = fin.find(_._1 == "a")
+    val Some(b) = fin.find(_._1 == "b")
+    assert(a === (("a", 40L, false)))
+    assert(b._3 === true && math.abs(b._2 - 500.0) / 500.0 < 0.4)
+    // all-NULL group carries no state row; NULLs never count
+    val withNulls = Seq(("c", Option.empty[Long]),
+      ("a", Option(1L))).toDF("grp", "v")
+    assert(IncrementalAgg.partialDistinct(withNulls, "grp", "v", k)
+      .filter(col("grp") === "c").isEmpty)
+  }
 }
