@@ -89,7 +89,10 @@ object SnapshotCatalog {
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val target = new Path(catDir(root), s"v$version.json")
-    if (f.exists(target) || !f.rename(tmp, target)) {
+    // same atomic exclusive commit point as table manifests (POSIX
+    // rename REPLACES an existing target — exists+rename is a TOCTOU
+    // hole under racing transactions)
+    if (!SnapshotTable.publishExclusive(f, tmp, target)) {
       f.delete(tmp, false)
       sys.error(s"snapshot commit conflict: catalog v$version already published for $root")
     }

@@ -418,11 +418,31 @@ object SnapshotTable extends QueryPack {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val target = new Path(dir, targetName)
-    if (f.exists(target) || !f.rename(tmp, target)) {
+    if (!publishExclusive(f, tmp, target)) {
       f.delete(tmp, false)
       sys.error(conflictMsg)
     }
   }
+
+  /** The commit point: publish `tmp` at `target` iff `target` does not
+    * exist, ATOMICALLY. On a local (POSIX) filesystem rename REPLACES
+    * an existing target, so an exists-then-rename pair is a TOCTOU
+    * hole: two racers can both "win" and one committed manifest
+    * silently vanishes (observed: a concurrent-append spec landing
+    * version 4 with one of two rows after both renames succeeded).
+    * Locally the exclusive primitive is the HARD LINK — link(2) fails
+    * with EEXIST if the target appeared, with no window. Non-local
+    * filesystems keep exists+rename: HDFS rename is atomic-no-replace,
+    * and an object-store deployment would use a conditional put here.
+    */
+  private[sources] def publishExclusive(f: FileSystem, tmp: Path,
+                               target: Path): Boolean =
+    if (f.getScheme == "file") {
+      val t = java.nio.file.Paths.get(target.toUri.getPath)
+      val s = java.nio.file.Paths.get(tmp.toUri.getPath)
+      try { java.nio.file.Files.createLink(t, s); f.delete(tmp, false); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else !f.exists(target) && f.rename(tmp, target)
 
   /** Commit-time segment merge: past the threshold, fold ALL segments
     * into one — an O(table files) METADATA write amortized over
@@ -2154,16 +2174,29 @@ object SnapshotTable extends QueryPack {
     * unconditionally. Returns (version after, deletes applied,
     * files folded, artifacts vacuumed).
     */
+  /** `expireBefore = Some((tsCol, cutoff))` adds a RETENTION policy to
+    * the janitor: rows older than the cutoff expire via [[commitExpire]]
+    * (stat-proven whole-file drops, boundary rewrites only). It runs
+    * after the delete-debt step and ONLY when no deletes are pending
+    * (the rewrite paths refuse pending masks); a tick that skipped it
+    * is caught by the next one once applyDeletes has cleared the debt.
+    */
   def maintain(spark: SparkSession, table: String, partCol: String,
                maxDeleteFiles: Int = 8, maxSmallFiles: Int = 64,
                smallThreshold: Long = 1000000L, keepVersions: Int = 3,
                minAgeMs: Long = 15 * 60 * 1000L,
-               hotValues: Seq[String] = Seq.empty): (Long, Long, Int, Long) = {
+               hotValues: Seq[String] = Seq.empty,
+               expireBefore: Option[(String, Double)] = None): (Long, Long, Int, Long) = {
     val meta = readMeta(spark, table, currentVersion(spark, table))
     val applied =
       if (meta.deletes.size >= maxDeleteFiles)
         applyDeletes(spark, table, partCol)._2
       else 0L
+    expireBefore.foreach { case (tsCol, cutoff) =>
+      val pending = readMeta(spark, table,
+        currentVersion(spark, table)).deletes
+      if (pending.isEmpty) commitExpire(spark, table, tsCol, cutoff, partCol)
+    }
     // with hotValues (today's ingest partitions), the small-file count
     // and the fold are SCOPED to them — the janitor never reads or
     // rewrites cold partitions, so its cadence can match the ingest

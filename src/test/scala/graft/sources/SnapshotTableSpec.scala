@@ -616,6 +616,31 @@ class SnapshotTableSpec extends SparkSpec {
       .filter(col("o_orderkey") >= 5000000L).count() === 2L)
   }
 
+  test("the manifest commit point is atomic-EXCLUSIVE: eight racing " +
+    "appends all land serially, none lost (POSIX rename would replace)") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val t = java.nio.file.Files.createTempDirectory("snaprace")
+      .resolve("t").toString
+    SnapshotTable.create(spark, t,
+      Seq((0L, "g")).toDF("id", "p"), "p")
+    val racers = (1 to 8).map { i =>
+      Future {
+        SnapshotTable.commitWithRetry(maxAttempts = 20) {
+          SnapshotTable.commitAppend(spark, t,
+            Seq((i.toLong, "g")).toDF("id", "p"), "p")
+        }
+      }
+    }
+    racers.foreach(Await.result(_, 300.seconds))
+    assert(SnapshotTable.currentVersion(spark, t) === 9L)
+    assert(SnapshotTable.read(spark, t).count() === 9L)
+    assert(SnapshotTable.read(spark, t).select(col("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq === (0L to 8L))
+  }
+
   test("type-widening evolution: int→long and float→double on shared " +
     "names, old int32/float files upcast on read; other changes refuse") {
     val table = java.nio.file.Files.createTempDirectory("snapwide")
@@ -990,6 +1015,29 @@ class SnapshotTableSpec extends SparkSpec {
     // idempotent: a second pass at the same cutoff is a version no-op
     assert(SnapshotTable.commitExpire(spark, t, "ts", cutoff, "p")
       === ((v2, 0L)))
+  }
+
+  test("maintain's expireBefore policy retires old rows on the janitor " +
+    "tick, but never while deletes are pending") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("mexp")
+      .resolve("t").toString
+    SnapshotTable.create(spark, t,
+      (1 to 100).map(i => (i.toLong, i.toDouble, "g")).toDF("id", "ts", "p"),
+      "p", statsCols = Seq("ts"))
+    // a pending lazy delete below the apply threshold blocks the expire
+    SnapshotTable.commitDeleteLazy(spark, t, Seq(100L).toDF("id"), "id")
+    SnapshotTable.maintain(spark, t, "p", maxDeleteFiles = 8,
+      minAgeMs = 0L, expireBefore = Some(("ts", 50.5)))
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("ts") < 50.5).count() === 50L)
+    // past the delete-debt threshold the SAME tick applies the mask
+    // first and then expires
+    SnapshotTable.maintain(spark, t, "p", maxDeleteFiles = 1,
+      minAgeMs = 0L, expireBefore = Some(("ts", 50.5)))
+    assert(SnapshotTable.read(spark, t)
+      .filter(col("ts") < 50.5).count() === 0L)
+    assert(SnapshotTable.read(spark, t).count() === 49L)
   }
 
   test("liveRowCount: a manifest fold equals the masked count through " +
