@@ -278,13 +278,21 @@ object MetadataAggPushdown extends Rule[LogicalPlan] {
 
   private def statBound(a: AttributeReference, entries: Seq[FileEntry],
                         lo: Boolean): Option[Any] = {
-    val bounds = entries.map(_.stats.find(_.col == a.name))
-    if (entries.isEmpty || bounds.exists(_.isEmpty)) None
-    // NaN bounds mark a PROVEN all-null column in that file (written
-    // only when nulls == rows): it contributes nothing to min/max, so
-    // drop it; all entries NaN = every value is null = SQL NULL result
+    val paired = entries.map(e => (e, e.stats.find(_.col == a.name)))
+    if (entries.isEmpty || paired.exists(_._2.isEmpty)) None
+    // A NaN bound is the PROVEN-all-null marker ONLY when the entry's
+    // null count equals its row count (the writer's contract). A
+    // float/double file that merely CONTAINS NaN values also records a
+    // NaN max (Spark's min/max order NaN greatest), with nulls < rows —
+    // for such a file the real extreme is unknowable from the manifest
+    // (its true MAX is NaN, and dropping it could also lose the true
+    // MIN), so the whole rewrite is refused, never guessed.
+    else if (paired.exists { case (e, so) => so.exists(s =>
+        (s.lo.isNaN || s.hi.isNaN) && s.nulls != e.rows) }) None
+    // all-null files contribute nothing to min/max, drop them; ALL
+    // files all-null = every value is null = SQL NULL result
     else {
-      val real = bounds.flatten.filterNot(s => s.lo.isNaN || s.hi.isNaN)
+      val real = paired.flatMap(_._2).filterNot(s => s.lo.isNaN || s.hi.isNaN)
       if (real.isEmpty) return Some(null)
       val ds = real.map(s => if (lo) s.lo else s.hi)
       val d = if (lo) ds.min else ds.max

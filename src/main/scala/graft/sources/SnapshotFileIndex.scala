@@ -199,6 +199,15 @@ final class SnapshotFileIndex(
 
     case EqualTo(a: AttributeReference, v: Literal) => cmpMay(e, a.name, v, "=")
     case EqualTo(v: Literal, a: AttributeReference) => cmpMay(e, a.name, v, "=")
+    // `col <=> NULL` matches exactly the NULL rows — cmpMay's all-null
+    // guard would wrongly prune a proven all-null file whose EVERY row
+    // matches; it is IsNull semantically, route it there (optimizers
+    // usually rewrite it first, but the shape is accepted here, so it
+    // must be handled correctly, not one rule-change from a wrong prune)
+    case EqualNullSafe(a: AttributeReference, Literal(null, _)) =>
+      mayMatch(IsNull(a), e)
+    case EqualNullSafe(Literal(null, _), a: AttributeReference) =>
+      mayMatch(IsNull(a), e)
     case EqualNullSafe(a: AttributeReference, v: Literal) => cmpMay(e, a.name, v, "=")
     case EqualNullSafe(v: Literal, a: AttributeReference) => cmpMay(e, a.name, v, "=")
 

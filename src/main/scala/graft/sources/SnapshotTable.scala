@@ -3828,16 +3828,25 @@ object SnapshotTable extends QueryPack {
     val rows = versions(spark, table).sorted.map { v =>
       val m = readMeta(spark, table, v)
       val es = m.entries
-      val sts = statsCol.map(c => es.map(_.stats.find(_.col == c)))
-      def complete = sts.exists(xs => xs.nonEmpty && xs.forall(_.isDefined))
-      def real = sts.get.flatten.filterNot(s => s.lo.isNaN || s.hi.isNaN)
+      val sts = statsCol.map(c => es.map(e => (e, e.stats.find(_.col == c))))
+      def complete =
+        sts.exists(xs => xs.nonEmpty && xs.forall(_._2.isDefined))
+      // a NaN bound is the all-null marker ONLY when nulls == rows; a
+      // float/double file merely CONTAINING NaN also records NaN bounds
+      // (Spark min/max order NaN greatest) — its true extremes are
+      // unknowable from the manifest, so the bound cells go SQL NULL
+      // rather than silently excluding that file's real contribution
+      def tainted = sts.get.exists { case (e, so) => so.exists(s =>
+        (s.lo.isNaN || s.hi.isNaN) && s.nulls != e.rows) }
+      def real =
+        sts.get.flatMap(_._2).filterNot(s => s.lo.isNaN || s.hi.isNaN)
       val (lo, hi) =
-        if (complete && real.nonEmpty)
+        if (complete && !tainted && real.nonEmpty)
           (Some(real.map(_.lo).min), Some(real.map(_.hi).max))
         else (None, None)
       val nulls =
-        if (complete && sts.get.flatten.forall(_.nulls >= 0L))
-          Some(sts.get.flatten.map(_.nulls).sum)
+        if (complete && sts.get.flatMap(_._2).forall(_.nulls >= 0L))
+          Some(sts.get.flatMap(_._2).map(_.nulls).sum)
         else None
       Row(v, es.size.toLong, es.map(_.rows).sum, es.map(_.bytes).sum,
         m.deletes.size.toLong, lo.orNull, hi.orNull, nulls.orNull)

@@ -320,7 +320,12 @@ object TableStats {
       val hStar = bounds.reduce((x, y) => if (ule(x, y)) x else y)
       val theta = unsignedFraction(hStar)
       val shared = (sa & sb).count(ule(_, hStar))
-      NdvOverlap(merge(a, b).estimate, shared / theta, exact = false)
+      // cross-TABLE overlap is the advertised use, so the sketches may
+      // carry different column names — merge() checks names because a
+      // same-table merge with mismatched columns is a bug, but here the
+      // caller owns column semantics; align the label before merging
+      NdvOverlap(merge(a, b.copy(col = a.col)).estimate,
+        shared / theta, exact = false)
     }
   }
 }

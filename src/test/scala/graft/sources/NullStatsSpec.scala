@@ -169,4 +169,54 @@ class NullStatsSpec extends SparkSpec {
     val frames = SnapshotTable.read(spark, t).filter(col("x").isNull)
     assert(frames.select(col("k")).collect().map(_.getLong(0)) === Array(2L))
   }
+
+  // a double file that merely CONTAINS NaN records hi = NaN with
+  // nulls < rows (Spark's max orders NaN greatest) — that is NOT the
+  // all-null marker, and folding around it would lose the file's real
+  // min and serve a non-NaN max where the scan returns NaN
+  private def nanTable(): String = {
+    import spark.implicits._
+    val t = freshDir()
+    val df = Seq(
+      (1L, Some(1.0), "clean"), (2L, Some(5.0), "clean"),
+      (3L, Some(0.5), "nan"), (4L, Some(Double.NaN), "nan"))
+      .toDF("k", "x", "p")
+    SnapshotTable.create(spark, t, df, "p", statsCols = Seq("x"))
+    t
+  }
+
+  test("a NaN-CONTAINING file (nulls < rows) refuses the min/max fold; " +
+    "result stays bit-equal to the scan (min from the NaN file, NaN max)") {
+    val t = nanTable()
+    def agg() = SnapshotTable.read(spark, t)
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    assert(!rewritten(agg()), "NaN-contaminated bounds must refuse the fold")
+    val meta = agg().head()
+    assert(meta === withRuleOff { agg().head() })
+    assert(meta.getDouble(0) === 0.5, "true minimum lives in the NaN file")
+    assert(meta.getDouble(1).isNaN, "scan max of a NaN-containing column is NaN")
+  }
+
+  test("statsHistory reports SQL NULL bounds when any file's stats are " +
+    "NaN-contaminated; null totals stay exact") {
+    val t = nanTable()
+    val h = SnapshotTable.statsHistory(spark, t, Some("x"))
+      .orderBy(col("version")).collect()
+    assert(h.nonEmpty)
+    val r = h.last
+    assert(r.isNullAt(r.fieldIndex("min_val")) &&
+      r.isNullAt(r.fieldIndex("max_val")),
+      "contaminated bounds must be unprovable, not a guess")
+    assert(r.getLong(r.fieldIndex("n_nulls")) === 0L)
+  }
+
+  test("proven all-null column: statsHistory still folds real bounds " +
+    "from the other files (marker entries contribute nothing)") {
+    val t = table()
+    val r = SnapshotTable.statsHistory(spark, t, Some("x"))
+      .orderBy(col("version")).collect().last
+    assert(r.getDouble(r.fieldIndex("min_val")) === 10.0 &&
+      r.getDouble(r.fieldIndex("max_val")) === 30.0 &&
+      r.getLong(r.fieldIndex("n_nulls")) === 3L)
+  }
 }

@@ -344,4 +344,38 @@ class SnapshotFileIndexSpec extends SparkSpec {
     assert(pruned.count() ===
       Tables.orders(spark, sfDir).filter(col("o_orderkey") < 100).count())
   }
+
+  test("`col <=> NULL` keeps the proven all-null file (IsNull semantics) " +
+    "and skips the null-free one — never the wrong way round") {
+    import org.apache.spark.sql.catalyst.expressions.{
+      AttributeReference, EqualNullSafe, Literal}
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DoubleType
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("snapidx3")
+      .resolve("t").toString
+    val df = Seq((1L, Some(1.0), "full"), (2L, Some(2.0), "full"),
+      (3L, Option.empty[Double], "empty"), (4L, Option.empty[Double], "empty"))
+      .toDF("k", "x", "p")
+    SnapshotTable.create(spark, t, df, "p", statsCols = Seq("x"))
+    val idx = SnapshotTable.read(spark, t).queryExecution.optimizedPlan
+      .collectFirst { case l: LogicalRelation =>
+        l.relation.asInstanceOf[HadoopFsRelation]
+          .location.asInstanceOf[SnapshotFileIndex] }.get
+    val total = idx.fileEntries.size
+    // the optimizer usually rewrites <=> null to IsNull before pushdown,
+    // so probe listFiles directly with the raw shape it also accepts
+    val attr = AttributeReference("x", DoubleType)()
+    val kept = idx.listFiles(Nil,
+      Seq(EqualNullSafe(attr, Literal(null, DoubleType))))
+      .flatMap(_.files).size
+    assert(kept < total, "null-free file should skip under <=> NULL")
+    assert(kept >= 1, "the all-null file's rows ALL match <=> NULL — " +
+      "pruning it is a wrong answer")
+    // end-to-end: the DataFrame result is right regardless of rewrites
+    val rows = SnapshotTable.read(spark, t).filter(col("x") <=> lit(null))
+      .select(col("k")).collect().map(_.getLong(0)).sorted
+    assert(rows === Array(3L, 4L))
+  }
 }

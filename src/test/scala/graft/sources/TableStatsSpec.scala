@@ -195,4 +195,22 @@ class TableStatsSpec extends SparkSpec {
       "u", k = 64)
     assertThrows[IllegalArgumentException](TableStats.overlap(a, kMismatch))
   }
+
+  test("cross-TABLE overlap between differently-NAMED columns works in " +
+    "both regimes — the advertised use never trips merge's same-col check") {
+    import spark.implicits._
+    val a = TableStats.sketchOf((1 to 20000).map(_.toLong).toDF("user_id"),
+      "user_id", k = 256)
+    val b = TableStats.sketchOf(
+      (10001 to 30000).map(_.toLong).toDF("visitor_id"), "visitor_id", k = 256)
+    val ov = TableStats.overlap(a, b) // saturated branch: used to throw
+    assert(!ov.exact)
+    assert(math.abs(ov.union - 30000.0) / 30000.0 < 0.2)
+    val smallA = TableStats.sketchOf((1 to 50).map(_.toLong).toDF("x"),
+      "x", k = 256)
+    val smallB = TableStats.sketchOf((26 to 75).map(_.toLong).toDF("y"),
+      "y", k = 256)
+    val exact = TableStats.overlap(smallA, smallB)
+    assert(exact.exact && exact.union === 75.0 && exact.intersect === 25.0)
+  }
 }
