@@ -83,9 +83,23 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"queries":$slowest,"errors":$errs,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"queries":$slowest,"detail_file":"BENCH_DETAIL.json","errors":$errs,"cpus":$cpus,"sf":"$sfDir"}"""
     (detail, compact)
   }
+
+  /** The FULL per-query map as a committed artifact: the 2000-byte
+    * stdout tail the driver captures physically cannot hold 233 query
+    * names (3.4 KB of names alone), so the compact line carries the
+    * slowest 25 and THIS file — written on every run, committed per
+    * round — makes all queries regression-auditable across rounds.
+    */
+  private def writeDetailFile(lines: Seq[String]): Unit =
+    try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_DETAIL_FILE", "BENCH_DETAIL.json"))
+      java.nio.file.Files.write(p, lines.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // best-effort: never fail the bench
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -93,10 +107,12 @@ object Bench {
       case Some(c) => Seq(c)
       case None    => Seq("32", "4") // contract config (BASELINE.md) last
     }
-    configs.foreach { c =>
+    val all = configs.map { c =>
       val (detail, compact) = runConfig(c, sfDir)
       println(detail)
       println(compact)
+      detail
     }
+    writeDetailFile(all)
   }
 }

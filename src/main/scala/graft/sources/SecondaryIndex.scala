@@ -24,12 +24,13 @@ import graft.{QueryPack, Tables}
   *
   * Maintenance is O(changed files): [[refresh]] diffs the live file
   * sets of the applied and current versions through the manifest layer
-  * (never a data scan of carried files) and indexes only fresh files.
-  * Rewrite-style commits (compact / merge / delete) leave STALE
-  * postings behind — harmless, because a lookup intersects its file
-  * list with the current manifest's live set; they are vacuumed from
-  * the index by [[SnapshotTable.compact]]-folding plus the periodic
-  * [[rebuild]]. Lazy equality deletes advance the version with no file
+  * (never a data scan of carried files), indexes only fresh files, and
+  * RETIRES postings of files that left the live set in the same pass —
+  * rewrite-style commits (compact / merge / delete) no longer grow the
+  * index monotonically between rebuilds. Any postings a crash leaves
+  * stale stay harmless (a lookup intersects its file list with the
+  * current manifest's live set) and the next refresh retires them.
+  * Lazy equality deletes advance the version with no file
   * change: the tag-only refresh keeps postings as-is and the restricted
   * read applies the masks, so deleted keys never resurface.
   *
@@ -112,6 +113,21 @@ object SecondaryIndex extends QueryPack {
     * just the tag. Requires the applied version un-vacuumed (the diff
     * needs its manifest); a vacuumed-away base is a loud error naming
     * [[rebuild]].
+    *
+    * Postings GC rides the same diff: files that LEFT the live set
+    * (compact / merge / delete rewrites) get their postings retired
+    * BEFORE the append, so the index no longer grows monotonically
+    * between rebuilds. Cost model: the retire is one column-pruned
+    * scan of the index's `file` column plus a rewrite of only the
+    * posting files that referenced the departed data files — and it
+    * runs ONLY on rewrite commits, which already paid O(subset) data
+    * work on the table itself; the streaming-cadence common case
+    * (append / version-only advance) has an empty removed set and
+    * pays nothing. Ordering makes a replay convergent: a crash after
+    * the retire but before the tagged append re-runs the same diff,
+    * the retire finds no surviving matches (no-op, no commit), and
+    * the append lands once. [[rebuild]] stays as the REPAIR tool for
+    * a vacuumed-away base, not routine hygiene.
     */
   def refresh(spark: SparkSession, table: String, keyCol: String,
               index: String): Option[Long] = {
@@ -123,9 +139,16 @@ object SecondaryIndex extends QueryPack {
         s"secondary index $index: applied version $applied of $table was " +
           s"vacuumed — run SecondaryIndex.rebuild")
       val (cur, _) = SnapshotTable.readManifestFull(spark, table, vNow)
+      val curPaths = cur.map(_.path).toSet
       val seen = SnapshotTable.readManifest(spark, table, applied)
         .map(_.path).toSet
       val freshEntries = cur.filterNot(e => seen.contains(e.path))
+      val removed = (seen -- curPaths).toSeq.sorted
+      if (removed.nonEmpty)
+        SnapshotTable.commitWithRetry() {
+          SnapshotTable.commitDelete(spark, index,
+            col("file").isin(removed: _*), "__bucket")
+        }
       val buckets = bucketCount(spark, index)
       val postings =
         if (freshEntries.isEmpty)

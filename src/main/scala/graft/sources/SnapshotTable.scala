@@ -430,19 +430,13 @@ object SnapshotTable extends QueryPack {
     * hole: two racers can both "win" and one committed manifest
     * silently vanishes (observed: a concurrent-append spec landing
     * version 4 with one of two rows after both renames succeeded).
-    * Locally the exclusive primitive is the HARD LINK — link(2) fails
-    * with EEXIST if the target appeared, with no window. Non-local
-    * filesystems keep exists+rename: HDFS rename is atomic-no-replace,
-    * and an object-store deployment would use a conditional put here.
+    * The mechanism is store-specific and PLUGGABLE — hard link on
+    * `file://`, atomic-no-replace rename on HDFS, a registered
+    * conditional put on object stores; see [[CommitPrimitive]].
     */
   private[sources] def publishExclusive(f: FileSystem, tmp: Path,
                                target: Path): Boolean =
-    if (f.getScheme == "file") {
-      val t = java.nio.file.Paths.get(target.toUri.getPath)
-      val s = java.nio.file.Paths.get(tmp.toUri.getPath)
-      try { java.nio.file.Files.createLink(t, s); f.delete(tmp, false); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    } else !f.exists(target) && f.rename(tmp, target)
+    CommitPrimitive.forScheme(f.getScheme).publish(f, tmp, target)
 
   /** Commit-time segment merge: past the threshold, fold ALL segments
     * into one — an O(table files) METADATA write amortized over

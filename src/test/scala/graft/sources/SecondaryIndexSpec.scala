@@ -158,6 +158,61 @@ class SecondaryIndexSpec extends SparkSpec {
     assert(files.nonEmpty && rebuilt.nonEmpty)
   }
 
+  test("refresh RETIRES postings of files that left the live set — " +
+    "after a compact the index holds exactly a rebuild's postings and " +
+    "no stale references; rebuild demoted to a repair tool") {
+    val t = buildTable()
+    val idx = t + "_idx"
+    SecondaryIndex.create(spark, t, "id", idx, buckets = 8)
+    val before = SnapshotTable.read(spark, idx).count()
+    SnapshotTable.compact(spark, t, "grp")
+    SecondaryIndex.refresh(spark, t, "id", idx)
+    val live = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t)).map(_.path).toSet
+    val refs = SnapshotTable.read(spark, idx).select(col("file"))
+      .distinct().collect().map(_.getString(0))
+    assert(refs.nonEmpty && refs.forall(live.contains),
+      "a refreshed index references only live files")
+    val afterRefresh = SnapshotTable.read(spark, idx).count()
+    // the GC'd index IS a rebuild's row set — nothing left for rebuild
+    SecondaryIndex.rebuild(spark, t, "id", idx)
+    assert(afterRefresh === SnapshotTable.read(spark, idx).count(),
+      s"refresh-GC must leave exactly the live postings (pre-compact " +
+        s"count was $before)")
+    // and the applied tag survived the GC's rewrite commit
+    assert(SecondaryIndex.appliedVersion(spark, idx) ===
+      SnapshotTable.currentVersion(spark, t))
+    val keys = Seq(5L, 77L, 310L)
+    assert(rows(SecondaryIndex.read(spark, t, "id", idx, keys)) ===
+      rows(plainLookup(t, keys)))
+  }
+
+  test("a key-delete commit's rewrites are GC'd by the next refresh: " +
+    "postings row count SHRINKS (deleted keys' postings gone too)") {
+    import spark.implicits._
+    val t = buildTable()
+    val idx = t + "_idx"
+    SecondaryIndex.create(spark, t, "id", idx, buckets = 8)
+    val before = SnapshotTable.read(spark, idx).count()
+    val doomed = (1 to 100).map(_.toLong)
+    SnapshotTable.commitDeleteKeys(spark, t,
+      doomed.toDF("id"), "id", "grp")
+    SecondaryIndex.refresh(spark, t, "id", idx)
+    val after = SnapshotTable.read(spark, idx).count()
+    assert(after < before,
+      s"postings must shrink after a delete-rewrite ($before -> $after)")
+    val live = SnapshotTable.readManifest(spark, t,
+      SnapshotTable.currentVersion(spark, t)).map(_.path).toSet
+    val refs = SnapshotTable.read(spark, idx).select(col("file"))
+      .distinct().collect().map(_.getString(0))
+    assert(refs.forall(live.contains))
+    // deleted keys resolve to NO files; survivors still index-served
+    assert(SecondaryIndex.lookupFiles(spark, t, "id", idx,
+      Seq(5L, 50L)).get.isEmpty)
+    assert(rows(SecondaryIndex.read(spark, t, "id", idx,
+      Seq(150L, 399L))) === rows(plainLookup(t, Seq(150L, 399L))))
+  }
+
   test("the index-pruned inner join plans only posting files, matches " +
     "the plain join, and survives dims past any IN-collect cap") {
     import spark.implicits._
