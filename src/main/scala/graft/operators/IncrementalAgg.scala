@@ -228,9 +228,19 @@ object IncrementalAgg extends QueryPack {
       "event_type", "user_id", k)
     val b = partialDistinct(ev.filter(col("event_id") % 2 === 1),
       "event_type", "user_id", k)
-    val st = mergeDistinct(a, b, "event_type", k)
-    if (st.filter(col("sat")).isEmpty)
-      finalizeDistinct(st, "event_type", k)
+    // the merged state is METADATA-SIZED by construction (≤ k+1 hashes
+    // per group — the KMV contract), so collect it ONCE and serve both
+    // the saturation guard and the finalize from the same rows; the
+    // lazy alternative executes the whole two-leg pipeline twice (once
+    // for the guard's isEmpty, once for the consumer)
+    val st = mergeDistinct(a, b, "event_type", k).collect()
+    if (!st.exists(_.getAs[Boolean]("sat")))
+      finalizeDistinct(
+        s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(st.toSeq).asJava),
+          mergeDistinct(a, b, "event_type", k).schema),
+        "event_type", k)
         .select(col("event_type"), col("n_distinct").as("n_users"))
         .orderBy(col("event_type"))
     else

@@ -291,11 +291,20 @@ object SecondaryIndex extends QueryPack {
     * over-cap file list falls back to the plain join on the same
     * pinned snapshot. INNER only — pruned fact rows must be ones the
     * join discards anyway.
+    *
+    * The DIM side's sizing rides [[graft.plans.StatsBroadcast]]
+    * (installed here, idempotent): when the dim is itself a filtered
+    * snapshot relation, its broadcastability is decided from the same
+    * manifest fold that prunes the fact — Spark's own Filter sizing
+    * sees the dim at full-table bytes and would shuffle the pruned
+    * fact anyway, wasting the index's work (PlanAudit14 pins the
+    * static BroadcastHashJoin).
     */
   def innerJoinPruned(spark: SparkSession, table: String, factKey: String,
                       index: String, dim: DataFrame, dimKey: String,
                       maxFiles: Int = 100000,
                       autoRefresh: Boolean = true): DataFrame = {
+    graft.plans.StatsBroadcast.install(spark)
     if (autoRefresh) refresh(spark, table, factKey, index)
     val v = SnapshotTable.currentVersion(spark, table)
     def plain = {
@@ -462,6 +471,47 @@ object SecondaryIndex extends QueryPack {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** The DEGRADE path of [[deleteKeys]], oracle-visible: a RACING
+    * append advances the clone past the shared index's applied version
+    * before the delete runs, so the stale index MUST be refused and
+    * the candidate set come from the plain scan of the current
+    * snapshot. One deleted key lives ONLY in the racing batch — a
+    * delete that wrongly trusted the stale postings would miss it and
+    * the survivor rollup's hash would break. Same "never a wrong
+    * delete" contract [[deleteKeys]] documents, pinned by the oracle
+    * instead of a spec.
+    */
+  def deleteStaleQuery(s: SparkSession, dir: String): DataFrame = {
+    val (work, idx) = scenario(s, dir)
+    val workClone = SnapshotTable.cloneTable(s, work)
+    val maxKey = Tables.orders(s, dir)
+      .agg(max(col("o_orderkey"))).head().getLong(0)
+    // the racing commit: keys maxKey+6..8, invisible to the index
+    val tableSchema = SnapshotTable.read(s, workClone).schema
+    SnapshotTable.commitAppend(s, workClone,
+      s.range(6, 9).select(
+        (col("id") + maxKey).as("o_orderkey"),
+        lit(1L).as("o_custkey"),
+        lit(123.45).as("o_totalprice"),
+        lit("1-URGENT").as("o_orderpriority"))
+        .select(tableSchema.map(f =>
+          col(f.name).cast(f.dataType)).toIndexedSeq: _*),
+      "o_orderpriority")
+    require(appliedVersion(s, idx) <
+      SnapshotTable.currentVersion(s, workClone),
+      "scenario must force the stale-index degrade path")
+    deleteKeys(s, workClone, "o_orderkey", idx,
+      Seq(7L, 101L, maxKey + 2L, maxKey + 7L, 999999999L),
+      "o_orderpriority", autoRefresh = false)
+    SnapshotTable.read(s, workClone)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Index-pruned fact⋈dim rollup where the dim (orders referenced by
     * a max-quantity lineitem) is far past the IN-seed's collect cap at
     * bench scale — the fact files come from the distributed postings
@@ -487,6 +537,7 @@ object SecondaryIndex extends QueryPack {
     "q_secidx_fresh" -> ((s, dir) => freshQuery(s, dir)),
     "q_secidx_join" -> ((s, dir) => joinQuery(s, dir)),
     "q_secidx_delete" -> ((s, dir) => deleteQuery(s, dir)),
+    "q_secidx_delete_stale" -> ((s, dir) => deleteStaleQuery(s, dir)),
     "q_stream_secidx" -> ((s, dir) => streamQuery(s, dir)))
 
   override def oracleSql: Map[String, String] = Map(
@@ -516,6 +567,26 @@ object SecondaryIndex extends QueryPack {
         |FROM unioned
         |WHERE o_orderkey NOT IN (7, 101, 999,
         |  (SELECT max(o_orderkey) FROM orders) + 2, 999999999)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_secidx_delete_stale" ->
+      """WITH fresh AS (
+        |  SELECT (SELECT max(o_orderkey) FROM orders) + i AS o_orderkey,
+        |    CAST(1 AS BIGINT) AS o_custkey, 123.45 AS o_totalprice,
+        |    '1-URGENT' AS o_orderpriority
+        |  FROM (SELECT unnest(generate_series(1, 8)) AS i)
+        |), unioned AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |  FROM orders
+        |  UNION ALL SELECT * FROM fresh
+        |)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM unioned
+        |WHERE o_orderkey NOT IN (7, 101,
+        |  (SELECT max(o_orderkey) FROM orders) + 2,
+        |  (SELECT max(o_orderkey) FROM orders) + 7, 999999999)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_secidx_fresh" ->
       """WITH fresh AS (

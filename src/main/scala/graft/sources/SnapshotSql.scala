@@ -17,7 +17,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT * FROM snapshot_changes('/path/to/t', 1, 4)     -- CDC feed
   * SELECT * FROM snapshot_history('/path/to/t')           -- describe
   * SELECT * FROM snapshot_files('/path/to/t')             -- files meta
+  * SELECT * FROM snapshot_merge('/path/to/t', 'updates_view',
+  *                              'key', 'part')            -- MERGE INTO
+  * SELECT * FROM snapshot_delete('/path/to/t', 'doomed_keys_view',
+  *                               'key', 'part')           -- DELETE
   * }}}
+  *
+  * The last two are WRITE PROCEDURES in TVF syntax (Iceberg's `CALL`
+  * shape expressed on Spark's native TVF registry): analyzing the
+  * statement performs one commit and the relation is the outcome row.
   *
   * The TVF resolves to the SAME relation the Scala API plans
   * ([[SnapshotFileIndex]]-backed), so WHERE predicates on a
@@ -134,6 +142,112 @@ object SnapshotSql {
         }
         df.queryExecution.logical
       }),
+    ("snapshot_merge",
+      new ExpressionInfo(getClass.getName, null, "snapshot_merge",
+        "_FUNC_(path, source, key_col, part_col) - MERGE INTO the " +
+          "snapshot table at `path` from the view/table named `source`: " +
+          "matched keys are UPDATED with every column the source " +
+          "carries, unmatched source rows INSERT (the upsert shape). " +
+          "A write PROCEDURE in TVF syntax (the Iceberg CALL shape on " +
+          "Spark's native TVF registry): analyzing the statement " +
+          "performs the commit exactly once per spark.sql() call and " +
+          "the result row reports (version, n_updated, n_deleted, " +
+          "n_inserted)",
+        "_FUNC_(string, string, string, string)"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4,
+          s"snapshot_merge: expected 4 arguments, got ${exprs.length}")
+        val spark = SparkSession.active
+        val path = strArg("snapshot_merge", exprs, 0)
+        val source = spark.table(strArg("snapshot_merge", exprs, 1))
+        val (v, nU, nD, nI) = SnapshotTable.commitMergeInto(spark, path,
+          source, strArg("snapshot_merge", exprs, 2),
+          strArg("snapshot_merge", exprs, 3),
+          updateWhen = Some(org.apache.spark.sql.functions.lit(true)),
+          insertWhen = Some(org.apache.spark.sql.functions.lit(true)))
+        outcomeRow(spark, Seq("version" -> v, "n_updated" -> nU,
+          "n_deleted" -> nD, "n_inserted" -> nI))
+      }),
+    ("snapshot_delete",
+      new ExpressionInfo(getClass.getName, null, "snapshot_delete",
+        "_FUNC_(path, source, key_col, part_col) - DELETE FROM the " +
+          "snapshot table at `path` every row whose key appears in the " +
+          "view/table named `source` (one key column). Write procedure " +
+          "in TVF syntax, like snapshot_merge; the result row reports " +
+          "(version, n_deleted)",
+        "_FUNC_(string, string, string, string)"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4,
+          s"snapshot_delete: expected 4 arguments, got ${exprs.length}")
+        val spark = SparkSession.active
+        val path = strArg("snapshot_delete", exprs, 0)
+        val keys = spark.table(strArg("snapshot_delete", exprs, 1))
+        val (v, n) = SnapshotTable.commitDeleteKeys(spark, path, keys,
+          strArg("snapshot_delete", exprs, 2),
+          strArg("snapshot_delete", exprs, 3))
+        outcomeRow(spark, Seq("version" -> v, "n_deleted" -> n))
+      }),
+    ("snapshot_compact",
+      new ExpressionInfo(getClass.getName, null, "snapshot_compact",
+        "_FUNC_(path, part_col[, small_threshold_rows]) - fold small " +
+          "files per partition into fewer larger ones (one atomic " +
+          "commit; row set unchanged). Maintenance procedure in TVF " +
+          "syntax; the result row reports (version, n_folded, n_written)",
+        "_FUNC_(string, string[, bigint])"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 || exprs.length == 3,
+          s"snapshot_compact: expected 2-3 arguments, got ${exprs.length}")
+        val spark = SparkSession.active
+        val (v, nIn, nOut) =
+          if (exprs.length == 2)
+            SnapshotTable.compact(spark,
+              strArg("snapshot_compact", exprs, 0),
+              strArg("snapshot_compact", exprs, 1))
+          else SnapshotTable.compact(spark,
+            strArg("snapshot_compact", exprs, 0),
+            strArg("snapshot_compact", exprs, 1),
+            longArg("snapshot_compact", exprs, 2))
+        outcomeRow(spark, Seq("version" -> v, "n_folded" -> nIn.toLong,
+          "n_written" -> nOut.toLong))
+      }),
+    ("snapshot_expire",
+      new ExpressionInfo(getClass.getName, null, "snapshot_expire",
+        "_FUNC_(path, keep_versions) - vacuum: drop manifests older " +
+          "than the newest keep_versions (refs always pinned) and " +
+          "delete data files no retained version references. The " +
+          "result row reports (n_files_deleted)",
+        "_FUNC_(string, bigint)"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"snapshot_expire: expected 2 arguments, got ${exprs.length}")
+        val spark = SparkSession.active
+        val n = SnapshotTable.vacuum(spark,
+          strArg("snapshot_expire", exprs, 0),
+          longArg("snapshot_expire", exprs, 1).toInt)
+        outcomeRow(spark, Seq("n_files_deleted" -> n))
+      }),
+    ("snapshot_analyze",
+      new ExpressionInfo(getClass.getName, null, "snapshot_analyze",
+        "_FUNC_(path, col[, k]) - ANALYZE: compute the column's KMV " +
+          "distinct sketch for the current version and persist it to " +
+          "the _stats sidecar (exact until k distinct hashes, flagged " +
+          "estimate after). The result row reports (version, ndv, " +
+          "exact 1|0)",
+        "_FUNC_(string, string[, bigint])"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 || exprs.length == 3,
+          s"snapshot_analyze: expected 2-3 arguments, got ${exprs.length}")
+        val spark = SparkSession.active
+        val k = if (exprs.length == 3)
+          longArg("snapshot_analyze", exprs, 2).toInt else 1024
+        val st = TableStats.analyze(spark,
+          strArg("snapshot_analyze", exprs, 0),
+          Seq(strArg("snapshot_analyze", exprs, 1)), k)
+        val sk = st.sketches.head
+        outcomeRow(spark, Seq("version" -> st.version,
+          "ndv" -> math.round(sk.estimate),
+          "exact" -> (if (sk.sat) 0L else 1L)))
+      }),
     ("snapshot_stats",
       new ExpressionInfo(getClass.getName, null, "snapshot_stats",
         "_FUNC_(path[, col]) - per-version physical profile from " +
@@ -154,6 +268,17 @@ object SnapshotSql {
         }
         df.queryExecution.logical
       }))
+
+  /** One-row outcome relation for the write procedures. */
+  private def outcomeRow(spark: SparkSession,
+                         cols: Seq[(String, Long)]): LogicalPlan = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    spark.createDataFrame(
+      java.util.Collections.singletonList(Row(cols.map(_._2): _*)),
+      StructType(cols.map(c => StructField(c._1, LongType, nullable = false))))
+      .queryExecution.logical
+  }
 
   /** Imperative per-session registration (idempotent — re-registering
     * replaces the previous builder).

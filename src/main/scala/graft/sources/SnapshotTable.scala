@@ -3684,6 +3684,74 @@ object SnapshotTable extends QueryPack {
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** `q_upsert_merge`'s MERGE driven PURELY through `spark.sql` — the
+    * updates view is built in SQL over the raw parquet, the write is
+    * the [[SnapshotSql]] `snapshot_merge` procedure-TVF, and the
+    * rollup reads back through `snapshot_table`. Shares
+    * `q_upsert_merge`'s oracle verbatim: SQL twin ≡ Scala upsert ≡
+    * the oracle's relational replay, or the hash breaks.
+    */
+  def sqlMergeQuery(s: SparkSession, dir: String): DataFrame = {
+    SnapshotSql.register(s)
+    val work = cloneTable(s, deleteBase(s, dir))
+    // the batch is PARTITION-SCOPED (one priority) — the daily-refresh
+    // shape commitMergeInto is built for: affected files are that
+    // partition's (plus detected movers), the other four carry by
+    // reference, so the measured commit rewrites ~1/5 of the table
+    s.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW graft_sql_merge_updates AS
+         |WITH src AS (SELECT * FROM parquet.`$dir/orders.parquet`),
+         |changed AS (
+         |  SELECT o_orderkey, o_custkey,
+         |    o_totalprice + 1000.0 AS o_totalprice,
+         |    o_orderdate, o_orderpriority
+         |  FROM src
+         |  WHERE o_orderkey % 97 = 0 AND o_orderpriority = '1-URGENT'
+         |), fresh AS (
+         |  SELECT (SELECT max(o_orderkey) FROM src) + id AS o_orderkey,
+         |    CAST(1 AS BIGINT) AS o_custkey,
+         |    CAST(123.45 AS DOUBLE) AS o_totalprice,
+         |    CAST('1999-01-01' AS TIMESTAMP) AS o_orderdate,
+         |    '1-URGENT' AS o_orderpriority
+         |  FROM range(1, 6)
+         |)
+         |SELECT * FROM changed UNION ALL SELECT * FROM fresh""".stripMargin)
+    val out = s.sql(s"SELECT * FROM snapshot_merge('$work', " +
+      "'graft_sql_merge_updates', 'o_orderkey', 'o_orderpriority')").head()
+    require(out.getLong(3) == 5L,
+      s"sql merge: expected 5 inserts, got ${out.getLong(3)}")
+    s.sql(
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS total_price,
+         |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+         |FROM snapshot_table('$work')
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** Key-DELETE driven purely through `spark.sql` via the
+    * `snapshot_delete` procedure-TVF, rollup read back through
+    * `snapshot_table` — the oracle replays the deletion relationally.
+    */
+  def sqlDeleteQuery(s: SparkSession, dir: String): DataFrame = {
+    SnapshotSql.register(s)
+    val work = cloneTable(s, deleteBase(s, dir))
+    s.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW graft_sql_delete_keys AS
+         |SELECT o_orderkey FROM parquet.`$dir/orders.parquet`
+         |WHERE o_orderkey % 101 = 0
+         |  AND o_orderkey BETWEEN 1000 AND 5000""".stripMargin)
+    s.sql(s"SELECT * FROM snapshot_delete('$work', " +
+      "'graft_sql_delete_keys', 'o_orderkey', 'o_orderpriority')").head()
+    s.sql(
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS total_price,
+         |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+         |FROM snapshot_table('$work')
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** Whole-table `count(*)`/`min`/`max` over the post-merge snapshot,
     * answered by [[graft.plans.MetadataAggPushdown]] from the manifest
     * alone — the executed plan is a LocalTableScan, ZERO data files
@@ -3954,6 +4022,8 @@ object SnapshotTable extends QueryPack {
     "q_snapshot_meta_sel" -> (metaSelQuery _),
     "q_snapshot_meta_parts" -> (metaPartsQuery _),
     "q_snapshot_sql" -> (sqlQuery _),
+    "q_sql_merge" -> (sqlMergeQuery _),
+    "q_sql_delete" -> (sqlDeleteQuery _),
     "q_snapshot_merge" -> (snapshotMergeQuery _),
     "q_stats_broadcast" -> (statsBroadcastQuery _),
     "q_time_travel" -> (timeTravelQuery _),
@@ -4111,6 +4181,36 @@ object SnapshotTable extends QueryPack {
         |  CAST(max(o_orderkey) AS BIGINT) AS max_key
         |FROM merged GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_sql_merge" ->
+      """WITH changed AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders
+        |  WHERE o_orderkey % 97 = 0 AND o_orderpriority = '1-URGENT'
+        |), fresh AS (
+        |  SELECT (SELECT max(o_orderkey) FROM orders) + i AS o_orderkey,
+        |    CAST(1 AS BIGINT) AS o_custkey, 123.45 AS o_totalprice,
+        |    '1999-01-01' AS o_orderdate, '1-URGENT' AS o_orderpriority
+        |  FROM (SELECT unnest(generate_series(1, 5)) AS i)
+        |), upd AS (
+        |  SELECT * FROM changed UNION ALL SELECT * FROM fresh
+        |), merged AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM upd
+        |)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_sql_delete" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders
+        |WHERE NOT (o_orderkey % 101 = 0 AND o_orderkey BETWEEN 1000 AND 5000)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_snapshot_sql" ->
       """WITH changed AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,

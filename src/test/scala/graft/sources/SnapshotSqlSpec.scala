@@ -128,4 +128,66 @@ class SnapshotSqlSpec extends SparkSpec {
       assert(!r.isNullAt(2) && !r.isNullAt(3))
     }
   }
+
+  test("snapshot_merge / snapshot_delete write procedures: one commit " +
+    "per statement, outcome row reports the clause counts, result " +
+    "readable back through snapshot_table") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("snapsqlw")
+      .resolve("t").toString
+    SnapshotTable.create(spark, t,
+      Seq((1L, 10.0, "a"), (2L, 20.0, "a"), (3L, 30.0, "b"))
+        .toDF("k", "v", "p"), "p")
+    SnapshotSql.register(spark)
+    Seq((2L, 99.0, "a"), (4L, 40.0, "b")).toDF("k", "v", "p")
+      .createOrReplaceTempView("upd_view")
+    val m = spark.sql(
+      s"SELECT * FROM snapshot_merge('$t', 'upd_view', 'k', 'p')").head()
+    assert(m.getLong(1) === 1L && m.getLong(2) === 0L &&
+      m.getLong(3) === 1L, s"update/delete/insert counts off: $m")
+    assert(SnapshotTable.currentVersion(spark, t) === 2L,
+      "exactly one commit per procedure statement")
+    val rows = spark.sql(
+      s"SELECT k, v FROM snapshot_table('$t') ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows === Seq((1L, 10.0), (2L, 99.0), (3L, 30.0), (4L, 40.0)))
+
+    Seq(Tuple1(1L), Tuple1(4L)).toDF("k")
+      .createOrReplaceTempView("doomed_view")
+    val d = spark.sql(
+      s"SELECT * FROM snapshot_delete('$t', 'doomed_view', 'k', 'p')").head()
+    assert(d.getLong(1) === 2L)
+    assert(spark.sql(s"SELECT k FROM snapshot_table('$t') ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L, 3L))
+    // time travel still sees the pre-delete state (write = new version)
+    assert(spark.sql(s"SELECT count(*) FROM snapshot_table('$t', 2)")
+      .head().getLong(0) === 4L)
+  }
+
+  test("maintenance procedures: snapshot_compact folds, snapshot_analyze " +
+    "persists a servable sketch, snapshot_expire drops old versions") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("snapsqlm")
+      .resolve("t").toString
+    SnapshotTable.create(spark, t,
+      (1 to 50).map(i => (i.toLong, s"g${i % 2}")).toDF("k", "p"), "p")
+    SnapshotTable.commitAppend(spark, t,
+      (51 to 100).map(i => (i.toLong, s"g${i % 2}")).toDF("k", "p"), "p")
+    SnapshotSql.register(spark)
+    val c = spark.sql(
+      s"SELECT * FROM snapshot_compact('$t', 'p')").head()
+    assert(c.getLong(1) > c.getLong(2) && c.getLong(2) > 0,
+      s"compact must fold small files into fewer: $c")
+    assert(spark.sql(s"SELECT count(*) FROM snapshot_table('$t')")
+      .head().getLong(0) === 100L)
+    val a = spark.sql(
+      s"SELECT * FROM snapshot_analyze('$t', 'k')").head()
+    assert(a.getLong(1) === 100L && a.getLong(2) === 1L,
+      s"exact-regime NDV expected: $a")
+    val e = spark.sql(
+      s"SELECT * FROM snapshot_expire('$t', 1)").head()
+    assert(e.getLong(0) > 0L, "expire should delete pre-compaction files")
+    assert(spark.sql(s"SELECT count(*) FROM snapshot_table('$t')")
+      .head().getLong(0) === 100L)
+  }
 }
