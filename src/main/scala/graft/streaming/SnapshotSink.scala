@@ -43,7 +43,8 @@ object SnapshotSink extends QueryPack {
           checkpoint: Option[String] = None,
           maintainEvery: Option[Int] = None,
           smallThreshold: Long = 1000000L,
-          maxSmallFiles: Int = 64): String = {
+          maxSmallFiles: Int = 64): String =
+      StreamHousekeeping.withStatePartitions(spark, 8) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val source = spark.readStream
       .schema(Tables.load(spark, dir, "events").schema)
@@ -96,7 +97,8 @@ object SnapshotSink extends QueryPack {
   def runJoinView(spark: SparkSession, factTable: String, dimTable: String,
                   view: String, factKey: String, dimKey: String,
                   groupKey: String, valueCol: String,
-                  checkpoint: Option[String] = None): Unit = {
+                  checkpoint: Option[String] = None): Unit =
+      StreamHousekeeping.withStatePartitions(spark, 8) {
     // start from version 0 so commits that landed BEFORE the stream's
     // first run still fire a refresh (the refresh itself is version-
     // aware, so re-seen windows are no-ops — tail-only would silently
@@ -130,26 +132,31 @@ object SnapshotSink extends QueryPack {
   def runScd2(spark: SparkSession, log: String, dim: String,
               keyCol: String, tsCol: String, attrCols: Seq[String],
               tieCol: String, buckets: Int = 64,
-              checkpoint: Option[String] = None): Unit = {
-    val source = spark.readStream.format("graft-snapshot")
-      .option("startingVersion", "0")
-      // one micro-batch per log commit: the refresh cadence matches the
-      // change cadence (replayed pre-applied windows are ledger no-ops)
-      .option("maxVersionsPerTrigger", "1").load(log)
-    val q = source.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        SnapshotTable.commitWithRetry() {
-          graft.operators.Scd2.refreshFromLog(batch.sparkSession, dim, log,
-            keyCol, tsCol, attrCols, tieCol, buckets)
+              checkpoint: Option[String] = None): Unit =
+    // micro-batch shuffles sized to the BATCH, not the session default:
+    // a per-commit change window is orders of magnitude smaller than a
+    // table scan, and streaming pins the partitioning per checkpoint —
+    // the same deployment knob withStatePartitions documents
+    StreamHousekeeping.withStatePartitions(spark, 8) {
+      val source = spark.readStream.format("graft-snapshot")
+        .option("startingVersion", "0")
+        // one micro-batch per log commit: the refresh cadence matches the
+        // change cadence (replayed pre-applied windows are ledger no-ops)
+        .option("maxVersionsPerTrigger", "1").load(log)
+      val q = source.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          SnapshotTable.commitWithRetry() {
+            graft.operators.Scd2.refreshFromLog(batch.sparkSession, dim, log,
+              keyCol, tsCol, attrCols, tieCol, buckets)
+          }
+          ()
         }
-        ()
-      }
-      .option("checkpointLocation",
-        checkpoint.getOrElse(StreamHousekeeping.freshCheckpointDir()))
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+        .option("checkpointLocation",
+          checkpoint.getOrElse(StreamHousekeeping.freshCheckpointDir()))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
   /** STREAMING SECONDARY-INDEX maintenance: tail the indexed table's
     * commit log and advance the key→file postings per micro-batch via
@@ -160,7 +167,8 @@ object SnapshotSink extends QueryPack {
     * but at micro-batch cadence this keeps the fast path hot).
     */
   def runSecIdx(spark: SparkSession, table: String, keyCol: String,
-                index: String, checkpoint: Option[String] = None): Unit = {
+                index: String, checkpoint: Option[String] = None): Unit =
+      StreamHousekeeping.withStatePartitions(spark, 8) {
     val source = spark.readStream.format("graft-snapshot")
       .option("startingVersion", "0")
       .option("maxVersionsPerTrigger", "1").load(table)
@@ -191,7 +199,8 @@ object SnapshotSink extends QueryPack {
     */
   def runPipeline(spark: SparkSession, pipe: graft.sources.Pipeline,
                   sourceTable: String,
-                  checkpoint: Option[String] = None): Unit = {
+                  checkpoint: Option[String] = None): Unit =
+      StreamHousekeeping.withStatePartitions(spark, 8) {
     val source = spark.readStream.format("graft-snapshot")
       .option("startingVersion", "0").load(sourceTable)
     val q = source.writeStream
@@ -237,7 +246,8 @@ object SnapshotSink extends QueryPack {
     * the row atomically.
     */
   def runUpsert(spark: SparkSession, dir: String, table: String,
-                checkpoint: Option[String] = None): String = {
+                checkpoint: Option[String] = None): String =
+      StreamHousekeeping.withStatePartitions(spark, 8) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val source = spark.readStream
       .schema(Tables.load(spark, dir, "events").schema)
@@ -316,7 +326,8 @@ object SnapshotSink extends QueryPack {
                     root: String, factName: String = "fact",
                     aggName: String = "agg", typeCol: String = "event_type",
                     valueCol: String = "value",
-                    checkpoint: Option[String] = None): Unit = {
+                    checkpoint: Option[String] = None): Unit =
+      StreamHousekeeping.withStatePartitions(spark, 8) {
     val pins0 = SnapshotCatalog.entries(spark, root)
     val factPath = pins0(factName)._1
     val aggPath = pins0(aggName)._1

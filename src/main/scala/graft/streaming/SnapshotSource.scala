@@ -215,6 +215,7 @@ object SnapshotSource extends graft.QueryPack {
     // AvailableNow wrapper latches one target offset for the whole
     // run, which would collapse the per-version admission this query
     // is exercising into a single batch
+    StreamHousekeeping.withStatePartitions(s, 8) {
     val q = s.readStream.format("graft-snapshot")
       .option("startingVersion", "0")
       .option("maxVersionsPerTrigger", "1")
@@ -232,6 +233,7 @@ object SnapshotSource extends graft.QueryPack {
     q.processAllAvailable()
     q.stop()
     q.awaitTermination()
+    }
 
     SnapshotTable.read(s, dst)
       .groupBy(col("event_type"))
