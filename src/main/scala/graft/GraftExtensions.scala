@@ -30,6 +30,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // manifest-sized broadcast hints for filtered snapshot join sides
     // (on by default; spark.graft.snapshot.statsBroadcast=false)
     e.injectOptimizerRule(_ => graft.plans.StatsBroadcast)
+    // declared-key join elimination over snapshot relations (on by
+    // default once keys are declared; spark.graft.joinElimination=false)
+    e.injectOptimizerRule(_ => graft.plans.JoinElimination)
+    // eager aggregation below inner equi-joins for opted-in fact tables
+    // (EagerAggregation.enableFor; kill-switch spark.graft.eagerAgg)
+    e.injectOptimizerRule(_ => graft.plans.EagerAggregation)
     // snapshot-table SQL surface: snapshot_table(path[, version]) and
     // snapshot_changes(path, from, to) table-valued functions
     graft.sources.SnapshotSql.tvfs.foreach { case (name, info, builder) =>

@@ -54,7 +54,9 @@ object SparkEntry {
     graft.sources.SecondaryIndex,
     graft.sources.PipelinePack,
     graft.sources.MaterializedView,
-    graft.operators.Scd2)
+    graft.operators.Scd2,
+    graft.plans.JoinElimination,
+    graft.plans.EagerAggregation)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline capability: scatter-gather top-k cosine

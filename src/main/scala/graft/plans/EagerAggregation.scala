@@ -1,0 +1,269 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.{QueryPack, Tables}
+import graft.sources.{SnapshotFileIndex, SnapshotTable}
+
+/** `[EXT]` Eager aggregation — push a partial aggregate below an inner
+  * equi-join (Yan & Larson, VLDB '95; shipped by DB2 and SQL Server,
+  * absent from Catalyst): `Agg(fact ⋈ dim)` whose aggregate functions
+  * read only fact columns becomes
+  * `Agg(PartialAgg(fact BY join-keys ∪ fact-group-cols) ⋈ dim)`.
+  *
+  * Soundness (inner equi-join, decomposable functions): every fact row
+  * collapsed into one partial group shares ALL attributes the join
+  * condition reads, so the join expands each partial row by exactly the
+  * match count its rows had; `sum`/`count` are linear (Σ m·x per row =
+  * m·Σ x per group) and `min`/`max` are multiplicity-blind, so the
+  * re-aggregation over the expanded partials equals the original. Null
+  * join keys drop whole partial groups exactly as the join dropped
+  * their rows; a partial group with no dim partner vanishes like its
+  * rows did. `count` re-aggregates as `coalesce(sum(partial), 0)`
+  * (type- and null-profile-identical); a decimal `sum` re-aggregates
+  * through Spark's widened re-sum with a cast back to the original
+  * result type (lossless whenever the original sum itself fit). A
+  * DOUBLE `sum` is exact up to floating-point re-association — the
+  * same non-contract Spark's own partition-order-dependent partial
+  * aggregation already has; integral and decimal sums are bit-exact.
+  * Refused outright: outer joins, non-equi or non-deterministic
+  * conjuncts, distinct/FILTER aggregates, functions beyond
+  * sum/count/min/max, aggregates reading both sides, non-attribute
+  * grouping expressions.
+  *
+  * At 100 TB this decides how many rows cross the fact table's join
+  * shuffle: a raw fact⋈dim plan shuffles every fact ROW, the eager plan
+  * shuffles one row per (join key × fact group) — orders of magnitude
+  * fewer on the classic revenue-by-dim-attribute shape. It is a
+  * heuristic with a known bad case (near-unique join keys make the
+  * partial agg pure overhead), and without CBO the rule cannot cost it
+  * — so it is OPT-IN PER FACT TABLE ([[enableFor]]): declaring "this
+  * table is the big one, pre-aggregate it" is a data-model fact the
+  * pipeline owner states once, the same trust model as
+  * [[JoinElimination]]'s keys (and Iceberg's write-order hints).
+  *
+  * Install per session via [[EagerAggregation.install]] or globally via
+  * `spark.sql.extensions=graft.GraftExtensions`; kill-switch
+  * `spark.graft.eagerAgg=false`.
+  */
+object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper
+    with QueryPack {
+
+  private val FlagKey = "spark.graft.eagerAgg"
+
+  private val enabledTables =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def norm(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.toString
+
+  /** Opt `table` (a snapshot-table path) into eager aggregation when it
+    * appears as the fact side of a qualifying aggregate-over-join.
+    */
+  def enableFor(table: String): Unit = enabledTables.add(norm(table))
+
+  private[graft] def clearEnabled(): Unit = enabledTables.clear()
+
+  def install(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (enabledTables.isEmpty ||
+        conf.getConfString(FlagKey, "true") != "true") plan
+    else plan.transformDown {
+      // attr-only Projects between the Aggregate and the Join (column
+      // pruning leaves one) are bypassed: the rebuilt child exposes a
+      // superset of their output and the Aggregate projects for itself
+      case a: Aggregate => stripProjects(a.child) match {
+        case j: Join => tryRewrite(a, j).getOrElse(a)
+        case _ => a
+      }
+    }
+
+  private def stripProjects(p: LogicalPlan): LogicalPlan = p match {
+    case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      stripProjects(c)
+    case other => other
+  }
+
+  private def tryRewrite(a: Aggregate, j: Join): Option[LogicalPlan] = {
+    if (j.joinType != Inner) return None
+    val conjuncts = j.condition.toSeq.flatMap(splitConjunctivePredicates)
+    if (conjuncts.isEmpty) return None
+    if (!a.groupingExpressions.forall(_.isInstanceOf[AttributeReference]))
+      return None
+    val aggExprs = a.aggregateExpressions
+      .flatMap(_.collect { case ae: AggregateExpression => ae })
+    if (aggExprs.isEmpty) return None // pure distinct: not this rule's job
+    if (aggExprs.exists(ae => ae.isDistinct || ae.filter.isDefined))
+      return None
+
+    def attempt(fact: LogicalPlan, dim: LogicalPlan,
+                rebuild: LogicalPlan => Join): Option[LogicalPlan] = {
+      if (!isEnabledFact(fact)) return None
+      // every conjunct: fact-attr = dim-attr (any order)
+      val factJoinAttrs = conjuncts.map {
+        case EqualTo(l: AttributeReference, r: AttributeReference) =>
+          if (fact.outputSet.contains(l) && dim.outputSet.contains(r)) l
+          else if (fact.outputSet.contains(r) && dim.outputSet.contains(l)) r
+          else return None
+        case _ => return None
+      }
+      // aggregate functions read the fact side only
+      if (!aggExprs.forall(_.references.subsetOf(fact.outputSet)))
+        return None
+      // grouping attrs split cleanly across the two sides
+      val (factGroup, dimGroup) = a.groupingExpressions
+        .map(_.asInstanceOf[AttributeReference])
+        .partition(fact.outputSet.contains)
+      if (!dimGroup.forall(dim.outputSet.contains)) return None
+
+      // one partial per distinct function; unsupported shape = refuse
+      val distinctAggs = aggExprs.foldLeft(Seq.empty[AggregateExpression]) {
+        (acc, ae) => if (acc.exists(_.semanticEquals(ae))) acc else acc :+ ae
+      }
+      val partials = distinctAggs.zipWithIndex.map { case (ae, i) =>
+        ae.aggregateFunction match {
+          case _: Sum | _: Count | _: Min | _: Max =>
+            ae -> Alias(AggregateExpression(ae.aggregateFunction, Complete,
+              isDistinct = false), s"ea_p$i")()
+          case _ => return None
+        }
+      }
+      def finalForm(ae: AggregateExpression): Option[Expression] =
+        partials.find(_._1.semanticEquals(ae)).map { case (_, alias) =>
+          val p = alias.toAttribute
+          ae.aggregateFunction match {
+            case s: Sum =>
+              val resummed = ae.copy(aggregateFunction = s.copy(child = p))
+              // decimal re-sum widens the result type; cast back (lossless
+              // whenever the original total fit its own type)
+              if (s.dataType.isInstanceOf[DecimalType]) Cast(resummed, s.dataType)
+              else if (s.dataType == LongType || s.dataType == DoubleType) resummed
+              else return None
+            case _: Count =>
+              Coalesce(Seq(
+                ae.copy(aggregateFunction = Sum(p), resultId = ae.resultId),
+                Literal(0L)))
+            case m: Min => ae.copy(aggregateFunction = m.copy(child = p))
+            case m: Max => ae.copy(aggregateFunction = m.copy(child = p))
+            case _ => return None
+          }
+        }
+
+      val partialGroup = (factJoinAttrs ++ factGroup)
+        .foldLeft(Seq.empty[AttributeReference]) { (acc, at) =>
+          if (acc.exists(_.exprId == at.exprId)) acc else acc :+ at
+        }
+      val partialAgg = Aggregate(partialGroup,
+        partialGroup ++ partials.map(_._2), fact)
+      val rewrittenAe = a.aggregateExpressions.map { ne =>
+        ne.transformUp {
+          case ae: AggregateExpression => finalForm(ae).getOrElse(return None)
+        }.asInstanceOf[NamedExpression]
+      }
+      Some(a.copy(aggregateExpressions = rewrittenAe,
+        child = rebuild(partialAgg)))
+    }
+
+    attempt(j.left, j.right, p => j.copy(left = p))
+      .orElse(attempt(j.right, j.left, p => j.copy(right = p)))
+  }
+
+  /** The side is a bare scan (attr-only Projects / deterministic
+    * Filters) of an opted-in snapshot table. An already-aggregated side
+    * never matches, so the rewrite cannot re-fire on its own output.
+    */
+  private def isEnabledFact(p: LogicalPlan): Boolean = p match {
+    case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      isEnabledFact(c)
+    case Filter(cond, c) if cond.deterministic => isEnabledFact(c)
+    case l: LogicalRelation if !l.isStreaming => l.relation match {
+      case fs: HadoopFsRelation => fs.location match {
+        case idx: SnapshotFileIndex =>
+          enabledTables.contains(norm(idx.tablePath))
+        case _ => false
+      }
+      case _ => false
+    }
+    case _ => false
+  }
+
+  // ------------------------------------------------------------------
+  // driver query: revenue-by-dim-attribute over a snapshot lineitem
+  // fact (opted in) joined to an orders dim — the canonical shape where
+  // the fact's join shuffle carries one row per order instead of one
+  // per line item. The oracle replays the plain join+aggregate.
+  // ------------------------------------------------------------------
+
+  @volatile private var fixtureMemo: Option[((SparkSession, String), (String, String))] = None
+
+  private def fixture(s: SparkSession, dir: String): (String, String) =
+    fixtureMemo match {
+      case Some((k, w)) if k == ((s, dir)) => w
+      case _ => synchronized {
+        fixtureMemo match {
+          case Some((k, w)) if k == ((s, dir)) => w
+          case _ =>
+            val root = java.nio.file.Files
+              .createTempDirectory("graft_eager_agg").toString
+            val fact = s"$root/lineitem"
+            val dim = s"$root/orders"
+            SnapshotTable.create(s, fact,
+              Tables.lineitem(s, dir).select(Seq("l_orderkey", "l_quantity",
+                "l_extendedprice", "l_returnflag").map(col): _*),
+              "l_returnflag")
+            SnapshotTable.create(s, dim,
+              Tables.orders(s, dir).select(Seq("o_orderkey",
+                "o_orderpriority").map(col): _*),
+              "o_orderpriority")
+            enableFor(fact)
+            val w = (fact, dim)
+            fixtureMemo = Some(((s, dir), w))
+            w
+        }
+      }
+    }
+
+  /** Line-item rollup by ORDER priority — aggregates read the fact, the
+    * group key reads the dim, so the partial aggregate (BY l_orderkey)
+    * crosses the join in place of the raw line items.
+    */
+  def eagerAggQuery(s: SparkSession, dir: String): DataFrame = {
+    install(s)
+    val (factT, dimT) = fixture(s, dir)
+    val fact = SnapshotTable.read(s, factT)
+    val dim = SnapshotTable.read(s, dimT)
+    fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        max(col("l_extendedprice")).as("max_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  override def queries: Map[String, QueryPack.Q] = Map(
+    "q_eager_agg" -> (eagerAggQuery _))
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_eager_agg" ->
+      """SELECT o_orderpriority,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_qty,
+        |       max(l_extendedprice) AS max_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+}

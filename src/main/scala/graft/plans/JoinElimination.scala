@@ -1,0 +1,517 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+import graft.sources.{SnapshotFileIndex, SnapshotTable}
+
+/** `[EXT]` Join elimination from informational key constraints — the
+  * classic warehouse optimization (Oracle/SQL Server "join elimination",
+  * DB2 RELY constraints; Spark itself has no constraint surface, so it
+  * can never do this): a fact⋈dim join whose OUTPUT uses no dim column
+  * is removed from the plan entirely when declared keys prove the join
+  * could only ever match-preserve the fact side.
+  *
+  * Two provable cases, both over snapshot-table relations (the table
+  * identity a [[graft.sources.SnapshotFileIndex]] leaf pins):
+  *
+  *  - '''LEFT OUTER''' `fact LEFT JOIN dim ON … ∧ fact.k = dim.pk` with
+  *    `dim.pk` declared UNIQUE: a left join never drops or null-pads a
+  *    fact row's own columns, and a unique match key caps fan-out at
+  *    one — so when nothing above the join references a dim column, the
+  *    join is the identity on the fact side. Sound for ANY dim-side
+  *    Filter (a subset of unique rows is still unique; match-vs-no-match
+  *    is invisible to an output that carries no dim column), any extra
+  *    deterministic join conjuncts (they only make matches rarer), and
+  *    any dim version (uniqueness is declared as a lifetime invariant of
+  *    the table, like a schema-level key).
+  *  - '''INNER''' `fact JOIN dim ON fact.fk = dim.pk` with a declared
+  *    FOREIGN KEY `fact.fk → dim.pk` (and `dim.pk` UNIQUE): referential
+  *    integrity says every non-null fk value finds exactly one partner,
+  *    so the join reduces to `fact WHERE fk IS NOT NULL`. This claim is
+  *    about MEMBERSHIP in the dim table, so the rule additionally
+  *    requires the dim scan to be the table's CURRENT live version with
+  *    no pending delete masks and no dim-side filter, and the single
+  *    equality to be the ENTIRE join condition; the fk attribute must
+  *    trace by exprId to a snapshot relation of the declared fact table
+  *    through value-preserving operators only.
+  *
+  * At 100 TB this is the star-schema payoff: BI/report queries routinely
+  * join every dimension "just in case" (views, ORMs, semantic layers),
+  * and each eliminated join deletes a broadcast build or a shuffle of
+  * the fact table — the rule turns a declared data-model fact into plan
+  * work Spark could never skip on its own. Constraints are
+  * informational (RELY NOVALIDATE in warehouse terms): declared by the
+  * pipeline owner, trusted by the planner, optionally checked once at
+  * declaration time with `validate = true` (a groupBy-count probe for
+  * uniqueness, an anti-join probe for RI — both one pass, both
+  * manifest-pruned like any other read).
+  *
+  * Install per session via [[JoinElimination.install]] or globally via
+  * `spark.sql.extensions=graft.GraftExtensions`; disable with
+  * `spark.graft.joinElimination=false`.
+  */
+object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
+    with QueryPack {
+
+  private val FlagKey = "spark.graft.joinElimination"
+
+  // ---- informational constraint registry (session-shared, like
+  // MaterializedView's): norm'd table path → declared key columns.
+  private val uniqueKeys =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+  // (factTable, fkCol) → (dimTable, pkCol)
+  private val foreignKeys =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+
+  private def norm(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.toString
+
+  /** Declare `col` unique over `table`'s lifetime (a primary/unique
+    * key). With `validate = true`, probes the CURRENT version once and
+    * refuses a declaration the data already violates — later commits
+    * are the owner's contract, exactly like RELY constraints.
+    */
+  def declareUnique(spark: SparkSession, table: String, col: String,
+                    validate: Boolean = false): Unit = {
+    if (validate) {
+      val dup = SnapshotTable.read(spark, table).groupBy(col)
+        .count().filter(org.apache.spark.sql.functions.col("count") > 1)
+        .isEmpty
+      require(dup, s"declareUnique: $table.$col has duplicate values")
+    }
+    uniqueKeys.compute(norm(table),
+      (_, old) => Option(old).getOrElse(Set.empty) + col)
+  }
+
+  /** Declare `factTable.fkCol` a foreign key into `dimTable.pkCol`
+    * (every non-null fk value has a dim partner). Requires `pkCol`
+    * already declared unique. With `validate = true`, probes the
+    * current versions with one left-anti join.
+    */
+  def declareForeignKey(spark: SparkSession, factTable: String, fkCol: String,
+                        dimTable: String, pkCol: String,
+                        validate: Boolean = false): Unit = {
+    require(uniqueKeys.getOrDefault(norm(dimTable), Set.empty).contains(pkCol),
+      s"declareForeignKey: declare $dimTable.$pkCol unique first")
+    if (validate) {
+      val orphans = SnapshotTable.read(spark, factTable)
+        .select(col(fkCol)).filter(col(fkCol).isNotNull)
+        .join(SnapshotTable.read(spark, dimTable).select(col(pkCol)),
+          col(fkCol) === col(pkCol), "left_anti")
+        .isEmpty
+      require(orphans,
+        s"declareForeignKey: $factTable.$fkCol has values absent from $dimTable.$pkCol")
+    }
+    foreignKeys.put((norm(factTable), fkCol), (norm(dimTable), pkCol))
+  }
+
+  /** Drop all declarations (test isolation). */
+  private[graft] def clearDeclarations(): Unit = {
+    uniqueKeys.clear(); foreignKeys.clear()
+  }
+
+  /** Idempotently append the rule to the session's experimental
+    * optimizer batch (fixed point, after the main operator batch — by
+    * then column pruning has already made "output uses no dim column"
+    * syntactically visible as Project/Aggregate references).
+    */
+  def install(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (uniqueKeys.isEmpty || conf.getConfString(FlagKey, "true") != "true") plan
+    else plan.transformDown {
+      // only nodes that DEFINE their output can prove "no dim column
+      // escapes": a Filter/Sort forwards its child's full output, so a
+      // grandparent could still read dim columns through it.
+      case p @ Project(_, j: Join) =>
+        tryEliminate(j, p.references).map(f => p.copy(child = f)).getOrElse(p)
+      case a: Aggregate =>
+        (a.child match {
+          case j: Join => tryEliminate(j, a.references)
+            .map(f => a.copy(child = f))
+          case _ => None
+        }).orElse(tryDistinctElim(a)).getOrElse(a)
+    }
+
+  /** DISTINCT elimination: `SELECT DISTINCT …` (which the optimizer has
+    * already turned into a pure-grouping Aggregate) is the identity when
+    * one of the distinct columns traces — through row-preserving-or-
+    * subsetting operators that never DUPLICATE (Filter, passthrough
+    * Project, Sort, Limit, Sample-without-replacement is excluded for
+    * caution; joins specifically are not walked) — to a declared unique
+    * key: rows are already pairwise distinct on that column alone. The
+    * aggregate (a full shuffle of every distinct column at 100 TB)
+    * collapses to a Project.
+    */
+  private def tryDistinctElim(a: Aggregate): Option[LogicalPlan] = {
+    // function-free aggregate = duplicate removal over the grouping
+    // keys, output some subset of them (column pruning may have trimmed
+    // the original SELECT DISTINCT shape down to the columns used above)
+    val groupIds = a.groupingExpressions.collect {
+      case ar: AttributeReference => ar }
+    val pureDistinct = groupIds.nonEmpty &&
+      groupIds.length == a.groupingExpressions.length &&
+      a.aggregateExpressions.forall {
+        case out: AttributeReference =>
+          groupIds.exists(_.exprId == out.exprId)
+        case _ => false
+      }
+    if (!pureDistinct) return None
+    // a unique grouping key makes every input row its own group
+    val keyed = groupIds.exists(uniqueProvenance(a.child, _))
+    if (keyed) Some(Project(a.aggregateExpressions, a.child)) else None
+  }
+
+  /** `a` traces value-intact AND row-multiplicity-intact (no operator on
+    * the path can duplicate a row) to a relation column declared unique.
+    */
+  private def uniqueProvenance(p: LogicalPlan, a: AttributeReference): Boolean =
+    p match {
+      case l: LogicalRelation if l.output.exists(_.exprId == a.exprId) =>
+        l.relation match {
+          case fs: HadoopFsRelation => fs.location match {
+            case idx: SnapshotFileIndex =>
+              uniqueKeys.getOrDefault(norm(idx.tablePath), Set.empty)
+                .contains(l.output.find(_.exprId == a.exprId).get.name)
+            case _ => false
+          }
+          case _ => false
+        }
+      case Project(ps, c) if ps.exists(ne =>
+          ne.exprId == a.exprId && ne.isInstanceOf[AttributeReference]) =>
+        uniqueProvenance(c, a)
+      case f: Filter => uniqueProvenance(f.child, a)
+      case s: Sort => uniqueProvenance(s.child, a)
+      case g: GlobalLimit => uniqueProvenance(g.child, a)
+      case loc: LocalLimit => uniqueProvenance(loc.child, a)
+      case sa: SubqueryAlias => uniqueProvenance(sa.child, a)
+      case _ => false
+    }
+
+  /** The eliminated replacement for `j` (the surviving fact side, plus
+    * the fk-not-null filter in the inner case), or None when no declared
+    * key proves it. `used` = every attribute the parent reads.
+    */
+  private def tryEliminate(j: Join, used: AttributeSet): Option[LogicalPlan] = {
+    def onlyUses(side: LogicalPlan): Boolean = used.subsetOf(side.outputSet)
+    j.joinType match {
+      case LeftOuter if onlyUses(j.left) =>
+        tryOuter(j.left, j.right, j.condition)
+      case RightOuter if onlyUses(j.right) =>
+        tryOuter(j.right, j.left, j.condition)
+      case Inner =>
+        (if (onlyUses(j.left)) tryInner(j.left, j.right, j.condition)
+         else None).orElse(
+          if (onlyUses(j.right)) tryInner(j.right, j.left, j.condition)
+          else None)
+      case _ => None
+    }
+  }
+
+  /** Outer case: some conjunct equates a fact attr with a declared
+    * unique key of the dim relation (reached through attr-only Projects
+    * and deterministic Filters). All conjuncts must be deterministic —
+    * a nondeterministic predicate must keep evaluating per row pair.
+    */
+  private def tryOuter(fact: LogicalPlan, dim: LogicalPlan,
+                       cond: Option[Expression]): Option[LogicalPlan] = {
+    val conjuncts = cond.toSeq.flatMap(splitConjunctivePredicates)
+    if (conjuncts.isEmpty || !conjuncts.forall(_.deterministic)) return None
+    // any dim-side filter is fine for the outer case (see scaladoc)
+    val (idx, rel, _) = unwrapDim(dim).getOrElse(return None)
+    val declared = uniqueKeys.getOrDefault(norm(idx.tablePath), Set.empty)
+    val hit = conjuncts.exists {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        isDeclaredKey(a, b, rel, dim, fact, declared) ||
+          isDeclaredKey(b, a, rel, dim, fact, declared)
+      case _ => false
+    }
+    if (hit) Some(fact) else None
+  }
+
+  private def isDeclaredKey(dimAttr: AttributeReference,
+                            factAttr: AttributeReference,
+                            rel: LogicalRelation, dim: LogicalPlan,
+                            fact: LogicalPlan,
+                            declared: Set[String]): Boolean =
+    dim.outputSet.contains(dimAttr) && fact.outputSet.contains(factAttr) &&
+      rel.output.exists(o => o.exprId == dimAttr.exprId &&
+        declared.contains(o.name))
+
+  /** Inner case: the WHOLE condition is one fk = pk equality, the pk is
+    * declared unique, the fk is a declared foreign key into that exact
+    * (table, column), the dim scan is the unfiltered current live
+    * version with no pending masks, and the fk attribute traces to a
+    * snapshot relation of the declared fact table.
+    */
+  private def tryInner(fact: LogicalPlan, dim: LogicalPlan,
+                       cond: Option[Expression]): Option[LogicalPlan] = {
+    val (fa, da) = cond match {
+      case Some(EqualTo(a: AttributeReference, b: AttributeReference)) =>
+        if (fact.outputSet.contains(a) && dim.outputSet.contains(b)) (a, b)
+        else if (fact.outputSet.contains(b) && dim.outputSet.contains(a)) (b, a)
+        else return None
+      case _ => return None
+    }
+    val (idx, rel, dimFilters) = unwrapDim(dim).getOrElse(return None)
+    // the ONLY dim filter that cannot break the membership proof is
+    // `IsNotNull(pk)` on the join key itself (Catalyst infers it from
+    // the equality; a null pk could never partner a non-null fk anyway)
+    if (!dimFilters.forall {
+      case IsNotNull(ar: AttributeReference) => ar.exprId == da.exprId
+      case _ => false
+    }) return None
+    val dimTable = norm(idx.tablePath)
+    val pkName = rel.output.find(o => o.exprId == da.exprId &&
+      uniqueKeys.getOrDefault(dimTable, Set.empty).contains(o.name))
+      .map(_.name).getOrElse(return None)
+    // fk provenance: the fact-side attribute must come, value-intact,
+    // from a snapshot relation of a table declared to reference
+    // (dimTable, pkName)
+    val factTable = provenance(fact, fa).getOrElse(return None)
+    Option(foreignKeys.get((factTable, fa.name))) match {
+      case Some((dt, pc)) if dt == dimTable && pc == pkName => ()
+      case _ => return None
+    }
+    // membership proof is against the CURRENT table: the scan must read
+    // exactly the live file set, with no pending equality-delete masks
+    val spark = SparkSession.active
+    val (paths, masked) = SnapshotTable.liveState(spark, idx.tablePath,
+      SnapshotTable.currentVersion(spark, idx.tablePath))
+    if (masked || idx.fileEntries.map(_.path).toSet != paths) return None
+    Some(Filter(IsNotNull(fa), fact))
+  }
+
+  /** Strip the dim side to a bare snapshot relation: attribute-only
+    * Projects and deterministic Filters only, returning the crossed
+    * filter conjuncts (the outer case allows any; the inner case allows
+    * only the inferred not-null on the join key). A masked
+    * (pending-delete) read plans an anti-join, so it can never present
+    * this shape.
+    */
+  private def unwrapDim(p: LogicalPlan)
+      : Option[(SnapshotFileIndex, LogicalRelation, Seq[Expression])] = p match {
+    case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      unwrapDim(c)
+    case Filter(cond, c) if cond.deterministic =>
+      unwrapDim(c).map { case (i, r, fs) =>
+        (i, r, fs ++ splitConjunctivePredicates(cond)) }
+    case l: LogicalRelation if !l.isStreaming => l.relation match {
+      case fs: HadoopFsRelation => fs.location match {
+        case idx: SnapshotFileIndex => Some((idx, l, Nil))
+        case _ => None
+      }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** The snapshot table `a` (by exprId) comes from, walking only
+    * operators that forward the attribute VALUE-INTACT on a row subset:
+    * Filter, passthrough Projects, join sides, grouping passthroughs,
+    * sorts/limits/dedup/repartition. Union (merges other children's
+    * values into the first child's exprIds) and Expand (substitutes
+    * nulls under reused exprIds, e.g. grouping sets) specifically do NOT
+    * qualify and fall to the None default, as does anything unlisted.
+    */
+  private def provenance(p: LogicalPlan, a: AttributeReference): Option[String] =
+    p match {
+      case l: LogicalRelation if l.output.exists(_.exprId == a.exprId) =>
+        l.relation match {
+          case fs: HadoopFsRelation => fs.location match {
+            case idx: SnapshotFileIndex => Some(norm(idx.tablePath))
+            case _ => None
+          }
+          case _ => None
+        }
+      case Project(ps, c) if ps.exists(ne =>
+          ne.exprId == a.exprId && ne.isInstanceOf[AttributeReference]) =>
+        provenance(c, a)
+      case f: Filter => provenance(f.child, a)
+      case j: Join =>
+        if (j.left.outputSet.contains(a)) provenance(j.left, a)
+        else if (j.right.outputSet.contains(a)) provenance(j.right, a)
+        else None
+      case ag: Aggregate if ag.groupingExpressions.exists {
+          case ar: AttributeReference => ar.exprId == a.exprId
+          case _ => false
+        } => provenance(ag.child, a)
+      case s: Sort => provenance(s.child, a)
+      case g: GlobalLimit => provenance(g.child, a)
+      case loc: LocalLimit => provenance(loc.child, a)
+      case d: Deduplicate => provenance(d.child, a)
+      case r: RepartitionOperation => provenance(r.child, a)
+      case sa: SubqueryAlias => provenance(sa.child, a)
+      case _ => None
+    }
+
+  // ------------------------------------------------------------------
+  // driver queries: the scenario is a star pair — a snapshot `orders`
+  // fact and a snapshot `customer` dim with declared c_custkey key and
+  // o_custkey → c_custkey FK (validated once against the data). Both
+  // queries run through the ELIMINATED plan (specs pin the join-free
+  // shape); the oracles replay the join literally — hash equality IS
+  // the semantics-preservation proof.
+  // ------------------------------------------------------------------
+
+  @volatile private var fixtureMemo: Option[((SparkSession, String), (String, String))] = None
+
+  private def fixture(s: SparkSession, dir: String): (String, String) =
+    fixtureMemo match {
+      case Some((k, w)) if k == ((s, dir)) => w
+      case _ => synchronized {
+        fixtureMemo match {
+          case Some((k, w)) if k == ((s, dir)) => w
+          case _ =>
+            val root = java.nio.file.Files
+              .createTempDirectory("graft_join_elim").toString
+            val fact = s"$root/orders"
+            val dim = s"$root/customer"
+            SnapshotTable.create(s, fact,
+              Tables.orders(s, dir).select(Seq("o_orderkey", "o_custkey",
+                "o_totalprice", "o_orderpriority").map(col): _*),
+              "o_orderpriority")
+            SnapshotTable.create(s, dim,
+              Tables.customer(s, dir).select(Seq("c_custkey", "c_name",
+                "c_acctbal", "c_mktsegment").map(col): _*),
+              "c_mktsegment")
+            declareUnique(s, dim, "c_custkey", validate = true)
+            declareUnique(s, fact, "o_orderkey", validate = true)
+            declareForeignKey(s, fact, "o_custkey", dim, "c_custkey",
+              validate = true)
+            val w = (fact, dim)
+            fixtureMemo = Some(((s, dir), w))
+            w
+        }
+      }
+    }
+
+  private def factRollup(df: DataFrame): DataFrame =
+    df.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Fact rollup THROUGH a left join against a filtered dim slice no
+    * output column uses — the semantic-layer shape (a view that joins
+    * every dimension). The declared unique key eliminates the join.
+    */
+  def leftElimQuery(s: SparkSession, dir: String): DataFrame = {
+    install(s)
+    val (factT, dimT) = fixture(s, dir)
+    val fact = SnapshotTable.read(s, factT)
+    val dim = SnapshotTable.read(s, dimT)
+      .filter(col("c_mktsegment") === "BUILDING")
+    factRollup(fact.join(dim, col("o_custkey") === col("c_custkey"),
+      "left"))
+  }
+
+  /** Same rollup through an INNER fact⋈dim join: the declared FK turns
+    * the join into `o_custkey IS NOT NULL` on the fact alone.
+    */
+  def innerElimQuery(s: SparkSession, dir: String): DataFrame = {
+    install(s)
+    val (factT, dimT) = fixture(s, dir)
+    val fact = SnapshotTable.read(s, factT)
+    val dim = SnapshotTable.read(s, dimT)
+    factRollup(fact.join(dim, col("o_custkey") === col("c_custkey")))
+  }
+
+  /** Rollup OVER a `SELECT DISTINCT` of columns that include the
+    * declared unique key: the distinct (a second full shuffle) is
+    * provably the identity and collapses to a projection; the rollup's
+    * own aggregation is the plan's only shuffle.
+    */
+  def distinctElimQuery(s: SparkSession, dir: String): DataFrame = {
+    install(s)
+    val (factT, _) = fixture(s, dir)
+    val distinctRows = SnapshotTable.read(s, factT)
+      .filter(col("o_totalprice") > 100000.0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        col("o_totalprice"))
+      .distinct()
+    factRollup(distinctRows)
+  }
+
+  /** The whole constraint lifecycle driven purely through `spark.sql`:
+    * RELY declarations via the `snapshot_declare_*` procedures (both
+    * validated against the data), then the inner fact⋈dim rollup over
+    * `snapshot_table` TVF scans — which the declarations just made
+    * join-free. Twin of [[innerElimQuery]]'s oracle.
+    */
+  def sqlConstraintsQuery(s: SparkSession, dir: String): DataFrame = {
+    install(s)
+    graft.sources.SnapshotSql.register(s)
+    val (factT, dimT) = fixture(s, dir)
+    s.sql(s"SELECT * FROM snapshot_declare_key('$dimT', 'c_custkey', 1)")
+      .collect()
+    s.sql("SELECT * FROM snapshot_declare_fk(" +
+      s"'$factT', 'o_custkey', '$dimT', 'c_custkey', 1)").collect()
+    s.sql(
+      s"""SELECT o_orderpriority,
+         |       count(*) AS n_orders,
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |         AS total_price,
+         |       max(o_orderkey) AS max_key
+         |FROM snapshot_table('$factT')
+         |JOIN snapshot_table('$dimT') ON o_custkey = c_custkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  override def queries: Map[String, QueryPack.Q] = Map(
+    "q_join_elim_left" -> (leftElimQuery _),
+    "q_join_elim_inner" -> (innerElimQuery _),
+    "q_distinct_elim" -> (distinctElimQuery _),
+    "q_sql_constraints" -> (sqlConstraintsQuery _))
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_join_elim_left" ->
+      """SELECT o_orderpriority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price,
+        |       max(o_orderkey) AS max_key
+        |FROM orders LEFT JOIN (SELECT * FROM customer
+        |                       WHERE c_mktsegment = 'BUILDING') c
+        |  ON o_custkey = c_custkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_elim_inner" ->
+      """SELECT o_orderpriority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price,
+        |       max(o_orderkey) AS max_key
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_distinct_elim" ->
+      """SELECT o_orderpriority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price,
+        |       max(o_orderkey) AS max_key
+        |FROM (SELECT DISTINCT o_orderkey, o_custkey, o_orderpriority,
+        |             o_totalprice
+        |      FROM orders WHERE o_totalprice > 100000.0)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_sql_constraints" ->
+      """SELECT o_orderpriority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price,
+        |       max(o_orderkey) AS max_key
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+}

@@ -21,6 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *                              'key', 'part')            -- MERGE INTO
   * SELECT * FROM snapshot_delete('/path/to/t', 'doomed_keys_view',
   *                               'key', 'part')           -- DELETE
+  * SELECT * FROM snapshot_declare_key('/t', 'pk', 1)      -- RELY key
+  * SELECT * FROM snapshot_declare_fk('/f','fk','/t','pk',1) -- RELY FK
+  * SELECT * FROM snapshot_enable_eager_agg('/f')          -- opt-in
   * }}}
   *
   * The last two are WRITE PROCEDURES in TVF syntax (Iceberg's `CALL`
@@ -267,6 +270,65 @@ object SnapshotSql {
             s"snapshot_stats: expected 1 or 2 arguments, got $n")
         }
         df.queryExecution.logical
+      }),
+    ("snapshot_declare_key",
+      new ExpressionInfo(getClass.getName, null, "snapshot_declare_key",
+        "_FUNC_(path, col[, validate 1|0]) - declare `col` UNIQUE over " +
+          "the snapshot table (informational / RELY): feeds join and " +
+          "distinct elimination. validate=1 probes the current version " +
+          "once and refuses a violated declaration. Installs the " +
+          "constraint optimizer rules in this session. The result row " +
+          "reports (validated 1|0)",
+        "_FUNC_(string, string[, bigint])"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 || exprs.length == 3,
+          s"snapshot_declare_key: expected 2-3 arguments, got ${exprs.length}")
+        val spark = SparkSession.active
+        val validate = exprs.length == 3 &&
+          longArg("snapshot_declare_key", exprs, 2) == 1L
+        graft.plans.JoinElimination.declareUnique(spark,
+          strArg("snapshot_declare_key", exprs, 0),
+          strArg("snapshot_declare_key", exprs, 1), validate)
+        graft.plans.JoinElimination.install(spark)
+        outcomeRow(spark, Seq("validated" -> (if (validate) 1L else 0L)))
+      }),
+    ("snapshot_declare_fk",
+      new ExpressionInfo(getClass.getName, null, "snapshot_declare_fk",
+        "_FUNC_(fact_path, fk_col, dim_path, pk_col[, validate 1|0]) - " +
+          "declare a FOREIGN KEY (informational / RELY; the pk must be " +
+          "declared unique first): feeds inner-join elimination. " +
+          "validate=1 probes the current versions with one anti-join. " +
+          "The result row reports (validated 1|0)",
+        "_FUNC_(string, string, string, string[, bigint])"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4 || exprs.length == 5,
+          s"snapshot_declare_fk: expected 4-5 arguments, got ${exprs.length}")
+        val spark = SparkSession.active
+        val validate = exprs.length == 5 &&
+          longArg("snapshot_declare_fk", exprs, 4) == 1L
+        graft.plans.JoinElimination.declareForeignKey(spark,
+          strArg("snapshot_declare_fk", exprs, 0),
+          strArg("snapshot_declare_fk", exprs, 1),
+          strArg("snapshot_declare_fk", exprs, 2),
+          strArg("snapshot_declare_fk", exprs, 3), validate)
+        graft.plans.JoinElimination.install(spark)
+        outcomeRow(spark, Seq("validated" -> (if (validate) 1L else 0L)))
+      }),
+    ("snapshot_enable_eager_agg",
+      new ExpressionInfo(getClass.getName, null, "snapshot_enable_eager_agg",
+        "_FUNC_(path) - opt the snapshot table into eager aggregation " +
+          "(partial aggregates pushed below inner equi-joins when it is " +
+          "the fact side). Installs the rule in this session. The " +
+          "result row reports (enabled)",
+        "_FUNC_(string)"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"snapshot_enable_eager_agg: expected 1 argument, got ${exprs.length}")
+        val spark = SparkSession.active
+        graft.plans.EagerAggregation.enableFor(
+          strArg("snapshot_enable_eager_agg", exprs, 0))
+        graft.plans.EagerAggregation.install(spark)
+        outcomeRow(spark, Seq("enabled" -> 1L))
       }))
 
   /** One-row outcome relation for the write procedures. */

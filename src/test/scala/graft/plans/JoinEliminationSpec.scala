@@ -1,0 +1,197 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.SnapshotTable
+
+/** Declared-key join elimination must (a) delete the join from the
+  * OPTIMIZED plan in exactly the provable shapes, (b) return the same
+  * rows the joined plan returns (checked against the rule disabled),
+  * and (c) stay conservative everywhere else: dim column referenced,
+  * no declaration, filtered/stale dim in the inner case, extra inner
+  * conjuncts, non-equality conditions.
+  */
+class JoinEliminationSpec extends SparkSpec {
+
+  JoinElimination.install(spark)
+
+  private def freshDir(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).resolve("t").toString
+
+  // dim: unique pk 0..99 with payload; one nonmatching pk band (>= 90
+  // has no fact partner, fact fk 200..249 has no dim partner) so the
+  // joins genuinely filter/null-pad when kept
+  private lazy val dimPath: String = {
+    val t = freshDir("je_dim")
+    val df = spark.range(0, 100).select(
+      col("id").as("pk"),
+      concat(lit("d"), col("id").cast("string")).as("dname"),
+      (col("id") % 4).cast("string").as("dpart"))
+    SnapshotTable.create(spark, t, df, "dpart")
+    JoinElimination.declareUnique(spark, t, "pk", validate = true)
+    t
+  }
+
+  // fact: fk covers 0..89 (all members of dim) plus NULLs; every fk
+  // value non-null appears in dim.pk, so the FK declaration validates
+  private lazy val factPath: String = {
+    val t = freshDir("je_fact")
+    val df = spark.range(0, 1000).select(
+      col("id").as("fid"),
+      when(col("id") % 11 === 0, lit(null).cast("long"))
+        .otherwise(col("id") % 90).as("fk"),
+      (col("id") % 3).cast("string").as("fpart"),
+      (col("id") * 2).as("fval"))
+    SnapshotTable.create(spark, t, df, "fpart")
+    dimPath // ensure pk declared before the FK references it
+    JoinElimination.declareForeignKey(spark, t, "fk", dimPath, "pk",
+      validate = true)
+    t
+  }
+
+  private def fact: DataFrame = SnapshotTable.read(spark, factPath)
+  private def dim: DataFrame = SnapshotTable.read(spark, dimPath)
+
+  private def joins(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect { case j: Join => j }.size
+
+  private def withRuleOff[T](body: => T): T = {
+    spark.conf.set("spark.graft.joinElimination", "false")
+    try body finally spark.conf.unset("spark.graft.joinElimination")
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  private def factAgg(joined: DataFrame): DataFrame =
+    joined.groupBy(col("fpart"))
+      .agg(count(lit(1)).as("n"), sum(col("fval")).as("s"),
+        count(col("fk")).as("nfk"))
+      .orderBy(col("fpart"))
+
+  test("left join on declared unique key is eliminated, rows unchanged") {
+    val q = factAgg(fact.join(dim, col("fk") === col("pk"), "left"))
+    assert(joins(q) == 0, q.queryExecution.optimizedPlan.toString)
+    assert(rows(q) == withRuleOff(rows(
+      factAgg(fact.join(dim, col("fk") === col("pk"), "left")))))
+  }
+
+  test("left elimination survives a dim-side filter and extra conjuncts") {
+    def q = factAgg(fact.join(
+      dim.filter(col("dpart") === "1"),
+      col("fk") === col("pk") && col("fval") > col("pk"), "left"))
+    assert(joins(q) == 0, q.queryExecution.optimizedPlan.toString)
+    assert(rows(q) == withRuleOff(rows(q)))
+  }
+
+  test("inner join on declared FK reduces to a not-null filter") {
+    def q = factAgg(fact.join(dim, col("fk") === col("pk")))
+    assert(joins(q) == 0, q.queryExecution.optimizedPlan.toString)
+    // NULL fks are dropped exactly like the real inner join drops them
+    assert(rows(q) == withRuleOff(rows(q)))
+  }
+
+  test("kept: output references a dim column") {
+    val q = fact.join(dim, col("fk") === col("pk"), "left")
+      .groupBy(col("dname")).agg(count(lit(1)).as("n"))
+    assert(joins(q) == 1)
+  }
+
+  test("kept: no declaration for the key") {
+    val q = factAgg(fact.join(dim, col("fk") === col("dname"), "left"))
+    assert(joins(q) == 1)
+  }
+
+  test("kept inner: filtered dim breaks the membership proof") {
+    val q = factAgg(fact.join(dim.filter(col("pk") < 50),
+      col("fk") === col("pk")))
+    assert(joins(q) == 1)
+  }
+
+  test("kept inner: extra conjunct breaks the membership proof") {
+    val q = factAgg(fact.join(dim,
+      col("fk") === col("pk") && col("fval") > col("pk")))
+    assert(joins(q) == 1)
+  }
+
+  test("kept inner: stale dim scan after a new dim commit") {
+    // pin a scan of the CURRENT version, then advance the table: the
+    // already-planned DataFrame must not eliminate (its file set no
+    // longer equals the live set, so membership is unprovable)
+    val pinned = factAgg(fact.join(dim, col("fk") === col("pk")))
+    SnapshotTable.commitAppend(spark, dimPath,
+      spark.range(100, 101).select(col("id").as("pk"),
+        lit("late").as("dname"), lit("0").as("dpart")), "dpart")
+    try assert(joins(pinned) == 1,
+      pinned.queryExecution.optimizedPlan.toString)
+    finally ()
+  }
+
+  test("right outer mirrors left") {
+    val q = factAgg(dim.join(fact, col("fk") === col("pk"), "right"))
+    assert(joins(q) == 0, q.queryExecution.optimizedPlan.toString)
+    assert(rows(q) == withRuleOff(rows(
+      factAgg(dim.join(fact, col("fk") === col("pk"), "right")))))
+  }
+
+  private def aggs(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }.size
+
+  test("distinct including the declared unique key collapses to a project") {
+    // fid is NOT declared; declare it here (it is unique by construction)
+    JoinElimination.declareUnique(spark, factPath, "fid", validate = true)
+    def q = fact.filter(col("fval") > 100)
+      .select(col("fid"), col("fk"), col("fpart")).distinct()
+      .groupBy(col("fpart")).agg(count(lit(1)).as("n"))
+      .orderBy(col("fpart"))
+    assert(aggs(q) == 1, q.queryExecution.optimizedPlan.toString)
+    assert(rows(q) == withRuleOff(rows(q)))
+  }
+
+  test("distinct kept: no distinct column is a declared key") {
+    val q = fact.select(col("fk"), col("fpart")).distinct()
+      .groupBy(col("fpart")).agg(count(lit(1)).as("n"))
+    assert(aggs(q) == 2)
+  }
+
+  test("distinct kept: a join below could duplicate the key") {
+    // dim side fans out nothing here, but the rule must not walk joins
+    val q = fact.join(dim, col("fk") === col("pk"))
+      .select(col("fid"), col("fpart"), col("dname")).distinct()
+      .groupBy(col("fpart")).agg(count(lit(1)).as("n"))
+    assert(aggs(q) == 2, q.queryExecution.optimizedPlan.toString)
+  }
+
+  test("driver queries run the eliminated plans") {
+    assert(joins(JoinElimination.leftElimQuery(spark, sfDir)) == 0)
+    assert(joins(JoinElimination.innerElimQuery(spark, sfDir)) == 0)
+    // one Aggregate = the rollup; the DISTINCT collapsed to a Project
+    assert(aggs(JoinElimination.distinctElimQuery(spark, sfDir)) == 1)
+    // the SQL-procedure twin: declarations + scan + rollup via spark.sql
+    val sqlQ = JoinElimination.sqlConstraintsQuery(spark, sfDir)
+    assert(joins(sqlQ) == 0, sqlQ.queryExecution.optimizedPlan.toString)
+  }
+
+  test("declaration validation refuses violated constraints") {
+    val t = freshDir("je_bad")
+    SnapshotTable.create(spark, t,
+      spark.range(0, 10).select((col("id") % 3).as("k"),
+        lit("x").as("p")), "p")
+    intercept[IllegalArgumentException] {
+      JoinElimination.declareUnique(spark, t, "k", validate = true)
+    }
+    JoinElimination.declareUnique(spark, t, "k") // informational: allowed
+    val f = freshDir("je_badf")
+    SnapshotTable.create(spark, f,
+      spark.range(0, 10).select(col("id").as("r"), lit("x").as("p")), "p")
+    intercept[IllegalArgumentException] {
+      // fact values 0..9 vs dim keys 0..2: orphans exist
+      JoinElimination.declareForeignKey(spark, f, "r", t, "k",
+        validate = true)
+    }
+  }
+}
