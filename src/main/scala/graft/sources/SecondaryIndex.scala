@@ -328,6 +328,86 @@ object SecondaryIndex extends QueryPack {
     }
   }
 
+  /** ENFORCED-unique append — the teeth behind a declared unique key
+    * ([[graft.plans.JoinElimination.declareUnique]] is RELY/trusted;
+    * this is the commit path that keeps the declaration true): append
+    * `df` rejecting (`onConflict="error"`) or dropping
+    * (`onConflict="skip"`) rows whose key ALREADY EXISTS, with the
+    * existence probe INDEX-SERVED — a distributed semi-join of the
+    * batch's keys against the postings' two narrow columns names
+    * candidate files, and only those files are then read (masked, so a
+    * deleted key correctly re-inserts; a posting is at worst a false
+    * positive the masked read clears). Cost at 100 TB: O(batch ·
+    * postings-slice) per commit instead of the O(table scan) a
+    * merge-based insert-if-absent pays — the Hudi record-index
+    * dedup-on-ingest shape. Malformed batches (null keys, duplicate
+    * keys WITHIN the batch) are refused in both modes: a batch that
+    * cannot satisfy the constraint on its own is a pipeline bug, not a
+    * conflict to resolve.
+    *
+    * Degrade-don't-lie: a still-stale index or an over-cap candidate
+    * list falls back to a column-pruned scan probe of the same pinned
+    * version — never a wrong append. Concurrency contract: the probe
+    * and the commit are two steps, so uniqueness is enforced against
+    * the probed version; run one `appendUnique` writer per table at a
+    * time (the same single-leader cadence the streaming sinks already
+    * use). Returns (version, n_inserted, n_conflicts); a fully-
+    * conflicting batch commits nothing and leaves the version
+    * unchanged.
+    */
+  def appendUnique(spark: SparkSession, table: String, df: DataFrame,
+                   keyCol: String, partCol: String, index: String,
+                   onConflict: String = "error", maxFiles: Int = 100000,
+                   tag: Option[String] = None,
+                   autoRefresh: Boolean = true): (Long, Long, Long) = {
+    require(onConflict == "error" || onConflict == "skip",
+      s"appendUnique: onConflict must be error|skip, got $onConflict")
+    if (autoRefresh) refresh(spark, table, keyCol, index)
+    val v = SnapshotTable.currentVersion(spark, table)
+    val batch = df.persist()
+    try {
+      require(batch.filter(col(keyCol).isNull).isEmpty,
+        s"appendUnique: batch carries NULL $keyCol keys")
+      require(batch.groupBy(col(keyCol)).count()
+        .filter(col("count") > 1).isEmpty,
+        s"appendUnique: batch carries duplicate $keyCol keys")
+      val batchKeys = batch.select(col(keyCol).as("k")).distinct()
+      def scanExisting = SnapshotTable.readVersion(spark, table, v)
+        .select(col(keyCol).as("k"))
+        .join(batchKeys, Seq("k"), "left_semi").distinct()
+      val existing =
+        if (appliedVersion(spark, index) < v) scanExisting
+        else {
+          val files = SnapshotTable.read(spark, index)
+            .join(batchKeys, Seq("k"), "left_semi")
+            .select(col("file")).distinct()
+            .limit(maxFiles + 1).collect().map(_.getString(0)).toSet
+          if (files.size > maxFiles) scanExisting
+          else if (files.isEmpty) batchKeys.limit(0)
+          else {
+            val (entries, _) = SnapshotTable.readManifestFull(spark, table, v)
+            SnapshotTable.readEntriesAt(spark, table,
+              entries.filter(e => files.contains(e.path)), v)
+              .select(col(keyCol).as("k"))
+              .join(batchKeys, Seq("k"), "left_semi").distinct()
+          }
+        }
+      val nConflicts = existing.count()
+      require(onConflict == "skip" || nConflicts == 0,
+        s"appendUnique: $nConflicts key(s) in the batch already exist in $table")
+      val fresh =
+        if (nConflicts == 0) batch
+        else batch.join(existing, batch(keyCol) === existing("k"), "left_anti")
+      val nInserted = fresh.count()
+      if (nInserted == 0) (v, 0L, nConflicts)
+      else {
+        SnapshotTable.commitAppend(spark, table, fresh, partCol, tag = tag)
+        if (autoRefresh) refresh(spark, table, keyCol, index)
+        (SnapshotTable.currentVersion(spark, table), nInserted, nConflicts)
+      }
+    } finally batch.unpersist()
+  }
+
   // ---- driver queries -------------------------------------------------
   //
   // Scenario (memoized per session·corpus): orders → a snapshot table
@@ -532,15 +612,87 @@ object SecondaryIndex extends QueryPack {
       .orderBy(col("o_orderpriority"))
   }
 
+  // enforced-unique append scenario: a batch mixing CONFLICTS (existing
+  // keys carrying changed prices — must be dropped whole, not updated)
+  // with genuinely fresh shifted keys, applied in skip mode against a
+  // clone of the base state. The rollup proves exactly the fresh rows
+  // landed: a wrongly-inserted conflict doubles a count, a wrongly-
+  // updated price shifts a sum, a wrongly-dropped fresh row loses one.
+  @volatile private var uniqueMemo: Option[((SparkSession, String), (String, String))] = None
+
+  private def uniqueScenario(s: SparkSession, dir: String): (String, String) =
+    uniqueMemo match {
+      case Some((k, w)) if k == ((s, dir)) => w
+      case _ => synchronized {
+        uniqueMemo match {
+          case Some((k, w)) if k == ((s, dir)) => w
+          case _ =>
+            val (workBase, idxBase) = baseScenario(s, dir)
+            val work = SnapshotTable.cloneTable(s, workBase)
+            val idx = SnapshotTable.cloneTable(s, idxBase)
+            val orders = Tables.orders(s, dir)
+            val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+            val conflicts = orders.filter(col("o_orderkey") % 97 === 0)
+              .select(col("o_orderkey"), col("o_custkey"),
+                (col("o_totalprice") + 5000.0).as("o_totalprice"),
+                col("o_orderpriority"))
+            // shift past maxKey + 1: keys are 0-based, so a plain +max
+            // would fold key 0 onto the existing maxKey row
+            val freshRows = orders.filter(col("o_orderkey") % 89 === 0)
+              .select((col("o_orderkey") + maxKey + 1L).as("o_orderkey"),
+                col("o_custkey"),
+                (col("o_totalprice") + 1000.0).as("o_totalprice"),
+                col("o_orderpriority"))
+            appendUnique(s, work, conflicts.unionByName(freshRows),
+              "o_orderkey", "o_orderpriority", idx, onConflict = "skip")
+            uniqueMemo = Some(((s, dir), (work, idx)))
+            (work, idx)
+        }
+      }
+    }
+
+  /** Post-append rollup of the enforced-unique table: base rows plus
+    * ONLY the batch's fresh keys (conflicting rows dropped whole).
+    */
+  def uniqueAppendQuery(s: SparkSession, dir: String): DataFrame = {
+    val (work, _) = uniqueScenario(s, dir)
+    SnapshotTable.read(s, work)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_secidx_lookup" -> ((s, dir) => lookupQuery(s, dir)),
     "q_secidx_fresh" -> ((s, dir) => freshQuery(s, dir)),
     "q_secidx_join" -> ((s, dir) => joinQuery(s, dir)),
     "q_secidx_delete" -> ((s, dir) => deleteQuery(s, dir)),
     "q_secidx_delete_stale" -> ((s, dir) => deleteStaleQuery(s, dir)),
+    "q_unique_append" -> ((s, dir) => uniqueAppendQuery(s, dir)),
     "q_stream_secidx" -> ((s, dir) => streamQuery(s, dir)))
 
   override def oracleSql: Map[String, String] = Map(
+    "q_unique_append" ->
+      """WITH fresh AS (
+        |  SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders) + 1
+        |      AS o_orderkey,
+        |    o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+        |    o_orderpriority
+        |  FROM orders WHERE o_orderkey % 89 = 0
+        |), unioned AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |  FROM orders
+        |  UNION ALL SELECT * FROM fresh
+        |)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM unioned
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_secidx_lookup" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
         |  CAST(o_custkey AS BIGINT) AS o_custkey,

@@ -314,6 +314,29 @@ object SnapshotSql {
         graft.plans.JoinElimination.install(spark)
         outcomeRow(spark, Seq("validated" -> (if (validate) 1L else 0L)))
       }),
+    ("snapshot_append_unique",
+      new ExpressionInfo(getClass.getName, null, "snapshot_append_unique",
+        "_FUNC_(path, source, key_col, part_col, index, mode) - append " +
+          "the view/table named `source` enforcing key uniqueness via " +
+          "the secondary index at `index`: mode 'error' refuses a " +
+          "conflicting batch, 'skip' drops conflicting rows. Write " +
+          "procedure in TVF syntax; the result row reports (version, " +
+          "n_inserted, n_conflicts)",
+        "_FUNC_(string, string, string, string, string, string)"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 6,
+          s"snapshot_append_unique: expected 6 arguments, got ${exprs.length}")
+        val spark = SparkSession.active
+        val (v, nI, nC) = SecondaryIndex.appendUnique(spark,
+          strArg("snapshot_append_unique", exprs, 0),
+          spark.table(strArg("snapshot_append_unique", exprs, 1)),
+          strArg("snapshot_append_unique", exprs, 2),
+          strArg("snapshot_append_unique", exprs, 3),
+          strArg("snapshot_append_unique", exprs, 4),
+          onConflict = strArg("snapshot_append_unique", exprs, 5))
+        outcomeRow(spark, Seq("version" -> v, "n_inserted" -> nI,
+          "n_conflicts" -> nC))
+      }),
     ("snapshot_enable_eager_agg",
       new ExpressionInfo(getClass.getName, null, "snapshot_enable_eager_agg",
         "_FUNC_(path) - opt the snapshot table into eager aggregation " +
