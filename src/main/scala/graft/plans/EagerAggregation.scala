@@ -34,10 +34,12 @@ import graft.sources.{SnapshotFileIndex, SnapshotTable}
   * DOUBLE `sum` is exact up to floating-point re-association — the
   * same non-contract Spark's own partition-order-dependent partial
   * aggregation already has; integral and decimal sums are bit-exact.
-  * Refused outright: outer joins, non-equi or non-deterministic
-  * conjuncts, distinct/FILTER aggregates, functions beyond
-  * sum/count/min/max, aggregates reading both sides, non-attribute
-  * grouping expressions.
+  * `avg` (double result) decomposes to a (sum, count) partial pair and
+  * re-assembles as the same sum-over-count division `Average` itself
+  * evaluates. Refused outright: outer joins, non-equi or
+  * non-deterministic conjuncts, distinct/FILTER aggregates, functions
+  * beyond sum/count/min/max/avg, aggregates reading both sides,
+  * non-attribute grouping expressions.
   *
   * At 100 TB this decides how many rows cross the fact table's join
   * shuffle: a raw fact⋈dim plan shuffles every fact ROW, the eager plan
@@ -129,21 +131,29 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper
         .partition(fact.outputSet.contains)
       if (!dimGroup.forall(dim.outputSet.contains)) return None
 
-      // one partial per distinct function; unsupported shape = refuse
+      // partials per distinct function (avg carries two: sum + count);
+      // unsupported shape = refuse
       val distinctAggs = aggExprs.foldLeft(Seq.empty[AggregateExpression]) {
         (acc, ae) => if (acc.exists(_.semanticEquals(ae))) acc else acc :+ ae
       }
-      val partials = distinctAggs.zipWithIndex.map { case (ae, i) =>
-        ae.aggregateFunction match {
-          case _: Sum | _: Count | _: Min | _: Max =>
-            ae -> Alias(AggregateExpression(ae.aggregateFunction, Complete,
-              isDistinct = false), s"ea_p$i")()
-          case _ => return None
+      def partial(fn: AggregateFunction, name: String): Alias =
+        Alias(AggregateExpression(fn, Complete, isDistinct = false), name)()
+      val partials: Seq[(AggregateExpression, Seq[Alias])] =
+        distinctAggs.zipWithIndex.map { case (ae, i) =>
+          ae.aggregateFunction match {
+            case _: Sum | _: Count | _: Min | _: Max =>
+              ae -> Seq(partial(ae.aggregateFunction, s"ea_p$i"))
+            case a: Average if a.dataType == DoubleType =>
+              // avg decomposes to (sum, count); re-assembled as the same
+              // sum-over-count division Average itself evaluates
+              ae -> Seq(partial(Sum(a.child), s"ea_p${i}s"),
+                partial(Count(Seq(a.child)), s"ea_p${i}c"))
+            case _ => return None
+          }
         }
-      }
       def finalForm(ae: AggregateExpression): Option[Expression] =
-        partials.find(_._1.semanticEquals(ae)).map { case (_, alias) =>
-          val p = alias.toAttribute
+        partials.find(_._1.semanticEquals(ae)).map { case (_, aliases) =>
+          val p = aliases.head.toAttribute
           ae.aggregateFunction match {
             case s: Sum =>
               val resummed = ae.copy(aggregateFunction = s.copy(child = p))
@@ -158,6 +168,15 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper
                 Literal(0L)))
             case m: Min => ae.copy(aggregateFunction = m.copy(child = p))
             case m: Max => ae.copy(aggregateFunction = m.copy(child = p))
+            case _: Average =>
+              val cnt = aliases(1).toAttribute
+              // null exactly when every input was null: the sum side is
+              // then SQL NULL and the division propagates it
+              Divide(
+                Cast(AggregateExpression(Sum(p), Complete,
+                  isDistinct = false), DoubleType),
+                Cast(AggregateExpression(Sum(cnt), Complete,
+                  isDistinct = false), DoubleType))
             case _ => return None
           }
         }
@@ -167,7 +186,7 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper
           if (acc.exists(_.exprId == at.exprId)) acc else acc :+ at
         }
       val partialAgg = Aggregate(partialGroup,
-        partialGroup ++ partials.map(_._2), fact)
+        partialGroup ++ partials.flatMap(_._2), fact)
       val rewrittenAe = a.aggregateExpressions.map { ne =>
         ne.transformUp {
           case ae: AggregateExpression => finalForm(ae).getOrElse(return None)

@@ -73,13 +73,24 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
   private def norm(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.toString
 
+  // persisted-declaration tag shapes (the table header's committed-tag
+  // ledger): `uniq@col` on the keyed table; `fk@fkCol@pkCol@dimPath` on
+  // the fact table
+  private val UniqTag = raw"uniq@(.+)".r
+  private val FkTag = raw"fk@([^@]+)@([^@]+)@(.+)".r
+
   /** Declare `col` unique over `table`'s lifetime (a primary/unique
     * key). With `validate = true`, probes the CURRENT version once and
     * refuses a declaration the data already violates — later commits
-    * are the owner's contract, exactly like RELY constraints.
+    * are the owner's contract, exactly like RELY constraints. With
+    * `persist = true`, the declaration also lands in the table header's
+    * tag ledger (one metadata-only commit, idempotent), so a later
+    * session rehydrates it with [[loadDeclarations]] instead of relying
+    * on whoever declared it still being around.
     */
   def declareUnique(spark: SparkSession, table: String, col: String,
-                    validate: Boolean = false): Unit = {
+                    validate: Boolean = false,
+                    persist: Boolean = false): Unit = {
     if (validate) {
       val dup = SnapshotTable.read(spark, table).groupBy(col)
         .count().filter(org.apache.spark.sql.functions.col("count") > 1)
@@ -88,16 +99,20 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
     }
     uniqueKeys.compute(norm(table),
       (_, old) => Option(old).getOrElse(Set.empty) + col)
+    if (persist) SnapshotTable.commitTags(spark, table, Set(s"uniq@$col"))
   }
 
   /** Declare `factTable.fkCol` a foreign key into `dimTable.pkCol`
     * (every non-null fk value has a dim partner). Requires `pkCol`
     * already declared unique. With `validate = true`, probes the
-    * current versions with one left-anti join.
+    * current versions with one left-anti join. With `persist = true`,
+    * the declaration rides the FACT table's tag ledger (rehydrate with
+    * [[loadDeclarations]] on the fact table).
     */
   def declareForeignKey(spark: SparkSession, factTable: String, fkCol: String,
                         dimTable: String, pkCol: String,
-                        validate: Boolean = false): Unit = {
+                        validate: Boolean = false,
+                        persist: Boolean = false): Unit = {
     require(uniqueKeys.getOrDefault(norm(dimTable), Set.empty).contains(pkCol),
       s"declareForeignKey: declare $dimTable.$pkCol unique first")
     if (validate) {
@@ -110,7 +125,30 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
         s"declareForeignKey: $factTable.$fkCol has values absent from $dimTable.$pkCol")
     }
     foreignKeys.put((norm(factTable), fkCol), (norm(dimTable), pkCol))
+    if (persist) {
+      require(!fkCol.contains("@") && !pkCol.contains("@"),
+        "declareForeignKey: '@' in a column name is not representable " +
+          "in a persisted declaration tag")
+      SnapshotTable.commitTags(spark, factTable,
+        Set(s"fk@$fkCol@$pkCol@${norm(dimTable)}"))
+    }
   }
+
+  /** Rehydrate `table`'s persisted declarations from its tag ledger
+    * into this session's registry: its own unique keys, plus foreign
+    * keys it declares as a fact. A loaded FK enables inner-join
+    * elimination only once the referenced dim table's own declarations
+    * are loaded too (the pk-uniqueness half lives on the dim).
+    */
+  def loadDeclarations(spark: SparkSession, table: String): Unit =
+    SnapshotTable.currentTags(spark, table).foreach {
+      case UniqTag(c) =>
+        uniqueKeys.compute(norm(table),
+          (_, old) => Option(old).getOrElse(Set.empty) + c)
+      case FkTag(fkCol, pkCol, dim) =>
+        foreignKeys.put((norm(table), fkCol), (dim, pkCol))
+      case _ => ()
+    }
 
   /** Drop all declarations (test isolation). */
   private[graft] def clearDeclarations(): Unit = {

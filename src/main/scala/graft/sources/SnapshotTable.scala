@@ -1165,6 +1165,26 @@ object SnapshotTable extends QueryPack {
     * records them; afterwards every append/merge/overwrite enforces
     * them on its fresh rows.
     */
+  /** Append `tags` to the table's cumulative committed-tag ledger in
+    * one header-only commit — a no-op returning the current version
+    * when every tag is already present, so persisting the same fact
+    * twice never burns a version. The ledger is how cross-session facts
+    * about a table persist: WAP publication marks, the secondary
+    * index's applied-version stamps, and persisted RELY constraint
+    * declarations ([[graft.plans.JoinElimination]]) all ride it.
+    */
+  def commitTags(spark: SparkSession, table: String,
+                 tags: Set[String]): Long = {
+    val v = currentVersion(spark, table)
+    val (refs, deletes, hdr) = readListRaw(spark, table, v)
+    if (tags.subsetOf(hdr.tags)) v
+    else {
+      commitList(spark, table, v + 1, refs, deletes,
+        hdr.copy(tags = hdr.tags ++ tags))
+      v + 1
+    }
+  }
+
   def setChecks(spark: SparkSession, table: String,
                 checks: Seq[String]): Long = {
     require(checks.forall(c => !c.contains("]") && !c.contains("[")),

@@ -157,9 +157,25 @@ class EagerAggregationSpec extends SparkSpec {
     assert(partialAggs(q) == 0)
   }
 
-  test("kept: unsupported function (avg)") {
+  test("avg decomposes to a sum/count partial pair") {
+    parity(fact.join(dim, col("k") === col("dk"))
+      .groupBy(col("dgrp"))
+      .agg(avg(col("v")).as("a"), count(lit(1)).as("n")))
+  }
+
+  test("avg of an all-null group stays SQL NULL") {
+    // dgrp keys whose fact rows are all v-null: build one synthetically
+    val nulls = spark.range(0, 20).select(lit(58L).as("k"),
+      lit(null).cast("double").as("v"), lit("4").as("fgrp"),
+      lit("3").as("fpart"))
+    SnapshotTable.commitAppend(spark, factPath, nulls, "fpart")
+    parity(fact.join(dim, col("k") === col("dk"))
+      .groupBy(col("k")).agg(avg(col("v")).as("a")))
+  }
+
+  test("kept: unsupported function (stddev)") {
     val q = fact.join(dim, col("k") === col("dk"))
-      .groupBy(col("dgrp")).agg(avg(col("v")).as("a"))
+      .groupBy(col("dgrp")).agg(stddev(col("v")).as("sd"))
     assert(partialAggs(q) == 0)
   }
 

@@ -176,6 +176,42 @@ class JoinEliminationSpec extends SparkSpec {
     assert(joins(sqlQ) == 0, sqlQ.queryExecution.optimizedPlan.toString)
   }
 
+  // LAST (wipes the registry): persisted declarations ride the tag
+  // ledger and rehydrate in a fresh session via loadDeclarations
+  test("persisted declarations rehydrate across a registry wipe") {
+    val d = freshDir("je_pd")
+    SnapshotTable.create(spark, d,
+      spark.range(0, 50).select(col("id").as("pk"),
+        (col("id") % 2).cast("string").as("dpart")), "dpart")
+    val f = freshDir("je_pf")
+    SnapshotTable.create(spark, f,
+      spark.range(0, 500).select(col("id").as("fid"),
+        (col("id") % 50).as("fk"), (col("id") % 3).cast("string").as("fpart"),
+        (col("id") * 2).as("fval")), "fpart")
+    JoinElimination.declareUnique(spark, d, "pk", validate = true,
+      persist = true)
+    JoinElimination.declareForeignKey(spark, f, "fk", d, "pk",
+      validate = true, persist = true)
+    // idempotent persist: re-declaring burns no version
+    val vd = SnapshotTable.currentVersion(spark, d)
+    JoinElimination.declareUnique(spark, d, "pk", persist = true)
+    assert(SnapshotTable.currentVersion(spark, d) == vd)
+
+    def fct = SnapshotTable.read(spark, f)
+    def dm = SnapshotTable.read(spark, d)
+    def q = factAgg(fct.join(dm, col("fk") === col("pk")))
+    assert(joins(q) == 0) // declared in-session: eliminated
+
+    JoinElimination.clearDeclarations()
+    assert(joins(q) == 1) // fresh session: nothing declared
+
+    JoinElimination.loadDeclarations(spark, d)
+    JoinElimination.loadDeclarations(spark, f)
+    assert(joins(q) == 0, q.queryExecution.optimizedPlan.toString)
+    assert(joins(factAgg(fct.join(dm, col("fk") === col("pk"),
+      "left"))) == 0)
+  }
+
   test("declaration validation refuses violated constraints") {
     val t = freshDir("je_bad")
     SnapshotTable.create(spark, t,
