@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -18,7 +18,7 @@ import graft.sources.{SnapshotFileIndex, SnapshotTable}
   * is removed from the plan entirely when declared keys prove the join
   * could only ever match-preserve the fact side.
   *
-  * Two provable cases, both over snapshot-table relations (the table
+  * Provable cases, all over snapshot-table relations (the table
   * identity a [[graft.sources.SnapshotFileIndex]] leaf pins):
   *
   *  - '''LEFT OUTER''' `fact LEFT JOIN dim ON … ∧ fact.k = dim.pk` with
@@ -41,6 +41,9 @@ import graft.sources.{SnapshotFileIndex, SnapshotTable}
   *    equality to be the ENTIRE join condition; the fk attribute must
   *    trace by exprId to a snapshot relation of the declared fact table
   *    through value-preserving operators only.
+  *  - '''LEFT SEMI / LEFT ANTI''' (the `EXISTS` / `NOT EXISTS` subquery
+  *    shapes) under the same FK proof: the semi collapses to `fact
+  *    WHERE fk IS NOT NULL`, the anti to `fact WHERE fk IS NULL`.
   *
   * At 100 TB this is the star-schema payoff: BI/report queries routinely
   * join every dimension "just in case" (views, ORMs, semantic layers),
@@ -169,6 +172,10 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (uniqueKeys.isEmpty || conf.getConfString(FlagKey, "true") != "true") plan
     else plan.transformDown {
+      // semi/anti joins define their own output (= the left side), so
+      // they need no parent gating: EXISTS/IN subqueries land here
+      case j: Join if j.joinType == LeftSemi || j.joinType == LeftAnti =>
+        trySemiAnti(j).getOrElse(j)
       // only nodes that DEFINE their output can prove "no dim column
       // escapes": a Filter/Sort forwards its child's full output, so a
       // grandparent could still read dim columns through it.
@@ -180,6 +187,26 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
             .map(f => a.copy(child = f))
           case _ => None
         }).orElse(tryDistinctElim(a)).getOrElse(a)
+    }
+
+  /** Semi/anti elimination from a declared FK — the EXISTS / NOT EXISTS
+    * shapes: referential integrity says a non-null fk ALWAYS finds a
+    * partner, so `fact LEFT SEMI dim ON fk = pk` is `fact WHERE fk IS
+    * NOT NULL` and `fact LEFT ANTI dim ON fk = pk` is `fact WHERE fk IS
+    * NULL` (null fks match nothing under plain equality; nothing else
+    * can survive the anti side). Membership conditions mirror
+    * [[tryInner]]: whole-condition single equality, unfiltered current
+    * unmasked dim scan, declared (fk → pk) with pk unique, value-intact
+    * fk provenance. The null-aware NOT IN shape (`fk <=> pk` or OR'd
+    * null guards) is NOT a plain equality and never matches here.
+    */
+  private def trySemiAnti(j: Join): Option[LogicalPlan] =
+    tryInner(j.left, j.right, j.condition).collect {
+      // tryInner only ever builds this shape; collect keeps the match
+      // total so anything else conservatively keeps the join
+      case Filter(IsNotNull(fa), fact) =>
+        Filter(if (j.joinType == LeftSemi) IsNotNull(fa) else IsNull(fa),
+          fact)
     }
 
   /** DISTINCT elimination: `SELECT DISTINCT …` (which the optimizer has
@@ -509,9 +536,22 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** The EXISTS shape: rollup of fact rows with a dim partner, via a
+    * LEFT SEMI join the declared FK collapses to a not-null filter.
+    */
+  def semiElimQuery(s: SparkSession, dir: String): DataFrame = {
+    install(s)
+    val (factT, dimT) = fixture(s, dir)
+    val fact = SnapshotTable.read(s, factT)
+    val dim = SnapshotTable.read(s, dimT)
+    factRollup(fact.join(dim, col("o_custkey") === col("c_custkey"),
+      "left_semi"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_join_elim_left" -> (leftElimQuery _),
     "q_join_elim_inner" -> (innerElimQuery _),
+    "q_join_elim_semi" -> (semiElimQuery _),
     "q_distinct_elim" -> (distinctElimQuery _),
     "q_sql_constraints" -> (sqlConstraintsQuery _))
 
@@ -533,6 +573,15 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
         |         AS total_price,
         |       max(o_orderkey) AS max_key
         |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_elim_semi" ->
+      """SELECT o_orderpriority,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price,
+        |       max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_distinct_elim" ->
       """SELECT o_orderpriority,

@@ -130,6 +130,24 @@ class JoinEliminationSpec extends SparkSpec {
     finally ()
   }
 
+  test("semi join (EXISTS) collapses to a not-null filter") {
+    def q = factAgg(fact.join(dim, col("fk") === col("pk"), "left_semi"))
+    assert(joins(q) == 0, q.queryExecution.optimizedPlan.toString)
+    assert(rows(q) == withRuleOff(rows(q)))
+  }
+
+  test("anti join (NOT EXISTS) collapses to an is-null filter") {
+    def q = factAgg(fact.join(dim, col("fk") === col("pk"), "left_anti"))
+    assert(joins(q) == 0, q.queryExecution.optimizedPlan.toString)
+    assert(rows(q) == withRuleOff(rows(q)))
+  }
+
+  test("kept: semi on a key with no FK declaration") {
+    val q = factAgg(fact.join(dim.select(col("dname")),
+      col("fk") === length(col("dname")), "left_semi"))
+    assert(joins(q) == 1)
+  }
+
   test("right outer mirrors left") {
     val q = factAgg(dim.join(fact, col("fk") === col("pk"), "right"))
     assert(joins(q) == 0, q.queryExecution.optimizedPlan.toString)
@@ -169,6 +187,7 @@ class JoinEliminationSpec extends SparkSpec {
   test("driver queries run the eliminated plans") {
     assert(joins(JoinElimination.leftElimQuery(spark, sfDir)) == 0)
     assert(joins(JoinElimination.innerElimQuery(spark, sfDir)) == 0)
+    assert(joins(JoinElimination.semiElimQuery(spark, sfDir)) == 0)
     // one Aggregate = the rollup; the DISTINCT collapsed to a Project
     assert(aggs(JoinElimination.distinctElimQuery(spark, sfDir)) == 1)
     // the SQL-procedure twin: declarations + scan + rollup via spark.sql
