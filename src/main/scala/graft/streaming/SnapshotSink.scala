@@ -412,12 +412,103 @@ object SnapshotSink extends QueryPack {
       .orderBy(col("event_type"))
   }
 
+  /** DEDUP-ON-INGEST: stream an at-least-once source (re-delivered
+    * rows) into a snapshot table through
+    * [[graft.sources.SecondaryIndex.appendUnique]] — idempotence comes
+    * from the KEY CONSTRAINT, not the tag ledger: a replayed or
+    * re-delivered row conflicts on its key and is skipped, so even a
+    * FRESH-CHECKPOINT restart (which re-offers every batch and defeats
+    * checkpoint- and tag-based exactly-once for sinks that only
+    * append) moves nothing. Within a batch, re-deliveries are exact
+    * row copies and collapse under `dropDuplicates(key)`; across
+    * batches the index probe drops them at O(batch × postings-slice).
+    * The first batch bootstraps table + index; replaying it lands on
+    * the conflict path like any other.
+    */
+  def runUniqueAppend(spark: SparkSession, sourceDir: String,
+                      schema: org.apache.spark.sql.types.StructType,
+                      table: String, index: String,
+                      checkpoint: Option[String] = None): Unit =
+      StreamHousekeeping.withStatePartitions(spark, 8) {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val source = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(sourceDir)
+      .transform(Tables.tsToTimestamp)
+    val q = source.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.dropDuplicates("event_id")
+        if (SnapshotTable.versions(s, table).isEmpty) {
+          SnapshotTable.create(s, table, b, "event_type")
+          graft.sources.SecondaryIndex.create(s, table, "event_id", index)
+        } else {
+          graft.sources.SecondaryIndex.appendUnique(s, table, b,
+            "event_id", "event_type", index, onConflict = "skip")
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        checkpoint.getOrElse(StreamHousekeeping.freshCheckpointDir()))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  // staged at-least-once corpus: the full events table plus an exact
+  // re-delivery of the event_id % 13 slice, as separate files so the
+  // duplicates mostly arrive in LATER micro-batches than the originals
+  @volatile private var dupStageMemo: Option[(String, String)] = None
+
+  private def stagedDupDir(s: SparkSession, dir: String): String =
+    dupStageMemo match {
+      case Some((k, w)) if k == dir => w
+      case _ => synchronized {
+        dupStageMemo match {
+          case Some((k, w)) if k == dir => w
+          case _ =>
+            val out = java.nio.file.Files
+              .createTempDirectory("graft_dupsrc").toString
+            s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            val ev = Tables.load(s, dir, "events")
+            ev.repartition(6).write.mode("append").parquet(out)
+            ev.filter(col("event_id") % 13 === 0)
+              .repartition(2).write.mode("append").parquet(out)
+            dupStageMemo = Some((dir, out))
+            out
+        }
+      }
+    }
+
+  /** Driver query: ingest the duplicated corpus through the
+    * constraint-enforcing sink, then roll up FROM THE TABLE — equal to
+    * the rollup over the clean corpus only if every re-delivered row
+    * was dropped and every original landed exactly once.
+    */
+  def streamUniqueAppendQuery(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_uniqsink").toString
+    val table = root + "/t"
+    val index = root + "/t_idx"
+    runUniqueAppend(s, stagedDupDir(s, dir),
+      Tables.load(s, dir, "events").schema, table, index)
+    SnapshotTable.read(s, table)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_stream_snapshot_etl" -> (streamEtlQuery _),
     "q_stream_catalog_txn" -> (streamCatalogTxnQuery _),
+    "q_stream_unique_append" -> (streamUniqueAppendQuery _),
     "q_stream_snapshot_upsert" -> (streamUpsertQuery _))
 
   override def oracleSql: Map[String, String] = Map(
+    "q_stream_unique_append" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_stream_snapshot_etl" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

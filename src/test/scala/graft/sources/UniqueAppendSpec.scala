@@ -123,6 +123,28 @@ class UniqueAppendSpec extends SparkSpec {
     }
   }
 
+  test("streaming sink: duplicates dropped; fresh-checkpoint restart moves nothing") {
+    import graft.streaming.SnapshotSink
+    val root = java.nio.file.Files.createTempDirectory("uniqsink").toString
+    val (table, index) = (root + "/t", root + "/t_idx")
+    // duplicated source: full corpus + an exact re-delivered slice
+    val src = root + "/src"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    ev.repartition(4).write.mode("append").parquet(src)
+    ev.filter(col("event_id") % 7 === 0).repartition(2)
+      .write.mode("append").parquet(src)
+    SnapshotSink.runUniqueAppend(spark, src, ev.schema, table, index)
+    val n = SnapshotTable.read(spark, table).count()
+    assert(n == ev.count()) // every original once, every re-delivery dropped
+    val v = SnapshotTable.currentVersion(spark, table)
+    // FRESH checkpoint: every batch re-offered; the key constraint (not
+    // a ledger tag) must make the whole replay a no-op
+    SnapshotSink.runUniqueAppend(spark, src, ev.schema, table, index)
+    assert(SnapshotTable.read(spark, table).count() == n)
+    assert(SnapshotTable.currentVersion(spark, table) == v)
+  }
+
   test("enforcement composes with a RELY declaration that stays true") {
     val (t, idx) = freshTable()
     SecondaryIndex.appendUnique(spark, t, batch(Seq(500L, 501L)),
