@@ -66,9 +66,17 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
   private val FlagKey = "spark.graft.joinElimination"
 
   // ---- informational constraint registry (session-shared, like
-  // MaterializedView's): norm'd table path → declared key columns.
+  // MaterializedView's): norm'd table path → declared key column SETS
+  // (a single-column key is a one-element set; a composite key is
+  // unique only as a whole).
   private val uniqueKeys =
-    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Set[Set[String]]]()
+
+  private def declaredKeys(table: String): Set[Set[String]] =
+    uniqueKeys.getOrDefault(table, Set.empty)
+
+  private def singleKeyDeclared(table: String, col: String): Boolean =
+    declaredKeys(table).contains(Set(col))
   // (factTable, fkCol) → (dimTable, pkCol)
   private val foreignKeys =
     new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
@@ -93,16 +101,35 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
     */
   def declareUnique(spark: SparkSession, table: String, col: String,
                     validate: Boolean = false,
-                    persist: Boolean = false): Unit = {
+                    persist: Boolean = false): Unit =
+    declareUniqueKey(spark, table, Seq(col), validate, persist)
+
+  /** Composite form: `cols` are unique AS A WHOLE (the multi-column
+    * natural-key shape — e.g. `(ds, event_id)`). Feeds outer-join and
+    * distinct elimination when the plan covers every column of the
+    * key; foreign keys reference single-column keys only.
+    */
+  def declareUniqueKey(spark: SparkSession, table: String,
+                       cols: Seq[String], validate: Boolean = false,
+                       persist: Boolean = false): Unit = {
+    require(cols.nonEmpty, "declareUniqueKey: empty column list")
     if (validate) {
-      val dup = SnapshotTable.read(spark, table).groupBy(col)
+      val dup = SnapshotTable.read(spark, table).groupBy(cols.head,
+        cols.tail: _*)
         .count().filter(org.apache.spark.sql.functions.col("count") > 1)
         .isEmpty
-      require(dup, s"declareUnique: $table.$col has duplicate values")
+      require(dup,
+        s"declareUniqueKey: $table(${cols.mkString(",")}) has duplicates")
     }
     uniqueKeys.compute(norm(table),
-      (_, old) => Option(old).getOrElse(Set.empty) + col)
-    if (persist) SnapshotTable.commitTags(spark, table, Set(s"uniq@$col"))
+      (_, old) => Option(old).getOrElse(Set.empty) + cols.toSet)
+    if (persist) {
+      require(cols.forall(c => !c.contains("@") && !c.contains(",")),
+        "declareUniqueKey: '@'/',' in a column name is not " +
+          "representable in a persisted declaration tag")
+      SnapshotTable.commitTags(spark, table,
+        Set(s"uniq@${cols.sorted.mkString(",")}"))
+    }
   }
 
   /** Declare `factTable.fkCol` a foreign key into `dimTable.pkCol`
@@ -116,7 +143,7 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
                         dimTable: String, pkCol: String,
                         validate: Boolean = false,
                         persist: Boolean = false): Unit = {
-    require(uniqueKeys.getOrDefault(norm(dimTable), Set.empty).contains(pkCol),
+    require(singleKeyDeclared(norm(dimTable), pkCol),
       s"declareForeignKey: declare $dimTable.$pkCol unique first")
     if (validate) {
       val orphans = SnapshotTable.read(spark, factTable)
@@ -145,9 +172,10 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
     */
   def loadDeclarations(spark: SparkSession, table: String): Unit =
     SnapshotTable.currentTags(spark, table).foreach {
-      case UniqTag(c) =>
+      case UniqTag(cols) =>
         uniqueKeys.compute(norm(table),
-          (_, old) => Option(old).getOrElse(Set.empty) + c)
+          (_, old) => Option(old).getOrElse(Set.empty) +
+            cols.split(",").toSet)
       case FkTag(fkCol, pkCol, dim) =>
         foreignKeys.put((norm(table), fkCol), (dim, pkCol))
       case _ => ()
@@ -211,11 +239,11 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
 
   /** DISTINCT elimination: `SELECT DISTINCT …` (which the optimizer has
     * already turned into a pure-grouping Aggregate) is the identity when
-    * one of the distinct columns traces — through row-preserving-or-
-    * subsetting operators that never DUPLICATE (Filter, passthrough
-    * Project, Sort, Limit, Sample-without-replacement is excluded for
-    * caution; joins specifically are not walked) — to a declared unique
-    * key: rows are already pairwise distinct on that column alone. The
+    * the distinct columns cover a declared unique key (single or
+    * composite), each tracing — through row-preserving-or-subsetting
+    * operators that never DUPLICATE (Filter, passthrough Project, Sort,
+    * Limit; joins specifically are not walked) — to the same relation:
+    * rows are already pairwise distinct on those columns alone. The
     * aggregate (a full shuffle of every distinct column at 100 TB)
     * collapses to a Project.
     */
@@ -233,35 +261,44 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
         case _ => false
       }
     if (!pureDistinct) return None
-    // a unique grouping key makes every input row its own group
-    val keyed = groupIds.exists(uniqueProvenance(a.child, _))
+    // the grouping attrs' strict provenances, grouped per table: if ALL
+    // columns of some declared key (single or composite) of one table
+    // are among them, every input row is its own group
+    val provs: Seq[(String, String)] =
+      groupIds.flatMap(strictProvenance(a.child, _))
+    val keyed = provs.groupBy(_._1).exists { case (table, cols) =>
+      val colSet = cols.map(_._2).toSet
+      declaredKeys(table).exists(_.subsetOf(colSet))
+    }
     if (keyed) Some(Project(a.aggregateExpressions, a.child)) else None
   }
 
-  /** `a` traces value-intact AND row-multiplicity-intact (no operator on
-    * the path can duplicate a row) to a relation column declared unique.
+  /** The (table, column) `a` traces to, value-intact AND
+    * row-multiplicity-intact (no operator on the path can duplicate a
+    * row — joins specifically are not walked).
     */
-  private def uniqueProvenance(p: LogicalPlan, a: AttributeReference): Boolean =
+  private def strictProvenance(p: LogicalPlan, a: AttributeReference)
+      : Option[(String, String)] =
     p match {
       case l: LogicalRelation if l.output.exists(_.exprId == a.exprId) =>
         l.relation match {
           case fs: HadoopFsRelation => fs.location match {
             case idx: SnapshotFileIndex =>
-              uniqueKeys.getOrDefault(norm(idx.tablePath), Set.empty)
-                .contains(l.output.find(_.exprId == a.exprId).get.name)
-            case _ => false
+              Some((norm(idx.tablePath),
+                l.output.find(_.exprId == a.exprId).get.name))
+            case _ => None
           }
-          case _ => false
+          case _ => None
         }
       case Project(ps, c) if ps.exists(ne =>
           ne.exprId == a.exprId && ne.isInstanceOf[AttributeReference]) =>
-        uniqueProvenance(c, a)
-      case f: Filter => uniqueProvenance(f.child, a)
-      case s: Sort => uniqueProvenance(s.child, a)
-      case g: GlobalLimit => uniqueProvenance(g.child, a)
-      case loc: LocalLimit => uniqueProvenance(loc.child, a)
-      case sa: SubqueryAlias => uniqueProvenance(sa.child, a)
-      case _ => false
+        strictProvenance(c, a)
+      case f: Filter => strictProvenance(f.child, a)
+      case s: Sort => strictProvenance(s.child, a)
+      case g: GlobalLimit => strictProvenance(g.child, a)
+      case loc: LocalLimit => strictProvenance(loc.child, a)
+      case sa: SubqueryAlias => strictProvenance(sa.child, a)
+      case _ => None
     }
 
   /** The eliminated replacement for `j` (the surviving fact side, plus
@@ -284,10 +321,12 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
     }
   }
 
-  /** Outer case: some conjunct equates a fact attr with a declared
-    * unique key of the dim relation (reached through attr-only Projects
-    * and deterministic Filters). All conjuncts must be deterministic —
-    * a nondeterministic predicate must keep evaluating per row pair.
+  /** Outer case: the equality conjuncts cover EVERY column of some
+    * declared unique key of the dim relation (reached through attr-only
+    * Projects and deterministic Filters) — a single-column key needs
+    * one `fact.a = dim.pk`, a composite key one equality per member.
+    * All conjuncts must be deterministic — a nondeterministic predicate
+    * must keep evaluating per row pair.
     */
   private def tryOuter(fact: LogicalPlan, dim: LogicalPlan,
                        cond: Option[Expression]): Option[LogicalPlan] = {
@@ -295,24 +334,26 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
     if (conjuncts.isEmpty || !conjuncts.forall(_.deterministic)) return None
     // any dim-side filter is fine for the outer case (see scaladoc)
     val (idx, rel, _) = unwrapDim(dim).getOrElse(return None)
-    val declared = uniqueKeys.getOrDefault(norm(idx.tablePath), Set.empty)
-    val hit = conjuncts.exists {
+    // dim relation columns pinned by a fact-attr equality conjunct
+    val covered: Set[String] = conjuncts.collect {
       case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        isDeclaredKey(a, b, rel, dim, fact, declared) ||
-          isDeclaredKey(b, a, rel, dim, fact, declared)
-      case _ => false
-    }
+        dimKeyCol(a, b, rel, dim, fact)
+          .orElse(dimKeyCol(b, a, rel, dim, fact))
+    }.flatten.toSet
+    val hit = declaredKeys(norm(idx.tablePath)).exists(_.subsetOf(covered))
     if (hit) Some(fact) else None
   }
 
-  private def isDeclaredKey(dimAttr: AttributeReference,
-                            factAttr: AttributeReference,
-                            rel: LogicalRelation, dim: LogicalPlan,
-                            fact: LogicalPlan,
-                            declared: Set[String]): Boolean =
-    dim.outputSet.contains(dimAttr) && fact.outputSet.contains(factAttr) &&
-      rel.output.exists(o => o.exprId == dimAttr.exprId &&
-        declared.contains(o.name))
+  /** The dim relation column name `dimAttr` pins, when the pair is a
+    * cross-side equality.
+    */
+  private def dimKeyCol(dimAttr: AttributeReference,
+                        factAttr: AttributeReference,
+                        rel: LogicalRelation, dim: LogicalPlan,
+                        fact: LogicalPlan): Option[String] =
+    if (dim.outputSet.contains(dimAttr) && fact.outputSet.contains(factAttr))
+      rel.output.find(_.exprId == dimAttr.exprId).map(_.name)
+    else None
 
   /** Inner case: the WHOLE condition is one fk = pk equality, the pk is
     * declared unique, the fk is a declared foreign key into that exact
@@ -339,7 +380,7 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
     }) return None
     val dimTable = norm(idx.tablePath)
     val pkName = rel.output.find(o => o.exprId == da.exprId &&
-      uniqueKeys.getOrDefault(dimTable, Set.empty).contains(o.name))
+      singleKeyDeclared(dimTable, o.name))
       .map(_.name).getOrElse(return None)
     // fk provenance: the fact-side attribute must come, value-intact,
     // from a snapshot relation of a table declared to reference

@@ -273,12 +273,13 @@ object SnapshotSql {
       }),
     ("snapshot_declare_key",
       new ExpressionInfo(getClass.getName, null, "snapshot_declare_key",
-        "_FUNC_(path, col[, validate 1|0]) - declare `col` UNIQUE over " +
-          "the snapshot table (informational / RELY): feeds join and " +
-          "distinct elimination. validate=1 probes the current version " +
-          "once and refuses a violated declaration. Installs the " +
-          "constraint optimizer rules in this session. The result row " +
-          "reports (validated 1|0)",
+        "_FUNC_(path, cols[, validate 1|0]) - declare `cols` (one name " +
+          "or a comma-separated composite) UNIQUE over the snapshot " +
+          "table (informational / RELY): feeds join and distinct " +
+          "elimination. validate=1 probes the current version once and " +
+          "refuses a violated declaration. Installs the constraint " +
+          "optimizer rules in this session. The result row reports " +
+          "(validated 1|0)",
         "_FUNC_(string, string[, bigint])"),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2 || exprs.length == 3,
@@ -286,9 +287,10 @@ object SnapshotSql {
         val spark = SparkSession.active
         val validate = exprs.length == 3 &&
           longArg("snapshot_declare_key", exprs, 2) == 1L
-        graft.plans.JoinElimination.declareUnique(spark,
+        graft.plans.JoinElimination.declareUniqueKey(spark,
           strArg("snapshot_declare_key", exprs, 0),
-          strArg("snapshot_declare_key", exprs, 1), validate)
+          strArg("snapshot_declare_key", exprs, 1)
+            .split(",").map(_.trim).toSeq, validate)
         graft.plans.JoinElimination.install(spark)
         outcomeRow(spark, Seq("validated" -> (if (validate) 1L else 0L)))
       }),

@@ -195,6 +195,46 @@ class JoinEliminationSpec extends SparkSpec {
     assert(joins(sqlQ) == 0, sqlQ.queryExecution.optimizedPlan.toString)
   }
 
+  test("composite key: outer elimination needs every member covered") {
+    val t = freshDir("je_comp")
+    // (a, b) unique as a whole; a alone repeats
+    SnapshotTable.create(spark, t,
+      spark.range(0, 100).select((col("id") % 10).as("a"),
+        (col("id") / 10).cast("long").as("b"), lit("x").as("cp")), "cp")
+    JoinElimination.declareUniqueKey(spark, t, Seq("a", "b"),
+      validate = true, persist = true)
+    val cdim = SnapshotTable.read(spark, t)
+    def covered = factAgg(fact.join(cdim,
+      col("fk") === col("a") && col("fval") === col("b"), "left"))
+    assert(joins(covered) == 0,
+      covered.queryExecution.optimizedPlan.toString)
+    assert(rows(covered) == withRuleOff(rows(covered)))
+    // only one member covered: fan-out possible, join must stay
+    val partial = factAgg(fact.join(cdim, col("fk") === col("a"), "left"))
+    assert(joins(partial) == 1)
+    // the composite declaration round-trips the tag ledger
+    JoinElimination.clearDeclarations()
+    assert(joins(covered) == 1)
+    JoinElimination.loadDeclarations(spark, t)
+    assert(joins(covered) == 0)
+  }
+
+  test("composite key: distinct elimination needs the whole key in the distinct set") {
+    val t = freshDir("je_compd")
+    SnapshotTable.create(spark, t,
+      spark.range(0, 100).select((col("id") % 10).as("a"),
+        (col("id") / 10).cast("long").as("b"), lit("x").as("cp")), "cp")
+    JoinElimination.declareUniqueKey(spark, t, Seq("a", "b"))
+    val src = SnapshotTable.read(spark, t)
+    def full = src.select("a", "b").distinct()
+      .groupBy(col("a")).agg(count(lit(1)).as("n")).orderBy(col("a"))
+    assert(aggs(full) == 1, full.queryExecution.optimizedPlan.toString)
+    assert(rows(full) == withRuleOff(rows(full)))
+    val half = src.select("a", "cp").distinct()
+      .groupBy(col("cp")).agg(count(lit(1)).as("n"))
+    assert(aggs(half) == 2)
+  }
+
   // LAST (wipes the registry): persisted declarations ride the tag
   // ledger and rehydrate in a fresh session via loadDeclarations
   test("persisted declarations rehydrate across a registry wipe") {
