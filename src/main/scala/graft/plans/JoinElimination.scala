@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -210,12 +211,48 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
       case p @ Project(_, j: Join) =>
         tryEliminate(j, p.references).map(f => p.copy(child = f)).getOrElse(p)
       case a: Aggregate =>
-        (a.child match {
+        val reduced: LogicalPlan = (a.child match {
           case j: Join => tryEliminate(j, a.references)
             .map(f => a.copy(child = f))
           case _ => None
         }).orElse(tryDistinctElim(a)).getOrElse(a)
+        reduced match {
+          case ag: Aggregate => tryCountDistinctElim(ag).getOrElse(ag)
+          case other => other
+        }
     }
+
+  /** `count(DISTINCT key…)` drops its DISTINCT when the counted columns
+    * cover a declared unique key, all strictly traced to one relation:
+    * rows are already pairwise distinct on those columns (null-member
+    * tuples are excluded by both forms identically), and the plan loses
+    * the distinct-aggregate expansion — at 100 TB the difference
+    * between one map-side-combined pass and a full per-key dedup
+    * shuffle before the count. Scope: the single-distinct-group shape
+    * (multi-distinct aggregates are already Expand-rewritten by
+    * `RewriteDistinctAggregates` before the experimental batch runs;
+    * installing via `GraftExtensions` catches those too, since
+    * injected rules ride the operator batch).
+    */
+  private def tryCountDistinctElim(a: Aggregate): Option[LogicalPlan] = {
+    var changed = false
+    val rewritten = a.aggregateExpressions.map { ne =>
+      ne.transformUp {
+        case ae @ AggregateExpression(c: Count, _, true, None, _)
+            if c.children.nonEmpty &&
+              c.children.forall(_.isInstanceOf[AttributeReference]) => {
+          val provs = c.children.flatMap(ch =>
+            strictProvenance(a.child, ch.asInstanceOf[AttributeReference]))
+          val keyed = provs.length == c.children.length &&
+            provs.map(_._1).distinct.length == 1 &&
+            declaredKeys(provs.head._1)
+              .exists(_.subsetOf(provs.map(_._2).toSet))
+          if (keyed) { changed = true; ae.copy(isDistinct = false) } else ae
+        }
+      }.asInstanceOf[NamedExpression]
+    }
+    if (changed) Some(a.copy(aggregateExpressions = rewritten)) else None
+  }
 
   /** Semi/anti elimination from a declared FK — the EXISTS / NOT EXISTS
     * shapes: referential integrity says a non-null fk ALWAYS finds a
@@ -589,11 +626,28 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
       "left_semi"))
   }
 
+  /** `count(DISTINCT key)` alongside plain aggregates: the declared
+    * key's DISTINCT drops, leaving one map-side-combined pass instead
+    * of the per-key dedup expansion.
+    */
+  def countDistinctQuery(s: SparkSession, dir: String): DataFrame = {
+    install(s)
+    val (factT, _) = fixture(s, dir)
+    SnapshotTable.read(s, factT)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_orderkey")).as("n_keys"),
+        count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_join_elim_left" -> (leftElimQuery _),
     "q_join_elim_inner" -> (innerElimQuery _),
     "q_join_elim_semi" -> (semiElimQuery _),
     "q_distinct_elim" -> (distinctElimQuery _),
+    "q_count_distinct_key" -> (countDistinctQuery _),
     "q_sql_constraints" -> (sqlConstraintsQuery _))
 
   override def oracleSql: Map[String, String] = Map(
@@ -633,6 +687,14 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
         |FROM (SELECT DISTINCT o_orderkey, o_custkey, o_orderpriority,
         |             o_totalprice
         |      FROM orders WHERE o_totalprice > 100000.0)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_count_distinct_key" ->
+      """SELECT o_orderpriority,
+        |       count(DISTINCT o_orderkey) AS n_keys,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM orders
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_sql_constraints" ->
       """SELECT o_orderpriority,

@@ -184,10 +184,51 @@ class JoinEliminationSpec extends SparkSpec {
     assert(aggs(q) == 2, q.queryExecution.optimizedPlan.toString)
   }
 
+  private def distinctAggs(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.aggregateExpressions.flatMap(_.collect {
+          case ae: org.apache.spark.sql.catalyst.expressions.aggregate
+            .AggregateExpression if ae.isDistinct => ae
+        }).size
+    }.sum
+
+  test("count(DISTINCT key) drops the DISTINCT; non-key keeps it") {
+    // fid declared unique in the earlier distinct test; count distinct
+    // over it is just a count. (Multi-distinct aggregates are expanded
+    // by RewriteDistinctAggregates before the experimental batch — the
+    // rewrite targets the common single-distinct shape.)
+    def q = fact.filter(col("fval") > 50)
+      .groupBy(col("fpart"))
+      .agg(countDistinct(col("fid")).as("nk"), count(lit(1)).as("n"))
+      .orderBy(col("fpart"))
+    assert(distinctAggs(q) == 0, q.queryExecution.optimizedPlan.toString)
+    assert(rows(q) == withRuleOff(rows(q)))
+    def nonKey = fact.groupBy(col("fpart"))
+      .agg(countDistinct(col("fk")).as("nfk"), count(lit(1)).as("n"))
+    assert(distinctAggs(nonKey) == 1)
+  }
+
+  test("count(DISTINCT a,b) over a composite key drops the DISTINCT") {
+    val t = freshDir("je_cd")
+    SnapshotTable.create(spark, t,
+      spark.range(0, 100).select((col("id") % 10).as("a"),
+        (col("id") / 10).cast("long").as("b"), lit("x").as("cp")), "cp")
+    JoinElimination.declareUniqueKey(spark, t, Seq("a", "b"))
+    val src = SnapshotTable.read(spark, t)
+    def q = src.agg(countDistinct(col("a"), col("b")).as("n"))
+    assert(distinctAggs(q) == 0, q.queryExecution.optimizedPlan.toString)
+    assert(rows(q) == withRuleOff(rows(q)))
+    // one member alone proves nothing
+    def half = src.agg(countDistinct(col("a")).as("n"))
+    assert(distinctAggs(half) == 1)
+  }
+
   test("driver queries run the eliminated plans") {
     assert(joins(JoinElimination.leftElimQuery(spark, sfDir)) == 0)
     assert(joins(JoinElimination.innerElimQuery(spark, sfDir)) == 0)
     assert(joins(JoinElimination.semiElimQuery(spark, sfDir)) == 0)
+    assert(distinctAggs(JoinElimination.countDistinctQuery(spark, sfDir)) == 0)
     // one Aggregate = the rollup; the DISTINCT collapsed to a Project
     assert(aggs(JoinElimination.distinctElimQuery(spark, sfDir)) == 1)
     // the SQL-procedure twin: declarations + scan + rollup via spark.sql
