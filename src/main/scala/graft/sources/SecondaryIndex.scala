@@ -366,10 +366,16 @@ object SecondaryIndex extends QueryPack {
     val v = SnapshotTable.currentVersion(spark, table)
     val batch = df.persist()
     try {
-      require(batch.filter(col(keyCol).isNull).isEmpty,
-        s"appendUnique: batch carries NULL $keyCol keys")
-      require(batch.groupBy(col(keyCol)).count()
-        .filter(col("count") > 1).isEmpty,
+      // one aggregate job validates the whole batch: nulls are rows the
+      // key count misses, in-batch duplicates are rows the distinct
+      // count misses
+      val chk = batch.agg(count(lit(1)), count(col(keyCol)),
+        count_distinct(col(keyCol))).head()
+      val (nAll, nNonNull, nDistinct) =
+        (chk.getLong(0), chk.getLong(1), chk.getLong(2))
+      require(nNonNull == nAll,
+        s"appendUnique: batch carries ${nAll - nNonNull} NULL $keyCol keys")
+      require(nDistinct == nNonNull,
         s"appendUnique: batch carries duplicate $keyCol keys")
       val batchKeys = batch.select(col(keyCol).as("k")).distinct()
       def scanExisting = SnapshotTable.readVersion(spark, table, v)
@@ -398,7 +404,8 @@ object SecondaryIndex extends QueryPack {
       val fresh =
         if (nConflicts == 0) batch
         else batch.join(existing, batch(keyCol) === existing("k"), "left_anti")
-      val nInserted = fresh.count()
+      // the batch is key-unique, so inserts are just the non-conflicts
+      val nInserted = nAll - nConflicts
       if (nInserted == 0) (v, 0L, nConflicts)
       else {
         SnapshotTable.commitAppend(spark, table, fresh, partCol, tag = tag)

@@ -469,10 +469,13 @@ object SnapshotSink extends QueryPack {
             val out = java.nio.file.Files
               .createTempDirectory("graft_dupsrc").toString
             s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            // the even-id half of the corpus (the dedup semantics need
+            // volume, not the whole table; the oracle filters the same)
             val ev = Tables.load(s, dir, "events")
-            ev.repartition(6).write.mode("append").parquet(out)
+              .filter(col("event_id") % 2 === 0)
+            ev.repartition(1).write.mode("append").parquet(out)
             ev.filter(col("event_id") % 13 === 0)
-              .repartition(2).write.mode("append").parquet(out)
+              .repartition(1).write.mode("append").parquet(out)
             dupStageMemo = Some((dir, out))
             out
         }
@@ -508,7 +511,8 @@ object SnapshotSink extends QueryPack {
     "q_stream_unique_append" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM events WHERE event_id % 2 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_stream_snapshot_etl" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
