@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -217,10 +218,54 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
           case _ => None
         }).orElse(tryDistinctElim(a)).getOrElse(a)
         reduced match {
-          case ag: Aggregate => tryCountDistinctElim(ag).getOrElse(ag)
+          case ag: Aggregate => tryKeyedAggElim(ag)
+            .orElse(tryCountDistinctElim(ag)).getOrElse(ag)
           case other => other
         }
     }
+
+  /** GROUP BY covering a declared unique key (all grouping columns
+    * attrs, the key's members strictly traced to one relation): every
+    * group is exactly ONE row, so the whole aggregate — grouping
+    * shuffle and all — collapses to a per-row projection of single-row
+    * aggregate values: `sum(x)`→cast, `min/max/first/last(x)`→x,
+    * `avg(x)`→cast, `count(…)`→0/1 by null checks. FILTER clauses and
+    * unlisted functions refuse conservatively. The ORM/denormalization
+    * shape (`GROUP BY id` to "re-row" a table) stops costing a full
+    * shuffle of every aggregated column.
+    */
+  private def tryKeyedAggElim(a: Aggregate): Option[LogicalPlan] = {
+    val groupAttrs = a.groupingExpressions.collect {
+      case ar: AttributeReference => ar }
+    if (groupAttrs.isEmpty ||
+        groupAttrs.length != a.groupingExpressions.length) return None
+    if (!a.aggregateExpressions.exists(_.exists(
+        _.isInstanceOf[AggregateExpression]))) return None // distinct-elim's job
+    val provs = groupAttrs.flatMap(strictProvenance(a.child, _))
+    val keyed = provs.groupBy(_._1).exists { case (t, cs) =>
+      declaredKeys(t).exists(_.subsetOf(cs.map(_._2).toSet)) }
+    if (!keyed) return None
+    val rewritten = a.aggregateExpressions.map { ne =>
+      ne.transformUp {
+        case ae: AggregateExpression =>
+          if (ae.filter.isDefined) return None
+          ae.aggregateFunction match {
+            case s: aggregate.Sum => Cast(s.child, s.dataType)
+            case m: aggregate.Min => m.child
+            case m: aggregate.Max => m.child
+            case av: aggregate.Average => Cast(av.child, av.dataType)
+            case f: aggregate.First => f.child
+            case l: aggregate.Last => l.child
+            case c: Count =>
+              val nn = c.children.filter(_.nullable).map(IsNotNull(_))
+              if (nn.isEmpty) Literal(1L)
+              else If(nn.reduce(And), Literal(1L), Literal(0L))
+            case _ => return None
+          }
+      }.asInstanceOf[NamedExpression]
+    }
+    Some(Project(rewritten, a.child))
+  }
 
   /** `count(DISTINCT key…)` drops its DISTINCT when the counted columns
     * cover a declared unique key, all strictly traced to one relation:
@@ -642,7 +687,27 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
       .orderBy(col("o_orderpriority"))
   }
 
+  /** A per-order "rollup" (GROUP BY the declared key — the ORM
+    * re-rowing shape) under an outer priority summary: the inner
+    * aggregate collapses to a projection, the outer one is the plan's
+    * only shuffle. Decimal math keeps the oracle hash exact.
+    */
+  def groupByKeyQuery(s: SparkSession, dir: String): DataFrame = {
+    install(s)
+    val (factT, _) = fixture(s, dir)
+    val perOrder = SnapshotTable.read(s, factT)
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("p"))
+    perOrder.groupBy(col("o_orderpriority"))
+      .agg(sum(col("n")).as("n_rows"),
+        sum(col("p")).cast("double").as("total_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
+    "q_groupby_key" -> (groupByKeyQuery _),
     "q_join_elim_left" -> (leftElimQuery _),
     "q_join_elim_inner" -> (innerElimQuery _),
     "q_join_elim_semi" -> (semiElimQuery _),
@@ -651,6 +716,17 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
     "q_sql_constraints" -> (sqlConstraintsQuery _))
 
   override def oracleSql: Map[String, String] = Map(
+    "q_groupby_key" ->
+      """WITH per_order AS (
+        |  SELECT o_orderkey, o_orderpriority, count(*) AS n,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS p
+        |  FROM orders GROUP BY o_orderkey, o_orderpriority)
+        |SELECT o_orderpriority,
+        |       CAST(sum(n) AS BIGINT) AS n_rows,
+        |       CAST(sum(p) AS DOUBLE) AS total_price,
+        |       count(*) AS n_orders
+        |FROM per_order
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_join_elim_left" ->
       """SELECT o_orderpriority,
         |       count(*) AS n_orders,

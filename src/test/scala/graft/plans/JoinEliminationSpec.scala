@@ -224,11 +224,46 @@ class JoinEliminationSpec extends SparkSpec {
     assert(distinctAggs(half) == 1)
   }
 
+  test("GROUP BY covering the key collapses the aggregate to a projection") {
+    // fid declared unique (earlier test); grouping by it makes every
+    // group one row
+    def q = fact.filter(col("fval") > 100)
+      .groupBy(col("fid"), col("fpart"))
+      .agg(count(lit(1)).as("n"), count(col("fk")).as("nfk"),
+        sum(col("fval")).as("s"), max(col("fk")).as("mx"),
+        avg(col("fval")).as("a"))
+      .groupBy(col("fpart"))
+      .agg(sum(col("n")).as("rows"), sum(col("nfk")).as("nfk"),
+        sum(col("s")).as("s"), max(col("mx")).as("mx"),
+        count(lit(1)).as("groups"))
+      .orderBy(col("fpart"))
+    assert(aggs(q) == 1, q.queryExecution.optimizedPlan.toString)
+    assert(rows(q) == withRuleOff(rows(q)))
+  }
+
+  test("GROUP BY kept: grouping does not cover a key") {
+    val q = fact.groupBy(col("fk"), col("fpart"))
+      .agg(sum(col("fval")).as("s"))
+      .groupBy(col("fpart")).agg(sum(col("s")).as("s"))
+    assert(aggs(q) == 2)
+  }
+
+  test("GROUP BY kept: unsupported function refuses") {
+    // the outer agg must CONSUME sd, or column pruning deletes the
+    // stddev and the inner agg legitimately collapses as a distinct
+    val q = fact.groupBy(col("fid"), col("fpart"))
+      .agg(stddev(col("fval")).as("sd"))
+      .groupBy(col("fpart")).agg(sum(col("sd")).as("sd_total"))
+    assert(aggs(q) == 2, q.queryExecution.optimizedPlan.toString)
+  }
+
   test("driver queries run the eliminated plans") {
     assert(joins(JoinElimination.leftElimQuery(spark, sfDir)) == 0)
     assert(joins(JoinElimination.innerElimQuery(spark, sfDir)) == 0)
     assert(joins(JoinElimination.semiElimQuery(spark, sfDir)) == 0)
     assert(distinctAggs(JoinElimination.countDistinctQuery(spark, sfDir)) == 0)
+    // the per-order inner aggregate collapsed; only the outer remains
+    assert(aggs(JoinElimination.groupByKeyQuery(spark, sfDir)) == 1)
     // one Aggregate = the rollup; the DISTINCT collapsed to a Project
     assert(aggs(JoinElimination.distinctElimQuery(spark, sfDir)) == 1)
     // the SQL-procedure twin: declarations + scan + rollup via spark.sql
