@@ -273,10 +273,78 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper
       .orderBy(col("o_orderpriority"))
   }
 
+  // second fixture: the per-entity fan-in shape (many events per user)
+  // joined to a per-user dim — ANALYZEd on the join key, so
+  // [[StatsBroadcast]]'s aggregate sizing can bound the partial
+  // aggregate's output and broadcast it
+  @volatile private var eventsMemo: Option[((SparkSession, String), (String, String))] = None
+
+  private def eventsFixture(s: SparkSession, dir: String): (String, String) =
+    eventsMemo match {
+      case Some((k, w)) if k == ((s, dir)) => w
+      case _ => synchronized {
+        eventsMemo match {
+          case Some((k, w)) if k == ((s, dir)) => w
+          case _ =>
+            val root = java.nio.file.Files
+              .createTempDirectory("graft_eager_ev").toString
+            val fact = s"$root/events"
+            val dim = s"$root/users"
+            SnapshotTable.create(s, fact,
+              Tables.events(s, dir).select(Seq("event_id", "user_id",
+                "event_type", "value").map(col): _*),
+              "event_type")
+            SnapshotTable.create(s, dim,
+              Tables.events(s, dir).select(col("user_id")).distinct()
+                .select(col("user_id").as("u_id"),
+                  (col("user_id") % 10).cast("string").as("u_region"),
+                  lit("all").as("u_part")),
+              "u_part")
+            enableFor(fact)
+            graft.sources.TableStats.analyze(s, fact, Seq("user_id"),
+              k = 4096)
+            val w = (fact, dim)
+            eventsMemo = Some(((s, dir), w))
+            w
+        }
+      }
+    }
+
+  /** Per-region event rollup through the full composition: eager
+    * aggregation collapses events to one partial row per user BELOW the
+    * join, and [[StatsBroadcast]]'s NDV-bounded aggregate sizing lets
+    * that partial side broadcast (Spark's own sizing sees it at fact
+    * bytes). The oracle computes the rollup directly from events — the
+    * users dim is definitionally redundant, which is what makes the
+    * replay exact.
+    */
+  def aggBroadcastQuery(s: SparkSession, dir: String): DataFrame = {
+    install(s)
+    StatsBroadcast.install(s)
+    val (factT, dimT) = eventsFixture(s, dir)
+    val fact = SnapshotTable.read(s, factT)
+    val dim = SnapshotTable.read(s, dimT)
+    fact.join(dim, col("user_id") === col("u_id"))
+      .groupBy(col("u_region"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("sum_value"),
+        max(col("event_id")).as("max_event"))
+      .orderBy(col("u_region"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
-    "q_eager_agg" -> (eagerAggQuery _))
+    "q_eager_agg" -> (eagerAggQuery _),
+    "q_agg_broadcast" -> (aggBroadcastQuery _))
 
   override def oracleSql: Map[String, String] = Map(
+    "q_agg_broadcast" ->
+      """SELECT CAST(user_id % 10 AS VARCHAR) AS u_region,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |         AS sum_value,
+        |       CAST(max(event_id) AS BIGINT) AS max_event
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_eager_agg" ->
       """SELECT o_orderpriority,
         |       count(*) AS n_items,

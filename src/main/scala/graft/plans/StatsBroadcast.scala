@@ -1,12 +1,13 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types._
 
-import graft.sources.SnapshotFileIndex
+import graft.sources.{SnapshotFileIndex, TableStats}
 
 /** `[EXT]` Stats-driven broadcast planning for snapshot tables — the
   * missing half of `autoBroadcastJoinThreshold` for manifest-planned
@@ -89,8 +90,9 @@ object StatsBroadcast extends Rule[LogicalPlan] with PredicateHelper {
   /** Byte total of the files a scan of `side` can actually read: walks
     * the side's Filter/Project chain down to a bare (non-streaming,
     * unmasked) snapshot relation and replays the collected conjuncts
-    * through the index's conservative per-file pruning. None = not a
-    * provable shape; leave the side to Spark's own sizing.
+    * through the index's conservative per-file pruning. An AGGREGATE
+    * side is sized by [[aggOutputBytes]] instead. None = not a provable
+    * shape; leave the side to Spark's own sizing.
     */
   private def prunedBytes(side: LogicalPlan): Option[Long] = {
     def walk(p: LogicalPlan, conj: Seq[Expression]): Option[Long] = p match {
@@ -107,6 +109,66 @@ object StatsBroadcast extends Rule[LogicalPlan] with PredicateHelper {
       }
       case _ => None
     }
-    walk(side, Nil)
+    side match {
+      case agg: Aggregate => aggOutputBytes(agg)
+      case other => walk(other, Nil)
+    }
+  }
+
+  /** PROVEN upper bound on an AGGREGATE join side's build size — the
+    * sizing Spark cannot do (without CBO an Aggregate inherits its
+    * child's bytes, so a keys-per-group reduction of 100× still plans a
+    * shuffle join): groups ≤ min(∏ exact NDV(grouping cols), live
+    * rows), each output row fixed-width. The NDVs come from the ANALYZE
+    * sidecar's exact-until-saturated KMV sketches, valid because the
+    * planned files are a subset of the analyzed live set
+    * ([[graft.sources.TableStats.boundDistinct]]) — a subset can only
+    * lose distincts. Refused when any grouping expression is not a bare
+    * relation column, any output type is variable-width (a string's
+    * `defaultSize` is a guess, not a bound), or any sketch is missing /
+    * saturated / stale. This is what lets an
+    * [[EagerAggregation]]-rewritten partial aggregate BROADCAST when
+    * its key space is small — the composition PlanAudit16 pins.
+    */
+  private def aggOutputBytes(agg: Aggregate): Option[Long] = {
+    val groupAttrs = agg.groupingExpressions.collect {
+      case a: AttributeReference => a }
+    if (groupAttrs.isEmpty ||
+        groupAttrs.length != agg.groupingExpressions.length) return None
+    if (!agg.output.forall(a => fixedWidth(a.dataType))) return None
+    def walkRel(p: LogicalPlan): Option[(SnapshotFileIndex, LogicalRelation)] =
+      p match {
+        case Filter(c, ch) if c.deterministic => walkRel(ch)
+        case Project(ps, ch) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+          walkRel(ch)
+        case l: LogicalRelation if !l.isStreaming => l.relation match {
+          case fs: HadoopFsRelation => fs.location match {
+            case i: SnapshotFileIndex => Some((i, l))
+            case _ => None
+          }
+          case _ => None
+        }
+        case _ => None
+      }
+    val (idx, rel) = walkRel(agg.child).getOrElse(return None)
+    val spark = SparkSession.active
+    val planned = idx.fileEntries.map(_.path)
+    val rowBound = idx.fileEntries.map(_.rows).sum
+    val ndvs = groupAttrs.map { a =>
+      val colName = rel.output.find(_.exprId == a.exprId)
+        .map(_.name).getOrElse(return None)
+      TableStats.boundDistinct(spark, idx.tablePath, colName, planned)
+        .getOrElse(return None)
+    }
+    val groups = ndvs.map(BigInt(_)).product.min(BigInt(rowBound))
+    val width = agg.output.map(_.dataType.defaultSize.toLong).sum + 16L
+    val bytes = groups * width
+    if (bytes.isValidLong) Some(bytes.toLong) else None
+  }
+
+  private def fixedWidth(dt: DataType): Boolean = dt match {
+    case _: NumericType | BooleanType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _ => false
   }
 }

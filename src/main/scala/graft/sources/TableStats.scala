@@ -276,6 +276,27 @@ object TableStats {
       else st.sketches.find(_.col == column).flatMap(_.exact)
     }
 
+  /** An upper BOUND on `column`'s distinct count over ANY reader whose
+    * planned files are a subset of the analyzed version's live set —
+    * the broadcast-sizing interface ([[graft.plans.StatsBroadcast]]'s
+    * aggregate case): fires only when the sketch never saturated (an
+    * unsaturated sketch IS the column's complete distinct-hash set, so
+    * its cardinality bounds every subset), the analyzed state had no
+    * pending delete masks, and every planned path was live at the
+    * analyzed version (a vacuumed-away analyzed manifest reads as
+    * None). Never an estimate.
+    */
+  def boundDistinct(spark: SparkSession, table: String, column: String,
+                    plannedPaths: Seq[String]): Option[Long] =
+    readStats(spark, table).flatMap { st =>
+      if (st.delFp != sha1(Seq.empty)) None
+      else scala.util.Try {
+        val (paths, masked) = SnapshotTable.liveState(spark, table, st.version)
+        if (masked || !plannedPaths.forall(paths.contains)) None
+        else st.sketches.find(_.col == column).flatMap(_.exact)
+      }.toOption.flatten
+    }
+
   /** The (possibly estimated) distinct count with its exactness flag —
     * the operational interface: `(value, exact)`.
     */

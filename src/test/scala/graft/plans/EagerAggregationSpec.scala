@@ -182,6 +182,8 @@ class EagerAggregationSpec extends SparkSpec {
   test("driver query runs the eager plan") {
     val q = EagerAggregation.eagerAggQuery(spark, sfDir)
     assert(partialAggs(q) == 1, q.queryExecution.optimizedPlan.toString)
+    val qb = EagerAggregation.aggBroadcastQuery(spark, sfDir)
+    assert(partialAggs(qb) == 1, qb.queryExecution.optimizedPlan.toString)
   }
 
   test("SQL procedure opts a table in") {

@@ -128,4 +128,77 @@ class StatsBroadcastSpec extends SparkSpec {
       assert(bhj(dis) === 0)
     }
   }
+
+  // ---- aggregate-side sizing (NDV-bounded builds) --------------------
+
+  import graft.sources.TableStats
+
+  /** Snapshot fact with a small key space: 20k rows over 50 keys. */
+  private def keyedTable(): String = {
+    val t = freshDir()
+    SnapshotTable.create(spark, t,
+      spark.range(0, 20000).select((col("id") % 50).as("k"),
+        col("id").as("v"), (col("id") % 4).cast("string").as("p")), "p")
+    t
+  }
+
+  // fact side kept wide so Spark's width scaling never broadcasts it,
+  // and neither side fits the threshold without the NDV bound
+  private def aggJoined(aggSide: DataFrame): DataFrame =
+    fact.join(aggSide, col("fk") === col("k"))
+      .groupBy(col("fpad")).agg(sum(col("s")).as("s2"))
+
+  private def aggSideOf(t: String): DataFrame =
+    SnapshotTable.read(spark, t).groupBy(col("k"))
+      .agg(sum(col("v")).as("s"))
+
+  test("ANALYZEd aggregate side broadcasts by its exact NDV bound") {
+    val t = keyedTable()
+    TableStats.analyze(spark, t, Seq("k"), k = 1024)
+    withThreshold(16384L) {
+      // 50 groups x fixed width << 16 KB; every other estimate refuses
+      val q = aggJoined(aggSideOf(t))
+      assert(bhj(q) === 1 && smj(q) === 0,
+        q.queryExecution.sparkPlan.toString)
+      val (offB, offS) = withRuleOff {
+        val d = aggJoined(aggSideOf(t)); (bhj(d), smj(d)) }
+      assert(offB === 0 && offS === 1)
+      assert(q.collect().toSeq.map(_.toString).sorted ===
+        withRuleOff(aggJoined(aggSideOf(t))
+          .collect().toSeq.map(_.toString).sorted))
+    }
+  }
+
+  test("aggregate side refused: saturated sketch is never a bound") {
+    val t = keyedTable()
+    TableStats.analyze(spark, t, Seq("k"), k = 8) // 50 distinct > 8: sat
+    withThreshold(16384L) {
+      assert(bhj(aggJoined(aggSideOf(t))) === 0)
+    }
+  }
+
+  test("aggregate side refused: sketches stale after an append") {
+    val t = keyedTable()
+    TableStats.analyze(spark, t, Seq("k"), k = 1024)
+    SnapshotTable.commitAppend(spark, t,
+      spark.range(20000, 20100).select((col("id") % 50).as("k"),
+        col("id").as("v"), lit("0").as("p")), "p")
+    withThreshold(16384L) {
+      // planned files are no longer a subset of the analyzed live set
+      assert(bhj(aggJoined(aggSideOf(t))) === 0)
+    }
+  }
+
+  test("aggregate side refused: variable-width output") {
+    val t = keyedTable()
+    TableStats.analyze(spark, t, Seq("k"), k = 1024)
+    withThreshold(16384L) {
+      val aggSide = SnapshotTable.read(spark, t).groupBy(col("k"))
+        .agg(sum(col("v")).as("s"), max(col("p")).as("mp")) // string out
+      val q = fact.join(aggSide, col("fk") === col("k"))
+        .groupBy(col("fpad"))
+        .agg(sum(col("s")).as("s2"), max(col("mp")).as("m2"))
+      assert(bhj(q) === 0)
+    }
+  }
 }
