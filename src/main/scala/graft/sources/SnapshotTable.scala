@@ -255,6 +255,18 @@ object SnapshotTable extends QueryPack {
     * elide their shuffle entirely. Set at create; every rewrite path
     * re-buckets through the header, so the invariant "every data file
     * carries a valid bucket id" holds for the table's lifetime.
+    *
+    * `sortBy` (bucketed tables only) is the table's SORT ORDER (the
+    * Iceberg sort-order / Hive SORTED BY construction): every data
+    * file holds its rows ordered by this column, the invariant riding
+    * every rewrite path exactly like the bucket spec, and the read
+    * serves it as the `BucketSpec`'s sort columns. Spark then claims
+    * the scan's `outputOrdering` precisely when the PLANNED file set
+    * holds at most one file per bucket (its own single-file-per-bucket
+    * rule) — a sort-merge join on the bucket column plans with zero
+    * exchanges AND zero sorts; an append that splits a bucket across
+    * files degrades the claim (never the correctness), and [[compact]]
+    * restores it.
     */
   final case class Header(tags: Set[String] = Set.empty,
                           schema: Option[String] = None,
@@ -263,7 +275,8 @@ object SnapshotTable extends QueryPack {
                           bloomCols: Seq[String] = Seq.empty,
                           checks: Seq[String] = Seq.empty,
                           bucketBy: Option[String] = None,
-                          buckets: Int = 0) {
+                          buckets: Int = 0,
+                          sortBy: Option[String] = None) {
     def bucket: Option[(String, Int)] = bucketBy.map(_ -> buckets)
   }
 
@@ -331,7 +344,7 @@ object SnapshotTable extends QueryPack {
   // simple values (no unescaped brackets), so their non-greedy groups
   // terminate correctly; the schema DDL is arbitrary and goes LAST
   private val headerRe =
-    raw"""\{"tags":\[(.*?)\](?:,"statsCols":\[(.*?)\])?(?:,"bloomCols":\[(.*?)\])?(?:,"checks":\[(.*?)\])?(?:,"bucketBy":"((?:[^"\\]|\\.)*)","buckets":(\d+))?(?:,"partCol":"((?:[^"\\]|\\.)*)")?(?:,"schema":"(.*)")?\}""".r
+    raw"""\{"tags":\[(.*?)\](?:,"statsCols":\[(.*?)\])?(?:,"bloomCols":\[(.*?)\])?(?:,"checks":\[(.*?)\])?(?:,"bucketBy":"((?:[^"\\]|\\.)*)","buckets":(\d+))?(?:,"sortBy":"((?:[^"\\]|\\.)*)")?(?:,"partCol":"((?:[^"\\]|\\.)*)")?(?:,"schema":"(.*)")?\}""".r
 
   /** The per-version manifest list: segment refs, equality-delete refs,
     * and the header.
@@ -344,7 +357,7 @@ object SnapshotTable extends QueryPack {
                          path: Path): (Seq[SegmentRef], Seq[DeleteFile], Header) = {
     readLines(f, path) match {
       case headerRe(tagsBody, statsBody, bloomBody, checksBody, bucketByGrp,
-                    bucketsGrp, partColGrp, schemaGrp) :: rest =>
+                    bucketsGrp, sortByGrp, partColGrp, schemaGrp) :: rest =>
         val tags = quotedRe.findAllMatchIn(tagsBody)
           .map(m => unesc(m.group(1))).toSet
         val statsCols = Option(statsBody).toSeq.flatMap(b =>
@@ -368,7 +381,8 @@ object SnapshotTable extends QueryPack {
         (refs, deletes, Header(tags, Option(schemaGrp).map(unesc), statsCols,
           Option(partColGrp).map(unesc), bloomCols, checks,
           Option(bucketByGrp).map(unesc),
-          Option(bucketsGrp).map(_.toInt).getOrElse(0)))
+          Option(bucketsGrp).map(_.toInt).getOrElse(0),
+          Option(sortByGrp).map(unesc)))
       case Nil => (Seq.empty, Seq.empty, Header())
       case other :: _ =>
         sys.error(s"snapshot manifest list: bad header: $other")
@@ -409,6 +423,7 @@ object SnapshotTable extends QueryPack {
         .map(c => "\"" + esc(c) + "\"").mkString(""","checks":[""", ",", "]")) +
       hdr.bucketBy.fold("")(c =>
         s""","bucketBy":"${esc(c)}","buckets":${hdr.buckets}""") +
+      hdr.sortBy.fold("")(c => s""","sortBy":"${esc(c)}"""") +
       hdr.partCol.fold("")(c => s""","partCol":"${esc(c)}"""") +
       hdr.schema.fold("")(s => s""","schema":"${esc(s)}"""") + "}\n"
     val body = (refs.map(segJson) ++ deletes.map(delJson))
@@ -551,6 +566,8 @@ object SnapshotTable extends QueryPack {
       } finally pool.shutdown()
     }
 
+  private val plannedWriteKey = "spark.sql.optimizer.plannedWrite.enabled"
+
   private def writeDataFiles(spark: SparkSession, table: String, df: DataFrame,
                              partCol: String,
                              namePrefix: Option[String] = None,
@@ -558,6 +575,7 @@ object SnapshotTable extends QueryPack {
                              clusterExpr: Option[org.apache.spark.sql.Column] = None,
                              bloomCols: Seq[String] = Seq.empty,
                              bucket: Option[(String, Int)] = None,
+                             bucketSort: Option[String] = None,
                              sizeHint: Option[Long] = None): Seq[FileEntry] = {
     val f = fs(spark, table)
     // a batch may legally OMIT a recorded stats column (ADD-only
@@ -619,7 +637,13 @@ object SnapshotTable extends QueryPack {
       case Some((bc, n)) =>
         val withB = df.withColumn("__bkt", pmod(hash(col(bc)), lit(n)))
           .repartition(col(partCol), col("__bkt"))
-        effStats.headOption.fold(withB)(sc => withB.sortWithinPartitions(col(sc)))
+        // with a table SORT ORDER the within-task sort happens below,
+        // AFTER __part exists, prefixed by the write's partition dirs —
+        // that prefix satisfies FileFormatWriter's required ordering,
+        // so no writer-inserted re-sort can disturb the per-file order
+        // the read-side BucketSpec sort claim depends on
+        if (bucketSort.isDefined) withB
+        else effStats.headOption.fold(withB)(sc => withB.sortWithinPartitions(col(sc)))
       case None => (clusterExpr, effStats.headOption) match {
       // an explicit cluster expression (the Z-order path) range-splits
       // on it AND sorts within tasks, so every file covers a compact
@@ -639,9 +663,34 @@ object SnapshotTable extends QueryPack {
     // (Spark's default, asserted explicitly — rename/drop depend on it)
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     val partDirs = "__part" +: bucket.map(_ => "__bkt").toSeq
-    clustered.withColumn("__part", col(partCol)).write
+    val toWrite0 = clustered.withColumn("__part", col(partCol))
+    // sorted-bucket layout: order every task's rows by (partition dirs,
+    // sort column), so every emitted file is internally ordered by the
+    // sort column — the invariant the scan's outputOrdering claim
+    // states. The PLANNED write path (Spark 3.4+) would defeat this: it
+    // requires ordering by `empty2null(__part)`, an internal wrapper a
+    // public sortWithinPartitions can never semantically satisfy, so it
+    // inserts its OWN sort by the partition dirs alone — with no
+    // stability contract, scrambling rows inside every (part, bucket)
+    // group (observed: lineitem buckets written fully unordered). The
+    // legacy writer compares raw attributes, accepts this pre-sort as
+    // satisfying, and inserts nothing — so it is pinned ON for exactly
+    // the sorted writes (and restored after; no other path changes).
+    val (toWrite, savedPlanned) = (bucket, bucketSort) match {
+      case (Some(_), Some(s)) =>
+        val saved = spark.conf.getOption(plannedWriteKey)
+        spark.conf.set(plannedWriteKey, "false")
+        (toWrite0.sortWithinPartitions(col("__part"), col("__bkt"), col(s)),
+          Some(saved))
+      case _ => (toWrite0, None)
+    }
+    try toWrite.write
       .option("maxRecordsPerFile", 5000000L)
       .partitionBy(partDirs: _*).parquet(staging.toString)
+    finally savedPlanned.foreach {
+      case Some(v) => spark.conf.set(plannedWriteKey, v)
+      case None    => spark.conf.unset(plannedWriteKey)
+    }
 
     // list BEFORE the stats scan: an empty input produced no partition
     // dirs, and spark.read on a file-less staging dir cannot infer a
@@ -901,7 +950,8 @@ object SnapshotTable extends QueryPack {
   private[sources] def indexedRelation(spark: SparkSession, table: String,
                                        entries: Seq[FileEntry], schemaStr: String,
                                        partCol: Option[String],
-                                       bucket: Option[(String, Int)] = None): org.apache.spark.sql.sources.BaseRelation = {
+                                       bucket: Option[(String, Int)] = None,
+                                       bucketSort: Option[String] = None): org.apache.spark.sql.sources.BaseRelation = {
     // nullable-izing is load-bearing (DataFrameReader's asNullable
     // does the same): files predating an added column must yield
     // NULL for it, and the vectorized reader only null-fills
@@ -910,6 +960,16 @@ object SnapshotTable extends QueryPack {
       schemaFromString(schemaStr).fields.map(_.copy(nullable = true)))
     if (st.exists(_.metadata.contains(FieldIdKey)))
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    // Spark gates the V1 bucketed scan's outputOrdering claim behind
+    // this legacy conf because computing it must LIST the scan's files
+    // at planning — expensive for a generic hive layout, free here
+    // (the manifest already names them). Enabling it is what lets the
+    // sort claim below reach the planner; it only ever engages for
+    // relations whose BucketSpec declares sort columns, i.e. tables
+    // whose writer provably ordered every file (this one, and Spark's
+    // own sorted saveAsTable output) — never plain bucketed ones.
+    if (bucketSort.isDefined)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     // the BucketSpec makes the scan report HashPartitioning(col, n) —
     // joins/aggs on the bucket column then plan WITHOUT an exchange;
     // valid because every data file's rows hash to the bucket id in
@@ -917,8 +977,13 @@ object SnapshotTable extends QueryPack {
     org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       new SnapshotFileIndex(spark, table, entries, partCol),
       new org.apache.spark.sql.types.StructType(), st,
+      // sort columns ride the spec; Spark itself claims the resulting
+      // outputOrdering only when the planned file set has at most one
+      // file per bucket, so a post-append multi-file bucket degrades
+      // the claim (an extra SortExec), never the results
       bucket.map { case (c, n) =>
-        org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(c), Nil) },
+        org.apache.spark.sql.catalyst.catalog.BucketSpec(
+          n, Seq(c), bucketSort.toSeq) },
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
       Map.empty)(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
   }
@@ -932,7 +997,7 @@ object SnapshotTable extends QueryPack {
         spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
           .baseRelationToDataFrame(
             indexedRelation(spark, table, entries, str, hdr.partCol,
-              hdr.bucket))
+              hdr.bucket, hdr.sortBy))
     }
 
   /** Restricted read of an explicit live-entry subset under `version`'s
@@ -1041,7 +1106,7 @@ object SnapshotTable extends QueryPack {
     indexedRelation(spark, table, meta.entries,
       meta.hdr.schema.getOrElse(
         sys.error(s"snapshot table $table has no recorded schema")),
-      meta.hdr.partCol, meta.hdr.bucket)
+      meta.hdr.partCol, meta.hdr.bucket, meta.hdr.sortBy)
   }
 
   /** Data bytes version `v` added, from the manifest LISTS alone (the
@@ -1214,22 +1279,30 @@ object SnapshotTable extends QueryPack {
              partCol: String, statsCols: Seq[String] = Seq.empty,
              bloomCols: Seq[String] = Seq.empty,
              tags: Set[String] = Set.empty,
-             bucketBy: Option[(String, Int)] = None): Long = {
+             bucketBy: Option[(String, Int)] = None,
+             sortBy: Option[String] = None): Long = {
     require(versions(spark, table).isEmpty,
       s"snapshot table $table already exists")
     bucketBy.foreach { case (c, n) =>
       require(df.columns.contains(c), s"bucketBy: no column $c")
       require(n > 0 && n <= 100000, s"bucketBy: bucket count $n out of range")
     }
+    sortBy.foreach { s =>
+      require(bucketBy.isDefined,
+        "sortBy: a table sort order requires a bucket spec — without " +
+          "bucketing the scan has no co-partitioning to hang the " +
+          "ordering claim on (use statsCols for range clustering)")
+      require(df.columns.contains(s), s"sortBy: no column $s")
+    }
     val st = assignFieldIds(df.schema)
     val entries = writeDataFiles(spark, table, applySchemaMeta(df, st),
       partCol, statsCols = statsCols, bloomCols = bloomCols,
-      bucket = bucketBy)
+      bucket = bucketBy, bucketSort = sortBy)
     writeManifest(spark, table, 1L, entries,
       Header(tags = tags, schema = Some(schemaToString(st)),
         statsCols = statsCols, partCol = Some(partCol),
         bloomCols = bloomCols, bucketBy = bucketBy.map(_._1),
-        buckets = bucketBy.fold(0)(_._2)))
+        buckets = bucketBy.fold(0)(_._2), sortBy = sortBy))
     1L
   }
 
@@ -1387,7 +1460,7 @@ object SnapshotTable extends QueryPack {
     val stamped = hdr.schema.fold(merged)(s =>
       applySchemaMeta(merged, schemaFromString(s)))
     val fresh = writeDataFiles(spark, table, stamped, partCol,
-      statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket,
+      statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket, bucketSort = hdr.sortBy,
       sizeHint = Some(affected.map(_.bytes).sum))
     commitRewrite(spark, table, v, segs, affected.map(_.path).toSet,
       fresh, Seq.empty, hdr.copy(tags = hdr.tags ++ tag))
@@ -1536,7 +1609,7 @@ object SnapshotTable extends QueryPack {
       val stamped = hdr.schema.fold(freshDf)(s =>
         applySchemaMeta(freshDf, schemaFromString(s)))
       val fresh = writeDataFiles(spark, table, stamped, partCol,
-        statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket,
+        statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket, bucketSort = hdr.sortBy,
         sizeHint = Some(affected.map(_.bytes).sum))
       commitRewrite(spark, table, v, meta.segs, affected.map(_.path).toSet,
         fresh, Seq.empty, hdr.copy(tags = hdr.tags ++ tag))
@@ -1575,7 +1648,7 @@ object SnapshotTable extends QueryPack {
       val evolved = assignFieldIds(evolveSchema(hdr.schema, df.schema))
       val effStats = if (statsCols.nonEmpty) statsCols else hdr.statsCols
       val fresh = writeDataFiles(spark, table, applySchemaMeta(df, evolved),
-        partCol, tag, effStats, bloomCols = hdr.bloomCols, bucket = hdr.bucket)
+        partCol, tag, effStats, bloomCols = hdr.bloomCols, bucket = hdr.bucket, bucketSort = hdr.sortBy)
       val freshRefs =
         if (fresh.isEmpty) Seq.empty
         else Seq(writeSegment(spark, table, fresh.map(_.copy(seq = v + 1))))
@@ -1606,7 +1679,7 @@ object SnapshotTable extends QueryPack {
     val evolved = assignFieldIds(evolveSchema(hdr.schema, df.schema))
     val effStats = if (statsCols.nonEmpty) statsCols else hdr.statsCols
     val fresh = writeDataFiles(spark, table, applySchemaMeta(df, evolved),
-      partCol, statsCols = effStats, bloomCols = hdr.bloomCols, bucket = hdr.bucket)
+      partCol, statsCols = effStats, bloomCols = hdr.bloomCols, bucket = hdr.bucket, bucketSort = hdr.sortBy)
     commitRewrite(spark, table, v, meta.segs,
       meta.entries.map(_.path).toSet, fresh, Seq.empty,
       hdr.copy(schema = Some(schemaToString(evolved)), statsCols = effStats,
@@ -1679,7 +1752,8 @@ object SnapshotTable extends QueryPack {
         statsCols = hdr.statsCols.map(c => if (c == from) to else c),
         partCol = hdr.partCol.map(c => if (c == from) to else c),
         // bucket ids hash VALUES, not names — the spec just follows
-        bucketBy = hdr.bucketBy.map(c => if (c == from) to else c)))
+        bucketBy = hdr.bucketBy.map(c => if (c == from) to else c),
+        sortBy = hdr.sortBy.map(c => if (c == from) to else c)))
     v + 1
   }
 
@@ -1698,6 +1772,8 @@ object SnapshotTable extends QueryPack {
     require(st.fields.length > 1, "dropColumn: cannot drop the last column")
     require(!hdr.bucketBy.contains(name),
       s"dropColumn: $name is the table's bucket column")
+    require(!hdr.sortBy.contains(name),
+      s"dropColumn: $name is the table's sort column")
     require(st.forall(_.metadata.contains(FieldIdKey)),
       s"dropColumn: $table predates field-id schemas")
     val dropped = org.apache.spark.sql.types.StructType(
@@ -1737,7 +1813,7 @@ object SnapshotTable extends QueryPack {
     else {
       val fresh = writeDataFiles(spark, table,
         readFiles(spark, table, small, hdr.schema), partCol,
-        statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket,
+        statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket, bucketSort = hdr.sortBy,
         sizeHint = Some(small.map(_.bytes).sum))
       // the header (tag ledger + schema) rides along — idempotence and
       // the evolved schema both outlive the renames
@@ -1782,7 +1858,7 @@ object SnapshotTable extends QueryPack {
     else {
       val fresh = writeDataFiles(spark, table,
         readFiles(spark, table, small, hdr.schema), partCol,
-        statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket,
+        statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket, bucketSort = hdr.sortBy,
         sizeHint = Some(small.map(_.bytes).sum))
       commitRewrite(spark, table, v, segs, small.map(_.path).toSet,
         fresh, Seq.empty, hdr)
@@ -1836,7 +1912,7 @@ object SnapshotTable extends QueryPack {
     val statsCols = (hdr.statsCols ++ Seq(dimA, dimB)).distinct
     val fresh = writeDataFiles(spark, table, df, partCol,
       statsCols = statsCols, clusterExpr = Some(z),
-      bloomCols = hdr.bloomCols, bucket = hdr.bucket,
+      bloomCols = hdr.bloomCols, bucket = hdr.bucket, bucketSort = hdr.sortBy,
       sizeHint = Some(meta.entries.map(_.bytes).sum))
     commitRewrite(spark, table, v, meta.segs,
       meta.entries.map(_.path).toSet, fresh, Seq.empty,
@@ -1894,7 +1970,7 @@ object SnapshotTable extends QueryPack {
       val fresh =
         if (kept.isEmpty) Seq.empty
         else writeDataFiles(spark, table, kept, partCol,
-          statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket,
+          statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket, bucketSort = hdr.sortBy,
           sizeHint = Some(affected.map(_.bytes).sum))
       commitRewrite(spark, table, v, segs, affected.map(_.path).toSet,
         fresh, Seq.empty, hdr)
@@ -1957,7 +2033,7 @@ object SnapshotTable extends QueryPack {
             if (kept.isEmpty) Seq.empty[FileEntry]
             else writeDataFiles(spark, table, kept, partCol,
               statsCols = hdr.statsCols, bloomCols = hdr.bloomCols,
-              bucket = hdr.bucket,
+              bucket = hdr.bucket, bucketSort = hdr.sortBy,
               sizeHint = Some(affected.map(_.bytes).sum))
           (written, affected.map(_.path).toSet, nDel)
         }
@@ -2016,7 +2092,7 @@ object SnapshotTable extends QueryPack {
       val target = readFiles(spark, table, affected, hdr.schema)
       val kept = target.join(keyset, Seq(keyCol), "left_anti")
       val fresh = writeDataFiles(spark, table, kept, partCol,
-        statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket,
+        statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket, bucketSort = hdr.sortBy,
         sizeHint = Some(affected.map(_.bytes).sum))
       commitRewrite(spark, table, v, segs, affected.map(_.path).toSet,
         fresh, Seq.empty, hdr)
@@ -2160,7 +2236,7 @@ object SnapshotTable extends QueryPack {
             removed ++= affected.map(_.path)
             freshAll ++= writeDataFiles(spark, table, kept, partCol,
               statsCols = hdr.statsCols, bloomCols = hdr.bloomCols,
-              bucket = hdr.bucket,
+              bucket = hdr.bucket, bucketSort = hdr.sortBy,
               sizeHint = Some(affected.map(_.bytes).sum))
           }
         }
@@ -2581,7 +2657,7 @@ object SnapshotTable extends QueryPack {
     enforceChecks(df, hdr.checks, "stageAppend")
     val evolved = assignFieldIds(evolveSchema(hdr.schema, df.schema))
     val fresh = writeDataFiles(spark, table, applySchemaMeta(df, evolved),
-      partCol, statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket)
+      partCol, statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket, bucketSort = hdr.sortBy)
     val refs =
       if (fresh.isEmpty) Seq.empty
       else Seq(writeSegment(spark, table, fresh))
@@ -3641,6 +3717,62 @@ object SnapshotTable extends QueryPack {
       .orderBy(col("c_mktsegment"))
   }
 
+  // sorted-bucket scenario: orders and lineitem, both bucketed 16 ways
+  // on the order key AND sorted by it within every file, under a single
+  // constant partition value so the whole-table scan holds exactly one
+  // file per bucket — the shape where Spark grants the scan an
+  // outputOrdering and the fact⋈fact SMJ plans with zero exchanges AND
+  // zero sorts. Read-only after create → memoized.
+  @volatile private var sortedBucketMemo: Option[((SparkSession, String), (String, String))] = None
+
+  private def sortedBucketScenario(s: SparkSession, dir: String): (String, String) =
+    sortedBucketMemo match {
+      case Some((k, w)) if k == ((s, dir)) => w
+      case _ => synchronized {
+        sortedBucketMemo match {
+          case Some((k, w)) if k == ((s, dir)) => w
+          case _ =>
+            val base = java.nio.file.Files.createTempDirectory("graft_snapshot_sb")
+            val t1 = base.resolve("orders").toString
+            val t2 = base.resolve("lineitem").toString
+            create(s, t1, Tables.orders(s, dir)
+              .select(col("o_orderkey"), col("o_orderpriority"))
+              .withColumn("grp", lit("all")),
+              "grp", bucketBy = Some(("o_orderkey", 16)),
+              sortBy = Some("o_orderkey"))
+            create(s, t2, Tables.lineitem(s, dir)
+              .select(col("l_orderkey"), col("l_extendedprice"))
+              .withColumn("grp", lit("all")),
+              "grp", bucketBy = Some(("l_orderkey", 16)),
+              sortBy = Some("l_orderkey"))
+            sortedBucketMemo = Some(((s, dir), (t1, t2)))
+            (t1, t2)
+        }
+      }
+    }
+
+  /** Priority rollup of the SORTED-bucketed orders⋈lineitem join — the
+    * fact⋈fact shape where bucketing elides both exchanges and the
+    * table sort order (files internally ordered by the key, one file
+    * per bucket) elides both SMJ sorts; the merge hint keeps the
+    * measured path the sort-merge join at oracle SF, where the small
+    * side would otherwise broadcast. SortedBucketSpec pins the plan
+    * (zero shuffles, zero sorts); this query pins the RESULT — an
+    * unsorted file behind the ordering claim would make the merge join
+    * silently drop or mis-pair rows and break the oracle hash.
+    */
+  def sortedBucketQuery(s: SparkSession, dir: String): DataFrame = {
+    val (t1, t2) = sortedBucketScenario(s, dir)
+    read(s, t1).hint("merge")
+      .join(read(s, t2), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"),
+        max(col("l_orderkey")).as("max_key"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Rollup after a CONDITIONAL MERGE INTO on a clone of the base
     * table: matched keys with a low (doubled) price are DELETED,
     * remaining matched keys get only their price UPDATED, and
@@ -4068,7 +4200,8 @@ object SnapshotTable extends QueryPack {
     "q_snapshot_evolve" -> (evolveQuery _),
     "q_snapshot_merge_into" -> (mergeIntoQuery _),
     "q_snapshot_ref" -> (refQuery _),
-    "q_snapshot_bucketed" -> (bucketedQuery _))
+    "q_snapshot_bucketed" -> (bucketedQuery _),
+    "q_bucketed_sorted" -> (sortedBucketQuery _))
 
   override def oracleSql: Map[String, String] = Map(
     "q_snapshot_dynjoin" ->
@@ -4518,6 +4651,12 @@ object SnapshotTable extends QueryPack {
         |  CAST(max(o_orderkey) AS BIGINT) AS max_key
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_bucketed_sorted" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(max(l_orderkey) AS BIGINT) AS max_key
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_snapshot_changes" ->
       """WITH fresh AS (
         |  SELECT (SELECT max(o_orderkey) FROM orders) + i AS o_orderkey,
