@@ -56,7 +56,8 @@ object SparkEntry {
     graft.sources.MaterializedView,
     graft.operators.Scd2,
     graft.plans.JoinElimination,
-    graft.plans.EagerAggregation)
+    graft.plans.EagerAggregation,
+    graft.sources.RankStats)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline capability: scatter-gather top-k cosine

@@ -1,0 +1,470 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+
+/** `[EXT]` Rank (quantile) statistics for snapshot tables — the second
+  * sidecar family next to [[TableStats]]' NDV sketches: mergeable
+  * per-column RANK SUMMARIES kept in `_stats/rank.json`, serving
+  * median/p99-style order statistics from metadata with an EXPLICIT,
+  * provable rank-error budget. Same honesty contract as the NDV tier:
+  * an exact answer is served as exact (`errRows = 0`), everything else
+  * carries its bound — never an estimate in disguise.
+  *
+  * Construction (deterministic — no KLL/t-digest randomness, so golden
+  * oracles and workflow resume stay byte-stable): range-partition the
+  * column into value-disjoint slices, sort each slice locally, and emit
+  * every `s`-th order statistic as a weighted point (`s = ⌈n/m⌉`).
+  * Because slices hold DISJOINT value ranges, per-slice rank errors do
+  * not add up across slices: for any point, true global rank and
+  * cumulative-weight rank differ by less than `s`. The summary is
+  * `m`-ish points of `(value, weight)` — O(m) bytes per column.
+  *
+  *  - [[summarize]]: one narrow shuffle of the bare column (range
+  *    split, explicit partition count — AQE-coalesce-exempt so the
+  *    slice layout is run-stable), one local sort per slice, `≈ m`
+  *    points to the driver. Never a global sort, never a value map
+  *    held in memory ([[org.apache.spark.sql.functions.percentile]]'s
+  *    OpenHashMap shape dies on high-cardinality columns at scale).
+  *  - [[merge]]: value-ordered concatenation + re-compression. Merged
+  *    summaries cover OVERLAPPING ranges, so error budgets ADD
+  *    (`errRows` is the proof-carrying term); re-compression to `m`
+  *    points adds its own `⌈W/m⌉`. The append-window [[refresh]] stays
+  *    O(Δ) and the budget says exactly how much precision it cost;
+  *    [[analyze]] resets the budget to `⌈n/m⌉`.
+  *  - n ≤ m is the EXACT regime: every point has weight 1, the summary
+  *    IS the sorted column, quantiles are exact order statistics.
+  *
+  * At 100 TB: percentiles of latency/size/score columns are the other
+  * statistic (next to NDV) that pipelines re-derive constantly — data
+  * quality gates ("p99 doc length"), skew diagnosis, salting
+  * thresholds. One ANALYZE pass + O(Δ) append maintenance keeps them a
+  * metadata read instead of a per-report column scan.
+  */
+object RankStats extends QueryPack {
+
+  /** One column's rank summary: `points` ascending by value, each
+    * carrying the number of rows it closes (Σ weights = n). A quantile
+    * answer's true rank differs from its cumulative-weight rank by at
+    * most `errRows` (0 ⇒ exact order statistics).
+    */
+  final case class RankSummary(col: String, m: Int, n: Long, errRows: Long,
+                               values: Array[Double], weights: Array[Long]) {
+    require(values.length == weights.length,
+      "rank summary: values/weights length mismatch")
+
+    def exact: Boolean = errRows == 0L
+
+    /** Value at quantile `q`: the first point whose cumulative weight
+      * reaches `max(1, ⌈q·n⌉)` — within `errRows` ranks of the true
+      * order statistic.
+      */
+    def quantile(q: Double): Double = {
+      require(q > 0.0 && q <= 1.0, s"quantile out of (0,1]: $q")
+      require(n > 0L, s"rank summary for $col is empty")
+      val target = math.max(1L, math.ceil(q * n).toLong)
+      var cum = 0L
+      var i = 0
+      while (i < values.length) {
+        cum += weights(i)
+        if (cum >= target) return values(i)
+        i += 1
+      }
+      values.last
+    }
+  }
+
+  /** Sidecar payload (same validity evidence as the NDV tier). */
+  final case class RankFile(version: Long, filesFp: String, delFp: String,
+                            summaries: Seq[RankSummary])
+
+  /** Deterministic slice count for a column of `n` rows: enough slices
+    * that a local sort stays comfortable, few enough that tiny inputs
+    * take one task. A function of the DATA, not of session conf — the
+    * summary must not change shape when shuffle.partitions does.
+    */
+  private def sliceCount(n: Long): Int =
+    math.min(64L, math.max(1L, (n + 262143L) / 262144L)).toInt
+
+  /** Summarize one numeric column of `df` into ≈ `m` weighted points.
+    * NaNs are excluded like nulls (a NaN has no rank); `n` counts the
+    * summarized rows only.
+    */
+  def summarize(df: DataFrame, column: String, m: Int): RankSummary = {
+    require(m >= 2, s"rank summary needs m >= 2, got $m")
+    val vals = df.select(col(column).cast("double").as("v"))
+      .where(col("v").isNotNull && !isnan(col("v")))
+    val n = vals.count()
+    if (n == 0L)
+      return RankSummary(column, m, 0L, 0L, Array.empty, Array.empty)
+    val s = math.max(1L, (n + m - 1) / m)
+    val sliced = vals.repartitionByRange(sliceCount(n), col("v"))
+      .sortWithinPartitions(col("v"))
+    // per-slice walk: emit every s-th row (weight s) and the slice
+    // remainder (weight t mod s) — cumulative weights are exact per
+    // slice, and slices are value-disjoint, so the global rank error
+    // of any lookup is bounded by ONE spacing, not one per slice
+    val pts = sliced.queryExecution.toRdd.mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+      var sinceLast = 0L
+      var last = Double.NaN
+      while (it.hasNext) {
+        last = it.next().getDouble(0)
+        sinceLast += 1L
+        if (sinceLast == s) { out += ((last, s)); sinceLast = 0L }
+      }
+      if (sinceLast > 0L) out += ((last, sinceLast))
+      out.iterator
+    }.collect()
+    // rdd collect preserves partition order; range slices are ordered
+    // by value — the concatenation is globally value-ascending
+    RankSummary(column, m, n, if (s == 1L) 0L else s,
+      pts.map(_._1), pts.map(_._2))
+  }
+
+  /** Re-compress weighted points to ≈ `m`, folding runs of total weight
+    * `⌈W/m⌉` into their last point. Adds exactly that spacing to the
+    * error budget (0 when nothing folds).
+    */
+  private[sources] def compress(values: Array[Double], weights: Array[Long],
+                                m: Int): (Array[Double], Array[Long], Long) = {
+    if (values.length <= m) return (values, weights, 0L)
+    val w = weights.sum
+    val s = math.max(1L, (w + m - 1) / m)
+    val outV = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val outW = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var acc = 0L
+    var i = 0
+    while (i < values.length) {
+      acc += weights(i)
+      if (acc >= s || i == values.length - 1) {
+        outV += values(i); outW += acc; acc = 0L
+      }
+      i += 1
+    }
+    (outV.toArray, outW.toArray, s)
+  }
+
+  /** Merge two summaries of the same column: value-ordered weighted
+    * union, error budgets ADD (overlapping ranges — unlike
+    * [[summarize]]'s disjoint slices), plus the re-compression spacing.
+    */
+  def merge(a: RankSummary, b: RankSummary): RankSummary = {
+    require(a.col == b.col && a.m == b.m,
+      s"rank merge: mismatched summaries (${a.col}/${a.m} vs ${b.col}/${b.m})")
+    if (a.n == 0L) return b
+    if (b.n == 0L) return a
+    val order = (a.values.zip(a.weights) ++ b.values.zip(b.weights))
+      .sortBy(_._1)
+    val (v, w, addErr) =
+      compress(order.map(_._1), order.map(_._2), a.m)
+    RankSummary(a.col, a.m, a.n + b.n, a.errRows + b.errRows + addErr, v, w)
+  }
+
+  // ---- sidecar I/O (same replace-by-rename shape as the NDV tier) ----
+
+  private def rankPath(table: String) = new Path(table, "_stats/rank.json")
+
+  private def fs(spark: SparkSession, table: String) =
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def b64d(xs: Array[Double]): String = {
+    val bb = java.nio.ByteBuffer.allocate(xs.length * 8)
+    xs.foreach(bb.putDouble)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+  private def b64l(xs: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(xs.length * 8)
+    xs.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+  private def fromB64d(s: String): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(s))
+    Array.fill(bb.remaining() / 8)(bb.getDouble)
+  }
+  private def fromB64l(s: String): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(s))
+    Array.fill(bb.remaining() / 8)(bb.getLong)
+  }
+
+  private val sumRe =
+    raw"""\{"col":"([^"]*)","m":(\d+),"n":(\d+),"err":(\d+),"vals":"([A-Za-z0-9+/=]*)","wts":"([A-Za-z0-9+/=]*)"\}""".r
+  private val fileRe =
+    raw"""\{"version":(\d+),"filesFp":"([0-9a-f]*)","delFp":"([0-9a-f]*)","summaries":\[(.*)\]\}""".r
+
+  private def writeRanks(spark: SparkSession, table: String,
+                         rf: RankFile): Unit = {
+    val f = fs(spark, table)
+    val p = rankPath(table)
+    f.mkdirs(p.getParent)
+    val body = rf.summaries.map(s =>
+      s"""{"col":"${s.col}","m":${s.m},"n":${s.n},"err":${s.errRows},"vals":"${b64d(s.values)}","wts":"${b64l(s.weights)}"}""")
+      .mkString(",")
+    val json =
+      s"""{"version":${rf.version},"filesFp":"${rf.filesFp}","delFp":"${rf.delFp}","summaries":[$body]}"""
+    val tmp = new Path(p.getParent, s".rank-${java.util.UUID.randomUUID}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    require(f.rename(tmp, p), s"rank stats: could not publish $p")
+  }
+
+  /** The recorded sidecar, if present and parseable. */
+  def readRanks(spark: SparkSession, table: String): Option[RankFile] = {
+    val f = fs(spark, table)
+    val p = rankPath(table)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val body = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+        bos.toString("UTF-8")
+      } finally in.close()
+      body.trim match {
+        case fileRe(v, ffp, dfp, sk) =>
+          val sums = sumRe.findAllMatchIn(sk).map(mm =>
+            RankSummary(mm.group(1), mm.group(2).toInt, mm.group(3).toLong,
+              mm.group(4).toLong, fromB64d(mm.group(5)),
+              fromB64l(mm.group(6)))).toSeq
+          Some(RankFile(v.toLong, ffp, dfp, sums))
+        case _ => None
+      }
+    }
+  }
+
+  /** Compute + publish rank summaries for the table's CURRENT version
+    * (the masked read — pending deletes applied).
+    */
+  def analyze(spark: SparkSession, table: String, cols: Seq[String],
+              m: Int = 1024): RankFile = {
+    val v = SnapshotTable.currentVersion(spark, table)
+    val df = SnapshotTable.readVersion(spark, table, v)
+    val sums = cols.map(c => summarize(df, c, m))
+    val (ffp, dfp) = TableStats.fingerprints(spark, table, v)
+    val rf = RankFile(v, ffp, dfp, sums)
+    writeRanks(spark, table, rf)
+    rf
+  }
+
+  /** Advance the sidecar to the current version: DELTA (summarize fresh
+    * files, merge — error budget grows and says so) when every commit
+    * since the recorded version only ADDED files; full [[analyze]]
+    * otherwise (a summary cannot subtract). Returns the published file
+    * and whether the delta path was taken.
+    */
+  def refresh(spark: SparkSession, table: String): (RankFile, Boolean) = {
+    val prev = readRanks(spark, table).getOrElse(
+      sys.error(s"rank stats: $table has no recorded sidecar — run analyze"))
+    val cur = SnapshotTable.currentVersion(spark, table)
+    if (cur == prev.version) (prev, true)
+    else {
+      val oldEntries = SnapshotTable.readManifest(spark, table, prev.version)
+      val newEntries = SnapshotTable.readManifest(spark, table, cur)
+      val (_, oldDel, _) = SnapshotTable.readListRaw(spark, table, prev.version)
+      val (_, newDel, hdr) = SnapshotTable.readListRaw(spark, table, cur)
+      val oldPaths = oldEntries.map(_.path).toSet
+      val removed = oldPaths -- newEntries.map(_.path).toSet
+      val appendOnly = removed.isEmpty &&
+        oldDel.map(_.path).sorted == newDel.map(_.path).sorted &&
+        TableStats.fingerprints(spark, table, prev.version)._1 == prev.filesFp
+      if (appendOnly) {
+        val freshEntries = newEntries.filterNot(e => oldPaths.contains(e.path))
+        val merged =
+          if (freshEntries.isEmpty) prev.summaries
+          else {
+            val freshDf =
+              SnapshotTable.readFiles(spark, table, freshEntries, hdr.schema)
+            prev.summaries.map(s => merge(s, summarize(freshDf, s.col, s.m)))
+          }
+        val (ffp, dfp) = TableStats.fingerprints(spark, table, cur)
+        val rf = RankFile(cur, ffp, dfp, merged)
+        writeRanks(spark, table, rf)
+        (rf, true)
+      } else
+        (analyze(spark, table, prev.summaries.map(_.col),
+          prev.summaries.headOption.map(_.m).getOrElse(1024)), false)
+    }
+  }
+
+  /** Re-bind across a row-set-preserving maintenance commit — the
+    * [[TableStats.rebind]] twin, same proof obligations.
+    */
+  def rebind(spark: SparkSession, table: String,
+             fromVersion: Long, toVersion: Long): Boolean =
+    readRanks(spark, table) match {
+      case Some(rf) if rf.version == fromVersion &&
+          TableStats.fingerprints(spark, table, fromVersion) ==
+            ((rf.filesFp, rf.delFp)) =>
+        val (ffp, dfp) = TableStats.fingerprints(spark, table, toVersion)
+        writeRanks(spark, table, RankFile(toVersion, ffp, dfp, rf.summaries))
+        true
+      case _ => false
+    }
+
+  /** Quantiles served WITH a freshness proof: fires only when the
+    * sidecar's fingerprints match the table's CURRENT version (the
+    * summaries describe exactly the rows a reader sees). Returns
+    * (values, errRows, n); None when stale, missing, or the column was
+    * never analyzed — degrade to a scan, never lie.
+    */
+  def quantilesServed(spark: SparkSession, table: String, column: String,
+                      qs: Seq[Double]): Option[(Seq[Double], Long, Long)] =
+    readRanks(spark, table).flatMap { rf =>
+      val cur = SnapshotTable.currentVersion(spark, table)
+      if (rf.version != cur) None
+      else if (TableStats.fingerprints(spark, table, cur) !=
+        ((rf.filesFp, rf.delFp))) None
+      else rf.summaries.find(_.col == column)
+        .filter(_.n > 0L)
+        .map(s => (qs.map(s.quantile), s.errRows, s.n))
+    }
+
+  // ---- driver queries -------------------------------------------------
+
+  // fixture-vs-measured split: the table build + ANALYZE are the
+  // one-time layout/stats cost (memoized per session × corpus, exactly
+  // like a pipeline that analyzes once per ingest window); the measured
+  // path is what a 100 TB user pays per report — the metadata serve
+  // plus the validation scan.
+  @volatile private var fixtures = Map.empty[(String, SparkSession, String), String]
+
+  private def memoized(name: String, s: SparkSession, dir: String)
+                      (build: String => Unit): String = synchronized {
+    fixtures.get((name, s, dir)) match {
+      case Some(t) => t
+      case None =>
+        val t = java.nio.file.Files.createTempDirectory(name)
+          .resolve("t").toString
+        build(t)
+        fixtures += ((name, s, dir) -> t)
+        t
+    }
+  }
+
+  /** EXACT regime end-to-end: a ≤-m-row snapshot table's sidecar serves
+    * quantiles as true order statistics, replayed by the oracle as a
+    * rank window over the same rows. A wrong weight, a mis-ordered
+    * point, or a broken lookup shifts a rank and breaks the hash.
+    */
+  def exactQuantileQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = memoized("graft_rank_ex", s, dir) { t =>
+      // % 101 keeps the slice under m through the bench SF (sf0.1 →
+      // ~1.5k rows), so the exact regime (weight-1 points, errRows 0)
+      // holds at every driver scale
+      val slice = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 101 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      SnapshotTable.create(s, t, slice, "o_orderpriority")
+      RankStats.analyze(s, t, Seq("o_totalprice"), m = 8192)
+    }
+    val (vals, err, n) = quantilesServed(s, t, "o_totalprice",
+      Seq(0.25, 0.5, 0.75, 0.9)).get
+    require(err == 0L, s"exact-regime query: expected errRows 0, got $err")
+    Seq(("p25", vals(0)), ("p50", vals(1)), ("p75", vals(2)), ("p90", vals(3)))
+      .toDF("q", "value")
+      .withColumn("n_rows", lit(n))
+      .orderBy(col("q"))
+  }
+
+  /** Compressed regime with the bound checked IN the result: summaries
+    * of the full orders price column at a small `m` (compression
+    * forced), each served quantile's true rank measured by a
+    * count-below scan, `within_bound` asserting |rank − target| ≤
+    * errRows. The oracle replays the exact interpolated percentile and
+    * the constant-true flags — the flags are the spec-grade claim made
+    * oracle-visible.
+    */
+  def boundedQuantileQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = memoized("graft_rank_bd", s, dir) { t =>
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      SnapshotTable.create(s, t, orders, "o_orderpriority")
+      RankStats.analyze(s, t, Seq("o_totalprice"), m = 256)
+    }
+    val qs = Seq(0.5, 0.9, 0.99)
+    val (vals, err, n) = quantilesServed(s, t, "o_totalprice", qs).get
+    val probes = qs.zip(vals).map { case (q, v) =>
+      (f"p$q%.2f", q, v, math.max(1L, math.ceil(q * n).toLong))
+    }.toDF("q", "frac", "sketch_value", "target_rank")
+    val df = SnapshotTable.read(s, t)
+    // tie-robust rank check: the served value occupies the rank
+    // interval [count(< v) + 1, count(<= v)]; the claim holds iff that
+    // interval intersects [target − err, target + err] — a plain
+    // |count(<= v) − target| test would false-alarm on tied values,
+    // whose count(<= v) legitimately overshoots the interval
+    probes.as("p").join(df.as("d"), lit(true), "left")
+      .groupBy(col("p.q"), col("p.frac"), col("p.target_rank"))
+      .agg(
+        count(when(col("d.o_totalprice") < col("p.sketch_value"), 1))
+          .as("rank_lt"),
+        count(when(col("d.o_totalprice") <= col("p.sketch_value"), 1))
+          .as("rank_le"))
+      .select(col("q"), col("frac"),
+        (col("rank_lt") + 1 <= col("target_rank") + lit(err) &&
+          col("rank_le") >= col("target_rank") - lit(err))
+          .cast("long").as("within_bound"))
+      .join(
+        df.groupBy().agg(
+          expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").as("ex")),
+        lit(true))
+      .select(col("q"),
+        round(when(col("frac") === 0.5, element_at(col("ex"), 1))
+          .when(col("frac") === 0.9, element_at(col("ex"), 2))
+          .otherwise(element_at(col("ex"), 3)), 4).as("exact_pctile"),
+        col("within_bound"))
+      .orderBy(col("q"))
+  }
+
+  override def queries: Map[String, QueryPack.Q] = Map(
+    "q_rank_exact" -> (exactQuantileQuery _),
+    "q_rank_bound" -> (boundedQuantileQuery _))
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_rank_exact" ->
+      """WITH slice AS (
+        |  SELECT o_totalprice FROM orders WHERE o_orderkey % 101 = 0
+        |), ranked AS (
+        |  SELECT o_totalprice AS v,
+        |    row_number() OVER (ORDER BY o_totalprice) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM slice
+        |)
+        |SELECT q, value, CAST(n_rows AS BIGINT) AS n_rows FROM (
+        |  SELECT 'p25' AS q,
+        |    (SELECT v FROM ranked
+        |     WHERE rn = GREATEST(1, CAST(CEIL(0.25 * n) AS BIGINT)) LIMIT 1)
+        |      AS value,
+        |    (SELECT count(*) FROM slice) AS n_rows
+        |  UNION ALL
+        |  SELECT 'p50',
+        |    (SELECT v FROM ranked
+        |     WHERE rn = GREATEST(1, CAST(CEIL(0.50 * n) AS BIGINT)) LIMIT 1),
+        |    (SELECT count(*) FROM slice)
+        |  UNION ALL
+        |  SELECT 'p75',
+        |    (SELECT v FROM ranked
+        |     WHERE rn = GREATEST(1, CAST(CEIL(0.75 * n) AS BIGINT)) LIMIT 1),
+        |    (SELECT count(*) FROM slice)
+        |  UNION ALL
+        |  SELECT 'p90',
+        |    (SELECT v FROM ranked
+        |     WHERE rn = GREATEST(1, CAST(CEIL(0.90 * n) AS BIGINT)) LIMIT 1),
+        |    (SELECT count(*) FROM slice)
+        |) ORDER BY q""".stripMargin,
+    "q_rank_bound" ->
+      """SELECT q,
+        |  ROUND(CASE q WHEN 'p0.50' THEN quantile_cont(o_totalprice, 0.5)
+        |               WHEN 'p0.90' THEN quantile_cont(o_totalprice, 0.9)
+        |               ELSE quantile_cont(o_totalprice, 0.99) END, 4)
+        |    AS exact_pctile,
+        |  CAST(1 AS BIGINT) AS within_bound
+        |FROM orders, (SELECT 'p0.50' AS q UNION ALL SELECT 'p0.90'
+        |              UNION ALL SELECT 'p0.99') qs
+        |GROUP BY q ORDER BY q""".stripMargin)
+}

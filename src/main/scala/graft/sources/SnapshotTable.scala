@@ -1822,6 +1822,7 @@ object SnapshotTable extends QueryPack {
       // compaction preserves the visible row set: ANALYZE sketches stay
       // valid verbatim, only their file fingerprint moves
       TableStats.rebind(spark, table, v, v + 1)
+      RankStats.rebind(spark, table, v, v + 1)
       (v + 1, small.size, fresh.size)
     }
   }
@@ -1863,6 +1864,7 @@ object SnapshotTable extends QueryPack {
       commitRewrite(spark, table, v, segs, small.map(_.path).toSet,
         fresh, Seq.empty, hdr)
       TableStats.rebind(spark, table, v, v + 1) // row-set-preserving
+      RankStats.rebind(spark, table, v, v + 1)
       (v + 1, small.size, fresh.size)
     }
   }
@@ -1918,6 +1920,7 @@ object SnapshotTable extends QueryPack {
       meta.entries.map(_.path).toSet, fresh, Seq.empty,
       hdr.copy(statsCols = statsCols))
     TableStats.rebind(spark, table, v, v + 1) // row-set-preserving
+    RankStats.rebind(spark, table, v, v + 1)
     v + 1
   }
 

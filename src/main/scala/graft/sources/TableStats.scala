@@ -102,7 +102,7 @@ object TableStats {
   private def fs(spark: SparkSession, table: String) =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def sha1(parts: Seq[String]): String = {
+  private[sources] def sha1(parts: Seq[String]): String = {
     val md = java.security.MessageDigest.getInstance("SHA-1")
     parts.sorted.foreach(p => md.update((p + "\n").getBytes("UTF-8")))
     md.digest().map("%02x".format(_)).mkString
@@ -120,8 +120,8 @@ object TableStats {
     Array.fill(raw.length / 8)(bb.getLong)
   }
 
-  private def fingerprints(spark: SparkSession, table: String,
-                           version: Long): (String, String) = {
+  private[sources] def fingerprints(spark: SparkSession, table: String,
+                                    version: Long): (String, String) = {
     val entries = SnapshotTable.readManifest(spark, table, version)
     val (_, deletes, _) = SnapshotTable.readListRaw(spark, table, version)
     (sha1(entries.map(_.path)), sha1(deletes.map(_.path)))

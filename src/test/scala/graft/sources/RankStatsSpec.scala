@@ -1,0 +1,172 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Rank-summary sidecar: determinism, the rank-error contract in both
+  * regimes, merge/compression budget arithmetic, append-window refresh,
+  * rebind across compaction, and the freshness refusal.
+  */
+class RankStatsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Deterministic pseudo-random doubles (LCG — no Math.random). */
+  private def lcg(n: Int, seed: Long = 42L): Seq[Double] = {
+    var x = seed
+    Seq.fill(n) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (x >>> 11).toDouble / (1L << 53).toDouble
+    }
+  }
+
+  private def trueRankLe(xs: Seq[Double], v: Double): Long =
+    xs.count(_ <= v).toLong
+  private def trueRankLt(xs: Seq[Double], v: Double): Long =
+    xs.count(_ < v).toLong
+
+  private def checkBound(xs: Seq[Double], s: RankStats.RankSummary,
+                         q: Double): Unit = {
+    val v = s.quantile(q)
+    val target = math.max(1L, math.ceil(q * xs.size).toLong)
+    val lo = trueRankLt(xs, v) + 1
+    val hi = trueRankLe(xs, v)
+    assert(lo <= target + s.errRows && hi >= target - s.errRows,
+      s"q=$q: served $v occupies ranks [$lo,$hi], target $target ± ${s.errRows}")
+  }
+
+  test("exact regime: n <= m yields weight-1 points, errRows 0, and " +
+    "true order statistics at every quantile") {
+    val xs = lcg(500)
+    val sum = RankStats.summarize(xs.toDF("v"), "v", m = 1024)
+    assert(sum.errRows === 0L)
+    assert(sum.n === 500L)
+    assert(sum.weights.forall(_ == 1L))
+    val sorted = xs.sorted
+    Seq(0.01, 0.25, 0.5, 0.75, 0.99, 1.0).foreach { q =>
+      val expect = sorted(math.max(1, math.ceil(q * 500).toInt) - 1)
+      assert(sum.quantile(q) === expect, s"q=$q")
+    }
+  }
+
+  test("compressed regime: every quantile's served value is within " +
+    "errRows ranks of the target, and errRows = ceil(n/m)") {
+    val xs = lcg(20000)
+    val sum = RankStats.summarize(xs.toDF("v"), "v", m = 128)
+    assert(sum.errRows === math.ceil(20000.0 / 128).toLong)
+    assert(sum.weights.sum === 20000L)
+    Seq(0.001, 0.1, 0.5, 0.9, 0.99, 0.999).foreach(checkBound(xs, sum, _))
+  }
+
+  test("summarize is deterministic: two runs over the same input " +
+    "produce identical points") {
+    val df = lcg(5000, seed = 7L).toDF("v")
+    val a = RankStats.summarize(df, "v", m = 64)
+    val b = RankStats.summarize(df, "v", m = 64)
+    assert(a.values.toSeq === b.values.toSeq)
+    assert(a.weights.toSeq === b.weights.toSeq)
+  }
+
+  test("nulls and NaNs are excluded from n and from every rank") {
+    val df = Seq[Option[Double]](Some(1.0), None, Some(2.0),
+      Some(Double.NaN), Some(3.0)).toDF("v")
+    val sum = RankStats.summarize(df, "v", m = 16)
+    assert(sum.n === 3L)
+    assert(sum.quantile(1.0) === 3.0)
+    assert(sum.quantile(0.34) === 2.0)
+  }
+
+  test("merge: budgets add plus the re-compression spacing, and the " +
+    "merged summary still honors its own bound") {
+    val xsA = lcg(8000, seed = 1L)
+    val xsB = lcg(8000, seed = 2L).map(_ + 0.3) // overlapping ranges
+    val a = RankStats.summarize(xsA.toDF("v"), "v", m = 128)
+    val b = RankStats.summarize(xsB.toDF("v"), "v", m = 128)
+    val m = RankStats.merge(a, b)
+    assert(m.n === 16000L)
+    assert(m.errRows >= a.errRows + b.errRows)
+    assert(m.weights.sum === 16000L)
+    val union = xsA ++ xsB
+    Seq(0.05, 0.5, 0.95).foreach(checkBound(union, m, _))
+  }
+
+  test("compress folds to ~m points and reports the spacing it cost") {
+    val vals = (1 to 1000).map(_.toDouble).toArray
+    val wts = Array.fill(1000)(1L)
+    val (v2, w2, add) = RankStats.compress(vals, wts, m = 100)
+    assert(add === 10L)
+    assert(v2.length <= 101)
+    assert(w2.sum === 1000L)
+    // already-small inputs pass through free
+    val (v3, _, add3) = RankStats.compress(vals.take(50), wts.take(50), 100)
+    assert(add3 === 0L && v3.length === 50)
+  }
+
+  private def freshTable(rows: Int, seed: Long): String = {
+    val t = java.nio.file.Files.createTempDirectory("rankstats")
+      .resolve("t").toString
+    val df = lcg(rows, seed).zipWithIndex
+      .map { case (v, i) => (i.toLong, v, "all") }
+      .toDF("id", "v", "grp")
+    SnapshotTable.create(spark, t, df, "grp")
+    t
+  }
+
+  test("sidecar round-trip + freshness: served after analyze, refused " +
+    "after an un-refreshed commit, served again after refresh (delta " +
+    "path on an append window, budget grows)") {
+    val t = freshTable(3000, seed = 11L)
+    RankStats.analyze(spark, t, Seq("v"), m = 64)
+    val served = RankStats.quantilesServed(spark, t, "v", Seq(0.5))
+    assert(served.isDefined)
+    val err0 = served.get._2
+
+    SnapshotTable.commitAppend(spark, t,
+      lcg(1000, seed = 12L).zipWithIndex
+        .map { case (v, i) => (10000L + i, v, "all") }.toDF("id", "v", "grp"),
+      "grp")
+    assert(RankStats.quantilesServed(spark, t, "v", Seq(0.5)).isEmpty,
+      "a stale sidecar must refuse, not guess")
+
+    val (rf, delta) = RankStats.refresh(spark, t)
+    assert(delta, "append-only window must take the delta path")
+    val after = RankStats.quantilesServed(spark, t, "v", Seq(0.5))
+    assert(after.isDefined)
+    assert(after.get._3 === 4000L)
+    assert(after.get._2 > err0, "merge must grow the budget, visibly")
+    assert(rf.summaries.head.n === 4000L)
+  }
+
+  test("refresh falls back to full analyze when files were rewritten, " +
+    "resetting the budget") {
+    val t = freshTable(3000, seed = 21L)
+    RankStats.analyze(spark, t, Seq("v"), m = 64)
+    // delete rewrites files -> summaries cannot subtract
+    SnapshotTable.commitDelete(spark, t, col("v") < lit(0.1), "grp")
+    val (rf, delta) = RankStats.refresh(spark, t)
+    assert(!delta, "a rewrite window must recompute")
+    assert(rf.summaries.head.errRows ===
+      math.max(1L, (rf.summaries.head.n + 63) / 64))
+    assert(RankStats.quantilesServed(spark, t, "v", Seq(0.5)).isDefined)
+  }
+
+  test("rebind follows a compaction without recompute; quantiles still " +
+    "served at the new version") {
+    val t = freshTable(2000, seed = 31L)
+    // litter: several small appends, then compact
+    (0 until 3).foreach { i =>
+      SnapshotTable.commitAppend(spark, t,
+        lcg(200, seed = 40L + i).zipWithIndex
+          .map { case (v, j) => (20000L + i * 1000 + j, v, "all") }
+          .toDF("id", "v", "grp"), "grp")
+    }
+    RankStats.analyze(spark, t, Seq("v"), m = 64)
+    val before = RankStats.quantilesServed(spark, t, "v", Seq(0.5, 0.9)).get
+    SnapshotTable.compact(spark, t, "grp", smallThreshold = Long.MaxValue)
+    val after = RankStats.quantilesServed(spark, t, "v", Seq(0.5, 0.9))
+    assert(after.isDefined, "compaction must rebind, not invalidate")
+    assert(after.get._1 === before._1)
+    assert(after.get._2 === before._2)
+  }
+}
