@@ -350,9 +350,8 @@ object RankStats extends QueryPack {
     * rank window over the same rows. A wrong weight, a mis-ordered
     * point, or a broken lookup shifts a rank and breaks the hash.
     */
-  def exactQuantileQuery(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val t = memoized("graft_rank_ex", s, dir) { t =>
+  private def exactFixture(s: SparkSession, dir: String): String =
+    memoized("graft_rank_ex", s, dir) { t =>
       // % 101 keeps the slice under m through the bench SF (sf0.1 →
       // ~1.5k rows), so the exact regime (weight-1 points, errRows 0)
       // holds at every driver scale
@@ -362,6 +361,10 @@ object RankStats extends QueryPack {
       SnapshotTable.create(s, t, slice, "o_orderpriority")
       RankStats.analyze(s, t, Seq("o_totalprice"), m = 8192)
     }
+
+  def exactQuantileQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = exactFixture(s, dir)
     val (vals, err, n) = quantilesServed(s, t, "o_totalprice",
       Seq(0.25, 0.5, 0.75, 0.9)).get
     require(err == 0L, s"exact-regime query: expected errRows 0, got $err")
@@ -421,9 +424,24 @@ object RankStats extends QueryPack {
       .orderBy(col("q"))
   }
 
+  /** The same exact-regime serve driven PURELY through `spark.sql` —
+    * the SQL user's whole path: `snapshot_quantiles` answers from the
+    * sidecar with its freshness proof, no Scala API in sight.
+    */
+  def sqlQuantileQuery(s: SparkSession, dir: String): DataFrame = {
+    SnapshotSql.register(s)
+    val t = exactFixture(s, dir)
+    s.sql(
+      s"""SELECT q, value, CAST(err_rows AS BIGINT) AS err_rows,
+         |  CAST(n_rows AS BIGINT) AS n_rows
+         |FROM snapshot_quantiles('$t', 'o_totalprice', 0.1D, 0.5D, 0.95D)
+         |ORDER BY q""".stripMargin)
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_rank_exact" -> (exactQuantileQuery _),
-    "q_rank_bound" -> (boundedQuantileQuery _))
+    "q_rank_bound" -> (boundedQuantileQuery _),
+    "q_sql_quantiles" -> (sqlQuantileQuery _))
 
   override def oracleSql: Map[String, String] = Map(
     "q_rank_exact" ->
@@ -456,6 +474,31 @@ object RankStats extends QueryPack {
         |    (SELECT v FROM ranked
         |     WHERE rn = GREATEST(1, CAST(CEIL(0.90 * n) AS BIGINT)) LIMIT 1),
         |    (SELECT count(*) FROM slice)
+        |) ORDER BY q""".stripMargin,
+    "q_sql_quantiles" ->
+      """WITH slice AS (
+        |  SELECT o_totalprice FROM orders WHERE o_orderkey % 101 = 0
+        |), ranked AS (
+        |  SELECT o_totalprice AS v,
+        |    row_number() OVER (ORDER BY o_totalprice) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM slice
+        |)
+        |SELECT q, value, CAST(0 AS BIGINT) AS err_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM slice) AS n_rows
+        |FROM (
+        |  SELECT CAST(0.1 AS DOUBLE) AS q,
+        |    (SELECT v FROM ranked
+        |     WHERE rn = GREATEST(1, CAST(CEIL(0.1 * n) AS BIGINT)) LIMIT 1)
+        |      AS value
+        |  UNION ALL
+        |  SELECT CAST(0.5 AS DOUBLE),
+        |    (SELECT v FROM ranked
+        |     WHERE rn = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT)) LIMIT 1)
+        |  UNION ALL
+        |  SELECT CAST(0.95 AS DOUBLE),
+        |    (SELECT v FROM ranked
+        |     WHERE rn = GREATEST(1, CAST(CEIL(0.95 * n) AS BIGINT)) LIMIT 1)
         |) ORDER BY q""".stripMargin,
     "q_rank_bound" ->
       """SELECT q,

@@ -58,6 +58,17 @@ object SnapshotSql {
         s"$fn: argument ${i + 1} must be an integer literal, got $other")
     }
 
+  private def dblArg(fn: String, exprs: Seq[Expression], i: Int): Double =
+    exprs(i) match {
+      case Literal(v: java.lang.Double, org.apache.spark.sql.types.DoubleType) => v
+      case Literal(d: org.apache.spark.sql.types.Decimal, _: org.apache.spark.sql.types.DecimalType) =>
+        d.toDouble
+      case Literal(v: java.lang.Integer, IntegerType) => v.toDouble
+      case Literal(v: java.lang.Long, LongType)       => v.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a numeric literal, got $other")
+    }
+
   /** (name, info, builder) triples — shared by [[register]] and
     * [[graft.GraftExtensions]].
     */
@@ -250,6 +261,55 @@ object SnapshotSql {
         outcomeRow(spark, Seq("version" -> st.version,
           "ndv" -> math.round(sk.estimate),
           "exact" -> (if (sk.sat) 0L else 1L)))
+      }),
+    ("snapshot_analyze_ranks",
+      new ExpressionInfo(getClass.getName, null, "snapshot_analyze_ranks",
+        "_FUNC_(path, col[, m]) - ANALYZE rank statistics: build the " +
+          "column's deterministic quantile summary (~m weighted " +
+          "points) for the current version and persist it to the " +
+          "_stats sidecar. The result row reports (version, n_rows, " +
+          "err_rows, n_points); err_rows 0 means exact order statistics",
+        "_FUNC_(string, string[, bigint])"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 || exprs.length == 3,
+          s"snapshot_analyze_ranks: expected 2-3 arguments, got ${exprs.length}")
+        val spark = SparkSession.active
+        val m = if (exprs.length == 3)
+          longArg("snapshot_analyze_ranks", exprs, 2).toInt else 1024
+        val rf = RankStats.analyze(spark,
+          strArg("snapshot_analyze_ranks", exprs, 0),
+          Seq(strArg("snapshot_analyze_ranks", exprs, 1)), m)
+        val s = rf.summaries.head
+        outcomeRow(spark, Seq("version" -> rf.version, "n_rows" -> s.n,
+          "err_rows" -> s.errRows, "n_points" -> s.values.length.toLong))
+      }),
+    ("snapshot_quantiles",
+      new ExpressionInfo(getClass.getName, null, "snapshot_quantiles",
+        "_FUNC_(path, col, q, ...) - quantiles served from the rank " +
+          "sidecar with a freshness proof: one row per requested q " +
+          "(q, value, err_rows, n_rows), answered from metadata alone. " +
+          "Errors loudly when the sidecar is missing or stale for the " +
+          "CURRENT version (run snapshot_analyze_ranks / refresh) - " +
+          "it degrades to a refusal, never to a silent scan or a lie",
+        "_FUNC_(string, string, double, ...)"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length >= 3,
+          s"snapshot_quantiles: expected >= 3 arguments, got ${exprs.length}")
+        val spark = SparkSession.active
+        val path = strArg("snapshot_quantiles", exprs, 0)
+        val column = strArg("snapshot_quantiles", exprs, 1)
+        val qs = (2 until exprs.length)
+          .map(i => dblArg("snapshot_quantiles", exprs, i))
+        val (vals, err, n) =
+          RankStats.quantilesServed(spark, path, column, qs).getOrElse(
+            throw new IllegalArgumentException(
+              s"snapshot_quantiles: no fresh rank summary for $column " +
+                s"of $path at the current version - run " +
+                "snapshot_analyze_ranks (or RankStats.refresh) first"))
+        import spark.implicits._
+        qs.zip(vals).map { case (q, v) => (q, v, err, n) }
+          .toDF("q", "value", "err_rows", "n_rows")
+          .queryExecution.logical
       }),
     ("snapshot_stats",
       new ExpressionInfo(getClass.getName, null, "snapshot_stats",

@@ -190,4 +190,37 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM snapshot_table('$t')")
       .head().getLong(0) === 100L)
   }
+
+  test("rank statistics procedures: snapshot_analyze_ranks persists a " +
+    "servable summary, snapshot_quantiles answers from metadata with " +
+    "the freshness proof, and a stale sidecar refuses loudly") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("snapsqlr")
+      .resolve("t").toString
+    SnapshotTable.create(spark, t,
+      (1 to 100).map(i => (i.toLong, i.toDouble, "all")).toDF("k", "v", "p"),
+      "p")
+    SnapshotSql.register(spark)
+    val a = spark.sql(
+      s"SELECT * FROM snapshot_analyze_ranks('$t', 'v')").head()
+    assert(a.getLong(1) === 100L, s"n_rows: $a")
+    assert(a.getLong(2) === 0L, s"exact regime expected: $a")
+    val qs = spark.sql(
+      s"SELECT * FROM snapshot_quantiles('$t', 'v', 0.25D, 0.5D, 1.0D) " +
+        "ORDER BY q").collect()
+    assert(qs.map(_.getDouble(1)).toSeq === Seq(25.0, 50.0, 100.0))
+    assert(qs.forall(_.getLong(2) == 0L))
+    // a commit the sidecar has not seen -> refusal, not a guess
+    SnapshotTable.commitAppend(spark, t,
+      Seq((101L, 101.0, "all")).toDF("k", "v", "p"), "p")
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM snapshot_quantiles('$t', 'v', 0.5D)")
+        .collect()
+    }
+    assert(err.getMessage.contains("no fresh rank summary"))
+    RankStats.refresh(spark, t)
+    assert(spark.sql(
+      s"SELECT value FROM snapshot_quantiles('$t', 'v', 1.0D)")
+      .head().getDouble(0) === 101.0)
+  }
 }
