@@ -102,7 +102,9 @@ object StatsBroadcast extends Rule[LogicalPlan] with PredicateHelper {
       case l: LogicalRelation if !l.isStreaming => l.relation match {
         case fs: HadoopFsRelation => fs.location match {
           case idx: SnapshotFileIndex =>
-            Some(idx.listFiles(Nil, conj).flatMap(_.files).map(_.getLen).sum)
+            val pruned = idx.listFiles(Nil, conj).flatMap(_.files)
+              .map(_.getLen).sum
+            Some(rankRefinedBytes(idx, l, conj, pruned).getOrElse(pruned))
           case _ => None
         }
         case _ => None
@@ -112,6 +114,105 @@ object StatsBroadcast extends Rule[LogicalPlan] with PredicateHelper {
     side match {
       case agg: Aggregate => aggOutputBytes(agg)
       case other => walk(other, Nil)
+    }
+  }
+
+  /** Second sizing tier under the file bound: when the side's conjuncts
+    * carry a RANGE predicate on an ANALYZEd numeric column, the rank
+    * sidecar's span arithmetic bounds the ROWS that can pass — which
+    * the file bound cannot see when the layout is not clustered on that
+    * column (min/max skip nothing, every file survives, the side still
+    * "weighs" the whole table). Bytes bound = row bound × the WIDEST
+    * pruned file's bytes/row (a per-file maximum, so a skewed layout
+    * cannot hide fat rows behind a thin average), capped by the file
+    * bound. Fires only on [[graft.sources.RankStats.rangeBound]]'s
+    * proof terms — fingerprint-fresh, mask-free, span-sound — and
+    * refuses on any entry without recorded rows/bytes. None = no
+    * refinement; the caller keeps the file bound.
+    */
+  private def rankRefinedBytes(idx: SnapshotFileIndex, rel: LogicalRelation,
+                               conj: Seq[Expression],
+                               prunedFileBytes: Long): Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    // per-column closed range from the conjuncts (strictness widened —
+    // widening only loosens an upper bound)
+    val ranges = scala.collection.mutable.Map
+      .empty[ExprId, (Option[Double], Option[Double])]
+    def num(l: Literal): Option[Double] = l.value match {
+      case null       => None
+      case n: Number  => Some(n.doubleValue())
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case _          => None
+    }
+    // a comparison against a wider literal wraps the column in a
+    // numeric-widening Cast — value-preserving in double space, so the
+    // summary's cast-to-double ranks still apply to the bare column
+    object NumAttr {
+      def unapply(e: Expression): Option[AttributeReference] = e match {
+        case a: AttributeReference => Some(a)
+        case c: Cast if c.dataType.isInstanceOf[NumericType] =>
+          c.child match {
+            case a: AttributeReference
+              if a.dataType.isInstanceOf[NumericType] => Some(a)
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+    def record(a: AttributeReference, lo: Option[Double],
+               hi: Option[Double]): Unit = {
+      // numeric columns only: the summary is built over cast-to-double
+      // values, which agrees with the literal's scale for numerics but
+      // NOT for date/timestamp (literal days/micros vs cast seconds)
+      if (!a.dataType.isInstanceOf[NumericType]) return
+      val (l0, h0) = ranges.getOrElse(a.exprId, (None, None))
+      ranges(a.exprId) = (
+        Seq(l0, lo).flatten.reduceOption((x: Double, y: Double) => math.max(x, y)),
+        Seq(h0, hi).flatten.reduceOption((x: Double, y: Double) => math.min(x, y)))
+    }
+    conj.foreach {
+      case LessThanOrEqual(NumAttr(a), l: Literal) =>
+        num(l).foreach(v => record(a, None, Some(v)))
+      case LessThan(NumAttr(a), l: Literal) =>
+        num(l).foreach(v => record(a, None, Some(v)))
+      case GreaterThanOrEqual(NumAttr(a), l: Literal) =>
+        num(l).foreach(v => record(a, Some(v), None))
+      case GreaterThan(NumAttr(a), l: Literal) =>
+        num(l).foreach(v => record(a, Some(v), None))
+      case EqualTo(NumAttr(a), l: Literal) =>
+        num(l).foreach(v => record(a, Some(v), Some(v)))
+      case LessThanOrEqual(l: Literal, NumAttr(a)) =>
+        num(l).foreach(v => record(a, Some(v), None))
+      case LessThan(l: Literal, NumAttr(a)) =>
+        num(l).foreach(v => record(a, Some(v), None))
+      case GreaterThanOrEqual(l: Literal, NumAttr(a)) =>
+        num(l).foreach(v => record(a, None, Some(v)))
+      case GreaterThan(l: Literal, NumAttr(a)) =>
+        num(l).foreach(v => record(a, None, Some(v)))
+      case EqualTo(l: Literal, NumAttr(a)) =>
+        num(l).foreach(v => record(a, Some(v), Some(v)))
+      case _ => ()
+    }
+    if (ranges.isEmpty) return None
+    val entries = idx.fileEntries
+    if (entries.isEmpty) return None
+    if (!entries.forall(e => e.rows > 0L && e.bytes > 0L)) return None
+    val planned = entries.map(_.path)
+    val prunedRows = entries.map(_.rows).sum
+    val maxWidth = entries.map(e => e.bytes.toDouble / e.rows).max
+    val spark = SparkSession.active
+    val bounds = ranges.flatMap { case (id, (lo, hi)) =>
+      if (lo.isEmpty && hi.isEmpty) None
+      else rel.output.find(_.exprId == id).map(_.name).flatMap { name =>
+        graft.sources.RankStats.rangeBound(
+          spark, idx.tablePath, name, planned, lo, hi)
+      }
+    }
+    if (bounds.isEmpty) None
+    else {
+      val rowBound = math.min(bounds.min, prunedRows)
+      val bytes = math.ceil(rowBound * maxWidth).toLong
+      Some(math.min(bytes, prunedFileBytes))
     }
   }
 

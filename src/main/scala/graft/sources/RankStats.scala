@@ -50,13 +50,59 @@ object RankStats extends QueryPack {
     * carrying the number of rows it closes (Σ weights = n). A quantile
     * answer's true rank differs from its cumulative-weight rank by at
     * most `errRows` (0 ⇒ exact order statistics).
+    *
+    * `spans` records the SPAN PROPERTY: every point's rows lie in
+    * `(previous point's value, own value]`. True from [[summarize]]
+    * (value-disjoint slices) and preserved by [[compress]] (folding
+    * consecutive spans), but destroyed by [[merge]] (two sources'
+    * spans interleave, so a span may reach below its merged
+    * predecessor). [[rangeUpper]] — the optimizer's selectivity bound —
+    * is only sound under it and refuses without it.
     */
   final case class RankSummary(col: String, m: Int, n: Long, errRows: Long,
-                               values: Array[Double], weights: Array[Long]) {
+                               values: Array[Double], weights: Array[Long],
+                               spans: Boolean = true) {
     require(values.length == weights.length,
       "rank summary: values/weights length mismatch")
 
     def exact: Boolean = errRows == 0L
+
+    /** PROVEN upper bound on the rows with value in [lo, hi] (either
+      * side open): rows ≤ C(hi) − C(lo⁻), where C(hi) is bounded above
+      * by the cumulative weight through the last point ≤ hi plus the
+      * one span that may straddle hi, and C(lo⁻) below by the
+      * cumulative weight through the last point < lo (every row it
+      * counts is provably < lo). Exact weighted arithmetic — no
+      * errRows term; requires the span property.
+      */
+    def rangeUpper(lo: Option[Double], hi: Option[Double]): Option[Long] = {
+      if (!spans || n == 0L) return None
+      val cum = new Array[Long](values.length)
+      var acc = 0L
+      var i = 0
+      while (i < values.length) { acc += weights(i); cum(i) = acc; i += 1 }
+      val upperHi = hi match {
+        case None => n
+        case Some(h) =>
+          val j = lastIndexWhere(values, _ <= h)
+          val straddle =
+            if (j + 1 < weights.length) weights(j + 1) else 0L
+          math.min(n, (if (j < 0) 0L else cum(j)) + straddle)
+      }
+      val lowerLo = lo match {
+        case None => 0L
+        case Some(l) =>
+          val m0 = lastIndexWhere(values, _ < l)
+          if (m0 < 0) 0L else cum(m0)
+      }
+      Some(math.max(0L, upperHi - lowerLo))
+    }
+
+    private def lastIndexWhere(xs: Array[Double], p: Double => Boolean): Int = {
+      var i = xs.length - 1
+      while (i >= 0 && !p(xs(i))) i -= 1
+      i
+    }
 
     /** Value at quantile `q`: the first point whose cumulative weight
       * reaches `max(1, ⌈q·n⌉)` — within `errRows` ranks of the true
@@ -161,7 +207,8 @@ object RankStats extends QueryPack {
       .sortBy(_._1)
     val (v, w, addErr) =
       compress(order.map(_._1), order.map(_._2), a.m)
-    RankSummary(a.col, a.m, a.n + b.n, a.errRows + b.errRows + addErr, v, w)
+    RankSummary(a.col, a.m, a.n + b.n, a.errRows + b.errRows + addErr, v, w,
+      spans = false)
   }
 
   // ---- sidecar I/O (same replace-by-rename shape as the NDV tier) ----
@@ -191,7 +238,7 @@ object RankStats extends QueryPack {
   }
 
   private val sumRe =
-    raw"""\{"col":"([^"]*)","m":(\d+),"n":(\d+),"err":(\d+),"vals":"([A-Za-z0-9+/=]*)","wts":"([A-Za-z0-9+/=]*)"\}""".r
+    raw"""\{"col":"([^"]*)","m":(\d+),"n":(\d+),"err":(\d+),"sp":([01]),"vals":"([A-Za-z0-9+/=]*)","wts":"([A-Za-z0-9+/=]*)"\}""".r
   private val fileRe =
     raw"""\{"version":(\d+),"filesFp":"([0-9a-f]*)","delFp":"([0-9a-f]*)","summaries":\[(.*)\]\}""".r
 
@@ -201,7 +248,7 @@ object RankStats extends QueryPack {
     val p = rankPath(table)
     f.mkdirs(p.getParent)
     val body = rf.summaries.map(s =>
-      s"""{"col":"${s.col}","m":${s.m},"n":${s.n},"err":${s.errRows},"vals":"${b64d(s.values)}","wts":"${b64l(s.weights)}"}""")
+      s"""{"col":"${s.col}","m":${s.m},"n":${s.n},"err":${s.errRows},"sp":${if (s.spans) 1 else 0},"vals":"${b64d(s.values)}","wts":"${b64l(s.weights)}"}""")
       .mkString(",")
     val json =
       s"""{"version":${rf.version},"filesFp":"${rf.filesFp}","delFp":"${rf.delFp}","summaries":[$body]}"""
@@ -228,8 +275,8 @@ object RankStats extends QueryPack {
         case fileRe(v, ffp, dfp, sk) =>
           val sums = sumRe.findAllMatchIn(sk).map(mm =>
             RankSummary(mm.group(1), mm.group(2).toInt, mm.group(3).toLong,
-              mm.group(4).toLong, fromB64d(mm.group(5)),
-              fromB64l(mm.group(6)))).toSeq
+              mm.group(4).toLong, fromB64d(mm.group(6)),
+              fromB64l(mm.group(7)), spans = mm.group(5) == "1")).toSeq
           Some(RankFile(v.toLong, ffp, dfp, sums))
         case _ => None
       }
@@ -321,6 +368,24 @@ object RankStats extends QueryPack {
       else rf.summaries.find(_.col == column)
         .filter(_.n > 0L)
         .map(s => (qs.map(s.quantile), s.errRows, s.n))
+    }
+
+  /** PROVEN row upper bound for a range predicate on `column`, for a
+    * reader planning exactly `plannedPaths` — the optimizer's
+    * selectivity interface ([[graft.plans.StatsBroadcast]]): fires only
+    * when the sidecar's fingerprint matches the planned file list, the
+    * analyzed state had no pending delete masks, and the summary still
+    * holds the span property (analyze-fresh — a delta-merged summary
+    * refuses until the next full analyze). Never an estimate.
+    */
+  def rangeBound(spark: SparkSession, table: String, column: String,
+                 plannedPaths: Seq[String],
+                 lo: Option[Double], hi: Option[Double]): Option[Long] =
+    readRanks(spark, table).flatMap { rf =>
+      if (rf.filesFp != TableStats.sha1(plannedPaths)) None
+      else if (rf.delFp != TableStats.sha1(Seq.empty)) None
+      else rf.summaries.find(_.col == column)
+        .flatMap(_.rangeUpper(lo, hi))
     }
 
   // ---- driver queries -------------------------------------------------
@@ -438,10 +503,43 @@ object RankStats extends QueryPack {
          |ORDER BY q""".stripMargin)
   }
 
+  /** The planner composition end-to-end: a price slice of the orders
+    * dim that NO file stat can size (the layout clusters on the key,
+    * so min/max skip nothing and the side weighs full-table bytes to
+    * the file bound) broadcasts because the rank summary bounds the
+    * rows that can pass. StatsBroadcastSpec pins the plan flip; this
+    * query pins the RESULT — an unsound row bound that broadcast a
+    * wrong build would break the oracle hash.
+    */
+  def rankBroadcastQuery(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.StatsBroadcast.install(s)
+    val t = memoized("graft_rank_bc", s, dir) { t =>
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      SnapshotTable.create(s, t, orders, "o_orderpriority",
+        statsCols = Seq("o_orderkey"))
+      RankStats.analyze(s, t, Seq("o_totalprice"), m = 256)
+    }
+    val dim = SnapshotTable.read(s, t)
+      .filter(col("o_totalprice") < 30000.0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Tables.lineitem(s, dir)
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"),
+        max(col("l_orderkey")).as("max_key"))
+      .orderBy(col("l_returnflag"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_rank_exact" -> (exactQuantileQuery _),
     "q_rank_bound" -> (boundedQuantileQuery _),
-    "q_sql_quantiles" -> (sqlQuantileQuery _))
+    "q_sql_quantiles" -> (sqlQuantileQuery _),
+    "q_rank_broadcast" -> (rankBroadcastQuery _))
 
   override def oracleSql: Map[String, String] = Map(
     "q_rank_exact" ->
@@ -475,6 +573,15 @@ object RankStats extends QueryPack {
         |     WHERE rn = GREATEST(1, CAST(CEIL(0.90 * n) AS BIGINT)) LIMIT 1),
         |    (SELECT count(*) FROM slice)
         |) ORDER BY q""".stripMargin,
+    "q_rank_broadcast" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(max(l_orderkey) AS BIGINT) AS max_key
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice < 30000.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_sql_quantiles" ->
       """WITH slice AS (
         |  SELECT o_totalprice FROM orders WHERE o_orderkey % 101 = 0

@@ -201,4 +201,76 @@ class StatsBroadcastSpec extends SparkSpec {
       assert(bhj(q) === 0)
     }
   }
+
+  // ---- rank-summary range sizing (quantile-bounded builds) -----------
+
+  import graft.sources.RankStats
+
+  /** Dim whose price column is UNCORRELATED with the layout: the files
+    * are clustered on k, so a price range prunes NO files and the file
+    * bound stays at full-table bytes — only the rank sidecar can see
+    * how few rows pass.
+    */
+  private def pricedTable(): String = {
+    val t = freshDir()
+    val df = spark.range(0, 10000).select(
+      col("id").as("k"),
+      concat(lit("p"), (col("id") % 5).cast("string")).as("p"),
+      ((col("id") * 7919L) % 10000L).cast("double").as("price"),
+      md5(col("id").cast("string")).as("pad"))
+    SnapshotTable.create(spark, t, df, "p", statsCols = Seq("k"))
+    t
+  }
+
+  test("rank-summary range sizing: a price slice no file stat can see " +
+    "broadcasts once the column is rank-ANALYZEd; without the sidecar " +
+    "(or with the rule off) it shuffle-joins; rows identical") {
+    val t = pricedTable()
+    withThreshold(131072L) {
+      def dim() = SnapshotTable.read(spark, t)
+        .filter(col("price") < 300.0)
+      def q() = fact.join(dim(), col("fk") === col("k"))
+        .groupBy(col("p"))
+        .agg(count(lit(1)).as("n"), sum(length(col("pad"))).as("padlen"))
+        .orderBy(col("p"))
+      // price is layout-invisible: no sidecar -> file bound = full table
+      assert(bhj(q()) === 0, "without a rank sidecar the side must not shrink")
+      RankStats.analyze(spark, t, Seq("price"), m = 256)
+      val on = q()
+      assert(bhj(on) === 1 && smj(on) === 0,
+        "rank-bounded rows x max width must fit the threshold")
+      val (offB, offRows) = withRuleOff { val d = q(); (bhj(d), d.collect().toSeq) }
+      assert(offB === 0)
+      assert(on.collect().toSeq === offRows)
+    }
+  }
+
+  test("rank sizing refuses: stale sidecar after a commit, span-less " +
+    "summary after a delta refresh, and a slice too wide to fit") {
+    val t = pricedTable()
+    withThreshold(131072L) {
+      def q(cut: Double) = fact.join(
+        SnapshotTable.read(spark, t).filter(col("price") < cut),
+        col("fk") === col("k"))
+        .groupBy(col("p")).agg(count(lit(1)).as("n"))
+      RankStats.analyze(spark, t, Seq("price"), m = 256)
+      // a slice of most of the table cannot fit under the threshold
+      assert(bhj(q(9000.0)) === 0)
+      // a commit the sidecar has not seen: fingerprint mismatch refuses
+      // a real-sized batch: a 1-row file's footer overhead would
+      // dominate its bytes/row, and the conservative max-width bound
+      // (correctly) refuses to broadcast behind such a file
+      SnapshotTable.commitAppend(spark, t,
+        spark.range(20000, 20400).select(col("id").as("k"), lit("p0").as("p"),
+          lit(5.0).as("price"), md5(col("id").cast("string")).as("pad")), "p")
+      assert(bhj(q(300.0)) === 0, "stale sidecar must refuse")
+      // delta refresh merges -> span property lost -> still refuses
+      val (_, delta) = RankStats.refresh(spark, t)
+      assert(delta, "append window should take the delta path")
+      assert(bhj(q(300.0)) === 0, "a merged summary must refuse range sizing")
+      // a full re-analyze restores the proof and the broadcast
+      RankStats.analyze(spark, t, Seq("price"), m = 256)
+      assert(bhj(q(300.0)) === 1)
+    }
+  }
 }
