@@ -2279,7 +2279,8 @@ object SnapshotTable extends QueryPack {
                smallThreshold: Long = 1000000L, keepVersions: Int = 3,
                minAgeMs: Long = 15 * 60 * 1000L,
                hotValues: Seq[String] = Seq.empty,
-               expireBefore: Option[(String, Double)] = None): (Long, Long, Int, Long) = {
+               expireBefore: Option[(String, Double)] = None,
+               refreshStats: Boolean = false): (Long, Long, Int, Long) = {
     val meta = readMeta(spark, table, currentVersion(spark, table))
     val applied =
       if (meta.deletes.size >= maxDeleteFiles)
@@ -2303,6 +2304,30 @@ object SnapshotTable extends QueryPack {
         else compactWhere(spark, table, partCol, hotValues, smallThreshold)._2
       } else 0
     val removed = vacuum(spark, table, keepVersions, minAgeMs)
+    // stats maintenance rides the same tick (opt-in): an ANALYZEd
+    // sidecar is advanced at delta cost on append windows, recomputed
+    // otherwise — without this, every sink batch leaves the quantile/
+    // NDV serves refusing (correct, but a lakehouse whose stats expire
+    // at ingest cadence effectively has none). A refresh whose recorded
+    // version was vacuumed away above cannot prove its append window
+    // (the old manifest is gone) — it falls back to a full ANALYZE of
+    // the columns the sidecar already tracks.
+    if (refreshStats) {
+      TableStats.readStats(spark, table).foreach { prev =>
+        try TableStats.refresh(spark, table)
+        catch { case _: Exception =>
+          TableStats.analyze(spark, table, prev.sketches.map(_.col),
+            prev.sketches.headOption.map(_.k).getOrElse(1024))
+        }
+      }
+      RankStats.readRanks(spark, table).foreach { prev =>
+        try RankStats.refresh(spark, table)
+        catch { case _: Exception =>
+          RankStats.analyze(spark, table, prev.summaries.map(_.col),
+            prev.summaries.headOption.map(_.m).getOrElse(1024))
+        }
+      }
+    }
     (currentVersion(spark, table), applied, folded, removed)
   }
 

@@ -43,7 +43,8 @@ object SnapshotSink extends QueryPack {
           checkpoint: Option[String] = None,
           maintainEvery: Option[Int] = None,
           smallThreshold: Long = 1000000L,
-          maxSmallFiles: Int = 64): String =
+          maxSmallFiles: Int = 64,
+          refreshStats: Boolean = false): String =
       StreamHousekeeping.withStatePartitions(spark, 8) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val source = spark.readStream
@@ -68,7 +69,7 @@ object SnapshotSink extends QueryPack {
             SnapshotTable.commitWithRetry() {
               SnapshotTable.maintain(batch.sparkSession, table,
                 "event_type", smallThreshold = smallThreshold,
-                maxSmallFiles = maxSmallFiles)
+                maxSmallFiles = maxSmallFiles, refreshStats = refreshStats)
             }
         }
         ()

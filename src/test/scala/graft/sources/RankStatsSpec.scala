@@ -151,6 +151,31 @@ class RankStatsSpec extends SparkSpec {
     assert(RankStats.quantilesServed(spark, t, "v", Seq(0.5)).isDefined)
   }
 
+  test("the janitor tick keeps BOTH sidecars servable: refreshStats " +
+    "advances them across appends, and survives its recorded version " +
+    "being vacuumed away (falls back to a full analyze)") {
+    val t = freshTable(2000, seed = 51L)
+    RankStats.analyze(spark, t, Seq("v"), m = 64)
+    TableStats.analyze(spark, t, Seq("id"), k = 4096)
+    (0 until 4).foreach { i =>
+      SnapshotTable.commitAppend(spark, t,
+        lcg(500, seed = 60L + i).zipWithIndex
+          .map { case (v, j) => (50000L + i * 1000 + j, v, "all") }
+          .toDF("id", "v", "grp"), "grp")
+    }
+    // aggressive retention: the analyze-time manifest is vacuumed, so
+    // the delta proof is gone and refresh must recompute, not crash
+    SnapshotTable.maintain(spark, t, "grp", keepVersions = 1,
+      minAgeMs = 0L, refreshStats = true)
+    val q = RankStats.quantilesServed(spark, t, "v", Seq(0.5))
+    assert(q.isDefined, "rank sidecar must be servable after the tick")
+    assert(q.get._3 === 4000L)
+    assert(TableStats.exactDistinct(spark, t, "id",
+      SnapshotTable.readManifest(spark, t,
+        SnapshotTable.currentVersion(spark, t)).map(_.path)).contains(4000L),
+      "ndv sidecar must be servable after the tick")
+  }
+
   test("rebind follows a compaction without recompute; quantiles still " +
     "served at the new version") {
     val t = freshTable(2000, seed = 31L)
