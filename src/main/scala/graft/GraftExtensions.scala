@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // eager aggregation below inner equi-joins for opted-in fact tables
     // (EagerAggregation.enableFor; kill-switch spark.graft.eagerAgg)
     e.injectOptimizerRule(_ => graft.plans.EagerAggregation)
+    // rank-threshold top-k prefilter for ORDER BY col LIMIT k over
+    // snapshot relations (on by default once the column is
+    // rank-ANALYZEd; spark.graft.snapshot.rankTopK=false disables)
+    e.injectOptimizerRule(_ => graft.plans.RankTopK)
     // snapshot-table SQL surface: snapshot_table(path[, version]) and
     // snapshot_changes(path, from, to) table-valued functions
     graft.sources.SnapshotSql.tvfs.foreach { case (name, info, builder) =>

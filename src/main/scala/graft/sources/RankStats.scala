@@ -381,11 +381,20 @@ object RankStats extends QueryPack {
   def rangeBound(spark: SparkSession, table: String, column: String,
                  plannedPaths: Seq[String],
                  lo: Option[Double], hi: Option[Double]): Option[Long] =
+    summaryFor(spark, table, column, plannedPaths)
+      .flatMap(_.rangeUpper(lo, hi))
+
+  /** The recorded summary for `column` IFF it describes exactly
+    * `plannedPaths` with no pending delete masks — the shared proof
+    * gate of every optimizer consumer ([[rangeBound]],
+    * [[graft.plans.RankTopK]]).
+    */
+  def summaryFor(spark: SparkSession, table: String, column: String,
+                 plannedPaths: Seq[String]): Option[RankSummary] =
     readRanks(spark, table).flatMap { rf =>
       if (rf.filesFp != TableStats.sha1(plannedPaths)) None
       else if (rf.delFp != TableStats.sha1(Seq.empty)) None
       else rf.summaries.find(_.col == column)
-        .flatMap(_.rangeUpper(lo, hi))
     }
 
   // ---- driver queries -------------------------------------------------
@@ -535,11 +544,36 @@ object RankStats extends QueryPack {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Top-k through the rank-threshold rewrite: the cheapest 20 orders
+    * off a price-clustered snapshot, planned as a `price <= v`
+    * prefilter (v proven by the summary to cover ≥ 20 rows) plus
+    * TakeOrderedAndProject over the few files min/max cannot exclude.
+    * RankTopKSpec pins the file pruning and every refusal; this query
+    * pins the RESULT — a threshold that cut a true top-k row breaks
+    * the oracle hash. The trailing unique key makes tie order
+    * engine-stable.
+    */
+  def rankTopKQuery(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.RankTopK.install(s)
+    val t = memoized("graft_rank_tk", s, dir) { t =>
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      SnapshotTable.create(s, t, orders, "o_orderpriority",
+        statsCols = Seq("o_totalprice"))
+      RankStats.analyze(s, t, Seq("o_totalprice"), m = 256)
+    }
+    SnapshotTable.read(s, t)
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+      .limit(20)
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_rank_exact" -> (exactQuantileQuery _),
     "q_rank_bound" -> (boundedQuantileQuery _),
     "q_sql_quantiles" -> (sqlQuantileQuery _),
-    "q_rank_broadcast" -> (rankBroadcastQuery _))
+    "q_rank_broadcast" -> (rankBroadcastQuery _),
+    "q_rank_topk" -> (rankTopKQuery _))
 
   override def oracleSql: Map[String, String] = Map(
     "q_rank_exact" ->
@@ -573,6 +607,9 @@ object RankStats extends QueryPack {
         |     WHERE rn = GREATEST(1, CAST(CEIL(0.90 * n) AS BIGINT)) LIMIT 1),
         |    (SELECT count(*) FROM slice)
         |) ORDER BY q""".stripMargin,
+    "q_rank_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice, o_orderkey LIMIT 20""".stripMargin,
     "q_rank_broadcast" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
