@@ -104,6 +104,33 @@ object RankStats extends QueryPack {
       i
     }
 
+    /** EQUI-DEPTH histogram from the summary alone: walk the weighted
+      * points closing a bucket every `⌈n/buckets⌉` rows; each bucket
+      * reports (first point value, closing point value, exact summed
+      * weight). In the exact regime (weight-1 points) this is the true
+      * equi-depth histogram — bucket i spans the values at ranks
+      * `(i−1)·d+1 .. min(i·d, n)`; compressed summaries report the
+      * same shape with boundaries within `errRows` ranks.
+      */
+    def histogram(buckets: Int): Seq[(Double, Double, Long)] = {
+      require(buckets >= 1, s"histogram needs >= 1 bucket, got $buckets")
+      if (n == 0L) return Seq.empty
+      val depth = math.max(1L, (n + buckets - 1) / buckets)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Long)]
+      var lo = values(0)
+      var acc = 0L
+      var i = 0
+      while (i < values.length) {
+        if (acc == 0L) lo = values(i)
+        acc += weights(i)
+        if (acc >= depth || i == values.length - 1) {
+          out += ((lo, values(i), acc)); acc = 0L
+        }
+        i += 1
+      }
+      out.toSeq
+    }
+
     /** Value at quantile `q`: the first point whose cumulative weight
       * reaches `max(1, ⌈q·n⌉)` — within `errRows` ranks of the true
       * order statistic.
@@ -568,12 +595,28 @@ object RankStats extends QueryPack {
       .select(col("o_orderkey"), col("o_totalprice"))
   }
 
+  /** Equi-depth histogram through the TVF on the exact-regime fixture —
+    * four buckets of the price slice, replayed by the oracle as a
+    * rank-group rollup (bucket = ⌊(rank−1)/⌈n/4⌉⌋): boundaries are
+    * values AT specific ranks, so the comparison is tie-stable.
+    */
+  def sqlHistogramQuery(s: SparkSession, dir: String): DataFrame = {
+    SnapshotSql.register(s)
+    val t = exactFixture(s, dir)
+    s.sql(
+      s"""SELECT CAST(bucket AS BIGINT) AS bucket, lo, hi,
+         |  CAST(n_rows AS BIGINT) AS n_rows
+         |FROM snapshot_histogram('$t', 'o_totalprice', 4)
+         |ORDER BY bucket""".stripMargin)
+  }
+
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_rank_exact" -> (exactQuantileQuery _),
     "q_rank_bound" -> (boundedQuantileQuery _),
     "q_sql_quantiles" -> (sqlQuantileQuery _),
     "q_rank_broadcast" -> (rankBroadcastQuery _),
-    "q_rank_topk" -> (rankTopKQuery _))
+    "q_rank_topk" -> (rankTopKQuery _),
+    "q_sql_histogram" -> (sqlHistogramQuery _))
 
   override def oracleSql: Map[String, String] = Map(
     "q_rank_exact" ->
@@ -610,6 +653,19 @@ object RankStats extends QueryPack {
     "q_rank_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice, o_orderkey LIMIT 20""".stripMargin,
+    "q_sql_histogram" ->
+      """WITH slice AS (
+        |  SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 101 = 0
+        |), ranked AS (
+        |  SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM slice
+        |)
+        |SELECT CAST(FLOOR((rn - 1) / CEIL(n * 1.0 / 4)) + 1 AS BIGINT)
+        |    AS bucket,
+        |  MIN(v) AS lo, MAX(v) AS hi, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM ranked
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_rank_broadcast" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -311,6 +311,35 @@ object SnapshotSql {
           .toDF("q", "value", "err_rows", "n_rows")
           .queryExecution.logical
       }),
+    ("snapshot_histogram",
+      new ExpressionInfo(getClass.getName, null, "snapshot_histogram",
+        "_FUNC_(path, col, buckets) - equi-depth histogram served from " +
+          "the rank sidecar with the same freshness proof as " +
+          "snapshot_quantiles: one row per bucket (bucket, lo, hi, " +
+          "n_rows), exact in the uncompressed regime, answered from " +
+          "metadata alone. Errors loudly when the sidecar is missing " +
+          "or stale for the current version",
+        "_FUNC_(string, string, bigint)"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"snapshot_histogram: expected 3 arguments, got ${exprs.length}")
+        val spark = SparkSession.active
+        val path = strArg("snapshot_histogram", exprs, 0)
+        val column = strArg("snapshot_histogram", exprs, 1)
+        val buckets = longArg("snapshot_histogram", exprs, 2).toInt
+        val planned = SnapshotTable.readManifest(spark, path,
+          SnapshotTable.currentVersion(spark, path)).map(_.path)
+        val s = RankStats.summaryFor(spark, path, column, planned).getOrElse(
+          throw new IllegalArgumentException(
+            s"snapshot_histogram: no fresh rank summary for $column of " +
+              s"$path at the current version - run snapshot_analyze_ranks " +
+              "(or RankStats.refresh) first"))
+        import spark.implicits._
+        s.histogram(buckets).zipWithIndex
+          .map { case ((lo, hi, rows), i) => (i + 1L, lo, hi, rows) }
+          .toDF("bucket", "lo", "hi", "n_rows")
+          .queryExecution.logical
+      }),
     ("snapshot_stats",
       new ExpressionInfo(getClass.getName, null, "snapshot_stats",
         "_FUNC_(path[, col]) - per-version physical profile from " +

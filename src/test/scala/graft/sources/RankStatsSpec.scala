@@ -113,6 +113,28 @@ class RankStatsSpec extends SparkSpec {
     t
   }
 
+  test("equi-depth histogram: exact regime reproduces the rank-group " +
+    "truth; compressed regime preserves totals and monotone boundaries") {
+    val xs = lcg(100, seed = 71L)
+    val sum = RankStats.summarize(xs.toDF("v"), "v", m = 1024)
+    val sorted = xs.sorted
+    val h = sum.histogram(4)
+    assert(h.size === 4)
+    h.zipWithIndex.foreach { case ((lo, hi, rows), i) =>
+      assert(rows === 25L)
+      assert(lo === sorted(i * 25), s"bucket $i lo")
+      assert(hi === sorted(i * 25 + 24), s"bucket $i hi")
+    }
+    val big = RankStats.summarize(lcg(20000, seed = 72L).toDF("v"), "v", m = 128)
+    val hb = big.histogram(10)
+    assert(hb.map(_._3).sum === 20000L)
+    assert(hb.size <= 11)
+    assert(hb.sliding(2).forall {
+      case Seq((_, hi1, _), (lo2, hi2, _)) => hi1 <= lo2 && lo2 <= hi2
+      case _ => true
+    }, "bucket boundaries must be value-monotone")
+  }
+
   test("sidecar round-trip + freshness: served after analyze, refused " +
     "after an un-refreshed commit, served again after refresh (delta " +
     "path on an append window, budget grows)") {
