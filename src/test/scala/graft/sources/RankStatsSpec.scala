@@ -91,6 +91,23 @@ class RankStatsSpec extends SparkSpec {
     Seq(0.05, 0.5, 0.95).foreach(checkBound(union, m, _))
   }
 
+  test("property sweep: across seeds, sizes, and uneven merges, every " +
+    "decile of a merged summary honors its declared budget") {
+    for (seed <- 1L to 6L) {
+      val na = 1000 + (seed * 1733 % 9000).toInt
+      val nb = 500 + (seed * 911 % 4000).toInt
+      val xsA = lcg(na, seed)
+      val xsB = lcg(nb, seed + 100).map(_ * 3.0 - 1.0) // wider, offset range
+      val m = RankStats.merge(
+        RankStats.summarize(xsA.toDF("v"), "v", m = 64),
+        RankStats.summarize(xsB.toDF("v"), "v", m = 64))
+      val union = xsA ++ xsB
+      assert(m.n === union.size.toLong, s"seed $seed")
+      assert(m.weights.sum === union.size.toLong, s"seed $seed")
+      (1 to 9).map(_ / 10.0).foreach(checkBound(union, m, _))
+    }
+  }
+
   test("compress folds to ~m points and reports the spacing it cost") {
     val vals = (1 to 1000).map(_.toDouble).toArray
     val wts = Array.fill(1000)(1L)
