@@ -148,4 +148,30 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getDouble(2) == 1.0)
     assert(row.getDouble(3) < 0.3)
   }
+
+  test("extension-injected RankTopK fires from plain SQL: ORDER BY " +
+    "LIMIT over a rank-ANALYZEd snapshot_table gains the threshold " +
+    "prefilter and returns the exact top-k") {
+    import org.apache.spark.sql.functions._
+    val t = java.nio.file.Files.createTempDirectory("ext_topk")
+      .resolve("t").toString
+    graft.sources.SnapshotTable.create(spark, t,
+      spark.range(0, 2000).select(col("id").as("k"),
+        ((col("id") * 733L) % 2000L).cast("double").as("v"),
+        lit("all").as("p")),
+      "p", statsCols = Seq("v"))
+    graft.sources.RankStats.analyze(spark, t, Seq("v"), m = 64)
+    val df = spark.sql(
+      s"""SELECT k, v FROM snapshot_table('$t')
+         |ORDER BY v, k LIMIT 10""".stripMargin)
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expect = (0L until 2000L).map(k => (k, (k * 733L % 2000L).toDouble))
+      .sortBy(t2 => (t2._2, t2._1)).take(10)
+    assert(got === expect)
+    assert(df.queryExecution.optimizedPlan.toString.contains("v#"),
+      "sanity: plan mentions the sort column")
+    assert(df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.nonEmpty, "the injected threshold Filter must be in the plan")
+  }
 }
