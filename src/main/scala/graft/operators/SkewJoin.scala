@@ -27,12 +27,70 @@ object SkewJoin extends QueryPack {
                      saltBuckets: Int = 8,
                      joinHint: Option[String] = None): DataFrame = {
     require(saltBuckets > 0)
-    val salted = skewed.withColumn("__salt",
+    val salted0 = skewed.withColumn("__salt",
       (rand(42) * saltBuckets).cast("int"))
+    // the hint goes on BOTH sides: a broadcast hint landing on the
+    // unhinted side (Spark's sizing or a stats rule) would outrank a
+    // single-side merge hint and plan a broadcast join, making the
+    // salt pure overhead
+    val salted = joinHint.fold(salted0)(salted0.hint(_))
     val replicated0 = other.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     val replicated = joinHint.fold(replicated0)(replicated0.hint(_))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Salt parameterization FROM THE RANK SIDECAR — no hand tuning: a
+    * KEY column's quantile summary exposes heavy hitters for free (a
+    * value repeated r times owns ~r/s consecutive summary points, so
+    * the summed weight of equal-valued points estimates its frequency
+    * within the summary's rank budget). Salting is result-invariant
+    * for ANY bucket count — correctness never rides this estimate —
+    * the stats only SIZE it: buckets ≈ hottest key's rows / ideal
+    * reducer share (n / shuffle partitions), clamped to `maxBuckets`.
+    * Returns 1 (don't salt) when the hottest key stays within
+    * `skewFactor`× a fair share, or when the sidecar is missing or
+    * stale for the current version — a join that is not provably
+    * skewed should not pay replication overhead.
+    */
+  def saltBucketsFor(spark: SparkSession, table: String, keyCol: String,
+                     skewFactor: Double = 2.0, maxBuckets: Int = 64): Int = {
+    import graft.sources.{RankStats, SnapshotTable}
+    RankStats.readRanks(spark, table) match {
+      case Some(rf)
+        if rf.version == SnapshotTable.currentVersion(spark, table) =>
+        val segs = rf.summaries.filter(s => s.col == keyCol && s.n > 0L)
+        if (segs.isEmpty) 1
+        else {
+          val n = segs.map(_.n).sum
+          // frequency per distinct summary value, segments summed — a
+          // hot key split across delta segments still totals up
+          val hottest = segs.flatMap(s => s.values.zip(s.weights))
+            .groupBy(_._1).valuesIterator.map(_.map(_._2).sum).max
+          val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+          val share = math.max(1.0, n.toDouble / math.max(1, parts))
+          if (hottest <= skewFactor * share) 1
+          else math.min(maxBuckets, math.ceil(hottest / share).toInt)
+        }
+      case _ => 1
+    }
+  }
+
+  /** [[saltedEquiJoin]] with `saltBuckets` chosen by [[saltBucketsFor]]
+    * from the skewed snapshot table's own rank sidecar: a provably-hot
+    * key gets exactly the spread it needs, an even key distribution
+    * (or absent stats) joins plain with zero added overhead.
+    */
+  def autoSaltedEquiJoin(spark: SparkSession, skewedTable: String,
+                         other: DataFrame, key: String,
+                         joinHint: Option[String] = None): DataFrame = {
+    import graft.sources.SnapshotTable
+    val buckets = saltBucketsFor(spark, skewedTable, key)
+    val skewed = SnapshotTable.read(spark, skewedTable)
+    if (buckets <= 1) {
+      val o = joinHint.fold(other)(other.hint(_))
+      skewed.join(o, Seq(key))
+    } else saltedEquiJoin(skewed, other, key, buckets, joinHint)
   }
 
   /** Driver-visible salted join over a DELIBERATELY skewed key: 75% of

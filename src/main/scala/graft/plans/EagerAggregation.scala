@@ -46,11 +46,19 @@ import graft.sources.{SnapshotFileIndex, SnapshotTable}
   * shuffles one row per (join key × fact group) — orders of magnitude
   * fewer on the classic revenue-by-dim-attribute shape. It is a
   * heuristic with a known bad case (near-unique join keys make the
-  * partial agg pure overhead), and without CBO the rule cannot cost it
-  * — so it is OPT-IN PER FACT TABLE ([[enableFor]]): declaring "this
-  * table is the big one, pre-aggregate it" is a data-model fact the
-  * pipeline owner states once, the same trust model as
-  * [[JoinElimination]]'s keys (and Iceberg's write-order hints).
+  * partial agg pure overhead) — so it is OPT-IN PER FACT TABLE
+  * ([[enableFor]]): declaring "this table is the big one,
+  * pre-aggregate it" is a data-model fact the pipeline owner states
+  * once, the same trust model as [[JoinElimination]]'s keys (and
+  * Iceberg's write-order hints). AND the engine now costs the known
+  * bad case from the stats it owns: when EVERY partial-group column
+  * carries a fresh exact NDV sketch ([[graft.sources.TableStats
+  * .boundDistinct]]), the rule DECLINES unless the bound proves the
+  * partial aggregate at least halves the shuffled rows
+  * (`∏ ndv ≤ rows/2`) — the near-unique-key fact that slipped through
+  * an over-broad opt-in no longer pays for it. No sketch (or a
+  * saturated/stale one) keeps the owner's declaration;
+  * `enableFor(table, force = true)` skips the cost gate entirely.
   *
   * Install per session via [[EagerAggregation.install]] or globally via
   * `spark.sql.extensions=graft.GraftExtensions`; kill-switch
@@ -61,18 +69,47 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper
 
   private val FlagKey = "spark.graft.eagerAgg"
 
-  private val enabledTables =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // SESSION-SCOPED carrier (norm(path) -> force): two sessions sharing
+  // a JVM see only their own opt-ins — an opt-in is a tenant's
+  // data-model statement, not a process fact. Weak keys let a dropped
+  // session's registry be collected.
+  private val registries = new java.util.WeakHashMap[
+    SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]]()
+
+  private def registryOf(spark: SparkSession) = registries.synchronized {
+    registries.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+  }
+
+  private def activeRegistry
+      : Option[java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]] = {
+    val s = SparkSession.getActiveSession
+    if (s.isEmpty) None
+    else registries.synchronized { Option(registries.get(s.get)) }
+  }
 
   private def norm(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.toString
 
   /** Opt `table` (a snapshot-table path) into eager aggregation when it
-    * appears as the fact side of a qualifying aggregate-over-join.
+    * appears as the fact side of a qualifying aggregate-over-join, in
+    * the ACTIVE session (pass the session explicitly to opt in another
+    * one). `force = true` additionally skips the NDV cost gate — fire
+    * even when fresh stats prove the partial aggregate can't halve the
+    * shuffle (the owner knows better, e.g. a filter makes the sketch's
+    * table-level view irrelevant).
     */
-  def enableFor(table: String): Unit = enabledTables.add(norm(table))
+  def enableFor(table: String): Unit = enableFor(table, force = false)
 
-  private[graft] def clearEnabled(): Unit = enabledTables.clear()
+  def enableFor(table: String, force: Boolean): Unit =
+    enableFor(SparkSession.active, table, force)
+
+  def enableFor(spark: SparkSession, table: String, force: Boolean): Unit =
+    registryOf(spark).put(norm(table), java.lang.Boolean.valueOf(force))
+
+  private[graft] def clearEnabled(): Unit =
+    registries.synchronized { registries.clear() }
 
   def install(spark: SparkSession): Unit = synchronized {
     if (!spark.experimental.extraOptimizations.contains(this))
@@ -81,7 +118,7 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (enabledTables.isEmpty ||
+    if (activeRegistry.forall(_.isEmpty) ||
         conf.getConfString(FlagKey, "true") != "true") plan
     else plan.transformDown {
       // attr-only Projects between the Aggregate and the Join (column
@@ -185,6 +222,7 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper
         .foldLeft(Seq.empty[AttributeReference]) { (acc, at) =>
           if (acc.exists(_.exprId == at.exprId)) acc else acc :+ at
         }
+      if (!worthIt(fact, partialGroup)) return None
       val partialAgg = Aggregate(partialGroup,
         partialGroup ++ partials.flatMap(_._2), fact)
       val rewrittenAe = a.aggregateExpressions.map { ne =>
@@ -204,20 +242,64 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper
     * Filters) of an opted-in snapshot table. An already-aggregated side
     * never matches, so the rewrite cannot re-fire on its own output.
     */
-  private def isEnabledFact(p: LogicalPlan): Boolean = p match {
+  private def isEnabledFact(p: LogicalPlan): Boolean =
+    enabledFact(p).isDefined
+
+  /** The opted-in snapshot relation under `p`, with its force flag. */
+  private def enabledFact(p: LogicalPlan)
+      : Option[(SnapshotFileIndex, LogicalRelation, Boolean)] = p match {
     case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-      isEnabledFact(c)
-    case Filter(cond, c) if cond.deterministic => isEnabledFact(c)
+      enabledFact(c)
+    case Filter(cond, c) if cond.deterministic => enabledFact(c)
     case l: LogicalRelation if !l.isStreaming => l.relation match {
       case fs: HadoopFsRelation => fs.location match {
         case idx: SnapshotFileIndex =>
-          enabledTables.contains(norm(idx.tablePath))
-        case _ => false
+          activeRegistry.flatMap(r => Option(r.get(norm(idx.tablePath))))
+            .map(f => (idx, l, f.booleanValue()))
+        case _ => None
       }
-      case _ => false
+      case _ => None
     }
-    case _ => false
+    case _ => None
   }
+
+  /** NDV cost gate over the partial-group columns: fire only when the
+    * exact sketches PROVE `∏ ndv(partial-group cols) ≤ fact rows / 2`
+    * — i.e. the partial aggregate at least halves what crosses the
+    * join shuffle. The sketches are valid as an upper bound because
+    * the planned files are a subset of the analyzed live set
+    * ([[graft.sources.TableStats.boundDistinct]]'s contract). A column
+    * without a fresh sketch keeps the owner's opt-in (this gate
+    * declines PROVEN-bad rewrites; it never demands proof to fire —
+    * the opt-in already states the table is the big one), and
+    * `force = true` skips the gate. Note the row count is the TABLE's:
+    * under a fact-side filter the true reduction can be smaller than
+    * proven — the same table-level-stats approximation every
+    * stats-fed optimizer makes (and why force exists).
+    */
+  private def worthIt(fact: LogicalPlan,
+                      partialGroup: Seq[AttributeReference]): Boolean =
+    enabledFact(fact) match {
+      case None => false // unreachable: attempt() checked isEnabledFact
+      case Some((_, _, true)) => true
+      case Some((idx, rel, false)) =>
+        val entries = idx.fileEntries
+        if (entries.isEmpty || entries.exists(_.rows <= 0L)) return true
+        val rows = entries.map(_.rows).sum
+        val planned = entries.map(_.path)
+        val spark = SparkSession.active
+        val ndvs = partialGroup.map { at =>
+          rel.output.find(_.exprId == at.exprId).map(_.name).flatMap { n =>
+            graft.sources.TableStats.boundDistinct(
+              spark, idx.tablePath, n, planned)
+          }
+        }
+        if (ndvs.exists(_.isEmpty)) true // no proof -> declaration stands
+        else {
+          val groups = ndvs.flatten.map(BigInt(_)).product.min(BigInt(rows))
+          groups * 2 <= BigInt(rows)
+        }
+    }
 
   // ------------------------------------------------------------------
   // driver query: revenue-by-dim-attribute over a snapshot lineitem

@@ -71,17 +71,45 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
   // MaterializedView's): norm'd table path → declared key column SETS
   // (a single-column key is a one-element set; a composite key is
   // unique only as a whole).
-  private val uniqueKeys =
-    new java.util.concurrent.ConcurrentHashMap[String, Set[Set[String]]]()
+  // SESSION-SCOPED carrier: two sessions sharing a JVM see only their
+  // own declarations (a constraint is trusted per tenant, not per
+  // process; the persisted tag ledger + loadDeclarations is the
+  // cross-session path). Weak keys let a dropped session's registry be
+  // collected.
+  private final class Registry {
+    val uniqueKeys =
+      new java.util.concurrent.ConcurrentHashMap[String, Set[Set[String]]]()
+    // (factTable, fkCol) → (dimTable, pkCol)
+    val foreignKeys =
+      new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+  }
+
+  private val registries =
+    new java.util.WeakHashMap[SparkSession, Registry]()
+
+  private def registryOf(spark: SparkSession): Registry =
+    registries.synchronized {
+      registries.computeIfAbsent(spark, _ => new Registry)
+    }
+
+  // rule-side lookups resolve the ACTIVE session's registry (rules run
+  // under the owning session's planner); no session → no declarations
+  private def activeRegistry: Option[Registry] = {
+    val s = SparkSession.getActiveSession
+    if (s.isEmpty) None
+    else registries.synchronized { Option(registries.get(s.get)) }
+  }
 
   private def declaredKeys(table: String): Set[Set[String]] =
-    uniqueKeys.getOrDefault(table, Set.empty)
+    activeRegistry.map(_.uniqueKeys.getOrDefault(table, Set.empty))
+      .getOrElse(Set.empty)
 
   private def singleKeyDeclared(table: String, col: String): Boolean =
     declaredKeys(table).contains(Set(col))
-  // (factTable, fkCol) → (dimTable, pkCol)
-  private val foreignKeys =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+
+  private def foreignKeyOf(factTable: String,
+                           fkCol: String): Option[(String, String)] =
+    activeRegistry.flatMap(r => Option(r.foreignKeys.get((factTable, fkCol))))
 
   private def norm(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.toString
@@ -123,7 +151,7 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
       require(dup,
         s"declareUniqueKey: $table(${cols.mkString(",")}) has duplicates")
     }
-    uniqueKeys.compute(norm(table),
+    registryOf(spark).uniqueKeys.compute(norm(table),
       (_, old) => Option(old).getOrElse(Set.empty) + cols.toSet)
     if (persist) {
       require(cols.forall(c => !c.contains("@") && !c.contains(",")),
@@ -145,7 +173,8 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
                         dimTable: String, pkCol: String,
                         validate: Boolean = false,
                         persist: Boolean = false): Unit = {
-    require(singleKeyDeclared(norm(dimTable), pkCol),
+    require(registryOf(spark).uniqueKeys
+      .getOrDefault(norm(dimTable), Set.empty).contains(Set(pkCol)),
       s"declareForeignKey: declare $dimTable.$pkCol unique first")
     if (validate) {
       val orphans = SnapshotTable.read(spark, factTable)
@@ -156,7 +185,8 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
       require(orphans,
         s"declareForeignKey: $factTable.$fkCol has values absent from $dimTable.$pkCol")
     }
-    foreignKeys.put((norm(factTable), fkCol), (norm(dimTable), pkCol))
+    registryOf(spark).foreignKeys
+      .put((norm(factTable), fkCol), (norm(dimTable), pkCol))
     if (persist) {
       require(!fkCol.contains("@") && !pkCol.contains("@"),
         "declareForeignKey: '@' in a column name is not representable " +
@@ -172,21 +202,22 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
     * elimination only once the referenced dim table's own declarations
     * are loaded too (the pk-uniqueness half lives on the dim).
     */
-  def loadDeclarations(spark: SparkSession, table: String): Unit =
+  def loadDeclarations(spark: SparkSession, table: String): Unit = {
+    val reg = registryOf(spark)
     SnapshotTable.currentTags(spark, table).foreach {
       case UniqTag(cols) =>
-        uniqueKeys.compute(norm(table),
+        reg.uniqueKeys.compute(norm(table),
           (_, old) => Option(old).getOrElse(Set.empty) +
             cols.split(",").toSet)
       case FkTag(fkCol, pkCol, dim) =>
-        foreignKeys.put((norm(table), fkCol), (dim, pkCol))
+        reg.foreignKeys.put((norm(table), fkCol), (dim, pkCol))
       case _ => ()
     }
-
-  /** Drop all declarations (test isolation). */
-  private[graft] def clearDeclarations(): Unit = {
-    uniqueKeys.clear(); foreignKeys.clear()
   }
+
+  /** Drop all declarations in every session (test isolation). */
+  private[graft] def clearDeclarations(): Unit =
+    registries.synchronized { registries.clear() }
 
   /** Idempotently append the rule to the session's experimental
     * optimizer batch (fixed point, after the main operator batch — by
@@ -200,7 +231,8 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (uniqueKeys.isEmpty || conf.getConfString(FlagKey, "true") != "true") plan
+    if (activeRegistry.forall(_.uniqueKeys.isEmpty) ||
+        conf.getConfString(FlagKey, "true") != "true") plan
     else plan.transformDown {
       // semi/anti joins define their own output (= the left side), so
       // they need no parent gating: EXISTS/IN subqueries land here
@@ -468,7 +500,7 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
     // from a snapshot relation of a table declared to reference
     // (dimTable, pkName)
     val factTable = provenance(fact, fa).getOrElse(return None)
-    Option(foreignKeys.get((factTable, fa.name))) match {
+    foreignKeyOf(factTable, fa.name) match {
       case Some((dt, pc)) if dt == dimTable && pc == pkName => ()
       case _ => return None
     }

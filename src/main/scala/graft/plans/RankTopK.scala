@@ -26,24 +26,48 @@ import graft.sources.{RankStats, SnapshotFileIndex}
   * `cum(j) ≥ k ⇒ at least k rows ≤ values(j)` — the k smallest all
   * survive the filter, and the Sort+Limit above it picks exactly the
   * same rows. DESC additionally needs the span property (rows counted
-  * ABOVE a point must provably lie above it), so a delta-merged
-  * summary serves ASC but refuses DESC until the next full analyze.
+  * ABOVE a point must provably lie above it) — held per-SEGMENT by
+  * both analyze output and the delta refresh's span-preserving
+  * segments ([[graft.sources.RankStats.SegmentView.descThreshold]]),
+  * so both directions stay armed at ingest cadence; only a legacy
+  * merged summary refuses DESC.
   *
-  * Refusals, never guesses: fires only on a fingerprint-fresh,
-  * mask-free sidecar for EXACTLY the planned file list; only when the
-  * relation under the Sort is bare (any user Filter changes which rows
-  * compete for the top-k and the table-wide threshold is no longer a
-  * proof); only on single-table numeric sort columns with ≥ k
-  * summarized rows. Null ordering is honored (a NULLS FIRST top-k
-  * keeps its nulls via an `OR IS NULL` arm — the summary counts
-  * non-null rows only); NaNs sort greatest in Spark and compare
-  * greatest too, so a DESC threshold keeps them.
+  * SECOND PROOF TIER — per-file stats. The manifest already carries
+  * (lo, hi, nulls, rows) per file for every stats column, and those
+  * prove a threshold over ANY file subset: sort the subset's files by
+  * `hi`, accumulate non-null rows until ≥ k — every counted row is ≤
+  * its file's hi ≤ the last hi, so that hi is a proven ASC threshold
+  * (DESC mirrors with lo, descending). This tier (a) serves tables
+  * with NO rank sidecar at all (clustered layout + statsCols is
+  * enough), (b) never goes stale (the stats are pinned in the planned
+  * manifest itself), and (c) — the real win — survives a FILTER, the
+  * shape the sidecar can never serve (a table-wide summary says
+  * nothing about the filtered subpopulation): when every conjunct
+  * under the Sort is a partition-value equality/IN, the files whose
+  * partition stamp satisfies ALL of them contain ONLY passing rows,
+  * so the accumulation over exactly those files proves the filtered
+  * top-k's threshold. `WHERE part = X ORDER BY col LIMIT k` then
+  * file-prunes like the bare shape. The sidecar tier is preferred
+  * when fresh (its threshold is rank-tight; file-hi can be coarse on
+  * an unclustered layout); the stats tier is the fallback and the
+  * only filtered path.
+  *
+  * Refusals, never guesses: a non-partition (or non-whole-file)
+  * filter conjunct refuses; a masked read (pending deletes) never
+  * exposes the bare relation shape at all; fewer than k provable rows
+  * refuses; a LongType sort column whose stat/summary values reach
+  * 2^53 refuses (lossy double image). Null ordering is honored (a
+  * NULLS FIRST top-k keeps its nulls via an `OR IS NULL` arm — both
+  * tiers count non-null rows only); NaNs sort greatest in Spark and
+  * compare greatest too, so a DESC threshold keeps them (a file whose
+  * hi is NaN sorts last in the ASC accumulation and everything is ≤
+  * NaN in Spark's ordering — sound, merely unprunable).
   *
   * Install per session via [[install]] or globally via
   * `spark.sql.extensions=graft.GraftExtensions`; disable with
   * `spark.graft.snapshot.rankTopK=false`.
   */
-object RankTopK extends Rule[LogicalPlan] {
+object RankTopK extends Rule[LogicalPlan] with PredicateHelper {
 
   private val FlagKey = "spark.graft.snapshot.rankTopK"
 
@@ -66,52 +90,47 @@ object RankTopK extends Rule[LogicalPlan] {
         }
     }
 
+  private val Pow53 = 9007199254740992.0 // 2^53: doubles stop being exact
+
   /** Prove a threshold predicate for the top-`k` by `attr` over
-    * `child`, or None. `child` must peel through bare Projects to an
-    * unfiltered snapshot relation whose rank sidecar describes exactly
-    * its planned files.
+    * `child`, or None. `child` peels through bare Projects and
+    * deterministic Filters to a snapshot relation; an unfiltered
+    * relation is served by the rank sidecar (tight) or per-file stats
+    * (fallback); a filter is served ONLY by per-file stats over the
+    * files its partition-equality conjuncts provably keep whole.
     */
   private def thresholdFor(child: LogicalPlan, attr: AttributeReference,
                            dir: SortDirection, nulls: NullOrdering,
                            k: Int): Option[Expression] = {
     if (!attr.dataType.isInstanceOf[NumericType]) return None
-    // a re-run over our own output sees the injected Filter and
-    // refuses here — the rewrite is convergent under a fixpoint batch
-    def walk(p: LogicalPlan): Option[(SnapshotFileIndex, LogicalRelation)] =
+    // a re-run over our own output sees the injected (non-partition)
+    // Filter conjunct and refuses — convergent under a fixpoint batch
+    def walk(p: LogicalPlan, conj: Seq[Expression])
+        : Option[(SnapshotFileIndex, LogicalRelation, Seq[Expression])] =
       p match {
         case Project(ps, ch) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-          walk(ch)
+          walk(ch, conj)
+        case Filter(cond, ch) if cond.deterministic =>
+          walk(ch, conj ++ splitConjunctivePredicates(cond))
         case l: LogicalRelation if !l.isStreaming => l.relation match {
           case fs: HadoopFsRelation => fs.location match {
-            case i: SnapshotFileIndex => Some((i, l))
+            case i: SnapshotFileIndex => Some((i, l, conj))
             case _ => None
           }
           case _ => None
         }
         case _ => None
       }
-    val (idx, rel) = walk(child).getOrElse(return None)
+    val (idx, rel, conj) = walk(child, Nil).getOrElse(return None)
     val name = rel.output.find(_.exprId == attr.exprId)
       .map(_.name).getOrElse(return None)
-    val spark = SparkSession.active
-    val planned = idx.fileEntries.map(_.path)
-    val s = RankStats.summaryFor(spark, idx.tablePath, name, planned)
-      .getOrElse(return None)
-    if (s.n < k) return None
-    val cum = s.weights.scanLeft(0L)(_ + _).drop(1)
-    val bound: Option[Double] = dir match {
-      case Ascending =>
-        // smallest point with cum >= k: at least k rows <= its value
-        val j = cum.indexWhere(_ >= k)
-        if (j < 0) None else Some(s.values(j))
-      case Descending =>
-        // spans needed: rows counted ABOVE point j are provably > it
-        if (!s.spans) None
-        else {
-          val j = cum.lastIndexWhere(_ <= s.n - k)
-          if (j < 0) None else Some(s.values(j))
-        }
-    }
+    val bound: Option[Double] =
+      if (conj.isEmpty)
+        sidecarBound(idx, name, attr.dataType, dir, k)
+          .orElse(fileStatsBound(idx.fileEntries, name, attr.dataType, dir, k))
+      else
+        wholePassEntries(idx, rel, conj)
+          .flatMap(fileStatsBound(_, name, attr.dataType, dir, k))
     bound.flatMap { v =>
       numericLiteral(v, attr.dataType).map { lit =>
         val cmp: Expression = dir match {
@@ -119,8 +138,133 @@ object RankTopK extends Rule[LogicalPlan] {
           case Descending => GreaterThanOrEqual(attr, lit)
         }
         // a top-k whose null ordering puts nulls FIRST owns its null
-        // rows; the summary never counted them, so keep them explicitly
+        // rows; both proof tiers count non-null rows only, so keep
+        // the nulls explicitly
         if (nulls == NullsFirst) Or(cmp, IsNull(attr)) else cmp
+      }
+    }
+  }
+
+  /** Tier 1: the rank sidecar, iff fingerprint-fresh and mask-free for
+    * exactly the planned file list.
+    */
+  private def sidecarBound(idx: SnapshotFileIndex, name: String,
+                           dt: DataType, dir: SortDirection,
+                           k: Int): Option[Double] = {
+    val spark = SparkSession.active
+    val planned = idx.fileEntries.map(_.path)
+    val view = RankStats.segmentsFor(spark, idx.tablePath, name, planned)
+      .getOrElse(return None)
+    if (view.n < k) return None
+    // long columns beyond 2^53: summary values are lossy long->double
+    // casts, so double(x) can round DOWN onto the served threshold
+    // while the true x exceeds v.toLong — the injected filter would
+    // cut a genuine top-k row. The literal's own round-trip check
+    // cannot see this (it validates the threshold, not the column
+    // values it stands for), so refuse outright.
+    if (dt == LongType &&
+        view.segs.exists(_.values.exists(v => math.abs(v) >= Pow53)))
+      return None
+    dir match {
+      // ≥ k rows proven ≤ v — sound on any segments (cum ≤ true rank)
+      case Ascending => view.ascThreshold(k)
+      // ≥ k rows proven ≥ v — needs every segment's span property
+      // (held by analyze output AND delta-refresh segments; only a
+      // legacy merged summary refuses)
+      case Descending => view.descThreshold(k)
+    }
+  }
+
+  /** Tier 2: per-file (lo, hi, nulls, rows) from the planned manifest
+    * entries themselves — valid for any subset, never stale. ASC:
+    * ascending by hi, accumulate non-null rows to k, threshold = the
+    * closing hi (every counted row ≤ its hi ≤ threshold). DESC:
+    * descending by lo, threshold = the closing lo. A file without
+    * recorded stats or an exact null count for the column simply
+    * contributes nothing (its rows may still pass the final filter —
+    * soundness needs only ≥ k provable rows, not all of them).
+    */
+  private def fileStatsBound(entries: Seq[graft.sources.SnapshotTable.FileEntry],
+                             name: String, dt: DataType, dir: SortDirection,
+                             k: Int): Option[Double] = {
+    val known = entries.flatMap { e =>
+      e.stats.find(_.col == name).flatMap { s =>
+        if (s.nulls < 0L || e.rows <= 0L) None
+        else Some((s.lo, s.hi, e.rows - s.nulls)).filter(_._3 > 0L)
+      }
+    }
+    if (known.isEmpty) return None
+    // the same 2^53 lossy-double refusal as the sidecar tier: lo/hi
+    // are double casts of the column's values
+    if (dt == LongType && known.exists(t =>
+        math.abs(t._1) >= Pow53 || math.abs(t._2) >= Pow53))
+      return None
+    val ordered = dir match {
+      case Ascending  => known.sortBy(_._2)
+      case Descending => known.sortBy(t => -t._1)
+    }
+    var acc = 0L
+    var i = 0
+    while (i < ordered.length) {
+      acc += ordered(i)._3
+      if (acc >= k)
+        return Some(if (dir == Ascending) ordered(i)._2 else ordered(i)._1)
+      i += 1
+    }
+    None
+  }
+
+  /** The planned entries whose rows ALL pass every conjunct — provable
+    * only when each conjunct is an equality/IN between the file's OWN
+    * partition column and string literals, and the entry's partition
+    * stamp values all belong to the literal set. Any other conjunct
+    * shape refuses (None): the accumulation must count only rows that
+    * pass the user's filter.
+    */
+  private def wholePassEntries(idx: SnapshotFileIndex, rel: LogicalRelation,
+                               conj: Seq[Expression])
+      : Option[Seq[graft.sources.SnapshotTable.FileEntry]] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    def lit(e: Expression): Option[String] = e match {
+      case Literal(s: UTF8String, StringType) => Some(s.toString)
+      case _ => None
+    }
+    def keep(acc: Seq[graft.sources.SnapshotTable.FileEntry],
+             a: AttributeReference, vals: Set[String])
+        : Option[Seq[graft.sources.SnapshotTable.FileEntry]] = {
+      val colName = rel.output.find(_.exprId == a.exprId).map(_.name)
+        .getOrElse(return None)
+      Some(acc.filter(e =>
+        e.effPartCol(idx.defaultPartCol).contains(colName) &&
+          e.parts.exists(ps => ps.nonEmpty && ps.forall(vals.contains))))
+    }
+    // the optimizer derives `isnotnull(p)` next to `p = 'x'`; it is
+    // implied (whole-file equality on non-null literals ⇒ non-null),
+    // so admit it exactly when an equality/IN on the same attribute
+    // is ALSO present — a bare IS NOT NULL proves nothing about a
+    // file's partition stamp and refuses
+    val isNotNullIds = conj.collect {
+      case IsNotNull(a: AttributeReference) => a.exprId }
+    val eqIds = conj.collect {
+      case EqualTo(a: AttributeReference, l) if lit(l).isDefined => a.exprId
+      case EqualTo(l, a: AttributeReference) if lit(l).isDefined => a.exprId
+      case In(a: AttributeReference, ls) if ls.nonEmpty &&
+        ls.forall(lit(_).isDefined) => a.exprId
+    }.toSet
+    if (!isNotNullIds.forall(eqIds.contains)) return None
+    conj.foldLeft(Option(idx.fileEntries)) { (accOpt, c) =>
+      accOpt.flatMap { acc =>
+        c match {
+          case EqualTo(a: AttributeReference, l) if lit(l).isDefined =>
+            keep(acc, a, Set(lit(l).get))
+          case EqualTo(l, a: AttributeReference) if lit(l).isDefined =>
+            keep(acc, a, Set(lit(l).get))
+          case In(a: AttributeReference, ls) if ls.nonEmpty &&
+              ls.forall(lit(_).isDefined) =>
+            keep(acc, a, ls.flatMap(lit).toSet)
+          case IsNotNull(_: AttributeReference) => Some(acc) // implied
+          case _ => None
+        }
       }
     }
   }

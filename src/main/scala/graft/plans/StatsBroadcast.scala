@@ -38,8 +38,10 @@ import graft.sources.{SnapshotFileIndex, TableStats}
   *    a PROVEN upper bound (files the conservative `mayMatch` cannot
   *    exclude; the broadcast build contains only the filtered rows of
   *    those files, so it is never larger than the measured total);
-  *  - an existing strategy hint on the side wins unconditionally (a
-  *    user's NO_BROADCAST_HASH / SHUFFLE_MERGE is never overridden);
+  *  - an existing strategy hint on EITHER side pins the join: a user's
+  *    NO_BROADCAST_HASH / SHUFFLE_MERGE is never overridden, including
+  *    indirectly (a broadcast hint injected on the opposite side would
+  *    outrank a merge hint in JoinSelection);
   *  - threshold <= 0 (auto-broadcast disabled) disables the rule;
   *  - only a bare snapshot relation under Filter/Project chains is
   *    sized — joins, masked (pending-delete) reads, aggregates, or
@@ -72,10 +74,16 @@ object StatsBroadcast extends Rule[LogicalPlan] with PredicateHelper {
     val threshold = conf.autoBroadcastJoinThreshold
     if (threshold <= 0 || conf.getConfString(FlagKey, "true") != "true") plan
     else plan.transformUp {
-      case j: Join =>
+      // a user strategy hint on EITHER side pins the whole join's
+      // strategy choice: injecting a broadcast hint on the other side
+      // would outrank it in JoinSelection (broadcast hints are checked
+      // first), silently overriding an explicit SHUFFLE_MERGE /
+      // SHUFFLE_HASH — e.g. a deliberately salted skew join must stay
+      // a shuffle join or the salt is pure overhead
+      case j: Join if !j.hint.leftHint.exists(_.strategy.isDefined) &&
+          !j.hint.rightHint.exists(_.strategy.isDefined) =>
         def hinted(side: LogicalPlan, h: Option[HintInfo]): Option[HintInfo] =
-          if (h.exists(_.strategy.isDefined)) h
-          else prunedBytes(side) match {
+          prunedBytes(side) match {
             case Some(b) if b <= threshold =>
               Some(h.getOrElse(HintInfo()).copy(strategy = Some(BROADCAST)))
             case _ => h
@@ -145,17 +153,32 @@ object StatsBroadcast extends Rule[LogicalPlan] with PredicateHelper {
       case _          => None
     }
     // a comparison against a wider literal wraps the column in a
-    // numeric-widening Cast — value-preserving in double space, so the
-    // summary's cast-to-double ranks still apply to the bare column
+    // numeric Cast; only a VALUE-PRESERVING widening may be unwrapped —
+    // the recorded range must hold on the BARE column's double image. A
+    // narrowing/rounding cast breaks the proof in both directions:
+    // CAST(doubleCol AS INT) <= 5 admits doubleCol = 5.9, and
+    // CAST(longCol AS DOUBLE) / CAST(intCol AS FLOAT) round at
+    // magnitude (2^53 / 2^24), so rows the rank bound never counted
+    // could pass the predicate and the "proven upper bound" would
+    // under-count — hinting a broadcast of a side far over threshold.
     object NumAttr {
+      def preserving(from: DataType, to: DataType): Boolean = (from, to) match {
+        case (ByteType, ShortType | IntegerType | LongType | FloatType |
+                        DoubleType) => true
+        case (ShortType, IntegerType | LongType | FloatType | DoubleType) => true
+        // int -> float rounds above 2^24; long -> float/double above
+        // 2^53 — excluded even though Spark calls them up-casts
+        case (IntegerType, LongType | DoubleType) => true
+        case (FloatType, DoubleType) => true
+        case _ => false
+      }
       def unapply(e: Expression): Option[AttributeReference] = e match {
         case a: AttributeReference => Some(a)
-        case c: Cast if c.dataType.isInstanceOf[NumericType] =>
-          c.child match {
-            case a: AttributeReference
-              if a.dataType.isInstanceOf[NumericType] => Some(a)
-            case _ => None
-          }
+        case c: Cast => c.child match {
+          case a: AttributeReference
+            if preserving(a.dataType, c.dataType) => Some(a)
+          case _ => None
+        }
         case _ => None
       }
     }

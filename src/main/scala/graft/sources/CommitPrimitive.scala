@@ -28,13 +28,15 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *     [[CommitPrimitive.ConditionalPut]] wrapping the SDK call.
   *
   * Dispatch is by URI scheme ([[CommitPrimitive.forScheme]]):
-  * `file` → HardLink; anything unregistered → RenameNoReplace, which
-  * is CORRECT on HDFS-semantics filesystems and the historical
-  * behavior everywhere else. A store whose rename replaces MUST
-  * register a conditional-put (or lock-service) primitive before
-  * multi-writer use — CommitPrimitiveSpec pins the lost-commit
-  * interleaving that exists+rename permits on such a store and proves
-  * a registered conditional put rejects it.
+  * `file` → HardLink; the object-store schemes (`s3a`/`gs`/`abfs`/…)
+  * → [[CommitPrimitive.LeasePut]], a reference lease/lock-file
+  * election built on the plain FileSystem API — multi-writer SAFE out
+  * of the box, upgradeable to the store SDK's conditional put where
+  * one is available (see LeasePut's caveats); anything else →
+  * RenameNoReplace, which is CORRECT on HDFS-semantics filesystems.
+  * CommitPrimitiveSpec pins the lost-commit interleaving that
+  * exists+rename permits on a replace-on-rename store and proves both
+  * a registered conditional put AND the lease election reject it.
   */
 trait CommitPrimitive {
   /** Publish `tmp` at `target` iff absent. True = this writer owns
@@ -92,8 +94,99 @@ object CommitPrimitive {
     }
   }
 
+  /** Reference LEASE/LOCK-FILE primitive for stores with neither an
+    * atomic create-exclusive nor a no-replace rename, built from the
+    * three operations every `FileSystem` has — unique-name write,
+    * strongly-consistent list, delete. The PROPOSAL-ELECTION
+    * construction (the file-only cousin of Iceberg/Hudi lock
+    * providers):
+    *
+    *  1. refuse when `target` already exists;
+    *  2. write a unique proposal `.props-<target>/<token>` (token =
+    *     zero-padded wall-clock millis + '.' + UUID: unique and
+    *     time-ordered);
+    *  3. list the proposal dir. Proposals older than `leaseMs` are
+    *     DEAD WINNERS (crashed between election and publish) — reap
+    *     them. Win ONLY when no other live proposal carries a
+    *     timestamp ≤ ours (strictly-earliest-visible — NOT smallest
+    *     token: a late proposer with a same-millisecond smaller UUID
+    *     must lose, or two writers could both see themselves elected);
+    *  4. winner re-checks the target, renames tmp onto it (replace
+    *     semantics are safe under exclusivity) and deletes its
+    *     proposal; every loser deletes its proposal and returns false
+    *     into the caller's conflict/retry path.
+    *
+    * Exclusivity argument (single clock domain): if B's put-then-list
+    * completed before A's put, then A's list — which linearizes after
+    * A's put on a strongly-consistent store (S3 is since 2020,
+    * GCS/ABFS always were) — sees B's proposal, whose timestamp was
+    * taken before B's put and is therefore ≤ A's; A loses. If neither
+    * completed before the other's put, both lists see both proposals
+    * and the ≤ rule elects at most one. An all-lose round (same-ms
+    * tie) is livelock-safe: everyone returns false, the commit layer
+    * retries, the next round re-elects.
+    *
+    * CAVEATS — why a registered store-native conditional put
+    * ([[ConditionalPut]]) is still strictly better where an SDK is
+    * available: the fence is a LEASE CLOCK, not a server token. A
+    * winner paused longer than `leaseMs` between election and rename
+    * can be reaped and double-publish over its successor (the
+    * re-check narrows that window to one rename but cannot close it),
+    * and wall-clock skew between writers erodes the ≤ comparison —
+    * size `leaseMs` far above worst-case pause plus skew.
+    */
+  final class LeasePut(leaseMs: Long = 60000L) extends CommitPrimitive {
+    require(leaseMs > 0, s"LeasePut: leaseMs must be positive, got $leaseMs")
+
+    private def tsOf(name: String): Long =
+      try name.takeWhile(_ != '.').toLong
+      catch { case _: NumberFormatException => Long.MaxValue }
+
+    def publish(f: FileSystem, tmp: Path, target: Path): Boolean = {
+      if (f.exists(target)) return false
+      val propDir = new Path(target.getParent, s".props-${target.getName}")
+      val myTs = System.currentTimeMillis()
+      val token = f"$myTs%020d.${java.util.UUID.randomUUID()}"
+      val prop = new Path(propDir, token)
+      f.mkdirs(propDir)
+      val out = f.create(prop, false)
+      try out.write(Array.emptyByteArray) finally out.close()
+      val names =
+        try f.listStatus(propDir).map(_.getPath.getName).toSeq
+        catch {
+          // dir already gone: a winner published AND cleaned up since
+          // our exists check — the target re-check below settles it
+          case _: java.io.FileNotFoundException => Seq(token)
+        }
+      val now = System.currentTimeMillis()
+      val (stale, live) = names.partition(n =>
+        n != token && now - tsOf(n) > leaseMs)
+      stale.foreach(n => f.delete(new Path(propDir, n), false))
+      val won = live.forall(n => n == token || tsOf(n) > myTs)
+      if (!won) { f.delete(prop, false); return false }
+      if (f.exists(target)) { f.delete(prop, false); return false }
+      val ok = f.rename(tmp, target)
+      f.delete(prop, false)
+      try if (f.listStatus(propDir).isEmpty) f.delete(propDir, false)
+      catch { case _: java.io.IOException => () }
+      ok
+    }
+  }
+
+  object LeasePut {
+    /** Shared default (60 s lease) — the out-of-the-box registration
+      * for object-store schemes.
+      */
+    val Default = new LeasePut()
+  }
+
+  // object-store schemes default to the lease election: SAFE for
+  // multi-writer out of the box (exists+rename was not), upgradeable
+  // to the store SDK's conditional put via register()
   @volatile private var registry: Map[String, CommitPrimitive] =
-    Map("file" -> HardLink)
+    Map("file" -> HardLink) ++
+      Seq("s3a", "s3", "s3n", "gs", "abfs", "abfss", "oss", "wasb", "wasbs")
+        .map(_ -> LeasePut.Default)
 
   /** Register the commit primitive for a URI scheme (e.g. `"s3a"` →
     * a [[ConditionalPut]] over the store SDK). Replaces any previous

@@ -29,12 +29,17 @@ import graft.{QueryPack, Tables}
   *    points to the driver. Never a global sort, never a value map
   *    held in memory ([[org.apache.spark.sql.functions.percentile]]'s
   *    OpenHashMap shape dies on high-cardinality columns at scale).
-  *  - [[merge]]: value-ordered concatenation + re-compression. Merged
-  *    summaries cover OVERLAPPING ranges, so error budgets ADD
-  *    (`errRows` is the proof-carrying term); re-compression to `m`
-  *    points adds its own `⌈W/m⌉`. The append-window [[refresh]] stays
-  *    O(Δ) and the budget says exactly how much precision it cost;
-  *    [[analyze]] resets the budget to `⌈n/m⌉`.
+  *  - [[refresh]] (append window): summarize ONLY the fresh files into
+  *    a new per-column SEGMENT — O(Δ) — and serve across segments
+  *    through [[SegmentView]]. Segments cover OVERLAPPING ranges, so
+  *    error budgets ADD at lookup (`errRows` is the proof-carrying
+  *    term), but each segment keeps the span property, so the
+  *    span-gated proofs (DESC top-k threshold, range row bounds)
+  *    survive delta refresh. A column at `maxSegments` compacts via
+  *    one full [[analyze]], resetting the budget to `⌈n/m⌉`.
+  *  - [[merge]]: value-ordered concatenation + re-compression into ONE
+  *    summary — kept for external callers that need a single point
+  *    list; it records `spans = false` and is NOT what refresh uses.
   *  - n ≤ m is the EXACT regime: every point has weight 1, the summary
   *    IS the sorted column, quantiles are exact order statistics.
   *
@@ -150,9 +155,106 @@ object RankStats extends QueryPack {
     }
   }
 
-  /** Sidecar payload (same validity evidence as the NDV tier). */
+  /** Sidecar payload (same validity evidence as the NDV tier). A column
+    * may appear MORE THAN ONCE: each entry is a value-overlapping but
+    * internally span-sound SEGMENT ([[refresh]] appends one per
+    * append window instead of merging — merging would destroy the span
+    * property and turn the DESC top-k / range-bound optimizations off
+    * at exactly the ingest cadence they were built for). Serve-time
+    * consumers combine a column's segments through [[SegmentView]].
+    */
   final case class RankFile(version: Long, filesFp: String, delFp: String,
                             summaries: Seq[RankSummary])
+
+  /** Serve-time view over one column's SEGMENTS. Segments cover
+    * overlapping value ranges (each append window resummarizes only its
+    * own rows), so per-segment rank errors ADD at lookup — but each
+    * segment KEEPS its span property, which is what lets the proofs
+    * ([[rangeUpper]], [[descThreshold]]) survive delta refresh: a
+    * per-segment exact bound summed over segments is still exact
+    * arithmetic, where a merged point list would have to refuse.
+    */
+  final case class SegmentView(segs: Seq[RankSummary]) {
+    require(segs.nonEmpty, "segment view over no segments")
+    val n: Long = segs.map(_.n).sum
+    val errRows: Long = segs.map(_.errRows).sum
+    def spansAll: Boolean = segs.forall(_.spans)
+
+    /** The flattened point list as ONE summary — correct for rank
+      * lookups (quantile/histogram walk cumulative weights; a point's
+      * rows are always ≤ its value, segments or not) and marked
+      * span-less unless it is a single span-sound segment, so nobody
+      * can misuse it for span arithmetic.
+      */
+    lazy val flat: RankSummary =
+      if (segs.size == 1) segs.head
+      else {
+        val pts = segs.flatMap(s => s.values.zip(s.weights)).sortBy(_._1)
+        RankSummary(segs.head.col, segs.head.m, n, errRows,
+          pts.map(_._1).toArray, pts.map(_._2).toArray, spans = false)
+      }
+
+    /** PROVEN row upper bound for values in [lo, hi]: Σ of per-segment
+      * [[RankSummary.rangeUpper]] — every segment must hold the span
+      * property (a legacy merged segment refuses). An empty segment
+      * contributes 0.
+      */
+    def rangeUpper(lo: Option[Double], hi: Option[Double]): Option[Long] = {
+      if (!spansAll) return None
+      val parts = segs.map(s =>
+        if (s.n == 0L) Some(0L) else s.rangeUpper(lo, hi))
+      if (parts.exists(_.isEmpty)) None else Some(parts.flatten.sum)
+    }
+
+    /** Largest value `v` PROVEN to have ≥ k rows at-or-under it: walk
+      * the flattened cumulative weights (sound without spans — each
+      * counted row is ≤ some point ≤ v). Feeds the ASC top-k filter.
+      */
+    def ascThreshold(k: Long): Option[Double] = {
+      if (n < k) return None
+      val f = flat
+      var cum = 0L
+      var i = 0
+      while (i < f.values.length) {
+        cum += f.weights(i)
+        if (cum >= k) return Some(f.values(i))
+        i += 1
+      }
+      None
+    }
+
+    /** Largest value `v` PROVEN to have ≥ k rows at-or-over it — the
+      * DESC top-k filter. Needs the span property in EVERY segment:
+      * within a span segment, rows of points strictly after the first
+      * point ≥ v each exceed their predecessor's value (≥ v), so
+      * `G_seg(v) = n_seg − cum(first idx with value ≥ v)` rows are
+      * provably ≥ v; Σ over segments ≥ k proves the threshold.
+      * Candidates descend, G is non-decreasing as v falls, so the
+      * first hit is the largest provable threshold.
+      */
+    def descThreshold(k: Long): Option[Double] = {
+      if (!spansAll || n < k) return None
+      val cums = segs.map(_.weights.scanLeft(0L)(_ + _).drop(1))
+      def g(si: Int, v: Double): Long = {
+        val s = segs(si)
+        val idx = firstGe(s.values, v)
+        if (idx >= s.values.length) 0L else s.n - cums(si)(idx)
+      }
+      val cands = segs.flatMap(_.values).distinct
+        .sorted(Ordering[Double].reverse)
+      cands.find(v => segs.indices.map(g(_, v)).sum >= k)
+    }
+
+    private def firstGe(xs: Array[Double], v: Double): Int = {
+      var lo = 0
+      var hi = xs.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (xs(mid) >= v) hi = mid else lo = mid + 1
+      }
+      lo
+    }
+  }
 
   /** Deterministic slice count for a column of `n` rows: enough slices
     * that a local sort stays comfortable, few enough that tiny inputs
@@ -324,15 +426,31 @@ object RankStats extends QueryPack {
     rf
   }
 
-  /** Advance the sidecar to the current version: DELTA (summarize fresh
-    * files, merge — error budget grows and says so) when every commit
-    * since the recorded version only ADDED files; full [[analyze]]
-    * otherwise (a summary cannot subtract). Returns the published file
-    * and whether the delta path was taken.
+  /** Advance the sidecar to the current version: DELTA when every
+    * commit since the recorded version only ADDED files; full
+    * [[analyze]] otherwise (a summary cannot subtract). The delta path
+    * is SPAN-PRESERVING: the fresh files are summarized into a NEW
+    * per-column SEGMENT appended next to the recorded ones — never
+    * merged into them — so every segment keeps its span property and
+    * the span-gated optimizations (DESC rank-topk pushdown, quantile
+    * broadcast sizing) stay armed at ingest cadence. The budget story
+    * improves too: each serve pays Σ segment errRows (each
+    * `⌈n_seg/m⌉`), where the old merge path re-compressed the WHOLE
+    * point list (`⌈n_total/m⌉` added per refresh).
+    *
+    * A column reaching `maxSegments` triggers one full [[analyze]]
+    * instead (segment compaction) — O(table) once per `maxSegments`
+    * appends, amortized O(n/maxSegments) per tick, and it resets the
+    * budget to a single exact-spacing segment. Returns the published
+    * file and whether the delta path was taken.
     */
-  def refresh(spark: SparkSession, table: String): (RankFile, Boolean) = {
+  def refresh(spark: SparkSession, table: String,
+              maxSegments: Int = 8): (RankFile, Boolean) = {
+    require(maxSegments >= 1, s"refresh: maxSegments must be >= 1")
     val prev = readRanks(spark, table).getOrElse(
       sys.error(s"rank stats: $table has no recorded sidecar — run analyze"))
+    val cols = prev.summaries.map(_.col).distinct
+    def mOf = prev.summaries.headOption.map(_.m).getOrElse(1024)
     val cur = SnapshotTable.currentVersion(spark, table)
     if (cur == prev.version) (prev, true)
     else {
@@ -347,20 +465,28 @@ object RankStats extends QueryPack {
         TableStats.fingerprints(spark, table, prev.version)._1 == prev.filesFp
       if (appendOnly) {
         val freshEntries = newEntries.filterNot(e => oldPaths.contains(e.path))
-        val merged =
+        val segmented =
           if (freshEntries.isEmpty) prev.summaries
           else {
             val freshDf =
               SnapshotTable.readFiles(spark, table, freshEntries, hdr.schema)
-            prev.summaries.map(s => merge(s, summarize(freshDf, s.col, s.m)))
+            // one new segment per column; an all-null/empty window adds
+            // nothing (an empty segment proves nothing and costs a slot)
+            prev.summaries ++ cols.flatMap { c =>
+              val mc = prev.summaries.find(_.col == c).map(_.m).getOrElse(mOf)
+              Some(summarize(freshDf, c, mc)).filter(_.n > 0L)
+            }
           }
-        val (ffp, dfp) = TableStats.fingerprints(spark, table, cur)
-        val rf = RankFile(cur, ffp, dfp, merged)
-        writeRanks(spark, table, rf)
-        (rf, true)
+        if (cols.exists(c => segmented.count(_.col == c) > maxSegments))
+          (analyze(spark, table, cols, mOf), false)
+        else {
+          val (ffp, dfp) = TableStats.fingerprints(spark, table, cur)
+          val rf = RankFile(cur, ffp, dfp, segmented)
+          writeRanks(spark, table, rf)
+          (rf, true)
+        }
       } else
-        (analyze(spark, table, prev.summaries.map(_.col),
-          prev.summaries.headOption.map(_.m).getOrElse(1024)), false)
+        (analyze(spark, table, cols, mOf), false)
     }
   }
 
@@ -392,36 +518,68 @@ object RankStats extends QueryPack {
       if (rf.version != cur) None
       else if (TableStats.fingerprints(spark, table, cur) !=
         ((rf.filesFp, rf.delFp))) None
-      else rf.summaries.find(_.col == column)
-        .filter(_.n > 0L)
-        .map(s => (qs.map(s.quantile), s.errRows, s.n))
+      else {
+        val segs = rf.summaries.filter(s => s.col == column && s.n > 0L)
+        if (segs.isEmpty) None
+        else {
+          val view = SegmentView(segs)
+          Some((qs.map(view.flat.quantile), view.errRows, view.n))
+        }
+      }
+    }
+
+  /** Equi-depth histogram served WITH the same freshness proof as
+    * [[quantilesServed]]: fires only when the sidecar's version AND
+    * fingerprints match the table's CURRENT version. The current-version
+    * fingerprint check (not [[segmentsFor]]'s planned-path check) is
+    * load-bearing: a DELETE-only commit adds delete files without
+    * changing data paths, so a path fingerprint alone would still match
+    * and the histogram would silently include deleted rows. None when
+    * stale, missing, or the column was never analyzed.
+    */
+  def histogramServed(spark: SparkSession, table: String, column: String,
+                      buckets: Int): Option[Seq[(Double, Double, Long)]] =
+    readRanks(spark, table).flatMap { rf =>
+      val cur = SnapshotTable.currentVersion(spark, table)
+      if (rf.version != cur) None
+      else if (TableStats.fingerprints(spark, table, cur) !=
+        ((rf.filesFp, rf.delFp))) None
+      else {
+        val segs = rf.summaries.filter(s => s.col == column && s.n > 0L)
+        if (segs.isEmpty) None
+        else Some(SegmentView(segs).flat.histogram(buckets))
+      }
     }
 
   /** PROVEN row upper bound for a range predicate on `column`, for a
     * reader planning exactly `plannedPaths` — the optimizer's
     * selectivity interface ([[graft.plans.StatsBroadcast]]): fires only
     * when the sidecar's fingerprint matches the planned file list, the
-    * analyzed state had no pending delete masks, and the summary still
-    * holds the span property (analyze-fresh — a delta-merged summary
-    * refuses until the next full analyze). Never an estimate.
+    * analyzed state had no pending delete masks, and EVERY segment
+    * holds the span property (true for analyze output and for
+    * [[refresh]]'s span-preserving delta segments; only a legacy
+    * merged summary refuses). Never an estimate.
     */
   def rangeBound(spark: SparkSession, table: String, column: String,
                  plannedPaths: Seq[String],
                  lo: Option[Double], hi: Option[Double]): Option[Long] =
-    summaryFor(spark, table, column, plannedPaths)
+    segmentsFor(spark, table, column, plannedPaths)
       .flatMap(_.rangeUpper(lo, hi))
 
-  /** The recorded summary for `column` IFF it describes exactly
-    * `plannedPaths` with no pending delete masks — the shared proof
-    * gate of every optimizer consumer ([[rangeBound]],
+  /** The recorded segments for `column` IFF the sidecar describes
+    * exactly `plannedPaths` with no pending delete masks — the shared
+    * proof gate of every optimizer consumer ([[rangeBound]],
     * [[graft.plans.RankTopK]]).
     */
-  def summaryFor(spark: SparkSession, table: String, column: String,
-                 plannedPaths: Seq[String]): Option[RankSummary] =
+  def segmentsFor(spark: SparkSession, table: String, column: String,
+                  plannedPaths: Seq[String]): Option[SegmentView] =
     readRanks(spark, table).flatMap { rf =>
       if (rf.filesFp != TableStats.sha1(plannedPaths)) None
       else if (rf.delFp != TableStats.sha1(Seq.empty)) None
-      else rf.summaries.find(_.col == column)
+      else {
+        val segs = rf.summaries.filter(_.col == column)
+        if (segs.isEmpty) None else Some(SegmentView(segs))
+      }
     }
 
   // ---- driver queries -------------------------------------------------
@@ -580,17 +738,71 @@ object RankStats extends QueryPack {
     * the oracle hash. The trailing unique key makes tie order
     * engine-stable.
     */
-  def rankTopKQuery(s: SparkSession, dir: String): DataFrame = {
-    graft.plans.RankTopK.install(s)
-    val t = memoized("graft_rank_tk", s, dir) { t =>
+  private def topkFixture(s: SparkSession, dir: String): String =
+    memoized("graft_rank_tk", s, dir) { t =>
       val orders = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
       SnapshotTable.create(s, t, orders, "o_orderpriority",
         statsCols = Seq("o_totalprice"))
       RankStats.analyze(s, t, Seq("o_totalprice"), m = 256)
     }
+
+  def rankTopKQuery(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.RankTopK.install(s)
+    val t = topkFixture(s, dir)
     SnapshotTable.read(s, t)
       .orderBy(col("o_totalprice"), col("o_orderkey"))
+      .limit(20)
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** The FILTERED top-k — `WHERE part = X ORDER BY price LIMIT 20` —
+    * the most common real top-k shape and the one the table-wide
+    * sidecar can never serve: the threshold is proven instead from
+    * per-file (lo, hi, nulls, rows) over exactly the files whose
+    * partition stamp equals X ([[graft.plans.RankTopK]] tier 2).
+    * RankTopKSpec pins the file pruning; this query pins the RESULT
+    * against the oracle's plain filtered DESC/ASC SQL.
+    */
+  def rankTopKPartQuery(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.RankTopK.install(s)
+    val t = topkFixture(s, dir)
+    SnapshotTable.read(s, t)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+      .limit(20)
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** The DESC twin AT INGEST CADENCE — the exact shape that was dark
+    * before span-preserving refresh: the table is created WITHOUT a
+    * slice of orders, rank-ANALYZEd, then the slice is APPENDED and the
+    * sidecar advanced by a DELTA refresh (asserted — a silent full
+    * analyze would prove nothing). The `ORDER BY price DESC LIMIT 20`
+    * threshold must then be proven ACROSS segments ([[SegmentView
+    * .descThreshold]]); RankTopKSpec pins the file pruning, this query
+    * pins the RESULT — an unsound cross-segment threshold that cut a
+    * true top-k row (including one living in the appended slice) breaks
+    * the oracle hash against plain full-table DESC SQL.
+    */
+  def rankTopKDescQuery(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.RankTopK.install(s)
+    val t = memoized("graft_rank_tkdesc", s, dir) { t =>
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      SnapshotTable.create(s, t, orders.filter(col("o_orderkey") % 7 =!= 0),
+        "o_orderpriority", statsCols = Seq("o_totalprice"))
+      RankStats.analyze(s, t, Seq("o_totalprice"), m = 256)
+      SnapshotTable.commitAppend(s, t,
+        orders.filter(col("o_orderkey") % 7 === 0), "o_orderpriority")
+      val (rf, delta) = RankStats.refresh(s, t)
+      require(delta, "desc-topk fixture: append window must take the " +
+        "delta path (a full analyze would not exercise segments)")
+      require(rf.summaries.forall(_.spans),
+        "desc-topk fixture: delta segments must keep the span property")
+    }
+    SnapshotTable.read(s, t)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(20)
       .select(col("o_orderkey"), col("o_totalprice"))
   }
@@ -616,6 +828,8 @@ object RankStats extends QueryPack {
     "q_sql_quantiles" -> (sqlQuantileQuery _),
     "q_rank_broadcast" -> (rankBroadcastQuery _),
     "q_rank_topk" -> (rankTopKQuery _),
+    "q_rank_topk_desc" -> (rankTopKDescQuery _),
+    "q_rank_topk_part" -> (rankTopKPartQuery _),
     "q_sql_histogram" -> (sqlHistogramQuery _))
 
   override def oracleSql: Map[String, String] = Map(
@@ -652,6 +866,13 @@ object RankStats extends QueryPack {
         |) ORDER BY q""".stripMargin,
     "q_rank_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice, o_orderkey LIMIT 20""".stripMargin,
+    "q_rank_topk_desc" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_rank_topk_part" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
         |ORDER BY o_totalprice, o_orderkey LIMIT 20""".stripMargin,
     "q_sql_histogram" ->
       """WITH slice AS (

@@ -85,8 +85,16 @@ object SecondaryIndex extends QueryPack {
     val v = SnapshotTable.currentVersion(spark, table)
     val (entries, _) = SnapshotTable.readManifestFull(spark, table, v)
     require(entries.nonEmpty, s"secondary index: $table is empty")
+    // statsCols = k RANGE-CLUSTERS the postings on the key WITHIN each
+    // hash bucket (and every append/rebuild inherits it through the
+    // header): point lookups still prune whole bucket partitions, and
+    // a RANGE probe — which must visit every bucket — prunes to the
+    // few posting FILES per bucket whose recorded [lo, hi] intersects
+    // the range. That one layout decision is what makes
+    // [[lookupRangeFiles]] O(postings in range) instead of O(index).
     SnapshotTable.create(spark, index,
       postingsOf(spark, table, v, keyCol, entries, buckets), "__bucket",
+      statsCols = Seq("k"),
       tags = Set(s"six@$v", s"sixn@$buckets"))
   }
 
@@ -213,6 +221,53 @@ object SecondaryIndex extends QueryPack {
       .select(col("file")).distinct()
       .limit(maxFiles + 1).collect().map(_.getString(0)).toSeq
     if (files.length > maxFiles) None else Some(files)
+  }
+
+  /** The distinct data files the index proves may hold keys in
+    * `[lo, hi]` (both inclusive, the key column's own type). The probe
+    * filters the postings on `k`'s range: every hash bucket is
+    * VISITED, but within each bucket the postings are range-clustered
+    * on k ([[create]]'s statsCols), so manifest min/max skipping plans
+    * only the posting files whose recorded key range intersects —
+    * O(postings in range + one manifest fold), no new index structure.
+    * Indexes built before the clustered layout (no k stats) still
+    * answer correctly, just without posting-file pruning. `None` when
+    * the list trips `maxFiles` (caller full-scans instead).
+    */
+  def lookupRangeFiles(spark: SparkSession, table: String, keyCol: String,
+                       index: String, lo: Any, hi: Any,
+                       maxFiles: Int = 4096): Option[Seq[String]] = {
+    val files = SnapshotTable.read(spark, index)
+      .filter(col("k") >= lit(lo) && col("k") <= lit(hi))
+      .select(col("file")).distinct()
+      .limit(maxFiles + 1).collect().map(_.getString(0)).toSeq
+    if (files.length > maxFiles) None else Some(files)
+  }
+
+  /** RANGE read: `table`'s rows with `keyCol` in `[lo, hi]`, planning
+    * only the posting-named data files — the lookup shape equality
+    * postings alone cannot serve (a BETWEEN over a hash-bucketed index
+    * would otherwise fall back to a table scan). Same degrade-don't-lie
+    * contract as [[read]]: a stale index or an over-cap file list falls
+    * back to the plain filtered scan of the same pinned snapshot.
+    */
+  def readRange(spark: SparkSession, table: String, keyCol: String,
+                index: String, lo: Any, hi: Any, maxFiles: Int = 4096,
+                autoRefresh: Boolean = true): DataFrame = {
+    if (autoRefresh) refresh(spark, table, keyCol, index)
+    val v = SnapshotTable.currentVersion(spark, table)
+    def between(df: DataFrame) =
+      df.filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
+    def fullScan = between(SnapshotTable.readVersion(spark, table, v))
+    if (appliedVersion(spark, index) < v) fullScan
+    else lookupRangeFiles(spark, table, keyCol, index, lo, hi, maxFiles) match {
+      case None => fullScan
+      case Some(files) =>
+        val fileSet = files.toSet
+        val (entries, _) = SnapshotTable.readManifestFull(spark, table, v)
+        between(SnapshotTable.readEntriesAt(spark, table,
+          entries.filter(e => fileSet.contains(e.path)), v))
+    }
   }
 
   /** Point-lookup read: `table`'s rows with `keyCol` in `keys`,
@@ -515,6 +570,18 @@ object SecondaryIndex extends QueryPack {
       Seq(101L, 999L, maxKey + 2L, maxKey + 4L), autoRefresh = false))
   }
 
+  /** RANGE lookup through the postings' clustered layout: keys
+    * 100..220 scattered across the priority partitions, planned from
+    * the posting files whose key stats intersect the range — must
+    * equal the oracle's plain BETWEEN. (The appended synthetic keys
+    * sit far above the range and must not leak in.)
+    */
+  def rangeQuery(s: SparkSession, dir: String): DataFrame = {
+    val (work, idx) = scenario(s, dir)
+    shape(readRange(s, work, "o_orderkey", idx, 100L, 220L,
+      autoRefresh = false))
+  }
+
   /** STREAMING twin of [[freshQuery]]: the append lands on a clone of
     * the BASE state and [[graft.streaming.SnapshotSink.runSecIdx]]
     * drives the index refresh by tailing the table's commit log — the
@@ -675,6 +742,7 @@ object SecondaryIndex extends QueryPack {
   override def queries: Map[String, QueryPack.Q] = Map(
     "q_secidx_lookup" -> ((s, dir) => lookupQuery(s, dir)),
     "q_secidx_fresh" -> ((s, dir) => freshQuery(s, dir)),
+    "q_secidx_range" -> ((s, dir) => rangeQuery(s, dir)),
     "q_secidx_join" -> ((s, dir) => joinQuery(s, dir)),
     "q_secidx_delete" -> ((s, dir) => deleteQuery(s, dir)),
     "q_secidx_delete_stale" -> ((s, dir) => deleteStaleQuery(s, dir)),
@@ -700,6 +768,14 @@ object SecondaryIndex extends QueryPack {
         |  CAST(max(o_orderkey) AS BIGINT) AS max_key
         |FROM unioned
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_secidx_range" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  CAST(o_custkey AS BIGINT) AS o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+        |  o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 100 AND 220
+        |ORDER BY o_orderkey""".stripMargin,
     "q_secidx_lookup" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
         |  CAST(o_custkey AS BIGINT) AS o_custkey,

@@ -61,6 +61,12 @@ final class SnapshotFileIndex(
     */
   private[graft] def tablePath: String = table
 
+  /** The table's default partition column — the hook
+    * [[graft.plans.RankTopK]]'s filtered path uses to prove a
+    * partition-equality conjunct keeps WHOLE files.
+    */
+  private[graft] def defaultPartCol: Option[String] = partCol
+
   private val tableRoot = new Path(table)
 
   // resolve (entry, status) once; synthetic FileStatus from manifest

@@ -327,15 +327,17 @@ object SnapshotSql {
         val path = strArg("snapshot_histogram", exprs, 0)
         val column = strArg("snapshot_histogram", exprs, 1)
         val buckets = longArg("snapshot_histogram", exprs, 2).toInt
-        val planned = SnapshotTable.readManifest(spark, path,
-          SnapshotTable.currentVersion(spark, path)).map(_.path)
-        val s = RankStats.summaryFor(spark, path, column, planned).getOrElse(
-          throw new IllegalArgumentException(
+        // served through the CURRENT-VERSION freshness gate (the
+        // quantilesServed proof): a planned-path fingerprint alone
+        // would accept a delete-only commit (same data paths, new
+        // delete files) and include deleted rows
+        val rows = RankStats.histogramServed(spark, path, column, buckets)
+          .getOrElse(throw new IllegalArgumentException(
             s"snapshot_histogram: no fresh rank summary for $column of " +
               s"$path at the current version - run snapshot_analyze_ranks " +
               "(or RankStats.refresh) first"))
         import spark.implicits._
-        s.histogram(buckets).zipWithIndex
+        rows.zipWithIndex
           .map { case ((lo, hi, rows), i) => (i + 1L, lo, hi, rows) }
           .toDF("bucket", "lo", "hi", "n_rows")
           .queryExecution.logical
@@ -430,17 +432,21 @@ object SnapshotSql {
       }),
     ("snapshot_enable_eager_agg",
       new ExpressionInfo(getClass.getName, null, "snapshot_enable_eager_agg",
-        "_FUNC_(path) - opt the snapshot table into eager aggregation " +
-          "(partial aggregates pushed below inner equi-joins when it is " +
-          "the fact side). Installs the rule in this session. The " +
+        "_FUNC_(path[, force 1|0]) - opt the snapshot table into eager " +
+          "aggregation (partial aggregates pushed below inner " +
+          "equi-joins when it is the fact side); fresh NDV sketches " +
+          "still DECLINE a rewrite proven unable to halve the shuffle " +
+          "unless force=1. Installs the rule in this session. The " +
           "result row reports (enabled)",
-        "_FUNC_(string)"),
+        "_FUNC_(string[, bigint])"),
       (exprs: Seq[Expression]) => {
-        require(exprs.length == 1,
-          s"snapshot_enable_eager_agg: expected 1 argument, got ${exprs.length}")
+        require(exprs.length == 1 || exprs.length == 2,
+          s"snapshot_enable_eager_agg: expected 1-2 arguments, got ${exprs.length}")
         val spark = SparkSession.active
+        val force = exprs.length == 2 &&
+          longArg("snapshot_enable_eager_agg", exprs, 1) == 1L
         graft.plans.EagerAggregation.enableFor(
-          strArg("snapshot_enable_eager_agg", exprs, 0))
+          strArg("snapshot_enable_eager_agg", exprs, 0), force)
         graft.plans.EagerAggregation.install(spark)
         outcomeRow(spark, Seq("enabled" -> 1L))
       }))

@@ -56,6 +56,9 @@ import graft.{QueryPack, Tables}
   */
 object SnapshotTable extends QueryPack {
 
+  private val maintLog =
+    org.slf4j.LoggerFactory.getLogger("graft.sources.SnapshotTable")
+
   /** Per-file min/max of one numeric column (stored as doubles — exact
     * for bigint keys up to 2^53; timestamps record epoch seconds). The
     * column NAME rides along so a read pruning on a different column
@@ -947,6 +950,26 @@ object SnapshotTable extends QueryPack {
     * Pre-schema tables (writeManifest-direct fixtures) fall back to
     * the explicit-path reader, which infers from footers.
     */
+  /** EXPLICIT opt-in for sorted bucketed scans. Spark computes the V1
+    * bucketed scan's outputOrdering only under
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering` (it must list
+    * the scan's files at planning — expensive for a generic hive
+    * layout, free here since the manifest already names them). The
+    * conf is SESSION-GLOBAL: it also affects the user's own sorted
+    * `saveAsTable` output for the rest of the session, so it is set
+    * here — by [[create]] when a table declares `sortBy` (the writer
+    * session opted into sorted tables) or by a reader session once,
+    * deliberately — never as a hidden side effect of planning a read.
+    * A session that skips it still reads sorted tables correctly; the
+    * join/agg plan just re-sorts.
+    */
+  def enableSortedScans(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+
+  private def sortedScansEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      .contains("true")
+
   private[sources] def indexedRelation(spark: SparkSession, table: String,
                                        entries: Seq[FileEntry], schemaStr: String,
                                        partCol: Option[String],
@@ -960,16 +983,15 @@ object SnapshotTable extends QueryPack {
       schemaFromString(schemaStr).fields.map(_.copy(nullable = true)))
     if (st.exists(_.metadata.contains(FieldIdKey)))
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    // Spark gates the V1 bucketed scan's outputOrdering claim behind
-    // this legacy conf because computing it must LIST the scan's files
-    // at planning — expensive for a generic hive layout, free here
-    // (the manifest already names them). Enabling it is what lets the
-    // sort claim below reach the planner; it only ever engages for
-    // relations whose BucketSpec declares sort columns, i.e. tables
-    // whose writer provably ordered every file (this one, and Spark's
-    // own sorted saveAsTable output) — never plain bucketed ones.
-    if (bucketSort.isDefined)
-      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    // Spark gates the V1 bucketed scan's outputOrdering claim behind a
+    // SESSION-GLOBAL legacy conf (it also changes planning for the
+    // user's own sorted saveAsTable output), so merely READING a sorted
+    // table must not flip it as a side effect — the claim engages only
+    // where the session already opted in ([[enableSortedScans]]: set by
+    // `create(sortBy = ...)`, or explicitly by a reader session).
+    // Without the opt-in the sort claim is simply dropped: the plan
+    // re-sorts (one SortExec per side), results unchanged.
+    val claimedSort = bucketSort.filter(_ => sortedScansEnabled(spark))
     // the BucketSpec makes the scan report HashPartitioning(col, n) —
     // joins/aggs on the bucket column then plan WITHOUT an exchange;
     // valid because every data file's rows hash to the bucket id in
@@ -983,7 +1005,7 @@ object SnapshotTable extends QueryPack {
       // the claim (an extra SortExec), never the results
       bucket.map { case (c, n) =>
         org.apache.spark.sql.catalyst.catalog.BucketSpec(
-          n, Seq(c), bucketSort.toSeq) },
+          n, Seq(c), claimedSort.toSeq) },
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
       Map.empty)(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
   }
@@ -1293,6 +1315,10 @@ object SnapshotTable extends QueryPack {
           "bucketing the scan has no co-partitioning to hang the " +
           "ordering claim on (use statsCols for range clustering)")
       require(df.columns.contains(s), s"sortBy: no column $s")
+      // creating a sorted table IS the session's opt-in to sorted
+      // scans (see enableSortedScans — the conf is session-global, so
+      // the read path never flips it silently)
+      enableSortedScans(spark)
     }
     val st = assignFieldIds(df.schema)
     val entries = writeDataFiles(spark, table, applySchemaMeta(df, st),
@@ -2313,19 +2339,31 @@ object SnapshotTable extends QueryPack {
     // (the old manifest is gone) — it falls back to a full ANALYZE of
     // the columns the sidecar already tracks.
     if (refreshStats) {
-      TableStats.readStats(spark, table).foreach { prev =>
-        try TableStats.refresh(spark, table)
-        catch { case _: Exception =>
-          TableStats.analyze(spark, table, prev.sketches.map(_.col),
-            prev.sketches.headOption.map(_.k).getOrElse(1024))
+      // only the provably-unprovable delta refresh falls back to a full
+      // ANALYZE: the recorded version's manifest was vacuumed away (the
+      // step above), so the append window cannot be verified — that is
+      // a FileNotFoundException from the old list read, and the
+      // swallowed cause is logged. Any OTHER failure (a transient IO
+      // error mid-summarize, say) propagates instead of silently
+      // turning a cheap delta tick into a full-table stats scan.
+      def orAnalyze(what: String)(refresh: => Unit)(analyze: => Unit): Unit =
+        try refresh
+        catch {
+          case e: java.io.FileNotFoundException =>
+            maintLog.warn(s"$what refresh for $table cannot prove its " +
+              s"append window (recorded manifest gone: ${e.getMessage}); " +
+              "falling back to full ANALYZE", e)
+            analyze
         }
+      TableStats.readStats(spark, table).foreach { prev =>
+        orAnalyze("NDV stats")(TableStats.refresh(spark, table))(
+          TableStats.analyze(spark, table, prev.sketches.map(_.col),
+            prev.sketches.headOption.map(_.k).getOrElse(1024)))
       }
       RankStats.readRanks(spark, table).foreach { prev =>
-        try RankStats.refresh(spark, table)
-        catch { case _: Exception =>
+        orAnalyze("rank stats")(RankStats.refresh(spark, table))(
           RankStats.analyze(spark, table, prev.summaries.map(_.col),
-            prev.summaries.headOption.map(_.m).getOrElse(1024))
-        }
+            prev.summaries.headOption.map(_.m).getOrElse(1024)))
       }
     }
     (currentVersion(spark, table), applied, folded, removed)

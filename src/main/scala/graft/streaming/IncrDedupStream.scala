@@ -169,8 +169,8 @@ object IncrDedupStream extends QueryPack {
       val dst = new Path(tmp)
       val fs = dst.getFileSystem(hconf)
       fs.mkdirs(dst)
-      val scratch = java.nio.file.Files.createTempDirectory("graft_incr_stage")
-      val t = new Path(scratch.toString, "stage")
+      val scratch = StreamHousekeeping.scratchDir("graft_incr_stage")
+      val t = new Path(scratch, "stage")
       docs.filter(IncrementalDedup.isBatch).coalesce(1).write.parquet(t.toString)
       val part = fs.listStatus(t).map(_.getPath)
         .filter(_.getName.endsWith(".parquet")).head

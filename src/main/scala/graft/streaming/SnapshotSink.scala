@@ -222,8 +222,7 @@ object SnapshotSink extends QueryPack {
     * holds if every row landed exactly once.
     */
   def streamEtlQuery(s: SparkSession, dir: String): DataFrame = {
-    val table = java.nio.file.Files
-      .createTempDirectory("graft_snapsink").resolve("t").toString
+    val table = StreamHousekeeping.scratchDir("graft_snapsink") + "/t"
     run(s, dir, table)
     SnapshotTable.read(s, table)
       .groupBy(col("event_type"))
@@ -292,8 +291,7 @@ object SnapshotSink extends QueryPack {
     * boundaries, partition moves, and the bootstrap create.
     */
   def streamUpsertQuery(s: SparkSession, dir: String): DataFrame = {
-    val table = java.nio.file.Files
-      .createTempDirectory("graft_snapup").resolve("t").toString
+    val table = StreamHousekeeping.scratchDir("graft_snapup") + "/t"
     runUpsert(s, dir, table)
     SnapshotTable.read(s, table)
       .select(col("user_id").cast("long").as("user_id"),
@@ -396,8 +394,7 @@ object SnapshotSink extends QueryPack {
     */
   def streamCatalogTxnQuery(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_ctxroot").toString
+    val root = StreamHousekeeping.scratchDir("graft_ctxroot")
     val fact = root + "/fact"
     val agg = root + "/agg"
     SnapshotTable.createEmpty(s, fact)
@@ -467,8 +464,7 @@ object SnapshotSink extends QueryPack {
         dupStageMemo match {
           case Some((k, w)) if k == dir => w
           case _ =>
-            val out = java.nio.file.Files
-              .createTempDirectory("graft_dupsrc").toString
+            val out = StreamHousekeeping.scratchDir("graft_dupsrc")
             s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             // the even-id half of the corpus (the dedup semantics need
             // volume, not the whole table; the oracle filters the same)
@@ -489,8 +485,7 @@ object SnapshotSink extends QueryPack {
     * was dropped and every original landed exactly once.
     */
   def streamUniqueAppendQuery(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_uniqsink").toString
+    val root = StreamHousekeeping.scratchDir("graft_uniqsink")
     val table = root + "/t"
     val index = root + "/t_idx"
     runUniqueAppend(s, stagedDupDir(s, dir),

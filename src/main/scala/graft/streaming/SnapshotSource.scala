@@ -180,8 +180,8 @@ object SnapshotSource extends graft.QueryPack {
         srcMemo match {
           case Some((k, w)) if k == ((s, dir)) => w
           case _ =>
-            val src = java.nio.file.Files
-              .createTempDirectory("graft_snaptail_src").resolve("t").toString
+            val src =
+              StreamHousekeeping.scratchDir("graft_snaptail_src") + "/t"
             val ev = Tables.events(s, dir)
               .select(Seq("event_id", "ts", "user_id", "event_type", "value")
                 .map(col): _*)
@@ -206,8 +206,7 @@ object SnapshotSource extends graft.QueryPack {
     * logs.
     */
   def tailQuery(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files
-      .createTempDirectory("graft_snaptail").toString
+    val work = StreamHousekeeping.scratchDir("graft_snaptail")
     val (src, dst) = (srcTable(s, dir), s"$work/dst")
 
     SnapshotTable.createEmpty(s, dst)

@@ -1,7 +1,7 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths}
-
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.SparkSession
 
 /** Shared housekeeping for the streaming drivers — bounds the on-disk and
@@ -19,31 +19,39 @@ import org.apache.spark.sql.SparkSession
   */
 private[streaming] object StreamHousekeeping {
 
-  private lazy val ckRoot: Path = {
+  /** Unique driver-scratch dir minted through the Hadoop FileSystem
+    * API — the whole repo's filesystem discipline, now including
+    * scratch (`java.nio` retired end to end). Uniqueness is a UUID
+    * (no create-exclusive dance needed: nothing else knows the name).
+    */
+  def scratchDir(prefix: String, base: String =
+      System.getProperty("java.io.tmpdir")): String = {
+    val p = new HPath(base,
+      s"$prefix-${java.util.UUID.randomUUID().toString.take(16)}")
+    val fs = p.getFileSystem(new Configuration())
+    require(fs.mkdirs(p), s"scratch: could not create $p")
+    p.toUri.getPath
+  }
+
+  private lazy val ckRoot: String = {
     // checkpoints are scratch state scoped to this process (the
     // shutdown hook removes them): prefer the ram-backed tmpfs when the
     // host has one — a micro-batch commits its offset/state files
     // synchronously, so checkpoint fsync latency is pure overhead at
     // local scale (a production deployment points this at durable
     // storage by passing an explicit checkpointLocation instead)
-    val base = Paths.get("/dev/shm")
     val root =
-      if (Files.isDirectory(base) && Files.isWritable(base))
-        Files.createTempDirectory(base, "graft_stream_ck")
-      else Files.createTempDirectory("graft_stream_ck")
+      try scratchDir("graft_stream_ck", "/dev/shm")
+      catch { case _: Exception => scratchDir("graft_stream_ck") }
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(p: Path): Unit = {
-        if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
-          Files.list(p).toArray.foreach(c => rm(c.asInstanceOf[Path]))
-        Files.deleteIfExists(p)
-      }
-      rm(root)
+      val p = new HPath(root)
+      try p.getFileSystem(new Configuration()).delete(p, true)
+      catch { case _: java.io.IOException => () }
     }))
     root
   }
 
-  def freshCheckpointDir(): String =
-    Files.createTempDirectory(ckRoot, "run").toString
+  def freshCheckpointDir(): String = scratchDir("run", ckRoot)
 
   /** Run `body` (a whole stream run: start → awaitTermination) with the
     * session's shuffle-partition count — which for a stateful stream is
@@ -68,12 +76,14 @@ private[streaming] object StreamHousekeeping {
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
-  /** Fixed, creation-idempotent staging dir for `key` under the system
-    * tmp dir. The caller owns the contents contract (what to stage, when
-    * stale) — see [[stageWithOrderedMtimes]] for the standard one.
+  /** Fixed, creation-idempotent staging dir PATH for `key` under the
+    * system tmp dir (not created here). The caller owns the contents
+    * contract (what to stage, when stale) — see
+    * [[stageWithOrderedMtimes]] for the standard one.
     */
-  def fixedStagingDir(prefix: String, key: String): Path =
-    Paths.get(System.getProperty("java.io.tmpdir"), s"$prefix${md5Hex(key)}")
+  def fixedStagingDir(prefix: String, key: String): String =
+    new HPath(System.getProperty("java.io.tmpdir"),
+      s"$prefix${md5Hex(key)}").toUri.getPath
 
   /** Stage `srcFiles` into the fixed staging dir for `key` as COPIES
     * with strictly increasing mtimes in the given order, Hadoop
@@ -89,7 +99,7 @@ private[streaming] object StreamHousekeeping {
                              srcFiles: Seq[org.apache.hadoop.fs.Path]): String = {
     import org.apache.hadoop.fs.{FileUtil, Path => HPath}
     val conf = spark.sparkContext.hadoopConfiguration
-    val dst = new HPath(fixedStagingDir(prefix, key).toString)
+    val dst = new HPath(fixedStagingDir(prefix, key))
     val fs = dst.getFileSystem(conf)
     val fpFile = new HPath(dst, "_fingerprint")
     val wanted = srcFiles.map { p =>

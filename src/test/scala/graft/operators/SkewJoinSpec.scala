@@ -31,6 +31,56 @@ class SkewJoinSpec extends SparkSpec {
     assert(saltsUsed > 4)
   }
 
+  test("auto-salt from the rank sidecar: a provably hot key sizes its " +
+    "buckets from stats alone, an even key declines to salt, a stale " +
+    "sidecar declines, and the auto-salted join equals the plain join") {
+    import graft.sources.{RankStats, SnapshotTable}
+    def freshDir() = java.nio.file.Files
+      .createTempDirectory("autosalt").resolve("t").toString
+    // 90% of rows share key 7 — the power-law hot key
+    val skewT = freshDir()
+    SnapshotTable.create(spark, skewT,
+      spark.range(10000).select(
+        when($"id" % 10 === 0, $"id" % 100).otherwise(lit(7L)).as("k"),
+        $"id".as("v"), lit("all").as("p")), "p")
+    // before ANALYZE: no stats, no salting (never guess)
+    assert(SkewJoin.saltBucketsFor(spark, skewT, "k") === 1)
+    RankStats.analyze(spark, skewT, Seq("k"), m = 256)
+    val buckets = SkewJoin.saltBucketsFor(spark, skewT, "k")
+    // hottest ~9000 of 10000 rows vs share 10000/4 = 2500: expect ~4
+    assert(buckets > 1 && buckets <= 8,
+      s"stats must size the salt for a 90% hot key, got $buckets")
+    // even distribution declines
+    val evenT = freshDir()
+    SnapshotTable.create(spark, evenT,
+      spark.range(10000).select(($"id" % 100).as("k"),
+        $"id".as("v"), lit("all").as("p")), "p")
+    RankStats.analyze(spark, evenT, Seq("k"), m = 256)
+    assert(SkewJoin.saltBucketsFor(spark, evenT, "k") === 1,
+      "an even key distribution must not pay salting overhead")
+    // stale sidecar declines (the estimate describes the wrong rows)
+    SnapshotTable.commitAppend(spark, skewT,
+      Seq((7L, -1L, "all")).toDF("k", "v", "p"), "p")
+    assert(SkewJoin.saltBucketsFor(spark, skewT, "k") === 1)
+    RankStats.refresh(spark, skewT)
+    assert(SkewJoin.saltBucketsFor(spark, skewT, "k") > 1,
+      "a delta-refreshed sidecar re-arms the estimate")
+    // result parity: auto-salted == plain join
+    val right = (0L until 100L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val auto = SkewJoin.autoSaltedEquiJoin(spark, skewT, right, "k",
+      joinHint = Some("merge")).select("k", "v", "name")
+    val plain = SnapshotTable.read(spark, skewT).join(right, "k")
+      .select("k", "v", "name")
+    assert(auto.exceptAll(plain).count() === 0L)
+    assert(plain.exceptAll(auto).count() === 0L)
+    // and the auto plan really salts its shuffle keys
+    val planStr = auto.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(planStr.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("__salt")),
+      s"__salt must reach the shuffle keys:\n$planStr")
+  }
+
   test("q_skew_join: the salt lands in the shuffle keys (shuffle join, " +
     "not broadcast) and salted ≡ plain join result") {
     val df = SkewJoin.skewJoinQuery(spark, sfDir)

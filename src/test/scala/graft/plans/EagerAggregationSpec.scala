@@ -179,11 +179,64 @@ class EagerAggregationSpec extends SparkSpec {
     assert(partialAggs(q) == 0)
   }
 
+  test("NDV cost gate: a near-unique-key fact with fresh sketches " +
+    "DECLINES without any opt-out, force=true overrides, and the " +
+    "classic fan-in shape still fires under the same kind of sketch") {
+    import graft.sources.TableStats
+    // near-unique: one row per join key -> the partial agg shuffles as
+    // many rows as the raw plan, pure overhead, and the sketch knows
+    val uniq = freshDir("ea_uniq")
+    SnapshotTable.create(spark, uniq,
+      spark.range(0, 1000).select(col("id").as("uk"),
+        col("id").cast("double").as("uv"), lit("x").as("up")), "up")
+    EagerAggregation.enableFor(uniq)
+    TableStats.analyze(spark, uniq, Seq("uk"), k = 4096)
+    def q() = SnapshotTable.read(spark, uniq)
+      .join(dim, col("uk") === col("dk"))
+      .groupBy(col("dgrp")).agg(sum(col("uv")).as("s"))
+    assert(partialAggs(q()) == 0,
+      "proven near-unique partial keys must decline the rewrite")
+    assert(rows(q()) == withRuleOff(rows(q())))
+    // the owner's force flag skips the gate
+    EagerAggregation.enableFor(uniq, force = true)
+    assert(partialAggs(q()) == 1, "force must skip the cost gate")
+    // classic fan-in (50 rows per key) under the same sketch: fires
+    val fan = freshDir("ea_fan")
+    SnapshotTable.create(spark, fan,
+      spark.range(0, 1000).select((col("id") % 20).as("fk"),
+        col("id").cast("double").as("fv"), lit("x").as("fp")), "fp")
+    EagerAggregation.enableFor(fan)
+    TableStats.analyze(spark, fan, Seq("fk"), k = 4096)
+    def q2() = SnapshotTable.read(spark, fan)
+      .join(dim, col("fk") === col("dk"))
+      .groupBy(col("dgrp")).agg(sum(col("fv")).as("s"))
+    assert(partialAggs(q2()) == 1, "a proven 50x reduction must fire")
+    assert(rows(q2()) == withRuleOff(rows(q2())))
+  }
+
   test("driver query runs the eager plan") {
     val q = EagerAggregation.eagerAggQuery(spark, sfDir)
     assert(partialAggs(q) == 1, q.queryExecution.optimizedPlan.toString)
     val qb = EagerAggregation.aggBroadcastQuery(spark, sfDir)
     assert(partialAggs(qb) == 1, qb.queryExecution.optimizedPlan.toString)
+  }
+
+  test("opt-ins are SESSION-scoped: a sibling session with the rule " +
+    "installed does not inherit them until it opts in itself") {
+    val sibling = spark.newSession()
+    EagerAggregation.install(sibling)
+    def q(s: org.apache.spark.sql.SparkSession) = {
+      val f = SnapshotTable.read(s, factPath)
+      val dd = SnapshotTable.read(s, dimPath)
+      f.join(dd, col("k") === col("dk"))
+        .groupBy(col("dgrp")).agg(sum(col("v")).as("s"))
+    }
+    assert(partialAggs(q(spark)) == 1, "opted-in session must rewrite")
+    assert(partialAggs(q(sibling)) == 0,
+      "a sibling session must not inherit the opt-in")
+    EagerAggregation.enableFor(sibling, factPath, force = false)
+    assert(partialAggs(q(sibling)) == 1,
+      "its own opt-in arms the sibling")
   }
 
   test("SQL procedure opts a table in") {

@@ -365,4 +365,30 @@ class JoinEliminationSpec extends SparkSpec {
         validate = true)
     }
   }
+
+  test("declarations are SESSION-scoped: a sibling session with the " +
+    "rule installed sees NO elimination until it loads the persisted " +
+    "declarations itself") {
+    // persist the dim's key so the sibling CAN rehydrate it
+    val d = freshDir("je_iso_dim")
+    SnapshotTable.create(spark, d,
+      spark.range(0, 50).select(col("id").as("pk"),
+        concat(lit("d"), col("id").cast("string")).as("dname"),
+        lit("x").as("dpart")), "dpart")
+    JoinElimination.declareUnique(spark, d, "pk", persist = true)
+    def q(s: org.apache.spark.sql.SparkSession): DataFrame = {
+      val f = SnapshotTable.read(s, factPath)
+      val dd = SnapshotTable.read(s, d)
+      f.join(dd, col("fk") === col("pk"), "left")
+        .groupBy(col("fpart")).agg(count(lit(1)).as("n"))
+    }
+    assert(joins(q(spark)) == 0, "declaring session must eliminate")
+    val sibling = spark.newSession()
+    JoinElimination.install(sibling)
+    assert(joins(q(sibling)) == 1,
+      "a sibling session must NOT inherit this session's trust")
+    JoinElimination.loadDeclarations(sibling, d)
+    assert(joins(q(sibling)) == 0,
+      "rehydrating the persisted ledger arms the sibling")
+  }
 }

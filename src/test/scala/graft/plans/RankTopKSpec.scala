@@ -86,8 +86,9 @@ class RankTopKSpec extends SparkSpec {
       s"top-25 of a clustered column should prune files: $fastFiles vs $slowFiles")
   }
 
-  test("descending top-k prunes too (span-sound summary), and a " +
-    "delta-merged summary refuses DESC but still serves ASC") {
+  test("descending top-k prunes too (span-sound summary), and KEEPS " +
+    "pruning after a delta refresh: segments preserve the span " +
+    "property, so both directions stay armed at ingest cadence") {
     val t = clusteredTable()
     def desc() = SnapshotTable.read(spark, t)
       .orderBy(col("v").desc, col("k")).limit(25)
@@ -98,22 +99,33 @@ class RankTopKSpec extends SparkSpec {
     assert(rows(desc()) === slowRows)
     assert(filesRead(desc()) < slowFiles)
 
-    // delta refresh -> merged summary: spans lost
+    // append + delta refresh -> a fresh SEGMENT, spans preserved; the
+    // appended rows sit at the BOTTOM of the value range, so the DESC
+    // top-25 answer is unchanged but the proof must now span segments
     import spark.implicits._
     SnapshotTable.commitAppend(spark, t,
       (0 until 200).map(i => (90000L + i, (i % 100).toDouble, "all"))
         .toDF("k", "v", "p"), "p")
-    RankStats.refresh(spark, t)
+    val (rf, delta) = RankStats.refresh(spark, t)
+    assert(delta, "append window must take the delta path")
+    assert(rf.summaries.forall(_.spans), "delta segments must keep spans")
     val descRows2 = withRuleOff { rows(desc()) }
     assert(rows(desc()) === descRows2)
-    assert(filesRead(desc()) === withRuleOff { filesRead(desc()) },
-      "merged summary must refuse the DESC threshold")
+    assert(filesRead(desc()) < withRuleOff { filesRead(desc()) },
+      "a span-preserving delta refresh must keep the DESC threshold armed")
     def asc() = SnapshotTable.read(spark, t)
       .orderBy(col("v"), col("k")).limit(25).select(col("k"), col("v"))
     val ascRowsOff = withRuleOff { rows(asc()) }
     assert(rows(asc()) === ascRowsOff)
     assert(filesRead(asc()) < withRuleOff { filesRead(asc()) },
-      "ASC needs no span property - cum <= true rank holds for merges")
+      "ASC needs no span property - cum <= true rank holds across segments")
+
+    // a LEGACY merged summary (single span-less segment) still refuses
+    // DESC - the honest fallback for sidecars written by the old path
+    val merged = rf.summaries.reduce(RankStats.merge)
+    assert(!merged.spans)
+    assert(RankStats.SegmentView(Seq(merged)).descThreshold(25).isEmpty,
+      "a span-less segment must refuse the DESC threshold")
   }
 
   test("NULLS FIRST top-k keeps its null rows; parity with rule off") {
@@ -127,25 +139,49 @@ class RankTopKSpec extends SparkSpec {
       "fixture must actually place nulls in the top-k")
   }
 
-  test("refusals: a filtered child, a stale sidecar, and k beyond the " +
-    "summarized rows all leave the plan alone") {
+  test("a LONG sort column with values beyond 2^53 refuses the " +
+    "rewrite: the summary's double image is lossy there, so a " +
+    "threshold could cut a genuine top-k row") {
+    val t = freshDir()
+    import spark.implicits._
+    // doubles cannot represent every long at this magnitude: +1/+2
+    // offsets collapse onto even values when cast
+    val big = (0 until 2000)
+      .map(i => (i.toLong, (1L << 53) + i.toLong * 3L, "all"))
+      .toDF("k", "v", "p")
+    SnapshotTable.create(spark, t, big, "p", statsCols = Seq("v"))
+    RankStats.analyze(spark, t, Seq("v"), m = 64)
+    def q() = SnapshotTable.read(spark, t)
+      .orderBy(col("v"), col("k")).limit(25).select(col("k"), col("v"))
+    assert(rows(q()) === withRuleOff { rows(q()) })
+    assert(filesRead(q()) === withRuleOff { filesRead(q()) },
+      "2^53-scale long values must refuse the threshold filter")
+  }
+
+  test("refusals: a non-partition filter and k beyond the provable " +
+    "rows leave the plan alone; a STALE sidecar falls back to per-file " +
+    "stats (pinned in the manifest, never stale) and still prunes") {
     val t = clusteredTable()
-    // user filter changes which rows compete: must not fire
+    // non-partition filter: rows passing it cannot be counted -> refuse
     def filtered() = SnapshotTable.read(spark, t)
       .filter(col("k") % 2 === 0)
       .orderBy(col("v"), col("k")).limit(25).select(col("k"), col("v"))
     assert(rows(filtered()) === withRuleOff { rows(filtered()) })
     assert(filesRead(filtered()) === withRuleOff { filesRead(filtered()) })
-    // stale sidecar: append without refresh
+    // append WITHOUT refresh: the sidecar fingerprint goes stale, but
+    // tier 2 serves from the planned entries' own stats - exact parity
+    // (the appended row is the new global minimum and must survive)
     import spark.implicits._
     SnapshotTable.commitAppend(spark, t,
       Seq((99999L, -1.0, "all")).toDF("k", "v", "p"), "p")
     def q() = SnapshotTable.read(spark, t)
       .orderBy(col("v"), col("k")).limit(25).select(col("k"), col("v"))
     assert(rows(q()) === withRuleOff { rows(q()) })
-    assert(filesRead(q()) === withRuleOff { filesRead(q()) },
-      "stale fingerprint must refuse")
-    // k > n refuses (fresh table, tiny summary)
+    assert(rows(q()).exists(_.contains("99999")),
+      "fixture sanity: the appended minimum must be in the top-k")
+    assert(filesRead(q()) < withRuleOff { filesRead(q()) },
+      "per-file stats must keep pruning when the sidecar is stale")
+    // k > provable rows refuses (tiny table)
     val t2 = freshDir()
     SnapshotTable.create(spark, t2,
       (0 until 10).map(i => (i.toLong, i.toDouble, "all")).toDF("k", "v", "p"),
@@ -154,5 +190,63 @@ class RankTopKSpec extends SparkSpec {
     def big() = SnapshotTable.read(spark, t2)
       .orderBy(col("v"), col("k")).limit(100).select(col("k"), col("v"))
     assert(rows(big()) === withRuleOff { rows(big()) })
+  }
+
+  /** 12k rows over 3 partitions, clustered on v within each — the
+    * filtered-top-k fixture: a partition filter keeps whole files and
+    * per-file stats prove the threshold within the slice.
+    */
+  private def partedTable(): String = {
+    val t = freshDir()
+    val df = spark.range(0, 12000).select(
+      col("id").as("k"),
+      ((col("id") * 6361L) % 12000L).cast("double").as("v"),
+      concat(lit("p"), (col("id") % 3).cast("string")).as("p"))
+    SnapshotTable.create(spark, t, df, "p", statsCols = Seq("v"))
+    t
+  }
+
+  test("partition-filtered top-k prunes from per-file stats — the " +
+    "shape the table-wide sidecar can never serve — in both " +
+    "directions, with rule-off parity; IN filters too") {
+    val t = partedTable()
+    def asc() = SnapshotTable.read(spark, t)
+      .filter(col("p") === "p1")
+      .orderBy(col("v"), col("k")).limit(25).select(col("k"), col("v"))
+    val (offRows, offFiles) = withRuleOff { val d = asc(); (rows(d), filesRead(d)) }
+    assert(rows(asc()) === offRows)
+    assert(filesRead(asc()) < offFiles,
+      s"filtered ASC top-k must prune: ${filesRead(asc())} vs $offFiles")
+    def desc() = SnapshotTable.read(spark, t)
+      .filter(col("p") === "p1")
+      .orderBy(col("v").desc, col("k")).limit(25).select(col("k"), col("v"))
+    assert(rows(desc()) === withRuleOff { rows(desc()) })
+    assert(filesRead(desc()) < withRuleOff { filesRead(desc()) })
+    def inq() = SnapshotTable.read(spark, t)
+      .filter(col("p").isin("p0", "p2"))
+      .orderBy(col("v"), col("k")).limit(25).select(col("k"), col("v"))
+    assert(rows(inq()) === withRuleOff { rows(inq()) })
+    assert(filesRead(inq()) < withRuleOff { filesRead(inq()) })
+  }
+
+  test("a table with NO rank sidecar at all still top-k-prunes from " +
+    "its file stats (statsCols is enough; ANALYZE optional)") {
+    val t = partedTable() // never rank-analyzed
+    def q() = SnapshotTable.read(spark, t)
+      .orderBy(col("v"), col("k")).limit(25).select(col("k"), col("v"))
+    assert(rows(q()) === withRuleOff { rows(q()) })
+    assert(filesRead(q()) < withRuleOff { filesRead(q()) },
+      "bare top-k must prune from file stats without any sidecar")
+  }
+
+  test("a range predicate on the partition column refuses: only " +
+    "whole-file equality/IN membership is a proof") {
+    val t = partedTable()
+    def rangeF() = SnapshotTable.read(spark, t)
+      .filter(col("p") >= "p1")
+      .orderBy(col("v"), col("k")).limit(25).select(col("k"), col("v"))
+    assert(rows(rangeF()) === withRuleOff { rows(rangeF()) })
+    assert(filesRead(rangeF()) === withRuleOff { filesRead(rangeF()) },
+      "a partition RANGE cannot prove whole-file membership")
   }
 }

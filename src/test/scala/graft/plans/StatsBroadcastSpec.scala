@@ -245,8 +245,26 @@ class StatsBroadcastSpec extends SparkSpec {
     }
   }
 
-  test("rank sizing refuses: stale sidecar after a commit, span-less " +
-    "summary after a delta refresh, and a slice too wide to fit") {
+  test("rank sizing never unwraps a NARROWING cast: CAST(price AS INT) " +
+    "< c admits rows (5.9 passes as 5) the range bound never counted, " +
+    "so the side keeps its file bound; the bare-column twin broadcasts") {
+    val t = pricedTable()
+    withThreshold(131072L) {
+      RankStats.analyze(spark, t, Seq("price"), m = 256)
+      def q(dim: DataFrame) = fact.join(dim, col("fk") === col("k"))
+        .groupBy(col("p")).agg(count(lit(1)).as("n"))
+      assert(bhj(q(SnapshotTable.read(spark, t)
+        .filter(col("price") < 300.0))) === 1,
+        "fixture sanity: the bare-column range must broadcast")
+      assert(bhj(q(SnapshotTable.read(spark, t)
+        .filter(col("price").cast("int") < 300))) === 0,
+        "a truncating cast is not a value-preserving image of the column")
+    }
+  }
+
+  test("rank sizing refuses a stale sidecar and an unfit slice, but " +
+    "SURVIVES a delta refresh: span-preserving segments keep the " +
+    "range proof armed at ingest cadence") {
     val t = pricedTable()
     withThreshold(131072L) {
       def q(cut: Double) = fact.join(
@@ -259,18 +277,22 @@ class StatsBroadcastSpec extends SparkSpec {
       // a commit the sidecar has not seen: fingerprint mismatch refuses
       // a real-sized batch: a 1-row file's footer overhead would
       // dominate its bytes/row, and the conservative max-width bound
-      // (correctly) refuses to broadcast behind such a file
+      // (correctly) refuses to broadcast behind such a file. The rows
+      // sit ABOVE every cut used here, so once refreshed they add at
+      // most one straddling span to the row bound.
       SnapshotTable.commitAppend(spark, t,
         spark.range(20000, 20400).select(col("id").as("k"), lit("p0").as("p"),
-          lit(5.0).as("price"), md5(col("id").cast("string")).as("pad")), "p")
+          lit(9999.0).as("price"), md5(col("id").cast("string")).as("pad")), "p")
       assert(bhj(q(300.0)) === 0, "stale sidecar must refuse")
-      // delta refresh merges -> span property lost -> still refuses
-      val (_, delta) = RankStats.refresh(spark, t)
+      // delta refresh appends a span-sound SEGMENT: the proof holds
+      // and the broadcast comes straight back - no full analyze needed
+      val (rf, delta) = RankStats.refresh(spark, t)
       assert(delta, "append window should take the delta path")
-      assert(bhj(q(300.0)) === 0, "a merged summary must refuse range sizing")
-      // a full re-analyze restores the proof and the broadcast
-      RankStats.analyze(spark, t, Seq("price"), m = 256)
-      assert(bhj(q(300.0)) === 1)
+      assert(rf.summaries.forall(_.spans), "delta segments must keep spans")
+      assert(bhj(q(300.0)) === 1,
+        "span-preserving segments must keep range sizing armed")
+      // and the refreshed bound is still honest about the wide slice
+      assert(bhj(q(9000.0)) === 0)
     }
   }
 }

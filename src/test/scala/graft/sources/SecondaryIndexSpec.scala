@@ -75,6 +75,53 @@ class SecondaryIndexSpec extends SparkSpec {
     assert(SecondaryIndex.read(spark, t, "id", idx, Seq(123456L)).count() === 0L)
   }
 
+  test("range lookup: postings range-cluster on the key within each " +
+    "hash bucket, so a BETWEEN prunes posting files AND table files, " +
+    "matches the plain scan, and degrades honestly when stale") {
+    import spark.implicits._
+    val t = freshDir("secidxrange")
+    // ids round-robin over partitions; statsCols range-clusters each
+    // partition on id, so every data file covers a tight id run and
+    // splits at test granularity
+    SnapshotTable.create(spark, t,
+      spark.range(1, 20001).select(col("id"),
+        concat(lit("g"), (col("id") % 8).cast("string")).as("grp"),
+        (col("id") * 1.5).as("v")),
+      "grp", statsCols = Seq("id"))
+    val idx = t + "_idx"
+    SecondaryIndex.create(spark, t, "id", idx, buckets = 8)
+    def plain = SnapshotTable.read(spark, t)
+      .filter(col("id") >= 3000L && col("id") <= 4200L)
+    val viaIdx = SecondaryIndex.readRange(spark, t, "id", idx, 3000L, 4200L)
+    assert(rows(viaIdx) === rows(plain))
+    // table-side: plans fewer data files than the table holds
+    val tableTotal = scannedFiles(SnapshotTable.read(spark, t))
+    val planned = SecondaryIndex
+      .lookupRangeFiles(spark, t, "id", idx, 3000L, 4200L).get.size.toLong
+    assert(planned > 0 && planned < tableTotal,
+      s"range must prune table files: $planned vs $tableTotal")
+    // index-side: the probe's key stats prune posting files (the
+    // whole point of the clustered layout — every bucket visited, but
+    // only its in-range posting files)
+    val idxTotal = scannedFiles(SnapshotTable.read(spark, idx))
+    val probeScanned = scannedFiles(SnapshotTable.read(spark, idx)
+      .filter(col("k") >= 3000L && col("k") <= 4200L))
+    assert(probeScanned < idxTotal,
+      s"clustered postings must prune by key stats: $probeScanned vs $idxTotal")
+    // empty range: schema-preserving empty, no error
+    assert(SecondaryIndex.readRange(spark, t, "id", idx, 50000L, 60000L)
+      .count() === 0L)
+    // stale index (appended rows in-range, autoRefresh off): full-scan
+    // fallback still finds them
+    SnapshotTable.commitAppend(spark, t,
+      Seq((25350L, "g1", 1.0), (25360L, "g2", 2.0))
+        .toDF("id", "grp", "v"), "grp")
+    val stale = SecondaryIndex.readRange(spark, t, "id", idx,
+      25300L, 25400L, autoRefresh = false)
+    assert(stale.count() === 2L,
+      "stale index must degrade to the scan, never miss rows")
+  }
+
   test("refresh indexes only fresh files and finds appended keys; a " +
     "replayed refresh is a no-op") {
     import spark.implicits._
