@@ -15,12 +15,15 @@ import graft.sources.SnapshotTable.FileEntry
 /** `[EXT]` Metadata-only aggregate answering for snapshot tables — the
   * published Iceberg/Delta "metadata query" optimization: a whole-table
   * `COUNT(*)` / `MIN(col)` / `MAX(col)` over a snapshot relation is
-  * answered from the MANIFEST (per-file row counts and min/max stats)
-  * and rewritten to a [[LocalRelation]], so the query plans ZERO data
-  * files. At 100 TB that turns "how many rows / what key range" — the
-  * single most common operational query against a big table — from a
-  * full scan into a driver-side fold over entries already in memory
-  * from planning.
+  * answered from the MANIFEST (per-file row counts and min/max stats),
+  * `SUM(col)` / `AVG(col)` over INTEGRAL columns from the ANALYZE
+  * sidecar's exact decimal sums ([[graft.sources.TableStats]]'s
+  * `sumCols` — O(Δ)-maintained, fingerprint-gated), and the whole
+  * aggregate rewritten to a [[LocalRelation]], so the query plans ZERO
+  * data files. At 100 TB that turns "how many rows / what key range /
+  * what total" — the most common operational queries against a big
+  * table — from full scans into driver-side folds over metadata
+  * already in memory from planning.
   *
   * The rewrite fires only when it is PROVABLY exact:
   *
@@ -84,8 +87,17 @@ object MetadataAggPushdown extends Rule[LogicalPlan] {
                   SparkSession.active, idx.tablePath, name,
                   idx.fileEntries.map(_.path))
               }
+            // sum(col)/avg(col) proof path: the ANALYZE sidecar's exact
+            // decimal sums (integral columns only), same unfiltered-
+            // bare-relation + fingerprint gate as the distinct count
+            val sums: String => Option[(java.math.BigDecimal, Long)] =
+              name => bareUnfilteredIndex(agg.child).flatMap { idx =>
+                graft.sources.TableStats.exactSum(
+                  SparkSession.active, idx.tablePath, name,
+                  idx.fileEntries.map(_.path))
+              }
             val computed =
-              agg.aggregateExpressions.map(e => evalAgg(e, entries, ndv))
+              agg.aggregateExpressions.map(e => evalAgg(e, entries, ndv, sums))
             if (computed.forall(_.isDefined))
               LocalRelation(agg.aggregateExpressions.map(_.toAttribute),
                 Seq(InternalRow.fromSeq(computed.map(_.get))))
@@ -243,15 +255,27 @@ object MetadataAggPushdown extends Rule[LogicalPlan] {
     * shape or evidence not supported, the whole rewrite is abandoned.
     */
   private def evalAgg(e: NamedExpression, entries: Seq[FileEntry],
-                      ndv: String => Option[Any] = _ => None): Option[Any] =
+                      ndv: String => Option[Any] = _ => None,
+                      sums: String => Option[(java.math.BigDecimal, Long)] =
+                        _ => None): Option[Any] =
     e match {
-      case Alias(ae: AggregateExpression, _) => evalFn(ae, entries, ndv)
-      case ae: AggregateExpression           => evalFn(ae, entries, ndv)
+      case Alias(ae: AggregateExpression, _) => evalFn(ae, entries, ndv, sums)
+      case ae: AggregateExpression           => evalFn(ae, entries, ndv, sums)
       case _                                 => None
     }
 
+  private val LongMaxBd = java.math.BigDecimal.valueOf(Long.MaxValue)
+  private val LongMinBd = java.math.BigDecimal.valueOf(Long.MinValue)
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
   private def evalFn(ae: AggregateExpression, entries: Seq[FileEntry],
-                     ndv: String => Option[Any]): Option[Any] =
+                     ndv: String => Option[Any],
+                     sums: String => Option[(java.math.BigDecimal, Long)])
+      : Option[Any] =
     if (ae.isDistinct && ae.filter.isEmpty) ae.aggregateFunction match {
       // exact-regime distinct count from the ANALYZE sidecar
       case Count(Seq(a: AttributeReference)) => ndv(a.name)
@@ -273,6 +297,46 @@ object MetadataAggPushdown extends Rule[LogicalPlan] {
         else None
       case Min(a: AttributeReference) => statBound(a, entries, lo = true)
       case Max(a: AttributeReference) => statBound(a, entries, lo = false)
+      // sum(integralCol) from the sidecar's exact decimal sum. Spark's
+      // result type here is LongType; a true sum outside the long range
+      // would WRAP (legacy) or THROW (ANSI) in the scan — either way
+      // not the decimal truth, so refuse instead of guessing. Zero
+      // non-null rows = SQL NULL, exactly Sum's contract.
+      case s: Sum => s.child match {
+        case a: AttributeReference if isIntegral(a.dataType) =>
+          sums(a.name).flatMap { case (bd, nn) =>
+            if (nn == 0L) Some(null)
+            else if (bd.compareTo(LongMaxBd) <= 0 &&
+              bd.compareTo(LongMinBd) >= 0) Some(bd.longValueExact())
+            else None
+          }
+        case _ => None
+      }
+      // avg(integralCol): Spark's Average accumulates integral inputs
+      // in DOUBLE, which is order-dependent in general — the rewrite is
+      // provably scan-exact only when every partial sum is an exactly-
+      // representable integer: all values same-signed (per-file lo/hi
+      // prove it; same-sign partials are bounded by the total) and
+      // |total| < 2^53. Then avg = exact-sum / count bit-equals the
+      // scan's own double arithmetic. Anything else refuses.
+      case av: Average => av.child match {
+        case a: AttributeReference if isIntegral(a.dataType) =>
+          sums(a.name).flatMap { case (bd, nn) =>
+            if (nn == 0L) Some(null)
+            else {
+              val sts = entries.map(_.stats.find(_.col == a.name))
+              val sameSign = entries.nonEmpty && sts.forall(_.isDefined) && {
+                val real = sts.flatten.filterNot(s => s.lo.isNaN || s.hi.isNaN)
+                real.forall(_.lo >= 0.0) || real.forall(_.hi <= 0.0)
+              }
+              if (sameSign && bd.abs.compareTo(
+                  java.math.BigDecimal.valueOf(ExactLong)) < 0)
+                Some(bd.longValueExact().toDouble / nn.toDouble)
+              else None
+            }
+          }
+        case _ => None
+      }
       case _ => None
     }
 

@@ -224,10 +224,14 @@ object StatsBroadcast extends Rule[LogicalPlan] with PredicateHelper {
     val prunedRows = entries.map(_.rows).sum
     val maxWidth = entries.map(e => e.bytes.toDouble / e.rows).max
     val spark = SparkSession.active
+    // the SUBSET form: a partition/stat-pruned side plans fewer files
+    // than the analyzed set, and a whole-table row bound is still an
+    // upper bound for any subset of it — so the range sizing composes
+    // with partition pruning instead of refusing on the fingerprint
     val bounds = ranges.flatMap { case (id, (lo, hi)) =>
       if (lo.isEmpty && hi.isEmpty) None
       else rel.output.find(_.exprId == id).map(_.name).flatMap { name =>
-        graft.sources.RankStats.rangeBound(
+        graft.sources.RankStats.rangeBoundSubset(
           spark, idx.tablePath, name, planned, lo, hi)
       }
     }

@@ -566,6 +566,44 @@ object RankStats extends QueryPack {
     segmentsFor(spark, table, column, plannedPaths)
       .flatMap(_.rangeUpper(lo, hi))
 
+  /** [[rangeBound]]'s SUBSET form, for UPPER-BOUND-ONLY consumers
+    * ([[graft.plans.StatsBroadcast]] sizing a partition-pruned side):
+    * also fires when the planned files are a strict subset of the
+    * analyzed live set — a subset holds no row the analyzed set lacks,
+    * so the whole-table bound stays an upper bound (the
+    * [[TableStats.boundDistinct]] argument). NEVER valid for
+    * row-membership proofs (RankTopK's thresholds promise rows exist
+    * IN the planned subset and keep the exact-set gate). The subset
+    * proof reads the analyzed version's manifest once (driver-side
+    * metadata); a vacuumed-away manifest or any pending delete mask at
+    * analyze time refuses.
+    */
+  def rangeBoundSubset(spark: SparkSession, table: String, column: String,
+                       plannedPaths: Seq[String],
+                       lo: Option[Double], hi: Option[Double]): Option[Long] =
+    readRanks(spark, table).flatMap { rf =>
+      if (rf.delFp != TableStats.sha1(Seq.empty)) None
+      else {
+        val whole = rf.filesFp == TableStats.sha1(plannedPaths)
+        val proven = whole || {
+          try {
+            val analyzed = SnapshotTable
+              .readManifest(spark, table, rf.version).map(_.path)
+            // the fingerprint re-check pins that rf.version's manifest
+            // is really the analyzed state (rebind rewrites both)
+            TableStats.sha1(analyzed) == rf.filesFp &&
+              plannedPaths.forall(analyzed.toSet.contains)
+          } catch { case _: java.io.IOException => false }
+        }
+        if (!proven) None
+        else {
+          val segs = rf.summaries.filter(_.col == column)
+          if (segs.isEmpty) None
+          else SegmentView(segs).rangeUpper(lo, hi)
+        }
+      }
+    }
+
   /** The recorded segments for `column` IFF the sidecar describes
     * exactly `plannedPaths` with no pending delete masks — the shared
     * proof gate of every optimizer consumer ([[rangeBound]],

@@ -283,6 +283,60 @@ object SnapshotSql {
         outcomeRow(spark, Seq("version" -> rf.version, "n_rows" -> s.n,
           "err_rows" -> s.errRows, "n_points" -> s.values.length.toLong))
       }),
+    ("snapshot_analyze_sums",
+      new ExpressionInfo(getClass.getName, null, "snapshot_analyze_sums",
+        "_FUNC_(path, col, ...) - ANALYZE exact column sums: record " +
+          "decimal-exact sums + non-null counts of the given INTEGRAL " +
+          "columns in the _stats sidecar (existing NDV sketches are " +
+          "recomputed alongside, keeping the sidecar one consistent " +
+          "snapshot). Feeds the metadata sum/avg fold and " +
+          "snapshot_sums. The result row reports (version, n_cols)",
+        "_FUNC_(string, string, ...)"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length >= 2,
+          s"snapshot_analyze_sums: expected >= 2 arguments, got ${exprs.length}")
+        val spark = SparkSession.active
+        val path = strArg("snapshot_analyze_sums", exprs, 0)
+        val cols = (1 until exprs.length)
+          .map(i => strArg("snapshot_analyze_sums", exprs, i))
+        val prev = TableStats.readStats(spark, path)
+        val st = TableStats.analyze(spark, path,
+          prev.map(_.sketches.map(_.col)).getOrElse(Seq.empty),
+          prev.flatMap(_.sketches.headOption).map(_.k).getOrElse(1024),
+          sumCols = cols)
+        outcomeRow(spark, Seq("version" -> st.version,
+          "n_cols" -> st.sums.length.toLong))
+      }),
+    ("snapshot_sums",
+      new ExpressionInfo(getClass.getName, null, "snapshot_sums",
+        "_FUNC_(path, col) - the column's exact sum served from the " +
+          "stats sidecar with a freshness proof (current version + " +
+          "fingerprints; a delete-only commit refuses): one row " +
+          "(col, sum_value, n_nonnull), answered from metadata alone. " +
+          "sum_value is NULL when no non-null rows were recorded or " +
+          "the exact total exceeds the BIGINT range. Errors loudly " +
+          "when the sidecar is missing or stale",
+        "_FUNC_(string, string)"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"snapshot_sums: expected 2 arguments, got ${exprs.length}")
+        val spark = SparkSession.active
+        val path = strArg("snapshot_sums", exprs, 0)
+        val column = strArg("snapshot_sums", exprs, 1)
+        val (bd, nn) = TableStats.sumsServed(spark, path, column).getOrElse(
+          throw new IllegalArgumentException(
+            s"snapshot_sums: no fresh exact sum for $column of $path " +
+              "at the current version - run snapshot_analyze_sums first"))
+        val asLong: Option[Long] =
+          if (nn == 0L) None
+          else if (bd.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) <= 0 &&
+            bd.compareTo(java.math.BigDecimal.valueOf(Long.MinValue)) >= 0)
+            Some(bd.longValueExact())
+          else None
+        import spark.implicits._
+        Seq((column, asLong, nn)).toDF("col", "sum_value", "n_nonnull")
+          .queryExecution.logical
+      }),
     ("snapshot_quantiles",
       new ExpressionInfo(getClass.getName, null, "snapshot_quantiles",
         "_FUNC_(path, col, q, ...) - quantiles served from the rank " +

@@ -2358,7 +2358,8 @@ object SnapshotTable extends QueryPack {
       TableStats.readStats(spark, table).foreach { prev =>
         orAnalyze("NDV stats")(TableStats.refresh(spark, table))(
           TableStats.analyze(spark, table, prev.sketches.map(_.col),
-            prev.sketches.headOption.map(_.k).getOrElse(1024)))
+            prev.sketches.headOption.map(_.k).getOrElse(1024),
+            sumCols = prev.sums.map(_.col)))
       }
       RankStats.readRanks(spark, table).foreach { prev =>
         orAnalyze("rank stats")(RankStats.refresh(spark, table))(
@@ -3986,6 +3987,64 @@ object SnapshotTable extends QueryPack {
       max(col("o_orderkey")).as("max_key"))
   }
 
+  // exact-sum scenario: plain orders snapshot, ANALYZEd with integral
+  // column sums — read-only after the analyze, memoized
+  @volatile private var sumMemo: Option[((SparkSession, String), String)] = None
+
+  private def sumScenario(s: SparkSession, dir: String): String =
+    sumMemo match {
+      case Some((k, w)) if k == ((s, dir)) => w
+      case _ => synchronized {
+        sumMemo match {
+          case Some((k, w)) if k == ((s, dir)) => w
+          case _ =>
+            val work = java.nio.file.Files
+              .createTempDirectory("graft_snapshot_sum").resolve("t").toString
+            create(s, work, Tables.orders(s, dir)
+              .select(col("o_orderkey"), col("o_custkey"),
+                col("o_totalprice"), col("o_orderpriority")),
+              "o_orderpriority", statsCols = Seq("o_orderkey"))
+            TableStats.analyze(s, work, Seq.empty,
+              sumCols = Seq("o_orderkey", "o_custkey"))
+            sumMemo = Some(((s, dir), work))
+            work
+        }
+      }
+    }
+
+  /** Whole-table SUMs answered from the ANALYZE sidecar's exact
+    * decimal column sums ([[graft.plans.MetadataAggPushdown]]'s sum
+    * fold — integral columns, fingerprint-gated, O(Δ)-maintained):
+    * the executed plan is a LocalTableScan, zero data files. The
+    * oracle replays the sums relationally, so the hash check proves
+    * the recorded decimal totals ARE the data's.
+    */
+  def metaSumQuery(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.MetadataAggPushdown.install(s)
+    read(s, sumScenario(s, dir)).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("o_orderkey")).as("sum_key"),
+      sum(col("o_custkey")).as("sum_cust"),
+      max(col("o_orderkey")).as("max_key"))
+  }
+
+  /** The same exact-sum serve driven PURELY through `spark.sql`: the
+    * `snapshot_sums` TVF answers from the sidecar with its
+    * current-version freshness proof — no Scala API in sight.
+    */
+  def sqlSumsQuery(s: SparkSession, dir: String): DataFrame = {
+    SnapshotSql.register(s)
+    val t = sumScenario(s, dir)
+    s.sql(
+      s"""SELECT col, CAST(sum_value AS BIGINT) AS sum_value,
+         |  CAST(n_nonnull AS BIGINT) AS n_nonnull
+         |FROM (
+         |  SELECT * FROM snapshot_sums('$t', 'o_custkey')
+         |  UNION ALL
+         |  SELECT * FROM snapshot_sums('$t', 'o_orderkey')
+         |) ORDER BY col""".stripMargin)
+  }
+
   /** The PARTITION-FILTERED metadata fold: `count/min/max WHERE
     * priority IN (...)` answered from the manifest's per-file
     * (partition value, rows, stats) lines alone — the writer's
@@ -4237,6 +4296,8 @@ object SnapshotTable extends QueryPack {
     "q_snapshot_meta_nulls" -> (metaNullsQuery _),
     "q_snapshot_dynjoin" -> (dynJoinQuery _),
     "q_snapshot_meta_agg" -> (metaAggQuery _),
+    "q_snapshot_meta_sum" -> (metaSumQuery _),
+    "q_sql_sums" -> (sqlSumsQuery _),
     "q_snapshot_meta_sel" -> (metaSelQuery _),
     "q_snapshot_meta_parts" -> (metaPartsQuery _),
     "q_snapshot_sql" -> (sqlQuery _),
@@ -4332,6 +4393,22 @@ object SnapshotTable extends QueryPack {
         |  CAST(max(o_orderkey) AS BIGINT) AS max_key
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_sql_sums" ->
+      """SELECT col, CAST(s AS BIGINT) AS sum_value,
+        |  CAST(n AS BIGINT) AS n_nonnull
+        |FROM (
+        |  SELECT 'o_custkey' AS col, sum(o_custkey) AS s,
+        |    count(o_custkey) AS n FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderkey', sum(o_orderkey), count(o_orderkey)
+        |  FROM orders
+        |) ORDER BY col""".stripMargin,
+    "q_snapshot_meta_sum" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders""".stripMargin,
     "q_snapshot_meta_agg" ->
       """WITH changed AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,

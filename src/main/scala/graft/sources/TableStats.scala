@@ -56,11 +56,22 @@ object TableStats {
       else (k - 1).toDouble / unsignedFraction(minima.last)
   }
 
-  /** Sidecar payload: sketches valid for the table state identified by
-    * (`version`, `filesFp`, `delFp`).
+  /** One column's EXACT sum: decimal arithmetic over the column's
+    * non-null values (recorded for INTEGRAL columns only, where
+    * decimal(38,0) addition is exact and order-free), plus the
+    * non-null row count (decides the SQL-NULL sum and serves `avg`).
+    * Sums are ADDITIVE, so the delta [[refresh]] is exact — no budget,
+    * unlike the rank tier.
+    */
+  final case class ColSum(col: String, sum: java.math.BigDecimal,
+                          nonNull: Long)
+
+  /** Sidecar payload: sketches (and optional exact column sums) valid
+    * for the table state identified by (`version`, `filesFp`, `delFp`).
     */
   final case class StatsFile(version: Long, filesFp: String, delFp: String,
-                             sketches: Seq[NdvSketch])
+                             sketches: Seq[NdvSketch],
+                             sums: Seq[ColSum] = Seq.empty)
 
   private def unsignedFraction(h: Long): Double =
     (java.lang.Double.parseDouble(java.lang.Long.toUnsignedString(h)) + 1.0) /
@@ -129,8 +140,12 @@ object TableStats {
 
   private val sketchRe =
     raw"""\{"col":"([^"]*)","k":(\d+),"sat":(true|false),"min":"([A-Za-z0-9+/=]*)"\}""".r
+  private val sumRe =
+    raw"""\{"col":"([^"]*)","sm":"(-?[0-9]+)","nn":(\d+)\}""".r
+  // sketches non-greedy + optional sums section: a pre-sums sidecar
+  // parses with the group absent (sketch bodies contain no ']')
   private val fileRe =
-    raw"""\{"version":(\d+),"filesFp":"([0-9a-f]*)","delFp":"([0-9a-f]*)","sketches":\[(.*)\]\}""".r
+    raw"""\{"version":(\d+),"filesFp":"([0-9a-f]*)","delFp":"([0-9a-f]*)","sketches":\[(.*?)\](?:,"sums":\[(.*)\])?\}""".r
 
   private def writeStats(spark: SparkSession, table: String,
                          st: StatsFile): Unit = {
@@ -140,8 +155,13 @@ object TableStats {
     val body = st.sketches.map(s =>
       s"""{"col":"${s.col}","k":${s.k},"sat":${s.sat},"min":"${b64(s.minima)}"}""")
       .mkString(",")
+    val sumsPart =
+      if (st.sums.isEmpty) ""
+      else st.sums.map(cs =>
+        s"""{"col":"${cs.col}","sm":"${cs.sum.toBigInteger.toString}","nn":${cs.nonNull}}""")
+        .mkString(""","sums":[""", ",", "]")
     val json =
-      s"""{"version":${st.version},"filesFp":"${st.filesFp}","delFp":"${st.delFp}","sketches":[$body]}"""
+      s"""{"version":${st.version},"filesFp":"${st.filesFp}","delFp":"${st.delFp}","sketches":[$body]$sumsPart}"""
     // best-effort sweep of tmp files a crashed writer left behind —
     // age-guarded (1 h) so a RACING writer's in-flight tmp is never
     // deleted from under it; a crashed attempt's file is referenced by
@@ -175,27 +195,65 @@ object TableStats {
         bos.toString("UTF-8")
       } finally in.close()
       body.trim match {
-        case fileRe(v, ffp, dfp, sk) =>
+        case fileRe(v, ffp, dfp, sk, sm) =>
           val sketches = sketchRe.findAllMatchIn(sk).map(m =>
             NdvSketch(m.group(1), m.group(2).toInt, m.group(3).toBoolean,
               fromB64(m.group(4)))).toSeq
-          Some(StatsFile(v.toLong, ffp, dfp, sketches))
+          val sums = Option(sm).toSeq.flatMap(s =>
+            sumRe.findAllMatchIn(s).map(m =>
+              ColSum(m.group(1), new java.math.BigDecimal(m.group(2)),
+                m.group(3).toLong)))
+          Some(StatsFile(v.toLong, ffp, dfp, sketches, sums))
         case _ => None
       }
     }
   }
 
-  /** Compute + publish sketches for the table's CURRENT version (the
-    * masked read — pending equality deletes are applied, so the
-    * sketches describe visible rows). Returns what was written.
+  /** Exact decimal sums + non-null counts of `cols` (all INTEGRAL) in
+    * ONE aggregate job — map-side combined partials, one row to the
+    * driver.
+    */
+  private def sumsOf(df: DataFrame, cols: Seq[String]): Seq[ColSum] = {
+    if (cols.isEmpty) return Seq.empty
+    cols.foreach { c =>
+      import org.apache.spark.sql.types._
+      val ok = df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok,
+        s"table stats: exact sums are integral-only (decimal addition " +
+          s"is order-free there); $c is ${df.schema(c).dataType}")
+    }
+    val aggs = cols.flatMap(c => Seq(
+      sum(col(c).cast("decimal(38,0)")).as(s"s_$c"),
+      count(col(c)).as(s"n_$c")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      val nn = r.getLong(2 * i + 1)
+      // a NULL decimal sum with non-null rows is silent decimal-38
+      // overflow (non-ANSI mode) — recording ZERO would be a lie
+      require(!r.isNullAt(2 * i) || nn == 0L,
+        s"table stats: decimal overflow summing $c")
+      val s = if (r.isNullAt(2 * i)) java.math.BigDecimal.ZERO
+        else r.getDecimal(2 * i)
+      ColSum(c, s, nn)
+    }
+  }
+
+  /** Compute + publish sketches (and, for `sumCols`, exact column
+    * sums) for the table's CURRENT version (the masked read — pending
+    * equality deletes are applied, so the stats describe visible
+    * rows). Returns what was written.
     */
   def analyze(spark: SparkSession, table: String, cols: Seq[String],
-              k: Int = 1024): StatsFile = {
+              k: Int = 1024, sumCols: Seq[String] = Seq.empty): StatsFile = {
     val v = SnapshotTable.currentVersion(spark, table)
     val df = SnapshotTable.readVersion(spark, table, v)
     val sketches = cols.map(c => sketchOf(df, c, k))
+    val sums = sumsOf(df, sumCols)
     val (ffp, dfp) = fingerprints(spark, table, v)
-    val st = StatsFile(v, ffp, dfp, sketches)
+    val st = StatsFile(v, ffp, dfp, sketches, sums)
     writeStats(spark, table, st)
     st
   }
@@ -231,13 +289,24 @@ object TableStats {
           if (freshEntries.isEmpty) s
           else merge(s, sketchOf(freshDf, s.col, s.k))
         }
+        // sums are additive: the delta refresh is EXACT (fresh files'
+        // decimal sums add onto the recorded ones, no budget to grow)
+        val mergedSums =
+          if (freshEntries.isEmpty || prev.sums.isEmpty) prev.sums
+          else {
+            val fresh = sumsOf(freshDf, prev.sums.map(_.col))
+            prev.sums.zip(fresh).map { case (a, b) =>
+              ColSum(a.col, a.sum.add(b.sum), a.nonNull + b.nonNull)
+            }
+          }
         val (ffp, dfp) = fingerprints(spark, table, cur)
-        val st = StatsFile(cur, ffp, dfp, merged)
+        val st = StatsFile(cur, ffp, dfp, merged, mergedSums)
         writeStats(spark, table, st)
         (st, true)
       } else
         (analyze(spark, table, prev.sketches.map(_.col),
-          prev.sketches.headOption.map(_.k).getOrElse(1024)), false)
+          prev.sketches.headOption.map(_.k).getOrElse(1024),
+          sumCols = prev.sums.map(_.col)), false)
     }
   }
 
@@ -257,7 +326,8 @@ object TableStats {
       case Some(st) if st.version == fromVersion &&
           fingerprints(spark, table, fromVersion) == ((st.filesFp, st.delFp)) =>
         val (ffp, dfp) = fingerprints(spark, table, toVersion)
-        writeStats(spark, table, StatsFile(toVersion, ffp, dfp, st.sketches))
+        writeStats(spark, table,
+          StatsFile(toVersion, ffp, dfp, st.sketches, st.sums))
         true
       case _ => false
     }
@@ -274,6 +344,42 @@ object TableStats {
       if (st.filesFp != sha1(plannedPaths)) None
       else if (st.delFp != sha1(Seq.empty)) None
       else st.sketches.find(_.col == column).flatMap(_.exact)
+    }
+
+  /** Exact column SUM (+ non-null count) for a reader planning exactly
+    * `plannedPaths` — the [[exactDistinct]] twin for the SUM fold
+    * ([[graft.plans.MetadataAggPushdown]]): fires only when the
+    * sidecar's fingerprint matches the planned file list and the
+    * analyzed state had no pending delete masks. Integral-only by
+    * construction (see [[analyze]]'s `sumCols`), decimal-exact,
+    * O(Δ)-maintained — `SELECT SUM(col)` on a 100 TB table becomes a
+    * sidecar read.
+    */
+  def exactSum(spark: SparkSession, table: String, column: String,
+               plannedPaths: Seq[String])
+      : Option[(java.math.BigDecimal, Long)] =
+    readStats(spark, table).flatMap { st =>
+      if (st.filesFp != sha1(plannedPaths)) None
+      else if (st.delFp != sha1(Seq.empty)) None
+      else st.sums.find(_.col == column).map(cs => (cs.sum, cs.nonNull))
+    }
+
+  /** [[exactSum]] WITH the current-version freshness proof — the SQL
+    * TVF's gate (`snapshot_sums`): version AND both fingerprints must
+    * match the CURRENT state, so a delete-only commit (same data
+    * paths, new delete files) refuses instead of serving deleted rows'
+    * totals. The optimizer path doesn't need this (a masked read never
+    * presents the bare-relation shape), but a TVF answers outside any
+    * plan shape and must carry the proof itself.
+    */
+  def sumsServed(spark: SparkSession, table: String, column: String)
+      : Option[(java.math.BigDecimal, Long)] =
+    readStats(spark, table).flatMap { st =>
+      val cur = SnapshotTable.currentVersion(spark, table)
+      if (st.version != cur) None
+      else if (fingerprints(spark, table, cur) != ((st.filesFp, st.delFp)))
+        None
+      else st.sums.find(_.col == column).map(cs => (cs.sum, cs.nonNull))
     }
 
   /** An upper BOUND on `column`'s distinct count over ANY reader whose

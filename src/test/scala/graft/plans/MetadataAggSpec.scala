@@ -188,6 +188,57 @@ class MetadataAggSpec extends SparkSpec {
     assert(r === withRuleOff { pruned.head() })
   }
 
+  test("sum/avg from the sidecar's exact decimal sums: rewritten, " +
+    "bit-equal to the scan, advanced EXACTLY by the delta refresh, and " +
+    "refused for unanalyzed/floating columns and stale sidecars") {
+    import spark.implicits._
+    import graft.sources.TableStats
+    val t = smallTable()
+    TableStats.analyze(spark, t, Seq.empty, sumCols = Seq("k", "v"))
+    def agg() = SnapshotTable.read(spark, t).agg(
+      count(lit(1)).as("n"), sum(col("k")).as("sk"),
+      sum(col("v")).as("sv"), avg(col("v")).as("av"))
+    assert(rewritten(agg()), agg().queryExecution.optimizedPlan.toString)
+    assert(agg().head() === withRuleOff { agg().head() })
+    assert(agg().head().getLong(1) === 15L)
+    assert(agg().head().getLong(2) === 150L)
+    assert(agg().head().getDouble(3) === 30.0)
+    // stale after an append: refuse; delta refresh re-arms with EXACT
+    // addition (no recompute, no budget)
+    SnapshotTable.commitAppend(spark, t,
+      Seq((9L, 90, "c", 9.5)).toDF("k", "v", "p", "x"), "p")
+    assert(!rewritten(agg()), "a stale sidecar must refuse the sum fold")
+    val (_, delta) = TableStats.refresh(spark, t)
+    assert(delta)
+    assert(rewritten(agg()))
+    assert(agg().head() === withRuleOff { agg().head() })
+    assert(agg().head().getLong(1) === 24L)
+    // floating column: never summed from metadata (order-dependent)
+    def fagg() = SnapshotTable.read(spark, t).agg(sum(col("x")).as("sx"))
+    assert(!rewritten(fagg()))
+    // unanalyzed integral column in the same aggregate poisons the
+    // whole rewrite, not the answer
+    intercept[IllegalArgumentException] {
+      TableStats.analyze(spark, t, Seq.empty, sumCols = Seq("x"))
+    }
+  }
+
+  test("sum of an all-null column serves SQL NULL; avg refuses without " +
+    "same-sign proof only when stats are missing") {
+    import spark.implicits._
+    import graft.sources.TableStats
+    val t = freshDir()
+    SnapshotTable.create(spark, t,
+      Seq((1L, Option.empty[Long], "a"), (2L, Option.empty[Long], "a"))
+        .toDF("k", "nl", "p"), "p", statsCols = Seq("k", "nl"))
+    TableStats.analyze(spark, t, Seq.empty, sumCols = Seq("k", "nl"))
+    def agg() = SnapshotTable.read(spark, t)
+      .agg(sum(col("nl")).as("s"), count(lit(1)).as("n"))
+    assert(rewritten(agg()))
+    assert(agg().head() === withRuleOff { agg().head() })
+    assert(agg().head().isNullAt(0), "sum of no non-null rows is SQL NULL")
+  }
+
   test("distinct and filtered aggregates are never claimed") {
     val t = smallTable()
     val base = SnapshotTable.read(spark, t)

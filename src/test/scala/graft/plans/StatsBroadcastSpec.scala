@@ -262,6 +262,32 @@ class StatsBroadcastSpec extends SparkSpec {
     }
   }
 
+  test("rank sizing serves a SUBSET-planned side: a time-travel read " +
+    "plans the analyzed set's strict subset, and the whole-table " +
+    "bound is still an upper bound — the broadcast fires") {
+    val t = pricedTable()
+    withThreshold(131072L) {
+      // grow the table, THEN analyze: the sidecar describes v2, while
+      // a v1 read plans a strict subset of the analyzed files
+      SnapshotTable.commitAppend(spark, t,
+        spark.range(30000, 30400).select(col("id").as("k"), lit("p0").as("p"),
+          lit(9999.0).as("price"), md5(col("id").cast("string")).as("pad")), "p")
+      RankStats.analyze(spark, t, Seq("price"), m = 256)
+      def dim() = SnapshotTable.readVersion(spark, t, 1L)
+        .filter(col("price") < 300.0)
+      def q() = fact.join(dim(), col("fk") === col("k"))
+        .groupBy(col("p"))
+        .agg(count(lit(1)).as("n"), sum(length(col("pad"))).as("padlen"))
+        .orderBy(col("p"))
+      val on = q()
+      assert(bhj(on) === 1 && smj(on) === 0,
+        "a planned subset of the analyzed set must still be sizable")
+      val (offB, offRows) = withRuleOff { val d = q(); (bhj(d), d.collect().toSeq) }
+      assert(offB === 0)
+      assert(on.collect().toSeq === offRows)
+    }
+  }
+
   test("rank sizing refuses a stale sidecar and an unfit slice, but " +
     "SURVIVES a delta refresh: span-preserving segments keep the " +
     "range proof armed at ingest cadence") {

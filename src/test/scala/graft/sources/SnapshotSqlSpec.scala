@@ -223,4 +223,42 @@ class SnapshotSqlSpec extends SparkSpec {
       s"SELECT value FROM snapshot_quantiles('$t', 'v', 1.0D)")
       .head().getDouble(0) === 101.0)
   }
+
+  test("exact-sum procedures: snapshot_analyze_sums persists decimal " +
+    "sums, snapshot_sums serves them with the freshness proof, a " +
+    "delete-only commit refuses, and the delta refresh re-arms exactly") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("snapsqls")
+      .resolve("t").toString
+    SnapshotTable.create(spark, t,
+      (1 to 100).map(i => (i.toLong, i * 2L, "all")).toDF("k", "w", "p"),
+      "p")
+    SnapshotSql.register(spark)
+    val a = spark.sql(
+      s"SELECT * FROM snapshot_analyze_sums('$t', 'k', 'w')").head()
+    assert(a.getLong(1) === 2L, s"n_cols: $a")
+    val r = spark.sql(s"SELECT * FROM snapshot_sums('$t', 'k')").head()
+    assert(r.getString(0) === "k")
+    assert(r.getLong(1) === 5050L)
+    assert(r.getLong(2) === 100L)
+    assert(spark.sql(s"SELECT sum_value FROM snapshot_sums('$t', 'w')")
+      .head().getLong(0) === 10100L)
+    // the delete-only staleness trap: data paths unchanged, totals not
+    SnapshotTable.commitDeleteLazy(spark, t, Seq(1L, 2L).toDF("k"), "k")
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM snapshot_sums('$t', 'k')").collect()
+    }
+    assert(err.getMessage.contains("no fresh exact sum"))
+    // full re-analyze (a sum cannot subtract) serves the masked truth
+    spark.sql(s"SELECT * FROM snapshot_analyze_sums('$t', 'k', 'w')")
+      .collect()
+    assert(spark.sql(s"SELECT sum_value FROM snapshot_sums('$t', 'k')")
+      .head().getLong(0) === 5047L)
+    // append + Scala-side delta refresh: exact addition, still served
+    SnapshotTable.commitAppend(spark, t,
+      Seq((1000L, 2000L, "all")).toDF("k", "w", "p"), "p")
+    TableStats.refresh(spark, t)
+    assert(spark.sql(s"SELECT sum_value FROM snapshot_sums('$t', 'k')")
+      .head().getLong(0) === 6047L)
+  }
 }
