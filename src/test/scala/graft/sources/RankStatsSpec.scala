@@ -162,6 +162,46 @@ class RankStatsSpec extends SparkSpec {
     assert(RankStats.SegmentView(Seq(a)).ascThreshold(5001L).isEmpty)
   }
 
+  test("property sweep: across seeds, segment counts, and k values, " +
+    "asc/desc thresholds and range bounds stay sound on segment views") {
+    for (seed <- 1L to 5L) {
+      val nSegs = 2 + (seed % 3).toInt
+      val parts = (0 until nSegs).map { i =>
+        val n = 500 + ((seed * 37 + i * 911) % 4000).toInt
+        // overlapping, shifted, unevenly scaled ranges
+        lcg(n, seed * 10 + i).map(_ * (1.0 + i * 0.7) - i * 0.2)
+      }
+      val segs = parts.map(xs =>
+        RankStats.summarize(xs.toDF("v"), "v", m = 64))
+      val view = RankStats.SegmentView(segs)
+      val union = parts.flatten
+      assert(view.n === union.size.toLong, s"seed $seed")
+      assert(view.spansAll, s"seed $seed")
+      for (k <- Seq(1L, 7L, 50L, 333L)) {
+        val va = view.ascThreshold(k)
+        assert(va.isDefined && union.count(_ <= va.get) >= k,
+          s"seed $seed asc k=$k")
+        val vd = view.descThreshold(k)
+        assert(vd.isDefined && union.count(_ >= vd.get) >= k,
+          s"seed $seed desc k=$k")
+      }
+      // k = n: ASC serves (the last point bounds everything); DESC is
+      // legitimately unprovable from spans (the first point's rows
+      // have no lower bound) — sound if served, honest if refused
+      val all = view.ascThreshold(view.n)
+      assert(all.isDefined && union.count(_ <= all.get) >= view.n,
+        s"seed $seed asc k=n")
+      view.descThreshold(view.n).foreach(v =>
+        assert(union.count(_ >= v) >= view.n, s"seed $seed desc k=n"))
+      for ((lo, hi) <- Seq((Some(0.1), Some(0.9)), (None, Some(0.4)),
+          (Some(0.6), None))) {
+        val bound = view.rangeUpper(lo, hi).get
+        val truth = union.count(x => lo.forall(x >= _) && hi.forall(x <= _))
+        assert(bound >= truth, s"seed $seed ($lo,$hi): $bound < $truth")
+      }
+    }
+  }
+
   test("refresh caps segments: the append window that would exceed " +
     "maxSegments compacts via one full analyze, resetting the budget " +
     "to a single exact-spacing segment") {
