@@ -174,4 +174,35 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
     }.nonEmpty, "the injected threshold Filter must be in the plan")
   }
+
+  test("extension-injected metadata SUM fold fires from plain SQL: " +
+    "sum/avg over an analyzed snapshot_table plans a LocalRelation " +
+    "and the TVF pipeline (analyze_sums -> sums) closes the loop") {
+    import org.apache.spark.sql.functions._
+    val t = java.nio.file.Files.createTempDirectory("ext_sums")
+      .resolve("t").toString
+    graft.sources.SnapshotTable.create(spark, t,
+      spark.range(1, 1001).select(col("id").as("k"),
+        (col("id") * 3L).as("w"), lit("all").as("p")),
+      "p", statsCols = Seq("k", "w"))
+    // the whole flow through SQL: analyze procedure, then a plain
+    // aggregate over the TVF relation folds to metadata
+    val a = spark.sql(
+      s"SELECT * FROM snapshot_analyze_sums('$t', 'k', 'w')").head()
+    assert(a.getLong(1) === 2L)
+    val df = spark.sql(
+      s"""SELECT count(*) AS n, sum(k) AS sk, sum(w) AS sw,
+         |  avg(k) AS ak FROM snapshot_table('$t')""".stripMargin)
+    val r = df.head()
+    assert(r.getLong(0) === 1000L)
+    assert(r.getLong(1) === 500500L)
+    assert(r.getLong(2) === 1501500L)
+    assert(r.getDouble(3) === 500.5)
+    assert(df.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.nonEmpty, "the aggregate must fold to a LocalRelation: " +
+      df.queryExecution.optimizedPlan.toString)
+    assert(spark.sql(s"SELECT sum_value FROM snapshot_sums('$t', 'k')")
+      .head().getLong(0) === 500500L)
+  }
 }
