@@ -67,8 +67,12 @@ object SkewJoin extends QueryPack {
           // hot key split across delta segments still totals up
           val hottest = segs.flatMap(s => s.values.zip(s.weights))
             .groupBy(_._1).valuesIterator.map(_.map(_._2).sum).max
-          val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-          val share = math.max(1.0, n.toDouble / math.max(1, parts))
+          // a platform may set shuffle.partitions non-numeric ("auto");
+          // this helper's contract is to DECLINE, never to crash
+          val parts = scala.util
+            .Try(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+            .toOption.filter(_ > 0).getOrElse(return 1)
+          val share = math.max(1.0, n.toDouble / parts)
           if (hottest <= skewFactor * share) 1
           else math.min(maxBuckets, math.ceil(hottest / share).toInt)
         }

@@ -69,25 +69,29 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper
 
   private val FlagKey = "spark.graft.eagerAgg"
 
-  // SESSION-SCOPED carrier (norm(path) -> force): two sessions sharing
-  // a JVM see only their own opt-ins — an opt-in is a tenant's
-  // data-model statement, not a process fact. Weak keys let a dropped
-  // session's registry be collected.
-  private val registries = new java.util.WeakHashMap[
-    SparkSession,
-    java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]]()
+  // SESSION-SCOPED carrier: the opt-ins live in the SESSION CONF
+  // (URL-encoded entries under one key), which draws exactly the right
+  // boundary — `cloneSession` copies it, so the clones Structured
+  // Streaming plans micro-batches under keep firing; `newSession`
+  // starts fresh, so a sibling tenant inherits no trust. (An
+  // instance-keyed map would silently disable the rule under clones;
+  // a process global would leak across tenants.)
+  private val TablesKey = "spark.graft.eagerAgg.tables"
 
-  private def registryOf(spark: SparkSession) = registries.synchronized {
-    registries.computeIfAbsent(spark,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
-  }
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 
-  private def activeRegistry
-      : Option[java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]] = {
-    val s = SparkSession.getActiveSession
-    if (s.isEmpty) None
-    else registries.synchronized { Option(registries.get(s.get)) }
-  }
+  // entry = enc(norm(path)) with an optional "!force" marker; '!' and
+  // ',' never appear in URL-encoded text
+  private def parseTables(v: String): Map[String, Boolean] =
+    v.split(",").iterator.filter(_.nonEmpty).map { e =>
+      val force = e.endsWith("!force")
+      dec(if (force) e.dropRight(6) else e) -> force
+    }.toMap
+
+  private def renderTables(m: Map[String, Boolean]): String =
+    m.toSeq.sortBy(_._1).map { case (t, f) =>
+      enc(t) + (if (f) "!force" else "") }.mkString(",")
 
   private def norm(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.toString
@@ -106,10 +110,11 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper
     enableFor(SparkSession.active, table, force)
 
   def enableFor(spark: SparkSession, table: String, force: Boolean): Unit =
-    registryOf(spark).put(norm(table), java.lang.Boolean.valueOf(force))
+    spark.conf.set(TablesKey, renderTables(
+      parseTables(spark.conf.get(TablesKey, "")) + (norm(table) -> force)))
 
-  private[graft] def clearEnabled(): Unit =
-    registries.synchronized { registries.clear() }
+  private[graft] def clearEnabled(spark: SparkSession): Unit =
+    spark.conf.unset(TablesKey)
 
   def install(spark: SparkSession): Unit = synchronized {
     if (!spark.experimental.extraOptimizations.contains(this))
@@ -117,18 +122,22 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper
         spark.experimental.extraOptimizations :+ this
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    if (activeRegistry.forall(_.isEmpty) ||
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // the planning session's conf (SQLConf is clone-copied) IS the
+    // registry — no session-instance lookup anywhere in the rule
+    val enabled = parseTables(conf.getConfString(TablesKey, ""))
+    if (enabled.isEmpty ||
         conf.getConfString(FlagKey, "true") != "true") plan
     else plan.transformDown {
       // attr-only Projects between the Aggregate and the Join (column
       // pruning leaves one) are bypassed: the rebuilt child exposes a
       // superset of their output and the Aggregate projects for itself
       case a: Aggregate => stripProjects(a.child) match {
-        case j: Join => tryRewrite(a, j).getOrElse(a)
+        case j: Join => tryRewrite(a, j, enabled).getOrElse(a)
         case _ => a
       }
     }
+  }
 
   private def stripProjects(p: LogicalPlan): LogicalPlan = p match {
     case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
@@ -136,7 +145,8 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper
     case other => other
   }
 
-  private def tryRewrite(a: Aggregate, j: Join): Option[LogicalPlan] = {
+  private def tryRewrite(a: Aggregate, j: Join,
+                         enabled: Map[String, Boolean]): Option[LogicalPlan] = {
     if (j.joinType != Inner) return None
     val conjuncts = j.condition.toSeq.flatMap(splitConjunctivePredicates)
     if (conjuncts.isEmpty) return None
@@ -150,7 +160,7 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper
 
     def attempt(fact: LogicalPlan, dim: LogicalPlan,
                 rebuild: LogicalPlan => Join): Option[LogicalPlan] = {
-      if (!isEnabledFact(fact)) return None
+      if (enabledFact(fact, enabled).isEmpty) return None
       // every conjunct: fact-attr = dim-attr (any order)
       val factJoinAttrs = conjuncts.map {
         case EqualTo(l: AttributeReference, r: AttributeReference) =>
@@ -222,7 +232,7 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper
         .foldLeft(Seq.empty[AttributeReference]) { (acc, at) =>
           if (acc.exists(_.exprId == at.exprId)) acc else acc :+ at
         }
-      if (!worthIt(fact, partialGroup)) return None
+      if (!worthIt(fact, partialGroup, enabled)) return None
       val partialAgg = Aggregate(partialGroup,
         partialGroup ++ partials.flatMap(_._2), fact)
       val rewrittenAe = a.aggregateExpressions.map { ne =>
@@ -238,24 +248,20 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper
       .orElse(attempt(j.right, j.left, p => j.copy(right = p)))
   }
 
-  /** The side is a bare scan (attr-only Projects / deterministic
-    * Filters) of an opted-in snapshot table. An already-aggregated side
-    * never matches, so the rewrite cannot re-fire on its own output.
+  /** The opted-in snapshot relation under `p` (a bare scan through
+    * attr-only Projects / deterministic Filters), with its force flag.
+    * An already-aggregated side never matches, so the rewrite cannot
+    * re-fire on its own output.
     */
-  private def isEnabledFact(p: LogicalPlan): Boolean =
-    enabledFact(p).isDefined
-
-  /** The opted-in snapshot relation under `p`, with its force flag. */
-  private def enabledFact(p: LogicalPlan)
+  private def enabledFact(p: LogicalPlan, enabled: Map[String, Boolean])
       : Option[(SnapshotFileIndex, LogicalRelation, Boolean)] = p match {
     case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-      enabledFact(c)
-    case Filter(cond, c) if cond.deterministic => enabledFact(c)
+      enabledFact(c, enabled)
+    case Filter(cond, c) if cond.deterministic => enabledFact(c, enabled)
     case l: LogicalRelation if !l.isStreaming => l.relation match {
       case fs: HadoopFsRelation => fs.location match {
         case idx: SnapshotFileIndex =>
-          activeRegistry.flatMap(r => Option(r.get(norm(idx.tablePath))))
-            .map(f => (idx, l, f.booleanValue()))
+          enabled.get(norm(idx.tablePath)).map(f => (idx, l, f))
         case _ => None
       }
       case _ => None
@@ -278,8 +284,9 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper
     * stats-fed optimizer makes (and why force exists).
     */
   private def worthIt(fact: LogicalPlan,
-                      partialGroup: Seq[AttributeReference]): Boolean =
-    enabledFact(fact) match {
+                      partialGroup: Seq[AttributeReference],
+                      enabled: Map[String, Boolean]): Boolean =
+    enabledFact(fact, enabled) match {
       case None => false // unreachable: attempt() checked isEnabledFact
       case Some((_, _, true)) => true
       case Some((idx, rel, false)) =>

@@ -71,45 +71,69 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
   // MaterializedView's): norm'd table path → declared key column SETS
   // (a single-column key is a one-element set; a composite key is
   // unique only as a whole).
-  // SESSION-SCOPED carrier: two sessions sharing a JVM see only their
-  // own declarations (a constraint is trusted per tenant, not per
-  // process; the persisted tag ledger + loadDeclarations is the
-  // cross-session path). Weak keys let a dropped session's registry be
-  // collected.
-  private final class Registry {
-    val uniqueKeys =
-      new java.util.concurrent.ConcurrentHashMap[String, Set[Set[String]]]()
-    // (factTable, fkCol) → (dimTable, pkCol)
-    val foreignKeys =
-      new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
-  }
+  // SESSION-SCOPED carrier: declarations live in the SESSION CONF
+  // (URL-encoded entries under two keys) — `cloneSession` copies it,
+  // so the clones Structured Streaming plans micro-batches under keep
+  // the trust; `newSession` starts fresh, so a sibling tenant inherits
+  // nothing (the persisted tag ledger + loadDeclarations is the
+  // cross-session path). Rule-side lookups read the PLANNING session's
+  // SQLConf directly — no session-instance registry anywhere.
+  private val UniqKeysKey = "spark.graft.constraints.uniqueKeys"
+  private val FksKey = "spark.graft.constraints.foreignKeys"
 
-  private val registries =
-    new java.util.WeakHashMap[SparkSession, Registry]()
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 
-  private def registryOf(spark: SparkSession): Registry =
-    registries.synchronized {
-      registries.computeIfAbsent(spark, _ => new Registry)
-    }
+  // uniqueKeys: "enc(table)=enc(c1):enc(c2)|enc(c3);..." — ';' '=' '|'
+  // ':' never appear in URL-encoded text
+  private def parseUniq(v: String): Map[String, Set[Set[String]]] =
+    v.split(";").iterator.filter(_.nonEmpty).map { e =>
+      val Array(t, ks) = e.split("=", 2)
+      dec(t) -> ks.split("\\|").iterator.filter(_.nonEmpty)
+        .map(_.split(":").map(dec).toSet).toSet
+    }.toMap
 
-  // rule-side lookups resolve the ACTIVE session's registry (rules run
-  // under the owning session's planner); no session → no declarations
-  private def activeRegistry: Option[Registry] = {
-    val s = SparkSession.getActiveSession
-    if (s.isEmpty) None
-    else registries.synchronized { Option(registries.get(s.get)) }
-  }
+  private def renderUniq(m: Map[String, Set[Set[String]]]): String =
+    m.toSeq.sortBy(_._1).map { case (t, ks) =>
+      enc(t) + "=" + ks.toSeq.map(_.toSeq.sorted.map(enc).mkString(":"))
+        .sorted.mkString("|")
+    }.mkString(";")
+
+  // foreignKeys: "enc(fact)@enc(fk)>enc(dim)@enc(pk);..."
+  private def parseFks(v: String): Map[(String, String), (String, String)] =
+    v.split(";").iterator.filter(_.nonEmpty).map { e =>
+      val Array(l, r) = e.split(">", 2)
+      val Array(ft, fk) = l.split("@", 2)
+      val Array(dt, pk) = r.split("@", 2)
+      (dec(ft), dec(fk)) -> ((dec(dt), dec(pk)))
+    }.toMap
+
+  private def renderFks(m: Map[(String, String), (String, String)]): String =
+    m.toSeq.sortBy(_._1).map { case ((ft, fk), (dt, pk)) =>
+      s"${enc(ft)}@${enc(fk)}>${enc(dt)}@${enc(pk)}" }.mkString(";")
 
   private def declaredKeys(table: String): Set[Set[String]] =
-    activeRegistry.map(_.uniqueKeys.getOrDefault(table, Set.empty))
-      .getOrElse(Set.empty)
+    parseUniq(conf.getConfString(UniqKeysKey, ""))
+      .getOrElse(table, Set.empty)
 
   private def singleKeyDeclared(table: String, col: String): Boolean =
     declaredKeys(table).contains(Set(col))
 
   private def foreignKeyOf(factTable: String,
                            fkCol: String): Option[(String, String)] =
-    activeRegistry.flatMap(r => Option(r.foreignKeys.get((factTable, fkCol))))
+    parseFks(conf.getConfString(FksKey, "")).get((factTable, fkCol))
+
+  private def addUniq(spark: SparkSession, table: String,
+                      cols: Set[String]): Unit = {
+    val cur = parseUniq(spark.conf.get(UniqKeysKey, ""))
+    spark.conf.set(UniqKeysKey, renderUniq(
+      cur + (table -> (cur.getOrElse(table, Set.empty) + cols))))
+  }
+
+  private def addFk(spark: SparkSession, fact: String, fk: String,
+                    dim: String, pk: String): Unit =
+    spark.conf.set(FksKey, renderFks(
+      parseFks(spark.conf.get(FksKey, "")) + ((fact, fk) -> ((dim, pk)))))
 
   private def norm(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.toString
@@ -151,8 +175,7 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
       require(dup,
         s"declareUniqueKey: $table(${cols.mkString(",")}) has duplicates")
     }
-    registryOf(spark).uniqueKeys.compute(norm(table),
-      (_, old) => Option(old).getOrElse(Set.empty) + cols.toSet)
+    addUniq(spark, norm(table), cols.toSet)
     if (persist) {
       require(cols.forall(c => !c.contains("@") && !c.contains(",")),
         "declareUniqueKey: '@'/',' in a column name is not " +
@@ -173,8 +196,8 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
                         dimTable: String, pkCol: String,
                         validate: Boolean = false,
                         persist: Boolean = false): Unit = {
-    require(registryOf(spark).uniqueKeys
-      .getOrDefault(norm(dimTable), Set.empty).contains(Set(pkCol)),
+    require(parseUniq(spark.conf.get(UniqKeysKey, ""))
+      .getOrElse(norm(dimTable), Set.empty).contains(Set(pkCol)),
       s"declareForeignKey: declare $dimTable.$pkCol unique first")
     if (validate) {
       val orphans = SnapshotTable.read(spark, factTable)
@@ -185,8 +208,7 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
       require(orphans,
         s"declareForeignKey: $factTable.$fkCol has values absent from $dimTable.$pkCol")
     }
-    registryOf(spark).foreignKeys
-      .put((norm(factTable), fkCol), (norm(dimTable), pkCol))
+    addFk(spark, norm(factTable), fkCol, norm(dimTable), pkCol)
     if (persist) {
       require(!fkCol.contains("@") && !pkCol.contains("@"),
         "declareForeignKey: '@' in a column name is not representable " +
@@ -202,22 +224,20 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
     * elimination only once the referenced dim table's own declarations
     * are loaded too (the pk-uniqueness half lives on the dim).
     */
-  def loadDeclarations(spark: SparkSession, table: String): Unit = {
-    val reg = registryOf(spark)
+  def loadDeclarations(spark: SparkSession, table: String): Unit =
     SnapshotTable.currentTags(spark, table).foreach {
       case UniqTag(cols) =>
-        reg.uniqueKeys.compute(norm(table),
-          (_, old) => Option(old).getOrElse(Set.empty) +
-            cols.split(",").toSet)
+        addUniq(spark, norm(table), cols.split(",").toSet)
       case FkTag(fkCol, pkCol, dim) =>
-        reg.foreignKeys.put((norm(table), fkCol), (dim, pkCol))
+        addFk(spark, norm(table), fkCol, dim, pkCol)
       case _ => ()
     }
-  }
 
-  /** Drop all declarations in every session (test isolation). */
-  private[graft] def clearDeclarations(): Unit =
-    registries.synchronized { registries.clear() }
+  /** Drop the session's declarations (test isolation). */
+  private[graft] def clearDeclarations(spark: SparkSession): Unit = {
+    spark.conf.unset(UniqKeysKey)
+    spark.conf.unset(FksKey)
+  }
 
   /** Idempotently append the rule to the session's experimental
     * optimizer batch (fixed point, after the main operator batch — by
@@ -231,7 +251,7 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (activeRegistry.forall(_.uniqueKeys.isEmpty) ||
+    if (conf.getConfString(UniqKeysKey, "").isEmpty ||
         conf.getConfString(FlagKey, "true") != "true") plan
     else plan.transformDown {
       // semi/anti joins define their own output (= the left side), so

@@ -272,6 +272,20 @@ object MetadataAggPushdown extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Every entry carries the column's stats and the recorded bounds are
+    * all same-signed — with an in-range total this bounds every partial
+    * sum by the total, making both the scan's double accumulation (avg)
+    * and ANSI's overflow check (sum) provably agree with the fold.
+    */
+  private def sameSignEvidence(a: AttributeReference,
+                               entries: Seq[FileEntry]): Boolean = {
+    val sts = entries.map(_.stats.find(_.col == a.name))
+    entries.nonEmpty && sts.forall(_.isDefined) && {
+      val real = sts.flatten.filterNot(s => s.lo.isNaN || s.hi.isNaN)
+      real.forall(_.lo >= 0.0) || real.forall(_.hi <= 0.0)
+    }
+  }
+
   private def evalFn(ae: AggregateExpression, entries: Seq[FileEntry],
                      ndv: String => Option[Any],
                      sums: String => Option[(java.math.BigDecimal, Long)])
@@ -301,13 +315,21 @@ object MetadataAggPushdown extends Rule[LogicalPlan] {
       // result type here is LongType; a true sum outside the long range
       // would WRAP (legacy) or THROW (ANSI) in the scan — either way
       // not the decimal truth, so refuse instead of guessing. Zero
-      // non-null rows = SQL NULL, exactly Sum's contract.
+      // non-null rows = SQL NULL, exactly Sum's contract. In LEGACY
+      // mode an in-range total is bit-exact even through transient
+      // wraps (modular arithmetic); under ANSI a TRANSIENT overflow
+      // would make the scan THROW where the fold would answer, so ANSI
+      // additionally demands the no-transient-overflow proof (all
+      // values same-signed per file stats ⇒ partials bounded by the
+      // in-range total).
       case s: Sum => s.child match {
         case a: AttributeReference if isIntegral(a.dataType) =>
           sums(a.name).flatMap { case (bd, nn) =>
             if (nn == 0L) Some(null)
             else if (bd.compareTo(LongMaxBd) <= 0 &&
-              bd.compareTo(LongMinBd) >= 0) Some(bd.longValueExact())
+              bd.compareTo(LongMinBd) >= 0 &&
+              (!conf.ansiEnabled || sameSignEvidence(a, entries)))
+              Some(bd.longValueExact())
             else None
           }
         case _ => None
@@ -323,17 +345,10 @@ object MetadataAggPushdown extends Rule[LogicalPlan] {
         case a: AttributeReference if isIntegral(a.dataType) =>
           sums(a.name).flatMap { case (bd, nn) =>
             if (nn == 0L) Some(null)
-            else {
-              val sts = entries.map(_.stats.find(_.col == a.name))
-              val sameSign = entries.nonEmpty && sts.forall(_.isDefined) && {
-                val real = sts.flatten.filterNot(s => s.lo.isNaN || s.hi.isNaN)
-                real.forall(_.lo >= 0.0) || real.forall(_.hi <= 0.0)
-              }
-              if (sameSign && bd.abs.compareTo(
-                  java.math.BigDecimal.valueOf(ExactLong)) < 0)
-                Some(bd.longValueExact().toDouble / nn.toDouble)
-              else None
-            }
+            else if (sameSignEvidence(a, entries) && bd.abs.compareTo(
+                java.math.BigDecimal.valueOf(ExactLong)) < 0)
+              Some(bd.longValueExact().toDouble / nn.toDouble)
+            else None
           }
         case _ => None
       }

@@ -229,14 +229,25 @@ object RankTopK extends Rule[LogicalPlan] with PredicateHelper {
       case Literal(s: UTF8String, StringType) => Some(s.toString)
       case _ => None
     }
+    // the default-partition stamp is where NULL and empty-string
+    // partition values land (FileFormatWriter's empty2null): a file so
+    // stamped holds rows that provably DO NOT pass an equality — and a
+    // row whose real string value IS the stamp lands there too, so for
+    // that literal whole-file membership is unprovable either way.
+    // Drop stamped files from the count (their rows never pass a
+    // non-stamp equality) and refuse outright when a literal equals
+    // the stamp. The grouped metadata fold makes the same exclusion.
+    val DefaultStamp = "__HIVE_DEFAULT_PARTITION__"
     def keep(acc: Seq[graft.sources.SnapshotTable.FileEntry],
              a: AttributeReference, vals: Set[String])
         : Option[Seq[graft.sources.SnapshotTable.FileEntry]] = {
+      if (vals.contains(DefaultStamp)) return None
       val colName = rel.output.find(_.exprId == a.exprId).map(_.name)
         .getOrElse(return None)
       Some(acc.filter(e =>
         e.effPartCol(idx.defaultPartCol).contains(colName) &&
-          e.parts.exists(ps => ps.nonEmpty && ps.forall(vals.contains))))
+          e.parts.exists(ps => ps.nonEmpty && ps.forall(v =>
+            v != DefaultStamp && vals.contains(v)))))
     }
     // the optimizer derives `isnotnull(p)` next to `p = 'x'`; it is
     // implied (whole-file equality on non-null literals ⇒ non-null),

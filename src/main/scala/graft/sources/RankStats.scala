@@ -465,21 +465,29 @@ object RankStats extends QueryPack {
         TableStats.fingerprints(spark, table, prev.version)._1 == prev.filesFp
       if (appendOnly) {
         val freshEntries = newEntries.filterNot(e => oldPaths.contains(e.path))
-        val segmented =
-          if (freshEntries.isEmpty) prev.summaries
-          else {
-            val freshDf =
-              SnapshotTable.readFiles(spark, table, freshEntries, hdr.schema)
-            // one new segment per column; an all-null/empty window adds
-            // nothing (an empty segment proves nothing and costs a slot)
-            prev.summaries ++ cols.flatMap { c =>
-              val mc = prev.summaries.find(_.col == c).map(_.m).getOrElse(mOf)
-              Some(summarize(freshDf, c, mc)).filter(_.n > 0L)
-            }
-          }
-        if (cols.exists(c => segmented.count(_.col == c) > maxSegments))
+        // compaction decision BEFORE the fresh-window summarize job —
+        // computing a segment only to throw it away would waste one
+        // Spark aggregation per column on every compaction tick. A
+        // column already AT the cap gets its full analyze directly
+        // (conservatively also when the fresh window turns out
+        // all-null — a degenerate case not worth a probe job).
+        if (freshEntries.nonEmpty &&
+            cols.exists(c => prev.summaries.count(_.col == c) >= maxSegments))
           (analyze(spark, table, cols, mOf), false)
         else {
+          val segmented =
+            if (freshEntries.isEmpty) prev.summaries
+            else {
+              val freshDf =
+                SnapshotTable.readFiles(spark, table, freshEntries, hdr.schema)
+              // one new segment per column; an all-null/empty window
+              // adds nothing (an empty segment proves nothing and
+              // costs a slot)
+              prev.summaries ++ cols.flatMap { c =>
+                val mc = prev.summaries.find(_.col == c).map(_.m).getOrElse(mOf)
+                Some(summarize(freshDf, c, mc)).filter(_.n > 0L)
+              }
+            }
           val (ffp, dfp) = TableStats.fingerprints(spark, table, cur)
           val rf = RankFile(cur, ffp, dfp, segmented)
           writeRanks(spark, table, rf)

@@ -244,14 +244,21 @@ object TableStats {
   /** Compute + publish sketches (and, for `sumCols`, exact column
     * sums) for the table's CURRENT version (the masked read — pending
     * equality deletes are applied, so the stats describe visible
-    * rows). Returns what was written.
+    * rows). An empty `sumCols` CARRIES the previously recorded sum
+    * columns forward (recomputed at the new version) — a plain
+    * `snapshot_analyze` must not silently destroy the sum tier its
+    * sibling procedure recorded; the whole sidecar stays one
+    * consistent snapshot in both directions. Returns what was written.
     */
   def analyze(spark: SparkSession, table: String, cols: Seq[String],
               k: Int = 1024, sumCols: Seq[String] = Seq.empty): StatsFile = {
     val v = SnapshotTable.currentVersion(spark, table)
     val df = SnapshotTable.readVersion(spark, table, v)
+    val effSumCols =
+      if (sumCols.nonEmpty) sumCols
+      else readStats(spark, table).map(_.sums.map(_.col)).getOrElse(Seq.empty)
     val sketches = cols.map(c => sketchOf(df, c, k))
-    val sums = sumsOf(df, sumCols)
+    val sums = sumsOf(df, effSumCols)
     val (ffp, dfp) = fingerprints(spark, table, v)
     val st = StatsFile(v, ffp, dfp, sketches, sums)
     writeStats(spark, table, st)

@@ -234,6 +234,15 @@ class EagerAggregationSpec extends SparkSpec {
     assert(partialAggs(q(spark)) == 1, "opted-in session must rewrite")
     assert(partialAggs(q(sibling)) == 0,
       "a sibling session must not inherit the opt-in")
+    // a CLONED session carries the session conf (what Structured
+    // Streaming's micro-batch planner does) — the carrier key is the
+    // whole registry, so copying it is all a clone needs to keep firing
+    val cloneLike = spark.newSession()
+    EagerAggregation.install(cloneLike)
+    cloneLike.conf.set("spark.graft.eagerAgg.tables",
+      spark.conf.get("spark.graft.eagerAgg.tables"))
+    assert(partialAggs(q(cloneLike)) == 1,
+      "a conf-carrying clone must keep the opt-in")
     EagerAggregation.enableFor(sibling, factPath, force = false)
     assert(partialAggs(q(sibling)) == 1,
       "its own opt-in arms the sibling")

@@ -289,7 +289,7 @@ class JoinEliminationSpec extends SparkSpec {
     val partial = factAgg(fact.join(cdim, col("fk") === col("a"), "left"))
     assert(joins(partial) == 1)
     // the composite declaration round-trips the tag ledger
-    JoinElimination.clearDeclarations()
+    JoinElimination.clearDeclarations(spark)
     assert(joins(covered) == 1)
     JoinElimination.loadDeclarations(spark, t)
     assert(joins(covered) == 0)
@@ -337,7 +337,7 @@ class JoinEliminationSpec extends SparkSpec {
     def q = factAgg(fct.join(dm, col("fk") === col("pk")))
     assert(joins(q) == 0) // declared in-session: eliminated
 
-    JoinElimination.clearDeclarations()
+    JoinElimination.clearDeclarations(spark)
     assert(joins(q) == 1) // fresh session: nothing declared
 
     JoinElimination.loadDeclarations(spark, d)
@@ -390,5 +390,13 @@ class JoinEliminationSpec extends SparkSpec {
     JoinElimination.loadDeclarations(sibling, d)
     assert(joins(q(sibling)) == 0,
       "rehydrating the persisted ledger arms the sibling")
+    // a conf-carrying clone (streaming's micro-batch planner copies
+    // the session conf) inherits the trust without re-declaring
+    val cloneLike = spark.newSession()
+    JoinElimination.install(cloneLike)
+    cloneLike.conf.set("spark.graft.constraints.uniqueKeys",
+      spark.conf.get("spark.graft.constraints.uniqueKeys"))
+    assert(joins(q(cloneLike)) == 0,
+      "a conf-carrying clone must keep the declarations")
   }
 }

@@ -213,6 +213,12 @@ class MetadataAggSpec extends SparkSpec {
     assert(rewritten(agg()))
     assert(agg().head() === withRuleOff { agg().head() })
     assert(agg().head().getLong(1) === 24L)
+    // a plain re-ANALYZE (no sumCols) must CARRY the sum tier, not
+    // silently destroy it — the sidecar stays one consistent snapshot
+    TableStats.analyze(spark, t, Seq("k"), k = 64)
+    assert(rewritten(agg()),
+      "re-analyzing sketches must not drop the recorded sums")
+    assert(agg().head() === withRuleOff { agg().head() })
     // floating column: never summed from metadata (order-dependent)
     def fagg() = SnapshotTable.read(spark, t).agg(sum(col("x")).as("sx"))
     assert(!rewritten(fagg()))
@@ -237,6 +243,32 @@ class MetadataAggSpec extends SparkSpec {
     assert(rewritten(agg()))
     assert(agg().head() === withRuleOff { agg().head() })
     assert(agg().head().isNullAt(0), "sum of no non-null rows is SQL NULL")
+  }
+
+  test("ANSI mode demands the no-transient-overflow proof for the sum " +
+    "fold: without same-sign stats evidence the scan could THROW where " +
+    "the fold would answer, so the fold refuses") {
+    import spark.implicits._
+    import graft.sources.TableStats
+    val t = freshDir()
+    // NO statsCols: the sidecar knows the total but nothing bounds the
+    // partials — legacy's modular arithmetic is exact for an in-range
+    // total, ANSI's overflow check is not reproducible
+    SnapshotTable.create(spark, t,
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "p"), "p")
+    TableStats.analyze(spark, t, Seq.empty, sumCols = Seq("k"))
+    def agg() = SnapshotTable.read(spark, t).agg(sum(col("k")).as("s"))
+    val key = "spark.sql.ansi.enabled"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      assert(rewritten(agg()),
+        "legacy mode: an in-range total is exact through transient wraps")
+      assert(agg().head().getLong(0) === 6L)
+      spark.conf.set(key, "true")
+      assert(!rewritten(agg()),
+        "ANSI without same-sign evidence must refuse the fold")
+    } finally spark.conf.set(key, old)
   }
 
   test("distinct and filtered aggregates are never claimed") {

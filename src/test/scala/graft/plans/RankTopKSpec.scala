@@ -239,6 +239,33 @@ class RankTopKSpec extends SparkSpec {
       "bare top-k must prune from file stats without any sidecar")
   }
 
+  test("the default-partition stamp is never a proof: a literal equal " +
+    "to the stamp refuses, and NULL-partition files never count toward " +
+    "another value's threshold") {
+    val t = freshDir()
+    val df = spark.range(0, 6000).select(
+      col("id").as("k"),
+      ((col("id") * 6361L) % 6000L).cast("double").as("v"),
+      when(col("id") % 3 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("p"), (col("id") % 2).cast("string"))).as("p"))
+    SnapshotTable.create(spark, t, df, "p", statsCols = Seq("v"))
+    // the stamp literal: rows written under it are NULL/'' on read, a
+    // real string equal to the stamp is indistinguishable — unprovable
+    // either way, so the rewrite must leave the plan alone
+    def stampQ() = SnapshotTable.read(spark, t)
+      .filter(col("p") === "__HIVE_DEFAULT_PARTITION__")
+      .orderBy(col("v"), col("k")).limit(10).select(col("k"), col("v"))
+    assert(rows(stampQ()) === withRuleOff { rows(stampQ()) })
+    assert(filesRead(stampQ()) === withRuleOff { filesRead(stampQ()) },
+      "the stamp literal must refuse the threshold rewrite")
+    // a real partition value: stamped (NULL) files are excluded from
+    // the accumulation, so the proven threshold covers only genuinely
+    // passing rows — exact parity with the rule off
+    def pq() = SnapshotTable.read(spark, t).filter(col("p") === "p1")
+      .orderBy(col("v"), col("k")).limit(10).select(col("k"), col("v"))
+    assert(rows(pq()) === withRuleOff { rows(pq()) })
+  }
+
   test("a range predicate on the partition column refuses: only " +
     "whole-file equality/IN membership is a proof") {
     val t = partedTable()
