@@ -67,10 +67,9 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
 
   private val FlagKey = "spark.graft.joinElimination"
 
-  // ---- informational constraint registry (session-shared, like
-  // MaterializedView's): norm'd table path → declared key column SETS
-  // (a single-column key is a one-element set; a composite key is
-  // unique only as a whole).
+  // ---- informational constraint registry: norm'd table path →
+  // declared key column SETS (a single-column key is a one-element
+  // set; a composite key is unique only as a whole).
   // SESSION-SCOPED carrier: declarations live in the SESSION CONF
   // (URL-encoded entries under two keys) — `cloneSession` copies it,
   // so the clones Structured Streaming plans micro-batches under keep
