@@ -82,11 +82,16 @@ object EagerAggregation extends Rule[LogicalPlan] with PredicateHelper
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 
   // entry = enc(norm(path)) with an optional "!force" marker; '!' and
-  // ',' never appear in URL-encoded text
+  // ',' never appear in URL-encoded text. The parser runs in the
+  // OPTIMIZER on every query: a hand-set or truncated conf value must
+  // degrade to "entry ignored" (the rule declines to fire), never
+  // throw mid-plan and fail every query in the session — malformed
+  // entries (bad percent-escape) are skipped, not errors
   private def parseTables(v: String): Map[String, Boolean] =
-    v.split(",").iterator.filter(_.nonEmpty).map { e =>
+    v.split(",").iterator.filter(_.nonEmpty).flatMap { e =>
       val force = e.endsWith("!force")
-      dec(if (force) e.dropRight(6) else e) -> force
+      try Some(dec(if (force) e.dropRight(6) else e) -> force)
+      catch { case scala.util.control.NonFatal(_) => None }
     }.toMap
 
   private def renderTables(m: Map[String, Boolean]): String =

@@ -83,13 +83,23 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 
+  // both parsers run in the OPTIMIZER on every query: a hand-set or
+  // truncated conf value must degrade to "entry ignored" (the rule
+  // just declines to fire), never throw mid-plan and fail every query
+  // in the session — so malformed entries (missing separator, bad
+  // percent-escape) are silently skipped, not errors
+  private def defensively[T](e: String)(parse: String => T): Option[T] =
+    try Some(parse(e)) catch { case scala.util.control.NonFatal(_) => None }
+
   // uniqueKeys: "enc(table)=enc(c1):enc(c2)|enc(c3);..." — ';' '=' '|'
   // ':' never appear in URL-encoded text
   private def parseUniq(v: String): Map[String, Set[Set[String]]] =
-    v.split(";").iterator.filter(_.nonEmpty).map { e =>
-      val Array(t, ks) = e.split("=", 2)
-      dec(t) -> ks.split("\\|").iterator.filter(_.nonEmpty)
-        .map(_.split(":").map(dec).toSet).toSet
+    v.split(";").iterator.filter(_.nonEmpty).flatMap { e =>
+      defensively(e) { e =>
+        val Array(t, ks) = e.split("=", 2)
+        dec(t) -> ks.split("\\|").iterator.filter(_.nonEmpty)
+          .map(_.split(":").map(dec).toSet).toSet
+      }
     }.toMap
 
   private def renderUniq(m: Map[String, Set[Set[String]]]): String =
@@ -100,11 +110,13 @@ object JoinElimination extends Rule[LogicalPlan] with PredicateHelper
 
   // foreignKeys: "enc(fact)@enc(fk)>enc(dim)@enc(pk);..."
   private def parseFks(v: String): Map[(String, String), (String, String)] =
-    v.split(";").iterator.filter(_.nonEmpty).map { e =>
-      val Array(l, r) = e.split(">", 2)
-      val Array(ft, fk) = l.split("@", 2)
-      val Array(dt, pk) = r.split("@", 2)
-      (dec(ft), dec(fk)) -> ((dec(dt), dec(pk)))
+    v.split(";").iterator.filter(_.nonEmpty).flatMap { e =>
+      defensively(e) { e =>
+        val Array(l, r) = e.split(">", 2)
+        val Array(ft, fk) = l.split("@", 2)
+        val Array(dt, pk) = r.split("@", 2)
+        (dec(ft), dec(fk)) -> ((dec(dt), dec(pk)))
+      }
     }.toMap
 
   private def renderFks(m: Map[(String, String), (String, String)]): String =

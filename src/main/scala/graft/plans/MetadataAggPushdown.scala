@@ -313,22 +313,25 @@ object MetadataAggPushdown extends Rule[LogicalPlan] {
       case Max(a: AttributeReference) => statBound(a, entries, lo = false)
       // sum(integralCol) from the sidecar's exact decimal sum. Spark's
       // result type here is LongType; a true sum outside the long range
-      // would WRAP (legacy) or THROW (ANSI) in the scan — either way
-      // not the decimal truth, so refuse instead of guessing. Zero
-      // non-null rows = SQL NULL, exactly Sum's contract. In LEGACY
+      // would WRAP (legacy), THROW (ANSI), or return NULL (TRY) in the
+      // scan — either way not the decimal truth, so refuse instead of
+      // guessing. Zero non-null rows = SQL NULL, exactly Sum's
+      // contract. The gate keys off the EXPRESSION's own eval mode —
+      // not the session conf, which a try_sum overrides: in LEGACY
       // mode an in-range total is bit-exact even through transient
       // wraps (modular arithmetic); under ANSI a TRANSIENT overflow
-      // would make the scan THROW where the fold would answer, so ANSI
-      // additionally demands the no-transient-overflow proof (all
-      // values same-signed per file stats ⇒ partials bounded by the
-      // in-range total).
+      // would make the scan THROW, and under TRY return NULL, where
+      // the fold would answer the in-range total — so BOTH demand the
+      // no-transient-overflow proof (all values same-signed per file
+      // stats ⇒ every partial is bounded by the in-range total).
       case s: Sum => s.child match {
         case a: AttributeReference if isIntegral(a.dataType) =>
           sums(a.name).flatMap { case (bd, nn) =>
             if (nn == 0L) Some(null)
             else if (bd.compareTo(LongMaxBd) <= 0 &&
               bd.compareTo(LongMinBd) >= 0 &&
-              (!conf.ansiEnabled || sameSignEvidence(a, entries)))
+              (s.evalContext.evalMode == EvalMode.LEGACY ||
+                sameSignEvidence(a, entries)))
               Some(bd.longValueExact())
             else None
           }

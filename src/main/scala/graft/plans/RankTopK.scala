@@ -192,6 +192,19 @@ object RankTopK extends Rule[LogicalPlan] with PredicateHelper {
         if (s.nulls < 0L || e.rows <= 0L) None
         else Some((s.lo, s.hi, e.rows - s.nulls)).filter(_._3 > 0L)
       }
+    }.filterNot { t =>
+      // an all-NaN float/double file records lo = hi = NaN with
+      // nonNull > 0. Its NaN bound must never become the threshold:
+      // NaN sorts LAST in both accumulation orders, and if it closed
+      // the count the injected DESC filter `attr >= NaN` would keep
+      // ONLY NaN rows while the proof counted real-lo files' rows —
+      // cutting genuine top-k rows. Drop the entry from the proof
+      // instead (soundness only needs >= k provable rows, not all):
+      // its NaN rows still pass any real threshold either way (NaN
+      // compares greatest in Spark, so NaN >= v and NaN <= NaN-free
+      // ASC thresholds never cut them — ASC keeps them out of top-k
+      // by the Sort itself, DESC keeps them IN via the filter).
+      if (dir == Ascending) t._2.isNaN else t._1.isNaN
     }
     if (known.isEmpty) return None
     // the same 2^53 lossy-double refusal as the sidecar tier: lo/hi
@@ -215,11 +228,19 @@ object RankTopK extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** The planned entries whose rows ALL pass every conjunct — provable
-    * only when each conjunct is an equality/IN between the file's OWN
-    * partition column and string literals, and the entry's partition
-    * stamp values all belong to the literal set. Any other conjunct
-    * shape refuses (None): the accumulation must count only rows that
-    * pass the user's filter.
+    * when each conjunct constrains the file's OWN partition column by
+    * equality/IN against string literals (stamp-set membership) or by
+    * a RANGE (`>=`/`>`/`<=`/`<`, and BETWEEN via its two conjuncts)
+    * against a literal of the column's type: the writer's one-value-
+    * per-file invariant means a file whose single stamp satisfies the
+    * range wholly passes — the same membership argument as equality.
+    * Range stamps compare in the COLUMN's semantics (UTF8String order
+    * for strings — Spark's own, not java.lang.String's — numeric for
+    * integral columns); any other type, or a stamp that fails to
+    * parse, just excludes that file from the count (soundness needs
+    * only ≥ k provable rows). Any other conjunct shape refuses (None):
+    * the accumulation must count only rows that pass the user's
+    * filter.
     */
   private def wholePassEntries(idx: SnapshotFileIndex, rel: LogicalRelation,
                                conj: Seq[Expression])
@@ -249,11 +270,43 @@ object RankTopK extends Rule[LogicalPlan] with PredicateHelper {
           e.parts.exists(ps => ps.nonEmpty && ps.forall(v =>
             v != DefaultStamp && vals.contains(v)))))
     }
-    // the optimizer derives `isnotnull(p)` next to `p = 'x'`; it is
-    // implied (whole-file equality on non-null literals ⇒ non-null),
-    // so admit it exactly when an equality/IN on the same attribute
-    // is ALSO present — a bare IS NOT NULL proves nothing about a
-    // file's partition stamp and refuses
+    // range comparator in the COLUMN's own semantics: stamp-string vs
+    // literal, Some(sign) or None when the stamp cannot stand for a
+    // value of the column's type (partition-evolved layouts). String
+    // stamps compare as UTF8String (Spark's binary collation — NOT
+    // java.lang.String's UTF-16 order, which disagrees beyond the BMP).
+    def stampCmp(dt: DataType, lv: Any): Option[String => Option[Int]] =
+      (dt, lv) match {
+        case (StringType, u: org.apache.spark.unsafe.types.UTF8String) =>
+          Some(s => Some(org.apache.spark.unsafe.types.UTF8String
+            .fromString(s).compareTo(u)))
+        case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
+          val l = n.longValue()
+          Some(s => try Some(java.lang.Long.compare(s.toLong, l))
+            catch { case _: NumberFormatException => None })
+        case _ => None
+      }
+    def keepRange(acc: Seq[graft.sources.SnapshotTable.FileEntry],
+                  a: AttributeReference, l: Literal,
+                  sign: Int => Boolean)
+        : Option[Seq[graft.sources.SnapshotTable.FileEntry]] = {
+      if (l.value == null) return None
+      val cmp = stampCmp(a.dataType, l.value).getOrElse(return None)
+      val colName = rel.output.find(_.exprId == a.exprId).map(_.name)
+        .getOrElse(return None)
+      // stamped (default-partition) files hold NULL / empty-string
+      // rows that pass no range — dropping them from the count is
+      // always sound, no literal-vs-stamp refusal needed here
+      Some(acc.filter(e =>
+        e.effPartCol(idx.defaultPartCol).contains(colName) &&
+          e.parts.exists(ps => ps.nonEmpty && ps.forall(v =>
+            v != DefaultStamp && cmp(v).exists(sign)))))
+    }
+    // the optimizer derives `isnotnull(p)` next to `p = 'x'` or
+    // `p >= x`; it is implied (whole-file membership on non-null
+    // literals ⇒ non-null), so admit it exactly when an equality/IN/
+    // range on the same attribute is ALSO present — a bare IS NOT
+    // NULL proves nothing about a file's partition stamp and refuses
     val isNotNullIds = conj.collect {
       case IsNotNull(a: AttributeReference) => a.exprId }
     val eqIds = conj.collect {
@@ -261,6 +314,14 @@ object RankTopK extends Rule[LogicalPlan] with PredicateHelper {
       case EqualTo(l, a: AttributeReference) if lit(l).isDefined => a.exprId
       case In(a: AttributeReference, ls) if ls.nonEmpty &&
         ls.forall(lit(_).isDefined) => a.exprId
+      case GreaterThanOrEqual(a: AttributeReference, _: Literal) => a.exprId
+      case GreaterThan(a: AttributeReference, _: Literal) => a.exprId
+      case LessThanOrEqual(a: AttributeReference, _: Literal) => a.exprId
+      case LessThan(a: AttributeReference, _: Literal) => a.exprId
+      case GreaterThanOrEqual(_: Literal, a: AttributeReference) => a.exprId
+      case GreaterThan(_: Literal, a: AttributeReference) => a.exprId
+      case LessThanOrEqual(_: Literal, a: AttributeReference) => a.exprId
+      case LessThan(_: Literal, a: AttributeReference) => a.exprId
     }.toSet
     if (!isNotNullIds.forall(eqIds.contains)) return None
     conj.foldLeft(Option(idx.fileEntries)) { (accOpt, c) =>
@@ -273,6 +334,24 @@ object RankTopK extends Rule[LogicalPlan] with PredicateHelper {
           case In(a: AttributeReference, ls) if ls.nonEmpty &&
               ls.forall(lit(_).isDefined) =>
             keep(acc, a, ls.flatMap(lit).toSet)
+          // ranges: stamp satisfies ⇒ whole file passes (one value per
+          // file); BETWEEN arrives as its two conjuncts
+          case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+            keepRange(acc, a, l, _ >= 0)
+          case GreaterThan(a: AttributeReference, l: Literal) =>
+            keepRange(acc, a, l, _ > 0)
+          case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+            keepRange(acc, a, l, _ <= 0)
+          case LessThan(a: AttributeReference, l: Literal) =>
+            keepRange(acc, a, l, _ < 0)
+          case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+            keepRange(acc, a, l, _ <= 0)
+          case GreaterThan(l: Literal, a: AttributeReference) =>
+            keepRange(acc, a, l, _ < 0)
+          case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+            keepRange(acc, a, l, _ >= 0)
+          case LessThan(l: Literal, a: AttributeReference) =>
+            keepRange(acc, a, l, _ > 0)
           case IsNotNull(_: AttributeReference) => Some(acc) // implied
           case _ => None
         }

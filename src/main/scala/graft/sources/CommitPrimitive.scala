@@ -116,27 +116,54 @@ object CommitPrimitive {
     *     proposal; every loser deletes its proposal and returns false
     *     into the caller's conflict/retry path.
     *
-    * Exclusivity argument (single clock domain): if B's put-then-list
-    * completed before A's put, then A's list — which linearizes after
-    * A's put on a strongly-consistent store (S3 is since 2020,
-    * GCS/ABFS always were) — sees B's proposal, whose timestamp was
-    * taken before B's put and is therefore ≤ A's; A loses. If neither
-    * completed before the other's put, both lists see both proposals
-    * and the ≤ rule elects at most one. An all-lose round (same-ms
-    * tie) is livelock-safe: everyone returns false, the commit layer
-    * retries, the next round re-elects.
+    * Exclusivity argument: if B's put-then-list completed before A's
+    * put, then A's list — which linearizes after A's put on a
+    * strongly-consistent store (S3 is since 2020, GCS/ABFS always
+    * were) — sees B's proposal; with synchronized clocks B's timestamp
+    * is ≤ A's and A loses. CLOCK SKEW breaks that single-clock
+    * argument (a late proposer with a slow clock writes a SMALLER
+    * timestamp that the earlier winner's one-shot list never saw — both
+    * elect), so a preliminary winner must additionally SETTLE: wait
+    * `settleMs` after its own put, then RE-LIST and win only if still
+    * strictly earliest. With `settleMs > 2 × worst-case skew` the
+    * election is exclusive again: suppose A and B both reach the
+    * rename. A's re-list missed B's proposal ⇒ B's put happened after
+    * A's re-list ⇒ at least `settleMs` of real time after A's put ⇒
+    * B's timestamp (its clock, within skew of real time) exceeds A's
+    * by more than `settleMs − 2·skew` > 0 — but then B's OWN re-list,
+    * which provably sees A's still-undeleted smaller proposal (A
+    * deletes only after renaming, and the target re-check catches
+    * that), makes B lose. Contradiction; at most one renames. An
+    * all-lose round (same-ms tie) is livelock-safe: everyone returns
+    * false, the commit layer retries, the next round re-elects.
     *
     * CAVEATS — why a registered store-native conditional put
     * ([[ConditionalPut]]) is still strictly better where an SDK is
     * available: the fence is a LEASE CLOCK, not a server token. A
     * winner paused longer than `leaseMs` between election and rename
     * can be reaped and double-publish over its successor (the
-    * re-check narrows that window to one rename but cannot close it),
-    * and wall-clock skew between writers erodes the ≤ comparison —
-    * size `leaseMs` far above worst-case pause plus skew.
+    * re-check narrows that window to one rename but cannot close it) —
+    * size `leaseMs` far above worst-case pause, and `settleMs` above
+    * 2× worst-case clock skew (the settle window is what removes the
+    * old "deployment discipline" skew caveat; NTP-fleet skew is tens
+    * of ms, the 2 s default covers two orders of magnitude more).
+    * Proposals stamped further than `leaseMs` into the LOCAL future
+    * (a writer with an insane clock crashed mid-election) are reaped
+    * like stale ones — they could never win, but they would otherwise
+    * linger forever.
     */
-  final class LeasePut(leaseMs: Long = 60000L) extends CommitPrimitive {
+  class LeasePut(leaseMs: Long = 60000L, settleMs: Long = 2000L)
+      extends CommitPrimitive {
     require(leaseMs > 0, s"LeasePut: leaseMs must be positive, got $leaseMs")
+    require(settleMs >= 0, s"LeasePut: settleMs must be >= 0, got $settleMs")
+
+    /** Injectable for the spec's skewed-clock simulation. */
+    protected def now(): Long = System.currentTimeMillis()
+
+    /** The settle wait — injectable so the spec can interleave two
+      * writers deterministically at exactly this point.
+      */
+    protected def settle(): Unit = if (settleMs > 0) Thread.sleep(settleMs)
 
     private def tsOf(name: String): Long =
       try name.takeWhile(_ != '.').toLong
@@ -145,26 +172,38 @@ object CommitPrimitive {
     def publish(f: FileSystem, tmp: Path, target: Path): Boolean = {
       if (f.exists(target)) return false
       val propDir = new Path(target.getParent, s".props-${target.getName}")
-      val myTs = System.currentTimeMillis()
+      val myTs = now()
       val token = f"$myTs%020d.${java.util.UUID.randomUUID()}"
       val prop = new Path(propDir, token)
       f.mkdirs(propDir)
       val out = f.create(prop, false)
       try out.write(Array.emptyByteArray) finally out.close()
-      val names =
-        try f.listStatus(propDir).map(_.getPath.getName).toSeq
-        catch {
-          // dir already gone: a winner published AND cleaned up since
-          // our exists check — the target re-check below settles it
-          case _: java.io.FileNotFoundException => Seq(token)
-        }
-      val now = System.currentTimeMillis()
-      val (stale, live) = names.partition(n =>
-        n != token && now - tsOf(n) > leaseMs)
-      stale.foreach(n => f.delete(new Path(propDir, n), false))
-      val won = live.forall(n => n == token || tsOf(n) > myTs)
-      if (!won) { f.delete(prop, false); return false }
-      if (f.exists(target)) { f.delete(prop, false); return false }
+
+      def lose(): Boolean = { f.delete(prop, false); false }
+      def election(): Option[Boolean] = {
+        val names =
+          try f.listStatus(propDir).map(_.getPath.getName).toSeq
+          catch {
+            // dir already gone: a winner published AND cleaned up since
+            // our exists check — the target re-check below settles it
+            case _: java.io.FileNotFoundException => Seq(token)
+          }
+        val nw = now()
+        val (stale, live) = names.partition(n =>
+          n != token &&
+            (nw - tsOf(n) > leaseMs || tsOf(n) - nw > leaseMs))
+        stale.foreach(n => f.delete(new Path(propDir, n), false))
+        if (live.forall(n => n == token || tsOf(n) > myTs)) None
+        else Some(lose())
+      }
+
+      election() match { case Some(r) => return r case None => }
+      // preliminary winner: settle past the worst clock skew, then the
+      // re-list catches any slower-clock proposal that arrived with a
+      // smaller timestamp after the first list
+      settle()
+      election() match { case Some(r) => return r case None => }
+      if (f.exists(target)) return lose()
       val ok = f.rename(tmp, target)
       f.delete(prop, false)
       try if (f.listStatus(propDir).isEmpty) f.delete(propDir, false)
@@ -174,8 +213,8 @@ object CommitPrimitive {
   }
 
   object LeasePut {
-    /** Shared default (60 s lease) — the out-of-the-box registration
-      * for object-store schemes.
+    /** Shared default (60 s lease, 2 s skew-settle) — the
+      * out-of-the-box registration for object-store schemes.
       */
     val Default = new LeasePut()
   }

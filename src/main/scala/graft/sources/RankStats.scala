@@ -300,6 +300,91 @@ object RankStats extends QueryPack {
       pts.map(_._1), pts.map(_._2))
   }
 
+  /** ALL of `specs`' (column, m) summaries in ONE range-partitioned
+    * pass — the maintenance-tick twin of
+    * [[TableStats.sketchesAndSums]]: the per-column path pays a count
+    * job plus a range-sample job plus a sort-walk job PER COLUMN; this
+    * explodes the columns into `(i, v)` pairs and range-partitions on
+    * `(i, v)`, so one shuffle carries every column, each column's
+    * slices stay value-disjoint (the span property per segment is the
+    * lexicographic split's gift), and the driver sees ≈ Σ mᵢ points.
+    *
+    * `rowsUpper` (the manifest's fresh-file row total, when the caller
+    * has it) replaces the count job: the spacing becomes
+    * `sᵢ = ⌈upper/mᵢ⌉` — an upper bound on the true count gives a
+    * spacing at least as coarse, so the recorded `errRows = sᵢ` bound
+    * is still PROVEN (emission spacing is what bounds the error, not
+    * how it was derived); `n` is recorded from the exact summed
+    * weights either way. With it, a sub-256k-row append window
+    * summarizes every tracked column in ONE Spark job (the single
+    * range slice skips the partitioner's sampling pass too).
+    */
+  private[sources] def summarizeAll(df: DataFrame,
+                                    specs: Seq[(String, Int)],
+                                    rowsUpper: Option[Long] = None)
+      : Seq[RankSummary] = {
+    specs.foreach { case (_, m) =>
+      require(m >= 2, s"rank summary needs m >= 2, got $m") }
+    if (specs.isEmpty) return Seq.empty
+    if (specs.size == 1 && rowsUpper.isEmpty)
+      return Seq(summarize(df, specs.head._1, specs.head._2))
+    val ns: Seq[Long] = rowsUpper match {
+      case Some(u) => specs.map(_ => u)
+      case None =>
+        val aggs = specs.map { case (c, _) =>
+          count(when(col(c).cast("double").isNotNull &&
+            !isnan(col(c).cast("double")), 1)).as(s"n_$c")
+        }
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        specs.indices.map(r.getLong)
+    }
+    if (ns.forall(_ == 0L))
+      return specs.map { case (c, m) =>
+        RankSummary(c, m, 0L, 0L, Array.empty, Array.empty) }
+    val spacing: Array[Long] = specs.zip(ns).map { case ((_, m), n) =>
+      math.max(1L, (n + m - 1) / m) }.toArray
+    val pairs = df.select(explode(array(specs.zipWithIndex.map {
+        case ((c, _), i) =>
+          struct(lit(i).as("i"), col(c).cast("double").as("v")) }: _*))
+        .as("p"))
+      .select(col("p.i").as("i"), col("p.v").as("v"))
+      .where(col("v").isNotNull && !isnan(col("v")))
+    val sliced = pairs.repartitionByRange(sliceCount(ns.sum),
+        col("i"), col("v"))
+      .sortWithinPartitions(col("i"), col("v"))
+    // per-slice walk with a reset at each column boundary: a slice is a
+    // contiguous (i, v) range, so a column's rows within it are
+    // contiguous and sorted; emit every s_i-th row plus the column-run
+    // remainder — cumulative weights stay exact per (column, slice)
+    val pts = sliced.queryExecution.toRdd.mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Long)]
+      var curI = -1
+      var since = 0L
+      var last = 0.0
+      def flush(): Unit =
+        if (curI >= 0 && since > 0L) { out += ((curI, last, since)) }
+      while (it.hasNext) {
+        val r = it.next()
+        val i = r.getInt(0)
+        val v = r.getDouble(1)
+        if (i != curI) { flush(); curI = i; since = 0L }
+        last = v
+        since += 1L
+        if (since == spacing(i)) { out += ((i, v, spacing(i))); since = 0L }
+      }
+      flush()
+      out.iterator
+    }.collect()
+    // partition order is (i, v)-ascending, so each column's points
+    // concatenate globally value-ascending
+    specs.zipWithIndex.map { case ((c, m), i) =>
+      val mine = pts.filter(_._1 == i)
+      val s = spacing(i)
+      RankSummary(c, m, mine.map(_._3).sum, if (s == 1L) 0L else s,
+        mine.map(_._2).toArray, mine.map(_._3).toArray)
+    }
+  }
+
   /** Re-compress weighted points to ≈ `m`, folding runs of total weight
     * `⌈W/m⌉` into their last point. Adds exactly that spacing to the
     * error budget (0 when nothing folds).
@@ -419,7 +504,9 @@ object RankStats extends QueryPack {
               m: Int = 1024): RankFile = {
     val v = SnapshotTable.currentVersion(spark, table)
     val df = SnapshotTable.readVersion(spark, table, v)
-    val sums = cols.map(c => summarize(df, c, m))
+    // all columns in one fused pass (single-column inputs keep the
+    // dedicated per-column plan — same jobs, no explode overhead)
+    val sums = summarizeAll(df, cols.map(c => (c, m)))
     val (ffp, dfp) = TableStats.fingerprints(spark, table, v)
     val rf = RankFile(v, ffp, dfp, sums)
     writeRanks(spark, table, rf)
@@ -480,13 +567,21 @@ object RankStats extends QueryPack {
             else {
               val freshDf =
                 SnapshotTable.readFiles(spark, table, freshEntries, hdr.schema)
-              // one new segment per column; an all-null/empty window
-              // adds nothing (an empty segment proves nothing and
-              // costs a slot)
-              prev.summaries ++ cols.flatMap { c =>
-                val mc = prev.summaries.find(_.col == c).map(_.m).getOrElse(mOf)
-                Some(summarize(freshDf, c, mc)).filter(_.n > 0L)
-              }
+              // one new segment per column, ALL columns in one fused
+              // pass whose spacing comes from the MANIFEST's fresh-row
+              // total instead of a count job — a typical append window
+              // summarizes every tracked column in a single Spark job.
+              // An all-null/empty window adds nothing (an empty
+              // segment proves nothing and costs a slot); unmeasured
+              // fixture entries (rows = 0) fall back to the counted
+              // spacing — a bogus upper bound of 0 would emit a point
+              // per row.
+              val rowsUpper = Some(freshEntries.map(_.rows).sum)
+                .filter(_ => freshEntries.forall(_.rows > 0L))
+              val specs = cols.map(c =>
+                (c, prev.summaries.find(_.col == c).map(_.m).getOrElse(mOf)))
+              prev.summaries ++
+                summarizeAll(freshDf, specs, rowsUpper).filter(_.n > 0L)
             }
           val (ffp, dfp) = TableStats.fingerprints(spark, table, cur)
           val rf = RankFile(cur, ffp, dfp, segmented)
@@ -820,6 +915,24 @@ object RankStats extends QueryPack {
       .select(col("o_orderkey"), col("o_totalprice"))
   }
 
+  /** The RANGE-filtered top-k — `WHERE part >= X ORDER BY price LIMIT
+    * 20` — the other common filtered shape: the partition-RANGE
+    * conjunct keeps whole files exactly like equality (one stamp per
+    * file), so the threshold is proven from per-file stats over the
+    * range's files ([[graft.plans.RankTopK]] tier 2). RankTopKSpec
+    * pins the file pruning (string, numeric, and BETWEEN shapes); this
+    * query pins the RESULT against the oracle's plain range SQL.
+    */
+  def rankTopKRangeQuery(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.RankTopK.install(s)
+    val t = topkFixture(s, dir)
+    SnapshotTable.read(s, t)
+      .filter(col("o_orderpriority") >= "3")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+      .limit(20)
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
   /** The DESC twin AT INGEST CADENCE — the exact shape that was dark
     * before span-preserving refresh: the table is created WITHOUT a
     * slice of orders, rank-ANALYZEd, then the slice is APPENDED and the
@@ -876,6 +989,7 @@ object RankStats extends QueryPack {
     "q_rank_topk" -> (rankTopKQuery _),
     "q_rank_topk_desc" -> (rankTopKDescQuery _),
     "q_rank_topk_part" -> (rankTopKPartQuery _),
+    "q_rank_topk_range" -> (rankTopKRangeQuery _),
     "q_sql_histogram" -> (sqlHistogramQuery _))
 
   override def oracleSql: Map[String, String] = Map(
@@ -919,6 +1033,10 @@ object RankStats extends QueryPack {
     "q_rank_topk_part" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_totalprice, o_orderkey LIMIT 20""".stripMargin,
+    "q_rank_topk_range" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderpriority >= '3'
         |ORDER BY o_totalprice, o_orderkey LIMIT 20""".stripMargin,
     "q_sql_histogram" ->
       """WITH slice AS (

@@ -95,7 +95,11 @@ object SecondaryIndex extends QueryPack {
     SnapshotTable.create(spark, index,
       postingsOf(spark, table, v, keyCol, entries, buckets), "__bucket",
       statsCols = Seq("k"),
-      tags = Set(s"six@$v", s"sixn@$buckets"))
+      tags = Set(s"six@$v", s"sixn@$buckets"),
+      // manifest-measured bound on the postings bytes: see refresh —
+      // the optimizer's estimate over scan→distinct→join would
+      // otherwise size the range split at the cap for any input
+      sizeHint = Some(entries.map(_.bytes).sum).filter(_ > 0L))
   }
 
   private def headerTags(spark: SparkSession, index: String): Set[String] =
@@ -163,9 +167,16 @@ object SecondaryIndex extends QueryPack {
           // schema-preserving empty frame → tag-only commit
           SnapshotTable.read(spark, index).filter(lit(false))
         else postingsOf(spark, table, vNow, keyCol, freshEntries, buckets)
+      // size the range-clustered postings write from the MANIFEST's
+      // fresh-file bytes (a safe over-bound: postings are a projection
+      // of those rows): without the hint the optimizer's estimate over
+      // scan→distinct→join saturates the task cap and every micro-batch
+      // index advance pays a sampling re-execution of the postings plan
+      val hint = freshEntries.map(_.bytes).sum
       SnapshotTable.commitWithRetry() {
         SnapshotTable.commitAppend(spark, index, postings, "__bucket",
-          tag = Some(s"six@$vNow"))
+          tag = Some(s"six@$vNow"),
+          sizeHint = Some(hint).filter(_ > 0L))
       }
     }
   }
@@ -181,7 +192,8 @@ object SecondaryIndex extends QueryPack {
     val (entries, _) = SnapshotTable.readManifestFull(spark, table, v)
     val buckets = bucketCount(spark, index)
     SnapshotTable.commitOverwrite(spark, index,
-      postingsOf(spark, table, v, keyCol, entries, buckets), "__bucket")
+      postingsOf(spark, table, v, keyCol, entries, buckets), "__bucket",
+      sizeHint = Some(entries.map(_.bytes).sum).filter(_ > 0L))
   }
 
   /** Driver-side twin of the build's `pmod(xxhash64(k), buckets)` —

@@ -1302,7 +1302,8 @@ object SnapshotTable extends QueryPack {
              bloomCols: Seq[String] = Seq.empty,
              tags: Set[String] = Set.empty,
              bucketBy: Option[(String, Int)] = None,
-             sortBy: Option[String] = None): Long = {
+             sortBy: Option[String] = None,
+             sizeHint: Option[Long] = None): Long = {
     require(versions(spark, table).isEmpty,
       s"snapshot table $table already exists")
     bucketBy.foreach { case (c, n) =>
@@ -1323,7 +1324,7 @@ object SnapshotTable extends QueryPack {
     val st = assignFieldIds(df.schema)
     val entries = writeDataFiles(spark, table, applySchemaMeta(df, st),
       partCol, statsCols = statsCols, bloomCols = bloomCols,
-      bucket = bucketBy, bucketSort = sortBy)
+      bucket = bucketBy, bucketSort = sortBy, sizeHint = sizeHint)
     writeManifest(spark, table, 1L, entries,
       Header(tags = tags, schema = Some(schemaToString(st)),
         statsCols = statsCols, partCol = Some(partCol),
@@ -1657,9 +1658,19 @@ object SnapshotTable extends QueryPack {
     * retry delivered after maintenance ran stays a no-op. Returns the
     * new version, or None for a duplicate.
     */
+  /** `sizeHint`: measured byte size of the batch when the CALLER knows
+    * it (e.g. an index refresh whose postings derive from manifest-
+    * listed fresh files) — the same estimate-inflation guard the
+    * rewrite paths use: without it, a range-clustered append sizes its
+    * range split from the optimizer's sizeInBytes, which multiplies
+    * through joins/distincts and saturates the task cap, making every
+    * micro-batch append pay a sampling pass (a full re-execution of
+    * the batch plan) plus a max-width shuffle for a KB of rows.
+    */
   def commitAppend(spark: SparkSession, table: String, df: DataFrame,
                    partCol: String, tag: Option[String] = None,
-                   statsCols: Seq[String] = Seq.empty): Option[Long] = {
+                   statsCols: Seq[String] = Seq.empty,
+                   sizeHint: Option[Long] = None): Option[Long] = {
     val v = currentVersion(spark, table)
     // the append path reads ONLY the manifest list (header + segment
     // refs) — never the file entries: per micro-batch metadata I/O is
@@ -1674,7 +1685,8 @@ object SnapshotTable extends QueryPack {
       val evolved = assignFieldIds(evolveSchema(hdr.schema, df.schema))
       val effStats = if (statsCols.nonEmpty) statsCols else hdr.statsCols
       val fresh = writeDataFiles(spark, table, applySchemaMeta(df, evolved),
-        partCol, tag, effStats, bloomCols = hdr.bloomCols, bucket = hdr.bucket, bucketSort = hdr.sortBy)
+        partCol, tag, effStats, bloomCols = hdr.bloomCols,
+        bucket = hdr.bucket, bucketSort = hdr.sortBy, sizeHint = sizeHint)
       val freshRefs =
         if (fresh.isEmpty) Seq.empty
         else Seq(writeSegment(spark, table, fresh.map(_.copy(seq = v + 1))))
@@ -1697,7 +1709,8 @@ object SnapshotTable extends QueryPack {
     */
   def commitOverwrite(spark: SparkSession, table: String, df: DataFrame,
                       partCol: String,
-                      statsCols: Seq[String] = Seq.empty): Long = {
+                      statsCols: Seq[String] = Seq.empty,
+                      sizeHint: Option[Long] = None): Long = {
     val v = currentVersion(spark, table)
     val meta = readMeta(spark, table, v)
     val hdr = meta.hdr
@@ -1705,7 +1718,8 @@ object SnapshotTable extends QueryPack {
     val evolved = assignFieldIds(evolveSchema(hdr.schema, df.schema))
     val effStats = if (statsCols.nonEmpty) statsCols else hdr.statsCols
     val fresh = writeDataFiles(spark, table, applySchemaMeta(df, evolved),
-      partCol, statsCols = effStats, bloomCols = hdr.bloomCols, bucket = hdr.bucket, bucketSort = hdr.sortBy)
+      partCol, statsCols = effStats, bloomCols = hdr.bloomCols,
+      bucket = hdr.bucket, bucketSort = hdr.sortBy, sizeHint = sizeHint)
     commitRewrite(spark, table, v, meta.segs,
       meta.entries.map(_.path).toSet, fresh, Seq.empty,
       hdr.copy(schema = Some(schemaToString(evolved)), statsCols = effStats,

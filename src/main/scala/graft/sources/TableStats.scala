@@ -95,6 +95,111 @@ object TableStats {
     NdvSketch(column, k, sat, unsignedSort(if (sat) hs.take(k) else hs))
   }
 
+  /** Mutable bounded distinct-minima buffer for [[KmvAgg]]: keeps (at
+    * most) the `cap` smallest DISTINCT hashes in unsigned order,
+    * amortized O(1) per insert — values accumulate raw into a 2·cap
+    * array and a sort-unique-truncate compaction runs when it fills.
+    * Once `cap` distinct minima are held, the running unsigned bound
+    * rejects non-improving hashes without touching the array.
+    */
+  private[sources] final class KmvBuf(val cap: Int) extends Serializable {
+    private var arr = new Array[Long](math.max(8, cap * 2))
+    private var n = 0
+    private var bound = 0L          // flipped-space exclusive bound
+    private var hasBound = false
+    @inline private def flip(x: Long) = x ^ Long.MinValue
+
+    def insert(h: Long): Unit = {
+      if (hasBound && flip(h) >= bound) return
+      if (n == arr.length) compact()
+      if (hasBound && flip(h) >= bound) return
+      arr(n) = h; n += 1
+    }
+
+    private def compact(): Unit = {
+      val s = java.util.Arrays.stream(arr, 0, n).map(_ ^ Long.MinValue)
+        .sorted().distinct().toArray
+      val keep = math.min(cap, s.length)
+      var i = 0
+      while (i < keep) { arr(i) = s(i) ^ Long.MinValue; i += 1 }
+      n = keep
+      if (s.length >= cap) { bound = s(cap - 1); hasBound = true }
+    }
+
+    def absorb(other: KmvBuf): KmvBuf = {
+      other.compact()
+      var i = 0
+      while (i < other.n) { insert(other.arr(i)); i += 1 }
+      this
+    }
+
+    /** Sorted-unique (unsigned order) raw hashes, ≤ cap of them. */
+    def result: Array[Long] = { compact(); arr.take(n) }
+  }
+
+  /** The bounded-minima KMV aggregate as a typed [[Aggregator]]: a
+    * NULL input (the caller null-gates `xxhash64`, which never returns
+    * null itself) contributes nothing. Registered through
+    * `functions.udaf`, it plans as an ObjectHashAggregate whose
+    * per-partition partial is ≤ k+1 longs — no distinct shuffle of the
+    * value set at all, and MANY columns' sketches ride ONE job.
+    */
+  private final class KmvAgg(cap: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        java.lang.Long, KmvBuf, Array[Long]] {
+    override def zero: KmvBuf = new KmvBuf(cap)
+    override def reduce(b: KmvBuf, h: java.lang.Long): KmvBuf = {
+      if (h != null) b.insert(h.longValue()); b
+    }
+    override def merge(a: KmvBuf, b: KmvBuf): KmvBuf = a.absorb(b)
+    override def finish(b: KmvBuf): Array[Long] = b.result
+    override def bufferEncoder: org.apache.spark.sql.Encoder[KmvBuf] =
+      org.apache.spark.sql.Encoders.kryo[KmvBuf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** ALL of `cols`' sketches and ALL of `sumCols`' exact sums in ONE
+    * aggregation job — the maintenance-tick shape ([[analyze]] and the
+    * delta [[refresh]] both ride it): where [[sketchOf]] pays a
+    * distinct-shuffle + top-k JOB per column, this plans a single
+    * ObjectHashAggregate whose per-partition partial carries ≤ k+1
+    * hashes per sketch column plus one decimal per sum column. At
+    * commit cadence (a stats refresh per janitor tick) the per-tick
+    * cost is one pass over the fresh files, however many columns the
+    * sidecar tracks; at 100 TB the same fusion keeps ANALYZE a single
+    * table pass instead of one per column.
+    */
+  private[sources] def sketchesAndSums(df: DataFrame, cols: Seq[String],
+                                       k: Int, sumCols: Seq[String])
+      : (Seq[NdvSketch], Seq[ColSum]) = {
+    if (cols.isEmpty) return (Seq.empty, sumsOf(df, sumCols))
+    sumCols.foreach(requireIntegral(df, _))
+    val kmv = org.apache.spark.sql.functions.udaf(new KmvAgg(k + 1))
+    val sketchAggs = cols.map(c =>
+      kmv(when(col(c).isNotNull, xxhash64(col(c)))).as(s"kmv_$c"))
+    val sumAggs = sumCols.flatMap(c => Seq(
+      sum(col(c).cast("decimal(38,0)")).as(s"s_$c"),
+      count(col(c)).as(s"n_$c")))
+    val aggs = sketchAggs ++ sumAggs
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val sketches = cols.zipWithIndex.map { case (c, i) =>
+      val hs = r.getSeq[Long](i).toArray
+      val sat = hs.length > k
+      NdvSketch(c, k, sat, if (sat) hs.take(k) else hs)
+    }
+    val base = cols.length
+    val sums = sumCols.zipWithIndex.map { case (c, i) =>
+      val nn = r.getLong(base + 2 * i + 1)
+      require(!r.isNullAt(base + 2 * i) || nn == 0L,
+        s"table stats: decimal overflow summing $c")
+      val s = if (r.isNullAt(base + 2 * i)) java.math.BigDecimal.ZERO
+        else r.getDecimal(base + 2 * i)
+      ColSum(c, s, nn)
+    }
+    (sketches, sums)
+  }
+
   /** KMV union-merge: valid for any two sketches of the same (col, k);
     * exact iff both inputs were exact and the union still fits.
     */
@@ -213,18 +318,20 @@ object TableStats {
     * ONE aggregate job — map-side combined partials, one row to the
     * driver.
     */
+  private def requireIntegral(df: DataFrame, c: String): Unit = {
+    import org.apache.spark.sql.types._
+    val ok = df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(ok,
+      s"table stats: exact sums are integral-only (decimal addition " +
+        s"is order-free there); $c is ${df.schema(c).dataType}")
+  }
+
   private def sumsOf(df: DataFrame, cols: Seq[String]): Seq[ColSum] = {
     if (cols.isEmpty) return Seq.empty
-    cols.foreach { c =>
-      import org.apache.spark.sql.types._
-      val ok = df.schema(c).dataType match {
-        case ByteType | ShortType | IntegerType | LongType => true
-        case _ => false
-      }
-      require(ok,
-        s"table stats: exact sums are integral-only (decimal addition " +
-          s"is order-free there); $c is ${df.schema(c).dataType}")
-    }
+    cols.foreach(requireIntegral(df, _))
     val aggs = cols.flatMap(c => Seq(
       sum(col(c).cast("decimal(38,0)")).as(s"s_$c"),
       count(col(c)).as(s"n_$c")))
@@ -257,8 +364,7 @@ object TableStats {
     val effSumCols =
       if (sumCols.nonEmpty) sumCols
       else readStats(spark, table).map(_.sums.map(_.col)).getOrElse(Seq.empty)
-    val sketches = cols.map(c => sketchOf(df, c, k))
-    val sums = sumsOf(df, effSumCols)
+    val (sketches, sums) = sketchesAndSums(df, cols, k, effSumCols)
     val (ffp, dfp) = fingerprints(spark, table, v)
     val st = StatsFile(v, ffp, dfp, sketches, sums)
     writeStats(spark, table, st)
@@ -289,22 +395,43 @@ object TableStats {
         fingerprints(spark, table, prev.version)._1 == prev.filesFp
       if (appendOnly) {
         val freshEntries = newEntries.filterNot(e => oldPaths.contains(e.path))
-        val freshDf =
-          if (freshEntries.isEmpty) null
-          else SnapshotTable.readFiles(spark, table, freshEntries, hdr.schema)
-        val merged = prev.sketches.map { s =>
-          if (freshEntries.isEmpty) s
-          else merge(s, sketchOf(freshDf, s.col, s.k))
-        }
-        // sums are additive: the delta refresh is EXACT (fresh files'
-        // decimal sums add onto the recorded ones, no budget to grow)
-        val mergedSums =
-          if (freshEntries.isEmpty || prev.sums.isEmpty) prev.sums
+        // the WHOLE window's stats — every sketch column AND every sum
+        // column — ride one fused aggregation job per distinct sketch
+        // size (one, in practice): at ingest cadence the per-tick cost
+        // is a single pass over the fresh files, not a Spark action
+        // per tracked column. Sums are additive, so the delta is EXACT
+        // (fresh decimal sums add onto the recorded ones, no budget).
+        val (freshStats, freshSums):
+            (Map[String, NdvSketch], Seq[ColSum]) =
+          if (freshEntries.isEmpty ||
+              (prev.sketches.isEmpty && prev.sums.isEmpty))
+            (Map.empty, Seq.empty)
           else {
-            val fresh = sumsOf(freshDf, prev.sums.map(_.col))
-            prev.sums.zip(fresh).map { case (a, b) =>
-              ColSum(a.col, a.sum.add(b.sum), a.nonNull + b.nonNull)
+            val freshDf =
+              SnapshotTable.readFiles(spark, table, freshEntries, hdr.schema)
+            val kGroups = prev.sketches.groupBy(_.k).toSeq
+              .sortBy(-_._2.size)
+            kGroups match {
+              case Nil =>
+                (Map.empty[String, NdvSketch],
+                  sumsOf(freshDf, prev.sums.map(_.col)))
+              case (k0, sks0) +: rest =>
+                // sums ride the LARGEST sketch group's job
+                val (s0, sums0) = sketchesAndSums(freshDf,
+                  sks0.map(_.col), k0, prev.sums.map(_.col))
+                val more = rest.flatMap { case (k, sks) =>
+                  sketchesAndSums(freshDf, sks.map(_.col), k, Seq.empty)._1
+                }
+                ((s0 ++ more).map(s => s.col -> s).toMap, sums0)
             }
+          }
+        val merged = prev.sketches.map { s =>
+          freshStats.get(s.col).map(merge(s, _)).getOrElse(s)
+        }
+        val mergedSums =
+          if (freshSums.isEmpty) prev.sums
+          else prev.sums.zip(freshSums).map { case (a, b) =>
+            ColSum(a.col, a.sum.add(b.sum), a.nonNull + b.nonNull)
           }
         val (ffp, dfp) = fingerprints(spark, table, cur)
         val st = StatsFile(cur, ffp, dfp, merged, mergedSums)

@@ -23,12 +23,20 @@ private[streaming] object StreamHousekeeping {
     * API — the whole repo's filesystem discipline, now including
     * scratch (`java.nio` retired end to end). Uniqueness is a UUID
     * (no create-exclusive dance needed: nothing else knows the name).
+    *
+    * Pinned to the LOCAL filesystem explicitly: `base` is a
+    * scheme-less local path (java.io.tmpdir, /dev/shm), and resolving
+    * it through `Path.getFileSystem` would bind it to `fs.defaultFS` —
+    * on an HDFS-defaulted deployment the driver's scratch and
+    * checkpoint dirs would silently be created REMOTELY (including a
+    * fabricated /dev/shm path) where the retired java.nio code
+    * guaranteed local disk. `FileSystem.getLocal` keeps the guarantee.
     */
   def scratchDir(prefix: String, base: String =
       System.getProperty("java.io.tmpdir")): String = {
     val p = new HPath(base,
       s"$prefix-${java.util.UUID.randomUUID().toString.take(16)}")
-    val fs = p.getFileSystem(new Configuration())
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new Configuration())
     require(fs.mkdirs(p), s"scratch: could not create $p")
     p.toUri.getPath
   }
@@ -45,7 +53,11 @@ private[streaming] object StreamHousekeeping {
       catch { case _: Exception => scratchDir("graft_stream_ck") }
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       val p = new HPath(root)
-      try p.getFileSystem(new Configuration()).delete(p, true)
+      // same local-FS pin as scratchDir: the root was created locally,
+      // so it must be deleted locally — defaultFS resolution could
+      // "clean up" an unrelated remote path of the same name
+      try org.apache.hadoop.fs.FileSystem.getLocal(new Configuration())
+        .delete(p, true)
       catch { case _: java.io.IOException => () }
     }))
     root

@@ -271,6 +271,61 @@ class MetadataAggSpec extends SparkSpec {
     } finally spark.conf.set(key, old)
   }
 
+  test("try_sum keys the gate off the EXPRESSION's eval mode, not the " +
+    "session conf: a TRY-mode scan returns NULL on any transient long " +
+    "overflow, so without same-sign evidence the fold (which would " +
+    "answer the exact in-range total) must refuse even under legacy " +
+    "conf; with same-sign evidence every partial is bounded by the " +
+    "total and the fold is scan-exact") {
+    import spark.implicits._
+    import graft.sources.TableStats
+    // mixed-sign k WITH recorded per-file stats: the total is tiny but
+    // nothing bounds the scan's partials, so TRY could see a transient
+    // overflow the fold cannot reproduce -> refuse
+    val mixed = freshDir()
+    SnapshotTable.create(spark, mixed,
+      Seq((-5L, "a"), (10L, "a"), (1L, "b")).toDF("k", "p"), "p",
+      statsCols = Seq("k"))
+    TableStats.analyze(spark, mixed, Seq.empty, sumCols = Seq("k"))
+    def tryMixed() = SnapshotTable.read(spark, mixed)
+      .selectExpr("try_sum(k) AS s")
+    assert(!rewritten(tryMixed()),
+      "try_sum without same-sign evidence must refuse the fold " +
+        "(legacy conf notwithstanding)")
+    assert(tryMixed().head().getLong(0) === 6L)
+    // plain sum over the same mixed-sign data UNDER LEGACY conf (the
+    // expression inherits the conf at build time): in-range total is
+    // bit-exact through wraps -> still folds. The same expression
+    // built under ANSI conf refuses without same-sign proof (the
+    // sibling ANSI test) — and try_sum above refuses under EITHER
+    // conf, which is exactly the expression-mode-not-conf point.
+    val ansiKey = "spark.sql.ansi.enabled"
+    val ansiOld = spark.conf.get(ansiKey)
+    try {
+      spark.conf.set(ansiKey, "false")
+      def plainMixed() = SnapshotTable.read(spark, mixed)
+        .agg(sum(col("k")).as("s"))
+      assert(rewritten(plainMixed()))
+      assert(plainMixed().head() === withRuleOff { plainMixed().head() })
+      assert(!rewritten(SnapshotTable.read(spark, mixed)
+        .selectExpr("try_sum(k) AS s")),
+        "try_sum must refuse even under legacy conf")
+    } finally spark.conf.set(ansiKey, ansiOld)
+    // same-sign k with stats: partials bounded by the total, TRY can
+    // never go NULL where the fold answers -> folds, scan-exact
+    val pos = freshDir()
+    SnapshotTable.create(spark, pos,
+      Seq((5L, "a"), (10L, "a"), (1L, "b")).toDF("k", "p"), "p",
+      statsCols = Seq("k"))
+    TableStats.analyze(spark, pos, Seq.empty, sumCols = Seq("k"))
+    def tryPos() = SnapshotTable.read(spark, pos)
+      .selectExpr("try_sum(k) AS s")
+    assert(rewritten(tryPos()),
+      "try_sum WITH same-sign evidence is provably scan-exact")
+    assert(tryPos().head() === withRuleOff { tryPos().head() })
+    assert(tryPos().head().getLong(0) === 16L)
+  }
+
   test("distinct and filtered aggregates are never claimed") {
     val t = smallTable()
     val base = SnapshotTable.read(spark, t)

@@ -266,14 +266,97 @@ class RankTopKSpec extends SparkSpec {
     assert(rows(pq()) === withRuleOff { rows(pq()) })
   }
 
-  test("a range predicate on the partition column refuses: only " +
-    "whole-file equality/IN membership is a proof") {
+  test("an all-NaN file's stats never close a threshold: the file-" +
+    "stats proof drops NaN-bound entries (lo for DESC, hi for ASC), " +
+    "so a top-k whose count would need the NaN file refuses instead " +
+    "of injecting `>= NaN` and cutting genuine rows") {
+    val t = freshDir()
+    import spark.implicits._
+    SnapshotTable.create(spark, t,
+      (0 until 100).map(i => (i.toLong, i.toDouble, "all"))
+        .toDF("k", "v", "p"),
+      "p", statsCols = Seq("v"))
+    // range clustering on a NaN-bearing double column makes an all-NaN
+    // file the NORM (NaN sorts greatest -> its own slice); here it
+    // arrives as an append, same manifest shape
+    SnapshotTable.commitAppend(spark, t,
+      (0 until 60).map(i => (1000L + i, Double.NaN, "all"))
+        .toDF("k", "v", "p"), "p")
+    // NaN sorts GREATEST: the true DESC top-120 is all 60 NaN rows
+    // plus the top 60 real ones. k = 120 exceeds the 100 rows provable
+    // from real-lo files, so pre-fix the NaN entry closed the count
+    // and `v >= NaN` kept ONLY the NaN rows — the 60 real rows lost
+    def desc120() = SnapshotTable.read(spark, t)
+      .orderBy(col("v").desc, col("k")).limit(120)
+      .select(col("k"), col("v"))
+    val off = withRuleOff { rows(desc120()) }
+    assert(off.length === 120, "fixture sanity: 160 rows, k=120")
+    assert(rows(desc120()) === off)
+    // small k in both directions still proves from the real files
+    // alone — the NaN rows pass a real DESC threshold by themselves
+    // (NaN compares greatest), exact parity
+    def desc20() = SnapshotTable.read(spark, t)
+      .orderBy(col("v").desc, col("k")).limit(20)
+      .select(col("k"), col("v"))
+    assert(rows(desc20()) === withRuleOff { rows(desc20()) })
+    assert(rows(desc20()).forall(_.contains("NaN")),
+      "fixture sanity: DESC top-20 is NaN rows (NaN sorts greatest)")
+    def asc20() = SnapshotTable.read(spark, t)
+      .orderBy(col("v"), col("k")).limit(20).select(col("k"), col("v"))
+    assert(rows(asc20()) === withRuleOff { rows(asc20()) })
+  }
+
+  test("a RANGE predicate on the partition column proves whole-file " +
+    "membership exactly like equality (one stamp per file), in string " +
+    "and BETWEEN shapes — and a range on a NON-partition column still " +
+    "refuses") {
     val t = partedTable()
     def rangeF() = SnapshotTable.read(spark, t)
       .filter(col("p") >= "p1")
       .orderBy(col("v"), col("k")).limit(25).select(col("k"), col("v"))
-    assert(rows(rangeF()) === withRuleOff { rows(rangeF()) })
-    assert(filesRead(rangeF()) === withRuleOff { filesRead(rangeF()) },
-      "a partition RANGE cannot prove whole-file membership")
+    val (offRows, offFiles) = withRuleOff {
+      val d = rangeF(); (rows(d), filesRead(d))
+    }
+    assert(rows(rangeF()) === offRows)
+    assert(filesRead(rangeF()) < offFiles,
+      s"partition-range top-k must prune: ${filesRead(rangeF())} vs $offFiles")
+    def betweenF() = SnapshotTable.read(spark, t)
+      .filter(col("p").between("p1", "p2"))
+      .orderBy(col("v").desc, col("k")).limit(25)
+      .select(col("k"), col("v"))
+    assert(rows(betweenF()) === withRuleOff { rows(betweenF()) })
+    assert(filesRead(betweenF()) < withRuleOff { filesRead(betweenF()) },
+      "BETWEEN (two range conjuncts) must prune, DESC included")
+    // a range on a NON-partition column says nothing about whole-file
+    // membership: plan untouched
+    def nonPart() = SnapshotTable.read(spark, t)
+      .filter(col("k") >= 6000L)
+      .orderBy(col("v"), col("k")).limit(25).select(col("k"), col("v"))
+    assert(rows(nonPart()) === withRuleOff { rows(nonPart()) })
+    assert(filesRead(nonPart()) === withRuleOff { filesRead(nonPart()) },
+      "a non-partition range must refuse the threshold rewrite")
+  }
+
+  test("an INTEGER-partitioned table proves range membership " +
+    "numerically (stamp '12' vs literal 9 — lexicographic order would " +
+    "get this wrong), with rule-off parity") {
+    val t = freshDir()
+    val df = spark.range(0, 9000).select(
+      col("id").as("k"),
+      ((col("id") * 6361L) % 9000L).cast("double").as("v"),
+      (col("id") % 13).cast("int").as("p"))
+    SnapshotTable.create(spark, t, df, "p", statsCols = Seq("v"))
+    // p <= 2 is the UNSOUND direction for a lexicographic comparator:
+    // '10' < '2' as strings, so a string compare would count files
+    // p=10..12 whose rows all FAIL the filter — an over-tight
+    // threshold that cuts genuine top-k rows and breaks parity
+    def q() = SnapshotTable.read(spark, t)
+      .filter(col("p") <= 2)
+      .orderBy(col("v"), col("k")).limit(25).select(col("k"), col("v"))
+    val (offRows, offFiles) = withRuleOff { val d = q(); (rows(d), filesRead(d)) }
+    assert(rows(q()) === offRows)
+    assert(filesRead(q()) < offFiles,
+      "numeric partition range must prune soundly (2 < 10 even " +
+        "though '2' > '10' as strings)")
   }
 }

@@ -130,7 +130,7 @@ class CommitPrimitiveSpec extends AnyFunSuite {
     val aProp = new Path(propDir, f"$aTs%020d.writer-a")
     f.create(aProp, false).close()
     val tmpB = stage(f, dir, "v1.json.tmp.b", "manifest-B")
-    val p = new CommitPrimitive.LeasePut()
+    val p = new CommitPrimitive.LeasePut(settleMs = 50L)
     assert(!p.publish(f, tmpB, target),
       "B must lose the election to A's live earlier proposal")
     assert(!f.exists(new Path(dir.resolve("v1.json").toString))
@@ -149,7 +149,7 @@ class CommitPrimitiveSpec extends AnyFunSuite {
     val dir = tmpDir()
     val f = FileSystem.getLocal(new Configuration()).getRawFileSystem
     val target = new Path(dir.resolve("v9.json").toString)
-    val p = new CommitPrimitive.LeasePut()
+    val p = new CommitPrimitive.LeasePut(settleMs = 50L)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     val gate = new java.util.concurrent.CountDownLatch(1)
     val results = (0 until 8).map { i =>
@@ -176,6 +176,77 @@ class CommitPrimitiveSpec extends AnyFunSuite {
       "losers and the winner must clean their proposals")
   }
 
+  test("clock skew: from the paused both-elected configuration, the " +
+    "one-shot election (the pre-settle algorithm) double-commits, and " +
+    "LeasePut's settle + re-list elects exactly the slower clock's " +
+    "smaller-timestamp proposal") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val f = FileSystem.getLocal(new Configuration()).getRawFileSystem
+
+    // the dangerous configuration, built deterministically: writer A's
+    // clock runs 10 s FAST; A proposes and elects FIRST (sees only
+    // itself); B (true clock) proposes a SMALLER timestamp afterwards
+    // and also elects (A's visible stamp is larger). Both now sit
+    // between election and rename — the double-commit window skew
+    // opens in a one-shot election.
+    def oldOneShotElect(dir: java.nio.file.Path, target: Path, ts: Long,
+                        who: String): Boolean = {
+      // the pre-settle algorithm's election, replicated as a seam so
+      // the rename can be issued from the paused configuration
+      val propDir = new Path(target.getParent, s".props-${target.getName}")
+      f.mkdirs(propDir)
+      f.create(new Path(propDir, f"$ts%020d.$who"), false).close()
+      f.listStatus(propDir).map(_.getPath.getName)
+        .forall(n => n == f"$ts%020d.$who" || n.takeWhile(_ != '.').toLong > ts)
+    }
+    val dir1 = tmpDir()
+    val t1 = new Path(dir1.resolve("v8.json").toString)
+    val base = System.currentTimeMillis()
+    val aWon1 = oldOneShotElect(dir1, t1, base + 10000L, "writer-a")
+    val bWon1 = oldOneShotElect(dir1, t1, base, "writer-b")
+    assert(aWon1 && bWon1,
+      "one-shot election: BOTH writers elect under skew — the bug")
+    // both now rename; replace-on-rename → the second silently wins
+    assert(f.rename(stage(f, dir1, "v8.tmp.b", "B"), t1))
+    assert(f.rename(stage(f, dir1, "v8.tmp.a", "A"), t1))
+    assert(readAll(f, t1) === "A", "B's commit was silently lost")
+
+    // the FIX: same configuration driven through the real primitive —
+    // both writers pause at their settle point (post-election,
+    // pre-rename), then resume: each re-list sees the other's live
+    // proposal and only the smaller timestamp survives
+    val dir2 = tmpDir()
+    val t2 = new Path(dir2.resolve("v9.json").toString)
+    val atSettleA = new CountDownLatch(1)
+    val atSettleB = new CountDownLatch(1)
+    val resume = new CountDownLatch(1)
+    def skewed(skewMs: Long, at: CountDownLatch) =
+      new CommitPrimitive.LeasePut(60000L, 0L) {
+        override protected def now(): Long =
+          System.currentTimeMillis() + skewMs
+        override protected def settle(): Unit = { at.countDown(); resume.await() }
+      }
+    val writerA = skewed(10000L, atSettleA)
+    val writerB = skewed(0L, atSettleB)
+    val tmpA = stage(f, dir2, "v9.tmp.a", "A")
+    val tmpB = stage(f, dir2, "v9.tmp.b", "B")
+    val pool = Executors.newFixedThreadPool(2)
+    val aFut = pool.submit(new java.util.concurrent.Callable[Boolean] {
+      def call(): Boolean = writerA.publish(f, tmpA, t2) })
+    atSettleA.await(10, TimeUnit.SECONDS)
+    val bFut = pool.submit(new java.util.concurrent.Callable[Boolean] {
+      def call(): Boolean = writerB.publish(f, tmpB, t2) })
+    assert(atSettleB.await(10, TimeUnit.SECONDS),
+      "B must also elect preliminarily (its stamp is the smaller)")
+    resume.countDown()
+    val aWon2 = aFut.get(30, TimeUnit.SECONDS)
+    val bWon2 = bFut.get(30, TimeUnit.SECONDS)
+    pool.shutdown()
+    assert(!aWon2 && bWon2,
+      s"settle + re-list must elect exactly the smaller stamp (a=$aWon2 b=$bWon2)")
+    assert(readAll(f, t2) === "B")
+  }
+
   test("LeasePut reaps a dead winner's stale proposal after the lease " +
     "and the next writer proceeds; a LIVE proposal still blocks") {
     val dir = tmpDir()
@@ -188,7 +259,7 @@ class CommitPrimitiveSpec extends AnyFunSuite {
     val dead = new Path(propDir, f"$deadTs%020d.dead-writer-uuid")
     f.create(dead, false).close()
     val tmpA = stage(f, dir, "v3.json.tmp.a", "A")
-    val shortLease = new CommitPrimitive.LeasePut(leaseMs = 1000L)
+    val shortLease = new CommitPrimitive.LeasePut(leaseMs = 1000L, settleMs = 50L)
     assert(shortLease.publish(f, tmpA, target),
       "an hour-old proposal with no published target is a dead winner")
     assert(readAll(f, target) === "A")
