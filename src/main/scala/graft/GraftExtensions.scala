@@ -40,6 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // snapshot relations (on by default once the column is
     // rank-ANALYZEd; spark.graft.snapshot.rankTopK=false disables)
     e.injectOptimizerRule(_ => graft.plans.RankTopK)
+    // stats-driven inner-equi join ordering over snapshot relations
+    // (opt-in: spark.graft.joinOrder=true; refuses without proven
+    // manifest rows + exact NDV sketches)
+    e.injectOptimizerRule(_ => graft.plans.JoinOrder)
     // snapshot-table SQL surface: snapshot_table(path[, version]) and
     // snapshot_changes(path, from, to) table-valued functions
     graft.sources.SnapshotSql.tvfs.foreach { case (name, info, builder) =>

@@ -57,6 +57,7 @@ object SparkEntry {
     graft.operators.Scd2,
     graft.plans.JoinElimination,
     graft.plans.EagerAggregation,
+    graft.plans.JoinOrder,
     graft.sources.RankStats)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

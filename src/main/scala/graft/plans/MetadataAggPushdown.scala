@@ -185,6 +185,15 @@ object MetadataAggPushdown extends Rule[LogicalPlan] {
     * with exactly one recorded non-default value — a partition-evolved
     * layout (files stamped with another column) could hold matching
     * rows the values cannot prove either way.
+    *
+    * Equality/IN split by stamp-set membership; RANGE conjuncts
+    * (`>=`/`>`/`<=`/`<`, BETWEEN via its two conjuncts) split by the
+    * stamp ORDER in the column's own semantics ([[StampOrder]]). The
+    * proof obligation here is EXACT two ways (unlike the top-k tier's
+    * at-least-k counting): a kept file's rows ALL pass and a dropped
+    * file's rows ALL fail — true because every file carries exactly
+    * one stamp value; a stamp that fails to parse as the column's
+    * type refuses the whole rewrite (dropping it would undercount).
     */
   private def restrict(cond: Expression,
                        entries: Seq[FileEntry]): Option[Seq[FileEntry]] = {
@@ -206,6 +215,18 @@ object MetadataAggPushdown extends Rule[LogicalPlan] {
       entries.forall(e => e.partBy.contains(name) &&
         e.parts.exists(_.size == 1) &&
         !e.parts.exists(_.exists(_ == "__HIVE_DEFAULT_PARTITION__")))
+    // exact two-way split by stamp order; None = unprovable (a null
+    // literal, an orderless type, or a stamp that fails to parse)
+    def range(es: Seq[FileEntry], a: AttributeReference, v: Literal,
+              sign: Int => Boolean): Option[Seq[FileEntry]] = {
+      if (v.value == null) return None
+      val cmp = StampOrder.cmp(a.dataType, v.value).getOrElse(return None)
+      val decided = es.map(e => cmp(e.parts.get.head))
+      if (decided.exists(_.isEmpty)) None
+      else Some(es.zip(decided).collect {
+        case (e, Some(c)) if sign(c) => e
+      })
+    }
     conjuncts(cond).foldLeft(Option(entries)) { (acc, c) =>
       acc.flatMap { es =>
         c match {
@@ -224,6 +245,22 @@ object MetadataAggPushdown extends Rule[LogicalPlan] {
             val strs = vs.map(v => partLit(v.asInstanceOf[Literal]))
             if (strs.exists(_.isEmpty)) None
             else Some(es.filter(e => strs.flatten.contains(e.parts.get.head)))
+          case GreaterThanOrEqual(a: AttributeReference, v: Literal)
+              if singleValued(a.name) => range(es, a, v, _ >= 0)
+          case GreaterThan(a: AttributeReference, v: Literal)
+              if singleValued(a.name) => range(es, a, v, _ > 0)
+          case LessThanOrEqual(a: AttributeReference, v: Literal)
+              if singleValued(a.name) => range(es, a, v, _ <= 0)
+          case LessThan(a: AttributeReference, v: Literal)
+              if singleValued(a.name) => range(es, a, v, _ < 0)
+          case GreaterThanOrEqual(v: Literal, a: AttributeReference)
+              if singleValued(a.name) => range(es, a, v, _ <= 0)
+          case GreaterThan(v: Literal, a: AttributeReference)
+              if singleValued(a.name) => range(es, a, v, _ < 0)
+          case LessThanOrEqual(v: Literal, a: AttributeReference)
+              if singleValued(a.name) => range(es, a, v, _ >= 0)
+          case LessThan(v: Literal, a: AttributeReference)
+              if singleValued(a.name) => range(es, a, v, _ > 0)
           case _ => None
         }
       }
@@ -334,6 +371,30 @@ object MetadataAggPushdown extends Rule[LogicalPlan] {
                 sameSignEvidence(a, entries)))
               Some(bd.longValueExact())
             else None
+          }
+        // sum(decimalCol): the sidecar's total carries the column's
+        // scale; the fold answers in Sum's own result type
+        // decimal(min(38, p+10), s). Unlike longs there is NO wrap-
+        // exact legacy regime — a decimal buffer overflow NULLs the
+        // scan (legacy/TRY) or throws (ANSI) — so EVERY mode demands
+        // the no-transient-overflow proof: all values same-signed per
+        // file stats ⇒ every partial is bounded by the total, and a
+        // total that fits the result type proves the scan completed
+        // with exactly that value.
+        case a: AttributeReference if a.dataType.isInstanceOf[DecimalType] =>
+          val in = a.dataType.asInstanceOf[DecimalType]
+          s.dataType match {
+            case res: DecimalType =>
+              sums(a.name).flatMap { case (bd, nn) =>
+                if (nn == 0L) Some(null)
+                else if (bd.scale == in.scale &&
+                  bd.precision <= res.precision &&
+                  sameSignEvidence(a, entries))
+                  Some(org.apache.spark.sql.types.Decimal(
+                    bd, res.precision, res.scale))
+                else None
+              }
+            case _ => None
           }
         case _ => None
       }

@@ -71,6 +71,15 @@ object RankTopK extends Rule[LogicalPlan] with PredicateHelper {
 
   private val FlagKey = "spark.graft.snapshot.rankTopK"
 
+  /** SESSION-scoped registration (not JVM-global): `experimental`
+    * resolves to the session's own `SessionState.experimentalMethods`
+    * — `newSession` starts with a fresh instance (RankTopKSpec pins
+    * the two-session isolation), `cloneSession` copies the parent's
+    * (micro-batch planning keeps firing). The object-level
+    * `synchronized` only serializes two concurrent installs into the
+    * SAME session's read-modify-write; it shares no state between
+    * sessions.
+    */
   def install(spark: SparkSession): Unit = synchronized {
     if (!spark.experimental.extraOptimizations.contains(this))
       spark.experimental.extraOptimizations =
@@ -270,28 +279,12 @@ object RankTopK extends Rule[LogicalPlan] with PredicateHelper {
           e.parts.exists(ps => ps.nonEmpty && ps.forall(v =>
             v != DefaultStamp && vals.contains(v)))))
     }
-    // range comparator in the COLUMN's own semantics: stamp-string vs
-    // literal, Some(sign) or None when the stamp cannot stand for a
-    // value of the column's type (partition-evolved layouts). String
-    // stamps compare as UTF8String (Spark's binary collation — NOT
-    // java.lang.String's UTF-16 order, which disagrees beyond the BMP).
-    def stampCmp(dt: DataType, lv: Any): Option[String => Option[Int]] =
-      (dt, lv) match {
-        case (StringType, u: org.apache.spark.unsafe.types.UTF8String) =>
-          Some(s => Some(org.apache.spark.unsafe.types.UTF8String
-            .fromString(s).compareTo(u)))
-        case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
-          val l = n.longValue()
-          Some(s => try Some(java.lang.Long.compare(s.toLong, l))
-            catch { case _: NumberFormatException => None })
-        case _ => None
-      }
     def keepRange(acc: Seq[graft.sources.SnapshotTable.FileEntry],
                   a: AttributeReference, l: Literal,
                   sign: Int => Boolean)
         : Option[Seq[graft.sources.SnapshotTable.FileEntry]] = {
       if (l.value == null) return None
-      val cmp = stampCmp(a.dataType, l.value).getOrElse(return None)
+      val cmp = StampOrder.cmp(a.dataType, l.value).getOrElse(return None)
       val colName = rel.output.find(_.exprId == a.exprId).map(_.name)
         .getOrElse(return None)
       // stamped (default-partition) files hold NULL / empty-string

@@ -63,10 +63,18 @@ object RankStats extends QueryPack {
     * spans interleave, so a span may reach below its merged
     * predecessor). [[rangeUpper]] — the optimizer's selectivity bound —
     * is only sound under it and refuses without it.
+    *
+    * `lo` is the TRUE MINIMUM of the summarized rows (NaN = unknown —
+    * legacy sidecars and empty summaries). The point list alone cannot
+    * provide it: the first point's rows lie anywhere below it. It is
+    * what makes segment HULLS `[lo, values.last]` real row enclosures,
+    * so [[refresh]]'s segment compaction can prove two segments
+    * value-DISJOINT and concatenate them without reading a file.
     */
   final case class RankSummary(col: String, m: Int, n: Long, errRows: Long,
                                values: Array[Double], weights: Array[Long],
-                               spans: Boolean = true) {
+                               spans: Boolean = true,
+                               lo: Double = Double.NaN) {
     require(values.length == weights.length,
       "rank summary: values/weights length mismatch")
 
@@ -282,12 +290,16 @@ object RankStats extends QueryPack {
     // remainder (weight t mod s) — cumulative weights are exact per
     // slice, and slices are value-disjoint, so the global rank error
     // of any lookup is bounded by ONE spacing, not one per slice
-    val pts = sliced.queryExecution.toRdd.mapPartitions { it =>
+    val raw = sliced.queryExecution.toRdd.mapPartitions { it =>
       val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
       var sinceLast = 0L
       var last = Double.NaN
+      var first = true
       while (it.hasNext) {
         last = it.next().getDouble(0)
+        // weight-0 marker: the partition's first (smallest) row — the
+        // summary's true floor is the first marker in partition order
+        if (first) { out += ((last, 0L)); first = false }
         sinceLast += 1L
         if (sinceLast == s) { out += ((last, s)); sinceLast = 0L }
       }
@@ -296,8 +308,10 @@ object RankStats extends QueryPack {
     }.collect()
     // rdd collect preserves partition order; range slices are ordered
     // by value — the concatenation is globally value-ascending
+    val pts = raw.filter(_._2 > 0L)
+    val lo = raw.collectFirst { case (v, 0L) => v }.getOrElse(Double.NaN)
     RankSummary(column, m, n, if (s == 1L) 0L else s,
-      pts.map(_._1), pts.map(_._2))
+      pts.map(_._1), pts.map(_._2), lo = lo)
   }
 
   /** ALL of `specs`' (column, m) summaries in ONE range-partitioned
@@ -356,7 +370,7 @@ object RankStats extends QueryPack {
     // contiguous (i, v) range, so a column's rows within it are
     // contiguous and sorted; emit every s_i-th row plus the column-run
     // remainder — cumulative weights stay exact per (column, slice)
-    val pts = sliced.queryExecution.toRdd.mapPartitions { it =>
+    val raw = sliced.queryExecution.toRdd.mapPartitions { it =>
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Long)]
       var curI = -1
       var since = 0L
@@ -367,7 +381,13 @@ object RankStats extends QueryPack {
         val r = it.next()
         val i = r.getInt(0)
         val v = r.getDouble(1)
-        if (i != curI) { flush(); curI = i; since = 0L }
+        if (i != curI) {
+          flush(); curI = i; since = 0L
+          // weight-0 marker: the column run's first (smallest) row in
+          // this slice — the first marker per column in partition
+          // order is the column's true floor
+          out += ((i, v, 0L))
+        }
         last = v
         since += 1L
         if (since == spacing(i)) { out += ((i, v, spacing(i))); since = 0L }
@@ -378,11 +398,100 @@ object RankStats extends QueryPack {
     // partition order is (i, v)-ascending, so each column's points
     // concatenate globally value-ascending
     specs.zipWithIndex.map { case ((c, m), i) =>
-      val mine = pts.filter(_._1 == i)
+      val mine = raw.filter(t => t._1 == i && t._3 > 0L)
+      val lo = raw.collectFirst { case (`i`, v, 0L) => v }
+        .getOrElse(Double.NaN)
       val s = spacing(i)
       RankSummary(c, m, mine.map(_._3).sum, if (s == 1L) 0L else s,
-        mine.map(_._2).toArray, mine.map(_._3).toArray)
+        mine.map(_._2).toArray, mine.map(_._3).toArray, lo = lo)
     }
+  }
+
+  /** Last segment-compaction audit: (column, files read, files in the
+    * manifest), summed over the columns the last [[refresh]] call
+    * compacted — the observability hook RankStatsSpec measures the
+    * O(overlap) claim through. Test/ops visibility only; never read by
+    * the serving or proof paths.
+    */
+  @volatile private[sources] var lastCompaction: Option[(Int, Int)] = None
+
+  /** SEGMENT COMPACTION: fold one column's segments back to a single
+    * span-sound segment at O(overlap) cost, not O(table). Segment
+    * HULLS `[lo, values.last]` are true row enclosures (every
+    * summarized row lies inside — that is what the recorded floor
+    * exists for), so:
+    *
+    *  - hulls that DON'T overlap prove their segments value-disjoint,
+    *    and value-disjoint span segments CONCATENATE for free: each
+    *    point's rows still exceed the previous point's value (they
+    *    are ≥ their own segment's floor > the previous segment's
+    *    hull), and a rank lookup's error stays confined to the piece
+    *    containing the probe — the concatenated budget is the MAX of
+    *    the piece budgets, not the sum;
+    *  - hulls that DO overlap cluster together, and each cluster is
+    *    recomputed by ONE summarize over exactly the cluster's value
+    *    interval, reading only the files whose manifest stats
+    *    intersect it (a file with no usable stats must be read).
+    *
+    * A time-ordered ingest history (event-time appends) is mostly
+    * value-disjoint, so its compaction tick reads nothing at all —
+    * the shape that previously paid a full-table re-ANALYZE every
+    * `maxSegments` appends. Returns None when the row-conservation
+    * invariant fails (a hull bug would otherwise serve wrong stats) —
+    * the caller falls back to the full analyze.
+    */
+  private def compactColumn(spark: SparkSession, table: String,
+                            entries: Seq[SnapshotTable.FileEntry],
+                            schema: Option[String], c: String, m: Int,
+                            segs: Seq[RankSummary])
+      : Option[(RankSummary, (Int, Int))] = {
+    val hulls = segs.map { s =>
+      (if (s.lo.isNaN) Double.NegativeInfinity else s.lo,
+        s.values.last, s)
+    }.sortBy(_._1)
+    // sweep into maximal overlap clusters (closed-interval union)
+    val clusters = scala.collection.mutable.ArrayBuffer
+      .empty[(Double, Double, scala.collection.mutable.ArrayBuffer[RankSummary])]
+    hulls.foreach { case (lo, hi, s) =>
+      clusters.lastOption match {
+        case Some(last) if lo <= last._2 =>
+          clusters(clusters.length - 1) =
+            (last._1, math.max(last._2, hi), last._3 += s)
+        case _ =>
+          clusters += ((lo, hi, scala.collection.mutable.ArrayBuffer(s)))
+      }
+    }
+    var filesRead = 0
+    val pieces = clusters.toSeq.map { case (cLo, cHi, members) =>
+      if (members.size == 1) members.head
+      else {
+        val hit = entries.filter { e =>
+          e.stats.find(_.col == c) match {
+            case Some(st) if !st.lo.isNaN && !st.hi.isNaN =>
+              !(st.hi < cLo || st.lo > cHi)
+            case _ => true // no usable stats: must read
+          }
+        }
+        filesRead += hit.size
+        val v = col(c).cast("double")
+        val cond = v.isNotNull && !isnan(v) &&
+          (if (cLo == Double.NegativeInfinity) lit(true) else v >= cLo) &&
+          v <= cHi
+        summarize(SnapshotTable.readFiles(spark, table, hit, schema)
+          .filter(cond), c, m)
+      }
+    }
+    val n = pieces.map(_.n).sum
+    // row conservation: the clusters partition exactly the summarized
+    // rows — a miscount means a hull failed to enclose its rows, and
+    // serving from it would be a lie
+    if (n != segs.map(_.n).sum) return None
+    val floor = pieces.head.lo
+    Some((RankSummary(c, m, n, pieces.map(_.errRows).max,
+      pieces.flatMap(_.values.toSeq).toArray,
+      pieces.flatMap(_.weights.toSeq).toArray,
+      spans = pieces.forall(_.spans), lo = floor),
+      (filesRead, entries.size)))
   }
 
   /** Re-compress weighted points to ≈ `m`, folding runs of total weight
@@ -422,7 +531,9 @@ object RankStats extends QueryPack {
     val (v, w, addErr) =
       compress(order.map(_._1), order.map(_._2), a.m)
     RankSummary(a.col, a.m, a.n + b.n, a.errRows + b.errRows + addErr, v, w,
-      spans = false)
+      spans = false,
+      lo = if (a.lo.isNaN || b.lo.isNaN) Double.NaN
+        else math.min(a.lo, b.lo))
   }
 
   // ---- sidecar I/O (same replace-by-rename shape as the NDV tier) ----
@@ -451,8 +562,11 @@ object RankStats extends QueryPack {
     Array.fill(bb.remaining() / 8)(bb.getLong)
   }
 
+  // "lo" (raw IEEE bits of the true row minimum) is optional: a legacy
+  // sidecar parses with it absent → NaN → unknown floor, which the
+  // compaction path treats as an unbounded-below hull (honest degrade)
   private val sumRe =
-    raw"""\{"col":"([^"]*)","m":(\d+),"n":(\d+),"err":(\d+),"sp":([01]),"vals":"([A-Za-z0-9+/=]*)","wts":"([A-Za-z0-9+/=]*)"\}""".r
+    raw"""\{"col":"([^"]*)","m":(\d+),"n":(\d+),"err":(\d+),"sp":([01]),"vals":"([A-Za-z0-9+/=]*)","wts":"([A-Za-z0-9+/=]*)"(?:,"lo":(-?\d+))?\}""".r
   private val fileRe =
     raw"""\{"version":(\d+),"filesFp":"([0-9a-f]*)","delFp":"([0-9a-f]*)","summaries":\[(.*)\]\}""".r
 
@@ -461,9 +575,11 @@ object RankStats extends QueryPack {
     val f = fs(spark, table)
     val p = rankPath(table)
     f.mkdirs(p.getParent)
-    val body = rf.summaries.map(s =>
-      s"""{"col":"${s.col}","m":${s.m},"n":${s.n},"err":${s.errRows},"sp":${if (s.spans) 1 else 0},"vals":"${b64d(s.values)}","wts":"${b64l(s.weights)}"}""")
-      .mkString(",")
+    val body = rf.summaries.map { s =>
+      val loPart = if (s.lo.isNaN) ""
+        else s""","lo":${java.lang.Double.doubleToRawLongBits(s.lo)}"""
+      s"""{"col":"${s.col}","m":${s.m},"n":${s.n},"err":${s.errRows},"sp":${if (s.spans) 1 else 0},"vals":"${b64d(s.values)}","wts":"${b64l(s.weights)}"$loPart}"""
+    }.mkString(",")
     val json =
       s"""{"version":${rf.version},"filesFp":"${rf.filesFp}","delFp":"${rf.delFp}","summaries":[$body]}"""
     val tmp = new Path(p.getParent, s".rank-${java.util.UUID.randomUUID}.tmp")
@@ -490,7 +606,10 @@ object RankStats extends QueryPack {
           val sums = sumRe.findAllMatchIn(sk).map(mm =>
             RankSummary(mm.group(1), mm.group(2).toInt, mm.group(3).toLong,
               mm.group(4).toLong, fromB64d(mm.group(6)),
-              fromB64l(mm.group(7)), spans = mm.group(5) == "1")).toSeq
+              fromB64l(mm.group(7)), spans = mm.group(5) == "1",
+              lo = Option(mm.group(8))
+                .map(b => java.lang.Double.longBitsToDouble(b.toLong))
+                .getOrElse(Double.NaN))).toSeq
           Some(RankFile(v.toLong, ffp, dfp, sums))
         case _ => None
       }
@@ -552,16 +671,7 @@ object RankStats extends QueryPack {
         TableStats.fingerprints(spark, table, prev.version)._1 == prev.filesFp
       if (appendOnly) {
         val freshEntries = newEntries.filterNot(e => oldPaths.contains(e.path))
-        // compaction decision BEFORE the fresh-window summarize job —
-        // computing a segment only to throw it away would waste one
-        // Spark aggregation per column on every compaction tick. A
-        // column already AT the cap gets its full analyze directly
-        // (conservatively also when the fresh window turns out
-        // all-null — a degenerate case not worth a probe job).
-        if (freshEntries.nonEmpty &&
-            cols.exists(c => prev.summaries.count(_.col == c) >= maxSegments))
-          (analyze(spark, table, cols, mOf), false)
-        else {
+        locally {
           val segmented =
             if (freshEntries.isEmpty) prev.summaries
             else {
@@ -583,10 +693,46 @@ object RankStats extends QueryPack {
               prev.summaries ++
                 summarizeAll(freshDf, specs, rowsUpper).filter(_.n > 0L)
             }
-          val (ffp, dfp) = TableStats.fingerprints(spark, table, cur)
-          val rf = RankFile(cur, ffp, dfp, segmented)
-          writeRanks(spark, table, rf)
-          (rf, true)
+          // SEGMENT COMPACTION for columns over the cap: fold their
+          // segments to ONE at O(overlap) — value-disjoint hulls
+          // concatenate for free, only overlapping clusters re-read
+          // their (manifest-pruned) files. Pending delete masks force
+          // the full masked analyze instead: old files cannot be
+          // re-read raw without resurrecting deleted rows. A failed
+          // conservation invariant (legacy hulls) falls back the same
+          // way.
+          val overCap =
+            cols.filter(c => segmented.count(_.col == c) > maxSegments)
+          lastCompaction = None
+          val finalSums: Option[Seq[RankSummary]] =
+            if (overCap.isEmpty) Some(segmented)
+            else if (newDel.nonEmpty) None
+            else {
+              val audits = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+              val done = overCap.foldLeft(Option(segmented)) { (acc, c) =>
+                acc.flatMap { sums =>
+                  val mc = sums.find(_.col == c).map(_.m).getOrElse(mOf)
+                  compactColumn(spark, table, newEntries, hdr.schema, c,
+                    mc, sums.filter(_.col == c)).map { case (one, audit) =>
+                    audits += audit
+                    sums.filterNot(_.col == c) :+ one
+                  }
+                }
+              }
+              if (done.isDefined)
+                lastCompaction =
+                  Some((audits.map(_._1).sum, audits.map(_._2).sum))
+              done
+            }
+          finalSums match {
+            case Some(sums) =>
+              val (ffp, dfp) = TableStats.fingerprints(spark, table, cur)
+              val rf = RankFile(cur, ffp, dfp, sums)
+              writeRanks(spark, table, rf)
+              (rf, true)
+            case None =>
+              (analyze(spark, table, cols, mOf), false)
+          }
         }
       } else
         (analyze(spark, table, cols, mOf), false)

@@ -327,14 +327,19 @@ object SnapshotSql {
           throw new IllegalArgumentException(
             s"snapshot_sums: no fresh exact sum for $column of $path " +
               "at the current version - run snapshot_analyze_sums first"))
+        // longValueExact also refuses a SCALED total (a decimal
+        // column's cents): sum_value stays the BIGINT lane, the exact
+        // decimal rides sum_text verbatim
         val asLong: Option[Long] =
           if (nn == 0L) None
-          else if (bd.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) <= 0 &&
-            bd.compareTo(java.math.BigDecimal.valueOf(Long.MinValue)) >= 0)
-            Some(bd.longValueExact())
-          else None
+          else scala.util.Try(bd.longValueExact()).toOption
+        val asText: Option[String] =
+          if (nn == 0L) None else Some(bd.toPlainString)
         import spark.implicits._
-        Seq((column, asLong, nn)).toDF("col", "sum_value", "n_nonnull")
+        // sum_text LAST: positional consumers of the original
+        // (col, sum_value, n_nonnull) shape keep working
+        Seq((column, asLong, nn, asText))
+          .toDF("col", "sum_value", "n_nonnull", "sum_text")
           .queryExecution.logical
       }),
     ("snapshot_quantiles",

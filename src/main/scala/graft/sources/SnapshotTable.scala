@@ -4014,12 +4014,18 @@ object SnapshotTable extends QueryPack {
           case _ =>
             val work = java.nio.file.Files
               .createTempDirectory("graft_snapshot_sum").resolve("t").toString
+            // o_price_dec is the DECIMAL sum lane (money columns are
+            // where SUM pushdown pays); its per-file stats feed the
+            // same-sign proof the decimal fold demands in every mode
             create(s, work, Tables.orders(s, dir)
               .select(col("o_orderkey"), col("o_custkey"),
-                col("o_totalprice"), col("o_orderpriority")),
-              "o_orderpriority", statsCols = Seq("o_orderkey"))
+                col("o_totalprice"),
+                col("o_totalprice").cast("decimal(12,2)").as("o_price_dec"),
+                col("o_orderpriority")),
+              "o_orderpriority",
+              statsCols = Seq("o_orderkey", "o_price_dec"))
             TableStats.analyze(s, work, Seq.empty,
-              sumCols = Seq("o_orderkey", "o_custkey"))
+              sumCols = Seq("o_orderkey", "o_custkey", "o_price_dec"))
             sumMemo = Some(((s, dir), work))
             work
         }
@@ -4040,6 +4046,26 @@ object SnapshotTable extends QueryPack {
       sum(col("o_orderkey")).as("sum_key"),
       sum(col("o_custkey")).as("sum_cust"),
       max(col("o_orderkey")).as("max_key"))
+  }
+
+  /** The DECIMAL twin of [[metaSumQuery]]: a money column's whole-table
+    * SUM answered from the sidecar's scale-carrying exact decimal total
+    * ([[graft.plans.MetadataAggPushdown]]'s decimal fold — same-sign
+    * proven in EVERY eval mode, total within Sum's result precision).
+    * The terminal double cast lives in a Project ABOVE the aggregate,
+    * so the Aggregate itself still folds to a LocalRelation; the
+    * oracle replays the decimal sum relationally — a fold that served
+    * anything but the scan's exact total breaks the hash.
+    */
+  def metaSumDecQuery(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.MetadataAggPushdown.install(s)
+    read(s, sumScenario(s, dir)).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("o_price_dec")).as("dec_total"),
+      sum(col("o_custkey")).as("sum_cust"))
+      .select(col("n_rows"),
+        col("dec_total").cast("double").as("sum_price"),
+        col("sum_cust"))
   }
 
   /** The same exact-sum serve driven PURELY through `spark.sql`: the
@@ -4311,6 +4337,7 @@ object SnapshotTable extends QueryPack {
     "q_snapshot_dynjoin" -> (dynJoinQuery _),
     "q_snapshot_meta_agg" -> (metaAggQuery _),
     "q_snapshot_meta_sum" -> (metaSumQuery _),
+    "q_snapshot_meta_sumdec" -> (metaSumDecQuery _),
     "q_sql_sums" -> (sqlSumsQuery _),
     "q_snapshot_meta_sel" -> (metaSelQuery _),
     "q_snapshot_meta_parts" -> (metaPartsQuery _),
@@ -4422,6 +4449,12 @@ object SnapshotTable extends QueryPack {
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
         |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders""".stripMargin,
+    "q_snapshot_meta_sumdec" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
         |FROM orders""".stripMargin,
     "q_snapshot_meta_agg" ->
       """WITH changed AS (

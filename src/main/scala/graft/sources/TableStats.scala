@@ -57,11 +57,14 @@ object TableStats {
   }
 
   /** One column's EXACT sum: decimal arithmetic over the column's
-    * non-null values (recorded for INTEGRAL columns only, where
-    * decimal(38,0) addition is exact and order-free), plus the
-    * non-null row count (decides the SQL-NULL sum and serves `avg`).
-    * Sums are ADDITIVE, so the delta [[refresh]] is exact — no budget,
-    * unlike the rank tier.
+    * non-null values (recorded for INTEGRAL and DECIMAL columns, where
+    * decimal(38, s) addition is exact and order-free while it fits —
+    * an overflowing ANALYZE refuses loudly rather than recording a
+    * lie), plus the non-null row count (decides the SQL-NULL sum and
+    * serves `avg`). The BigDecimal carries the column's SCALE (0 for
+    * integrals — money columns keep their cents). Sums are ADDITIVE,
+    * so the delta [[refresh]] is exact — no budget, unlike the rank
+    * tier.
     */
   final case class ColSum(col: String, sum: java.math.BigDecimal,
                           nonNull: Long)
@@ -174,12 +177,11 @@ object TableStats {
                                        k: Int, sumCols: Seq[String])
       : (Seq[NdvSketch], Seq[ColSum]) = {
     if (cols.isEmpty) return (Seq.empty, sumsOf(df, sumCols))
-    sumCols.foreach(requireIntegral(df, _))
     val kmv = org.apache.spark.sql.functions.udaf(new KmvAgg(k + 1))
     val sketchAggs = cols.map(c =>
       kmv(when(col(c).isNotNull, xxhash64(col(c)))).as(s"kmv_$c"))
     val sumAggs = sumCols.flatMap(c => Seq(
-      sum(col(c).cast("decimal(38,0)")).as(s"s_$c"),
+      sum(col(c).cast(sumCastType(df, c))).as(s"s_$c"),
       count(col(c)).as(s"n_$c")))
     val aggs = sketchAggs ++ sumAggs
     val r = df.agg(aggs.head, aggs.tail: _*).head()
@@ -245,8 +247,10 @@ object TableStats {
 
   private val sketchRe =
     raw"""\{"col":"([^"]*)","k":(\d+),"sat":(true|false),"min":"([A-Za-z0-9+/=]*)"\}""".r
+  // "sc" (decimal scale) is optional and omitted at 0, so integral-only
+  // sidecars stay byte-identical to the pre-decimal format
   private val sumRe =
-    raw"""\{"col":"([^"]*)","sm":"(-?[0-9]+)","nn":(\d+)\}""".r
+    raw"""\{"col":"([^"]*)","sm":"(-?[0-9]+)"(?:,"sc":(\d+))?,"nn":(\d+)\}""".r
   // sketches non-greedy + optional sums section: a pre-sums sidecar
   // parses with the group absent (sketch bodies contain no ']')
   private val fileRe =
@@ -262,9 +266,11 @@ object TableStats {
       .mkString(",")
     val sumsPart =
       if (st.sums.isEmpty) ""
-      else st.sums.map(cs =>
-        s"""{"col":"${cs.col}","sm":"${cs.sum.toBigInteger.toString}","nn":${cs.nonNull}}""")
-        .mkString(""","sums":[""", ",", "]")
+      else st.sums.map { cs =>
+        val sc = if (cs.sum.scale == 0) ""
+          else s""","sc":${cs.sum.scale}"""
+        s"""{"col":"${cs.col}","sm":"${cs.sum.unscaledValue.toString}"$sc,"nn":${cs.nonNull}}"""
+      }.mkString(""","sums":[""", ",", "]")
     val json =
       s"""{"version":${st.version},"filesFp":"${st.filesFp}","delFp":"${st.delFp}","sketches":[$body]$sumsPart}"""
     // best-effort sweep of tmp files a crashed writer left behind —
@@ -306,8 +312,11 @@ object TableStats {
               fromB64(m.group(4)))).toSeq
           val sums = Option(sm).toSeq.flatMap(s =>
             sumRe.findAllMatchIn(s).map(m =>
-              ColSum(m.group(1), new java.math.BigDecimal(m.group(2)),
-                m.group(3).toLong)))
+              ColSum(m.group(1),
+                new java.math.BigDecimal(
+                  new java.math.BigInteger(m.group(2)),
+                  Option(m.group(3)).map(_.toInt).getOrElse(0)),
+                m.group(4).toLong)))
           Some(StatsFile(v.toLong, ffp, dfp, sketches, sums))
         case _ => None
       }
@@ -318,22 +327,26 @@ object TableStats {
     * ONE aggregate job — map-side combined partials, one row to the
     * driver.
     */
-  private def requireIntegral(df: DataFrame, c: String): Unit = {
+  /** The decimal(38, s) image a column's exact sum accumulates in —
+    * integrals at scale 0, decimals at their own scale. Floating
+    * columns refuse: double addition is order-dependent, so no
+    * metadata sum could ever claim scan parity.
+    */
+  private def sumCastType(df: DataFrame, c: String): String = {
     import org.apache.spark.sql.types._
-    val ok = df.schema(c).dataType match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case _ => false
+    df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => "decimal(38,0)"
+      case d: DecimalType => s"decimal(38,${d.scale})"
+      case other => throw new IllegalArgumentException(
+        s"table stats: exact sums are integral/decimal-only (decimal " +
+          s"addition is order-free there); $c is $other")
     }
-    require(ok,
-      s"table stats: exact sums are integral-only (decimal addition " +
-        s"is order-free there); $c is ${df.schema(c).dataType}")
   }
 
   private def sumsOf(df: DataFrame, cols: Seq[String]): Seq[ColSum] = {
     if (cols.isEmpty) return Seq.empty
-    cols.foreach(requireIntegral(df, _))
     val aggs = cols.flatMap(c => Seq(
-      sum(col(c).cast("decimal(38,0)")).as(s"s_$c"),
+      sum(col(c).cast(sumCastType(df, c))).as(s"s_$c"),
       count(col(c)).as(s"n_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     cols.zipWithIndex.map { case (c, i) =>

@@ -326,6 +326,92 @@ class MetadataAggSpec extends SparkSpec {
     assert(tryPos().head().getLong(0) === 16L)
   }
 
+  test("DECIMAL sums fold from the scale-carrying sidecar total — " +
+    "same-sign proven in every eval mode (a decimal buffer overflow " +
+    "NULLs even the legacy scan, so there is no wrap-exact regime) — " +
+    "and refuse on mixed signs; the sidecar round-trips the scale") {
+    import spark.implicits._
+    import graft.sources.TableStats
+    val t = freshDir()
+    SnapshotTable.create(spark, t,
+      Seq((1L, BigDecimal("10.25"), "a"), (2L, BigDecimal("0.50"), "a"),
+        (3L, BigDecimal("7.00"), "b"))
+        .toDF("k", "price", "p")
+        .select(col("k"), col("price").cast("decimal(10,2)").as("price"),
+          col("p")),
+      "p", statsCols = Seq("price"))
+    TableStats.analyze(spark, t, Seq.empty, sumCols = Seq("price"))
+    // the recorded total must carry its scale through the sidecar
+    val recorded = TableStats.readStats(spark, t).get.sums
+      .find(_.col == "price").get
+    assert(recorded.sum === new java.math.BigDecimal("17.75"))
+    assert(recorded.sum.scale === 2)
+    def agg() = SnapshotTable.read(spark, t)
+      .agg(sum(col("price")).as("s"), count(lit(1)).as("n"))
+    assert(rewritten(agg()), agg().queryExecution.optimizedPlan.toString)
+    assert(agg().head() === withRuleOff { agg().head() })
+    assert(agg().head().getDecimal(0) ===
+      new java.math.BigDecimal("17.75"))
+    // delta refresh stays exact decimal addition
+    SnapshotTable.commitAppend(spark, t,
+      Seq((4L, BigDecimal("2.25"), "b")).toDF("k", "price", "p")
+        .select(col("k"), col("price").cast("decimal(10,2)").as("price"),
+          col("p")), "p")
+    val (_, delta) = TableStats.refresh(spark, t)
+    assert(delta)
+    assert(rewritten(agg()))
+    assert(agg().head().getDecimal(0) ===
+      new java.math.BigDecimal("20.00"))
+    assert(agg().head() === withRuleOff { agg().head() })
+    // mixed-sign decimals: no same-sign proof -> no fold, in ANY mode
+    val m = freshDir()
+    SnapshotTable.create(spark, m,
+      Seq((1L, BigDecimal("10.00"), "a"), (2L, BigDecimal("-3.50"), "a"))
+        .toDF("k", "price", "p")
+        .select(col("k"), col("price").cast("decimal(10,2)").as("price"),
+          col("p")),
+      "p", statsCols = Seq("price"))
+    TableStats.analyze(spark, m, Seq.empty, sumCols = Seq("price"))
+    def magg() = SnapshotTable.read(spark, m).agg(sum(col("price")).as("s"))
+    assert(!rewritten(magg()),
+      "mixed-sign decimal sum must refuse (transient overflow NULLs " +
+        "the legacy scan — no wrap-exact regime to fall back on)")
+    assert(magg().head().getDecimal(0) === new java.math.BigDecimal("6.50"))
+  }
+
+  test("partition RANGE filters restrict the metadata fold with an " +
+    "exact two-way stamp split — numerically for integer partitions " +
+    "(the '10' < '2' lexicographic trap), BETWEEN included — and a " +
+    "non-partition range refuses") {
+    import spark.implicits._
+    val t = freshDir()
+    SnapshotTable.create(spark, t,
+      spark.range(0, 1300).select(
+        col("id").as("k"),
+        (col("id") % 13).cast("int").as("p"),
+        (col("id") * 3).as("v")),
+      "p", statsCols = Seq("v"))
+    def agg(f: DataFrame => DataFrame) =
+      f(SnapshotTable.read(spark, t)).agg(
+        count(lit(1)).as("n"), min(col("v")).as("mn"),
+        max(col("v")).as("mx"))
+    // p <= 2: a lexicographic split would ALSO keep stamps 10..12,
+    // whose rows all fail — the fold would overcount; the numeric
+    // split answers exactly
+    val le = agg(_.filter(col("p") <= 2))
+    assert(rewritten(le), le.queryExecution.optimizedPlan.toString)
+    assert(le.head() === withRuleOff { le.head() })
+    assert(le.head().getLong(0) === 300L)
+    val between = agg(_.filter(col("p").between(5, 7)))
+    assert(rewritten(between))
+    assert(between.head() === withRuleOff { between.head() })
+    assert(between.head().getLong(0) === 300L)
+    // range on a NON-partition column: no stamp proof, no rewrite
+    val nonPart = agg(_.filter(col("v") >= 600))
+    assert(!rewritten(nonPart))
+    assert(nonPart.head() === withRuleOff { nonPart.head() })
+  }
+
   test("distinct and filtered aggregates are never claimed") {
     val t = smallTable()
     val base = SnapshotTable.read(spark, t)

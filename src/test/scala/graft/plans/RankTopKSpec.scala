@@ -266,6 +266,24 @@ class RankTopKSpec extends SparkSpec {
     assert(rows(pq()) === withRuleOff { rows(pq()) })
   }
 
+  test("install is SESSION-scoped, not JVM-global: a sibling session " +
+    "without its own install plans no threshold prefilter; installing " +
+    "there arms it") {
+    val t = clusteredTable()
+    def q(s: org.apache.spark.sql.SparkSession) =
+      SnapshotTable.read(s, t)
+        .orderBy(col("v"), col("k")).limit(25).select(col("k"), col("v"))
+    val allFiles = withRuleOff { filesRead(q(spark)) }
+    assert(filesRead(q(spark)) < allFiles,
+      "suite session (installed) must prune")
+    val sibling = spark.newSession()
+    assert(filesRead(q(sibling)) === allFiles,
+      "a sibling session must not inherit the experimental rule")
+    RankTopK.install(sibling)
+    assert(filesRead(q(sibling)) < allFiles,
+      "the sibling's own install arms the rewrite")
+  }
+
   test("an all-NaN file's stats never close a threshold: the file-" +
     "stats proof drops NaN-bound entries (lo for DESC, hi for ASC), " +
     "so a top-k whose count would need the NaN file refuses instead " +

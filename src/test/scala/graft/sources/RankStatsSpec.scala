@@ -218,14 +218,76 @@ class RankStatsSpec extends SparkSpec {
         assert(delta, s"append $i should take the delta path")
         assert(nSegs === i + 2, s"append $i segment count")
       } else {
-        assert(!delta, "the 4th segment must trigger compaction")
+        // segment compaction rides the DELTA path now: uniform-random
+        // appends overlap into one cluster, recomputed by one filtered
+        // summarize whose spacing is the old full-analyze budget
+        assert(delta, "compaction is a delta-path fold, not an analyze")
         assert(nSegs === 1)
         assert(rf.summaries.head.errRows === (1300L + 63) / 64)
+        assert(rf.summaries.head.spans, "the compacted segment spans")
       }
     }
     val q = RankStats.quantilesServed(spark, t, "v", Seq(0.5))
     assert(q.isDefined)
     assert(q.get._3 === 1300L)
+  }
+
+  test("segment compaction is O(overlap), not O(table): a value-" +
+    "disjoint append history (time-ordered ingest) compacts reading " +
+    "ZERO files, an overlapping tail reads only its cluster's files, " +
+    "and the folded segment still serves exact arithmetic") {
+    val t = java.nio.file.Files.createTempDirectory("rankstats_disj")
+      .resolve("t").toString
+    // statsCols gives per-file min/max on v — what the overlap
+    // cluster's manifest pruning reads
+    def win(lo: Int, n: Int) = (0 until n)
+      .map(j => ((lo + j).toLong, (lo + j).toDouble, "all"))
+      .toDF("id", "v", "grp")
+    SnapshotTable.create(spark, t, win(0, 1000), "grp",
+      statsCols = Seq("v"))
+    RankStats.analyze(spark, t, Seq("v"), m = 64)
+    SnapshotTable.commitAppend(spark, t, win(1000, 1000), "grp")
+    val (_, d1) = RankStats.refresh(spark, t, maxSegments = 2)
+    assert(d1)
+    SnapshotTable.commitAppend(spark, t, win(2000, 1000), "grp")
+    val (rf, d2) = RankStats.refresh(spark, t, maxSegments = 2)
+    assert(d2, "disjoint-history compaction stays on the delta path")
+    assert(rf.summaries.count(_.col == "v") === 1,
+      "3 segments over the cap fold to one")
+    val (read0, total0) = RankStats.lastCompaction.get
+    assert(read0 === 0,
+      s"value-disjoint hulls must concatenate without reading a file " +
+        s"(read $read0 of $total0)")
+    val one = rf.summaries.find(_.col == "v").get
+    assert(one.n === 3000L)
+    assert(one.spans)
+    assert(one.lo === 0.0, "the folded segment keeps the true floor")
+    // quantiles stay exact arithmetic over the folded points: the
+    // median of 0..2999 within the concatenated budget
+    val served = RankStats.quantilesServed(spark, t, "v", Seq(0.5)).get
+    assert(math.abs(served._1.head - 1499.0) <= 16.0 * 2,
+      s"median ${served._1.head} err budget ${served._2}")
+    // an OVERLAPPING window (straddles the folded hull) plus a
+    // disjoint high window: compaction must read only the overlap
+    // cluster's files — the high window's files are skipped
+    SnapshotTable.commitAppend(spark, t, win(1500, 400), "grp")
+    val (_, d3) = RankStats.refresh(spark, t, maxSegments = 2)
+    assert(d3)
+    SnapshotTable.commitAppend(spark, t, win(9000, 1000), "grp")
+    val (rf2, d4) = RankStats.refresh(spark, t, maxSegments = 2)
+    assert(d4)
+    assert(rf2.summaries.count(_.col == "v") === 1)
+    val (read1, total1) = RankStats.lastCompaction.get
+    assert(read1 > 0, "the overlap cluster must re-read its files")
+    assert(read1 < total1,
+      s"the disjoint high window's files must be manifest-skipped " +
+        s"($read1 of $total1)")
+    val folded = rf2.summaries.find(_.col == "v").get
+    assert(folded.n === 4400L)
+    assert(folded.spans)
+    // DESC top-k threshold stays armed through the whole history —
+    // the span-gated proof the compaction exists to preserve
+    assert(RankStats.SegmentView(Seq(folded)).descThreshold(50).isDefined)
   }
 
   test("janitor-tick refresh keeps the span property: after an ingest " +
