@@ -42,8 +42,11 @@ import graft.sources.SnapshotTable.FileEntry
   * Inner equi-joins commute and associate, every conjunct is
   * re-attached at the first step whose sides cover it, and the
   * original output order is restored by a final Project — results are
-  * invariant by construction; the flip is pure plan shape. Joins
-  * carrying user HINTS are left alone (the user outranks the stats).
+  * invariant by construction; the flip is pure plan shape. A side
+  * hint on a LEAF (the user's broadcast hint, or one
+  * [[StatsBroadcast]] injected earlier in the same fixpoint batch)
+  * TRAVELS with its leaf through the reorder; a hint on an
+  * intermediate join side has no home after a reorder and refuses.
   *
   * OPT-IN: inert unless `spark.graft.joinOrder` is `true` in the
   * session (the conf travels to cloned micro-batch sessions and stays
@@ -90,35 +93,58 @@ object JoinOrder extends Rule[LogicalPlan] with PredicateHelper
     case other => other.mapChildren(rewrite)
   }
 
-  /** One leaf of a flattened cluster with its proven numbers. */
+  /** One leaf of a flattened cluster with its proven numbers and the
+    * side HINT that rode it in the original tree (a broadcast hint —
+    * the user's or [[StatsBroadcast]]'s — belongs to the LEAF it
+    * marks and must travel with it through the reorder).
+    */
   private final case class Leaf(plan: LogicalPlan, idx: SnapshotFileIndex,
-                                rel: LogicalRelation, rows: Long) {
+                                rel: LogicalRelation, rows: Long,
+                                hint: Option[HintInfo]) {
     def outputSet: AttributeSet = plan.outputSet
   }
 
   /** Flatten a maximal inner-equi cluster; None = any part refuses
-    * (outer join, hint, non-snapshot leaf, unmeasured entries).
+    * (outer join, non-snapshot leaf, unmeasured entries, a hint on an
+    * INTERMEDIATE join side — it has no home after a reorder).
     * Column-pruning Projects BETWEEN joins (the main optimizer batch
     * runs before this one and prunes every intermediate) are absorbed
     * when they sit over another join: dropping them widens the
     * rebuilt intermediates only by already-scanned columns, and the
     * final output Project restores the cluster's contract. A Project
     * over a NON-join child is the leaf's own pruning and stays with
-    * the leaf.
+    * the leaf. A side hint on a LEAF (a user broadcast hint, or one
+    * [[StatsBroadcast]] injected earlier in the same fixpoint batch)
+    * travels with that leaf.
     */
-  private def flatten(p: LogicalPlan)
-      : Option[(Seq[LogicalPlan], Seq[Expression])] = p match {
-    case Join(l, r, Inner, cond, hint) if hint == JoinHint.NONE =>
-      for {
-        (ll, lc) <- flatten(l)
-        (rl, rc) <- flatten(r)
-      } yield (ll ++ rl, lc ++ rc ++
-        cond.toSeq.flatMap(splitConjunctivePredicates))
-    case Project(ps, j: Join)
-        if ps.forall(_.isInstanceOf[AttributeReference]) =>
-      flatten(j)
-    case other => Some((Seq(other), Seq.empty))
+  private def isJoinish(p: LogicalPlan): Boolean = p match {
+    case _: Join => true
+    case Project(ps, _: Join) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      true
+    case _ => false
   }
+
+  private def flatten(p: LogicalPlan)
+      : Option[(Seq[(LogicalPlan, Option[HintInfo])], Seq[Expression])] =
+    p match {
+      case Join(l, r, Inner, cond, JoinHint(lh, rh)) =>
+        def sideOf(q: LogicalPlan, h: Option[HintInfo])
+            : Option[(Seq[(LogicalPlan, Option[HintInfo])], Seq[Expression])] =
+          h match {
+            case None => flatten(q)
+            case Some(_) if isJoinish(q) => None // intermediate hint
+            case some => Some((Seq((q, some)), Seq.empty))
+          }
+        for {
+          (ll, lc) <- sideOf(l, lh)
+          (rl, rc) <- sideOf(r, rh)
+        } yield (ll ++ rl, lc ++ rc ++
+          cond.toSeq.flatMap(splitConjunctivePredicates))
+      case Project(ps, j: Join)
+          if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        flatten(j)
+      case other => Some((Seq((other, None)), Seq.empty))
+    }
 
   /** The leaf's snapshot index + manifest-proven row count, through
     * column-pruning Projects and deterministic Filters. Partition
@@ -127,7 +153,7 @@ object JoinOrder extends Rule[LogicalPlan] with PredicateHelper
     * the count an upper bound — fine for ORDERING (results never
     * depend on the estimate, only the plan shape does).
     */
-  private def leafOf(p: LogicalPlan): Option[Leaf] = {
+  private def leafOf(p: LogicalPlan, hint: Option[HintInfo]): Option[Leaf] = {
     def walk(q: LogicalPlan, conj: Seq[Expression])
         : Option[(SnapshotFileIndex, LogicalRelation, Seq[Expression])] =
       q match {
@@ -147,7 +173,8 @@ object JoinOrder extends Rule[LogicalPlan] with PredicateHelper
     walk(p, Nil).flatMap { case (idx, rel, conj) =>
       val entries = restrict(idx, rel, conj)
       if (entries.exists(_.rows <= 0L)) None // unmeasured fixture entry
-      else Some(Leaf(p, idx, rel, math.max(1L, entries.map(_.rows).sum)))
+      else Some(Leaf(p, idx, rel,
+        math.max(1L, entries.map(_.rows).sum), hint))
     }
   }
 
@@ -209,7 +236,8 @@ object JoinOrder extends Rule[LogicalPlan] with PredicateHelper
   private def reorder(top: Join): Outcome = {
     val (leafPlans, conds) = flatten(top).getOrElse(return Refused)
     if (leafPlans.size < 3 || conds.isEmpty) return Refused
-    val leaves = leafPlans.map(p => leafOf(p).getOrElse(return Refused))
+    val leaves = leafPlans.map { case (p, h) =>
+      leafOf(p, h).getOrElse(return Refused) }
     // every conjunct must be a placeable predicate over exactly the
     // cluster's attributes (no correlated/outer references)
     val allAttrs = AttributeSet(leaves.flatMap(_.plan.output))
@@ -268,14 +296,18 @@ object JoinOrder extends Rule[LogicalPlan] with PredicateHelper
     var remaining = conds
     var built: LogicalPlan = leaves(order.head).plan
     var builtSet = leaves(order.head).outputSet
-    order.tail.foreach { k =>
+    order.tail.zipWithIndex.foreach { case (k, step) =>
       val side = leaves(k)
       val both = builtSet ++ side.outputSet
       val (now, later) = remaining.partition(_.references.subsetOf(both))
       if (now.isEmpty) return Refused
       remaining = later
-      built = Join(built, side.plan, Inner,
-        Some(now.reduce(And)), JoinHint.NONE)
+      // leaf hints travel with their leaf: the first join's left side
+      // IS a leaf and keeps its hint; later left sides are rebuilt
+      // intermediates (any intermediate hint already refused upstream)
+      built = Join(built, side.plan, Inner, Some(now.reduce(And)),
+        JoinHint(if (step == 0) leaves(order.head).hint else None,
+          side.hint))
       builtSet = both
     }
     if (remaining.nonEmpty) return Refused

@@ -24,6 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT * FROM snapshot_declare_key('/t', 'pk', 1)      -- RELY key
   * SELECT * FROM snapshot_declare_fk('/f','fk','/t','pk',1) -- RELY FK
   * SELECT * FROM snapshot_enable_eager_agg('/f')          -- opt-in
+  * SELECT * FROM snapshot_enable_join_order()             -- opt-in
   * }}}
   *
   * The last two are WRITE PROCEDURES in TVF syntax (Iceberg's `CALL`
@@ -507,6 +508,23 @@ object SnapshotSql {
         graft.plans.EagerAggregation.enableFor(
           strArg("snapshot_enable_eager_agg", exprs, 0), force)
         graft.plans.EagerAggregation.install(spark)
+        outcomeRow(spark, Seq("enabled" -> 1L))
+      }),
+    ("snapshot_enable_join_order",
+      new ExpressionInfo(getClass.getName, null, "snapshot_enable_join_order",
+        "_FUNC_() - opt this session into stats-driven join ordering: " +
+          "3+-table inner equi-join clusters over snapshot relations " +
+          "reorder greedily by proven manifest row counts and exact " +
+          "NDV sketches (smallest intermediate first); clusters " +
+          "without the proofs are left alone. Installs the rule in " +
+          "this session. The result row reports (enabled)",
+        "_FUNC_()"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.isEmpty,
+          s"snapshot_enable_join_order: expected 0 arguments, got ${exprs.length}")
+        val spark = SparkSession.active
+        graft.plans.JoinOrder.install(spark)
+        graft.plans.JoinOrder.enable(spark)
         outcomeRow(spark, Seq("enabled" -> 1L))
       }))
 

@@ -205,4 +205,59 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SELECT sum_value FROM snapshot_sums('$t', 'k')")
       .head().getLong(0) === 500500L)
   }
+
+  test("extension-injected JoinOrder fires from plain SQL after the " +
+    "snapshot_enable_join_order procedure: a fact-first 3-way join " +
+    "reorders to the filtered selective dim first, results unchanged") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("ext_joinorder")
+      .toString
+    val (f, a, b) = (s"$root/fact", s"$root/dima", s"$root/dimb")
+    graft.sources.SnapshotTable.create(spark, f,
+      spark.range(0, 8000).select(col("id").as("k"),
+        (col("id") % 800).as("a_id"), (col("id") % 40).as("b_id"),
+        lit("all").as("p")), "p")
+    graft.sources.SnapshotTable.create(spark, a,
+      spark.range(0, 800).select(col("id").as("a_key"),
+        (col("id") % 7).as("a_val"), lit("all").as("p")), "p")
+    graft.sources.SnapshotTable.create(spark, b,
+      spark.range(0, 40).select(col("id").as("b_key"),
+        (col("id") % 9).as("b_val"),
+        (col("id") % 5).cast("string").as("p")), "p")
+    graft.sources.TableStats.analyze(spark, f, Seq("a_id", "b_id"), k = 4096)
+    graft.sources.TableStats.analyze(spark, a, Seq("a_key"), k = 4096)
+    graft.sources.TableStats.analyze(spark, b, Seq("b_key"), k = 4096)
+    def q() = spark.sql(
+      s"""SELECT b_val, count(*) AS n FROM snapshot_table('$f') f
+         |JOIN snapshot_table('$a') a ON f.a_id = a.a_key
+         |JOIN snapshot_table('$b') b ON f.b_id = b.b_key
+         |WHERE b.p = '3'
+         |GROUP BY b_val ORDER BY b_val""".stripMargin)
+    def order(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location match {
+                case i: graft.sources.SnapshotFileIndex => i.tablePath
+                case _ => ""
+              }
+            case _ => ""
+          }
+      }.filter(_.nonEmpty)
+    val before = q()
+    val beforeOrder = order(before)
+    val beforeRows = before.collect().map(_.toString).toSeq
+    assert(beforeOrder === Seq(f, a, b), "written order before the opt-in")
+    try {
+      assert(spark.sql("SELECT * FROM snapshot_enable_join_order()")
+        .head().getLong(0) === 1L)
+      val after = q()
+      assert(order(after) === Seq(f, b, a),
+        s"the filtered selective dim must join first: ${order(after)}\n" +
+          after.queryExecution.optimizedPlan.treeString)
+      assert(after.collect().map(_.toString).toSeq === beforeRows,
+        "reorder must never change results")
+    } finally spark.conf.set("spark.graft.joinOrder", "false")
+  }
 }
