@@ -13,7 +13,7 @@ object Plans {
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q1_pricing_summary", "q3_shipping_priority", "q_knn_brute",
         "q_scatter_gather", "q_semi_join", "q_dedup_exact",
-        "q_rank_topk_part", "q_snapshot_meta_sum")
+        "q_rank_topk_part", "q_snapshot_meta_sum", "q_join_order")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

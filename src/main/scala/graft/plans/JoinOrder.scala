@@ -173,9 +173,52 @@ object JoinOrder extends Rule[LogicalPlan] with PredicateHelper
     walk(p, Nil).flatMap { case (idx, rel, conj) =>
       val entries = restrict(idx, rel, conj)
       if (entries.exists(_.rows <= 0L)) None // unmeasured fixture entry
-      else Some(Leaf(p, idx, rel,
-        math.max(1L, entries.map(_.rows).sum), hint))
+      else {
+        val base = math.max(1L, entries.map(_.rows).sum)
+        Some(Leaf(p, idx, rel,
+          math.max(1L, math.min(base, rankBound(idx, rel, conj))), hint))
+      }
     }
+  }
+
+  /** Row upper bound from VALUE-range conjuncts through the rank
+    * sidecar ([[graft.sources.RankStats.rangeBoundSubset]] — the
+    * subset-valid, span-proven bound): a dim filtered by
+    * `price < X` sizes from its quantile summary where the manifest
+    * total says nothing. Estimation input only — a missing/stale
+    * sidecar just leaves the manifest bound standing.
+    */
+  private def rankBound(idx: SnapshotFileIndex, rel: LogicalRelation,
+                        conj: Seq[Expression]): Long = {
+    def dbl(l: Literal): Option[Double] = l.value match {
+      case n: java.lang.Number => Some(n.doubleValue())
+      case _ => None
+    }
+    def bound(a: AttributeReference, lo: Option[Double],
+              hi: Option[Double]): Option[Long] =
+      rel.output.find(_.exprId == a.exprId).flatMap { out =>
+        graft.sources.RankStats.rangeBoundSubset(SparkSession.active,
+          idx.tablePath, out.name, idx.fileEntries.map(_.path), lo, hi)
+      }
+    conj.flatMap {
+      case LessThan(a: AttributeReference, l: Literal) =>
+        dbl(l).flatMap(v => bound(a, None, Some(v)))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        dbl(l).flatMap(v => bound(a, None, Some(v)))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        dbl(l).flatMap(v => bound(a, Some(v), None))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        dbl(l).flatMap(v => bound(a, Some(v), None))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        dbl(l).flatMap(v => bound(a, Some(v), None))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        dbl(l).flatMap(v => bound(a, Some(v), None))
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        dbl(l).flatMap(v => bound(a, None, Some(v)))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        dbl(l).flatMap(v => bound(a, None, Some(v)))
+      case _ => None
+    }.minOption.getOrElse(Long.MaxValue)
   }
 
   /** Entries surviving the partition-value conjuncts (equality/IN on

@@ -445,10 +445,16 @@ object RankStats extends QueryPack {
                             schema: Option[String], c: String, m: Int,
                             segs: Seq[RankSummary])
       : Option[(RankSummary, (Int, Int))] = {
-    val hulls = segs.map { s =>
+    // an n = 0 segment (a column all-null at ANALYZE time) has no
+    // points and no hull — it encloses nothing, so it simply drops
+    // from the fold (the conservation check below counts its 0 rows)
+    val hulls = segs.filter(_.n > 0L).map { s =>
       (if (s.lo.isNaN) Double.NegativeInfinity else s.lo,
         s.values.last, s)
     }.sortBy(_._1)
+    if (hulls.isEmpty)
+      return Some((RankSummary(c, m, 0L, 0L, Array.empty, Array.empty),
+        (0, entries.size)))
     // sweep into maximal overlap clusters (closed-interval union)
     val clusters = scala.collection.mutable.ArrayBuffer
       .empty[(Double, Double, scala.collection.mutable.ArrayBuffer[RankSummary])]

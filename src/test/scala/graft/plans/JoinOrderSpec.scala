@@ -127,6 +127,34 @@ class JoinOrderSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.joinOrder", "false")
   }
 
+  test("a VALUE-range-filtered dim sizes from the rank sidecar — rows " +
+    "the manifest total cannot see — and flips the order; without the " +
+    "rank summary the same query keeps its written order") {
+    val (f, a, b) = star(analyzed = true)
+    def q() = SnapshotTable.read(spark, f)
+      .join(SnapshotTable.read(spark, a)
+        .select(col("a_key"), col("a_val")),
+        col("a_id") === col("a_key"))
+      .join(SnapshotTable.read(spark, b)
+          .filter(col("b_val") <= 0L).select(col("b_key"), col("b_val")),
+        col("b_id") === col("b_key"))
+      .groupBy(col("b_val"))
+      .agg(count(lit(1)).as("n"), sum(col("a_val")).as("s"))
+      .orderBy(col("b_val"))
+    // no rank summary on b_val: the value filter is invisible to the
+    // manifest total — every edge estimates to the fact's rows and
+    // the written order stands
+    assert(withRule { leafOrder(q()) } === Seq(f, a, b),
+      "without a rank summary the value filter cannot size the dim")
+    // with it: ~12 of 100 rows pass b_val <= 0 (exact-regime bound),
+    // the dimB edge wins the start pair, the order flips
+    graft.sources.RankStats.analyze(spark, b, Seq("b_val"))
+    val (on, onRows) = withRule { (leafOrder(q()), rows(q())) }
+    assert(on === Seq(f, b, a),
+      s"the rank-sized dim must join first: $on")
+    assert(onRows === rows(q()), "reorder must never change results")
+  }
+
   test("refusals leave the plan alone: no ANALYZE sketches, flag off, " +
     "only two tables, outer join in the chain") {
     val (f, a, b) = star(analyzed = false)

@@ -290,6 +290,34 @@ class RankStatsSpec extends SparkSpec {
     assert(RankStats.SegmentView(Seq(folded)).descThreshold(50).isDefined)
   }
 
+  test("a column ALL-NULL at analyze time (an empty n=0 segment) " +
+    "survives segment compaction: the hull-less segment drops from " +
+    "the fold instead of crashing it, and the folded stats serve the " +
+    "appended rows") {
+    val t = java.nio.file.Files.createTempDirectory("rankstats_nullcol")
+      .resolve("t").toString
+    def win(lo: Int, n: Int, nullV: Boolean) = {
+      val base = (0 until n).map(j => ((lo + j).toLong, (lo + j).toDouble))
+      base.map { case (id, v) =>
+        (id, if (nullV) Option.empty[Double] else Some(v), "all")
+      }.toDF("id", "v", "grp")
+        .select(col("id"), col("v").cast("double").as("v"), col("grp"))
+    }
+    SnapshotTable.create(spark, t, win(0, 500, nullV = true), "grp")
+    RankStats.analyze(spark, t, Seq("v"), m = 32) // n = 0 segment
+    assert(RankStats.readRanks(spark, t).get.summaries.head.n === 0L)
+    SnapshotTable.commitAppend(spark, t, win(1000, 500, nullV = false), "grp")
+    val (_, d1) = RankStats.refresh(spark, t, maxSegments = 1)
+    assert(d1)
+    SnapshotTable.commitAppend(spark, t, win(2000, 500, nullV = false), "grp")
+    val (rf, d2) = RankStats.refresh(spark, t, maxSegments = 1)
+    assert(d2, "compaction with an n=0 segment must not fall back")
+    val segs = rf.summaries.filter(_.col == "v")
+    assert(segs.size === 1)
+    assert(segs.head.n === 1000L, "the empty segment enclosed nothing")
+    assert(segs.head.spans)
+  }
+
   test("janitor-tick refresh keeps the span property: after an ingest " +
     "append + maintain(refreshStats), every segment still spans and " +
     "the sidecar serves at the new version") {
