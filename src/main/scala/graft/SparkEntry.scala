@@ -58,6 +58,7 @@ object SparkEntry {
     graft.plans.JoinElimination,
     graft.plans.EagerAggregation,
     graft.plans.JoinOrder,
+    graft.operators.TpchDerived,
     graft.sources.RankStats)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
