@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (opt-in: spark.graft.joinOrder=true; refuses without proven
     // manifest rows + exact NDV sketches)
     e.injectOptimizerRule(_ => graft.plans.JoinOrder)
+    // IN-list dynamic file pruning for snapshot star joins (opt-in
+    // per BUILD table: DynamicPrune.enableFor — planning-time
+    // execution of the registered small side)
+    e.injectOptimizerRule(_ => graft.plans.DynamicPrune)
     // snapshot-table SQL surface: snapshot_table(path[, version]) and
     // snapshot_changes(path, from, to) table-valued functions
     graft.sources.SnapshotSql.tvfs.foreach { case (name, info, builder) =>

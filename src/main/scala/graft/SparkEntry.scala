@@ -58,6 +58,7 @@ object SparkEntry {
     graft.plans.JoinElimination,
     graft.plans.EagerAggregation,
     graft.plans.JoinOrder,
+    graft.plans.DynamicPrune,
     graft.operators.TpchDerived,
     graft.sources.RankStats)
 

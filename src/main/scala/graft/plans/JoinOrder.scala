@@ -367,6 +367,13 @@ object JoinOrder extends Rule[LogicalPlan] with PredicateHelper
   @volatile private var memo: Option[((SparkSession, String),
     (String, String, String))] = None
 
+  /** The memoized (orders, customer, nation) snapshot fixture —
+    * shared with [[DynamicPrune]]'s driver query so the bench builds
+    * the star tables once.
+    */
+  private[plans] def fixturePaths(s: SparkSession, dir: String)
+      : (String, String, String) = fixture(s, dir)
+
   private def fixture(s: SparkSession, dir: String)
       : (String, String, String) = memo match {
     case Some((k, w)) if k == ((s, dir)) => w

@@ -98,8 +98,13 @@ final class SnapshotFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // with an empty partitionSchema the only "partition" filters Spark
+    // can route here are reference-free ones (a constant-folded or
+    // injected `false` — DynamicPrune's empty-build proof); they prune
+    // like any data filter
+    val preds = partitionFilters ++ dataFilters
     val kept = statuses.filter { case (e, _) =>
-      dataFilters.forall(mayMatch(_, e))
+      preds.forall(mayMatch(_, e))
     }
     Seq(PartitionDirectory(InternalRow.empty,
       kept.map(s => FileStatusWithMetadata(s._2))))
@@ -202,6 +207,10 @@ final class SnapshotFileIndex(
   private def mayMatch(p: Expression, e: FileEntry): Boolean = p match {
     case And(l, r) => mayMatch(l, e) && mayMatch(r, e)
     case Or(l, r)  => mayMatch(l, e) || mayMatch(r, e)
+
+    // a constant FALSE (or NULL) predicate passes no row of any file —
+    // the shape a proven-empty dynamic filter injects
+    case Literal(v, BooleanType) if v == null || v == false => false
 
     case EqualTo(a: AttributeReference, v: Literal) => cmpMay(e, a.name, v, "=")
     case EqualTo(v: Literal, a: AttributeReference) => cmpMay(e, a.name, v, "=")

@@ -526,6 +526,25 @@ object SnapshotSql {
         graft.plans.JoinOrder.install(spark)
         graft.plans.JoinOrder.enable(spark)
         outcomeRow(spark, Seq("enabled" -> 1L))
+      }),
+    ("snapshot_enable_dynamic_prune",
+      new ExpressionInfo(getClass.getName, null,
+        "snapshot_enable_dynamic_prune",
+        "_FUNC_(path) - register the snapshot table as a dynamic-prune " +
+          "BUILD side: joins whose provably-small side reads it may " +
+          "execute that side once at planning time and push its " +
+          "distinct join keys into the probe scan as an IN, pruning " +
+          "probe FILES by partition stamp / stats / bloom. Installs " +
+          "the rule in this session. The result row reports (enabled)",
+        "_FUNC_(string)"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"snapshot_enable_dynamic_prune: expected 1 argument, got ${exprs.length}")
+        val spark = SparkSession.active
+        graft.plans.DynamicPrune.install(spark)
+        graft.plans.DynamicPrune.enableFor(spark,
+          strArg("snapshot_enable_dynamic_prune", exprs, 0))
+        outcomeRow(spark, Seq("enabled" -> 1L))
       }))
 
   /** One-row outcome relation for the write procedures. */
