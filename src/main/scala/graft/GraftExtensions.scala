@@ -48,6 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // per BUILD table: DynamicPrune.enableFor — planning-time
     // execution of the registered small side)
     e.injectOptimizerRule(_ => graft.plans.DynamicPrune)
+    // grouped top-k prefilter for row_number()/rank() OVER
+    // (PARTITION BY p ORDER BY v) <= k over snapshot relations
+    // partitioned by p (on by default, proof-gated;
+    // spark.graft.snapshot.windowTopK=false disables)
+    e.injectOptimizerRule(_ => graft.plans.WindowTopK)
     // snapshot-table SQL surface: snapshot_table(path[, version]) and
     // snapshot_changes(path, from, to) table-valued functions
     graft.sources.SnapshotSql.tvfs.foreach { case (name, info, builder) =>

@@ -59,6 +59,7 @@ object SparkEntry {
     graft.plans.EagerAggregation,
     graft.plans.JoinOrder,
     graft.plans.DynamicPrune,
+    graft.plans.WindowTopK,
     graft.operators.TpchDerived,
     graft.sources.RankStats)
 

@@ -386,10 +386,13 @@ object JoinOrder extends Rule[LogicalPlan] with PredicateHelper
           val root = java.nio.file.Files
             .createTempDirectory("graft_joinorder").toString
           val (o, c, nt) = (s"$root/orders", s"$root/customer", s"$root/nation")
+          // statsCols: per-file o_totalprice (lo, hi, nulls, rows) +
+          // range clustering within each priority partition — what
+          // arms WindowTopK's per-group thresholds on this fixture
           SnapshotTable.create(s, o, Tables.orders(s, dir)
             .select(col("o_orderkey"), col("o_custkey"),
               col("o_totalprice"), col("o_orderpriority")),
-            "o_orderpriority")
+            "o_orderpriority", statsCols = Seq("o_totalprice"))
           SnapshotTable.create(s, c, Tables.customer(s, dir)
             .select(col("c_custkey"), col("c_nationkey"),
               col("c_mktsegment")), "c_mktsegment")

@@ -193,7 +193,7 @@ object RankTopK extends Rule[LogicalPlan] with PredicateHelper {
     * contributes nothing (its rows may still pass the final filter —
     * soundness needs only ≥ k provable rows, not all of them).
     */
-  private def fileStatsBound(entries: Seq[graft.sources.SnapshotTable.FileEntry],
+  private[plans] def fileStatsBound(entries: Seq[graft.sources.SnapshotTable.FileEntry],
                              name: String, dt: DataType, dir: SortDirection,
                              k: Int): Option[Double] = {
     val known = entries.flatMap { e =>
@@ -357,7 +357,7 @@ object RankTopK extends Rule[LogicalPlan] with PredicateHelper {
     * column values cast to double — exact for integrals up to 2^53 and
     * for float/double by construction).
     */
-  private def numericLiteral(v: Double, dt: DataType): Option[Expression] =
+  private[plans] def numericLiteral(v: Double, dt: DataType): Option[Expression] =
     dt match {
       case DoubleType => Some(Literal(v, DoubleType))
       case FloatType  => Some(Literal(v.toFloat, FloatType))

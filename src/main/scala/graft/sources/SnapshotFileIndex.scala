@@ -282,6 +282,18 @@ final class SnapshotFileIndex(
           case (Some(Seq(only)), Some(s)) => only != s
           case _                          => true
         }
+      // NOT(p <=> g) — WindowTopK's null-safe group selector. Prunes
+      // (returns false) only when every row provably equals g: a
+      // single non-default stamp that renders equal to the literal.
+      // Default-stamp files hold NULL/empty-string rows, which are
+      // never provably <=> a literal — conservative true.
+      case EqualNullSafe(a: AttributeReference, v: Literal)
+          if isPart(e, a.name) =>
+        (e.parts, litPart(v)) match {
+          case (Some(Seq(only)), Some(s))
+              if only != "__HIVE_DEFAULT_PARTITION__" => only != s
+          case _ => true
+        }
       case _ => true
     }
 
