@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   * equality discards fact rows with no dim partner (and NULL keys,
   * which both the IN and the join drop). An outer join must not use
   * this — the pruned fact rows would wrongly vanish from its result.
+  *
+  * [[graft.plans.DynamicPrune]] is the TRANSPARENT optimizer-rule form
+  * of the same construction: register the dim snapshot table once and
+  * every plain `.join` / SQL star query over it gets the pruning,
+  * with manifest-proven size gates and a zero-file plan for a
+  * proven-empty build (where this helper degrades to the plain join).
   */
 object DynamicFilterJoin {
 

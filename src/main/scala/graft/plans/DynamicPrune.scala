@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, count, lit, max, sum}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -58,6 +58,14 @@ import graft.sources.SnapshotFileIndex
   * reorder its evaluation). Fixpoint-stable: collected key sets are
   * memoized per session (weak) keyed by the canonicalized build plan,
   * and a probe that already carries the exact conjunct is left alone.
+  *
+  * [[graft.operators.DynamicFilterJoin]] is this construction's
+  * EXPLICIT form (the caller hands over fact/dim/keys and accepts the
+  * collect); this rule is the transparent twin — a plain `.join` or
+  * pure-SQL star query gets the same file pruning once the dim table
+  * is registered, plus the shapes the helper cannot see (LEFT SEMI,
+  * multi-conjunct, and the proven-empty build that here plans ZERO
+  * probe files where the helper degrades to a full scan).
   *
   * Registry: `spark.graft.dynamicPrune.tables` — session-conf-carried
   * (micro-batch `cloneSession` inherits, `newSession` tenants stay
@@ -129,13 +137,37 @@ object DynamicPrune extends Rule[LogicalPlan] with PredicateHelper
     val enabled = parseTables(conf.getConfString(TablesKey, ""))
     if (enabled.isEmpty) plan
     else plan.transformDown {
-      case j @ Join(_, _, Inner | LeftSemi, Some(_), _) => tryPrune(j, enabled)
+      case j @ Join(_, _,
+          Inner | LeftSemi | LeftAnti | LeftOuter | RightOuter,
+          Some(_), _) =>
+        tryPrune(j, enabled)
     }
+  }
+
+  /** Which probe sides semi-join reduction is SOUND for, per join
+    * type. Inner/LeftSemi: both — a probe row whose key matches no
+    * build key joins nothing (semi's right side included: such a row
+    * witnesses no match for anyone). LeftOuter: only the RIGHT side
+    * may be pruned (left rows must all survive as outer rows; a right
+    * row matching no left key contributes no match) — RightOuter
+    * mirrors. LeftAnti: only the right side (removing never-matching
+    * right rows preserves match-existence for every left row; pruning
+    * the LEFT side would delete anti results). FullOuter never
+    * appears here (neither side may lose rows).
+    */
+  private def directions(jt: org.apache.spark.sql.catalyst.plans.JoinType)
+      : (Boolean, Boolean) = jt match {
+    case Inner | LeftSemi      => (true, true)
+    case LeftOuter | LeftAnti  => (false, true) // prune right only
+    case RightOuter            => (true, false) // prune left only
+    case _                     => (false, false)
   }
 
   private def tryPrune(j: Join, enabled: Set[String]): Join = {
     val maxBuild = longConf(MaxBuildKey, 1000000L)
-    val maxKeys  = longConf(MaxKeysKey, 4096L).toInt
+    // clamped non-negative: the memo's range lane reserves -1
+    val maxKeys  = math.max(0L, longConf(MaxKeysKey, 4096L)).toInt
+    val (pruneLeft, pruneRight) = directions(j.joinType)
     var cur = j
     splitConjunctivePredicates(j.condition.get).foreach {
       case EqualTo(x: AttributeReference, y: AttributeReference) =>
@@ -146,15 +178,14 @@ object DynamicPrune extends Rule[LogicalPlan] with PredicateHelper
             cur.right.outputSet.contains(x)) (Some(y), Some(x))
           else (None, None)
         for (probeKey <- lk; buildKey <- rk) {
-          // probe = left, build = right
-          attempt(cur.left, probeKey, cur.right, buildKey,
-            enabled, maxBuild, maxKeys)
-            .foreach(nl => cur = cur.copy(left = nl))
-          // probe = right, build = left (sound for LeftSemi too: a
-          // right row whose key matches no left key witnesses no match)
-          attempt(cur.right, buildKey, cur.left, probeKey,
-            enabled, maxBuild, maxKeys)
-            .foreach(nr => cur = cur.copy(right = nr))
+          if (pruneLeft)
+            attempt(cur.left, probeKey, cur.right, buildKey,
+              enabled, maxBuild, maxKeys)
+              .foreach(nl => cur = cur.copy(left = nl))
+          if (pruneRight)
+            attempt(cur.right, buildKey, cur.left, probeKey,
+              enabled, maxBuild, maxKeys)
+              .foreach(nr => cur = cur.copy(right = nr))
         }
       case _ => ()
     }
@@ -183,15 +214,73 @@ object DynamicPrune extends Rule[LogicalPlan] with PredicateHelper
     if (hasKeyIn(probe, probeKey)) return None
     buildBound(build, enabled) match {
       case Some(rows) if rows <= maxBuild =>
-        collectKeys(build, buildKey, maxKeys).flatMap { keys =>
-          val sorted = keys.sortBy(Literal(_, buildKey.dataType).toString)
-          val cond =
-            if (sorted.isEmpty) Literal.FalseLiteral
-            else In(probeKey,
-              sorted.map(v => Literal(v, buildKey.dataType)))
-          inject(probe, probeKey, cond)
+        val cond = collectKeys(build, buildKey, maxKeys) match {
+          case Some(keys) =>
+            val sorted = keys.sortBy(Literal(_, buildKey.dataType).toString)
+            if (sorted.isEmpty) Some(Literal.FalseLiteral)
+            else Some(In(probeKey,
+              sorted.map(v => Literal(v, buildKey.dataType))))
+          // over-cap key count: fall back to the build side's [min,
+          // max] RANGE (Trino's large-set dynamic filter) — a strictly
+          // weaker but still sound reduction (removed rows lie outside
+          // every build key), and the shape manifest min/max stats
+          // prune on a key-clustered layout. Ordered numeric /
+          // timestamp keys only: string stats are not recorded, the
+          // range would prune nothing.
+          case None if rangedType(buildKey.dataType) =>
+            collectRange(build, buildKey).map {
+              case Some((lo, hi)) =>
+                And(GreaterThanOrEqual(probeKey, Literal(lo, buildKey.dataType)),
+                  LessThanOrEqual(probeKey, Literal(hi, buildKey.dataType)))
+              case None => Literal.FalseLiteral // all build keys NULL
+            }
+          case None => None
         }
+        cond.flatMap(inject(probe, probeKey, _))
       case _ => None
+    }
+  }
+
+  private def rangedType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.DateType => true
+      case _ => false
+    }
+
+  /** The build side's (min, max) over non-null keys via one
+    * planning-time agg job (memoized like the key set; inner None =
+    * every key NULL — the join output is provably empty).
+    */
+  private def collectRange(build: LogicalPlan, key: AttributeReference)
+      : Option[Option[(Any, Any)]] = {
+    val spark = SparkSession.active
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Max, Min}
+    def agg(f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction,
+            n: String) =
+      Alias(AggregateExpression(f, Complete, isDistinct = false), n)()
+    val sub = Aggregate(Nil,
+      Seq(agg(Min(key), "lo"), agg(Max(key), "hi")), build)
+    val cacheKey = (sub.canonicalized, -1) // -1: the range lane
+    val cache = cacheFor(spark)
+    cache.synchronized(cache.get(cacheKey)) match {
+      case Some(hit) => hit.map {
+        case Seq(lo, hi) => Some((lo, hi))
+        case _           => None
+      }
+      case None =>
+        val row = spark.sessionState.executePlan(sub)
+          .executedPlan.executeCollect().head
+        val res: Option[Seq[Any]] =
+          if (row.isNullAt(0) || row.isNullAt(1)) Some(Seq.empty)
+          else Some(Seq(row.get(0, key.dataType), row.get(1, key.dataType)))
+        cache.synchronized(cache.update(cacheKey, res))
+        res.map {
+          case Seq(lo, hi) => Some((lo, hi))
+          case _           => None
+        }
     }
   }
 
@@ -207,6 +296,14 @@ object DynamicPrune extends Rule[LogicalPlan] with PredicateHelper
       case Filter(c, ch) if c.deterministic &&
           !c.exists(_.isInstanceOf[PlanExpression[_]]) =>
         buildBound(ch, enabled)
+      // grouping only REDUCES rows, so the child bound stands — this
+      // admits the `SELECT DISTINCT dim_key WHERE …` build shape (a
+      // Distinct is an Aggregate by this point in the optimizer)
+      case Aggregate(ges, aes, ch, _)
+          if (ges ++ aes).forall(e => e.deterministic &&
+            !e.exists(_.isInstanceOf[PlanExpression[_]])) =>
+        buildBound(ch, enabled)
+      case Distinct(ch) => buildBound(ch, enabled)
       case l: LogicalRelation if !l.isStreaming => l.relation match {
         case fs: HadoopFsRelation => fs.location match {
           case idx: SnapshotFileIndex if enabled.contains(norm(idx.tablePath)) =>
@@ -282,6 +379,13 @@ object DynamicPrune extends Rule[LogicalPlan] with PredicateHelper
         splitConjunctivePredicates(c).exists {
           case In(a: AttributeReference, _)    => a.exprId == key.exprId
           case InSet(a: AttributeReference, _) => a.exprId == key.exprId
+          // a range on the key (ours from the large-set fallback, or
+          // the user's own) — one dynamic filter per key, documented
+          // over-refusal: a user range makes the dynamic one redundant
+          case GreaterThanOrEqual(a: AttributeReference, _: Literal) =>
+            a.exprId == key.exprId
+          case LessThanOrEqual(a: AttributeReference, _: Literal) =>
+            a.exprId == key.exprId
           case Literal(v, BooleanType)         => v == null || v == false
           case _                               => false
         } || hasKeyIn(ch, key)

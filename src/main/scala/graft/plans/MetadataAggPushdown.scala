@@ -290,16 +290,41 @@ object MetadataAggPushdown extends Rule[LogicalPlan] {
 
   /** Evaluate one aggregate output column from the manifest; None =
     * shape or evidence not supported, the whole rewrite is abandoned.
+    *
+    * General shape: every [[AggregateExpression]] in the tree folds to
+    * a literal, and the REMAINING scalar tree evaluates driver-side —
+    * so post-aggregate arithmetic (`sum(x) + 1`, `round(avg(p), 2)`,
+    * and the optimizer's own DecimalAggregates rewrite
+    * `cast(avg(UnscaledValue(c)) / 10^s as decimal)`) folds with
+    * Spark's verbatim scalar semantics (the expressions ARE Spark's).
+    * Refused whenever any aggregate lacks a proof, an attribute
+    * survives substitution (a grouped passthrough this fold does not
+    * own), the tree is nondeterministic, or the eval throws (an ANSI
+    * overflow the scan must raise on its own terms).
     */
   private def evalAgg(e: NamedExpression, entries: Seq[FileEntry],
                       ndv: String => Option[Any] = _ => None,
                       sums: String => Option[(java.math.BigDecimal, Long)] =
-                        _ => None): Option[Any] =
-    e match {
-      case Alias(ae: AggregateExpression, _) => evalFn(ae, entries, ndv, sums)
-      case ae: AggregateExpression           => evalFn(ae, entries, ndv, sums)
-      case _                                 => None
+                        _ => None): Option[Any] = {
+    var ok = true
+    val subst = e.transform {
+      case ae: AggregateExpression =>
+        evalFn(ae, entries, ndv, sums) match {
+          case Some(v) => Literal(v, ae.dataType)
+          case None    => ok = false; ae
+        }
     }
+    if (!ok) return None
+    val body = subst match {
+      case Alias(c, _) => c
+      case other       => other
+    }
+    if (body.exists(x => x.isInstanceOf[AttributeReference] ||
+        x.isInstanceOf[AggregateExpression]) || !body.deterministic) None
+    else
+      try Some(body.eval(InternalRow.empty))
+      catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   private val LongMaxBd = java.math.BigDecimal.valueOf(Long.MaxValue)
   private val LongMinBd = java.math.BigDecimal.valueOf(Long.MinValue)
@@ -396,6 +421,29 @@ object MetadataAggPushdown extends Rule[LogicalPlan] {
               }
             case _ => None
           }
+        // DecimalAggregates' small-precision rewrite: sum over the
+        // UNSCALED longs (the MakeDecimal wrapper above is scalar —
+        // evalAgg's tree eval owns it). The unscaled total is the
+        // sidecar total shifted by the scale — exact by construction —
+        // and the long-buffer gates are the integral arm's verbatim:
+        // in-range total, wrap-exact under LEGACY, same-sign proof
+        // under ANSI/TRY.
+        case UnscaledValue(a: AttributeReference)
+            if a.dataType.isInstanceOf[DecimalType] =>
+          val in = a.dataType.asInstanceOf[DecimalType]
+          sums(a.name).flatMap { case (bd, nn) =>
+            if (nn == 0L) Some(null)
+            else if (bd.scale != in.scale) None
+            else {
+              val unscaled = bd.movePointRight(in.scale)
+              if (unscaled.compareTo(LongMaxBd) <= 0 &&
+                unscaled.compareTo(LongMinBd) >= 0 &&
+                (s.evalContext.evalMode == EvalMode.LEGACY ||
+                  sameSignEvidence(a, entries)))
+                Some(unscaled.longValueExact())
+              else None
+            }
+          }
         case _ => None
       }
       // avg(integralCol): Spark's Average accumulates integral inputs
@@ -413,6 +461,63 @@ object MetadataAggPushdown extends Rule[LogicalPlan] {
                 java.math.BigDecimal.valueOf(ExactLong)) < 0)
               Some(bd.longValueExact().toDouble / nn.toDouble)
             else None
+          }
+        // avg(decimalCol): bit-exact BY CONSTRUCTION — substitute the
+        // sidecar's exact (sum, count) into Average's OWN
+        // evaluateExpression (its aggBufferAttributes) and evaluate it
+        // driver-side, so the division/rounding/overflow semantics are
+        // Spark's verbatim, whatever this version makes them. Decimal
+        // buffer addition is exact and order-free, so with the same-
+        // sign no-transient-overflow proof (partials bounded by a
+        // total that fits the SUM buffer type) the scan's final buffer
+        // provably equals the sidecar total; an eval that THROWS
+        // (ANSI division overflow) refuses — the plain scan will
+        // throw it on its own terms.
+        case a: AttributeReference if a.dataType.isInstanceOf[DecimalType] =>
+          val in = a.dataType.asInstanceOf[DecimalType]
+          av.aggBufferAttributes match {
+            case Seq(sumAttr, cntAttr)
+                if sumAttr.dataType.isInstanceOf[DecimalType] &&
+                  cntAttr.dataType == LongType =>
+              val sumType = sumAttr.dataType.asInstanceOf[DecimalType]
+              sums(a.name).flatMap { case (bd, nn) =>
+                if (nn == 0L) Some(null)
+                else if (bd.scale == in.scale &&
+                  bd.precision <= sumType.precision &&
+                  sameSignEvidence(a, entries)) {
+                  val expr = av.evaluateExpression.transform {
+                    case r: AttributeReference if r.exprId == sumAttr.exprId =>
+                      Literal(org.apache.spark.sql.types.Decimal(
+                        bd, sumType.precision, sumType.scale), sumType)
+                    case r: AttributeReference if r.exprId == cntAttr.exprId =>
+                      Literal(nn, LongType)
+                  }
+                  try Some(expr.eval(InternalRow.empty))
+                  catch { case scala.util.control.NonFatal(_) => None }
+                } else None
+              }
+            case _ => None
+          }
+        // DecimalAggregates' small-precision rewrite: average of the
+        // UNSCALED longs (the /10^s division above is scalar — tree
+        // eval owns it). The long-child Average accumulates in DOUBLE:
+        // same-sign partials bounded by a < 2^53 total are integer-
+        // valued doubles whose additions are all exact, so the scan's
+        // buffer provably equals the shifted sidecar total and the
+        // double division is the same IEEE op on both paths.
+        case UnscaledValue(a: AttributeReference)
+            if a.dataType.isInstanceOf[DecimalType] =>
+          val in = a.dataType.asInstanceOf[DecimalType]
+          sums(a.name).flatMap { case (bd, nn) =>
+            if (nn == 0L) Some(null)
+            else if (bd.scale != in.scale) None
+            else {
+              val unscaled = bd.movePointRight(in.scale)
+              if (sameSignEvidence(a, entries) && unscaled.abs.compareTo(
+                  java.math.BigDecimal.valueOf(ExactLong)) < 0)
+                Some(unscaled.longValueExact().toDouble / nn.toDouble)
+              else None
+            }
           }
         case _ => None
       }

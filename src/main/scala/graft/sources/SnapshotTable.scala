@@ -4059,13 +4059,21 @@ object SnapshotTable extends QueryPack {
     */
   def metaSumDecQuery(s: SparkSession, dir: String): DataFrame = {
     graft.plans.MetadataAggPushdown.install(s)
+    // avg_price is emitted as the decimal(16,6) STRING: the oracle
+    // rebuilds the identical digits by integer arithmetic (half-up at
+    // scale 6 — provably Spark's own result here: the quotient of
+    // cents by a row count can't land within 1e-17 of a scale-6 tie
+    // without BEING one, and exact ties round up in both paths), so
+    // the hash check is exact with no cross-engine float division
     read(s, sumScenario(s, dir)).agg(
       count(lit(1)).as("n_rows"),
       sum(col("o_price_dec")).as("dec_total"),
-      sum(col("o_custkey")).as("sum_cust"))
+      sum(col("o_custkey")).as("sum_cust"),
+      avg(col("o_price_dec")).as("dec_avg"))
       .select(col("n_rows"),
         col("dec_total").cast("double").as("sum_price"),
-        col("sum_cust"))
+        col("sum_cust"),
+        col("dec_avg").cast("string").as("avg_price"))
   }
 
   /** The same exact-sum serve driven PURELY through `spark.sql`: the
@@ -4451,11 +4459,19 @@ object SnapshotTable extends QueryPack {
         |  CAST(max(o_orderkey) AS BIGINT) AS max_key
         |FROM orders""".stripMargin,
     "q_snapshot_meta_sumdec" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
-        |    AS sum_price,
-        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
-        |FROM orders""".stripMargin,
+      """WITH s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS dec_total,
+        |    CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+        |  FROM orders
+        |), q AS (
+        |  SELECT *,
+        |    (2 * CAST(dec_total * 100 AS BIGINT) * 10000 + n_rows)
+        |      // (2 * n_rows) AS q6
+        |  FROM s)
+        |SELECT n_rows, CAST(dec_total AS DOUBLE) AS sum_price, sum_cust,
+        |  printf('%d.%06d', q6 // 1000000, q6 % 1000000) AS avg_price
+        |FROM q""".stripMargin,
     "q_snapshot_meta_agg" ->
       """WITH changed AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,

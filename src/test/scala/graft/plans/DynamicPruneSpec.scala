@@ -89,6 +89,19 @@ class DynamicPruneSpec extends SparkSpec {
     case other => Seq(other)
   }
 
+  /** Injected RANGE conjunct pairs directly above a relation (the
+    * large-set fallback lane): counted by their >= halves.
+    */
+  private def rangeConjuncts(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case Filter(c, _: LogicalRelation) =>
+        splitConj(c).count {
+          case org.apache.spark.sql.catalyst.expressions
+            .GreaterThanOrEqual(_, _: Literal) => true
+          case _ => false
+        }
+    }.sum
+
   private def withOff[T](body: => T): T = {
     val saved = spark.conf.getOption("spark.graft.dynamicPrune.tables")
     DynamicPrune.clearEnabled(spark)
@@ -159,13 +172,18 @@ class DynamicPruneSpec extends SparkSpec {
     assert(dynConjuncts(join(filtered)) === 0)
     spark.conf.unset("spark.graft.dynamicPrune.maxBuildRows")
 
-    // over-cap key count (4 keys > cap 2) — and the refusal must not
-    // poison the default-cap cache entry
+    // over-cap key count (4 keys > cap 2): the int key falls back to
+    // the [min, max] RANGE lane (Trino's large-set dynamic filter) —
+    // injected with parity, and the fallback must not poison the
+    // default-cap IN lane
     spark.conf.set("spark.graft.dynamicPrune.maxKeys", "2")
     assert(dynConjuncts(join(filtered)) === 0)
+    assert(rangeConjuncts(join(filtered)) === 1,
+      "over-cap int keys must fall back to a min/max range")
+    assert(rows(join(filtered)) === withOff(rows(join(filtered))))
     spark.conf.unset("spark.graft.dynamicPrune.maxKeys")
     assert(dynConjuncts(join(filtered)) === 1,
-      "the small-cap refusal must not mask the default-cap success")
+      "the small-cap fallback must not mask the default-cap success")
 
     // nondeterministic build filter: would execute twice, refuses
     // (a FOLDABLE rand comparison like `rand < 2.0` is optimized away
@@ -184,6 +202,57 @@ class DynamicPruneSpec extends SparkSpec {
     assert(dynConjuncts(SnapshotTable.read(spark, fact)
       .join(SnapshotTable.read(spark, dimK), col("k") === col("dk"))
       .groupBy(col("fp")).agg(count(lit(1)).as("n"))) === 0)
+  }
+
+  test("a DISTINCT / grouped build side prunes too (grouping only " +
+    "reduces the proven bound)") {
+    val (fact, dim) = star()
+    DynamicPrune.enableFor(spark, dim)
+    def q() = SnapshotTable.read(spark, fact)
+      .join(SnapshotTable.read(spark, dim).filter(col("attr") === 0)
+        .select(col("dp")).distinct(),
+        col("fp") === col("dp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("n"))
+    val (slowRows, slowFiles) = withOff { val d = q(); (rows(d), filesRead(d)) }
+    assert(rows(q()) === slowRows)
+    assert(filesRead(q()) < slowFiles)
+  }
+
+  test("LEFT OUTER and LEFT ANTI prune their RIGHT side from the " +
+    "left build's keys — outer rows and anti semantics preserved " +
+    "(parity includes an unmatched build key)") {
+    val fact = freshDir("fact2")
+    val dim = freshDir("dim2")
+    SnapshotTable.create(spark, fact,
+      spark.range(0, 10000).select(
+        col("id").as("k"), (col("id") % 10).cast("int").as("fp")),
+      "fp")
+    // dim keys 0..14: dp = 12 passes attr = 0 but matches NO fact row
+    // — the row outer/anti semantics exist to keep
+    SnapshotTable.create(spark, dim,
+      spark.range(0, 15).select(
+        col("id").cast("int").as("dp"),
+        (col("id") % 3).cast("int").as("attr")),
+      "attr")
+    DynamicPrune.enableFor(spark, dim)
+    def outer() = SnapshotTable.read(spark, dim).filter(col("attr") === 0)
+      .join(SnapshotTable.read(spark, fact), col("dp") === col("fp"),
+        "left_outer")
+      .groupBy(col("dp")).agg(count(col("k")).as("n"))
+    val (slowO, slowOFiles) = withOff { val d = outer(); (rows(d), filesRead(d)) }
+    assert(rows(outer()) === slowO)
+    assert(slowO.exists(_.startsWith("[12,0")),
+      "the unmatched build key must survive as an outer row")
+    assert(filesRead(outer()) < slowOFiles)
+
+    def anti() = SnapshotTable.read(spark, dim).filter(col("attr") === 0)
+      .join(SnapshotTable.read(spark, fact), col("dp") === col("fp"),
+        "left_anti")
+      .select(col("dp")).orderBy(col("dp"))
+    val (slowA, slowAFiles) = withOff { val d = anti(); (rows(d), filesRead(d)) }
+    assert(slowA === Seq("[12]"), "only dp=12 has no fact match")
+    assert(rows(anti()) === slowA)
+    assert(filesRead(anti()) < slowAFiles)
   }
 
   test("fixpoint-stable: re-optimizing the optimized plan changes " +

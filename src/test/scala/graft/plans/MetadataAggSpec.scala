@@ -379,6 +379,75 @@ class MetadataAggSpec extends SparkSpec {
     assert(magg().head().getDecimal(0) === new java.math.BigDecimal("6.50"))
   }
 
+  test("DECIMAL averages fold by evaluating Spark's OWN Average " +
+    "evaluateExpression over the sidecar's exact (sum, count) buffers " +
+    "— bit parity with the scan through the rounding path; mixed " +
+    "signs refuse; a delta refresh re-arms") {
+    import spark.implicits._
+    import graft.sources.TableStats
+    val t = freshDir()
+    // 3 rows summing to 10.00: 10/3 is non-terminating, so the fold
+    // exercises Spark's division + HALF_UP rounding verbatim
+    SnapshotTable.create(spark, t,
+      Seq((1L, BigDecimal("4.00"), "a"), (2L, BigDecimal("3.75"), "a"),
+        (3L, BigDecimal("2.25"), "b"))
+        .toDF("k", "price", "p")
+        .select(col("k"), col("price").cast("decimal(10,2)").as("price"),
+          col("p")),
+      "p", statsCols = Seq("price"))
+    TableStats.analyze(spark, t, Seq.empty, sumCols = Seq("price"))
+    def agg() = SnapshotTable.read(spark, t)
+      .agg(avg(col("price")).as("a"), count(lit(1)).as("n"))
+    assert(rewritten(agg()), agg().queryExecution.optimizedPlan.toString)
+    assert(agg().head() === withRuleOff { agg().head() })
+    assert(agg().head().getDecimal(0) ===
+      new java.math.BigDecimal("3.333333"))
+    // delta refresh keeps the exact decimal (sum, count) pair armed
+    SnapshotTable.commitAppend(spark, t,
+      Seq((4L, BigDecimal("0.25"), "b")).toDF("k", "price", "p")
+        .select(col("k"), col("price").cast("decimal(10,2)").as("price"),
+          col("p")), "p")
+    val (_, delta) = TableStats.refresh(spark, t)
+    assert(delta)
+    assert(rewritten(agg()))
+    assert(agg().head() === withRuleOff { agg().head() })
+    assert(agg().head().getDecimal(0) ===
+      new java.math.BigDecimal("2.562500"))
+    // mixed signs: no transient-overflow proof, no fold — the scan's
+    // buffer could NULL where the substituted total would answer
+    val m = freshDir()
+    SnapshotTable.create(spark, m,
+      Seq((1L, BigDecimal("10.00"), "a"), (2L, BigDecimal("-3.50"), "a"))
+        .toDF("k", "price", "p")
+        .select(col("k"), col("price").cast("decimal(10,2)").as("price"),
+          col("p")),
+      "p", statsCols = Seq("price"))
+    TableStats.analyze(spark, m, Seq.empty, sumCols = Seq("price"))
+    def mavg() = SnapshotTable.read(spark, m).agg(avg(col("price")).as("a"))
+    assert(!rewritten(mavg()))
+    assert(mavg().head().getDecimal(0) ===
+      new java.math.BigDecimal("3.250000"))
+    // decimal(12,2) is past DecimalAggregates' double shortcut (p+4 >
+    // 15), so the TRUE decimal Average survives to the rule and the
+    // buffer-substitution arm serves it — including its own division/
+    // rounding semantics, proven by bit parity with the scan
+    val w = freshDir()
+    SnapshotTable.create(spark, w,
+      Seq((1L, BigDecimal("4.00"), "a"), (2L, BigDecimal("3.75"), "a"),
+        (3L, BigDecimal("2.25"), "b"))
+        .toDF("k", "price", "p")
+        .select(col("k"), col("price").cast("decimal(12,2)").as("price"),
+          col("p")),
+      "p", statsCols = Seq("price"))
+    TableStats.analyze(spark, w, Seq.empty, sumCols = Seq("price"))
+    def wagg() = SnapshotTable.read(spark, w)
+      .agg(avg(col("price")).as("a"))
+    assert(rewritten(wagg()), wagg().queryExecution.optimizedPlan.toString)
+    assert(wagg().head() === withRuleOff { wagg().head() })
+    assert(wagg().head().getDecimal(0) ===
+      new java.math.BigDecimal("3.333333"))
+  }
+
   test("partition RANGE filters restrict the metadata fold with an " +
     "exact two-way stamp split — numerically for integer partitions " +
     "(the '10' < '2' lexicographic trap), BETWEEN included — and a " +
