@@ -271,12 +271,22 @@ object DynamicPrune extends Rule[LogicalPlan] with PredicateHelper
         case _           => None
       }
       case None =>
-        val row = spark.sessionState.executePlan(sub)
-          .executedPlan.executeCollect().head
         val res: Option[Seq[Any]] =
-          if (row.isNullAt(0) || row.isNullAt(1)) Some(Seq.empty)
-          else Some(Seq(row.get(0, key.dataType), row.get(1, key.dataType)))
-        cache.synchronized(cache.update(cacheKey, res))
+          try {
+            val row = spark.sessionState.executePlan(sub)
+              .executedPlan.executeCollect().head
+            if (row.isNullAt(0) || row.isNullAt(1)) Some(Seq.empty)
+            else Some(Seq(row.get(0, key.dataType), row.get(1, key.dataType)))
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              logWarning(s"dynamic-prune range collection failed, " +
+                s"skipping the filter: $e")
+              None
+          }
+        cache.synchronized {
+          if (cache.size >= MaxCacheEntries) cache.clear()
+          cache.update(cacheKey, res)
+        }
         res.map {
           case Seq(lo, hi) => Some((lo, hi))
           case _           => None
@@ -359,15 +369,37 @@ object DynamicPrune extends Rule[LogicalPlan] with PredicateHelper
     cache.synchronized(cache.get(cacheKey)) match {
       case Some(hit) => hit
       case None =>
-        val rows = spark.sessionState.executePlan(sub)
-          .executedPlan.executeCollect()
+        // a FAILED planning-time job degrades to "no dynamic filter"
+        // (the query is fine without it — the join will surface any
+        // real error on its own terms), and the failure is cached so
+        // the fixpoint's second pass doesn't re-run it
         val res =
-          if (rows.length > maxKeys) None
-          else Some(rows.map(_.get(0, key.dataType)).toSeq)
-        cache.synchronized(cache.update(cacheKey, res))
+          try {
+            val rows = spark.sessionState.executePlan(sub)
+              .executedPlan.executeCollect()
+            if (rows.length > maxKeys) None
+            else Some(rows.map(_.get(0, key.dataType)).toSeq)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              logWarning(s"dynamic-prune key collection failed, " +
+                s"skipping the filter: $e")
+              None
+          }
+        cache.synchronized {
+          if (cache.size >= MaxCacheEntries) cache.clear()
+          cache.update(cacheKey, res)
+        }
         res
     }
   }
+
+  /** Per-session memo cap: every query pins a FRESH relation instance
+    * (a new manifest read), so entries rarely re-hit across queries —
+    * the memo exists for the fixpoint's second pass within one query.
+    * Past the cap the map just resets; correctness never depended on
+    * a hit.
+    */
+  private val MaxCacheEntries = 64
 
   /** Does any probe-side Filter already constrain `key` with an IN or
     * a constant-false conjunct? ([[attempt]]'s refuse-early gate.)

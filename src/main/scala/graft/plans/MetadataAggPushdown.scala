@@ -119,14 +119,32 @@ object MetadataAggPushdown extends Rule[LogicalPlan] {
                   !e.parts.exists(_.exists(_ ==
                     "__HIVE_DEFAULT_PARTITION__"))) &&
                 groupKeyVal(g, entries.head.parts.get.head).isDefined =>
+            // per-partition SUM/AVG lane: the sidecar's value-keyed
+            // grouped sums, gated on the fingerprint of the FULL
+            // planned list (partition filters restrict entries to
+            // whole value-groups, so each surviving group's recorded
+            // sum is that group's true sum). Sidecar read memoized
+            // per column per rewrite.
+            val idxOpt = indexOf(agg.child)
+            val gsumCache = scala.collection.mutable.Map.empty[
+              String,
+              Option[(String, Map[String, (java.math.BigDecimal, Long)])]]
+            def gsumOf(name: String) = gsumCache.getOrElseUpdate(name,
+              idxOpt.flatMap { idx =>
+                graft.sources.TableStats.exactGroupSum(SparkSession.active,
+                  idx.tablePath, name, idx.fileEntries.map(_.path))
+              }.filter(_._1 == g.name))
             val groups = entries.groupBy(_.parts.get.head).toSeq
             val rows = groups.map { case (value, es) =>
+              val sumsForGroup: String =>
+                  Option[(java.math.BigDecimal, Long)] =
+                name => gsumOf(name).flatMap(_._2.get(value))
               val computed = agg.aggregateExpressions.map {
                 case a: AttributeReference if a.exprId == g.exprId =>
                   groupKeyVal(g, value)
                 case Alias(a: AttributeReference, _) if a.exprId == g.exprId =>
                   groupKeyVal(g, value)
-                case e => evalAgg(e, es)
+                case e => evalAgg(e, es, sums = sumsForGroup)
               }
               if (computed.forall(_.isDefined))
                 Some(InternalRow.fromSeq(computed.map(_.get)))
@@ -269,6 +287,26 @@ object MetadataAggPushdown extends Rule[LogicalPlan] {
 
   /** Largest long magnitude whose `cast(double)` is exact. */
   private val ExactLong = 1L << 53
+
+  /** The snapshot index under the (already-vetted) grouped-fold child
+    * — permissive on Filters because [[bareSnapshotEntries]] admitted
+    * only exact partition predicates, and the grouped-sums proof gates
+    * on the index's FULL planned list, which no Filter changes.
+    */
+  private def indexOf(plan: LogicalPlan): Option[SnapshotFileIndex] =
+    plan match {
+      case Project(ps, inner) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        indexOf(inner)
+      case f: Filter => indexOf(f.child)
+      case l: LogicalRelation if !l.isStreaming => l.relation match {
+        case fs: HadoopFsRelation => fs.location match {
+          case idx: SnapshotFileIndex => Some(idx)
+          case _                      => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
 
   /** The child is a bare UNFILTERED snapshot relation (only a column-
     * pruning Project allowed) — the shape under which a whole-table

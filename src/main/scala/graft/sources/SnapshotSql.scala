@@ -287,24 +287,30 @@ object SnapshotSql {
     ("snapshot_analyze_sums",
       new ExpressionInfo(getClass.getName, null, "snapshot_analyze_sums",
         "_FUNC_(path, col, ...) - ANALYZE exact column sums: record " +
-          "decimal-exact sums + non-null counts of the given INTEGRAL " +
-          "columns in the _stats sidecar (existing NDV sketches are " +
-          "recomputed alongside, keeping the sidecar one consistent " +
-          "snapshot). Feeds the metadata sum/avg fold and " +
-          "snapshot_sums. The result row reports (version, n_cols)",
+          "decimal-exact sums + non-null counts of the given INTEGRAL/" +
+          "DECIMAL columns in the _stats sidecar (existing NDV " +
+          "sketches are recomputed alongside, keeping the sidecar one " +
+          "consistent snapshot). A 'group:'-prefixed column " +
+          "additionally records its PER-PARTITION sums (the grouped " +
+          "fold + snapshot_group_sums lane). Feeds the metadata " +
+          "sum/avg folds and snapshot_sums. The result row reports " +
+          "(version, n_cols)",
         "_FUNC_(string, string, ...)"),
       (exprs: Seq[Expression]) => {
         require(exprs.length >= 2,
           s"snapshot_analyze_sums: expected >= 2 arguments, got ${exprs.length}")
         val spark = SparkSession.active
         val path = strArg("snapshot_analyze_sums", exprs, 0)
-        val cols = (1 until exprs.length)
+        val raw = (1 until exprs.length)
           .map(i => strArg("snapshot_analyze_sums", exprs, i))
+        val groupCols = raw.filter(_.startsWith("group:"))
+          .map(_.stripPrefix("group:"))
+        val cols = raw.map(_.stripPrefix("group:")).distinct
         val prev = TableStats.readStats(spark, path)
         val st = TableStats.analyze(spark, path,
           prev.map(_.sketches.map(_.col)).getOrElse(Seq.empty),
           prev.flatMap(_.sketches.headOption).map(_.k).getOrElse(1024),
-          sumCols = cols)
+          sumCols = cols, groupSumCols = groupCols)
         outcomeRow(spark, Seq("version" -> st.version,
           "n_cols" -> st.sums.length.toLong))
       }),
@@ -341,6 +347,41 @@ object SnapshotSql {
         // (col, sum_value, n_nonnull) shape keep working
         Seq((column, asLong, nn, asText))
           .toDF("col", "sum_value", "n_nonnull", "sum_text")
+          .queryExecution.logical
+      }),
+    ("snapshot_group_sums",
+      new ExpressionInfo(getClass.getName, null, "snapshot_group_sums",
+        "_FUNC_(path, col) - the column's exact PER-PARTITION sums " +
+          "served from the stats sidecar with a freshness proof " +
+          "(current version + fingerprints): one row per partition " +
+          "value (part_col, part_value, sum_value, n_nonnull, " +
+          "sum_text), answered from metadata alone. sum_value is NULL " +
+          "outside the BIGINT range; the exact decimal rides " +
+          "sum_text. Errors loudly when the sidecar is missing, " +
+          "stale, or the column has no grouped lane (run " +
+          "snapshot_analyze_sums with group columns)",
+        "_FUNC_(string, string)"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"snapshot_group_sums: expected 2 arguments, got ${exprs.length}")
+        val spark = SparkSession.active
+        val path = strArg("snapshot_group_sums", exprs, 0)
+        val column = strArg("snapshot_group_sums", exprs, 1)
+        val gs = TableStats.groupSumsServed(spark, path, column).getOrElse(
+          throw new IllegalArgumentException(
+            s"snapshot_group_sums: no fresh per-partition sums for " +
+              s"$column of $path at the current version - analyze with " +
+              "groupSumCols first"))
+        import spark.implicits._
+        gs.groups.map { case (v, bd, nn) =>
+          val asLong: Option[Long] =
+            if (nn == 0L) None
+            else scala.util.Try(bd.longValueExact()).toOption
+          val asText: Option[String] =
+            if (nn == 0L) None else Some(bd.toPlainString)
+          (gs.partCol, v, asLong, nn, asText)
+        }.toDF("part_col", "part_value", "sum_value", "n_nonnull",
+          "sum_text")
           .queryExecution.logical
       }),
     ("snapshot_quantiles",

@@ -4023,9 +4023,12 @@ object SnapshotTable extends QueryPack {
                 col("o_totalprice").cast("decimal(12,2)").as("o_price_dec"),
                 col("o_orderpriority")),
               "o_orderpriority",
-              statsCols = Seq("o_orderkey", "o_price_dec"))
+              // custkey stats feed the same-sign proof the grouped
+              // long-sum fold demands under ANSI (Spark 4's default)
+              statsCols = Seq("o_orderkey", "o_price_dec", "o_custkey"))
             TableStats.analyze(s, work, Seq.empty,
-              sumCols = Seq("o_orderkey", "o_custkey", "o_price_dec"))
+              sumCols = Seq("o_orderkey", "o_custkey", "o_price_dec"),
+              groupSumCols = Seq("o_price_dec", "o_custkey"))
             sumMemo = Some(((s, dir), work))
             work
         }
@@ -4074,6 +4077,29 @@ object SnapshotTable extends QueryPack {
         col("dec_total").cast("double").as("sum_price"),
         col("sum_cust"),
         col("dec_avg").cast("string").as("avg_price"))
+  }
+
+  /** Per-PARTITION revenue profile answered ENTIRELY from metadata:
+    * counts from the manifest's per-file rows, SUM/AVG per priority
+    * from the sidecar's value-keyed grouped sums
+    * ([[graft.sources.TableStats.exactGroupSum]]) — "sum and average
+    * order value per priority" on a 100 TB table plans ZERO data
+    * files. The money AVG is emitted as the decimal(16,6) string with
+    * the same integer half-up-at-6 oracle replica as the global fold.
+    */
+  def metaGroupSumsQuery(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.MetadataAggPushdown.install(s)
+    read(s, sumScenario(s, dir))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_price_dec")).as("dec_total"),
+        avg(col("o_price_dec")).as("dec_avg"),
+        sum(col("o_custkey")).as("cust_total"))
+      .select(col("o_orderpriority"), col("n_rows"),
+        col("dec_total").cast("double").as("sum_price"),
+        col("dec_avg").cast("string").as("avg_price"),
+        col("cust_total").as("sum_cust"))
+      .orderBy(col("o_orderpriority"))
   }
 
   /** The same exact-sum serve driven PURELY through `spark.sql`: the
@@ -4346,6 +4372,7 @@ object SnapshotTable extends QueryPack {
     "q_snapshot_meta_agg" -> (metaAggQuery _),
     "q_snapshot_meta_sum" -> (metaSumQuery _),
     "q_snapshot_meta_sumdec" -> (metaSumDecQuery _),
+    "q_meta_group_sums" -> (metaGroupSumsQuery _),
     "q_sql_sums" -> (sqlSumsQuery _),
     "q_snapshot_meta_sel" -> (metaSelQuery _),
     "q_snapshot_meta_parts" -> (metaPartsQuery _),
@@ -4472,6 +4499,23 @@ object SnapshotTable extends QueryPack {
         |SELECT n_rows, CAST(dec_total AS DOUBLE) AS sum_price, sum_cust,
         |  printf('%d.%06d', q6 // 1000000, q6 % 1000000) AS avg_price
         |FROM q""".stripMargin,
+    "q_meta_group_sums" ->
+      """WITH s AS (
+        |  SELECT o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS dec_total,
+        |    CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+        |  FROM orders GROUP BY o_orderpriority
+        |), q AS (
+        |  SELECT *,
+        |    (2 * CAST(dec_total * 100 AS BIGINT) * 10000 + n_rows)
+        |      // (2 * n_rows) AS q6
+        |  FROM s)
+        |SELECT o_orderpriority, n_rows,
+        |  CAST(dec_total AS DOUBLE) AS sum_price,
+        |  printf('%d.%06d', q6 // 1000000, q6 % 1000000) AS avg_price,
+        |  sum_cust
+        |FROM q ORDER BY o_orderpriority""".stripMargin,
     "q_snapshot_meta_agg" ->
       """WITH changed AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,

@@ -69,12 +69,26 @@ object TableStats {
   final case class ColSum(col: String, sum: java.math.BigDecimal,
                           nonNull: Long)
 
+  /** One column's exact sums PER PARTITION VALUE (the partition
+    * column's values rendered as strings — the same rendering the
+    * manifest stamps use for the servable types): the "revenue per
+    * day" operational profile as O(partitions) sidecar metadata.
+    * Keyed by VALUE, not by file stamp, so partition evolution cannot
+    * corrupt it — a value's sum is a property of the rows, wherever
+    * they live. NULL partition values are excluded (the grouped fold
+    * never serves the default-stamp group). Additive per (col, value)
+    * ⇒ the delta [[refresh]] stays exact.
+    */
+  final case class GroupSum(col: String, partCol: String,
+                            groups: Seq[(String, java.math.BigDecimal, Long)])
+
   /** Sidecar payload: sketches (and optional exact column sums) valid
     * for the table state identified by (`version`, `filesFp`, `delFp`).
     */
   final case class StatsFile(version: Long, filesFp: String, delFp: String,
                              sketches: Seq[NdvSketch],
-                             sums: Seq[ColSum] = Seq.empty)
+                             sums: Seq[ColSum] = Seq.empty,
+                             groupSums: Seq[GroupSum] = Seq.empty)
 
   private def unsignedFraction(h: Long): Double =
     (java.lang.Double.parseDouble(java.lang.Long.toUnsignedString(h)) + 1.0) /
@@ -251,10 +265,25 @@ object TableStats {
   // sidecars stay byte-identical to the pre-decimal format
   private val sumRe =
     raw"""\{"col":"([^"]*)","sm":"(-?[0-9]+)"(?:,"sc":(\d+))?,"nn":(\d+)\}""".r
-  // sketches non-greedy + optional sums section: a pre-sums sidecar
-  // parses with the group absent (sketch bodies contain no ']')
+  // per-partition sums: the outer item's `g` array is non-greedy (its
+  // entries contain no brackets), values are base64 (data, not
+  // identifiers)
+  private val gsumRe =
+    raw"""\{"col":"([^"]*)","pc":"([^"]*)","g":\[(.*?)\]\}""".r
+  private val gsumItemRe =
+    raw"""\{"v":"([A-Za-z0-9+/=]*)","sm":"(-?[0-9]+)"(?:,"sc":(\d+))?,"nn":(\d+)\}""".r
+  // sketches non-greedy + optional sums/gsums sections: a pre-sums
+  // sidecar parses with the groups absent (sketch bodies contain no
+  // ']', and sum items contain no nested arrays — the FIRST ']' after
+  // "sums" closes it)
   private val fileRe =
-    raw"""\{"version":(\d+),"filesFp":"([0-9a-f]*)","delFp":"([0-9a-f]*)","sketches":\[(.*?)\](?:,"sums":\[(.*)\])?\}""".r
+    raw"""\{"version":(\d+),"filesFp":"([0-9a-f]*)","delFp":"([0-9a-f]*)","sketches":\[(.*?)\](?:,"sums":\[(.*?)\])?(?:,"gsums":\[(.*)\])?\}""".r
+
+  private def b64s(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+
+  private def fromB64s(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
 
   private def writeStats(spark: SparkSession, table: String,
                          st: StatsFile): Unit = {
@@ -271,8 +300,19 @@ object TableStats {
           else s""","sc":${cs.sum.scale}"""
         s"""{"col":"${cs.col}","sm":"${cs.sum.unscaledValue.toString}"$sc,"nn":${cs.nonNull}}"""
       }.mkString(""","sums":[""", ",", "]")
+    // partition VALUES are data, not identifiers — base64 them so a
+    // quote or backslash in a value can never tear the sidecar
+    val gsumsPart =
+      if (st.groupSums.isEmpty) ""
+      else st.groupSums.map { gs =>
+        val items = gs.groups.map { case (v, sm, nn) =>
+          val sc = if (sm.scale == 0) "" else s""","sc":${sm.scale}"""
+          s"""{"v":"${b64s(v)}","sm":"${sm.unscaledValue.toString}"$sc,"nn":$nn}"""
+        }.mkString(",")
+        s"""{"col":"${gs.col}","pc":"${gs.partCol}","g":[$items]}"""
+      }.mkString(""","gsums":[""", ",", "]")
     val json =
-      s"""{"version":${st.version},"filesFp":"${st.filesFp}","delFp":"${st.delFp}","sketches":[$body]$sumsPart}"""
+      s"""{"version":${st.version},"filesFp":"${st.filesFp}","delFp":"${st.delFp}","sketches":[$body]$sumsPart$gsumsPart}"""
     // best-effort sweep of tmp files a crashed writer left behind —
     // age-guarded (1 h) so a RACING writer's in-flight tmp is never
     // deleted from under it; a crashed attempt's file is referenced by
@@ -306,7 +346,7 @@ object TableStats {
         bos.toString("UTF-8")
       } finally in.close()
       body.trim match {
-        case fileRe(v, ffp, dfp, sk, sm) =>
+        case fileRe(v, ffp, dfp, sk, sm, gs) =>
           val sketches = sketchRe.findAllMatchIn(sk).map(m =>
             NdvSketch(m.group(1), m.group(2).toInt, m.group(3).toBoolean,
               fromB64(m.group(4)))).toSeq
@@ -317,7 +357,18 @@ object TableStats {
                   new java.math.BigInteger(m.group(2)),
                   Option(m.group(3)).map(_.toInt).getOrElse(0)),
                 m.group(4).toLong)))
-          Some(StatsFile(v.toLong, ffp, dfp, sketches, sums))
+          val groupSums = Option(gs).toSeq.flatMap(s =>
+            gsumRe.findAllMatchIn(s).map { m =>
+              GroupSum(m.group(1), m.group(2),
+                gsumItemRe.findAllMatchIn(m.group(3)).map { im =>
+                  (fromB64s(im.group(1)),
+                    new java.math.BigDecimal(
+                      new java.math.BigInteger(im.group(2)),
+                      Option(im.group(3)).map(_.toInt).getOrElse(0)),
+                    im.group(4).toLong)
+                }.toSeq)
+            })
+          Some(StatsFile(v.toLong, ffp, dfp, sketches, sums, groupSums))
         case _ => None
       }
     }
@@ -342,6 +393,59 @@ object TableStats {
           s"addition is order-free there); $c is $other")
     }
   }
+
+  /** Per-partition-value exact sums of `cols` — ONE `GROUP BY partCol`
+    * job for every column (the values are cast to string: identical to
+    * the manifest stamp rendering for the servable types — strings
+    * verbatim, integrals via toString). NULL partition values are
+    * excluded (never servable — they live under the default stamp the
+    * grouped fold refuses). Group-count capped: the result is driver-
+    * held sidecar metadata, not a table.
+    */
+  private def groupSumsOf(df: DataFrame, partCol: String,
+                          cols: Seq[String]): Seq[GroupSum] = {
+    if (cols.isEmpty) return Seq.empty
+    val aggs = cols.flatMap(c => Seq(
+      sum(col(c).cast(sumCastType(df, c))).as(s"s_$c"),
+      count(col(c)).as(s"n_$c")))
+    val rows = df.filter(col(partCol).isNotNull)
+      .groupBy(col(partCol).cast("string").as("__g"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    require(rows.length <= 65536,
+      s"table stats: $partCol has ${rows.length} partition values — " +
+        "per-partition sums are sidecar metadata, not a table; refusing " +
+        "to record more than 65536 groups")
+    cols.zipWithIndex.map { case (c, i) =>
+      GroupSum(c, partCol, rows.toSeq.map { r =>
+        val nn = r.getLong(2 * i + 2)
+        require(!r.isNullAt(2 * i + 1) || nn == 0L,
+          s"table stats: decimal overflow summing $c in partition " +
+            s"${r.getString(0)}")
+        val s = if (r.isNullAt(2 * i + 1)) java.math.BigDecimal.ZERO
+          else r.getDecimal(2 * i + 1)
+        (r.getString(0), s, nn)
+      }.sortBy(_._1))
+    }
+  }
+
+  /** Additive merge of two per-value maps (the delta refresh). */
+  private def mergeGroupSums(prev: Seq[GroupSum],
+                             fresh: Seq[GroupSum]): Seq[GroupSum] =
+    prev.map { p =>
+      fresh.find(f => f.col == p.col && f.partCol == p.partCol) match {
+        case None => p
+        case Some(f) =>
+          val fm = f.groups.map(g => g._1 -> g).toMap
+          val merged = p.groups.map { case (v, sm, nn) =>
+            fm.get(v) match {
+              case Some((_, fsm, fnn)) => (v, sm.add(fsm), nn + fnn)
+              case None                => (v, sm, nn)
+            }
+          } ++ f.groups.filterNot(g => p.groups.exists(_._1 == g._1))
+          GroupSum(p.col, p.partCol, merged.sortBy(_._1))
+      }
+    }
 
   private def sumsOf(df: DataFrame, cols: Seq[String]): Seq[ColSum] = {
     if (cols.isEmpty) return Seq.empty
@@ -371,15 +475,31 @@ object TableStats {
     * consistent snapshot in both directions. Returns what was written.
     */
   def analyze(spark: SparkSession, table: String, cols: Seq[String],
-              k: Int = 1024, sumCols: Seq[String] = Seq.empty): StatsFile = {
+              k: Int = 1024, sumCols: Seq[String] = Seq.empty,
+              groupSumCols: Seq[String] = Seq.empty): StatsFile = {
     val v = SnapshotTable.currentVersion(spark, table)
     val df = SnapshotTable.readVersion(spark, table, v)
+    val prev = readStats(spark, table)
     val effSumCols =
       if (sumCols.nonEmpty) sumCols
-      else readStats(spark, table).map(_.sums.map(_.col)).getOrElse(Seq.empty)
+      else prev.map(_.sums.map(_.col)).getOrElse(Seq.empty)
+    // like sums, an empty groupSumCols CARRIES the recorded per-
+    // partition lane forward (recomputed at the new version)
+    val effGroupCols =
+      if (groupSumCols.nonEmpty) groupSumCols
+      else prev.map(_.groupSums.map(_.col)).getOrElse(Seq.empty)
     val (sketches, sums) = sketchesAndSums(df, cols, k, effSumCols)
+    val gsums =
+      if (effGroupCols.isEmpty) Seq.empty
+      else {
+        val (_, _, hdr) = SnapshotTable.readListRaw(spark, table, v)
+        val pc = hdr.partCol.getOrElse(sys.error(
+          s"table stats: $table has no partition column — per-partition " +
+            "sums need one"))
+        groupSumsOf(df, pc, effGroupCols)
+      }
     val (ffp, dfp) = fingerprints(spark, table, v)
-    val st = StatsFile(v, ffp, dfp, sketches, sums)
+    val st = StatsFile(v, ffp, dfp, sketches, sums, gsums)
     writeStats(spark, table, st)
     st
   }
@@ -446,8 +566,21 @@ object TableStats {
           else prev.sums.zip(freshSums).map { case (a, b) =>
             ColSum(a.col, a.sum.add(b.sum), a.nonNull + b.nonNull)
           }
+        // per-partition sums: one extra grouped job over the fresh
+        // files, merged additively per (col, value) — opted-in tables
+        // only (the lane is empty otherwise)
+        val mergedGroupSums =
+          if (prev.groupSums.isEmpty || freshEntries.isEmpty) prev.groupSums
+          else {
+            val freshDf =
+              SnapshotTable.readFiles(spark, table, freshEntries, hdr.schema)
+            val pc = prev.groupSums.head.partCol
+            mergeGroupSums(prev.groupSums,
+              groupSumsOf(freshDf, pc, prev.groupSums.map(_.col)))
+          }
         val (ffp, dfp) = fingerprints(spark, table, cur)
-        val st = StatsFile(cur, ffp, dfp, merged, mergedSums)
+        val st = StatsFile(cur, ffp, dfp, merged, mergedSums,
+          mergedGroupSums)
         writeStats(spark, table, st)
         (st, true)
       } else
@@ -474,7 +607,8 @@ object TableStats {
           fingerprints(spark, table, fromVersion) == ((st.filesFp, st.delFp)) =>
         val (ffp, dfp) = fingerprints(spark, table, toVersion)
         writeStats(spark, table,
-          StatsFile(toVersion, ffp, dfp, st.sketches, st.sums))
+          StatsFile(toVersion, ffp, dfp, st.sketches, st.sums,
+            st.groupSums))
         true
       case _ => false
     }
@@ -511,6 +645,24 @@ object TableStats {
       else st.sums.find(_.col == column).map(cs => (cs.sum, cs.nonNull))
     }
 
+  /** Exact PER-PARTITION-VALUE sums (+ non-null counts) of `column`
+    * for a reader planning exactly `plannedPaths` — the
+    * [[exactSum]] twin for the GROUPED metadata fold: returns
+    * (partition column, value → (sum, nonNull)). Values are keyed by
+    * the column's VALUE (stamp-rendered string), so the proof is
+    * layout-independent; the usual gates apply (fingerprint match, no
+    * pending deletes at analyze time).
+    */
+  def exactGroupSum(spark: SparkSession, table: String, column: String,
+                    plannedPaths: Seq[String])
+      : Option[(String, Map[String, (java.math.BigDecimal, Long)])] =
+    readStats(spark, table).flatMap { st =>
+      if (st.filesFp != sha1(plannedPaths)) None
+      else if (st.delFp != sha1(Seq.empty)) None
+      else st.groupSums.find(_.col == column).map(gs =>
+        (gs.partCol, gs.groups.map(g => g._1 -> ((g._2, g._3))).toMap))
+    }
+
   /** [[exactSum]] WITH the current-version freshness proof — the SQL
     * TVF's gate (`snapshot_sums`): version AND both fingerprints must
     * match the CURRENT state, so a delete-only commit (same data
@@ -527,6 +679,19 @@ object TableStats {
       else if (fingerprints(spark, table, cur) != ((st.filesFp, st.delFp)))
         None
       else st.sums.find(_.col == column).map(cs => (cs.sum, cs.nonNull))
+    }
+
+  /** [[exactGroupSum]] WITH the current-version freshness proof — the
+    * `snapshot_group_sums` TVF's gate (same contract as [[sumsServed]]).
+    */
+  def groupSumsServed(spark: SparkSession, table: String, column: String)
+      : Option[GroupSum] =
+    readStats(spark, table).flatMap { st =>
+      val cur = SnapshotTable.currentVersion(spark, table)
+      if (st.version != cur) None
+      else if (fingerprints(spark, table, cur) != ((st.filesFp, st.delFp)))
+        None
+      else st.groupSums.find(_.col == column)
     }
 
   /** An upper BOUND on `column`'s distinct count over ANY reader whose

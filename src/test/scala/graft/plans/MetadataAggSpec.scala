@@ -448,6 +448,69 @@ class MetadataAggSpec extends SparkSpec {
       new java.math.BigDecimal("3.333333"))
   }
 
+  test("PER-PARTITION sums/averages fold from the value-keyed grouped " +
+    "sidecar lane — bit parity per group, a partition filter keeps " +
+    "whole value-groups, the delta refresh re-arms with a NEW group, " +
+    "and the lane is opt-in (absent = grouped sums refuse)") {
+    import spark.implicits._
+    import graft.sources.TableStats
+    val t = freshDir()
+    SnapshotTable.create(spark, t,
+      Seq((1L, BigDecimal("4.00"), "a"), (2L, BigDecimal("3.75"), "a"),
+        (3L, BigDecimal("2.25"), "b"), (4L, BigDecimal("0.50"), "b"))
+        .toDF("k", "price", "p")
+        .select(col("k"), col("price").cast("decimal(12,2)").as("price"),
+          col("p")),
+      // k needs stats too: ANSI (Spark 4's default) demands the
+      // same-sign no-transient-overflow proof for the long sum
+      "p", statsCols = Seq("price", "k"))
+    def agg() = SnapshotTable.read(spark, t).groupBy(col("p"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("s"),
+        avg(col("price")).as("a"), sum(col("k")).as("sk"))
+      .orderBy(col("p"))
+    // opt-in: without the grouped lane a grouped SUM refuses (counts/
+    // min/max alone would still fold — the sum is what needs the lane)
+    TableStats.analyze(spark, t, Seq.empty, sumCols = Seq("price", "k"))
+    assert(!rewritten(agg()))
+    TableStats.analyze(spark, t, Seq.empty, sumCols = Seq("price", "k"),
+      groupSumCols = Seq("price", "k"))
+    assert(rewritten(agg()), agg().queryExecution.optimizedPlan.toString)
+    assert(agg().collect().toSeq === withRuleOff { agg().collect().toSeq })
+    val rows = agg().collect()
+    assert(rows(0).getDecimal(2) === new java.math.BigDecimal("7.75"))
+    assert(rows(0).getDecimal(3) === new java.math.BigDecimal("3.875000"))
+    assert(rows(1).getLong(4) === 7L)
+    // a partition filter restricts to WHOLE value-groups, so the
+    // surviving group's recorded sum is its true sum
+    def one() = SnapshotTable.read(spark, t).filter(col("p") === "b")
+      .groupBy(col("p"))
+      .agg(sum(col("price")).as("s"), avg(col("price")).as("a"))
+    assert(rewritten(one()))
+    assert(one().collect().toSeq === withRuleOff { one().collect().toSeq })
+    // delta refresh: more rows in 'b' AND a brand-new group 'c'
+    SnapshotTable.commitAppend(spark, t,
+      Seq((5L, BigDecimal("1.00"), "b"), (6L, BigDecimal("9.00"), "c"))
+        .toDF("k", "price", "p")
+        .select(col("k"), col("price").cast("decimal(12,2)").as("price"),
+          col("p")), "p")
+    val (_, delta) = TableStats.refresh(spark, t)
+    assert(delta, "append window must take the delta path")
+    assert(rewritten(agg()))
+    assert(agg().collect().toSeq === withRuleOff { agg().collect().toSeq })
+    val after = agg().collect()
+    assert(after.map(_.getString(0)).toSeq === Seq("a", "b", "c"))
+    assert(after(1).getDecimal(2) === new java.math.BigDecimal("3.75"))
+    assert(after(2).getDecimal(2) === new java.math.BigDecimal("9.00"))
+    // the SQL surface serves the same lane under the current-version
+    // freshness proof
+    graft.sources.SnapshotSql.register(spark)
+    val tvf = spark.sql(
+      s"""SELECT part_value, sum_text FROM snapshot_group_sums('$t', 'price')
+         |ORDER BY part_value""".stripMargin).collect()
+    assert(tvf.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("a", "7.75"), ("b", "3.75"), ("c", "9.00")))
+  }
+
   test("partition RANGE filters restrict the metadata fold with an " +
     "exact two-way stamp split — numerically for integer partitions " +
     "(the '10' < '2' lexicographic trap), BETWEEN included — and a " +
