@@ -249,8 +249,31 @@ object WindowTopK extends Rule[LogicalPlan] with PredicateHelper
       .orderBy(col("o_orderpriority"), col("rn"))
   }
 
+  /** The same shape from PLAIN SQL through the `snapshot_table` TVF —
+    * the extensions-level proof that a SQL-only user gets the grouped
+    * pruning with no Scala API in sight (k = 2 differentiates the
+    * hash from the DataFrame twin).
+    */
+  def sqlTopkGroupedQuery(s: SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame = {
+    install(s)
+    graft.sources.SnapshotSql.register(s)
+    val t = JoinOrder.fixturePaths(s, dir)._1
+    s.sql(
+      s"""SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey,
+         |  CAST(o_totalprice AS DOUBLE) AS total_price
+         |FROM (
+         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         |    row_number() OVER (PARTITION BY o_orderpriority
+         |      ORDER BY o_totalprice, o_orderkey) AS rn
+         |  FROM snapshot_table('$t')) t
+         |WHERE rn <= 2
+         |ORDER BY o_orderpriority, rn""".stripMargin)
+  }
+
   override def queries: Map[String, graft.QueryPack.Q] = Map(
-    "q_topk_grouped" -> (topkGroupedQuery _))
+    "q_topk_grouped" -> (topkGroupedQuery _),
+    "q_sql_topk_grouped" -> (sqlTopkGroupedQuery _))
 
   override def oracleSql: Map[String, String] = Map(
     "q_topk_grouped" ->
@@ -262,5 +285,15 @@ object WindowTopK extends Rule[LogicalPlan] with PredicateHelper
         |      ORDER BY o_totalprice, o_orderkey) AS rn
         |  FROM orders) t
         |WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+    "q_sql_topk_grouped" ->
+      """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey,
+        |  CAST(o_totalprice AS DOUBLE) AS total_price
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 2
         |ORDER BY o_orderpriority, rn""".stripMargin)
 }

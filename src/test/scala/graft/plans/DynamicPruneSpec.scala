@@ -255,6 +255,36 @@ class DynamicPruneSpec extends SparkSpec {
     assert(filesRead(anti()) < slowAFiles)
   }
 
+  test("the registry is SESSION-scoped: a sibling session with the " +
+    "rule installed does not inherit it; a conf-carrying clone keeps " +
+    "firing; the planner tier COMPOSES (dynamic IN + grouped metadata " +
+    "fold on one star query)") {
+    val (fact, dim) = star()
+    DynamicPrune.enableFor(spark, dim)
+    def q(s: org.apache.spark.sql.SparkSession) = {
+      val f = SnapshotTable.read(s, fact)
+      val d = SnapshotTable.read(s, dim).filter(col("attr") === 0)
+      f.join(d, col("fp") === col("dp"))
+        .groupBy(col("fp")).agg(count(lit(1)).as("n"))
+    }
+    assert(dynConjuncts(q(spark)) === 1)
+    val sibling = spark.newSession()
+    DynamicPrune.install(sibling)
+    assert(dynConjuncts(q(sibling)) === 0,
+      "a sibling session must not inherit the registry")
+    val cloneLike = spark.newSession()
+    DynamicPrune.install(cloneLike)
+    cloneLike.conf.set("spark.graft.dynamicPrune.tables",
+      spark.conf.get("spark.graft.dynamicPrune.tables"))
+    assert(dynConjuncts(q(cloneLike)) === 1,
+      "a conf-carrying clone (micro-batch planning) must keep firing")
+    // composition: the grouped metadata fold (count per partition)
+    // refuses under the join, but the probe's own per-partition count
+    // AFTER dynamic pruning still answers correctly — parity is the
+    // composed-tier contract
+    assert(rows(q(spark)) === withOff(rows(q(spark))))
+  }
+
   test("fixpoint-stable: re-optimizing the optimized plan changes " +
     "nothing and collects no second key set") {
     val (fact, dim) = star()

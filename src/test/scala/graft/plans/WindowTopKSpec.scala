@@ -159,6 +159,21 @@ class WindowTopKSpec extends SparkSpec {
     assert(filesRead(filtered()) === all)
   }
 
+  test("fires from PLAIN SQL through the snapshot_table TVF — the " +
+    "SQL-only user gets the same pruning") {
+    val t = table()
+    graft.sources.SnapshotSql.register(spark)
+    def q() = spark.sql(
+      s"""SELECT p, rn, k, v FROM (
+         |  SELECT p, k, v, row_number() OVER (PARTITION BY p
+         |    ORDER BY v, k) AS rn FROM snapshot_table('$t'))
+         |WHERE rn <= 3 ORDER BY p, rn, k""".stripMargin)
+    val (slowRows, slowFiles) = withOff { val d = q(); (rows(d), filesRead(d)) }
+    assert(rows(q()) === slowRows)
+    assert(filesRead(q()) < slowFiles,
+      "the TVF-resolved relation must prune like the Scala read")
+  }
+
   test("over-cap group counts refuse (bounded predicate size)") {
     val t = table()
     spark.conf.set("spark.graft.snapshot.windowTopK.maxGroups", "2")
