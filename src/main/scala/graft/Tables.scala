@@ -17,6 +17,23 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Widen a scan-rooted input to cluster parallelism before CPU-dense
+    * per-row work (quadratic self-join verifies, similarity math). A
+    * single-row-group parquet file plans ONE scan task no matter how
+    * much compute per row follows, so one core works while the rest
+    * idle — the "one huge unsplittable file" input-skew case. The
+    * round-robin repartition costs one shuffle of the (small) rows and
+    * only fires when the input is narrower than the cluster; a
+    * warehouse-scale scan is already wider, so this is a no-op there
+    * (no new exchange). The explicit count is exempt from AQE
+    * coalescing by design: these stages are CPU-bound and byte-tiny,
+    * exactly the shape byte-based coalescing mis-sizes.
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

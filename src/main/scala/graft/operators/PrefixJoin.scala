@@ -69,6 +69,15 @@ object PrefixJoin extends QueryPack {
       // size-ratio prune (jac <= min/max, so below-ratio pairs can't qualify)
       .filter(col("a_n") * 5 >= col("b_n") * 4 && col("b_n") * 5 >= col("a_n") * 4)
       .select(col("a_id"), col("b_id"))
+      // explicit-width repartition on the distinct keys REPLACES the
+      // distinct's own exchange (the aggregate reuses the clustering) and
+      // pins the candidate set — and with it the downstream exact-verify
+      // joins, which broadcast the doc sides and inherit this width — at
+      // cluster parallelism. Without it, AQE's byte-based coalescing folds
+      // the candidate shuffle (KBs of id pairs) to ONE task and the whole
+      // CPU-bound array_intersect verify runs on one core.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("a_id"), col("b_id"))
       .distinct()
   }
 

@@ -51,7 +51,11 @@ object TextAnalysis extends QueryPack {
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("source"), wordSet(col("text")).as("ws"))
-    val a = d.select(col("doc_id").as("a_id"), col("lang"), col("source"), col("ws").as("a_ws"))
+    // widen the PROBE side: the block self-join broadcasts `b`, so the
+    // quadratic verify work inherits the streamed side's scan width — a
+    // single-file corpus would run the whole block join on one core
+    val a = Tables.widen(
+      d.select(col("doc_id").as("a_id"), col("lang"), col("source"), col("ws").as("a_ws")))
     val b = d.select(col("doc_id").as("b_id"), col("lang"), col("source"), col("ws").as("b_ws"))
     a.join(b, Seq("lang", "source"))
       .filter(col("a_id") < col("b_id"))
