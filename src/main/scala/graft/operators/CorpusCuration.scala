@@ -321,7 +321,9 @@ object CorpusCuration extends QueryPack {
       .groupBy("w").agg(count(lit(1)).as("n"))
       // filter guards against any empty-string artifacts of the char split
       .select(expr("filter(split(w, ''), c -> c <> '')").as("syms"), col("n"))
-      .localCheckpoint()
+      // LAZY: each round's 1-row argmax collect materializes the state
+      // it reads — one job per round instead of two (plan stays truncated)
+      .localCheckpoint(false)
     val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
     for (round <- 1 to rounds) {
       val top = words
@@ -337,7 +339,7 @@ object CorpusCuration extends QueryPack {
       val (lhs, rhs, pn) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       merges += ((round.toLong, lhs, rhs, pn))
       words = words.select(greedyMerge(col("syms"), lhs, rhs).as("syms"), col("n"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     merges.toSeq.toDF("merge_round", "lhs", "rhs", "n").orderBy(col("merge_round"))
   }
@@ -376,7 +378,7 @@ object CorpusCuration extends QueryPack {
     val seg = applyMergesOnePass(
       docs.select(col("lang"), explode(split(col("text"), " ")).as("w"))
         .withColumn("syms", expr("filter(split(w, ''), c -> c <> '')")),
-      s.read.parquet(fit))
+      graft.Tables.readCached(s, fit))
     seg.groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_words"),

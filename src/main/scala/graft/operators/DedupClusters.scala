@@ -53,13 +53,24 @@ object DedupClusters extends QueryPack {
       case Some(dir) =>
         pairs.sparkSession.sparkContext.setCheckpointDir(dir)
         df => df.checkpoint()
-      case None => df => df.localCheckpoint()
+      // LAZY local checkpoint: the logical plan is truncated immediately
+      // (the explosion the ck exists to stop), but materialization rides
+      // the round's OWN convergence action (labelSum) instead of a
+      // dedicated eager job — one job per round, not two
+      case None => df => df.localCheckpoint(false)
     }
     // materialize the pair list ONCE before symmetrizing: the self-union
     // would otherwise evaluate the (possibly expensive) upstream pair
-    // pipeline twice
-    val edges = ck(
-      pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")))
+    // pipeline twice — eager here, unlike the loop state, because BOTH
+    // union legs read it in the same job and a pending lazy checkpoint
+    // gives racing tasks no reuse guarantee
+    val edges = checkpointDir match {
+      case Some(_) => ck(
+        pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")))
+      case None => pairs
+        .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+        .localCheckpoint()
+    }
     val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       .distinct().cache()
     var labels = ck(sym.select(col("u").as("node")).distinct()
@@ -119,7 +130,7 @@ object DedupClusters extends QueryPack {
         MinHashDedup.minhashPairsStaged(s, dir).select("a_id", "b_id"))
         .write.parquet(tmp)
     }
-    s.read.parquet(path)
+    graft.Tables.readCached(s, path)
   }
 
   /** Driver query: near-dup clusters over the verified MinHash pair set
@@ -164,10 +175,19 @@ object DedupClusters extends QueryPack {
       case Some(dir) =>
         pairs.sparkSession.sparkContext.setCheckpointDir(dir)
         df => df.checkpoint()
-      case None => df => df.localCheckpoint()
+      // LAZY local checkpoint (see [[connectedComponents]]): plans stay
+      // truncated per round, but with no per-round convergence action
+      // (tol off) the whole fixed-round loop materializes in ONE final
+      // job DAG instead of one eager job per round
+      case None => df => df.localCheckpoint(false)
     }
-    val raw = ck(
-      pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")))
+    val raw = checkpointDir match {
+      case Some(_) => ck(
+        pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")))
+      case None => pairs
+        .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+        .localCheckpoint() // both union legs read it in one job — stay eager
+    }
     val edges = raw.union(raw.select(col("v").as("u"), col("u").as("v")))
       .distinct().cache()
     val deg = edges.groupBy(col("u").as("v_id"))

@@ -387,7 +387,7 @@ object MinHashDedup extends QueryPack {
         Seq(s"$dir/documents.parquet"))) { tmp =>
       minhashQuery(s, dir).write.parquet(tmp)
     }
-    s.read.parquet(path)
+    graft.Tables.readCached(s, path)
   }
 
   /** Driver-visible dedup-quality report (one row):
@@ -431,7 +431,7 @@ object MinHashDedup extends QueryPack {
       val p = graft.sources.Ingest.ensureStaged(
         graft.sources.Ingest.stagedPath(s, prefix,
           Seq(s"$dir/documents.parquet")))(tmp => build.write.parquet(tmp))
-      s.read.parquet(p)
+      graft.Tables.readCached(s, p)
     }
     val shingleTruth = staged("graft_shingle_truth_")(
       exactShinglePairs(docs, "doc_id", "text", 0.8).select("a_id", "b_id"))

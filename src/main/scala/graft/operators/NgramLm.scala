@@ -84,7 +84,7 @@ object NgramLm extends QueryPack {
       val p = graft.sources.Ingest.ensureStaged(
         graft.sources.Ingest.stagedPath(s, prefix + leg,
           Seq(s"$dir/documents.parquet")))(tmp => build.write.parquet(tmp))
-      s.read.parquet(p)
+      graft.Tables.readCached(s, p)
     }
     lazy val d = docs
     val uni = staged("uni_")(

@@ -170,7 +170,7 @@ object ProductQuant extends QueryPack {
         transform(col("pq_codes"),
           (c, j) => element_at(table, j * K + c.cast("int") + 1)),
         lit(0.0), (acc, x) => acc + x)
-    s.read.parquet(path)
+    graft.Tables.readCached(s, path)
       .withColumn("adot", lookupSum(dotLit))
       .withColumn("anorm2", lookupSum(normLit))
       .select(col("vec_id"),
@@ -232,7 +232,7 @@ object ProductQuant extends QueryPack {
         transform(col("pq_codes"),
           (c, j) => element_at(table, j * K + c.cast("int") + 1)),
         lit(0.0), (acc, x) => acc + x)
-    val candidates = s.read.parquet(path)
+    val candidates = graft.Tables.readCached(s, path)
       .filter(col("ivf_list").isin(lists: _*))
       .withColumn("adot", lookupSum(dotLit))
       .withColumn("anorm2", lookupSum(normLit))

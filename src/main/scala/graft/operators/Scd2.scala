@@ -281,7 +281,7 @@ object Scd2 extends QueryPack {
         Seq(s"$dir/orders.parquet")))(tmp =>
       buildDim(ordersChanges(s, dir), "o_custkey", "o_orderdate",
         Attrs, "o_orderkey").write.parquet(tmp))
-    val dim = s.read.parquet(dimPath)
+    val dim = graft.Tables.readCached(s, dimPath)
     val fact = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_shipdate"))
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),

@@ -183,7 +183,7 @@ object SimHash extends QueryPack {
           Seq(s"$dir/documents.parquet"))) { tmp =>
         nearDupPairs(docs, "doc_id", "text").write.parquet(tmp)
       }
-      s.read.parquet(p)
+      graft.Tables.readCached(s, p)
     }
     // multiset key: md5 of the sorted token list — any deterministic sort
     // works, since only key EQUALITY (= multiset equality) is consumed

@@ -86,7 +86,7 @@ object TextAnalysis extends QueryPack {
         Seq(s"$dir/documents.parquet"))) { tmp =>
       ngramJaccardPairs(s, dir).write.parquet(tmp)
     }
-    s.read.parquet(path)
+    graft.Tables.readCached(s, path)
   }
 
   /** Embedding-cosine near-dup pairs within label blocks (the vector
@@ -408,7 +408,7 @@ object TextAnalysis extends QueryPack {
       val p = graft.sources.Ingest.ensureStaged(
         graft.sources.Ingest.stagedPath(s, prefix + leg,
           Seq(s"$dir/documents.parquet")))(tmp => build.write.parquet(tmp))
-      s.read.parquet(p)
+      graft.Tables.readCached(s, p)
     }
     lazy val legs = gramLegs(docs)
     (staged("train_")(legs._1), staged("eval_")(legs._2))

@@ -93,6 +93,10 @@ object Profile {
         case _ => ()
       }
     }
+    if (sys.env.contains("SPARK_GRAFT_RULE_DUMP")) {
+      println("\n==== catalyst rule time (whole run) ====")
+      println(org.apache.spark.sql.catalyst.rules.RuleExecutor.dumpTimeSpent())
+    }
     spark.stop()
   }
 }
