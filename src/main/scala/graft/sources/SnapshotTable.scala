@@ -721,6 +721,13 @@ object SnapshotTable extends QueryPack {
         }
     if (staged.isEmpty) { f.delete(staging, true); return Seq.empty }
 
+    // ONE resolution of the freshly written staging dir, shared by the
+    // stats and bloom passes below: each spark.read.parquet call re-lists
+    // the path and re-infers the schema on the driver (ResolveDataSource,
+    // measured at 100-400 ms for multi-file staged batches), and the two
+    // passes read the SAME immutable just-written file set
+    lazy val stagingDf = spark.read.parquet(staging.toString)
+
     // per-file row counts (+ per-column min/max): one column-pruned
     // scan of the NEW files (never the table), keyed by
     // (partition dir, file base). With NO stats columns the counts come
@@ -799,7 +806,7 @@ object SnapshotTable extends QueryPack {
           Seq(min(col(sc)).cast("double").as(s"lo_$sc"),
             max(col(sc)).cast("double").as(s"hi_$sc"),
             sum(when(col(sc).isNull, 1L).otherwise(0L)).as(s"nu_$sc")))
-        spark.read.parquet(staging.toString)
+        stagingDf
           .groupBy(input_file_name().as("f")).agg(statsAggs.head, statsAggs.tail: _*)
           .collect().map { r =>
             // keyed by the file's absolute path: with bucketed (two-level)
@@ -837,7 +844,7 @@ object SnapshotTable extends QueryPack {
             pmod(xxhash64(col(bc), lit(i)), lit(bloomBits.toLong))
               .cast("int").as("p"),
             col(bc).isNull.as("n"))))
-        spark.read.parquet(staging.toString)
+        stagingDf
           .select(input_file_name().as("f"),
             explode(array(probes: _*)).as("cp"))
           .where(!col("cp.n"))

@@ -60,20 +60,25 @@ object Upsert extends QueryPack {
     recoverUpsertLeftovers(fs, dir, partCol)
     val batchParts = updates.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
+    // ONE resolution of the pre-upsert table shared by the movers scan
+    // and the merge target: both must read the SAME immutable pre-swap
+    // state, and a second spark.read.parquet(dir) would re-list and
+    // re-infer the partitioned layout on the driver for no new facts
+    val current = spark.read.parquet(dir)
     // cross-partition movers: batch keys still living in partitions the
     // batch doesn't name — widen the affected set so their stale copies
     // are anti-joined out instead of surviving as duplicate keys. The
     // scan is column-pruned to (key, partition) over the complement.
     val moverParts =
       if (!detectMovers) Seq.empty
-      else spark.read.parquet(dir)
+      else current
         .filter(!col(partCol).isin(batchParts: _*))
         .select(col(keyCol), col(partCol))
         .join(updates.select(col(keyCol)), Seq(keyCol), "left_semi")
         .select(col(partCol)).distinct()
         .collect().map(_.get(0)).toSeq
     val parts = batchParts ++ moverParts
-    val target = spark.read.parquet(dir)
+    val target = current
       .filter(col(partCol).isin(parts: _*)) // partition-pruned
     val nReplaced = target.join(updates.select(col(keyCol)), Seq(keyCol),
       "left_semi").count()
