@@ -35,6 +35,7 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   def readCached(spark: SparkSession, path: String): DataFrame = {
+    SessionTune.install(spark)
     if (readMemo.size > 512)
       readMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     readMemo.computeIfAbsent((spark, path), _ => spark.read.parquet(path))

@@ -36,12 +36,23 @@ import graft.sources.SnapshotTable
   */
 object Scd2 extends QueryPack {
 
-  /** Batch-build the SCD2 timeline from a change history. */
+  /** Batch-build the SCD2 timeline from a change history.
+    *
+    * ONE exchange, not two (guide §2.4): the per-(key, ts) dedup
+    * aggregate and the per-key `lead` window would each plan their own
+    * shuffle (hash(key, ts), then hash(key)); pre-partitioning by the
+    * KEY alone satisfies both — same-key rows land together, which
+    * clusters every (key, ts) group too — so the window reuses the
+    * aggregation's layout and a full pass over the change set is
+    * saved. Skew exposure is unchanged: the window already required
+    * by-key partitioning.
+    */
   def buildDim(changes: DataFrame, keyCol: String, tsCol: String,
                attrCols: Seq[String], tieCol: String): DataFrame = {
     val aggs = attrCols.map(a => max_by(col(a), col(tieCol)).as(a)) :+
       max(col(tieCol)).as(tieCol)
-    val dedup = changes.groupBy(col(keyCol), col(tsCol))
+    val dedup = changes.repartition(col(keyCol))
+      .groupBy(col(keyCol), col(tsCol))
       .agg(aggs.head, aggs.tail: _*)
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
     dedup
@@ -94,7 +105,9 @@ object Scd2 extends QueryPack {
       buildDim(oldChanges.unionByName(batch.select(changeCols: _*)),
         keyCol, tsCol, attrCols, tieCol),
       keyCol, attrCols, tieCol, buckets)
-    SnapshotTable.commitMerge(spark, dim, rebuilt, "sk", "__bucket", tag)
+    graft.JobLabel(spark, "scd2:merge") {
+      SnapshotTable.commitMerge(spark, dim, rebuilt, "sk", "__bucket", tag)
+    }
   }
 
   // ------------------------------------------------------------------

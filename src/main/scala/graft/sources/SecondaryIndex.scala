@@ -54,21 +54,31 @@ object SecondaryIndex extends QueryPack {
     * subset's rows, map-side combined; the raw (unmasked) read is
     * correct here because a masked row's posting is at worst a false
     * positive the restricted read re-masks.
+    *
+    * `dedup = false` skips the distinct: every consumer reduces
+    * postings to a file SET (lookup/probe paths `.distinct()` the file
+    * column), so duplicate (k, file) rows are only a SIZE cost — and
+    * for a key-unique table (the [[appendUnique]] enforced contract)
+    * the pairs are already distinct, making the dedup shuffle a full
+    * pass over the postings that removes nothing (guide §2.4: a
+    * `distinct` on data that is already unique). Never a correctness
+    * knob, only a layout/size one.
     */
   private def postingsOf(spark: SparkSession, table: String, version: Long,
                          keyCol: String, entries: Seq[SnapshotTable.FileEntry],
-                         buckets: Int): DataFrame = {
+                         buckets: Int, dedup: Boolean = true): DataFrame = {
     val names = entries.map(e => fileName(e.path) -> e.path)
     require(names.map(_._1).distinct.size == names.size,
       s"secondary index: duplicate data-file names in $table")
     val nameMap = spark.createDataFrame(
       spark.sparkContext.parallelize(names.map { case (n, p) => Row(n, p) }, 1),
       StructType(Seq(StructField("__fn", StringType), StructField("file", StringType))))
-    SnapshotTable.readEntryCols(spark, table, entries, version, Seq(keyCol))
+    val pairs = SnapshotTable
+      .readEntryCols(spark, table, entries, version, Seq(keyCol))
       .select(col(keyCol).as("k"),
         substring_index(input_file_name(), "/", -1).as("__fn"))
       .filter(col("k").isNotNull)
-      .distinct()
+    (if (dedup) pairs.distinct() else pairs)
       .join(broadcast(nameMap), Seq("__fn"))
       .select(col("k"), col("file"),
         pmod(xxhash64(col("k")), lit(buckets)).as("__bucket"))
@@ -80,7 +90,8 @@ object SecondaryIndex extends QueryPack {
     * scale.
     */
   def create(spark: SparkSession, table: String, keyCol: String,
-             index: String, buckets: Int = 64): Long = {
+             index: String, buckets: Int = 64,
+             dedupPostings: Boolean = true): Long = {
     require(buckets > 0, s"secondary index: buckets $buckets out of range")
     val v = SnapshotTable.currentVersion(spark, table)
     val (entries, _) = SnapshotTable.readManifestFull(spark, table, v)
@@ -92,14 +103,17 @@ object SecondaryIndex extends QueryPack {
     // few posting FILES per bucket whose recorded [lo, hi] intersects
     // the range. That one layout decision is what makes
     // [[lookupRangeFiles]] O(postings in range) instead of O(index).
+    graft.JobLabel(spark, "six:index-build") {
     SnapshotTable.create(spark, index,
-      postingsOf(spark, table, v, keyCol, entries, buckets), "__bucket",
+      postingsOf(spark, table, v, keyCol, entries, buckets,
+        dedup = dedupPostings), "__bucket",
       statsCols = Seq("k"),
       tags = Set(s"six@$v", s"sixn@$buckets"),
       // manifest-measured bound on the postings bytes: see refresh —
       // the optimizer's estimate over scan→distinct→join would
       // otherwise size the range split at the cap for any input
       sizeHint = Some(entries.map(_.bytes).sum).filter(_ > 0L))
+    }
   }
 
   private def headerTags(spark: SparkSession, index: String): Set[String] =
@@ -142,7 +156,7 @@ object SecondaryIndex extends QueryPack {
     * a vacuumed-away base, not routine hygiene.
     */
   def refresh(spark: SparkSession, table: String, keyCol: String,
-              index: String): Option[Long] = {
+              index: String, dedupPostings: Boolean = true): Option[Long] = {
     val vNow = SnapshotTable.currentVersion(spark, table)
     val applied = appliedVersion(spark, index)
     if (vNow <= applied) None
@@ -166,17 +180,20 @@ object SecondaryIndex extends QueryPack {
         if (freshEntries.isEmpty)
           // schema-preserving empty frame → tag-only commit
           SnapshotTable.read(spark, index).filter(lit(false))
-        else postingsOf(spark, table, vNow, keyCol, freshEntries, buckets)
+        else postingsOf(spark, table, vNow, keyCol, freshEntries, buckets,
+          dedup = dedupPostings)
       // size the range-clustered postings write from the MANIFEST's
       // fresh-file bytes (a safe over-bound: postings are a projection
       // of those rows): without the hint the optimizer's estimate over
       // scan→distinct→join saturates the task cap and every micro-batch
       // index advance pays a sampling re-execution of the postings plan
       val hint = freshEntries.map(_.bytes).sum
-      SnapshotTable.commitWithRetry() {
-        SnapshotTable.commitAppend(spark, index, postings, "__bucket",
-          tag = Some(s"six@$vNow"),
-          sizeHint = Some(hint).filter(_ > 0L))
+      graft.JobLabel(spark, "six:refresh-postings") {
+        SnapshotTable.commitWithRetry() {
+          SnapshotTable.commitAppend(spark, index, postings, "__bucket",
+            tag = Some(s"six@$vNow"),
+            sizeHint = Some(hint).filter(_ > 0L))
+        }
       }
     }
   }
@@ -429,21 +446,25 @@ object SecondaryIndex extends QueryPack {
                    autoRefresh: Boolean = true): (Long, Long, Long) = {
     require(onConflict == "error" || onConflict == "skip",
       s"appendUnique: onConflict must be error|skip, got $onConflict")
-    if (autoRefresh) refresh(spark, table, keyCol, index)
+    // the table is ENFORCED-unique on keyCol (this operator's contract),
+    // so postings pairs are born distinct — skip the dedup shuffle
+    if (autoRefresh) refresh(spark, table, keyCol, index,
+      dedupPostings = false)
     val v = SnapshotTable.currentVersion(spark, table)
     val batch = df.persist()
     try {
       // one aggregate job validates the whole batch: nulls are rows the
       // key count misses, in-batch duplicates are rows the distinct
-      // count misses
-      val chk = batch.agg(count(lit(1)), count(col(keyCol)),
-        count_distinct(col(keyCol))).head()
-      val (nAll, nNonNull, nDistinct) =
-        (chk.getLong(0), chk.getLong(1), chk.getLong(2))
-      require(nNonNull == nAll,
-        s"appendUnique: batch carries ${nAll - nNonNull} NULL $keyCol keys")
-      require(nDistinct == nNonNull,
-        s"appendUnique: batch carries duplicate $keyCol keys")
+      // count misses. It shares no inputs with the index probe below,
+      // so the two jobs OVERLAP (guide §2.6 — the probe's tail
+      // back-fills cores the validate frees); the checks still gate the
+      // commit because the await lands before any conflict decision.
+      val chkF = scala.concurrent.Future {
+        graft.JobLabel(spark, "six:validate-batch") {
+          batch.agg(count(lit(1)), count(col(keyCol)),
+            count_distinct(col(keyCol))).head()
+        }
+      }(scala.concurrent.ExecutionContext.global)
       val batchKeys = batch.select(col(keyCol).as("k")).distinct()
       def scanExisting = SnapshotTable.readVersion(spark, table, v)
         .select(col(keyCol).as("k"))
@@ -451,10 +472,12 @@ object SecondaryIndex extends QueryPack {
       val existing =
         if (appliedVersion(spark, index) < v) scanExisting
         else {
-          val files = SnapshotTable.read(spark, index)
-            .join(batchKeys, Seq("k"), "left_semi")
-            .select(col("file")).distinct()
-            .limit(maxFiles + 1).collect().map(_.getString(0)).toSet
+          val files = graft.JobLabel(spark, "six:probe-postings") {
+            SnapshotTable.read(spark, index)
+              .join(batchKeys, Seq("k"), "left_semi")
+              .select(col("file")).distinct()
+              .limit(maxFiles + 1).collect()
+          }.map(_.getString(0)).toSet
           if (files.size > maxFiles) scanExisting
           else if (files.isEmpty) batchKeys.limit(0)
           else {
@@ -465,7 +488,17 @@ object SecondaryIndex extends QueryPack {
               .join(batchKeys, Seq("k"), "left_semi").distinct()
           }
         }
-      val nConflicts = existing.count()
+      val chk = scala.concurrent.Await.result(chkF,
+        scala.concurrent.duration.Duration(1, "hour"))
+      val (nAll, nNonNull, nDistinct) =
+        (chk.getLong(0), chk.getLong(1), chk.getLong(2))
+      require(nNonNull == nAll,
+        s"appendUnique: batch carries ${nAll - nNonNull} NULL $keyCol keys")
+      require(nDistinct == nNonNull,
+        s"appendUnique: batch carries duplicate $keyCol keys")
+      val nConflicts = graft.JobLabel(spark, "six:count-conflicts") {
+        existing.count()
+      }
       require(onConflict == "skip" || nConflicts == 0,
         s"appendUnique: $nConflicts key(s) in the batch already exist in $table")
       val fresh =
@@ -475,8 +508,11 @@ object SecondaryIndex extends QueryPack {
       val nInserted = nAll - nConflicts
       if (nInserted == 0) (v, 0L, nConflicts)
       else {
-        SnapshotTable.commitAppend(spark, table, fresh, partCol, tag = tag)
-        if (autoRefresh) refresh(spark, table, keyCol, index)
+        graft.JobLabel(spark, "six:append-fresh") {
+          SnapshotTable.commitAppend(spark, table, fresh, partCol, tag = tag)
+        }
+        if (autoRefresh) refresh(spark, table, keyCol, index,
+          dedupPostings = false)
         (SnapshotTable.currentVersion(spark, table), nInserted, nConflicts)
       }
     } finally batch.unpersist()

@@ -687,10 +687,12 @@ object SnapshotTable extends QueryPack {
           Some(saved))
       case _ => (toWrite0, None)
     }
-    try toWrite.write
-      .option("maxRecordsPerFile", 5000000L)
-      .partitionBy(partDirs: _*).parquet(staging.toString)
-    finally savedPlanned.foreach {
+    try graft.JobLabel.ifUnset(spark,
+      s"snap:write ${new Path(table).getName}") {
+      toWrite.write
+        .option("maxRecordsPerFile", 5000000L)
+        .partitionBy(partDirs: _*).parquet(staging.toString)
+    } finally savedPlanned.foreach {
       case Some(v) => spark.conf.set(plannedWriteKey, v)
       case None    => spark.conf.unset(plannedWriteKey)
     }
@@ -1311,6 +1313,7 @@ object SnapshotTable extends QueryPack {
              bucketBy: Option[(String, Int)] = None,
              sortBy: Option[String] = None,
              sizeHint: Option[Long] = None): Long = {
+    graft.SessionTune.install(spark)
     require(versions(spark, table).isEmpty,
       s"snapshot table $table already exists")
     bucketBy.foreach { case (c, n) =>
@@ -1459,8 +1462,10 @@ object SnapshotTable extends QueryPack {
     val manifest = meta.entries
     // one job serves both the partition probe and the replaced/inserted
     // arithmetic below (updCount) — the batch is already materialized
-    val partCounts = updates.groupBy(col(partCol).cast("string").as("__p"))
-      .count().collect()
+    val partCounts = graft.JobLabel(spark, "merge:part-probe") {
+      updates.groupBy(col(partCol).cast("string").as("__p"))
+        .count().collect()
+    }
     val batchParts = partCounts.map(_.getString(0)).toSet
     val updCount = partCounts.map(_.getLong(1)).sum
 
@@ -1472,11 +1477,13 @@ object SnapshotTable extends QueryPack {
     val movers =
       if (miss0.isEmpty) Seq.empty
       else {
-        val stale = readFiles(spark, table, miss0, hdr.schema)
-          .select(col(keyCol), input_file_name().as("__f"))
-          .join(updates.select(col(keyCol)), Seq(keyCol), "left_semi")
-          .select(col("__f")).distinct()
-          .collect().map(r => new Path(r.getString(0)).getName).toSet
+        val stale = graft.JobLabel(spark, "merge:mover-probe") {
+          readFiles(spark, table, miss0, hdr.schema)
+            .select(col(keyCol), input_file_name().as("__f"))
+            .join(updates.select(col(keyCol)), Seq(keyCol), "left_semi")
+            .select(col("__f")).distinct()
+            .collect()
+        }.map(r => new Path(r.getString(0)).getName).toSet
         miss0.filter(e => stale.contains(new Path(e.path).getName))
       }
     val affected = hit0 ++ movers
@@ -1493,9 +1500,11 @@ object SnapshotTable extends QueryPack {
     // ids and id-matched reads would null its columns
     val stamped = hdr.schema.fold(merged)(s =>
       applySchemaMeta(merged, schemaFromString(s)))
-    val fresh = writeDataFiles(spark, table, stamped, partCol,
-      statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket, bucketSort = hdr.sortBy,
-      sizeHint = Some(affected.map(_.bytes).sum))
+    val fresh = graft.JobLabel(spark, "merge:rewrite") {
+      writeDataFiles(spark, table, stamped, partCol,
+        statsCols = hdr.statsCols, bloomCols = hdr.bloomCols, bucket = hdr.bucket, bucketSort = hdr.sortBy,
+        sizeHint = Some(affected.map(_.bytes).sum))
+    }
     commitRewrite(spark, table, v, segs, affected.map(_.path).toSet,
       fresh, Seq.empty, hdr.copy(tags = hdr.tags ++ tag))
     // replaced/inserted by ARITHMETIC, not extra scans: the manifest

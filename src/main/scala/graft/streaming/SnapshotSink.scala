@@ -437,11 +437,18 @@ object SnapshotSink extends QueryPack {
         val s = batch.sparkSession
         val b = batch.dropDuplicates("event_id")
         if (SnapshotTable.versions(s, table).isEmpty) {
-          SnapshotTable.create(s, table, b, "event_type")
-          graft.sources.SecondaryIndex.create(s, table, "event_id", index)
+          graft.JobLabel(s, "uniq:create-table") {
+            SnapshotTable.create(s, table, b, "event_type")
+          }
+          // the batch was key-deduped above and the table will be
+          // enforced-unique from here on — postings are born distinct
+          graft.sources.SecondaryIndex.create(s, table, "event_id", index,
+            dedupPostings = false)
         } else {
-          graft.sources.SecondaryIndex.appendUnique(s, table, b,
-            "event_id", "event_type", index, onConflict = "skip")
+          graft.JobLabel(s, "uniq:append-tick") {
+            graft.sources.SecondaryIndex.appendUnique(s, table, b,
+              "event_id", "event_type", index, onConflict = "skip")
+          }
         }
         ()
       }

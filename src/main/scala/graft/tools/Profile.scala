@@ -31,6 +31,9 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B switch for cached-plan AQE experiments
+    sys.env.get("SPARK_GRAFT_CACHED_AQE").foreach(v => spark.conf.set(
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", v))
 
     val jobs = mutable.Map[Int, JobRec]()
     val order = mutable.ArrayBuffer[Int]()
@@ -42,7 +45,9 @@ object Profile {
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = synchronized {
         val cs = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(Option(js.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))))
           .orElse(js.stageInfos.lastOption.map(_.name.take(60)))
           .getOrElse("?")
         jobs(js.jobId) = JobRec(js.jobId, cs, -1, js.time)
