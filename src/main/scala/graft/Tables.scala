@@ -34,8 +34,29 @@ object Tables {
   private val readMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  // contexts that carry the eviction listener below — eviction fires on
+  // application end (context stop), not only opportunistically past the
+  // size cap, so a long-lived process that cycles sessions cannot pin
+  // stopped sessions' resolved readers (ADVICE r13)
+  private val evictListenerOn = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[org.apache.spark.SparkContext]()
+
+  /** IMMUTABLE-PATH contract: callers may only pass paths whose file set
+    * never changes after first read (the read-only corpus, write-once
+    * staged fixtures). Mutable dirs (snapshot tables, upsert targets)
+    * must stay off this memo — a cached handle pins the file listing.
+    */
   def readCached(spark: SparkSession, path: String): DataFrame = {
     SessionTune.install(spark)
+    val sc = spark.sparkContext
+    if (evictListenerOn.add(sc))
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          readMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+          evictListenerOn.remove(sc)
+        }
+      })
     if (readMemo.size > 512)
       readMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     readMemo.computeIfAbsent((spark, path), _ => spark.read.parquet(path))
@@ -55,7 +76,45 @@ object Tables {
     */
   def widen(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    if (estimatedScanWidth(df).forall(_ < p)) df.repartition(p) else df
+  }
+
+  /** Estimated scan-task width of a SCAN-ROOTED frame from file
+    * metadata alone — Spark's own split math
+    * (`FilePartition.maxSplitBytes`: splits of
+    * `min(maxPartitionBytes, max(openCost, totalBytes/parallelism))`,
+    * each file charged one `openCostInBytes`) applied to the leaf
+    * relations' cached file listing. The old guard read
+    * `df.rdd.getNumPartitions`, which builds the physical plan and RDD
+    * lineage on the driver per call (and under AQE would EXECUTE
+    * upstream stages if the plan contained an exchange) — exactly the
+    * per-query driver cost readCached exists to avoid. `None` when a
+    * leaf is not a file relation (shuffle-rooted or custom source):
+    * callers treat that as "already wide" and leave the frame alone,
+    * so the helper can never trigger an eager upstream execution.
+    */
+  private def estimatedScanWidth(df: DataFrame): Option[Long] = {
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    val rels = leaves.flatMap {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            Seq(fs)
+          case _ => Seq.empty
+        }
+      case _ => Seq.empty
+    }
+    if (rels.isEmpty || rels.size != leaves.size) None
+    else {
+      val conf = df.sparkSession.sessionState.conf
+      val totalBytes = rels.map(_.location.sizeInBytes).sum
+      val nFiles = rels.map(_.location.inputFiles.length.toLong).sum
+      val p = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+      val openCost = conf.filesOpenCostInBytes
+      val maxSplit = math.max(1L, math.min(conf.filesMaxPartitionBytes,
+        math.max(openCost, totalBytes / p)))
+      Some((totalBytes + nFiles * openCost + maxSplit - 1) / maxSplit)
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

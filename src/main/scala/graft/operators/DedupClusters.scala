@@ -220,7 +220,14 @@ object DedupClusters extends QueryPack {
       state = next
       iter += 1
     }
-    edges.unpersist()
+    // unpersist only when an action inside the loop already materialized
+    // the final state (eager per-round checkpoints, or tol's convergence
+    // scan). In the lazy fixed-round path NOTHING has run yet — the one
+    // final job computes every round from the cached edges, so dropping
+    // the cache here would silently recompute the union+distinct shuffle
+    // once per round (ADVICE r13). The cache then expires with the
+    // session, which is the documented localCheckpoint lifetime anyway.
+    if (tol.isDefined || checkpointDir.isDefined) edges.unpersist()
     state.select(col("v_id"), col("rank"), col("deg").cast("long").as("degree"))
   }
 

@@ -274,14 +274,28 @@ object ProductQuant extends QueryPack {
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
+    // generous FINITE deadline shared by all probes (ADVICE r13: an
+    // Inf await on a hung job blocks the query forever); on timeout or
+    // a probe failure, cancel the group's outstanding jobs so no
+    // detached work keeps burning the shared session
+    val group = s"pq-recall-${java.util.UUID.randomUUID()}"
+    def probe(f: => Set[Long]): Future[Set[Long]] = Future {
+      s.sparkContext.setJobGroup(group, "compressionRecall probe",
+        interruptOnCancel = true)
+      try f finally s.sparkContext.clearJobGroup()
+    }
     val probes = Seq(
-      Future(ids(graft.search.VectorSearch.knnBrute(s, dir))),
-      Future(ids(graft.search.QuantizedSearch.sqTopK(s, dir))),
-      Future(ids(pqQuery(s, dir))),
-      Future(ids(pqRerankQuery(s, dir))),
-      Future(ids(ivfPqQuery(s, dir))))
+      probe(ids(graft.search.VectorSearch.knnBrute(s, dir))),
+      probe(ids(graft.search.QuantizedSearch.sqTopK(s, dir))),
+      probe(ids(pqQuery(s, dir))),
+      probe(ids(pqRerankQuery(s, dir))),
+      probe(ids(ivfPqQuery(s, dir))))
     val Seq(exact, sq, pq, pqr, ivfpq) =
-      probes.map(Await.result(_, Duration.Inf))
+      try probes.map(Await.result(_, Duration(10, "min")))
+      catch { case e: Throwable =>
+        s.sparkContext.cancelJobGroup(group)
+        throw e
+      }
     def recall(got: Set[Long]): Double = (got & exact).size / 10.0
     Seq((recall(sq), recall(pq), recall(pqr), recall(ivfpq), 8L, 256L))
       .toDF("sq8_recall_at10", "pq_recall_at10", "pq_rerank_recall_at10",

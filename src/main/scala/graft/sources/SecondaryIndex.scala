@@ -459,12 +459,22 @@ object SecondaryIndex extends QueryPack {
       // so the two jobs OVERLAP (guide §2.6 — the probe's tail
       // back-fills cores the validate frees); the checks still gate the
       // commit because the await lands before any conflict decision.
-      val chkF = scala.concurrent.Future {
-        graft.JobLabel(spark, "six:validate-batch") {
-          batch.agg(count(lit(1)), count(col(keyCol)),
-            count_distinct(col(keyCol))).head()
-        }
-      }(scala.concurrent.ExecutionContext.global)
+      // Analysis+planning run HERE on the calling thread (which may hold
+      // the SessionCatalog monitor — the SQL TVF path invokes this whole
+      // procedure from inside function resolution) so the future never
+      // needs a catalog lock; and if the caller DOES hold it, skip the
+      // overlap entirely — a cross-thread job from under that lock
+      // deadlocks against any analysis the future still performs.
+      val chkDf = batch.agg(count(lit(1)), count(col(keyCol)),
+        count_distinct(col(keyCol)))
+      chkDf.queryExecution.executedPlan // plan on the calling thread
+      def runChk() = graft.JobLabel(spark, "six:validate-batch") {
+        chkDf.head()
+      }
+      val chkF =
+        if (Thread.holdsLock(spark.sessionState.catalog)) None
+        else Some(scala.concurrent.Future(runChk())(
+          scala.concurrent.ExecutionContext.global))
       val batchKeys = batch.select(col(keyCol).as("k")).distinct()
       def scanExisting = SnapshotTable.readVersion(spark, table, v)
         .select(col(keyCol).as("k"))
@@ -488,8 +498,11 @@ object SecondaryIndex extends QueryPack {
               .join(batchKeys, Seq("k"), "left_semi").distinct()
           }
         }
-      val chk = scala.concurrent.Await.result(chkF,
-        scala.concurrent.duration.Duration(1, "hour"))
+      val chk = chkF match {
+        case Some(f) => scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration(1, "hour"))
+        case None => runChk()
+      }
       val (nAll, nNonNull, nDistinct) =
         (chk.getLong(0), chk.getLong(1), chk.getLong(2))
       require(nNonNull == nAll,
