@@ -240,36 +240,65 @@ object Relational extends QueryPack {
   /** TPC-H Q21-shaped waiting suppliers (adapted: the corpus lineitem has
     * no commit/receipt dates, so "late" = shipped more than 80 days after
     * the order date): suppliers who were the ONLY late supplier on a
-    * finished multi-supplier order. Written through the SQL front end —
-    * the double correlated EXISTS / NOT EXISTS is Q21's signature, and
-    * Catalyst decorrelates both into one left-semi and one left-anti join
-    * on the order key (the inner orders join keeps each correlation
-    * equality-only, which is what makes the rewrite possible). At 100 TB
-    * all three lineitem legs shuffle on l_orderkey — one co-partitioned
-    * exchange reused across the semi/anti probes.
+    * finished multi-supplier order.
+    *
+    * SINGLE-PASS conditional-aggregation rewrite of Q21's signature
+    * double correlated EXISTS / NOT EXISTS (guide §2.4/§3; r13 verdict
+    * item 5). The decorrelated form scans and shuffles lineitem THREE
+    * times (semi + anti probes against the base join); but both
+    * correlations only ask per-order facts — "some OTHER supplier has a
+    * line" and "no OTHER supplier has a LATE line" — so one grouped
+    * pass derives them exactly:
+    *
+    *   per (l_orderkey, l_suppkey): n_late = COUNT(late lines)
+    *   per l_orderkey (window):     n_supp = COUNT(supplier groups),
+    *                                n_late_supp = COUNT(groups with n_late>0)
+    *
+    * A supplier's late lines on a finished order qualify iff
+    * n_late > 0 ∧ n_supp ≥ 2 (the EXISTS: another supplier has a line —
+    * any line, late or not, which is why the group counts ALL lines) ∧
+    * n_late_supp = 1 (the NOT EXISTS: that one late supplier is this
+    * row's own group). numwait = Σ n_late over qualifying pairs —
+    * integer arithmetic throughout, so the result set is bit-identical
+    * to the subquery form (the oracle still runs the EXISTS shape).
+    *
+    * ONE wide exchange: lineitem joins the F-orders slice (broadcast at
+    * this SF; at 100 TB both sides hash on the order key), is
+    * pre-partitioned by l_orderkey, and the pair aggregate AND the
+    * per-order window both reuse that layout (hash(l_orderkey)
+    * satisfies ClusteredDistribution(l_orderkey, l_suppkey) — the
+    * Scd2.buildDim single-exchange pattern). The old plan's second and
+    * third lineitem shuffles (18 MiB + 33 MiB broadcast at sf0.1,
+    * table-scale at 100 TB) are gone.
     */
   def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
-    Tables.orders(s, dir).createOrReplaceTempView("graft_orders_q21")
-    Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem_q21")
-    Tables.supplier(s, dir).createOrReplaceTempView("graft_supplier_q21")
-    s.sql(
-      """SELECT s_name, count(*) AS numwait
-        | FROM graft_supplier_q21
-        | JOIN graft_lineitem_q21 l1 ON s_suppkey = l1.l_suppkey
-        | JOIN graft_orders_q21 ON o_orderkey = l1.l_orderkey
-        | WHERE o_orderstatus = 'F'
-        |   AND l1.l_shipdate > o_orderdate + INTERVAL 80 DAY
-        |   AND EXISTS (
-        |     SELECT 1 FROM graft_lineitem_q21 l2
-        |     WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-        |   AND NOT EXISTS (
-        |     SELECT 1 FROM graft_lineitem_q21 l3
-        |     JOIN graft_orders_q21 o2 ON l3.l_orderkey = o2.o_orderkey
-        |     WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-        |       AND l3.l_shipdate > o2.o_orderdate + INTERVAL 80 DAY)
-        | GROUP BY s_name
-        | ORDER BY numwait DESC, s_name
-        | LIMIT 20""".stripMargin)
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val lines = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 80 DAY")).as("__late"))
+    val pairs = lines.repartition(col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(when(col("__late"), 1L).otherwise(0L)).as("n_late"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    val flagged = pairs
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late_supp",
+        sum(when(col("n_late") > 0, 1L).otherwise(0L)).over(w))
+      .filter(col("n_late") > 0 && col("n_supp") >= 2 &&
+        col("n_late_supp") === 1)
+    flagged
+      .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(sum(col("n_late")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
   }
 
   /** TPC-H Q22-shaped idle customers (adapted: the corpus customer table

@@ -941,15 +941,22 @@ object SnapshotTable extends QueryPack {
                         entries: Seq[FileEntry],
                         schema: Option[String] = None): DataFrame = {
     require(entries.nonEmpty, "snapshot read: empty file set")
-    val reader = schema.fold(spark.read) { str =>
-      val st = schemaFromString(str)
-      // id-matching only engages for requested schemas that carry ids —
-      // setting the conf never affects plain-parquet reads elsewhere
-      if (st.exists(_.metadata.contains(FieldIdKey)))
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-      spark.read.schema(st)
+    schema match {
+      // recorded schema → serve the entry set through SnapshotFileIndex
+      // directly: the DataFrameReader path pays a full ResolveDataSource
+      // per call (DataSource construction + a file-listing InMemoryFileIndex
+      // over every path — measured ~400 ms for a 16-file merge target,
+      // the single largest driver cost of a commit), while the indexed
+      // relation resolves in O(entries) from manifest bytes with zero
+      // FS calls (guide §5 driver, §7.3 ResolveDataSource frames)
+      case Some(str) =>
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          .baseRelationToDataFrame(
+            indexedRelation(spark, table, entries, str, None))
+      case None =>
+        // pre-schema fixtures: footer inference needs the reader path
+        spark.read.parquet(entries.map(e => s"$table/${e.path}"): _*)
     }
-    reader.parquet(entries.map(e => s"$table/${e.path}"): _*)
   }
 
   /** The relation-backed read: `entries` served to the standard
@@ -983,13 +990,22 @@ object SnapshotTable extends QueryPack {
                                        entries: Seq[FileEntry], schemaStr: String,
                                        partCol: Option[String],
                                        bucket: Option[(String, Int)] = None,
+                                       bucketSort: Option[String] = None): org.apache.spark.sql.sources.BaseRelation =
+    indexedRelationOf(spark, table, entries,
+      schemaFromString(schemaStr), partCol, bucket, bucketSort)
+
+  private[sources] def indexedRelationOf(spark: SparkSession, table: String,
+                                       entries: Seq[FileEntry],
+                                       schema: org.apache.spark.sql.types.StructType,
+                                       partCol: Option[String],
+                                       bucket: Option[(String, Int)] = None,
                                        bucketSort: Option[String] = None): org.apache.spark.sql.sources.BaseRelation = {
     // nullable-izing is load-bearing (DataFrameReader's asNullable
     // does the same): files predating an added column must yield
     // NULL for it, and the vectorized reader only null-fills
     // nullable fields
     val st = org.apache.spark.sql.types.StructType(
-      schemaFromString(schemaStr).fields.map(_.copy(nullable = true)))
+      schema.fields.map(_.copy(nullable = true)))
     if (st.exists(_.metadata.contains(FieldIdKey)))
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     // Spark gates the V1 bucketed scan's outputOrdering claim behind a
@@ -1062,9 +1078,12 @@ object SnapshotTable extends QueryPack {
     val st = org.apache.spark.sql.types.StructType(cols.map(c =>
       full.find(_.name == c).getOrElse(sys.error(
         s"readEntryCols: no column $c in $table")).copy(nullable = true)))
-    if (st.exists(_.metadata.contains(FieldIdKey)))
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    spark.read.schema(st).parquet(entries.map(e => s"$table/${e.path}"): _*)
+    // indexed relation, not spark.read: same ResolveDataSource/listing
+    // avoidance as readFiles — the index-build path calls this per
+    // commit window
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(
+        indexedRelationOf(spark, table, entries, st, None))
   }
 
   /** STREAMING-flagged relation read of an explicit entry subset under

@@ -339,19 +339,30 @@ object SnapshotSink extends QueryPack {
         SnapshotTable.commitWithRetry() {
           SnapshotTable.commitAppend(s, factPath, batch, typeCol,
             tag = Some(tag))
-          // bounded by the type domain, not the batch (the collect is
-          // the partition-probe idiom every merge path already uses)
-          val touched = batch.select(col(typeCol)).distinct()
-            .collect().map(_.get(0).toString).toSeq
+          // ONE batch aggregation per tick: the delta is bounded by the
+          // type domain, so COLLECT it (the partition-probe idiom every
+          // merge path already uses) and serve both the touched-type
+          // list and the merge source from the collected rows — the
+          // merge's own materialization then joins a LOCAL relation
+          // against the few touched agg rows instead of re-aggregating
+          // the batch a second time (guide §2.4: don't compute things
+          // twice; measured: one full batch scan per tick removed).
+          // Pinned column types (long, decimal(28,6)) keep the agg
+          // schema FIXED across batches — decimal addition is exact
+          // and associative, so the running totals are independent
+          // of how the source split into micro-batches.
+          val deltaQ = batch.groupBy(col(typeCol))
+            .agg(count(lit(1)).cast("long").as("n"),
+              sum(col(valueCol).cast("decimal(18,6)"))
+                .cast("decimal(28,6)").as("sum_value"))
+          val deltaRows = graft.JobLabel(s, "ctx:batch-delta") {
+            deltaQ.collect()
+          }
+          val touched = deltaRows.map(_.get(0).toString).toSeq
           if (touched.nonEmpty) {
-            // pinned column types (long, decimal(28,6)) keep the agg
-            // schema FIXED across batches — decimal addition is exact
-            // and associative, so the running totals are independent
-            // of how the source split into micro-batches
-            val delta = batch.groupBy(col(typeCol))
-              .agg(count(lit(1)).cast("long").as("n"),
-                sum(col(valueCol).cast("decimal(18,6)"))
-                  .cast("decimal(28,6)").as("sum_value"))
+            val delta = s.createDataFrame(
+              s.sparkContext.parallelize(deltaRows.toIndexedSeq, 1),
+              deltaQ.schema)
             val merged =
               if (SnapshotTable.tableStats(s, aggPath)._1 == 0L) delta
               else {
@@ -437,13 +448,26 @@ object SnapshotSink extends QueryPack {
         val s = batch.sparkSession
         val b = batch.dropDuplicates("event_id")
         if (SnapshotTable.versions(s, table).isEmpty) {
-          graft.JobLabel(s, "uniq:create-table") {
+          val v = graft.JobLabel(s, "uniq:create-table") {
             SnapshotTable.create(s, table, b, "event_type")
           }
           // the batch was key-deduped above and the table will be
-          // enforced-unique from here on — postings are born distinct
+          // enforced-unique from here on — postings are born distinct.
+          // Bucket count SIZED TO THE VOLUME (manifest row total — pure
+          // metadata), not the 64-bucket point-lookup default: this
+          // sink's only index consumer is appendUnique's BULK probe,
+          // which semi-joins every batch's keys against the postings —
+          // it always touches every bucket, so many buckets buy no
+          // pruning here and cost a per-FILE open/footer fee on every
+          // tick (guide §6 small files; measured: the 64-file probe
+          // scan was the query's hottest stage, 6.5 CPU-s of mostly
+          // per-file overhead for a 3 MB index). ~50k postings per
+          // bucket ≈ sub-MB posting files; the cap keeps 100 TB
+          // bootstraps at Iceberg-like fan-out.
+          val rows = SnapshotTable.readManifest(s, table, v).map(_.rows).sum
+          val buckets = math.max(8L, math.min(4096L, rows / 50000L)).toInt
           graft.sources.SecondaryIndex.create(s, table, "event_id", index,
-            dedupPostings = false)
+            buckets = buckets, dedupPostings = false)
         } else {
           graft.JobLabel(s, "uniq:append-tick") {
             graft.sources.SecondaryIndex.appendUnique(s, table, b,

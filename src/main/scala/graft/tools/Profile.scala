@@ -40,7 +40,9 @@ object Profile {
     var stages = 0
     var tasks = 0L
     var taskMs = 0.0
-    // (stage name, numTasks, executorRunTime ms) for hot-stage spotting
+    // stage id → owning job's label, recorded at job start
+    val stageJob = mutable.Map[Int, String]()
+    // (stage label, numTasks, executorRunTime ms) for hot-stage spotting
     val stageRecs = mutable.ArrayBuffer[(String, Int, Double)]()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = synchronized {
@@ -51,6 +53,7 @@ object Profile {
           .orElse(js.stageInfos.lastOption.map(_.name.take(60)))
           .getOrElse("?")
         jobs(js.jobId) = JobRec(js.jobId, cs, -1, js.time)
+        js.stageInfos.foreach(si => stageJob(si.stageId) = s"job ${js.jobId} $cs")
         order += js.jobId
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = synchronized {
@@ -61,7 +64,9 @@ object Profile {
           stages += 1
           tasks += sc.stageInfo.numTasks
           taskMs += sc.stageInfo.taskMetrics.executorRunTime.toDouble
-          stageRecs += ((sc.stageInfo.name.take(70), sc.stageInfo.numTasks,
+          val label = stageJob.getOrElse(sc.stageInfo.stageId,
+            sc.stageInfo.name.take(40)) + " | " + sc.stageInfo.name.take(40)
+          stageRecs += ((label, sc.stageInfo.numTasks,
             sc.stageInfo.taskMetrics.executorRunTime.toDouble))
         }
     }
@@ -73,7 +78,7 @@ object Profile {
         println(s"[$name] warmup FAILED: ${e.getMessage}"); }
       // settle, then profile one pass
       jobs.clear(); order.clear(); stages = 0; tasks = 0L; taskMs = 0.0
-      stageRecs.clear()
+      stageRecs.clear(); stageJob.clear()
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count() catch { case e: Throwable =>
@@ -92,8 +97,8 @@ object Profile {
       }
       // hottest stages: a stage with few tasks and big run time is a
       // serialization point (guide §2.5 — input parallelism / skew)
-      synchronized(stageRecs.sortBy(-_._3).take(6)).foreach {
-        case (nm, nt, ms) if ms >= 100 =>
+      synchronized(stageRecs.sortBy(-_._3).take(12)).foreach {
+        case (nm, nt, ms) if ms >= 50 =>
           println(f"  stage $ms%8.0f taskMs  ntasks=$nt%-4d $nm")
         case _ => ()
       }

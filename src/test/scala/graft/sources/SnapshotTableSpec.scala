@@ -1159,14 +1159,28 @@ class SnapshotTableSpec extends SparkSpec {
     assert(joinPlan(SnapshotTable.readHinted(spark, dim))
       .contains("BroadcastHashJoin"),
       "a manifest-sized small table must broadcast")
-    // threshold below the table size → no hint, normal planning
+    // threshold below the table size → no hint, normal planning. Pin
+    // the ADAPTIVE threshold too: AQE's SMJ→BHJ conversion reads its
+    // own conf, and a prior suite may have left it explicitly set —
+    // the static conf's fallback then no longer reaches AQE
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldA = spark.conf
+      .getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "1")
       assert(!joinPlan(SnapshotTable.readHinted(spark, dim))
         .contains("BroadcastHashJoin"),
         "an over-threshold table must not be force-broadcast")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      oldA match {
+        case Some(v) => spark.conf
+          .set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf
+          .unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
   }
 
   test("write-audit-publish: stages are invisible, publish rebases onto " +

@@ -85,7 +85,12 @@ class SortedBucketSpec extends SparkSpec {
     try body
     finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
-      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", saved)
+      // UNSET, not restore-to-saved: the adaptive conf was never set
+      // before this block, and pinning it to the static threshold's
+      // value breaks any later suite that lowers the static conf and
+      // expects AQE to follow the fallback (observed: SnapshotTableSpec
+      // readHinted order-dependent failure)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
   }
 
