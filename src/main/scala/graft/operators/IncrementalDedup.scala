@@ -314,7 +314,12 @@ object IncrementalDedup extends QueryPack {
     */
   def incrNeardupQuery(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    dedupNewBatch(docs.filter(!isBatch), ensureHistoryStore(s, dir),
+    // the staged history store is write-once per corpus — resolve it
+    // through the reader memo instead of dedupNewBatch's per-run
+    // schema-inferring read (a footer-merge job + driver resolution
+    // per invocation for a fixed three-column layout)
+    dedupAgainstStore(docs.filter(!isBatch),
+      graft.Tables.readCached(s, ensureHistoryStore(s, dir)),
       docs.filter(isBatch))
   }
 

@@ -172,10 +172,17 @@ object MinHashDedup extends QueryPack {
     * at warehouse scale signatures live at rest next to the corpus
     * (see [[graft.sources.TableIO]]) and all three reads hit parquet.
     */
-  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+  def nearDupPairs(docs0: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.8, seed: Long = 42L,
                    maxBucketSize: Int = defaultMaxBucketSize,
                    sigAgreementMargin: Option[Double] = Some(0.35)): DataFrame = {
+    // widen a narrow scan before the signature passes (guide §2.5 input
+    // skew): the k-hash signature UDF is the CPU-dense per-row step and
+    // runs in all three legs (banding + both prefilter sides) — a
+    // single-file corpus would hash the whole collection on one core
+    // three times while the rest idle. No-op on warehouse-width scans
+    // and non-scan-rooted inputs (metadata-only width estimate).
+    val docs = graft.Tables.widen(docs0)
     val sigs = withSignature(docs, textCol, seed)
       .select(col(idCol).as("id"), col("minhash_sig"))
 

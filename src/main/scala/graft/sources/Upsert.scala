@@ -55,7 +55,8 @@ object Upsert extends QueryPack {
     */
   def upsertByKey(spark: SparkSession, dir: String, updates: DataFrame,
                   keyCol: String, partCol: String,
-                  detectMovers: Boolean = true): (Long, Long, Long) = {
+                  detectMovers: Boolean = true,
+                  knownSchema: Option[org.apache.spark.sql.types.StructType] = None): (Long, Long, Long) = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverUpsertLeftovers(fs, dir, partCol)
     val batchParts = updates.select(col(partCol)).distinct()
@@ -63,8 +64,12 @@ object Upsert extends QueryPack {
     // ONE resolution of the pre-upsert table shared by the movers scan
     // and the merge target: both must read the SAME immutable pre-swap
     // state, and a second spark.read.parquet(dir) would re-list and
-    // re-infer the partitioned layout on the driver for no new facts
-    val current = spark.read.parquet(dir)
+    // re-infer the partitioned layout on the driver for no new facts.
+    // `knownSchema` (callers that know the table's fixed layout — the
+    // upsert preserves schema by construction) additionally skips the
+    // footer-merge inference JOB the schema-less reader runs per call.
+    val current = knownSchema.fold(spark.read)(st => spark.read.schema(st))
+      .parquet(dir)
     // cross-partition movers: batch keys still living in partitions the
     // batch doesn't name — widen the affected set so their stale copies
     // are anti-joined out instead of surviving as duplicate keys. The
@@ -115,11 +120,12 @@ object Upsert extends QueryPack {
     * when clean). [[SnapshotTable]] is the alternative that needs no
     * healing at all — commits publish atomically or not at all.
     */
-  def openMergedTable(spark: SparkSession, dir: String, partCol: String): DataFrame = {
+  def openMergedTable(spark: SparkSession, dir: String, partCol: String,
+                      knownSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverUpsertLeftovers(fs, dir, partCol)
     spark.catalog.refreshByPath(dir)
-    spark.read.parquet(dir)
+    knownSchema.fold(spark.read)(st => spark.read.schema(st)).parquet(dir)
   }
 
   private[graft] def recoverUpsertLeftovers(
@@ -163,7 +169,12 @@ object Upsert extends QueryPack {
     }
     // fresh working copy per run — upsert mutates it (hardlink clone:
     // the upsert rewrites whole partition dirs, never appends into an
-    // existing file, so linked bytes are safe to share with the base)
+    // existing file, so linked bytes are safe to share with the base).
+    // The base's schema is resolved ONCE per session through the reader
+    // memo (immutable staged path) and handed to both the upsert and the
+    // post-swap open — the clone preserves it, so neither needs the
+    // footer-inference job
+    val baseSchema = Tables.readCached(s, basePath).schema
     val work = SnapshotTable.cloneTable(s, basePath)
     val orders = Tables.orders(s, dir)
     val changed = orders.filter(col("o_orderkey") % 97 === 0)
@@ -178,8 +189,9 @@ object Upsert extends QueryPack {
       to_timestamp(lit("1999-01-01")).as("o_orderdate"),
       lit("1-URGENT").as("o_orderpriority"))
     upsertByKey(s, work, changed.unionByName(fresh),
-      "o_orderkey", "o_orderpriority")
-    openMergedTable(s, work, "o_orderpriority")
+      "o_orderkey", "o_orderpriority", knownSchema = Some(baseSchema))
+    openMergedTable(s, work, "o_orderpriority",
+      knownSchema = Some(baseSchema))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")

@@ -62,6 +62,17 @@ object IncrDedupStream extends QueryPack {
     val bandsP = s"$statePath/bands"
     val docsP = s"$statePath/docs"
     val resultsP = s"$statePath/results"
+    // EXPLICIT schemas for the per-tick state reads: the layouts are
+    // this operator's own (writeBandStore / the writes below), so
+    // schema-inferring spark.read would pay a footer-merge Spark job +
+    // driver resolution PER TICK for facts already known (guide §5
+    // driver work; the mergeSchemasInParallel job showed up in driver
+    // stack samples). batch_id is the scope-partition column.
+    val docsSchema = schema.add("batch_id", "long")
+    val bandsSchema = StructType.fromDDL(
+      "band_id INT, bucket BIGINT, doc_id BIGINT, batch_id BIGINT")
+    val resultsSchema = StructType.fromDDL(
+      "a_id BIGINT, b_id BIGINT, jac DOUBLE, batch_id BIGINT")
     // a crashed compactState swap would otherwise leave a parked/half-
     // swapped store for every batch of this run to read
     Seq(bandsP, docsP, resultsP).foreach(
@@ -82,15 +93,29 @@ object IncrDedupStream extends QueryPack {
             MinHashDedup.nearDupPairs(batch, "doc_id", "text", threshold = 0.8)
           else
             IncrementalDedup.dedupAgainstStore(
-              s.read.parquet(docsP).filter(col("batch_id") < id)
+              s.read.schema(docsSchema).parquet(docsP)
+                .filter(col("batch_id") < id)
                 .select(schema.fieldNames.map(col).toSeq: _*),
-              s.read.parquet(bandsP).filter(col("batch_id") < id),
+              s.read.schema(bandsSchema).parquet(bandsP)
+                .filter(col("batch_id") < id)
+                .select(col("band_id"), col("bucket"), col("doc_id")),
               batch)
-        // batch_id-scoped + Overwrite = a retried batch replaces itself
-        pairs.write.mode(SaveMode.Overwrite).parquet(s"$resultsP/batch_id=$id")
-        batch.write.mode(SaveMode.Overwrite).parquet(s"$docsP/batch_id=$id")
-        IncrementalDedup.absorbBatch(batch, s"$bandsP/batch_id=$id",
-          mode = SaveMode.Overwrite)
+        // batch_id-scoped + Overwrite = a retried batch replaces itself.
+        // The three state writes are INDEPENDENT (separate scoped dirs,
+        // no read of each other) and all must land before the checkpoint
+        // commit — overlap them (guide §2.6) so the tick pays one write
+        // tail, not three in sequence.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val writes = Seq(
+          Future(pairs.write.mode(SaveMode.Overwrite)
+            .parquet(s"$resultsP/batch_id=$id")),
+          Future(batch.write.mode(SaveMode.Overwrite)
+            .parquet(s"$docsP/batch_id=$id")),
+          Future(IncrementalDedup.absorbBatch(batch, s"$bandsP/batch_id=$id",
+            mode = SaveMode.Overwrite)))
+        writes.foreach(Await.result(_,
+          scala.concurrent.duration.Duration(1, "hour")))
         ()
       }
       .option("checkpointLocation", s"$statePath/checkpoint")
@@ -100,7 +125,7 @@ object IncrDedupStream extends QueryPack {
     // a run whose batches all produced zero pairs leaves only empty
     // scoped dirs — no parquet footers to infer from. Catch EXACTLY
     // that condition; a genuinely corrupt results dir must still throw.
-    try spark.read.parquet(resultsP)
+    try spark.read.schema(resultsSchema).parquet(resultsP)
       .select(col("a_id"), col("b_id"), col("jac"))
       .orderBy(col("a_id"), col("b_id"))
     catch {
