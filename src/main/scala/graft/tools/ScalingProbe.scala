@@ -39,6 +39,15 @@ object ScalingProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // probe-only (NOT the bench config): at probe volumes the default
+      // 64 MB advisory target coalesces every post-shuffle stage to a
+      // handful of tasks, so wall time is identical at 8 and 32 cores
+      // regardless of compute — the first probe run measured ratios
+      // 0.79-1.14 with 5-task reduce stages. A smaller advisory size
+      // reproduces the partition-count regime a 100 TB input reaches
+      // naturally (bytes/64 MB >> cores), which is exactly the regime
+      // the scaling question is about.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -63,9 +72,15 @@ object ScalingProbe {
             (col(c) + col("__rep") * offset).as(c)
           case c => col(c)
         }: _*)
+    // repartition(32) before the write: the broadcast-replicated frame
+    // would otherwise land as one or two giant files and cap every scan
+    // at a couple of splits — the probe wants a healthy parallel scan,
+    // like any real table of this size would have
     replicate(graft.Tables.orders(s, sfDir), Seq("o_orderkey"))
+      .repartition(32)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
     replicate(graft.Tables.lineitem(s, sfDir), Seq("l_orderkey"))
+      .repartition(32)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
       graft.Tables.load(s, sfDir, t)
@@ -125,7 +140,7 @@ object ScalingProbe {
       val ratio = if (tHi > 0) tLo / tHi else 0.0
       f"""  "$q": {"t32_sec": $tHi%.3f, "t8_sec": $tLo%.3f, "ratio_8v32": $ratio%.2f, "maxStageTasks32": $wHi, "maxStageTasks8": $wLo}"""
     }
-    val json = s"""{"metric": "scaling_probe", "mult": $mult, "sf": "$sfDir", "queries": {
+    val json = s"""{"metric": "scaling_probe", "mult": $mult, "sf": "$sfDir", "advisory_partition_bytes": "8m", "queries": {
 ${rows.mkString(",\n")}
 }}"""
     println(json)
